@@ -1,0 +1,258 @@
+package graft.compile
+
+import graft.model._
+import graft.query._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** CubeQuery → one declarative DataFrame plan:
+  *
+  *   source (cheapest covering table) → broadcast star joins (only those
+  *   the query references) → filter(preds) → groupBy(slices).agg(measures,
+  *   incl. FILTER-style conditional metrics) → ordered options fold
+  *   (sort / limitBy-window / offset / limit).
+  *
+  * Everything downstream (predicate pushdown to parquet, column pruning,
+  * broadcast vs shuffle join choice, partial/final agg split, AQE) is left
+  * to Catalyst — the reference delegated exactly the same set to
+  * activecube + ClickHouse (SURVEY §4).
+  */
+object Compiler {
+
+  def compile(q: CubeQuery): DataFrame = {
+    val cube = q.cube
+
+    // ---- resolve which registries the query touches -----------------
+    val sliceDims = q.slices.map { case (_, ref) => cube.dimension(ref.dim) }
+    val metricRefs = q.measures.map { case (_, m) => cube.metric(m.metric) }
+    val selectorNames = (q.wheres ++ q.measures.flatMap(_._2.filter)).flatMap(collectSelectors)
+    val selectors = selectorNames.map(cube.selector)
+
+    // ---- source selection (activecube's optimal-table choice) -------
+    val base = chooseSource(q)
+
+    // ---- star joins: only those reachable from referenced members ---
+    val needed = (sliceDims.flatMap(_.requires) ++ metricRefs.flatMap(_.requires) ++
+      selectors.flatMap(_.requires)).toSet
+    val joined = applyJoins(cube, base, needed)
+
+    // ---- WHERE ------------------------------------------------------
+    val filtered = q.wheres.flatMap(p => compilePred(cube, p))
+      .reduceOption(_ && _).map(joined.filter).getOrElse(joined)
+
+    // ---- slices + measures ------------------------------------------
+    val sliceCols: Seq[Column] = q.slices.map { case (key, ref) =>
+      checkKey(key); cube.dimension(ref.dim).resolve(ref.path).as(key)
+    }
+    val aggCols: Seq[Column] = q.measures.map { case (key, m) =>
+      checkKey(key)
+      val pred = m.filter.flatMap(p => compilePred(cube, p))
+      cube.metric(m.metric).build(pred).as(key)
+    }
+
+    val shaped: DataFrame =
+      if (aggCols.nonEmpty && sliceCols.nonEmpty)
+        filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      else if (aggCols.nonEmpty)
+        filtered.agg(aggCols.head, aggCols.tail: _*)
+      else if (sliceCols.nonEmpty)
+        filtered.select(sliceCols: _*).distinct()
+      else filtered
+
+    // ---- ordered options fold (O16: application order is semantic) --
+    foldOptions(shaped, q.options)
+  }
+
+  /** `_aq.`-prefix injection guard analogue (parse_tree.rb:113-114): output
+    * keys must be plain identifiers so result addressing is unambiguous. */
+  private def checkKey(key: String): Unit =
+    if (key.isEmpty || key.contains('`'))
+      throw new CubeQueryException(s"illegal result key '$key'") // V5
+
+  // ------------------------------------------------------------------
+  // source selection
+  // ------------------------------------------------------------------
+
+  /** Pick the cheapest registered source that serves every dimension and
+    * metric the query references; fall back to the raw fact. This is the
+    * one genuinely interesting optimization activecube performs
+    * (optimal-table selection among alternative physical tables, SURVEY §4).
+    */
+  private def chooseSource(q: CubeQuery): DataFrame = {
+    if (q.cube.altSources.isEmpty) return q.cube.fact
+    val dims = q.slices.map(_._2.dim).toSet
+    val mets = q.measures.map(_._2.metric).toSet
+    val sels = (q.wheres ++ q.measures.flatMap(_._2.filter))
+      .flatMap(collectSelectors).toSet
+    q.cube.altSources
+      .filter(s => dims.subsetOf(s.servesDimensions) &&
+        mets.subsetOf(s.servesMetrics) && sels.subsetOf(s.servesDimensions))
+      .sortBy(_.cost)
+      .headOption.map(_.df).getOrElse(q.cube.fact)
+  }
+
+  // ------------------------------------------------------------------
+  // joins
+  // ------------------------------------------------------------------
+
+  /** Apply the needed joins plus their transitive `dependsOn` closure, in
+    * dependency order, broadcasting dimension tables so the fact side
+    * never shuffles (the right move for star schemas at 100 TB: every
+    * dim table here is ≤ a few MB per million facts).
+    */
+  private def applyJoins(cube: Cube, base: DataFrame, needed: Set[String]): DataFrame = {
+    // transitive closure
+    var all = needed
+    var grew = true
+    while (grew) {
+      val next = all ++ all.flatMap(n => cube.join(n).dependsOn)
+      grew = next.size != all.size
+      all = next
+    }
+    // topo order: a join goes after everything it depends on
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[JoinSpec]
+    var remaining = all.map(cube.join)
+    while (remaining.nonEmpty) {
+      val (ready, rest) = remaining.partition(j =>
+        j.dependsOn.forall(d => ordered.exists(_.name == d)))
+      if (ready.isEmpty)
+        throw new CubeQueryException(
+          s"join dependency cycle among ${remaining.map(_.name).mkString(",")}")
+      ordered ++= ready.toSeq.sortBy(_.name)
+      remaining = rest
+    }
+    ordered.foldLeft(base) { (df, j) =>
+      val right = if (j.broadcastRight) F.broadcast(j.right) else j.right
+      df.join(right, j.cond, j.joinType)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // predicates
+  // ------------------------------------------------------------------
+
+  private def collectSelectors(p: Pred): Seq[String] = p match {
+    case Pred.Op(s, _, _) => Seq(s)
+    case Pred.And(ps) => ps.flatMap(collectSelectors)
+    case Pred.Or(ps) => ps.flatMap(collectSelectors)
+  }
+
+  /** Compile a predicate tree to an optional Column. None = fully pruned
+    * (reference parse_tree.rb:153,158-160: a non-nullable operator with a
+    * nil argument is silently dropped — absent GraphQL variable, not an
+    * IS NULL test).
+    */
+  def compilePred(cube: Cube, p: Pred): Option[Column] = p match {
+    case Pred.And(ps) =>
+      ps.flatMap(compilePred(cube, _)).reduceOption(_ && _)
+    case Pred.Or(ps) =>
+      ps.flatMap(compilePred(cube, _)).reduceOption(_ || _)
+    case Pred.Op(sel, op, arg) =>
+      val c = cube.selector(sel).col
+      op match {
+        case "eq" => Some(arg.map(v => c === lit0(v)).getOrElse(c.isNull))
+        case "notEq" => Some(arg.map(v => c =!= lit0(v)).getOrElse(c.isNotNull))
+        case "is" => Some(arg.map(v => c === lit0(v)).getOrElse(c.isNull))
+        case "not" => Some(arg.map(v => c =!= lit0(v)).getOrElse(c.isNotNull))
+        case _ if arg.isEmpty => None // nil-pruning
+        case "gt" => arg.map(v => c > lit0(v))
+        case "lt" => arg.map(v => c < lit0(v))
+        case "gteq" => arg.map(v => c >= lit0(v))
+        case "lteq" => arg.map(v => c <= lit0(v))
+        case "like" => arg.map(v => c.like(v.toString))
+        case "notLike" => arg.map(v => !c.like(v.toString))
+        case "in" => arg.map {
+          case vs: Seq[_] if vs.isEmpty => F.lit(false)
+          case vs: Seq[_] => c.isin(vs: _*)
+          case v => c === lit0(v)
+        }
+        case "notIn" => arg.map {
+          case vs: Seq[_] if vs.isEmpty => F.lit(true)
+          case vs: Seq[_] => !c.isin(vs: _*)
+          case v => c =!= lit0(v)
+        }
+        case "between" => arg.map {
+          case Seq(lo, hi) => c.between(lit0(lo), lit0(hi))
+          case other => throw new CubeQueryException(s"between needs [lo, hi], got $other")
+        }
+        case other =>
+          throw new CubeQueryException(s"selector '$sel': unsupported operator '$other'") // V3
+      }
+  }
+
+  private def lit0(v: Any): Column = v match {
+    case c: Column => c
+    case other => F.lit(other)
+  }
+
+  // ------------------------------------------------------------------
+  // ordered options fold
+  // ------------------------------------------------------------------
+
+  private final case class SortKey(key: String, descending: Boolean, intCast: Boolean) {
+    def toCol: Column = {
+      val base = if (intCast) F.col(key).cast(DecimalType(38, 0)) else F.col(key)
+      if (descending) base.desc_nulls_last else base.asc_nulls_first
+    }
+  }
+
+  /** Fold options left in user order, threading the current sort state
+    * (limitBy orders within groups by it; re-applied after limitBy because
+    * the window exec re-partitions). Any sort is extended with ascending
+    * tiebreakers over the remaining output columns so that limit / offset /
+    * limitBy are deterministic — at 100 TB a tie at the cut line would
+    * otherwise return different rows per run.
+    */
+  private def foldOptions(df0: DataFrame, opts: Seq[QueryOpt]): DataFrame = {
+    var df = df0
+    var sort: Seq[SortKey] = Nil
+
+    def fullSortCols(exclude: Set[String]): Seq[Column] = {
+      val explicit = sort.filterNot(s => exclude.contains(s.key))
+      val covered = sort.map(_.key).toSet ++ exclude
+      val tiebreak = df.columns.filterNot(covered.contains)
+        .filterNot(c => unorderable(df, c))
+        .map(c => F.col(c).asc_nulls_first)
+      explicit.map(_.toCol) ++ tiebreak
+    }
+
+    opts.foreach {
+      case QueryOpt.Desc(keys) =>
+        sort = keys.map(SortKey(_, descending = true, intCast = false))
+        df = df.orderBy(fullSortCols(Set.empty): _*)
+      case QueryOpt.Asc(keys) =>
+        sort = keys.map(SortKey(_, descending = false, intCast = false))
+        df = df.orderBy(fullSortCols(Set.empty): _*)
+      case QueryOpt.DescByInteger(keys) =>
+        sort = keys.map(SortKey(_, descending = true, intCast = true))
+        df = df.orderBy(fullSortCols(Set.empty): _*)
+      case QueryOpt.AscByInteger(keys) =>
+        sort = keys.map(SortKey(_, descending = false, intCast = true))
+        df = df.orderBy(fullSortCols(Set.empty): _*)
+      case QueryOpt.Offset(n) =>
+        df = df.offset(n)
+      case QueryOpt.Limit(n) =>
+        df = df.limit(n)
+      case QueryOpt.LimitBy(each, n, off) =>
+        val w = Window.partitionBy(each.map(F.col): _*)
+          .orderBy(fullSortCols(each.toSet): _*)
+        val rn = "__graft_rn"
+        df = df.withColumn(rn, F.row_number().over(w))
+          .filter(F.col(rn) > off && F.col(rn) <= off + n)
+          .drop(rn)
+        if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
+    }
+    df
+  }
+
+  /** Map columns can't be sort keys in Spark (arrays/structs can). */
+  private def unorderable(df: DataFrame, name: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case _: MapType => true
+      case _ => false
+    }
+  }
+}

@@ -1,0 +1,179 @@
+package graft.cubes
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Fixture table loaders (TESTDATA.md: parquet per table under the sf dir). */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Cube declarations over the fixtures (FIXTURES.md "Representative cube
+  * declarations"). These are what a user of the engine writes; everything
+  * else (joins, source choice, FILTER aggs) is driven from here.
+  */
+object Cubes {
+  import F.col
+
+  /** LineitemCube — single-source cube plus the full star-join chain
+    * lineitem→orders→customer→nation→region for dimension sub-fields
+    * that cross tables (SURVEY §2.4 Joins; reference parse_tree.rb:29).
+    */
+  def lineitemCube(s: SparkSession, d: String): Cube = {
+    val li = Tables.lineitem(s, d)
+    Cube(
+      name = "lineitem",
+      fact = li,
+      dimensions = Map(
+        "returnFlag" -> Dimension("returnFlag", col("l_returnflag")),
+        "lineStatus" -> Dimension("lineStatus", col("l_linestatus")),
+        "partKey" -> Dimension("partKey", col("l_partkey")),
+        "orderKey" -> Dimension("orderKey", col("l_orderkey")),
+        // string-typed numeric (ClickHouse big-number idiom) for
+        // desc_by_integer (O12)
+        "orderKeyStr" -> Dimension("orderKeyStr", col("l_orderkey").cast("string")),
+        "shipDate" -> Dimension("shipDate", col("l_shipdate"), fields = Map(
+          "year" -> (c => F.year(c)),
+          "month" -> (c => F.month(c)),
+          "day" -> (c => F.dayofmonth(c)),
+          "date" -> (c => c.cast("date")))),
+        // star-chain dimensions (broadcast joins, applied only when used)
+        "custSegment" -> Dimension("custSegment", col("c_mktsegment"),
+          requires = Set("customer")),
+        "custName" -> Dimension("custName", col("c_name"),
+          requires = Set("customer")),
+        "nationName" -> Dimension("nationName", col("n_name"),
+          requires = Set("nation")),
+        "regionName" -> Dimension("regionName", col("r_name"),
+          requires = Set("region")),
+        "partBrand" -> Dimension("partBrand", col("p_brand"),
+          requires = Set("part")),
+        "partType" -> Dimension("partType", col("p_type"),
+          requires = Set("part"))),
+      metrics = Map(
+        "count" -> Metric.countAll("count"),
+        "sumQty" -> Metric.sumOf("sumQty", col("l_quantity")),
+        // money sums rounded to cents on both engine and oracle side so the
+        // float-summation order difference can't flip the hash compare
+        "amount" -> Metric.sumOf("amount", col("l_extendedprice"))
+          .mapValue(F.round(_, 2)),
+        "revenue" -> Metric.sumOf("revenue",
+            col("l_extendedprice") * (F.lit(1) - col("l_discount")))
+          .mapValue(F.round(_, 2)),
+        "avgDiscount" -> Metric.avgOf("avgDiscount", col("l_discount"))
+          .mapValue(F.round(_, 6)),
+        "avgQty" -> Metric.avgOf("avgQty", col("l_quantity"))
+          .mapValue(F.round(_, 6)),
+        "minPrice" -> Metric.minOf("minPrice", col("l_extendedprice")),
+        "maxPrice" -> Metric.maxOf("maxPrice", col("l_extendedprice")),
+        "uniqueOrders" -> Metric.uniqExact("uniqueOrders", col("l_orderkey")),
+        "uniqueOrdersApprox" -> Metric.uniqApprox("uniqueOrdersApprox", col("l_orderkey")),
+        "uniqueParts" -> Metric.uniqExact("uniqueParts", col("l_partkey"))),
+      selectors = Map(
+        "shipDate" -> Selector("shipDate", col("l_shipdate")),
+        "quantity" -> Selector("quantity", col("l_quantity")),
+        "returnFlag" -> Selector("returnFlag", col("l_returnflag")),
+        "lineStatus" -> Selector("lineStatus", col("l_linestatus")),
+        "partKey" -> Selector("partKey", col("l_partkey")),
+        "orderKey" -> Selector("orderKey", col("l_orderkey")),
+        "price" -> Selector("price", col("l_extendedprice")),
+        "discount" -> Selector("discount", col("l_discount")),
+        "regionName" -> Selector("regionName", col("r_name"), requires = Set("region")),
+        "custSegment" -> Selector("custSegment", col("c_mktsegment"),
+          requires = Set("customer"))),
+      joins = Map(
+        "orders" -> JoinSpec("orders", Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")),
+        "customer" -> JoinSpec("customer", Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), dependsOn = Set("orders")),
+        "nation" -> JoinSpec("nation", Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"), dependsOn = Set("customer")),
+        "region" -> JoinSpec("region", Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation")),
+        "part" -> JoinSpec("part", Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))))
+  }
+
+  /** OrdersCube — second fact; customer sub-fields resolve via broadcast
+    * join (FIXTURES.md OrdersCube).
+    */
+  def ordersCube(s: SparkSession, d: String): Cube = {
+    val o = Tables.orders(s, d)
+    Cube(
+      name = "orders",
+      fact = o,
+      dimensions = Map(
+        "orderStatus" -> Dimension("orderStatus", col("o_orderstatus")),
+        "orderPriority" -> Dimension("orderPriority", col("o_orderpriority")),
+        "orderDate" -> Dimension("orderDate", col("o_orderdate"), fields = Map(
+          "year" -> (c => F.year(c)),
+          "month" -> (c => F.month(c)),
+          "date" -> (c => c.cast("date")))),
+        "custName" -> Dimension("custName", col("c_name"), requires = Set("customer")),
+        "mktSegment" -> Dimension("mktSegment", col("c_mktsegment"),
+          requires = Set("customer")),
+        "nationName" -> Dimension("nationName", col("n_name"), requires = Set("nation")),
+        "regionName" -> Dimension("regionName", col("r_name"), requires = Set("region"))),
+      metrics = Map(
+        "count" -> Metric.countAll("count"),
+        "revenue" -> Metric.sumOf("revenue", col("o_totalprice"))
+          .mapValue(F.round(_, 2)),
+        "avgPrice" -> Metric.avgOf("avgPrice", col("o_totalprice"))
+          .mapValue(F.round(_, 4)),
+        "uniqueCustomers" -> Metric.uniqExact("uniqueCustomers", col("o_custkey"))),
+      selectors = Map(
+        "orderDate" -> Selector("orderDate", col("o_orderdate")),
+        "orderStatus" -> Selector("orderStatus", col("o_orderstatus")),
+        "orderPriority" -> Selector("orderPriority", col("o_orderpriority")),
+        "totalPrice" -> Selector("totalPrice", col("o_totalprice")),
+        "mktSegment" -> Selector("mktSegment", col("c_mktsegment"),
+          requires = Set("customer"))),
+      joins = Map(
+        "customer" -> JoinSpec("customer", Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey")),
+        "nation" -> JoinSpec("nation", Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"), dependsOn = Set("customer")),
+        "region" -> JoinSpec("region", Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation"))))
+  }
+
+  /** EventsCube — the stream table queried as a batch cube (the streaming
+    * variants live in graft.streaming).
+    */
+  def eventsCube(s: SparkSession, d: String): Cube = {
+    val e = Tables.events(s, d)
+    Cube(
+      name = "events",
+      fact = e,
+      dimensions = Map(
+        "eventType" -> Dimension("eventType", col("event_type")),
+        "user" -> Dimension("user", col("user_id")),
+        "ts" -> Dimension("ts", col("ts"), fields = Map(
+          "hour" -> (c => F.date_trunc("hour", c)),
+          "day" -> (c => c.cast("date")),
+          "minute" -> (c => F.date_trunc("minute", c))))),
+      metrics = Map(
+        "count" -> Metric.countAll("count"),
+        "sumValue" -> Metric.sumOf("sumValue", col("value")).mapValue(F.round(_, 2)),
+        "avgValue" -> Metric.avgOf("avgValue", col("value")).mapValue(F.round(_, 4)),
+        "uniqueUsers" -> Metric.uniqExact("uniqueUsers", col("user_id"))),
+      selectors = Map(
+        "eventType" -> Selector("eventType", col("event_type")),
+        "value" -> Selector("value", col("value")),
+        "ts" -> Selector("ts", col("ts")),
+        "user" -> Selector("user", col("user_id"))))
+  }
+}

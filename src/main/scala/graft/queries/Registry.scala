@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-verifiable query: a Spark plan plus (when SQL-expressible)
+  * the equivalent DuckDB oracle. Column names must match exactly — the
+  * driver sorts columns by name before hashing values.
+  */
+final case class NamedQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[NamedQuery] =
+    CoreQueries.qs ++ StarQueries.qs ++ EventQueries.qs ++ LlmQueries.qs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

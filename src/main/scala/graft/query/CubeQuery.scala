@@ -1,0 +1,135 @@
+package graft.query
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Predicate ADT (reference parse_tree.rb:149-193: selector operator
+  * dispatch, AND of hash entries / array elements, `any:` OR-trees).
+  * Predicates are symbolic — bound to a cube's selector columns only at
+  * compile time, so the same query tree can compile against any source.
+  */
+sealed trait Pred
+object Pred {
+  /** One selector operator application, e.g. Op("shipDate", "between",
+    * Some(Seq(a, b))). `arg = None` semantics mirror parse_tree.rb:9,158-160:
+    * nullable ops (eq/notEq/is/not) become IS [NOT] NULL; all other ops with
+    * a None arg are silently pruned at compile time (absent GraphQL
+    * variable ≠ IS NULL).
+    */
+  final case class Op(selector: String, op: String, arg: Option[Any]) extends Pred
+  final case class And(ps: Seq[Pred]) extends Pred
+  final case class Or(ps: Seq[Pred]) extends Pred
+
+  /** The operator vocabulary (reference parse_tree.rb:149-156 dispatches
+    * any op the selector responds to; this is the activecube set). */
+  val Nullable: Set[String] = Set("eq", "notEq", "is", "not") // parse_tree.rb:9
+  val AllOps: Set[String] = Nullable ++ Set(
+    "gt", "lt", "gteq", "lteq", "in", "notIn", "like", "notLike", "between")
+
+  // builder sugar
+  def eq(s: String, v: Any): Pred = Op(s, "eq", Option(v))
+  def notEq(s: String, v: Any): Pred = Op(s, "notEq", Option(v))
+  def gt(s: String, v: Any): Pred = Op(s, "gt", Option(v))
+  def lt(s: String, v: Any): Pred = Op(s, "lt", Option(v))
+  def gteq(s: String, v: Any): Pred = Op(s, "gteq", Option(v))
+  def lteq(s: String, v: Any): Pred = Op(s, "lteq", Option(v))
+  def in(s: String, vs: Seq[Any]): Pred = Op(s, "in", Some(vs))
+  def notIn(s: String, vs: Seq[Any]): Pred = Op(s, "notIn", Some(vs))
+  def like(s: String, v: String): Pred = Op(s, "like", Some(v))
+  def notLike(s: String, v: String): Pred = Op(s, "notLike", Some(v))
+  def between(s: String, lo: Any, hi: Any): Pred = Op(s, "between", Some(Seq(lo, hi)))
+  def isNull(s: String): Pred = Op(s, "is", None)
+  def isNotNull(s: String): Pred = Op(s, "not", None)
+  def and(ps: Pred*): Pred = And(ps)
+  def or(ps: Pred*): Pred = Or(ps)
+}
+
+/** Ordered query options (reference parse_tree.rb:46-68,127-143). The
+  * reference re-orders the options hash to the literal GraphQL argument
+  * order and applies them in sequence — application order is semantic
+  * (`desc` before `limitBy` before `limit` ≠ any other order), so options
+  * are a Seq folded left, never a Map.
+  */
+sealed trait QueryOpt
+object QueryOpt {
+  /** Sort by previously-selected *result* columns (keys), not source
+    * columns — parse_tree.rb:140-141 prefixes keys with '_aq.'. */
+  final case class Desc(keys: Seq[String]) extends QueryOpt
+  final case class Asc(keys: Seq[String]) extends QueryOpt
+  /** Sort with an integer cast (ClickHouse string-numeric columns,
+    * parse_tree.rb:140-141 desc_by_integer/asc_by_integer). */
+  final case class DescByInteger(keys: Seq[String]) extends QueryOpt
+  final case class AscByInteger(keys: Seq[String]) extends QueryOpt
+  final case class Limit(n: Int) extends QueryOpt
+  final case class Offset(n: Int) extends QueryOpt
+  /** ClickHouse `LIMIT n OFFSET m BY expr` — top-K rows per distinct value
+    * of result column(s) `each` (parse_tree.rb:142-143). Ordering within a
+    * group = the sort state current at fold time. */
+  final case class LimitBy(each: Seq[String], limit: Int, offset: Int = 0) extends QueryOpt
+}
+
+/** A slice: dimension plus optional chained sub-field path
+  * (parse_tree.rb:29,90-91 — `date { year }` etc.). */
+final case class SliceRef(dim: String, path: Seq[String] = Nil)
+
+/** A measure: metric plus optional metric-level predicate
+  * (parse_tree.rb:88,111-135 — conditional aggregation). */
+final case class MeasureRef(metric: String, filter: Option[Pred] = None)
+
+/** Immutable fluent query builder (reference parse_tree.rb:84-107 — every
+  * activecube call returns a new query; the element-tree fold reassigns).
+  * Compile with [[graft.compile.Compiler]].
+  */
+final case class CubeQuery(
+    cube: Cube,
+    slices: Seq[(String, SliceRef)] = Nil,
+    measures: Seq[(String, MeasureRef)] = Nil,
+    wheres: Seq[Pred] = Nil,
+    options: Seq[QueryOpt] = Nil) {
+
+  def slice(key: String, dim: String, path: String*): CubeQuery =
+    copy(slices = slices :+ (key -> SliceRef(dim, path)))
+  def measure(key: String, metric: String): CubeQuery =
+    copy(measures = measures :+ (key -> MeasureRef(metric)))
+  def measureWhen(key: String, metric: String, p: Pred): CubeQuery =
+    copy(measures = measures :+ (key -> MeasureRef(metric, Some(p))))
+  def when(p: Pred): CubeQuery = copy(wheres = wheres :+ p)
+
+  def desc(keys: String*): CubeQuery = copy(options = options :+ QueryOpt.Desc(keys))
+  def asc(keys: String*): CubeQuery = copy(options = options :+ QueryOpt.Asc(keys))
+  def descByInteger(keys: String*): CubeQuery =
+    copy(options = options :+ QueryOpt.DescByInteger(keys))
+  def ascByInteger(keys: String*): CubeQuery =
+    copy(options = options :+ QueryOpt.AscByInteger(keys))
+  def limit(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Limit(n))
+  def offset(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Offset(n))
+  def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
+    copy(options = options :+ QueryOpt.LimitBy(each, limit, offset))
+
+  /** Generic option dispatch by name (reference parse_tree.rb:127-130 —
+    * any argument name is tried as a method; unknown raises). */
+  def option(name: String, arg: Any): CubeQuery = name match {
+    case "desc" => desc(asStrings(arg): _*)
+    case "asc" => asc(asStrings(arg): _*)
+    case "descByInteger" | "desc_by_integer" => descByInteger(asStrings(arg): _*)
+    case "ascByInteger" | "asc_by_integer" => ascByInteger(asStrings(arg): _*)
+    case "limit" => limit(arg.asInstanceOf[Int])
+    case "offset" => offset(arg.asInstanceOf[Int])
+    case "limitBy" | "limit_by" => arg match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        limitBy(asStrings(mm("each")), mm("limit").asInstanceOf[Int],
+          mm.get("offset").map(_.asInstanceOf[Int]).getOrElse(0))
+      case other => throw new CubeQueryException(s"limitBy needs a map, got $other")
+    }
+    case other => throw new CubeQueryException(s"unknown option '$other'") // V4
+  }
+
+  private def asStrings(a: Any): Seq[String] = a match {
+    case s: String => Seq(s)
+    case xs: Seq[_] => xs.map(_.toString)
+    case other => Seq(other.toString)
+  }
+
+  def toDF: DataFrame = graft.compile.Compiler.compile(this)
+}
