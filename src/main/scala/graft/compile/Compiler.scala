@@ -21,35 +21,43 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Compiler {
 
+  /** The cube's registries as seen through the chosen source (overrides
+    * for rollup tables fall back to the cube's own definitions). */
+  private final case class Resolved(
+      base: DataFrame,
+      dim: String => Dimension,
+      met: String => Metric,
+      sel: String => Selector)
+
   def compile(q: CubeQuery): DataFrame = {
     val cube = q.cube
 
-    // ---- resolve which registries the query touches -----------------
-    val sliceDims = q.slices.map { case (_, ref) => cube.dimension(ref.dim) }
-    val metricRefs = q.measures.map { case (_, m) => cube.metric(m.metric) }
-    val selectorNames = (q.wheres ++ q.measures.flatMap(_._2.filter)).flatMap(collectSelectors)
-    val selectors = selectorNames.map(cube.selector)
-
     // ---- source selection (activecube's optimal-table choice) -------
-    val base = chooseSource(q)
+    val r = chooseSource(q)
+
+    // ---- resolve which registries the query touches -----------------
+    val sliceDims = q.slices.map { case (_, ref) => r.dim(ref.dim) }
+    val metricRefs = q.measures.map { case (_, m) => r.met(m.metric) }
+    val selectorNames = (q.wheres ++ q.measures.flatMap(_._2.filter)).flatMap(collectSelectors)
+    val selectors = selectorNames.map(r.sel)
 
     // ---- star joins: only those reachable from referenced members ---
     val needed = (sliceDims.flatMap(_.requires) ++ metricRefs.flatMap(_.requires) ++
       selectors.flatMap(_.requires)).toSet
-    val joined = applyJoins(cube, base, needed)
+    val joined = applyJoins(cube, r.base, needed)
 
     // ---- WHERE ------------------------------------------------------
-    val filtered = q.wheres.flatMap(p => compilePred(cube, p))
+    val filtered = q.wheres.flatMap(p => compilePred(r.sel, p))
       .reduceOption(_ && _).map(joined.filter).getOrElse(joined)
 
     // ---- slices + measures ------------------------------------------
     val sliceCols: Seq[Column] = q.slices.map { case (key, ref) =>
-      checkKey(key); cube.dimension(ref.dim).resolve(ref.path).as(key)
+      checkKey(key); r.dim(ref.dim).resolve(ref.path).as(key)
     }
     val aggCols: Seq[Column] = q.measures.map { case (key, m) =>
       checkKey(key)
-      val pred = m.filter.flatMap(p => compilePred(cube, p))
-      cube.metric(m.metric).build(pred).as(key)
+      val pred = m.filter.flatMap(p => compilePred(r.sel, p))
+      r.met(m.metric).build(pred).as(key)
     }
 
     val shaped: DataFrame =
@@ -80,17 +88,40 @@ object Compiler {
     * one genuinely interesting optimization activecube performs
     * (optimal-table selection among alternative physical tables, SURVEY §4).
     */
-  private def chooseSource(q: CubeQuery): DataFrame = {
-    if (q.cube.altSources.isEmpty) return q.cube.fact
+  private def chooseSource(q: CubeQuery): Resolved = {
+    val cube = q.cube
+    val fromFact = Resolved(cube.fact, cube.dimension, cube.metric, cube.selector)
+    if (cube.altSources.isEmpty) return fromFact
     val dims = q.slices.map(_._2.dim).toSet
     val mets = q.measures.map(_._2.metric).toSet
     val sels = (q.wheres ++ q.measures.flatMap(_._2.filter))
       .flatMap(collectSelectors).toSet
-    q.cube.altSources
+    cube.altSources
       .filter(s => dims.subsetOf(s.servesDimensions) &&
         mets.subsetOf(s.servesMetrics) && sels.subsetOf(s.servesDimensions))
       .sortBy(_.cost)
-      .headOption.map(_.df).getOrElse(q.cube.fact)
+      .headOption
+      .map(s => Resolved(
+        s.df,
+        n => s.dimOverrides.getOrElse(n, cube.dimension(n)),
+        n => s.metricOverrides.getOrElse(n, cube.metric(n)),
+        n => s.selectorOverrides.getOrElse(n, cube.selector(n))))
+      .getOrElse(fromFact)
+  }
+
+  /** Which source would `compile` read? (exposed for tests/explain) */
+  def chosenSourceName(q: CubeQuery): String = {
+    val cube = q.cube
+    if (cube.altSources.isEmpty) return "fact"
+    val dims = q.slices.map(_._2.dim).toSet
+    val mets = q.measures.map(_._2.metric).toSet
+    val sels = (q.wheres ++ q.measures.flatMap(_._2.filter))
+      .flatMap(collectSelectors).toSet
+    cube.altSources
+      .filter(s => dims.subsetOf(s.servesDimensions) &&
+        mets.subsetOf(s.servesMetrics) && sels.subsetOf(s.servesDimensions))
+      .sortBy(_.cost)
+      .headOption.map(_.name).getOrElse("fact")
   }
 
   // ------------------------------------------------------------------
@@ -144,13 +175,16 @@ object Compiler {
     * nil argument is silently dropped — absent GraphQL variable, not an
     * IS NULL test).
     */
-  def compilePred(cube: Cube, p: Pred): Option[Column] = p match {
+  def compilePred(cube: Cube, p: Pred): Option[Column] =
+    compilePred(cube.selector _, p)
+
+  def compilePred(resolve: String => Selector, p: Pred): Option[Column] = p match {
     case Pred.And(ps) =>
-      ps.flatMap(compilePred(cube, _)).reduceOption(_ && _)
+      ps.flatMap(compilePred(resolve, _)).reduceOption(_ && _)
     case Pred.Or(ps) =>
-      ps.flatMap(compilePred(cube, _)).reduceOption(_ || _)
+      ps.flatMap(compilePred(resolve, _)).reduceOption(_ || _)
     case Pred.Op(sel, op, arg) =>
-      val c = cube.selector(sel).col
+      val c = resolve(sel).col
       op match {
         case "eq" => Some(arg.map(v => c === lit0(v)).getOrElse(c.isNull))
         case "notEq" => Some(arg.map(v => c =!= lit0(v)).getOrElse(c.isNotNull))

@@ -93,7 +93,9 @@ object Cubes {
         "discount" -> Selector("discount", col("l_discount")),
         "regionName" -> Selector("regionName", col("r_name"), requires = Set("region")),
         "custSegment" -> Selector("custSegment", col("c_mktsegment"),
-          requires = Set("customer"))),
+          requires = Set("customer")),
+        "partType" -> Selector("partType", col("p_type"), requires = Set("part")),
+        "partBrand" -> Selector("partBrand", col("p_brand"), requires = Set("part"))),
       joins = Map(
         "orders" -> JoinSpec("orders", Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey")),
@@ -105,6 +107,38 @@ object Cubes {
           col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation")),
         "part" -> JoinSpec("part", Tables.part(s, d),
           col("l_partkey") === col("p_partkey"))))
+  }
+
+  /** LineitemCube with a daily pre-aggregated alternative source — the
+    * activecube optimal-table-selection demo (SURVEY §4). When a query
+    * touches only shipDate/returnFlag/lineStatus × count/sumQty/amount,
+    * the compiler routes it to the ~25×-smaller rollup and re-aggregates
+    * partial aggregates (count = sum of partial counts). In production
+    * the rollup is a materialized table; here it's derived on the fly
+    * from the same fixture so the oracle can verify equivalence.
+    */
+  def lineitemCubeWithRollup(s: SparkSession, d: String): Cube = {
+    val base = lineitemCube(s, d)
+    val rollup = base.fact
+      .groupBy(col("l_shipdate"), col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        F.count(F.lit(1)).as("cnt_p"),
+        F.sum(col("l_quantity")).as("qty_p"),
+        F.sum(col("l_extendedprice")).as("price_p"))
+    def filtered(c: org.apache.spark.sql.Column, p: Option[org.apache.spark.sql.Column]) =
+      p.map(pr => F.when(pr, c)).getOrElse(c)
+    base.copy(altSources = Seq(CubeSource(
+      name = "daily_rollup",
+      df = rollup,
+      servesDimensions = Set("shipDate", "returnFlag", "lineStatus"),
+      servesMetrics = Set("count", "sumQty", "amount"),
+      cost = 1, // ≪ fact; chosen whenever it covers the query
+      metricOverrides = Map(
+        "count" -> Metric("count",
+          p => F.coalesce(F.sum(filtered(col("cnt_p"), p)), F.lit(0L))),
+        "sumQty" -> Metric("sumQty", p => F.sum(filtered(col("qty_p"), p))),
+        "amount" -> Metric("amount",
+          p => F.round(F.sum(filtered(col("price_p"), p)), 2))))))
   }
 
   /** OrdersCube — second fact; customer sub-fields resolve via broadcast

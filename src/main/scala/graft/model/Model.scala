@@ -103,13 +103,20 @@ final case class JoinSpec(
   * query — e.g. a pre-aggregated daily rollup instead of the raw fact.
   *
   * @param cost relative scan cost (rows); lower wins among covering sources
+  * @param dimOverrides    dimensions re-expressed over THIS source's columns
+  * @param metricOverrides metrics re-expressed over this source (e.g. a
+  *                        rollup's `count` = `sum(partial_cnt)` — aggregate
+  *                        re-aggregation)
   */
 final case class CubeSource(
     name: String,
     df: DataFrame,
     servesDimensions: Set[String],
     servesMetrics: Set[String],
-    cost: Long)
+    cost: Long,
+    dimOverrides: Map[String, Dimension] = Map.empty,
+    metricOverrides: Map[String, Metric] = Map.empty,
+    selectorOverrides: Map[String, Selector] = Map.empty)
 
 /** A named analytical entity: fact source(s) + registries
   * (reference cube_field.rb:18, parse_tree.rb:16,32,119).

@@ -1,3 +1,229 @@
 package graft.queries
 
-object StarQueries { val qs: Seq[NamedQuery] = Seq() }
+import graft.cubes.{Cubes, Tables}
+import graft.operators.{Joins, TopK}
+import graft.query.{CubeQuery, Pred}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.SparkSession
+
+/** Star-schema dimension resolution (broadcast joins), tuple metrics,
+  * semi/anti joins, set ops, scalar functions, multi-source selection.
+  * SURVEY §2.4 Joins/Set ops/Scalar functions + §7.2 steps 6-7.
+  */
+object StarQueries {
+  import org.apache.spark.sql.functions.col
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // tuple metric, flat form (top-3 parts per return flag)
+    NamedQuery("q22_topk_flat",
+      (s, d) => TopK.perGroupFlat(
+          Tables.lineitem(s, d),
+          Seq("return_flag" -> col("l_returnflag")),
+          "part_key", col("l_partkey"), 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("return_flag").asc_nulls_first, col("rnk").asc),
+      Some("""SELECT return_flag, part_key, cnt, rnk FROM (
+             |SELECT return_flag, part_key, cnt, row_number() OVER (
+             |  PARTITION BY return_flag
+             |  ORDER BY cnt DESC NULLS LAST, part_key ASC NULLS FIRST) AS rnk
+             |FROM (SELECT l_returnflag AS return_flag, l_partkey AS part_key,
+             |  count(*) AS cnt FROM lineitem GROUP BY 1, 2))
+             |WHERE rnk <= 3
+             |ORDER BY return_flag ASC NULLS FIRST, rnk ASC""".stripMargin)),
+
+    // tuple metric, array<struct<value,cnt>> form (R5 array_value decode)
+    NamedQuery("q23_topk_tuples",
+      (s, d) => TopK.perGroupTuples(
+          Tables.lineitem(s, d),
+          Seq("return_flag" -> col("l_returnflag")),
+          col("l_partkey"), 3)
+        .orderBy(col("return_flag").asc_nulls_first),
+      Some("""SELECT return_flag,
+             |list({'value': part_key, 'cnt': cnt} ORDER BY cnt DESC, part_key ASC) AS topk
+             |FROM (
+             |  SELECT return_flag, part_key, cnt, row_number() OVER (
+             |    PARTITION BY return_flag
+             |    ORDER BY cnt DESC NULLS LAST, part_key ASC NULLS FIRST) AS rn
+             |  FROM (SELECT l_returnflag AS return_flag, l_partkey AS part_key,
+             |    count(*) AS cnt FROM lineitem GROUP BY 1, 2))
+             |WHERE rn <= 3
+             |GROUP BY return_flag
+             |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
+
+    // broadcast star join: orders ⋈ customer, sliced by a dim-table column
+    NamedQuery("q30_star_mktsegment",
+      (s, d) => CubeQuery(Cubes.ordersCube(s, d))
+        .slice("mkt_segment", "mktSegment")
+        .measure("revenue", "revenue")
+        .measure("cnt", "count")
+        .measure("uniq_customers", "uniqueCustomers")
+        .asc("mkt_segment")
+        .toDF,
+      Some("""SELECT c_mktsegment AS mkt_segment,
+             |round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt,
+             |count(DISTINCT o_custkey) AS uniq_customers
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1
+             |ORDER BY mkt_segment ASC NULLS FIRST, revenue ASC, cnt ASC, uniq_customers ASC"""
+        .stripMargin)),
+
+    // 4-deep broadcast chain: lineitem→orders→customer→nation→region
+    NamedQuery("q31_star_region_chain",
+      (s, d) => CubeQuery(Cubes.lineitemCube(s, d))
+        .slice("region_name", "regionName")
+        .measure("revenue", "revenue")
+        .measure("cnt", "count")
+        .asc("region_name")
+        .toDF,
+      Some("""SELECT r_name AS region_name,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |count(*) AS cnt
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1
+             |ORDER BY region_name ASC NULLS FIRST, revenue ASC, cnt ASC""".stripMargin)),
+
+    // selector living on a joined dimension table (join pulled in by the
+    // predicate alone)
+    NamedQuery("q32_join_selector",
+      (s, d) => CubeQuery(Cubes.lineitemCube(s, d))
+        .slice("nation_name", "nationName")
+        .measure("cnt", "count")
+        .measure("revenue", "revenue")
+        .when(Pred.eq("regionName", "ASIA"))
+        .asc("nation_name")
+        .toDF,
+      Some("""SELECT n_name AS nation_name, count(*) AS cnt,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY 1
+             |ORDER BY nation_name ASC NULLS FIRST, cnt ASC, revenue ASC""".stripMargin)),
+
+    // part-dimension join + like-selector on the joined table
+    NamedQuery("q33_part_dim",
+      (s, d) => CubeQuery(Cubes.lineitemCube(s, d))
+        .slice("part_brand", "partBrand")
+        .measure("sum_qty", "sumQty")
+        .measure("cnt", "count")
+        .when(Pred.in("partType", Seq("PROMO", "ECONOMY")))
+        .asc("part_brand")
+        .toDF,
+      Some("""SELECT p_brand AS part_brand, sum(l_quantity) AS sum_qty, count(*) AS cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_type IN ('PROMO', 'ECONOMY')
+             |GROUP BY 1
+             |ORDER BY part_brand ASC NULLS FIRST, sum_qty ASC, cnt ASC""".stripMargin)),
+
+    // left-semi join (EXISTS)
+    NamedQuery("q34_semi_join",
+      (s, d) => Joins.semi(Tables.customer(s, d), Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mkt_segment"))
+        .agg(F.count(F.lit(1)).as("n_cust"))
+        .orderBy(col("mkt_segment").asc_nulls_first),
+      Some("""SELECT c_mktsegment AS mkt_segment, count(*) AS n_cust
+             |FROM customer WHERE EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY mkt_segment ASC NULLS FIRST""".stripMargin)),
+
+    // left-anti join (NOT EXISTS) — customers with no URGENT order
+    NamedQuery("q35_anti_join",
+      (s, d) => Joins.anti(Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mkt_segment"))
+        .agg(F.count(F.lit(1)).as("n_cust"))
+        .orderBy(col("mkt_segment").asc_nulls_first),
+      Some("""SELECT c_mktsegment AS mkt_segment, count(*) AS n_cust
+             |FROM customer WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |  AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY mkt_segment ASC NULLS FIRST""".stripMargin)),
+
+    // multi-source cube: compiler routes to the daily rollup and
+    // re-aggregates partials; oracle runs on the RAW fact — equivalence
+    // proves the source selection is semantics-preserving
+    NamedQuery("q36_multisource_rollup",
+      (s, d) => CubeQuery(Cubes.lineitemCubeWithRollup(s, d))
+        .slice("ship_year", "shipDate", "year")
+        .slice("return_flag", "returnFlag")
+        .measure("cnt", "count")
+        .measure("sum_qty", "sumQty")
+        .measure("amount", "amount")
+        .when(Pred.between("shipDate", "1996-01-01", "1998-12-31"))
+        .asc("ship_year", "return_flag")
+        .toDF,
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             |l_returnflag AS return_flag, count(*) AS cnt,
+             |sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS amount
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+             |GROUP BY 1, 2
+             |ORDER BY ship_year ASC NULLS FIRST, return_flag ASC NULLS FIRST,
+             |cnt ASC, sum_qty ASC, amount ASC""".stripMargin)),
+
+    // set op: UNION (distinct) across two facts
+    NamedQuery("q37_union_years",
+      (s, d) => Tables.lineitem(s, d)
+        .select(F.year(col("l_shipdate")).as("yr"))
+        .union(Tables.orders(s, d).select(F.year(col("o_orderdate")).as("yr")))
+        .distinct()
+        .orderBy(col("yr").asc_nulls_first),
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS yr FROM lineitem
+             |UNION
+             |SELECT CAST(year(o_orderdate) AS INT) AS yr FROM orders
+             |ORDER BY yr ASC NULLS FIRST""".stripMargin)),
+
+    // set op: INTERSECT
+    NamedQuery("q39_intersect_keys",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey")).distinct()
+        .intersect(Tables.orders(s, d)
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey").as("okey")).distinct())
+        .orderBy(col("okey").asc_nulls_first),
+      Some("""SELECT DISTINCT l_orderkey AS okey FROM lineitem
+             |INTERSECT
+             |SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_totalprice > 200000
+             |ORDER BY okey ASC NULLS FIRST""".stripMargin)),
+
+    // scalar function library coverage (string/date/math in projections)
+    NamedQuery("q38_scalar_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderpriority").as("prio"),
+          F.lower(col("o_orderpriority")).as("lo"),
+          F.substring(col("o_orderpriority"), 1, 1).as("code"),
+          F.length(col("o_orderpriority")).as("len"),
+          F.concat(F.substring(col("o_orderpriority"), 1, 1), F.lit("_"),
+            F.upper(col("o_orderstatus"))).as("tag"),
+          F.year(col("o_orderdate")).as("yr"),
+          F.month(col("o_orderdate")).as("mo"),
+          F.round(col("o_totalprice") / 1000, 1).as("kprice"),
+          F.abs(col("o_totalprice") * -1).as("abs_price"),
+          F.floor(col("o_totalprice")).as("floor_price"))
+        .distinct()
+        .orderBy(col("prio").asc_nulls_first, col("yr").asc, col("mo").asc,
+          col("kprice").asc, col("tag").asc, col("abs_price").asc),
+      Some("""SELECT DISTINCT o_orderpriority AS prio, lower(o_orderpriority) AS lo,
+             |substring(o_orderpriority, 1, 1) AS code,
+             |CAST(length(o_orderpriority) AS INT) AS len,
+             |substring(o_orderpriority, 1, 1) || '_' || upper(o_orderstatus) AS tag,
+             |CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             |round(o_totalprice / 1000, 1) AS kprice,
+             |abs(o_totalprice * -1) AS abs_price,
+             |CAST(floor(o_totalprice) AS BIGINT) AS floor_price
+             |FROM orders
+             |ORDER BY prio ASC NULLS FIRST, yr ASC, mo ASC, kprice ASC, tag ASC, abs_price ASC"""
+        .stripMargin))
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.compile.Compiler
+import graft.cubes.Cubes
+import graft.model.CubeQueryException
+import graft.query.{CubeQuery, Pred}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def li = CubeQuery(Cubes.lineitemCube(spark, sf))
+
+  test("V1: unknown dimension raises") {
+    val e = intercept[CubeQueryException](li.slice("x", "nope").toDF)
+    assert(e.getMessage.contains("unknown dimension"))
+  }
+
+  test("V2: unknown sub-field raises") {
+    val e = intercept[CubeQueryException](li.slice("x", "shipDate", "century").toDF)
+    assert(e.getMessage.contains("no sub-field"))
+  }
+
+  test("V3: unsupported selector operator raises") {
+    val e = intercept[CubeQueryException](
+      li.measure("c", "count").when(Pred.Op("quantity", "soundsLike", Some(1))).toDF)
+    assert(e.getMessage.contains("unsupported operator"))
+  }
+
+  test("V4: unknown option raises") {
+    val e = intercept[CubeQueryException](li.option("frobnicate", 1))
+    assert(e.getMessage.contains("unknown option"))
+  }
+
+  test("unknown metric raises") {
+    val e = intercept[CubeQueryException](li.measure("x", "nope").toDF)
+    assert(e.getMessage.contains("unknown metric"))
+  }
+
+  test("nil pruning: None-arg comparison op drops the predicate entirely") {
+    val all = li.measure("c", "count").toDF.collect()(0).getLong(0)
+    val pruned = li.measure("c", "count")
+      .when(Pred.Op("quantity", "gt", None)).toDF.collect()(0).getLong(0)
+    assert(all == pruned && all > 0)
+  }
+
+  test("nullable eq(None) is IS NULL, not pruned") {
+    val n = li.measure("c", "count")
+      .when(Pred.Op("returnFlag", "eq", None)).toDF.collect()(0).getLong(0)
+    assert(n == 0) // fixture has no null return flags
+  }
+
+  test("conditional metric does not filter sibling metrics") {
+    val row = li.measure("all", "count")
+      .measureWhen("ret", "count", Pred.eq("returnFlag", "R"))
+      .toDF.collect()(0)
+    assert(row.getLong(0) > row.getLong(1) && row.getLong(1) > 0)
+  }
+
+  test("limitBy caps rows per group") {
+    val df = li.slice("f", "returnFlag").slice("y", "shipDate", "year")
+      .measure("c", "count").desc("c").limitBy(Seq("f"), 2).toDF
+    val counts = df.groupBy("f").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= 2))
+  }
+
+  test("option order is semantic: desc-then-limit != limit-then-desc rows") {
+    val a = li.slice("y", "shipDate", "year").measure("c", "count")
+      .desc("c").limit(3).toDF.collect().map(_.getInt(0)).toSet
+    val b = li.slice("y", "shipDate", "year").measure("c", "count")
+      .asc("y").limit(3).desc("c").toDF.collect().map(_.getInt(0)).toSet
+    assert(a != b) // top-3-by-count vs first-3-years re-sorted
+  }
+
+  test("source selection: rollup chosen only when it covers the query") {
+    val cube = Cubes.lineitemCubeWithRollup(spark, sf)
+    val covered = CubeQuery(cube).slice("y", "shipDate", "year").measure("c", "count")
+    val uncovered = CubeQuery(cube).slice("p", "partKey").measure("c", "count")
+    val uncoveredMetric = CubeQuery(cube).slice("y", "shipDate", "year")
+      .measure("u", "uniqueOrders")
+    assert(Compiler.chosenSourceName(covered) == "daily_rollup")
+    assert(Compiler.chosenSourceName(uncovered) == "fact")
+    assert(Compiler.chosenSourceName(uncoveredMetric) == "fact")
+  }
+
+  test("rollup and fact agree") {
+    val cube = Cubes.lineitemCubeWithRollup(spark, sf)
+    val viaRollup = CubeQuery(cube).slice("y", "shipDate", "year")
+      .measure("c", "count").measure("q", "sumQty").asc("y").toDF.collect()
+    val viaFact = li.slice("y", "shipDate", "year")
+      .measure("c", "count").measure("q", "sumQty").asc("y").toDF.collect()
+    assert(viaRollup.map(_.toString).toSeq == viaFact.map(_.toString).toSeq)
+  }
+
+  test("star join is planned as broadcast (no shuffle of the fact side)") {
+    val plan = li.slice("r", "regionName").measure("c", "count").toDF
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = li.slice("f", "returnFlag").measure("c", "count")
+      .when(Pred.eq("returnFlag", "R")).toDF
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"missing pushed filter in:\n$scan")
+  }
+
+  test("column pruning: only referenced columns are read") {
+    val df = li.slice("f", "returnFlag").measure("c", "count").toDF
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"scan reads more than needed:\n$scan")
+  }
+}
