@@ -1,0 +1,121 @@
+package graft.llm
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two paths, per the build brief:
+  *   - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *     set against the corpus; scoring is a single codegen'd
+  *     [[CosineSim]] per row; a per-query window keeps top-k. Cost
+  *     O(|Q|·N) scans but only the top-k rows survive the window, so at
+  *     100 TB it's bounded by corpus scan bandwidth, not memory.
+  *   - [[lshTopK]] — scale path: random-hyperplane LSH. Each vector gets
+  *     a `nBits` sign signature from fixed-seed hyperplanes (row-local,
+  *     reproducible); candidates = bucket join on the signature prefix
+  *     (optionally multi-probe by emitting several prefixes); exact
+  *     cosine re-ranks within buckets. Shuffle is by bucket key —
+  *     corpus-linear, never all-pairs.
+  */
+object Similarity {
+
+  /** Deterministic unit-ish hyperplanes: nBits × dim gaussians from a
+    * fixed seed. */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-bit signature of `emb` against the fixed hyperplanes, packed
+    * into a long (nBits ≤ 64). Row-local, codegen-friendly (CosineSim's
+    * dot is not needed — zip_with+aggregate suffices here since it runs
+    * once per row, not per candidate pair). */
+  def signature(emb: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
+    require(nBits <= 64)
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = F.aggregate(
+        F.zip_with(emb, F.typedlit(p.toSeq), (x, y) => x * y),
+        F.lit(0.0d), (acc, v) => acc + v)
+      F.when(dot >= 0, F.lit(1L << i)).otherwise(F.lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, embedding). Output: (query_id, neighbor_id,
+    * cosine, rnk), excluding self-matches, deterministic tie-break by
+    * neighbor_id. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(F.col("id").as("query_id"), F.col("embedding").as("q_emb"))
+    val c = corpus.select(F.col("id").as("neighbor_id"), F.col("embedding").as("c_emb"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc_nulls_last, F.col("neighbor_id").asc)
+    scored.withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
+  /** LSH-bucketed ANN: multi-table random-hyperplane LSH (the standard
+    * recall lever — L independent signature tables OR'd together), plus
+    * Hamming-1 multi-probe on the query side within each table. Exact
+    * cosine re-ranks the candidate union. Shuffle is by (table, bucket)
+    * key — corpus×L rows, never all-pairs. Recall < 1 by construction;
+    * measured against [[bruteForceTopK]] in LlmSpec.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, nBits: Int = 6, tables: Int = 8, probeBits: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    def sigs(col: Column) = F.array((0 until tables).map(t =>
+      signature(col, dim, nBits, seed + t)): _*)
+    val c = corpus.select(F.col("id").as("neighbor_id"),
+        F.col("embedding").as("c_emb"),
+        F.posexplode(sigs(F.col("embedding"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    // per table, the query probes its own bucket plus the `probeBits`
+    // Hamming-1 neighbors — cheap recall boost, corpus side unchanged
+    val probeMasks = F.array((F.lit(0L) +: (0 until probeBits).map(i =>
+      F.lit(1L << i))): _*)
+    val q = queries.select(F.col("id").as("query_id"),
+        F.col("embedding").as("q_emb"),
+        F.posexplode(sigs(F.col("embedding"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "q_sig")
+      .withColumn("bucket", F.explode(F.transform(probeMasks,
+        m => F.col("q_sig").bitwiseXOR(m))))
+      .drop("q_sig")
+    val scored = c.join(F.broadcast(q), Seq("tbl", "bucket"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc_nulls_last, F.col("neighbor_id").asc)
+    scored.withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs sharing an LSH bucket with
+    * cosine ≥ threshold. The dedup counterpart of [[lshTopK]]. */
+  def cosineNearDupPairs(
+      df: DataFrame, threshold: Double,
+      dim: Int, nBits: Int = 12, seed: Long = 7L): DataFrame = {
+    val withSig = df.select(F.col("id"), F.col("embedding"),
+      signature(F.col("embedding"), dim, nBits, seed).as("bucket"))
+    val a = withSig.select(F.col("id").as("a_id"), F.col("embedding").as("a_emb"), F.col("bucket"))
+    val b = withSig.select(F.col("id").as("b_id"), F.col("embedding").as("b_emb"), F.col("bucket"))
+    a.join(b, Seq("bucket")).filter(F.col("a_id") < F.col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", CosineSim(F.col("a_emb"), F.col("b_emb")))
+      .filter(F.col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.llm
+
+import graft.functions.PolyHash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Text-quality operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting. All row-local Column
+  * expressions (codegen'd, no UDFs, no shuffles) — they compose with any
+  * cube/filter and scale linearly.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword-piece estimate: letter runs, single digits, and
+    * punctuation each count as one piece (a cheap proxy for tokenizer
+    * cost, good enough for length filtering). */
+  def subwordCount(text: Column): Column =
+    F.size(F.call_function("regexp_extract_all", text,
+      F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), F.lit(0)))
+
+  /** Ratio of characters that are not lowercase alphanumerics/space. */
+  def punctRatio(text: Column): Column =
+    F.round(
+      (F.length(text) - F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")))
+        .cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
+
+  /** English stopword occurrence ratio over tokens. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    F.round(
+      F.size(F.filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
+        F.greatest(F.size(toks), F.lit(1)), 6)
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    F.round(
+      F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t)).cast("double") /
+        F.greatest(F.size(toks), F.lit(1)), 6)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a sane stopword rate. Deterministic, documented
+    * formula so it can be reproduced in SQL for verification. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = F.least(tokenCount(text).cast("double") / 100.0, F.lit(1.0))
+    val punctPenalty = F.lit(1.0) - F.least(punctRatio(text) * 5.0, F.lit(1.0))
+    val stopScore = F.least(stopwordRatio(text) * 5.0, F.lit(1.0))
+    F.round(lenScore * 0.5 + punctPenalty * 0.3 + stopScore * 0.2, 6)
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Kept tiny and disjoint-ish on purpose; real pipelines
+    * plug in fastText — the *operator shape* (argmax over per-language
+    * scores, fixed priority tie-break) is what matters. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "une", "dans"))
+
+  /** Detected language = first language (in declaration order) whose
+    * stopword-hit count is maximal; "und" (undetermined) if all zero. */
+  def langId(text: Column): Column = {
+    val toks = tokens(F.lower(text))
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> F.size(F.filter(toks, t => t.isin(words: _*)))
+    }
+    val maxScore = F.greatest(scores.map(_._2): _*)
+    scores.foldRight(F.lit("und"): Column) { case ((lang, sc), els) =>
+      F.when(sc === maxScore && maxScore > 0, F.lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Order-sensitive content fingerprint: polynomial rolling hash (custom
+    * codegen'd expression) of the lowercase-collapsed text. */
+  def rollingFingerprint(text: Column): Column =
+    PolyHash64(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+  /** Canonical md5 fingerprint of the normalized text (see
+    * [[Dedup.normalizedFingerprint]] for the bag-of-words variant). */
+  def md5Fingerprint(text: Column): Column =
+    F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+
+  /** One-stop profile projection for a documents table. */
+  def profile(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      tokenCount(textCol).as("n_tokens"),
+      subwordCount(textCol).as("n_subwords"),
+      F.length(textCol).as("n_chars"),
+      avgTokenLen(textCol).as("avg_token_len"),
+      punctRatio(textCol).as("punct_ratio"),
+      stopwordRatio(textCol).as("stopword_ratio"),
+      qualityScore(textCol).as("quality"),
+      langId(textCol).as("lang_pred"),
+      md5Fingerprint(textCol).as("fingerprint"))
+}

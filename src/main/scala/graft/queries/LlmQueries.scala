@@ -1,3 +1,232 @@
 package graft.queries
 
-object LlmQueries { val qs: Seq[NamedQuery] = Seq() }
+import graft.cubes.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{functions => F}
+
+/** LLM-training-data pipeline queries (build brief: dedup, similarity
+  * search, multimodal columns, text analysis). Where the operator is
+  * SQL-expressible the DuckDB oracle mirrors the exact formula (including
+  * rounding); hash/LSH-based operators are rows-only here and covered by
+  * LlmSpec instead.
+  */
+object LlmQueries {
+  import org.apache.spark.sql.functions.col
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // exact dedup: hash-groupBy fingerprint groups
+    NamedQuery("q50_exact_dedup",
+      (s, d) => Dedup.exactDuplicateGroups(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("fingerprint").asc_nulls_first),
+      Some("""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+             |count(*) AS n_copies
+             |FROM documents GROUP BY 1
+             |ORDER BY fingerprint ASC NULLS FIRST""".stripMargin)),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified. The oracle is
+    // the EXACT all-pairs Jaccard — equality also proves 100% LSH recall
+    // at this threshold on this corpus (32 hashes / 8 bands).
+    NamedQuery("q51_minhash_pairs",
+      (s, d) => Dedup.minHashPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .withColumn("jaccard", F.round(col("jaccard"), 6))
+        .orderBy(col("a_id").asc, col("b_id").asc),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  round(len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |        len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+             |ORDER BY a_id ASC, b_id ASC""".stripMargin)),
+
+    // SimHash banded near-dup pairs — xxhash-based, not SQL-expressible
+    NamedQuery("q52_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("a_id").asc, col("b_id").asc),
+      None),
+
+    // per-doc n-gram set cardinality
+    NamedQuery("q53_ngram_profile",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          F.size(Dedup.shingles(col("text"), 3)).as("n_shingles"),
+          F.size(Dedup.tokens(col("text"))).as("n_tokens"))
+        .orderBy(col("doc_id").asc),
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN len(w) >= 3 THEN
+             |  len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]))
+             |  ELSE 0 END AS INT) AS n_shingles,
+             |CAST(len(w) AS INT) AS n_tokens
+             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |      FROM documents WHERE doc_id < 50)
+             |ORDER BY doc_id ASC""".stripMargin)),
+
+    // exact n-gram Jaccard pairs (the verifier path; LSH is the scale path)
+    NamedQuery("q54_jaccard_pairs",
+      (s, d) => Dedup.ngramJaccardPairs(
+          Tables.documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        .withColumn("jaccard", F.round(col("jaccard"), 6))
+        .orderBy(col("a_id").asc, col("b_id").asc),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  round(len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |        len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+             |ORDER BY a_id ASC, b_id ASC""".stripMargin)),
+
+    // full text-analysis profile: token/subword counts, quality score,
+    // language ID, fingerprint — every formula mirrored in SQL
+    NamedQuery("q55_text_profile",
+      (s, d) => TextAnalysis.profile(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc),
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+             |    length(text) AS n_chars
+             |  FROM documents WHERE doc_id < 100),
+             |m AS (
+             |  SELECT doc_id, text, toks, n_chars,
+             |    CAST(len(toks) AS INT) AS n_tokens,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_subwords,
+             |    round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS avg_token_len,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS stopword_ratio,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['el','la','de','que','y','en'], x))) AS s_es,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['le','les','et','une','dans'], x))) AS s_fr
+             |  FROM base)
+             |SELECT doc_id, n_tokens, n_subwords, CAST(n_chars AS INT) AS n_chars,
+             |  avg_token_len, punct_ratio, stopword_ratio,
+             |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |        (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |        least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality,
+             |  CASE
+             |    WHEN s_en >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+             |    WHEN s_es >= greatest(s_es, s_de, s_fr) AND greatest(s_es, s_de, s_fr) > 0 THEN 'es'
+             |    WHEN s_de >= greatest(s_de, s_fr) AND greatest(s_de, s_fr) > 0 THEN 'de'
+             |    WHEN s_fr > 0 THEN 'fr'
+             |    ELSE 'und' END AS lang_pred,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |FROM m ORDER BY doc_id ASC""".stripMargin)),
+
+    // rolling-hash fingerprint (custom codegen'd expression) — rows-only
+    NamedQuery("q56_rolling_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id").asc),
+      None),
+
+    // brute-force exact cosine top-5 for 10 query vectors; oracle computes
+    // the dot in DOUBLE sequentially, matching CosineSim bit-for-bit
+    NamedQuery("q57_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("id"), col("embedding")),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          k = 5)
+        .withColumn("cosine", F.round(col("cosine"), 6))
+        .orderBy(col("query_id").asc, col("rnk").asc),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_sum([ (qe[i]::DOUBLE) * (ce[i]::DOUBLE) for i in range(1, 65)]) /
+             |    (sqrt(list_sum([ (qe[i]::DOUBLE) * (qe[i]::DOUBLE) for i in range(1, 65)])) *
+             |     sqrt(list_sum([ (ce[i]::DOUBLE) * (ce[i]::DOUBLE) for i in range(1, 65)]))) AS cosine
+             |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cosine, row_number() OVER (
+             |    PARTITION BY query_id
+             |    ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rnk
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rnk
+             |FROM ranked WHERE rnk <= 5
+             |ORDER BY query_id ASC, rnk ASC""".stripMargin)),
+
+    // LSH-bucketed ANN (scale path) — recall measured against brute force
+    // in LlmSpec; not SQL-expressible (fixed-seed hyperplanes)
+    NamedQuery("q58_ann_lsh",
+      (s, d) => Similarity.lshTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("id"), col("embedding")),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          k = 5, dim = 64, nBits = 6, tables = 8, probeBits = 6)
+        .withColumn("cosine", F.round(col("cosine"), 6))
+        .orderBy(col("query_id").asc, col("rnk").asc),
+      None),
+
+    // embedding near-dup pairs via LSH buckets + cosine threshold
+    NamedQuery("q59_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")),
+          threshold = 0.4, dim = 64, nBits = 8)
+        .withColumn("cosine", F.round(col("cosine"), 6))
+        .orderBy(col("a_id").asc, col("b_id").asc),
+      None),
+
+    // multimodal: binary payload metadata (columnar, no decode)
+    NamedQuery("q60_media_stats",
+      (s, d) => Multimodal.mediaStats(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy(col("media_id").asc),
+      Some("""SELECT doc_id AS media_id,
+             |CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+             |sha256(text) AS sha_hex
+             |FROM documents ORDER BY media_id ASC""".stripMargin)),
+
+    // multimodal: typed mapPartitions batch "decode" (stubbed codec,
+    // real plumbing); sha256 oracled, fake decode fields rows-only —
+    // cross-checked against mediaStats in LlmSpec
+    NamedQuery("q61_media_features",
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("media_id").asc),
+      None),
+
+    // dedup keep-list: the end-to-end "which docs survive" projection
+    // (exact + normalized fingerprint agree on this corpus)
+    NamedQuery("q62_dedup_keeplist",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = Dedup.exactDuplicateGroups(docs, col("doc_id"), col("text"))
+          .select(col("keep_id"))
+        docs.join(keep, col("doc_id") === col("keep_id"))
+          .groupBy(col("source"))
+          .agg(F.count(F.lit(1)).as("n_kept"),
+            F.sum(col("n_chars")).as("chars_kept"))
+          .orderBy(col("source").asc)
+      },
+      Some("""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+             |FROM documents WHERE doc_id IN (
+             |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
+             |GROUP BY 1 ORDER BY source ASC""".stripMargin))
+  )
+}

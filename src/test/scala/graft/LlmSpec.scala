@@ -1,0 +1,109 @@
+package graft
+
+import graft.cubes.Tables
+import graft.llm.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  test("minhash LSH finds every exact-jaccard pair at threshold 0.8 (recall=1 here)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(docs, col("doc_id"), col("text"), 3, 32, 8, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("minhash signature approximates jaccard") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("mh", Dedup.minHashSignature(F.col("sh"), 64))
+    val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"), col("mh").as("a_mh"))
+    val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"), col("mh").as("b_mh"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id")).limit(2000)
+      .withColumn("jac", F.size(F.array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        F.size(F.array_union(col("a_sh"), col("b_sh"))))
+      .withColumn("est", F.size(F.filter(F.zip_with(col("a_mh"), col("b_mh"),
+        (x, y) => F.when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / 64)
+      .select("jac", "est").collect()
+    val mae = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / pairs.length
+    assert(mae < 0.15, s"minhash estimate MAE too high: $mae")
+  }
+
+  test("simhash pairs are precise: every hamming<=3 pair is a real near-dup") {
+    val docs = Tables.documents(spark, sf)
+    val nearDups = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, col("doc_id"), col("text"), 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty, "simhash should find the planted near-dups")
+    // hamming<=3 on 64-bit shingle simhash is a STRICTER bar than
+    // jaccard 0.8 — precision must be 1; recall is partial by design
+    assert(sim.subsetOf(nearDups), s"spurious simhash pairs: ${sim -- nearDups}")
+  }
+
+  test("ANN LSH recall vs brute force >= 0.6 at k=5 on 500 vectors") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 5, 64, nBits = 6, tables = 8, probeBits = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+    info(s"ANN recall@5 = $recall")
+  }
+
+  test("brute-force topK is exact, k rows per query, self excluded") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 5).collect()
+    assert(res.length == 25)
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(res.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("media features agree with columnar stats (sha256, byte_len)") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val stats = Multimodal.mediaStats(media)
+      .select(col("media_id"), col("byte_len"), col("sha_hex"))
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("media_id"), col("byte_len").as("bl2"), col("sha256").as("sha2"))
+    val joined = stats.join(feats, "media_id")
+    assert(joined.filter(col("byte_len") =!= col("bl2") ||
+      col("sha_hex") =!= col("sha2")).count() == 0)
+    assert(joined.count() == 500)
+  }
+
+  test("custom expressions are deterministic across plans") {
+    val d1 = Tables.documents(spark, sf)
+      .select(graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
+    val d2 = Tables.documents(spark, sf).repartition(7)
+      .select(graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
+    assert(d1.map(_.getLong(0)).sorted.sameElements(d2.map(_.getLong(0)).sorted))
+  }
+
+  test("simhash64 whole-stage codegen does not fall back") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.SimHash64(Dedup.tokens(col("text"))).as("sig"))
+    // codegen'd operators carry the `*(stageId)` prefix in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash64"), s"no codegen span:\n$plan")
+    assert(df.agg(F.count_distinct(col("sig"))).collect()(0).getLong(0) > 100)
+  }
+}
