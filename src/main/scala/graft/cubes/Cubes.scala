@@ -16,7 +16,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp; read it as raw nanos (legacy conf) and floor-convert
+    * to a µs timestamp — same truncation DuckDB's epoch_ms applies. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    convertEventTs(load(s, d, "events"))
+  }
+
+  def convertEventTs(raw: DataFrame): DataFrame =
+    // integer `div`, NOT `/`: epoch-ns values exceed double's 53-bit
+    // mantissa, so floating division floors to the wrong microsecond
+    raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,3 +1,102 @@
 package graft.queries
 
-object EventQueries { val qs: Seq[NamedQuery] = Seq() }
+import graft.cubes.{Cubes, Tables}
+import graft.query.{CubeQuery, Pred}
+import graft.streaming.Streaming
+import org.apache.spark.sql.{functions => F}
+
+/** Event-stream queries. The windowed transforms are the SAME functions
+  * StreamingSpec runs as live streams — here they execute in batch mode
+  * so DuckDB can oracle them (window starts as epoch millis; session
+  * islands via lag/cumsum).
+  */
+object EventQueries {
+  import org.apache.spark.sql.functions.col
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // events as a plain cube (slice by type/hour, standard metrics)
+    NamedQuery("q40_events_cube",
+      (s, d) => CubeQuery(Cubes.eventsCube(s, d))
+        .slice("event_type", "eventType")
+        .measure("cnt", "count")
+        .measure("sum_value", "sumValue")
+        .measure("uniq_users", "uniqueUsers")
+        .when(Pred.gteq("value", 10))
+        .asc("event_type")
+        .toDF,
+      Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+             |count(DISTINCT user_id) AS uniq_users
+             |FROM events WHERE value >= 10
+             |GROUP BY 1 ORDER BY event_type ASC NULLS FIRST, cnt ASC, sum_value ASC, uniq_users ASC"""
+        .stripMargin)),
+
+    // tumbling 1h windows
+    NamedQuery("q41_tumbling_window",
+      (s, d) => Streaming.tumblingCounts(Tables.events(s, d))
+        .orderBy(col("win_start").asc, col("event_type").asc),
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS win_start,
+             |epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS win_end,
+             |event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY win_start ASC, event_type ASC, win_end ASC, cnt ASC, sum_value ASC"""
+        .stripMargin)),
+
+    // sliding 1h/30min windows (each event lands in 2 windows)
+    NamedQuery("q42_sliding_window",
+      (s, d) => Streaming.slidingCounts(Tables.events(s, d))
+        .orderBy(col("win_start").asc, col("event_type").asc),
+      Some("""WITH w AS (
+             |  SELECT e.*, time_bucket(INTERVAL 30 MINUTES, ts) - (off * INTERVAL 30 MINUTES) AS win_start
+             |  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS off))
+             |SELECT epoch_ms(win_start) AS win_start,
+             |epoch_ms(win_start + INTERVAL 1 HOUR) AS win_end,
+             |event_type, count(*) AS cnt
+             |FROM w GROUP BY 1, 2, 3
+             |ORDER BY win_start ASC, event_type ASC, win_end ASC, cnt ASC""".stripMargin)),
+
+    // session windows (30 min gap) per user
+    NamedQuery("q43_session_window",
+      (s, d) => Streaming.sessionAggs(Tables.events(s, d))
+        .orderBy(col("user_id").asc, col("session_start").asc),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |         > INTERVAL 30 MINUTES OR
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+             |epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end,
+             |count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id ASC, session_start ASC""".stripMargin)),
+
+    // JSON payload extraction from props
+    NamedQuery("q44_props_json",
+      (s, d) => Streaming.propsExtract(Tables.events(s, d))
+        .orderBy(col("event_type").asc),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+             |round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
+             |FROM events
+             |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
+             |GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
+
+    // streaming dedup transform, batch-executed (event_id is unique in the
+    // fixture, so dedup must be a no-op — oracled as the raw count)
+    NamedQuery("q45_stream_dedup",
+      (s, d) => Streaming.dedupedEvents(
+          Tables.events(s, d).unionAll(Tables.events(s, d)))
+        .groupBy(col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc),
+      Some("""SELECT event_type, count(*) AS cnt FROM events
+             |GROUP BY 1 ORDER BY event_type ASC""".stripMargin))
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Structured-Streaming operators over the events table (SURVEY §2.4
+  * Streaming: absent in the reference; added per the north star).
+  *
+  * Every transform below is **mode-agnostic**: the same function compiles
+  * against a batch DataFrame (DuckDB-verified via EventQueries) and a
+  * `readStream` DataFrame (exercised with watermarks + memory sink in
+  * StreamingSpec). That is the Spark-native way to keep batch backfill
+  * and live streams on one code path.
+  *
+  * Timestamps are emitted as epoch millis: the fixture's ns-precision
+  * timestamps truncate to µs in Spark but stay ns in DuckDB — millis is
+  * the common grain both agree on.
+  */
+object Streaming {
+
+  /** Streaming read of the events fixture (schema pinned from the batch
+    * read — required for file streams). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource takes a directory; glob-filter to the events table
+    graft.cubes.Tables.convertEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  private def ms(c: Column): Column = F.unix_millis(c)
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), window).as("win"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("cnt"), F.round(F.sum("value"), 2).as("sum_value"))
+      .select(ms(F.col("win.start")).as("win_start"), ms(F.col("win.end")).as("win_end"),
+        F.col("event_type"), F.col("cnt"), F.col("sum_value"))
+
+  /** Sliding windows (length / slide) per event type. */
+  def slidingCounts(events: DataFrame, window: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.window(F.col("ts"), window, slide).as("win"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .select(ms(F.col("win.start")).as("win_start"), ms(F.col("win.end")).as("win_end"),
+        F.col("event_type"), F.col("cnt"))
+
+  /** Session windows per user: gap-based (session extends while the next
+    * event arrives within `gap` of the previous one; end = last + gap). */
+  def sessionAggs(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(F.session_window(F.col("ts"), gap).as("win"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.round(F.sum("value"), 2).as("sum_value"))
+      .select(F.col("user_id"), ms(F.col("win.start")).as("session_start"),
+        ms(F.col("win.end")).as("session_end"), F.col("n_events"), F.col("sum_value"))
+
+  /** JSON payload extraction + filter + windowed agg — the "parse the
+    * props column" pipeline stage. */
+  def propsExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+      .filter(F.col("k") > 50)
+      .groupBy(F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("cnt"), F.sum("k").as("sum_k"),
+        F.round(F.avg("k"), 4).as("avg_k"))
+
+  /** Streaming exactly-once dedup by event_id within the watermark. On a
+    * batch frame dropDuplicates is plain distinct-by-key — same semantics,
+    * bounded state in the stream case. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Watermarked tumbling aggregation — the canonical streaming shape
+    * (append mode emits a window once the watermark passes its end). */
+  def watermarkedTumbling(events: DataFrame, watermark: String = "10 minutes",
+      window: String = "1 hour"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), window)
+}
