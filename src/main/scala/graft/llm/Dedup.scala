@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.SimHash64
+import graft.functions.{SimHash64, WordShingles}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
@@ -15,16 +15,11 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
 
-  /** Distinct word k-shingles ("w1 w2 w3"). Documents shorter than k
-    * tokens yield an empty array. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    F.when(F.size(toks) >= k,
-      F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        i => F.concat_ws(" ", F.slice(toks, i, F.lit(k))))))
-      .otherwise(F.array().cast("array<string>"))
-  }
+  /** Distinct word k-shingles ("w1 w2 w3"), via the single-pass codegen'd
+    * [[WordShingles]] expression. Documents shorter than k tokens yield an
+    * empty array. */
+  def shingles(text: Column, k: Int = 3): Column =
+    WordShingles(tokens(text), k)
 
   /** Exact-duplicate groups by raw text hash: (fingerprint, keep_id = min
     * id, n_copies). Hash-groupBy — one shuffle on the 128-bit digest, the
@@ -44,22 +39,36 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** MinHash signature (array<long>, length numHashes) over the distinct
-    * shingle set, computed entirely row-local: xxhash64 each shingle once,
-    * then k affine permutations min-reduced with array_min — no explode,
-    * no shuffle. Affine coefficients from a fixed seed so signatures are
-    * reproducible across runs/clusters. */
-  def minHashSignature(shinglesCol: Column, numHashes: Int = 32, seed: Long = 1234L): Column = {
+  /** Fixed-seed affine coefficients. a < 2^30 keeps a*x < 2^62
+    * (x < 2^32), so a*x + b stays inside a signed long even under ANSI
+    * overflow checking. */
+  private def affineCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    // a < 2^30 keeps a*x < 2^62 (x < 2^32), so a*x + b stays inside a
-    // signed long even under ANSI overflow checking
-    val coeffs = Seq.fill(numHashes)(
+    Seq.fill(numHashes)(
       (1L + rnd.nextLong((1L << 30) - 1), rnd.nextLong(MersennePrime)))
-    // hash once into [0, 2^32)
-    val xs = F.transform(shinglesCol, s => F.pmod(F.xxhash64(s), F.lit(1L << 32)))
-    F.array(coeffs.map { case (a, b) =>
-      F.array_min(F.transform(xs, x => F.pmod(x * a + b, F.lit(MersennePrime))))
-    }: _*)
+  }
+
+  /** MinHash signatures for (id, sh: array<string>) docs → (id, mh:
+    * array<long>).
+    *
+    * Shape chosen for both codegen and scale: explode the shingles, hash
+    * each ONCE with codegen'd xxhash64, apply the k affine permutations as
+    * plain arithmetic, and min-reduce with groupBy(id) — Spark's partial
+    * aggregation combines map-side, so the shuffle carries k longs per
+    * doc, not the shingles. (The tempting alternative — k nested
+    * `transform`/`array_min` higher-order calls — evaluates interpreted,
+    * re-hashes the array k times, and benches ~10× slower.) */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, seed: Long = 1234L): DataFrame = {
+    val coeffs = affineCoeffs(numHashes, seed)
+    val exploded = docs
+      .select(F.col("id"), F.explode(F.col("sh")).as("s"))
+      .select(F.col("id"), F.pmod(F.xxhash64(F.col("s")), F.lit(1L << 32)).as("x"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      F.min(F.pmod(F.col("x") * a + b, F.lit(MersennePrime))).as(s"_m$i")
+    }
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(F.col("id"),
+        F.array((0 until numHashes).map(i => F.col(s"_m$i")): _*).as("mh"))
   }
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
@@ -83,9 +92,9 @@ object Dedup {
       seed: Long = 1234L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val docs = df.select(idCol.as("id"), shingles(textCol, shingleK).as("sh"))
+    val docSh = df.select(idCol.as("id"), shingles(textCol, shingleK).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
-      .withColumn("mh", minHashSignature(F.col("sh"), numHashes, seed))
+    val docs = docSh.join(minHashSignatures(docSh, numHashes, seed), "id")
 
     val bandCols = (0 until bands).map { bIdx =>
       F.struct(
@@ -93,16 +102,20 @@ object Dedup {
         F.xxhash64(F.concat_ws("_",
           (0 until r).map(j => F.col("mh").getItem(bIdx * r + j)): _*)).as("bh"))
     }
-    val banded = docs.select(F.col("id"), F.col("sh"),
-      F.explode(F.array(bandCols: _*)).as("bk"))
-
-    val a = banded.select(F.col("id").as("a_id"), F.col("sh").as("a_sh"), F.col("bk"))
-    val b = banded.select(F.col("id").as("b_id"), F.col("sh").as("b_sh"), F.col("bk"))
-    val cand = a.join(b, a("bk") === b("bk") && F.col("a_id") < F.col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+    // only (id, band-key) flows through the self-join — the shingle arrays
+    // stay out of the wide exchanges and are re-attached per candidate
+    // pair afterwards (candidates ≪ corpus, so the two lookup joins are
+    // cheap; carrying arrays through the band join is what hurts)
+    val banded = docs.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bk"))
+    val cand = banded.select(F.col("id").as("a_id"), F.col("bk"))
+      .join(banded.select(F.col("id").as("b_id"), F.col("bk")), "bk")
+      .filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
 
     cand
+      .join(docSh.select(F.col("id").as("a_id"), F.col("sh").as("a_sh")), "a_id")
+      .join(docSh.select(F.col("id").as("b_id"), F.col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
         F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
           F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))

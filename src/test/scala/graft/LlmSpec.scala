@@ -29,9 +29,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("minhash signature approximates jaccard") {
-    val docs = Tables.documents(spark, sf)
+    val docSh = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
-      .withColumn("mh", Dedup.minHashSignature(F.col("sh"), 64))
+    val docs = docSh.join(Dedup.minHashSignatures(docSh, 64), "id")
     val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"), col("mh").as("a_mh"))
     val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"), col("mh").as("b_mh"))
     val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id")).limit(2000)
