@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.cubes.Cubes
+import graft.parse.QueryParser
+import graft.respond.Renest
+
+/** End-to-end front-door queries: JSON query tree → element tree →
+  * CubeQuery → compiled plan (→ optionally re-nested response). These
+  * exercise the same path a GraphQL adapter would drive (SURVEY §3
+  * lifecycle; the wire layer itself is out of scope).
+  */
+object ParsedQueries {
+
+  private val flatDoc =
+    """{ "cube": "lineitem",
+      |  "args": {
+      |    "shipDate": {"between": ["1996-01-01", "1998-12-31"]},
+      |    "quantity": {"gt": 5, "not_eq": null},
+      |    "options": {"desc": "cnt", "limit": 10} },
+      |  "fields": [
+      |    {"name": "returnFlag", "alias": "flag"},
+      |    {"name": "shipDate", "fields": [{"name": "year"}]},
+      |    {"name": "count", "alias": "cnt"},
+      |    {"name": "amount", "args": {"quantity": {"gt": 25}}} ] }""".stripMargin
+
+  private val nestedDoc =
+    """{ "cube": "lineitem",
+      |  "args": { "options": {"asc": "flag"} },
+      |  "fields": [
+      |    {"name": "returnFlag", "alias": "flag"},
+      |    {"name": "shipDate", "alias": "shipDate",
+      |     "fields": [{"name": "year"}, {"name": "month"}]},
+      |    {"name": "count", "alias": "cnt"} ] }""".stripMargin
+
+  private val anyDoc =
+    """{ "cube": "lineitem",
+      |  "args": {
+      |    "any": [ {"returnFlag": {"eq": "R"}, "quantity": {"gt": 30}},
+      |             {"lineStatus": {"eq": "F"}, "quantity": {"lt": 5}} ],
+      |    "options": {"desc": "cnt", "limitBy": {"each": "flag", "limit": 2}, "limit": 4} },
+      |  "fields": [
+      |    {"name": "returnFlag", "alias": "flag"},
+      |    {"name": "shipDate", "fields": [{"name": "year"}]},
+      |    {"name": "count", "alias": "cnt"} ] }""".stripMargin
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // parser → compiler, flat response; desc cnt + limit with tiebreaks;
+    // metric-level filter via args on the metric; nil-arg op pruned
+    NamedQuery("q70_parsed_flat",
+      (s, d) => QueryParser.parse(Cubes.lineitemCube(s, d), flatDoc).query.toDF,
+      Some("""SELECT * FROM (
+             |SELECT l_returnflag AS "flag",
+             |CAST(year(l_shipdate) AS INT) AS "shipDate__year",
+             |count(*) AS "cnt",
+             |round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS "amount"
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+             |AND l_quantity > 5
+             |GROUP BY 1, 2)
+             |ORDER BY cnt DESC NULLS LAST, "flag" ASC NULLS FIRST,
+             |"shipDate__year" ASC NULLS FIRST, "amount" ASC NULLS FIRST
+             |LIMIT 10""".stripMargin)),
+
+    // parser → compiler → Renest: nested struct response (R3)
+    NamedQuery("q71_parsed_nested",
+      (s, d) => {
+        val parsed = QueryParser.parse(Cubes.lineitemCube(s, d), nestedDoc)
+        Renest.nest(parsed.query.toDF, parsed.root)
+      },
+      Some("""SELECT l_returnflag AS "flag",
+             |{'year': CAST(year(l_shipdate) AS INT),
+             | 'month': CAST(month(l_shipdate) AS INT)} AS "shipDate",
+             |count(*) AS "cnt"
+             |FROM lineitem GROUP BY 1, year(l_shipdate), month(l_shipdate)
+             |ORDER BY "flag" ASC NULLS FIRST,
+             |CAST(year(l_shipdate) AS INT) ASC NULLS FIRST,
+             |CAST(month(l_shipdate) AS INT) ASC NULLS FIRST, "cnt" ASC""".stripMargin)),
+
+    // parser with any: OR-tree + ordered options desc→limitBy→limit (O10+O16)
+    NamedQuery("q72_parsed_any_limitby",
+      (s, d) => QueryParser.parse(Cubes.lineitemCube(s, d), anyDoc).query.toDF,
+      Some("""SELECT "flag", "shipDate__year", "cnt" FROM (
+             |SELECT "flag", "shipDate__year", "cnt", row_number() OVER (
+             |  PARTITION BY "flag"
+             |  ORDER BY "cnt" DESC NULLS LAST, "shipDate__year" ASC NULLS FIRST) AS rn
+             |FROM (SELECT l_returnflag AS "flag",
+             |  CAST(year(l_shipdate) AS INT) AS "shipDate__year", count(*) AS "cnt"
+             |  FROM lineitem
+             |  WHERE (l_returnflag = 'R' AND l_quantity > 30)
+             |     OR (l_linestatus = 'F' AND l_quantity < 5)
+             |  GROUP BY 1, 2))
+             |WHERE rn <= 2
+             |ORDER BY "cnt" DESC NULLS LAST, "flag" ASC NULLS FIRST,
+             |"shipDate__year" ASC NULLS FIRST
+             |LIMIT 4""".stripMargin))
+  )
+}

@@ -13,7 +13,8 @@ final case class NamedQuery(
 
 object Registry {
   def all: Seq[NamedQuery] =
-    CoreQueries.qs ++ StarQueries.qs ++ EventQueries.qs ++ LlmQueries.qs
+    CoreQueries.qs ++ StarQueries.qs ++ EventQueries.qs ++ LlmQueries.qs ++
+      ParsedQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,106 @@
+package graft
+
+import graft.cubes.Cubes
+import graft.model.CubeQueryException
+import graft.parse.QueryParser
+import graft.respond.Renest
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParserSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cube = Cubes.lineitemCube(spark, sf)
+
+  test("V1: unknown field name raises") {
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      """{"fields": [{"name": "frobnicate"}]}"""))
+    assert(e.getMessage.contains("neither metric nor dimension"))
+  }
+
+  test("V5: _aq. injection in argument values raises") {
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      """{"args": {"returnFlag": {"eq": "_aq.count"}},
+         "fields": [{"name": "count"}]}"""))
+    assert(e.getMessage.contains("_aq."))
+  }
+
+  test("V4: unknown argument raises") {
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      """{"args": {"bogusSel": {"eq": 1}}, "fields": [{"name": "count"}]}"""))
+    assert(e.getMessage.contains("unknown argument"))
+  }
+
+  test("R8: union without __typename raises; with it, literal is emitted") {
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      """{"fields": [{"name": "shipDate", "union": true,
+          "fields": [{"name": "year"}]}]}"""))
+    assert(e.getMessage.contains("__typename"))
+
+    val ok = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "returnFlag"},
+           {"name": "shipDate", "union": true,
+            "fields": [{"name": "__typename"}, {"name": "year"}]},
+           {"name": "count"}]}""")
+    val nested = Renest.nest(ok.query.toDF, ok.root, typeNameValue = "ShipDate")
+    val row = nested.select("shipDate.__typename").distinct().collect()
+    assert(row.map(_.getString(0)).toSeq == Seq("ShipDate"))
+  }
+
+  test("aliases make distinct columns; duplicate names collapse (R4)") {
+    val p = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "count", "alias": "all_rows"},
+           {"name": "count", "alias": "all_rows"},
+           {"name": "count", "alias": "again"}]}""")
+    assert(p.query.measures.map(_._1) == Seq("all_rows", "again"))
+  }
+
+  test("JSON null prunes non-nullable ops, keeps eq as IS NULL") {
+    val pruned = QueryParser.parse(cube,
+      """{"args": {"quantity": {"gt": null}}, "fields": [{"name": "count"}]}""")
+    assert(pruned.query.toDF.collect()(0).getLong(0) > 0) // unfiltered
+
+    val isNull = QueryParser.parse(cube,
+      """{"args": {"returnFlag": {"eq": null}}, "fields": [{"name": "count"}]}""")
+    assert(isNull.query.toDF.collect()(0).getLong(0) == 0) // no null flags
+  }
+
+  test("snake_case operators camelize (not_eq == notEq)") {
+    val a = QueryParser.parse(cube,
+      """{"args": {"quantity": {"not_eq": 7}}, "fields": [{"name": "count"}]}""")
+    val b = QueryParser.parse(cube,
+      """{"args": {"quantity": {"notEq": 7}}, "fields": [{"name": "count"}]}""")
+    assert(a.query.toDF.collect()(0).getLong(0) == b.query.toDF.collect()(0).getLong(0))
+  }
+
+  test("R6: Boolean type hint converts 1/0 to real booleans at the edge") {
+    // a ClickHouse-shaped cube: boolean exposed as 0/1 int dimension
+    import org.apache.spark.sql.functions._
+    val base = cube
+    val withBool = base.copy(dimensions = base.dimensions +
+      ("isReturned" -> graft.model.Dimension("isReturned",
+        when(col("l_returnflag") === "R", 1).otherwise(0))))
+    val p = QueryParser.parse(withBool,
+      """{"fields": [
+           {"name": "isReturned", "type": "Boolean"},
+           {"name": "count", "alias": "cnt"}]}""")
+    val rows = Renest.nest(p.query.toDF, p.root).collect()
+    assert(rows.map(_.getBoolean(0)).toSet == Set(true, false))
+  }
+
+  test("tabular contract returns columns + rows (O20)") {
+    val p = QueryParser.parse(cube,
+      """{"fields": [{"name": "returnFlag"}, {"name": "count", "alias": "cnt"}]}""")
+    val (cols, rows) = Renest.tabular(p.query.toDF)
+    assert(cols == Seq("returnFlag", "cnt") && rows.nonEmpty)
+  }
+}
