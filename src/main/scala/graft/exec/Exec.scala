@@ -1,0 +1,84 @@
+package graft.exec
+
+import graft.model.{Cube, CubeQueryException}
+import graft.parse.QueryParser
+import graft.query.CubeQuery
+import graft.respond.Renest
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Execution layer — the cube_field.rb analogue (reference
+  * lib/activecube/graphql/cube_field.rb:25-54): database routing (O17),
+  * the pre-execution query-extension hook (O18), stats collection (O19),
+  * and the execute/tabular contract (O20).
+  */
+
+/** O17 — `cube.connected_to(database:)` (cube_field.rb:33-38): a named
+  * registry of data roots; the whole query runs against the chosen one.
+  * In a deployed engine entries are catalogs ("clickhouse.prod", a JDBC
+  * url, a lakehouse path); for the fixtures they are sf directories.
+  */
+final case class DatabaseRegistry(databases: Map[String, String], default: String) {
+  def dir(db: Option[String]): String = {
+    val name = db.getOrElse(default)
+    databases.getOrElse(name,
+      throw new CubeQueryException(s"unknown database '$name' (have: ${databases.keys.mkString(",")})"))
+  }
+}
+
+/** O19 — execution telemetry (cube_field.rb:51-52 `stats`/`headers`
+  * passthrough): wall time, output rows, and the physical plan of the
+  * last run, captured via Spark's QueryExecutionListener. */
+final class ExecStats {
+  @volatile var durationNs: Long = -1
+  @volatile var rowCount: Long = -1
+  @volatile var physicalPlan: String = ""
+  override def toString: String =
+    f"ExecStats(duration=${durationNs / 1e6}%.1f ms, rows=$rowCount)"
+}
+
+/** End-to-end runner: parse → hook → compile → renest → collect. */
+object CubeRunner {
+
+  /** O18 — `object.append_cube_query` (cube_field.rb:50): callers (auth,
+    * tenant scoping) may transform the built query before compilation. */
+  type QueryHook = CubeQuery => CubeQuery
+
+  final case class Result(columns: Seq[String], rows: Seq[Row], stats: ExecStats)
+
+  def execute(
+      spark: SparkSession,
+      registry: DatabaseRegistry,
+      cubeFor: (SparkSession, String) => Cube,
+      queryJson: String,
+      database: Option[String] = None,
+      hook: QueryHook = identity,
+      nested: Boolean = true): Result = {
+
+    val dir = registry.dir(database) // O17
+    val cube = cubeFor(spark, dir)
+    val parsed = QueryParser.parse(cube, queryJson)
+    val q = hook(parsed.query) // O18
+    val flat = q.toDF
+    val df = if (nested) Renest.nest(flat, parsed.root, cube.name) else flat
+
+    val stats = new ExecStats
+    val listener = new QueryExecutionListener { // O19
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        stats.durationNs = durationNs
+        stats.physicalPlan = qe.executedPlan.toString
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (cols, rows) = Renest.tabular(df) // O20
+      stats.rowCount = rows.size.toLong
+      // the listener fires asynchronously; wait briefly for it
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (stats.durationNs < 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      Result(cols, rows, stats)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.cubes.Cubes
+import graft.exec.{CubeRunner, DatabaseRegistry}
+import graft.model.CubeQueryException
+import graft.query.Pred
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExecSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val registry = DatabaseRegistry(
+    Map("tiny" -> "/root/testdata/sf0.001", "small" -> "/root/testdata/sf0.01"),
+    default = "tiny")
+
+  private val doc =
+    """{"fields": [{"name": "count", "alias": "cnt"}]}"""
+
+  test("O17: database routing picks the named connection") {
+    val tiny = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc)
+    val small = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc,
+      database = Some("small"))
+    val (a, b) = (tiny.rows.head.getLong(0), small.rows.head.getLong(0))
+    assert(a > 0 && b > 5 * a, s"sf0.01 ($b) should dwarf sf0.001 ($a)")
+  }
+
+  test("O17: unknown database raises") {
+    val e = intercept[CubeQueryException](CubeRunner.execute(
+      spark, registry, Cubes.lineitemCube, doc, database = Some("prod")))
+    assert(e.getMessage.contains("unknown database"))
+  }
+
+  test("O18: query hook scopes the query before compilation") {
+    val unhooked = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc)
+    val hooked = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc,
+      hook = _.when(Pred.eq("returnFlag", "R")))
+    assert(hooked.rows.head.getLong(0) < unhooked.rows.head.getLong(0))
+    assert(hooked.rows.head.getLong(0) > 0)
+  }
+
+  test("O19/O20: execute returns columns+rows and captures stats") {
+    val r = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc)
+    assert(r.columns == Seq("cnt") && r.rows.size == 1)
+    assert(r.stats.rowCount == 1)
+    assert(r.stats.durationNs > 0, "listener should capture duration")
+    assert(r.stats.physicalPlan.nonEmpty)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.cubes.Cubes
+import graft.query.{CubeQuery, Pred}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property-style tests (SURVEY §5.3): randomized query trees checked
+  * against engine invariants. Seeded so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def base = CubeQuery(Cubes.lineitemCube(spark, sf))
+
+  private val slicePool = Seq(
+    ("flag", "returnFlag", Seq.empty[String]),
+    ("status", "lineStatus", Seq.empty[String]),
+    ("yr", "shipDate", Seq("year")),
+    ("mo", "shipDate", Seq("month")))
+
+  private val predPool: Seq[Random => Pred] = Seq(
+    r => Pred.eq("returnFlag", Seq("A", "N", "R")(r.nextInt(3))),
+    r => Pred.gt("quantity", r.nextInt(45)),
+    r => Pred.lteq("quantity", 5 + r.nextInt(45)),
+    r => Pred.between("price", 1000 + r.nextInt(5000), 20000 + r.nextInt(40000)),
+    r => Pred.in("lineStatus", Seq("F", "O").take(1 + r.nextInt(2))),
+    r => Pred.notEq("returnFlag", Seq("A", "N", "R")(r.nextInt(3))))
+
+  private def randomQuery(r: Random): CubeQuery = {
+    val slices = r.shuffle(slicePool).take(1 + r.nextInt(2))
+    var q = base
+    slices.foreach { case (k, d, p) => q = q.slice(k, d, p: _*) }
+    q = q.measure("cnt", "count")
+    if (r.nextBoolean()) q = q.measure("sq", "sumQty")
+    q
+  }
+
+  test("adding a when() never increases the total row weight") {
+    val r = new Random(42)
+    (1 to 12).foreach { i =>
+      val q = randomQuery(r)
+      val p = predPool(r.nextInt(predPool.size))(r)
+      val before = q.toDF.agg(org.apache.spark.sql.functions.sum("cnt"))
+        .collect()(0).getLong(0)
+      val after = q.when(p).toDF
+        .agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0)
+      val afterSum = if (after.isNullAt(0)) 0L else after.getLong(0)
+      assert(afterSum <= before, s"case $i: pred $p grew $before -> $afterSum")
+    }
+  }
+
+  test("pruned (None-arg) predicates are exact no-ops") {
+    val r = new Random(7)
+    val prunable = Seq("gt", "lt", "gteq", "lteq", "in", "like", "between")
+    (1 to 8).foreach { i =>
+      val q = randomQuery(r)
+      val op = prunable(r.nextInt(prunable.size))
+      val a = q.toDF.collect().map(_.toString).sorted
+      val b = q.when(Pred.Op("quantity", op, None)).toDF.collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"case $i: pruned '$op' changed the result")
+    }
+  }
+
+  test("limitBy(n) bounds every group; limit(n) bounds the total") {
+    val r = new Random(13)
+    (1 to 8).foreach { i =>
+      val n = 1 + r.nextInt(3)
+      val q = randomQuery(r)
+      val sliceKey = q.slices.head._1
+      val byGroup = q.desc("cnt").limitBy(Seq(sliceKey), n).toDF
+        .groupBy(sliceKey).count().collect().map(_.getLong(1))
+      assert(byGroup.forall(_ <= n), s"case $i: limitBy($n) violated")
+      val total = q.desc("cnt").limit(n).toDF.count()
+      assert(total <= n, s"case $i: limit($n) gave $total rows")
+    }
+  }
+
+  test("conditional metric is always <= unconditional") {
+    val r = new Random(99)
+    (1 to 8).foreach { i =>
+      val p = predPool(r.nextInt(predPool.size))(r)
+      val row = base
+        .measure("all", "count")
+        .measureWhen("cond", "count", p)
+        .toDF.collect()(0)
+      assert(row.getLong(1) <= row.getLong(0), s"case $i: FILTER grew the count")
+    }
+  }
+
+  test("slice+measure row count equals distinct slice combinations") {
+    val r = new Random(5)
+    (1 to 6).foreach { i =>
+      val q = randomQuery(r)
+      val df = q.toDF
+      val sliceCols = q.slices.map(_._1)
+      val distinct = df.select(sliceCols.head, sliceCols.tail: _*).distinct().count()
+      assert(df.count() == distinct, s"case $i: duplicate slice rows")
+    }
+  }
+}
