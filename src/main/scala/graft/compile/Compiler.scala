@@ -61,8 +61,14 @@ object Compiler {
     }
 
     val shaped: DataFrame =
-      if (aggCols.nonEmpty && sliceCols.nonEmpty)
-        filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      if (aggCols.nonEmpty && sliceCols.nonEmpty) q.grouping match {
+        case GroupingMode.Flat =>
+          filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        case GroupingMode.Rollup =>
+          filtered.rollup(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        case GroupingMode.CubeSets =>
+          filtered.cube(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
       else if (aggCols.nonEmpty)
         filtered.agg(aggCols.head, aggCols.tail: _*)
       else if (sliceCols.nonEmpty)

@@ -92,7 +92,17 @@ object Cubes {
         "maxPrice" -> Metric.maxOf("maxPrice", col("l_extendedprice")),
         "uniqueOrders" -> Metric.uniqExact("uniqueOrders", col("l_orderkey")),
         "uniqueOrdersApprox" -> Metric.uniqApprox("uniqueOrdersApprox", col("l_orderkey")),
-        "uniqueParts" -> Metric.uniqExact("uniqueParts", col("l_partkey"))),
+        "uniqueParts" -> Metric.uniqExact("uniqueParts", col("l_partkey")),
+        // exact interpolated percentiles (ClickHouse quantile());
+        // percentile_approx is the 100 TB drop-in
+        "medianPrice" -> Metric("medianPrice", p => F.round(
+          F.call_function("percentile",
+            p.map(pr => F.when(pr, col("l_extendedprice"))).getOrElse(col("l_extendedprice")),
+            F.lit(0.5)), 4)),
+        "p90Price" -> Metric("p90Price", p => F.round(
+          F.call_function("percentile",
+            p.map(pr => F.when(pr, col("l_extendedprice"))).getOrElse(col("l_extendedprice")),
+            F.lit(0.9)), 4))),
       selectors = Map(
         "shipDate" -> Selector("shipDate", col("l_shipdate")),
         "quantity" -> Selector("quantity", col("l_quantity")),

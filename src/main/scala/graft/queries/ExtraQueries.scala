@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.cubes.{Cubes, Tables}
+import graft.operators.Skew
+import graft.query.CubeQuery
+import org.apache.spark.sql.{functions => F}
+
+/** Grouping sets, percentile metrics, skew-salted aggregation. */
+object ExtraQueries {
+  import org.apache.spark.sql.functions.col
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String): CubeQuery =
+    CubeQuery(Cubes.lineitemCube(s, d))
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // ROLLUP grouping sets (subtotals + grand total)
+    NamedQuery("q26_rollup",
+      (s, d) => li(s, d)
+        .slice("return_flag", "returnFlag")
+        .slice("line_status", "lineStatus")
+        .measure("cnt", "count")
+        .measure("sum_qty", "sumQty")
+        .withRollup
+        .asc("return_flag", "line_status")
+        .toDF,
+      Some("""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+             |count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(1, 2)
+             |ORDER BY return_flag ASC NULLS FIRST, line_status ASC NULLS FIRST,
+             |cnt ASC, sum_qty ASC""".stripMargin)),
+
+    // CUBE grouping sets (all combinations)
+    NamedQuery("q27_cube_sets",
+      (s, d) => li(s, d)
+        .slice("return_flag", "returnFlag")
+        .slice("line_status", "lineStatus")
+        .measure("cnt", "count")
+        .withCubeSets
+        .asc("return_flag", "line_status")
+        .toDF,
+      Some("""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+             |count(*) AS cnt
+             |FROM lineitem GROUP BY CUBE(1, 2)
+             |ORDER BY return_flag ASC NULLS FIRST, line_status ASC NULLS FIRST, cnt ASC"""
+        .stripMargin)),
+
+    // exact interpolated percentiles (ClickHouse quantile parity)
+    NamedQuery("q28_percentile",
+      (s, d) => li(s, d)
+        .slice("return_flag", "returnFlag")
+        .measure("median_price", "medianPrice")
+        .measure("p90_price", "p90Price")
+        .asc("return_flag")
+        .toDF,
+      Some("""SELECT l_returnflag AS return_flag,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST, median_price ASC, p90_price ASC"""
+        .stripMargin)),
+
+    // salted two-phase aggregation == plain aggregation (skew operator is
+    // semantics-preserving; the oracle is the unsalted GROUP BY)
+    NamedQuery("q29_salted_agg",
+      (s, d) => Skew.saltedCountSum(
+          Tables.lineitem(s, d),
+          keys = Seq("return_flag" -> col("l_returnflag")),
+          sumCols = Seq("sum_qty" -> col("l_quantity")),
+          saltSource = col("l_orderkey"),
+          salts = 16)
+        .withColumn("sum_qty", F.round(col("sum_qty"), 2))
+        .orderBy(col("return_flag").asc_nulls_first),
+      Some("""SELECT l_returnflag AS return_flag, count(*) AS cnt,
+             |round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
+
+    // single-pass SpaceSaving top-K sketch (streaming/huge-group-count
+    // path; exact at this capacity — asserted against the two-phase exact
+    // operator in TopKSpec). DuckDB can't express the sketch: the oracle
+    // is the exact per-group top-3, which the sketch must reproduce here.
+    NamedQuery("q63_topk_sketch",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("return_flag"))
+        .agg(graft.functions.TopKFreq(3, capacity = 65536)(col("l_partkey")).as("topk"))
+        .selectExpr("return_flag", "inline(topk)")
+        .withColumnRenamed("value", "part_key")
+        .orderBy(col("return_flag").asc_nulls_first, col("cnt").desc, col("part_key").asc),
+      Some("""SELECT return_flag, part_key, cnt FROM (
+             |SELECT return_flag, part_key, cnt, row_number() OVER (
+             |  PARTITION BY return_flag
+             |  ORDER BY cnt DESC NULLS LAST, part_key ASC NULLS FIRST) AS rn
+             |FROM (SELECT l_returnflag AS return_flag, l_partkey AS part_key,
+             |  count(*) AS cnt FROM lineitem GROUP BY 1, 2))
+             |WHERE rn <= 3
+             |ORDER BY return_flag ASC NULLS FIRST, cnt DESC NULLS LAST, part_key ASC"""
+        .stripMargin))
+  )
+}

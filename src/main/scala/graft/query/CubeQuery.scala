@@ -76,6 +76,16 @@ final case class SliceRef(dim: String, path: Seq[String] = Nil)
   * (parse_tree.rb:88,111-135 — conditional aggregation). */
 final case class MeasureRef(metric: String, filter: Option[Pred] = None)
 
+/** Multi-grouping-set modes (no surface in the reference — each query has
+  * exactly one grouping set, SURVEY §2.4 — but free via Catalyst and part
+  * of a complete engine). */
+sealed trait GroupingMode
+object GroupingMode {
+  case object Flat extends GroupingMode
+  case object Rollup extends GroupingMode
+  case object CubeSets extends GroupingMode
+}
+
 /** Immutable fluent query builder (reference parse_tree.rb:84-107 — every
   * activecube call returns a new query; the element-tree fold reassigns).
   * Compile with [[graft.compile.Compiler]].
@@ -85,7 +95,11 @@ final case class CubeQuery(
     slices: Seq[(String, SliceRef)] = Nil,
     measures: Seq[(String, MeasureRef)] = Nil,
     wheres: Seq[Pred] = Nil,
-    options: Seq[QueryOpt] = Nil) {
+    options: Seq[QueryOpt] = Nil,
+    grouping: GroupingMode = GroupingMode.Flat) {
+
+  def withRollup: CubeQuery = copy(grouping = GroupingMode.Rollup)
+  def withCubeSets: CubeQuery = copy(grouping = GroupingMode.CubeSets)
 
   def slice(key: String, dim: String, path: String*): CubeQuery =
     copy(slices = slices :+ (key -> SliceRef(dim, path)))

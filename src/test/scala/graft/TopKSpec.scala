@@ -1,0 +1,49 @@
+package graft
+
+import graft.cubes.Tables
+import graft.functions.TopKFreq
+import graft.operators.TopK
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  test("SpaceSaving sketch at sufficient capacity equals exact two-phase topK") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = TopK.perGroupFlat(li, Seq("flag" -> col("l_returnflag")),
+        "part_key", col("l_partkey"), 3)
+      .select("flag", "part_key", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val sketch = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKFreq(3, capacity = 1024)(col("l_partkey")).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(sketch == exact, s"sketch != exact; diff=${sketch diff exact} / ${exact diff sketch}")
+  }
+
+  test("sketch counts never underestimate true counts (SpaceSaving bound)") {
+    val li = Tables.lineitem(spark, sf)
+    // tiny capacity forces evictions/overestimates
+    val sketch = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKFreq(5, capacity = 16)(col("l_partkey")).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val truth = li.groupBy(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      .count().collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    sketch.foreach { case (key, est) =>
+      assert(est >= truth.getOrElse(key, 0L), s"underestimate at $key")
+    }
+  }
+}
