@@ -118,8 +118,11 @@ object Cubes {
         "partType" -> Selector("partType", col("p_type"), requires = Set("part")),
         "partBrand" -> Selector("partBrand", col("p_brand"), requires = Set("part"))),
       joins = Map(
+        // orders is a FACT, not a dimension: never force-broadcast it.
+        // Catalyst/AQE still broadcasts below the size threshold (so small
+        // SFs plan identically) but switches to shuffle join at scale.
         "orders" -> JoinSpec("orders", Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), broadcastRight = false),
         "customer" -> JoinSpec("customer", Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"), dependsOn = Set("orders")),
         "nation" -> JoinSpec("nation", Tables.nation(s, d),

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.model.CubeQueryException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT simhash64(...)")` works alongside the Column API.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions(...)`
+  *    (the SparkSessionExtensions path — survives into every session built
+  *    with it);
+  *  - [[GraftFunctions.register]] for an already-running session.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new CubeQueryException(s"$what must be an int literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "polyhash64" -> (exprs => PolyHash64(exprs.head)),
+    "word_shingles" -> (exprs =>
+      WordShingles(exprs.head,
+        if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)))
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -79,4 +79,30 @@ object Streaming {
   def watermarkedTumbling(events: DataFrame, watermark: String = "10 minutes",
       window: String = "1 hour"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), window)
+
+  // ---- custom state (mapGroupsWithState) ---------------------------
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(n: Long, sum: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: per-user running totals via
+    * `mapGroupsWithState` — the escape hatch when built-in windows can't
+    * express the state machine. State is one (count, sum) pair per user,
+    * bounded; update-mode emits the running total each micro-batch. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var sum = state.getOption.map(_.sum).getOrElse(0.0)
+          it.foreach { e => n += 1; sum += e.value }
+          state.update(UserState(n, sum))
+          UserTotal(uid, n, math.rint(sum * 100) / 100)
+      }
+  }
 }

@@ -67,6 +67,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length >= batch.length - 10, "append mode withheld too many windows")
   }
 
+  test("mapGroupsWithState running totals match batch aggregation") {
+    val stream = runStream(
+      Streaming.runningUserTotals(spark, Streaming.eventsStream(spark, sf)).toDF(),
+      "running", mode = "update")
+    val batch = batchRows(Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total_value")))
+    // single file = single micro-batch, so the last update per user IS the total
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
+  test("custom SQL functions register and run via spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(split('a b c a', ' ')) AS sh,
+        |cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
+        |polyhash64('abc') AS ph,
+        |size(word_shingles(split('a b c d', ' '), 2)) AS ws""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getInt(3) == 3 && r.getLong(2) != 0L)
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
