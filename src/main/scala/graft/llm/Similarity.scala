@@ -103,6 +103,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
+  /** IVF-style ANN: a coarse k-means quantizer (spark-mllib, fixed seed)
+    * partitions the corpus into `nLists` cells; each query probes its
+    * `nProbe` nearest centroids and exact cosine re-ranks within them.
+    * The classic inverted-file trade-off: recall grows with nProbe while
+    * scanned fraction ≈ nProbe/nLists. Centroids are tiny → broadcast;
+    * the corpus is shuffled once by cell id (at scale: write bucketed by
+    * cell and probing becomes partition pruning).
+    */
+  def ivfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(F.col("embedding")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+
+    // cell assignment / probe list as Column exprs over the broadcast
+    // centroid literals — no mllib transform on the hot path
+    def cellScores(emb: Column): Seq[(Int, Column)] =
+      centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        i -> CosineSim(emb, F.typedlit(c.toSeq))
+      }
+    def bestCell(emb: Column): Column = {
+      val scores = cellScores(emb)
+      val maxScore = F.greatest(scores.map(_._2): _*)
+      scores.foldRight(F.lit(-1)) { case ((i, sc), els) =>
+        F.when(sc === maxScore, F.lit(i)).otherwise(els)
+      }
+    }
+    // nProbe cells per query: rank centroids by score, keep the top ids
+    def probeCells(emb: Column): Column = {
+      val scores = cellScores(emb)
+      val arr = F.array(scores.map { case (i, sc) =>
+        F.struct((-sc).as("neg"), F.lit(i).as("cell"))
+      }: _*)
+      F.slice(F.transform(F.array_sort(arr), x => x.getField("cell")), 1, nProbe)
+    }
+
+    val c = corpus.select(F.col("id").as("neighbor_id"),
+      F.col("embedding").as("c_emb"), bestCell(F.col("embedding")).as("cell"))
+    val q = queries.select(F.col("id").as("query_id"),
+        F.col("embedding").as("q_emb"),
+        F.explode(probeCells(F.col("embedding"))).as("cell"))
+    val scored = c.join(F.broadcast(q), Seq("cell"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc_nulls_last, F.col("neighbor_id").asc)
+    scored.withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
   /** Embedding near-duplicate pairs: all pairs sharing an LSH bucket with
     * cosine ≥ threshold. The dedup counterpart of [[lshTopK]]. */
   def cosineNearDupPairs(

@@ -174,6 +174,21 @@ object CoreQueries {
              |WHERE l_returnflag LIKE '%R%' AND l_linestatus NOT LIKE 'O%' AND l_quantity <> 7
              |GROUP BY 1 ORDER BY return_flag ASC NULLS FIRST, cnt ASC""".stripMargin)),
 
+    // O8 nullable family: is (eq-like with value), not (IS NOT NULL when
+    // nil — parse_tree.rb:9 NULLABLE_OPERATORS)
+    NamedQuery("q12_sel_is_not",
+      (s, d) => li(s, d)
+        .slice("line_status", "lineStatus")
+        .measure("cnt", "count")
+        .when(Pred.Op("returnFlag", "is", Some("R")))
+        .when(Pred.Op("quantity", "not", None))
+        .asc("line_status")
+        .toDF,
+      Some("""SELECT l_linestatus AS line_status, count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL
+             |GROUP BY 1 ORDER BY line_status ASC NULLS FIRST, cnt ASC""".stripMargin)),
+
     // O10: any: [...] — OR across AND-groups
     NamedQuery("q13_or_any",
       (s, d) => li(s, d)

@@ -182,6 +182,20 @@ object LlmQueries {
         .orderBy(col("query_id").asc, col("rnk").asc),
       None),
 
+    // IVF-style ANN (coarse k-means quantizer + nProbe cells + exact
+    // re-rank) — the other scale path beside LSH; recall vs brute force
+    // measured in LlmSpec
+    NamedQuery("q64_ann_ivf",
+      (s, d) => Similarity.ivfTopK(s,
+          Tables.embeddings(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("id"), col("embedding")),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding")),
+          k = 5, nLists = 16, nProbe = 6)
+        .withColumn("cosine", F.round(col("cosine"), 6))
+        .orderBy(col("query_id").asc, col("rnk").asc),
+      None),
+
     // embedding near-dup pairs via LSH buckets + cosine threshold
     NamedQuery("q59_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(

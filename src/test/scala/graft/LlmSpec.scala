@@ -70,6 +70,20 @@ class LlmSpec extends AnyFunSuite {
     info(s"ANN recall@5 = $recall")
   }
 
+  test("IVF ANN recall vs brute force >= 0.6 at k=5") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, queries, emb, 5, nLists = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+    info(s"IVF recall@5 = $recall")
+  }
+
   test("brute-force topK is exact, k rows per query, self excluded") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
     val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 5).collect()
