@@ -22,4 +22,47 @@ object Joins {
   def dim(fact: DataFrame, dimTable: DataFrame, cond: Column,
       joinType: String = "inner"): DataFrame =
     fact.join(F.broadcast(dimTable), cond, joinType)
+
+  /** As-of join: for every left row, the single latest right row with
+    * `rightTs <= leftTs` on the same key (pandas merge_asof / DuckDB
+    * ASOF JOIN / kdb aj semantics, inner flavor).
+    *
+    * Implemented as the scalable union+window composition rather than a
+    * per-left-row range join: tag both sides, union, and per key take
+    * `last(right columns, ignoreNulls)` over rows ordered by (ts, side) —
+    * ONE shuffle on the key, no row-multiplying interval join, skew
+    * bounded by the hottest key like any window. Ties (equal ts) prefer
+    * the right row (inclusive <=), matching DuckDB's `>=` bound.
+    *
+    * @param valueCols right-side columns to carry (renamed as given)
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    // the whole right payload rides in ONE struct so the matched row is
+    // atomic — per-column last(ignoreNulls) could stitch different right
+    // rows together when payload columns contain nulls
+    val payload = F.struct(valueCols.map { case (src, dst) => F.col(src).as(dst) }: _*)
+    // side 0 = right (sorts before a left row with the same ts → inclusive)
+    val taggedRight = right.select(
+      keys.map(F.col) :+ F.col(rightTs).as("__ts") :+ F.lit(0).as("__side") :+
+        payload.as("__rv"): _*)
+    val taggedLeft = left.select(
+      (keys.map(F.col) :+ F.col(leftTs).as("__ts") :+ F.lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(F.col): _*)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("__ts").asc, F.col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", F.last(F.col("__rv"), ignoreNulls = true).over(w))
+      .filter(F.col("__side") === 1)
+      .filter(F.col("__m").isNotNull) // inner: drop lefts with no prior right
+      .select(keys.map(F.col) ++ Seq(F.col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(F.col) ++
+        valueCols.map { case (_, dst) => F.col("__m").getField(dst).as(dst) }: _*)
+  }
 }

@@ -88,6 +88,34 @@ object EventQueries {
              |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
              |GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
 
+    // as-of join: each purchase matched to the user's latest prior-or-
+    // simultaneous signup (DuckDB has native ASOF JOIN — the oracle);
+    // implemented as union+window, one shuffle, no interval explosion
+    NamedQuery("q46_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.Joins.asOf(
+            left = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("event_id" -> "signup_event_id", "ts" -> "signup_ts"))
+          .select(col("user_id"), F.unix_millis(col("ts")).as("purchase_ms"),
+            col("event_id").as("purchase_event_id"),
+            col("signup_event_id"), F.unix_millis(col("signup_ts")).as("signup_ms"))
+          .orderBy(col("user_id").asc, col("purchase_ms").asc,
+            col("purchase_event_id").asc)
+      },
+      Some("""SELECT p.user_id, epoch_ms(p.ts) AS purchase_ms,
+             |p.event_id AS purchase_event_id,
+             |s.event_id AS signup_event_id, epoch_ms(s.ts) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
+        .stripMargin)),
+
     // streaming dedup transform, batch-executed (event_id is unique in the
     // fixture, so dedup must be a no-op — oracled as the raw count)
     NamedQuery("q45_stream_dedup",

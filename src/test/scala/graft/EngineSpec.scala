@@ -100,6 +100,21 @@ class EngineSpec extends AnyFunSuite {
     assert(viaRollup.map(_.toString).toSeq == viaFact.map(_.toString).toSeq)
   }
 
+  test("asOf picks the latest matched row even when its payload is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val right = Seq(
+      (1L, 10L, Some("old")),
+      (1L, 20L, None: Option[String]) // latest prior row, null payload
+    ).toDF("k", "rts", "v")
+    val left = Seq((1L, 30L, "L")).toDF("k", "lts", "tag")
+    val out = graft.operators.Joins.asOf(left, right,
+      Seq("k"), "lts", "rts", Seq("v" -> "v", "rts" -> "matched_ts")).collect()
+    // must match ts=20 (null v), NOT stitch v="old" from ts=10
+    assert(out.length == 1 && out(0).getAs[Long]("matched_ts") == 20L
+      && out(0).isNullAt(out(0).fieldIndex("v")))
+  }
+
   test("star join is planned as broadcast (no shuffle of the fact side)") {
     val plan = li.slice("r", "regionName").measure("c", "count").toDF
       .queryExecution.executedPlan.toString
