@@ -32,6 +32,12 @@ object Compiler {
   def compile(q: CubeQuery): DataFrame = {
     val cube = q.cube
 
+    // ---- multi-fact merge: metrics split across sources -------------
+    compileMerged(q) match {
+      case Some(df) => return foldOptions(df, q.options)
+      case None => ()
+    }
+
     // ---- source selection (activecube's optimal-table choice) -------
     val r = chooseSource(q)
 
@@ -113,6 +119,62 @@ object Compiler {
         n => s.metricOverrides.getOrElse(n, cube.metric(n)),
         n => s.selectorOverrides.getOrElse(n, cube.selector(n))))
       .getOrElse(fromFact)
+  }
+
+  /** Multi-fact cube merge (SURVEY §1/§7: "multi-source cube combination
+    * … full-outer join on slice keys"): when no single source serves every
+    * requested metric but each metric is served by SOME source that also
+    * serves all the slices and selectors, compile one aggregate per
+    * involved source and full-outer join the partial results on the slice
+    * keys (USING-join, so keys coalesce). Each partial is already
+    * aggregated — the join carries one row per group, not per fact row.
+    * Returns None when the single-source path applies.
+    */
+  private def compileMerged(q: CubeQuery): Option[DataFrame] = {
+    val cube = q.cube
+    if (cube.altSources.isEmpty || q.measures.isEmpty) return None
+    val dims = q.slices.map(_._2.dim).toSet
+    val sels = (q.wheres ++ q.measures.flatMap(_._2.filter))
+      .flatMap(collectSelectors).toSet
+    val mets = q.measures.map(_._2.metric).toSet
+    val covering = cube.altSources.filter(s =>
+      dims.subsetOf(s.servesDimensions) && sels.subsetOf(s.servesDimensions))
+    // single source handles everything → not a merge
+    if (covering.exists(s => mets.subsetOf(s.servesMetrics))) return None
+    // assign every measure to the cheapest covering source serving it
+    val assigned: Seq[(CubeSource, (String, MeasureRef))] = q.measures.map { m =>
+      covering.filter(_.servesMetrics.contains(m._2.metric)).sortBy(_.cost)
+        .headOption.map(_ -> m).getOrElse(return None)
+    }
+    if (q.slices.isEmpty) return None // global merge = cross join; keep single-source
+    val bySource = assigned.groupBy(_._1.name)
+    if (bySource.size < 2) return None
+
+    val parts = bySource.toSeq.sortBy { case (name, _) =>
+      assigned.indexWhere(_._1.name == name) // deterministic, declaration order
+    }.map { case (_, group) =>
+      val src = group.head._1
+      val r = Resolved(
+        src.df,
+        n => src.dimOverrides.getOrElse(n, cube.dimension(n)),
+        n => src.metricOverrides.getOrElse(n, cube.metric(n)),
+        n => src.selectorOverrides.getOrElse(n, cube.selector(n)))
+      val filtered = q.wheres.flatMap(p => compilePred(r.sel, p))
+        .reduceOption(_ && _).map(r.base.filter).getOrElse(r.base)
+      val sliceCols = q.slices.map { case (key, ref) =>
+        checkKey(key); r.dim(ref.dim).resolve(ref.path).as(key)
+      }
+      val aggCols = group.map { case (_, (key, m)) =>
+        checkKey(key)
+        val pred = m.filter.flatMap(p => compilePred(r.sel, p))
+        r.met(m.metric).build(pred).as(key)
+      }
+      filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val keys = q.slices.map(_._1)
+    val merged = parts.reduce((a, b) => a.join(b, keys, "full_outer"))
+    // restore declared column order: slices, then measures as requested
+    Some(merged.select((keys ++ q.measures.map(_._1)).map(F.col): _*))
   }
 
   /** Which source would `compile` read? (exposed for tests/explain) */

@@ -208,6 +208,43 @@ object Cubes {
           col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation"))))
   }
 
+  /** SalesCube — a MULTI-FACT cube: lineitem serves line-level metrics,
+    * orders serves order-level metrics, and the shared `year` dimension is
+    * re-expressed per source. A query mixing metrics from both compiles to
+    * two aggregates full-outer-joined on the slice keys (SURVEY §1/§7
+    * multi-source cube merge; activecube's multi-table cubes).
+    */
+  def salesCube(s: SparkSession, d: String): Cube = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    Cube(
+      name = "sales",
+      fact = li,
+      dimensions = Map(
+        "year" -> Dimension("year", F.year(col("l_shipdate")))),
+      metrics = Map(
+        "lineCount" -> Metric.countAll("lineCount"),
+        "sumQty" -> Metric.sumOf("sumQty", col("l_quantity")),
+        "orderCount" -> Metric.countAll("orderCount"),
+        "orderRevenue" -> Metric.sumOf("orderRevenue", col("o_totalprice"))
+          .mapValue(F.round(_, 2))),
+      selectors = Map(
+        "year" -> Selector("year", F.year(col("l_shipdate")))),
+      altSources = Seq(
+        CubeSource("lineitem", li,
+          servesDimensions = Set("year"),
+          servesMetrics = Set("lineCount", "sumQty"),
+          cost = 100),
+        CubeSource("orders", o,
+          servesDimensions = Set("year"),
+          servesMetrics = Set("orderCount", "orderRevenue"),
+          cost = 25,
+          dimOverrides = Map(
+            "year" -> Dimension("year", F.year(col("o_orderdate")))),
+          selectorOverrides = Map(
+            "year" -> Selector("year", F.year(col("o_orderdate")))))))
+  }
+
   /** EventsCube — the stream table queried as a batch cube (the streaming
     * variants live in graft.streaming).
     */

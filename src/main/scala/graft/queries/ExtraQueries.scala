@@ -76,6 +76,49 @@ object ExtraQueries {
              |FROM lineitem GROUP BY 1
              |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
 
+    // multi-fact cube merge: line metrics from lineitem + order metrics
+    // from orders, full-outer joined on the shared year slice; the oracle
+    // is the explicit two-aggregate FULL JOIN
+    NamedQuery("q47_merged_cube",
+      (s, d) => CubeQuery(Cubes.salesCube(s, d))
+        .slice("yr", "year")
+        .measure("line_count", "lineCount")
+        .measure("sum_qty", "sumQty")
+        .measure("order_count", "orderCount")
+        .measure("order_revenue", "orderRevenue")
+        .asc("yr")
+        .toDF,
+      Some("""SELECT coalesce(a.yr, b.yr) AS yr, a.line_count, a.sum_qty,
+             |b.order_count, b.order_revenue
+             |FROM (SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS line_count,
+             |      sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1) a
+             |FULL JOIN (SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS order_count,
+             |      round(sum(o_totalprice), 2) AS order_revenue FROM orders GROUP BY 1) b
+             |ON a.yr = b.yr
+             |ORDER BY yr ASC NULLS FIRST, line_count ASC NULLS FIRST,
+             |sum_qty ASC NULLS FIRST, order_count ASC NULLS FIRST,
+             |order_revenue ASC NULLS FIRST""".stripMargin)),
+
+    // merged cube with a selector that both sources re-express (filter
+    // applies per source pre-aggregation)
+    NamedQuery("q48_merged_cube_filtered",
+      (s, d) => CubeQuery(Cubes.salesCube(s, d))
+        .slice("yr", "year")
+        .measure("line_count", "lineCount")
+        .measure("order_revenue", "orderRevenue")
+        .when(graft.query.Pred.gteq("year", 1997))
+        .asc("yr")
+        .toDF,
+      Some("""SELECT coalesce(a.yr, b.yr) AS yr, a.line_count, b.order_revenue
+             |FROM (SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS line_count
+             |      FROM lineitem WHERE year(l_shipdate) >= 1997 GROUP BY 1) a
+             |FULL JOIN (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |      round(sum(o_totalprice), 2) AS order_revenue
+             |      FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1) b
+             |ON a.yr = b.yr
+             |ORDER BY yr ASC NULLS FIRST, line_count ASC NULLS FIRST,
+             |order_revenue ASC NULLS FIRST""".stripMargin)),
+
     // single-pass SpaceSaving top-K sketch (streaming/huge-group-count
     // path; exact at this capacity — asserted against the two-phase exact
     // operator in TopKSpec). DuckDB can't express the sketch: the oracle
