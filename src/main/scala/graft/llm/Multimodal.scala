@@ -67,4 +67,33 @@ object Multimodal {
       F.col("media_id"),
       F.length(F.col("payload")).as("byte_len"),
       F.sha2(F.col("payload"), 256).as("sha_hex"))
+
+  /** STUB resize: in production a codec re-encodes to `maxBytes`; the stub
+    * truncates deterministically. The SHAPE is what matters: binary →
+    * binary, expressible as a plain column op (codegen'd substring). */
+  def resizeStub(payload: org.apache.spark.sql.Column, maxBytes: Int): org.apache.spark.sql.Column =
+    F.substring(payload, 1, maxBytes)
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: in production a video codec extracts `n` key
+    * frames; the stub slices the payload into n equal chunks. Real
+    * plumbing: one decoder per partition, one output row per frame
+    * (media_id, frame_idx, frame bytes) — the explode-shaped schema a
+    * frame-level training pipeline consumes. */
+  def sampleFramesStub(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      // per-partition decoder init would go here
+      batch.flatMap { rec =>
+        val len = rec.payload.length
+        if (len == 0) Iterator.empty
+        else (0 until n).iterator.map { i =>
+          val start = (len.toLong * i / n).toInt
+          val end = (len.toLong * (i + 1) / n).toInt
+          Frame(rec.media_id, i, java.util.Arrays.copyOfRange(rec.payload, start, end))
+        }
+      }
+    }
+  }
 }

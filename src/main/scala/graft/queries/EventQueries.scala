@@ -116,6 +116,21 @@ object EventQueries {
              |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
         .stripMargin)),
 
+    // stream-stream interval join transform, batch-executed (the same
+    // function runs watermarked in StreamingSpec)
+    NamedQuery("q49_interval_join",
+      (s, d) => Streaming.purchasesWithRecentSignup(Tables.events(s, d))
+        .orderBy(col("user_id").asc, col("purchase_ms").asc,
+          col("purchase_id").asc, col("signup_id").asc),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+             |epoch_ms(p.ts) AS purchase_ms, epoch_ms(s.ts) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND s.ts <= p.ts
+             |AND s.ts >= p.ts - INTERVAL 1 HOUR
+             |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_id ASC, signup_id ASC"""
+        .stripMargin)),
+
     // streaming dedup transform, batch-executed (event_id is unique in the
     // fixture, so dedup must be a no-op — oracled as the raw count)
     NamedQuery("q45_stream_dedup",

@@ -80,6 +80,29 @@ object Streaming {
       window: String = "1 hour"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), window)
 
+  /** Stream-stream interval join: each purchase joined to signups of the
+    * same user within the preceding hour. Watermarks on BOTH sides bound
+    * the join state (Spark drops buffered rows once the watermark passes
+    * the interval). The same function joins two batch frames identically.
+    */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    val isStream = events.isStreaming
+    def side(t: String, prefix: String): DataFrame = {
+      val f = events.filter(F.col("event_type") === t).select(
+        F.col("user_id").as(s"${prefix}_user"), F.col("ts").as(s"${prefix}_ts"),
+        F.col("event_id").as(s"${prefix}_id"))
+      if (isStream) f.withWatermark(s"${prefix}_ts", "30 minutes") else f
+    }
+    side("purchase", "p").join(side("signup", "s"),
+      F.col("p_user") === F.col("s_user") &&
+        F.col("s_ts") <= F.col("p_ts") &&
+        F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+      .select(F.col("p_user").as("user_id"), F.col("p_id").as("purchase_id"),
+        F.col("s_id").as("signup_id"),
+        F.unix_millis(F.col("p_ts")).as("purchase_ms"),
+        F.unix_millis(F.col("s_ts")).as("signup_ms"))
+  }
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

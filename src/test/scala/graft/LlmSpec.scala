@@ -104,6 +104,26 @@ class LlmSpec extends AnyFunSuite {
     assert(joined.count() == 500)
   }
 
+  test("multimodal stubs: resize truncates; frame sampling partitions the payload") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val resized = media.select(col("media_id"),
+      org.apache.spark.sql.functions.length(
+        Multimodal.resizeStub(col("payload"), 64)).as("len")).collect()
+    assert(resized.forall(_.getInt(1) <= 64))
+
+    val frames = Multimodal.sampleFramesStub(spark, media, 4)
+    val byDoc = frames.toDF().groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.values.forall(_ == 4))
+    // frames reassemble to the original payload (lossless chunking)
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(col("text")).collect()(0).getString(0)
+    val f0 = frames.filter(_.media_id == 0L).collect().sortBy(_.frame_idx)
+      .flatMap(_.frame)
+    assert(new String(f0, "UTF-8") == doc0)
+  }
+
   test("custom expressions are deterministic across plans") {
     val d1 = Tables.documents(spark, sf)
       .select(graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()

@@ -93,6 +93,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0 && r.getInt(3) == 3 && r.getLong(2) != 0L)
   }
 
+  test("stream-stream interval join: stream == batch") {
+    val stream = runStream(
+      Streaming.purchasesWithRecentSignup(Streaming.eventsStream(spark, sf)),
+      "ssjoin", mode = "append")
+    val batch = batchRows(
+      Streaming.purchasesWithRecentSignup(Tables.events(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
