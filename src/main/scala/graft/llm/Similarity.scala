@@ -160,6 +160,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
+  /** Exact embedding near-duplicate pairs: full pairwise cosine ≥
+    * threshold. The verifier / small-corpus path; [[cosineNearDupPairs]]
+    * is the LSH-bucketed scale path. */
+  def cosineNearDupPairsExact(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(F.col("id").as("a_id"), F.col("embedding").as("a_emb"))
+    val b = df.select(F.col("id").as("b_id"), F.col("embedding").as("b_emb"))
+    a.join(b, F.col("a_id") < F.col("b_id"))
+      .withColumn("cosine", CosineSim(F.col("a_emb"), F.col("b_emb")))
+      .filter(F.col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: all pairs sharing an LSH bucket with
     * cosine ≥ threshold. The dedup counterpart of [[lshTopK]]. */
   def cosineNearDupPairs(

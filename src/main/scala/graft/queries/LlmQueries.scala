@@ -205,6 +205,24 @@ object LlmQueries {
         .orderBy(col("a_id").asc, col("b_id").asc),
       None),
 
+    // exact embedding-cosine near-dup pairs — oracled in double precision
+    // (the LSH-bucketed q59 is the scale path; this is the verifier)
+    NamedQuery("q65_cosine_neardup_exact",
+      (s, d) => Similarity.cosineNearDupPairsExact(
+          Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")),
+          threshold = 0.45)
+        .withColumn("cosine", F.round(col("cosine"), 6))
+        .orderBy(col("a_id").asc, col("b_id").asc),
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |round(list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]) /
+             |  (sqrt(list_sum([ (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE) for i in range(1, 65)])) *
+             |   sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]) /
+             |  (sqrt(list_sum([ (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE) for i in range(1, 65)])) *
+             |   sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))) >= 0.45
+             |ORDER BY a_id ASC, b_id ASC""".stripMargin)),
+
     // multimodal: binary payload metadata (columnar, no decode)
     NamedQuery("q60_media_stats",
       (s, d) => Multimodal.mediaStats(
