@@ -116,6 +116,34 @@ object EventQueries {
              |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
         .stripMargin)),
 
+    // the SAME as-of semantics through the native custom operator
+    // (AsOfJoinPlan -> AsOfStrategy -> AsOfJoinExec, single merge pass) —
+    // identical oracle to q46 proves logical/physical equivalence
+    NamedQuery("q66_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.plans.AsOfJoin.dataframe(s,
+            left = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("event_id" -> "signup_event_id", "ts" -> "signup_ts"))
+          .select(col("user_id"), F.unix_millis(col("ts")).as("purchase_ms"),
+            col("event_id").as("purchase_event_id"),
+            col("signup_event_id"), F.unix_millis(col("signup_ts")).as("signup_ms"))
+          .orderBy(col("user_id").asc, col("purchase_ms").asc,
+            col("purchase_event_id").asc)
+      },
+      Some("""SELECT p.user_id, epoch_ms(p.ts) AS purchase_ms,
+             |p.event_id AS purchase_event_id,
+             |s.event_id AS signup_event_id, epoch_ms(s.ts) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
+        .stripMargin)),
+
     // stream-stream interval join transform, batch-executed (the same
     // function runs watermarked in StreamingSpec)
     NamedQuery("q49_interval_join",

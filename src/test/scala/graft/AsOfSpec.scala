@@ -1,0 +1,49 @@
+package graft
+
+import graft.cubes.Tables
+import graft.operators.Joins
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  private def purchases = Tables.events(spark, sf)
+    .filter(col("event_type") === "purchase")
+    .select(col("user_id"), col("ts"), col("event_id"))
+  private def signups = Tables.events(spark, sf)
+    .filter(col("event_type") === "signup")
+    .select(col("user_id"), col("ts"), col("event_id"))
+
+  test("native AsOfJoinExec == union+window asOf, row for row") {
+    val native = AsOfJoin.dataframe(spark, purchases, signups,
+        Seq("user_id"), "ts", "ts",
+        Seq("event_id" -> "signup_id", "ts" -> "signup_ts"))
+      .collect().map(_.toString).sorted
+    val composed = Joins.asOf(purchases, signups,
+        Seq("user_id"), "ts", "ts",
+        Seq("event_id" -> "signup_id", "ts" -> "signup_ts"))
+      .select("user_id", "ts", "event_id", "signup_id", "signup_ts")
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty && native.sameElements(composed))
+  }
+
+  test("physical plan uses the custom exec with co-partitioned sorted inputs") {
+    val df = AsOfJoin.dataframe(spark, purchases, signups,
+      Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), s"custom exec missing:\n$plan") // nodeName strips "Exec"
+    assert(plan.contains("Exchange hashpartitioning(user_id"), s"no co-partitioning:\n$plan")
+    assert(plan.contains("Sort [user_id"), s"inputs not sorted:\n$plan")
+  }
+}
