@@ -17,7 +17,7 @@ object Bench {
     "q06_metric_filter", "q13_or_any", "q15_sort_desc_limit",
     "q18_limit_by", "q22_topk_flat", "q31_star_region_chain",
     "q36_multisource_rollup", "q41_tumbling_window", "q43_session_window",
-    "q46_asof_join", "q47_merged_cube",
+    "q46_asof_join", "q66_asof_native", "q47_merged_cube",
     "q51_minhash_pairs", "q55_text_profile", "q57_cosine_topk")
 
   def main(args: Array[String]): Unit = {
