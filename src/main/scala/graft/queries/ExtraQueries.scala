@@ -119,6 +119,43 @@ object ExtraQueries {
              |ORDER BY yr ASC NULLS FIRST, line_count ASC NULLS FIRST,
              |order_revenue ASC NULLS FIRST""".stripMargin)),
 
+    // analytic window functions (running sum / rank / lag) — no surface
+    // in the reference (SURVEY §2.4) but table stakes for a complete
+    // engine; one query covers frame, ranking and offset families
+    NamedQuery("q67_window_funcs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d).filter(col("o_custkey") < 20)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        o.select(
+            col("o_custkey").as("cust"),
+            col("o_orderkey").as("okey"),
+            F.unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+            F.round(F.sum(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .as("running_total"),
+            F.row_number().over(w).as("order_seq"),
+            F.round(F.lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+            F.round(F.avg(col("o_totalprice"))
+              .over(w.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg3"))
+          .orderBy(col("cust").asc, col("order_seq").asc)
+      },
+      Some("""SELECT o_custkey AS cust, o_orderkey AS okey,
+             |epoch_ms(o_orderdate) AS odate_ms,
+             |round(sum(o_totalprice) OVER w_run, 2) AS running_total,
+             |row_number() OVER w_ord AS order_seq,
+             |round(lag(o_totalprice, 1) OVER w_ord, 2) AS prev_price,
+             |round(avg(o_totalprice) OVER w_avg, 4) AS moving_avg3
+             |FROM orders WHERE o_custkey < 20
+             |WINDOW
+             |w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+             |w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |w_avg AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY cust ASC, order_seq ASC""".stripMargin)),
+
     // single-pass SpaceSaving top-K sketch (streaming/huge-group-count
     // path; exact at this capacity — asserted against the two-phase exact
     // operator in TopKSpec). DuckDB can't express the sketch: the oracle

@@ -70,13 +70,17 @@ object LlmQueries {
              |      FROM documents WHERE doc_id < 50)
              |ORDER BY doc_id ASC""".stripMargin)),
 
-    // exact n-gram Jaccard pairs (the verifier path; LSH is the scale path)
+    // exact n-gram Jaccard pairs (the verifier path; LSH is the scale
+    // path). The pairwise universe is capped — all-pairs is O(n²) by
+    // definition; at sf0.01 (ids < 500) the cap is a no-op so the oracle
+    // is unchanged
     NamedQuery("q54_jaccard_pairs",
       (s, d) => Dedup.ngramJaccardPairs(
-          Tables.documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          Tables.documents(s, d).filter(col("doc_id") < 1000),
+          col("doc_id"), col("text"), n = 3, threshold = 0.8)
         .withColumn("jaccard", F.round(col("jaccard"), 6))
         .orderBy(col("a_id").asc, col("b_id").asc),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id < 1000),
              |sh AS (SELECT doc_id,
              |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
              |  FROM t WHERE len(w) >= 3)
