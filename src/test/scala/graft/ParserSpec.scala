@@ -97,6 +97,24 @@ class ParserSpec extends AnyFunSuite {
     assert(rows.map(_.getBoolean(0)).toSet == Set(true, false))
   }
 
+  test("parser drives a multi-fact cube: merged compile through the front door") {
+    val sales = Cubes.salesCube(spark, sf)
+    val parsed = QueryParser.parse(sales,
+      """{ "args": { "options": {"asc": "yr"} },
+           "fields": [
+             {"name": "year", "alias": "yr"},
+             {"name": "lineCount", "alias": "lc"},
+             {"name": "orderRevenue", "alias": "rev"}] }""")
+    val viaParser = parsed.query.toDF.collect().map(_.toString).sorted
+    val direct = graft.query.CubeQuery(sales)
+      .slice("yr", "year").measure("lc", "lineCount").measure("rev", "orderRevenue")
+      .asc("yr").toDF.collect().map(_.toString).sorted
+    assert(viaParser.nonEmpty && viaParser.sameElements(direct))
+    // both columns populated in at least one row => genuinely merged
+    val rows = parsed.query.toDF.collect()
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("tabular contract returns columns + rows (O20)") {
     val p = QueryParser.parse(cube,
       """{"fields": [{"name": "returnFlag"}, {"name": "count", "alias": "cnt"}]}""")
