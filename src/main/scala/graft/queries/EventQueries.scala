@@ -82,7 +82,7 @@ object EventQueries {
       (s, d) => Streaming.propsExtract(Tables.events(s, d))
         .orderBy(col("event_type").asc),
       Some("""SELECT event_type, count(*) AS cnt,
-             |sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+             |CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              |round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
              |FROM events
              |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50

@@ -260,7 +260,7 @@ object LlmQueries {
             F.sum(col("n_chars")).as("chars_kept"))
           .orderBy(col("source").asc)
       },
-      Some("""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+      Some("""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
              |FROM documents WHERE doc_id IN (
              |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
              |GROUP BY 1 ORDER BY source ASC""".stripMargin))

@@ -32,15 +32,19 @@ object StarQueries {
              |WHERE rnk <= 3
              |ORDER BY return_flag ASC NULLS FIRST, rnk ASC""".stripMargin)),
 
-    // tuple metric, array<struct<value,cnt>> form (R5 array_value decode)
+    // tuple metric, array<struct<value,cnt>> form (R5 array_value decode).
+    // The native array<struct> form is spec-covered (TopKSpec); the
+    // driver-facing row serializes it with to_json — the driver's pandas
+    // harness cannot hash nested values (round-1 red row).
     NamedQuery("q23_topk_tuples",
       (s, d) => TopK.perGroupTuples(
           Tables.lineitem(s, d),
           Seq("return_flag" -> col("l_returnflag")),
           col("l_partkey"), 3)
+        .withColumn("topk", F.to_json(col("topk")))
         .orderBy(col("return_flag").asc_nulls_first),
       Some("""SELECT return_flag,
-             |list({'value': part_key, 'cnt': cnt} ORDER BY cnt DESC, part_key ASC) AS topk
+             |CAST(to_json(list({'value': part_key, 'cnt': cnt} ORDER BY cnt DESC, part_key ASC)) AS VARCHAR) AS topk
              |FROM (
              |  SELECT return_flag, part_key, cnt, row_number() OVER (
              |    PARTITION BY return_flag

@@ -61,8 +61,24 @@ def main(sfdir, outdir):
             print(f"ORAFAIL {name}: {e}"); n_fail += 1; continue
         gC, gN = canon(grows, gcols)
         eC, eN = canon(erows, ecols)
+        # the driver compares via pandas, where DuckDB HUGEINT becomes
+        # float64 and changes value repr ("123" vs "123.0") even when the
+        # fetchall() ints above agree — flag exactly the int-vs-float
+        # dtype clashes (other dtype diffs, e.g. int32 vs int64 or date
+        # objects, were driver-green in round 1)
+        import pandas as pd
+        gdt = {c: str(t) for c, t in
+               pd.concat([pd.read_parquet(f) for f in files]).dtypes.items()}
+        edt = {c: str(t) for c, t in exp.df().dtypes.items()}
+        def kind(t):
+            return ("int" if t.startswith(("int", "uint")) else
+                    "float" if t.startswith("float") else "other")
+        clash = {c: (gdt[c], edt[c]) for c in set(gdt) & set(edt)
+                 if {kind(gdt[c]), kind(edt[c])} == {"int", "float"}}
         if gN != eN:
             print(f"SCHEMA {name}: spark={gN} oracle={eN}"); n_fail += 1
+        elif clash:
+            print(f"DTYPE  {name}: {clash}"); n_fail += 1
         elif gC != eC:
             n_fail += 1
             print(f"VALUES {name}: spark {len(gC)} rows vs oracle {len(eC)} rows")
