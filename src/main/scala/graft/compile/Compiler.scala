@@ -63,7 +63,7 @@ object Compiler {
     val aggCols: Seq[Column] = q.measures.map { case (key, m) =>
       checkKey(key)
       val pred = m.filter.flatMap(p => compilePred(r.sel, p))
-      r.met(m.metric).build(pred).as(key)
+      boundMetric(r, m).build(pred).as(key)
     }
 
     val shaped: DataFrame =
@@ -84,6 +84,12 @@ object Compiler {
     // ---- ordered options fold (O16: application order is semantic) --
     foldOptions(shaped, q.options)
   }
+
+  /** Resolve a measure's metric and bind its named args (parse_tree.rb:
+    * 111-135 apply_args — non-selector metric arguments dispatch onto the
+    * metric object; unknown args raise at compile time). */
+  private def boundMetric(r: Resolved, m: MeasureRef): Metric =
+    m.args.foldLeft(r.met(m.metric)) { case (met, (k, v)) => met.applyArg(k, v) }
 
   /** `_aq.`-prefix injection guard analogue (parse_tree.rb:113-114): output
     * keys must be plain identifiers so result addressing is unambiguous. */
@@ -167,7 +173,7 @@ object Compiler {
       val aggCols = group.map { case (_, (key, m)) =>
         checkKey(key)
         val pred = m.filter.flatMap(p => compilePred(r.sel, p))
-        r.met(m.metric).build(pred).as(key)
+        boundMetric(r, m).build(pred).as(key)
       }
       filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
     }

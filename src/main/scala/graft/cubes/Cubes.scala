@@ -102,7 +102,21 @@ object Cubes {
         "p90Price" -> Metric("p90Price", p => F.round(
           F.call_function("percentile",
             p.map(pr => F.when(pr, col("l_extendedprice"))).getOrElse(col("l_extendedprice")),
-            F.lit(0.9)), 4))),
+            F.lit(0.9)), 4)),
+        // parameterized tuple metric (ClickHouse topK(size); the reference
+        // dispatches the size arg onto the metric, parse_tree.rb:127-130).
+        // Single-pass SpaceSaving sketch; exact while the per-group
+        // distinct count stays under capacity.
+        "topParts" -> Metric.parameterized("topParts", Map("size" -> 3)) {
+          bound => p =>
+            val size = bound("size") match {
+              case i: Int => i
+              case other => throw new CubeQueryException(
+                s"topParts size must be an integer, got $other")
+            }
+            graft.functions.TopKFreq(size, capacity = 65536)(
+              p.map(pr => F.when(pr, col("l_partkey"))).getOrElse(col("l_partkey")))
+        }),
       selectors = Map(
         "shipDate" -> Selector("shipDate", col("l_shipdate")),
         "quantity" -> Selector("quantity", col("l_quantity")),

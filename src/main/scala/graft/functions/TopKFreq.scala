@@ -18,14 +18,19 @@ import scala.collection.mutable
   * insert 1; miss full → evict the (count, value)-minimum and inherit its
   * count + 1 (the SpaceSaving overestimate). Deterministic tie-breaks so
   * results are reproducible across partitionings at sufficient capacity.
+  *
+  * Input is boxed and nulls are skipped, so a conditional (FILTER-style)
+  * tuple metric composes as `topkFreq(when(pred, col))`.
   */
 class TopKFreq(k: Int, capacity: Int = 4096)
-    extends Aggregator[Long, mutable.Map[Long, Long], Seq[TopKFreq.Entry]] {
+    extends Aggregator[java.lang.Long, mutable.Map[Long, Long], Seq[TopKFreq.Entry]] {
   require(k <= capacity, "k must be <= capacity")
 
   override def zero: mutable.Map[Long, Long] = mutable.Map.empty
 
-  override def reduce(buf: mutable.Map[Long, Long], v: Long): mutable.Map[Long, Long] = {
+  override def reduce(buf: mutable.Map[Long, Long], boxed: java.lang.Long): mutable.Map[Long, Long] = {
+    if (boxed == null) return buf // FILTER semantics: predicate-false rows
+    val v = boxed.longValue()
     buf.get(v) match {
       case Some(c) => buf.update(v, c + 1)
       case None if buf.size < capacity => buf.update(v, 1L)
@@ -37,14 +42,28 @@ class TopKFreq(k: Int, capacity: Int = 4096)
     buf
   }
 
+  /** Mergeable-summaries merge (Agarwal et al., PODS 2012): a full
+    * sketch's estimate for an absent key is its minimum count, so absent
+    * keys inherit `min(side)` when that side is full — this preserves the
+    * SpaceSaving invariant `estimate ≥ true count` under merge. Then
+    * truncate to capacity keeping the largest counts (every dropped key's
+    * estimate ≤ every kept count, so the bound survives truncation).
+    * When neither side ever filled (capacity ≥ distinct) both mins are 0
+    * and the merge — like reduce — stays exact.
+    */
   override def merge(a: mutable.Map[Long, Long], b: mutable.Map[Long, Long]): mutable.Map[Long, Long] = {
-    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
-    if (a.size > capacity) {
-      val keep = a.toSeq.sortBy { case (v, c) => (-c, v) }.take(capacity)
-      a.clear()
-      keep.foreach { case (v, c) => a.update(v, c) }
+    val minA = if (a.size >= capacity) a.values.min else 0L
+    val minB = if (b.size >= capacity) b.values.min else 0L
+    val out = mutable.Map.empty[Long, Long]
+    (a.keySet ++ b.keySet).foreach { v =>
+      out.update(v, a.getOrElse(v, minA) + b.getOrElse(v, minB))
     }
-    a
+    if (out.size > capacity) {
+      val keep = out.toSeq.sortBy { case (v, c) => (-c, v) }.take(capacity)
+      out.clear()
+      keep.foreach { case (v, c) => out.update(v, c) }
+    }
+    out
   }
 
   override def finish(buf: mutable.Map[Long, Long]): Seq[TopKFreq.Entry] =
@@ -62,5 +81,5 @@ object TopKFreq {
 
   /** Untyped column form for DataFrame groupBy: `agg(topkFreq(3)(col))`. */
   def apply(k: Int, capacity: Int = 4096): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(new TopKFreq(k, capacity), Encoders.scalaLong)
+    org.apache.spark.sql.functions.udaf(new TopKFreq(k, capacity), Encoders.LONG)
 }

@@ -48,12 +48,35 @@ final case class Dimension(
 final case class Metric(
     name: String,
     build: Option[Column] => Column,
-    requires: Set[String] = Set.empty) {
+    requires: Set[String] = Set.empty,
+    applyArgFn: Option[(String, Any) => Metric] = None) {
   /** Post-process the aggregate value (e.g. rounding for stable compare). */
   def mapValue(f: Column => Column): Metric = copy(build = p => f(build(p)))
+
+  /** Dispatch a named argument onto the metric — the reference applies
+    * ANY metric argument that isn't a selector onto the metric object
+    * (parse_tree.rb:111-135 apply_args; e.g. topK's size). Unknown arg
+    * ⇒ InputArgumentError analogue (parse_tree.rb:130, V4). */
+  def applyArg(k: String, v: Any): Metric =
+    applyArgFn.map(_(k, v)).getOrElse(throw new CubeQueryException(
+      s"metric '$name' takes no argument '$k'"))
 }
 
 object Metric {
+  /** A metric with named parameters and defaults: every declared arg can
+    * be (re)bound from a query document, producing a specialized metric
+    * (parse_tree.rb:127-130 — args dispatch as methods on the metric). */
+  def parameterized(name: String, defaults: Map[String, Any])(
+      factory: Map[String, Any] => Option[Column] => Column): Metric = {
+    def make(bound: Map[String, Any]): Metric =
+      Metric(name, factory(bound), applyArgFn = Some { (k, v) =>
+        if (bound.contains(k)) make(bound + (k -> v))
+        else throw new CubeQueryException(
+          s"metric '$name' takes no argument '$k' (has: ${defaults.keys.mkString(",")})")
+      })
+    make(defaults)
+  }
+
   private def filtered(c: Column, p: Option[Column]): Column =
     p.map(pr => F.when(pr, c)).getOrElse(c)
 

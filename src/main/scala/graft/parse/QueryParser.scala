@@ -130,10 +130,20 @@ object QueryParser {
     // (parse_tree.rb:84-107 append_query: pre-order, immutable rebinds)
     var q = CubeQuery(cube)
 
-    def metricFilter(node: JValue): Option[Pred] = node \ "args" match {
-      case JObject(kv) if kv.nonEmpty => Some(parseArgsAsPred(kv))
-      case _ => None
-    }
+    /** Split a metric element's args the way apply_args does
+      * (parse_tree.rb:111-135): selector names (and `any`) become a
+      * FILTER predicate; every other name is dispatched onto the metric
+      * (e.g. topK's size — validated against the metric at compile). */
+    def metricArgs(node: JValue): (Option[Pred], Seq[(String, Any)]) =
+      node \ "args" match {
+        case JObject(kv) if kv.nonEmpty =>
+          val (selArgs, metArgs) = kv.partition { case (k, _) =>
+            k == "any" || cube.selectors.contains(k)
+          }
+          (if (selArgs.nonEmpty) Some(parseArgsAsPred(selArgs)) else None,
+            metArgs.map { case (k, v) => k -> optionValue(k, v) })
+        case _ => (None, Nil)
+      }
 
     def fieldNode(e: Element, nodes: Seq[JValue]): JValue =
       nodes.find { n =>
@@ -144,9 +154,10 @@ object QueryParser {
 
     def fold(e: Element, node: JValue): Unit = e.kind match {
       case MetricKind =>
-        metricFilter(node) match {
-          case Some(p) => q = q.measureWhen(e.flatName, e.name, p)
-          case None => q = q.measure(e.flatName, e.name)
+        metricArgs(node) match {
+          case (None, Nil) => q = q.measure(e.flatName, e.name)
+          case (Some(p), Nil) => q = q.measureWhen(e.flatName, e.name, p)
+          case (p, args) => q = q.measureArgs(e.flatName, e.name, args, p)
         }
       case DimensionKind if e.isLeaf =>
         q = q.slice(e.flatName, e.name)

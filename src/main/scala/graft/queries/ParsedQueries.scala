@@ -43,7 +43,42 @@ object ParsedQueries {
       |    {"name": "shipDate", "fields": [{"name": "year"}]},
       |    {"name": "count", "alias": "cnt"} ] }""".stripMargin
 
+  private val topkDoc =
+    """{ "cube": "lineitem",
+      |  "args": { "options": {"asc": "flag"} },
+      |  "fields": [
+      |    {"name": "returnFlag", "alias": "flag"},
+      |    {"name": "count", "alias": "cnt"},
+      |    {"name": "topParts", "alias": "top_parts",
+      |     "args": {"size": 2, "quantity": {"gt": 25}}} ] }""".stripMargin
+
   val qs: Seq[NamedQuery] = Seq(
+
+    // parameterized tuple metric through the front door: topParts takes a
+    // size arg dispatched onto the metric (parse_tree.rb:127-130
+    // apply_args) PLUS a selector arg that becomes a FILTER predicate —
+    // both on the same metric element. Tuple output serialized with
+    // to_json for the driver harness.
+    NamedQuery("q73_parsed_topk_arg",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, to_json}
+        QueryParser.parse(Cubes.lineitemCube(s, d), topkDoc).query.toDF
+          .withColumn("top_parts", to_json(col("top_parts")))
+      },
+      Some("""WITH counted AS (
+             |  SELECT l_returnflag AS flag, l_partkey AS pk, count(*) AS c
+             |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT flag, pk, c, row_number() OVER (
+             |    PARTITION BY flag ORDER BY c DESC, pk ASC) AS rn
+             |  FROM counted)
+             |SELECT f.flag AS "flag", f.cnt AS "cnt",
+             |  CAST(to_json(list({'value': r.pk, 'cnt': r.c} ORDER BY r.c DESC, r.pk ASC)) AS VARCHAR) AS "top_parts"
+             |FROM (SELECT l_returnflag AS flag, count(*) AS cnt
+             |      FROM lineitem GROUP BY 1) f
+             |JOIN ranked r ON r.flag = f.flag AND r.rn <= 2
+             |GROUP BY f.flag, f.cnt
+             |ORDER BY "flag" ASC NULLS FIRST, "cnt" ASC, "top_parts" ASC""".stripMargin)),
 
     // parser → compiler, flat response; desc cnt + limit with tiebreaks;
     // metric-level filter via args on the metric; nil-arg op pruned

@@ -72,9 +72,14 @@ object QueryOpt {
   * (parse_tree.rb:29,90-91 — `date { year }` etc.). */
 final case class SliceRef(dim: String, path: Seq[String] = Nil)
 
-/** A measure: metric plus optional metric-level predicate
-  * (parse_tree.rb:88,111-135 — conditional aggregation). */
-final case class MeasureRef(metric: String, filter: Option[Pred] = None)
+/** A measure: metric plus optional metric-level predicate and named
+  * metric arguments (parse_tree.rb:88,111-135 — selector args become
+  * conditional aggregation; any other arg is dispatched onto the metric,
+  * e.g. topK's size). */
+final case class MeasureRef(
+    metric: String,
+    filter: Option[Pred] = None,
+    args: Seq[(String, Any)] = Nil)
 
 /** Multi-grouping-set modes (no surface in the reference — each query has
   * exactly one grouping set, SURVEY §2.4 — but free via Catalyst and part
@@ -107,6 +112,11 @@ final case class CubeQuery(
     copy(measures = measures :+ (key -> MeasureRef(metric)))
   def measureWhen(key: String, metric: String, p: Pred): CubeQuery =
     copy(measures = measures :+ (key -> MeasureRef(metric, Some(p))))
+  /** Measure with metric-level args (and optionally a FILTER predicate):
+    * args are validated against the metric at compile time. */
+  def measureArgs(key: String, metric: String, args: Seq[(String, Any)],
+      filter: Option[Pred] = None): CubeQuery =
+    copy(measures = measures :+ (key -> MeasureRef(metric, filter, args)))
   def when(p: Pred): CubeQuery = copy(wheres = wheres :+ p)
 
   def desc(keys: String*): CubeQuery = copy(options = options :+ QueryOpt.Desc(keys))

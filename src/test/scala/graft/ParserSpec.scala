@@ -115,6 +115,41 @@ class ParserSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("metric args dispatch onto the metric: topParts size + FILTER selector") {
+    import org.apache.spark.sql.functions.col
+    // size arg reaches the metric; quantity arg becomes a FILTER pred
+    val p = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "returnFlag", "alias": "flag"},
+           {"name": "topParts", "alias": "tp",
+            "args": {"size": 2, "quantity": {"gt": 25}}}],
+         "args": {"options": {"asc": "flag"}}}""")
+    val rows = p.query.toDF.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(arr.size <= 2) // size arg applied
+    }
+    // equals the exact two-phase operator under the same FILTER
+    val exact = graft.operators.TopK.perGroupTuples(
+        graft.cubes.Tables.lineitem(spark, sf).filter(col("l_quantity") > 25),
+        Seq("flag" -> col("l_returnflag")), col("l_partkey"), 2)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    rows.foreach { r =>
+      val got = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      assert(got == exact(r.getString(0)))
+    }
+  }
+
+  test("unknown metric argument raises (V4 on metrics)") {
+    val p = QueryParser.parse(cube,
+      """{"fields": [{"name": "topParts", "args": {"bogus": 9}}]}""")
+    val e = intercept[CubeQueryException](p.query.toDF)
+    assert(e.getMessage.contains("takes no argument 'bogus'"))
+  }
+
   test("tabular contract returns columns + rows (O20)") {
     val p = QueryParser.parse(cube,
       """{"fields": [{"name": "returnFlag"}, {"name": "count", "alias": "cnt"}]}""")

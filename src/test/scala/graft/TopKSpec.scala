@@ -46,4 +46,39 @@ class TopKSpec extends AnyFunSuite {
       assert(est >= truth.getOrElse(key, 0L), s"underestimate at $key")
     }
   }
+
+  test("merge preserves the overestimate bound when capacity < distinct count") {
+    val li = Tables.lineitem(spark, sf)
+    val distinctParts = li.select("l_partkey").distinct().count()
+    val cap = 8
+    assert(cap < distinctParts, "test needs capacity below distinct count")
+    // many partitions -> many full partial sketches -> merge-heavy path;
+    // the mergeable-summaries merge must keep every estimate >= truth
+    // (the old top-count truncation forfeited this exact property)
+    val sketch = li.repartition(16).groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKFreq(cap, capacity = cap)(col("l_partkey")).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val truth = li.groupBy(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      .count().collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (key, est) =>
+      assert(est >= truth.getOrElse(key, 0L), s"underestimate at $key")
+    }
+  }
+
+  test("null inputs are skipped (FILTER-style conditional tuple metric)") {
+    import org.apache.spark.sql.functions.when
+    val li = Tables.lineitem(spark, sf)
+    val conditional = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKFreq(3, capacity = 1024)(
+        when(col("l_quantity") > 25, col("l_partkey"))).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = TopK.perGroupFlat(li.filter(col("l_quantity") > 25),
+        Seq("flag" -> col("l_returnflag")), "part_key", col("l_partkey"), 3)
+      .select("flag", "part_key", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(conditional == exact)
+  }
 }
