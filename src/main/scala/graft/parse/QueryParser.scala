@@ -39,8 +39,19 @@ object QueryParser {
   val KeyPrefix = "_aq." // parse_tree.rb:8
   private val TypeName = "__typename" // parse_tree.rb:7
 
+  /** Per-row union type resolution (response_builder.rb:21-24 resolves
+    * `__typename` from the runtime row, not statically): `on` names a
+    * result column (flat name) whose value selects the typename via
+    * `mapping`, falling back to `default`. */
+  final case class Discriminator(
+      on: String,
+      mapping: Seq[(String, String)],
+      default: String)
+
   /** Element tree node (parse_tree.rb:11-12). `key` is the dotted result
-    * path; `flatName` the DataFrame-safe ("__"-joined) column name. */
+    * path; `flatName` the DataFrame-safe ("__"-joined) column name.
+    * `onType` restricts the element to rows of one union member
+    * (heterogeneous response shapes: other rows get NULL). */
   final case class Element(
       name: String,
       alias: Option[String],
@@ -48,7 +59,9 @@ object QueryParser {
       union: Boolean,
       kind: Kind,
       path: Seq[String],
-      children: Seq[Element]) {
+      children: Seq[Element],
+      discriminator: Option[Discriminator] = None,
+      onType: Option[String] = None) {
     def outName: String = alias.getOrElse(name)
     def key: String = KeyPrefix + path.mkString(".")
     def flatName: String = path.mkString("__")
@@ -98,6 +111,7 @@ object QueryParser {
       val alias = node \ "alias" match { case JString(s) => Some(s); case _ => None }
       val typeName = node \ "type" match { case JString(s) => Some(s); case _ => None }
       val union = node \ "union" match { case JBool(b) => b; case _ => false }
+      val onType = node \ "onType" match { case JString(s) => Some(s); case _ => None }
       val out = alias.getOrElse(name)
       val path = basePath :+ out
 
@@ -114,7 +128,8 @@ object QueryParser {
           throw new CubeQueryException(s"metric '$name' cannot have sub-fields")
       }
 
-      val self = Element(name, alias, typeName, union, kind, path, Nil)
+      val self = Element(name, alias, typeName, union, kind, path, Nil,
+        parseDiscriminator(node \ "discriminator"), onType)
       val kids = node \ "fields" match {
         case JArray(fs) => buildChildren(Some(self), union, fs, path)
         case _ => Nil
@@ -122,8 +137,12 @@ object QueryParser {
       self.copy(children = kids)
     }
 
-    val rootSelf = Element("root", None, None, union = false, RootKind, Nil, Nil)
-    val roots = buildChildren(Some(rootSelf), parentUnion = false, fields, Nil)
+    // the whole cube field may itself be the union (the common GraphQL
+    // shape: each result row is one of several member types)
+    val rootUnion = doc \ "union" match { case JBool(b) => b; case _ => false }
+    val rootSelf = Element("root", None, None, rootUnion, RootKind, Nil, Nil,
+      parseDiscriminator(doc \ "discriminator"))
+    val roots = buildChildren(Some(rootSelf), parentUnion = rootUnion, fields, Nil)
     val root = rootSelf.copy(children = roots)
 
     // ---- fold element tree into the query builder -------------------
@@ -231,6 +250,32 @@ object QueryParser {
     Pred.And(ops.map { case (op, arg) =>
       Pred.Op(sel, camelize(op), jvalueToOption(arg))
     })
+
+  /** `{"on": "etype", "mapping": {"purchase": "PurchaseStats", ...},
+    * "default": "EventStats"}` — the per-row typename rule (R8). */
+  private def parseDiscriminator(v: JValue): Option[Discriminator] = v match {
+    case JObject(kv) =>
+      val m = kv.toMap
+      val on = m.get("on") match {
+        case Some(JString(s)) => s
+        case _ => throw new CubeQueryException("discriminator needs an 'on' column")
+      }
+      val mapping = m.get("mapping") match {
+        case Some(JObject(pairs)) => pairs.map {
+          case (k, JString(t)) => k -> t
+          case (k, other) => throw new CubeQueryException(
+            s"discriminator mapping '$k' must be a type name, got $other")
+        }
+        case _ => Nil
+      }
+      val default = m.get("default") match {
+        case Some(JString(s)) => s
+        case _ => ""
+      }
+      Some(Discriminator(on, mapping, default))
+    case JNothing | JNull => None
+    case other => throw new CubeQueryException(s"bad discriminator: $other")
+  }
 
   private def camelize(s: String): String = {
     val parts = s.split("_")

@@ -1,6 +1,6 @@
 package graft.respond
 
-import graft.parse.QueryParser.{Element, MetricKind, RootKind}
+import graft.parse.QueryParser.{Discriminator, Element, MetricKind, RootKind}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.{functions => F}
 
@@ -22,19 +22,44 @@ import org.apache.spark.sql.{functions => F}
   */
 object Renest {
 
-  /** Re-nest a compiled flat frame according to the parsed element tree. */
+  /** Re-nest a compiled flat frame according to the parsed element tree.
+    * A union element (or root) carrying a discriminator resolves
+    * `__typename` PER ROW (response_builder.rb:21-24 — the typename comes
+    * from the runtime row); `typeNameValue` is the constant fallback for
+    * unions without one. Elements marked `onType` are nulled on rows of
+    * other union members — heterogeneous response shapes. */
   def nest(df: DataFrame, root: Element, typeNameValue: String = ""): DataFrame = {
     require(root.kind == RootKind, "nest expects the root element")
-    val cols = root.children.map(e => toColumn(e, typeNameValue))
+    val tn = typeNameCol(root, typeNameValue)
+    val cols = root.children.map(e => toColumn(e, tn, typeNameValue))
     df.select(cols: _*)
   }
 
-  private def toColumn(e: Element, tn: String): Column = {
+  /** The per-row typename Column for an element's children: a `when`
+    * chain over the discriminating result column, else a constant. */
+  private def typeNameCol(e: Element, fallback: String): Column =
+    e.discriminator match {
+      case Some(Discriminator(on, mapping, default)) =>
+        mapping.foldRight(F.lit(if (default.nonEmpty) default else fallback)) {
+          case ((value, typeName), rest) =>
+            F.when(F.col(on) === F.lit(value), F.lit(typeName)).otherwise(rest)
+        }
+      case None => F.lit(fallback)
+    }
+
+  private def toColumn(e: Element, tn: Column, fallback: String): Column = {
     val c =
-      if (e.name == "__typename") F.lit(tn)
+      if (e.name == "__typename") tn
       else if (e.isLeaf) convertType(F.col(e.flatName), e.typeName)
-      else F.struct(e.children.map(toColumn(_, tn)): _*)
-    c.as(e.outName)
+      else {
+        val childTn = if (e.discriminator.isDefined) typeNameCol(e, fallback) else tn
+        F.struct(e.children.map(toColumn(_, childTn, fallback)): _*)
+      }
+    val gated = e.onType match {
+      case Some(t) => F.when(tn === F.lit(t), c)
+      case None => c
+    }
+    gated.as(e.outName)
   }
 
   /** Boolean stored as 1/0 (ClickHouse UInt8) → real boolean (R6). */
