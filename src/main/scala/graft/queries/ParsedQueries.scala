@@ -52,7 +52,40 @@ object ParsedQueries {
       |    {"name": "topParts", "alias": "top_parts",
       |     "args": {"size": 2, "quantity": {"gt": 25}}} ] }""".stripMargin
 
+  private val unionDoc =
+    """{ "cube": "events", "union": true,
+      |  "discriminator": {"on": "etype",
+      |    "mapping": {"purchase": "PurchaseStats", "signup": "SignupStats"},
+      |    "default": "EventStats"},
+      |  "args": { "options": {"asc": "etype"} },
+      |  "fields": [
+      |    {"name": "__typename"},
+      |    {"name": "eventType", "alias": "etype"},
+      |    {"name": "count", "alias": "cnt"},
+      |    {"name": "sumValue", "alias": "revenue", "onType": "PurchaseStats"},
+      |    {"name": "avgValue", "alias": "avg_signup_value", "onType": "SignupStats"} ] }""".stripMargin
+
   val qs: Seq[NamedQuery] = Seq(
+
+    // per-row union discriminator through the front door (R8,
+    // response_builder.rb:21-24: __typename resolves from the runtime
+    // row): each result row is one of three member types keyed off the
+    // etype column; onType-gated metrics are NULL on rows of other
+    // members. Gated metrics are doubles on both sides so the driver's
+    // pandas dtypes agree (a nullable BIGINT would come back float64
+    // from DuckDB but Int64 from parquet).
+    NamedQuery("q74_parsed_union",
+      (s, d) => {
+        val parsed = QueryParser.parse(Cubes.eventsCube(s, d), unionDoc)
+        Renest.nest(parsed.query.toDF, parsed.root)
+      },
+      Some("""SELECT CASE event_type WHEN 'purchase' THEN 'PurchaseStats'
+             |  WHEN 'signup' THEN 'SignupStats' ELSE 'EventStats' END AS "__typename",
+             |event_type AS "etype", count(*) AS "cnt",
+             |CASE WHEN event_type = 'purchase' THEN round(sum(value), 2) END AS "revenue",
+             |CASE WHEN event_type = 'signup' THEN round(avg(value), 4) END AS "avg_signup_value"
+             |FROM events GROUP BY event_type
+             |ORDER BY "etype" ASC NULLS FIRST""".stripMargin)),
 
     // parameterized tuple metric through the front door: topParts takes a
     // size arg dispatched onto the metric (parse_tree.rb:127-130

@@ -30,9 +30,23 @@ object Renest {
     * other union members — heterogeneous response shapes. */
   def nest(df: DataFrame, root: Element, typeNameValue: String = ""): DataFrame = {
     require(root.kind == RootKind, "nest expects the root element")
+    validateDiscriminators(df, root)
     val tn = typeNameCol(root, typeNameValue)
     val cols = root.children.map(e => toColumn(e, tn, typeNameValue))
     df.select(cols: _*)
+  }
+
+  /** A discriminator's `on` must name a column of the compiled flat frame
+    * — fail with the engine's own exception at nest time instead of a
+    * Spark AnalysisException deep inside the projection. */
+  private def validateDiscriminators(df: DataFrame, e: Element): Unit = {
+    e.discriminator.foreach { d =>
+      if (!df.columns.contains(d.on))
+        throw new graft.model.CubeQueryException(
+          s"discriminator 'on' column '${d.on}' is not a result column " +
+            s"(have: ${df.columns.mkString(",")})")
+    }
+    e.children.foreach(validateDiscriminators(df, _))
   }
 
   /** The per-row typename Column for an element's children: a `when`

@@ -55,6 +55,64 @@ class ParserSpec extends AnyFunSuite {
     assert(row.map(_.getString(0)).toSeq == Seq("ShipDate"))
   }
 
+  test("R8: per-row discriminator resolves __typename from the row; onType gates fields") {
+    val events = Cubes.eventsCube(spark, sf)
+    val p = QueryParser.parse(events,
+      """{ "union": true,
+           "discriminator": {"on": "etype",
+             "mapping": {"purchase": "PurchaseStats", "signup": "SignupStats"},
+             "default": "EventStats"},
+           "args": { "options": {"asc": "etype"} },
+           "fields": [
+             {"name": "__typename"},
+             {"name": "eventType", "alias": "etype"},
+             {"name": "count", "alias": "cnt"},
+             {"name": "sumValue", "alias": "revenue", "onType": "PurchaseStats"},
+             {"name": "avgValue", "alias": "avg_val", "onType": "SignupStats"}] }""")
+    val rows = Renest.nest(p.query.toDF, p.root).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.map(r => r.getString(1) -> r).toMap
+    // mapping hit
+    assert(byType("purchase").getString(0) == "PurchaseStats")
+    assert(byType("signup").getString(0) == "SignupStats")
+    // default fallback for unmapped member values
+    assert(byType("click").getString(0) == "EventStats")
+    // onType: populated on own member rows, NULL elsewhere
+    assert(!byType("purchase").isNullAt(3) && byType("purchase").isNullAt(4))
+    assert(!byType("signup").isNullAt(4) && byType("signup").isNullAt(3))
+    assert(byType("click").isNullAt(3) && byType("click").isNullAt(4))
+  }
+
+  test("R8: discriminator on a sub-element varies the nested __typename per row") {
+    val p = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "returnFlag", "alias": "flag"},
+           {"name": "shipDate", "union": true,
+            "discriminator": {"on": "flag",
+              "mapping": {"R": "ReturnedShipDate"}},
+            "fields": [{"name": "__typename"}, {"name": "year"}]},
+           {"name": "count"}]}""")
+    val nested = Renest.nest(p.query.toDF, p.root, typeNameValue = "ShipDate")
+    val tn = nested.select("flag", "shipDate.__typename").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tn("R") == "ReturnedShipDate")
+    // no default in the discriminator => unmapped rows fall back to the
+    // constant typeNameValue
+    assert(tn("N") == "ShipDate" && tn("A") == "ShipDate")
+  }
+
+  test("R8: discriminator 'on' must be a result column (validated, not AnalysisException)") {
+    val p = QueryParser.parse(cube,
+      """{ "union": true,
+           "discriminator": {"on": "no_such_col", "mapping": {"R": "T"}},
+           "fields": [
+             {"name": "__typename"},
+             {"name": "returnFlag", "alias": "flag"},
+             {"name": "count"}] }""")
+    val e = intercept[CubeQueryException](Renest.nest(p.query.toDF, p.root))
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
   test("aliases make distinct columns; duplicate names collapse (R4)") {
     val p = QueryParser.parse(cube,
       """{"fields": [
