@@ -91,36 +91,40 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 1234L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     val docSh = df.select(idCol.as("id"), shingles(textCol, shingleK).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
-    val docs = docSh.join(minHashSignatures(docSh, numHashes, seed), "id")
+    bandCandidates(docSh, numHashes, bands, seed)
+      .withColumn("jaccard",
+        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
+          F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
 
+  /** MinHash-banded candidate pairs for (id, sh: array<any>) docs: sign,
+    * band, bucket-self-join. Only (id, band-key) flows through the wide
+    * exchanges — the shingle arrays stay behind and are re-attached per
+    * candidate afterwards (candidates ≪ corpus; carrying arrays through
+    * the band join is what hurts at scale). Returns distinct (a_id, b_id,
+    * a_sh, b_sh) with a_id < b_id, ready for an exact verify. */
+  private def bandCandidates(
+      docSh: DataFrame, numHashes: Int, bands: Int, seed: Long): DataFrame = {
+    val r = numHashes / bands
+    val docs = docSh.join(minHashSignatures(docSh, numHashes, seed), "id")
     val bandCols = (0 until bands).map { bIdx =>
       F.struct(
         F.lit(bIdx).as("band"),
         F.xxhash64(F.concat_ws("_",
           (0 until r).map(j => F.col("mh").getItem(bIdx * r + j)): _*)).as("bh"))
     }
-    // only (id, band-key) flows through the self-join — the shingle arrays
-    // stay out of the wide exchanges and are re-attached per candidate
-    // pair afterwards (candidates ≪ corpus, so the two lookup joins are
-    // cheap; carrying arrays through the band join is what hurts)
     val banded = docs.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bk"))
-    val cand = banded.select(F.col("id").as("a_id"), F.col("bk"))
+    banded.select(F.col("id").as("a_id"), F.col("bk"))
       .join(banded.select(F.col("id").as("b_id"), F.col("bk")), "bk")
       .filter(F.col("a_id") < F.col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
-
-    cand
       .join(docSh.select(F.col("id").as("a_id"), F.col("sh").as("a_sh")), "a_id")
       .join(docSh.select(F.col("id").as("b_id"), F.col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
-          F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
-      .filter(F.col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
   }
 
   /** SimHash near-dup pairs. 64-bit signature (custom codegen'd
@@ -151,9 +155,37 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Exact n-gram Jaccard for all pairs within a blocking key (use LSH
-    * above when no natural block exists — this is the verifier, not the
-    * scale path). */
+  /** Exact n-gram Jaccard with MinHash-banded candidate generation — the
+    * scale path: the only wide exchanges are the band self-join (by band
+    * key, corpus-linear) and the two candidate re-attach joins; the
+    * Jaccard VALUE is exact (computed over the full 64-bit shingle-hash
+    * sets), banding only bounds recall, like [[minHashPairs]]. This is
+    * the registered operator; [[ngramJaccardPairs]] (all pairs, O(n²))
+    * is the small-corpus verifier it is measured against in LlmSpec. */
+  def ngramJaccardPairsBanded(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 1234L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val docSh = df.select(idCol.as("id"),
+        F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s))).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+    bandCandidates(docSh, numHashes, bands, seed)
+      .withColumn("jaccard",
+        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
+          F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
+      .filter(F.col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard for ALL pairs — O(n²) by definition: the
+    * verifier [[ngramJaccardPairsBanded]] is measured against on small
+    * corpora, never the registered scale path. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: Column,

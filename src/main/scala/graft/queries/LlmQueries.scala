@@ -70,17 +70,17 @@ object LlmQueries {
              |      FROM documents WHERE doc_id < 50)
              |ORDER BY doc_id ASC""".stripMargin)),
 
-    // exact n-gram Jaccard pairs (the verifier path; LSH is the scale
-    // path). The pairwise universe is capped — all-pairs is O(n²) by
-    // definition; at sf0.01 (ids < 500) the cap is a no-op so the oracle
-    // is unchanged
+    // exact n-gram Jaccard pairs over MinHash-banded candidates — the
+    // scale path (shuffle by band key, never n²); the oracle is the
+    // EXACT all-pairs Jaccard, so equality also proves full banding
+    // recall on this corpus. The all-pairs form is the LlmSpec verifier.
     NamedQuery("q54_jaccard_pairs",
-      (s, d) => Dedup.ngramJaccardPairs(
-          Tables.documents(s, d).filter(col("doc_id") < 1000),
+      (s, d) => Dedup.ngramJaccardPairsBanded(
+          Tables.documents(s, d),
           col("doc_id"), col("text"), n = 3, threshold = 0.8)
         .withColumn("jaccard", F.round(col("jaccard"), 6))
         .orderBy(col("a_id").asc, col("b_id").asc),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id < 1000),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
              |sh AS (SELECT doc_id,
              |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
              |  FROM t WHERE len(w) >= 3)

@@ -28,6 +28,24 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("banded jaccard == all-pairs jaccard at 0.8, and the plan has no BNLJ") {
+    val docs = Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .toSet
+    val allPairs = pairs(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8))
+    val bandedDf = Dedup.ngramJaccardPairsBanded(docs, col("doc_id"), col("text"), 3, 0.8)
+    val banded = pairs(bandedDf)
+    assert(allPairs.nonEmpty, "fixture should contain planted near-dups")
+    assert(banded == allPairs,
+      s"missed=${allPairs -- banded} spurious=${banded -- allPairs}")
+    // the registered form must be the scale plan: candidate generation by
+    // band join, never a nested-loop over all pairs
+    val plan = bandedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs plan leaked:\n$plan")
+  }
+
   test("minhash signature approximates jaccard") {
     val docSh = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
