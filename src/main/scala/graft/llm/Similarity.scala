@@ -124,25 +124,25 @@ object Similarity {
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
 
     // cell assignment / probe list as Column exprs over the broadcast
-    // centroid literals — no mllib transform on the hot path
-    def cellScores(emb: Column): Seq[(Int, Column)] =
-      centroids.toSeq.zipWithIndex.map { case (c, i) =>
-        i -> CosineSim(emb, F.typedlit(c.toSeq))
-      }
+    // centroid literals — no mllib transform on the hot path. Everything
+    // stays FLAT (one scores array + array_position/array_sort): a
+    // per-centroid `when`-chain nests nLists deep and falls out of
+    // whole-stage codegen past ~10² centroids (64KB method limit),
+    // whereas flat array children split into codegen sub-methods fine.
+    def scoresArr(emb: Column): Column =
+      F.array(centroids.toSeq.map(c => CosineSim(emb, F.typedlit(c.toSeq))): _*)
+    // argmax = first position of the max score (ties → lowest cell id,
+    // same as a first-match when-chain); array_position is 1-based
     def bestCell(emb: Column): Column = {
-      val scores = cellScores(emb)
-      val maxScore = F.greatest(scores.map(_._2): _*)
-      scores.foldRight(F.lit(-1)) { case ((i, sc), els) =>
-        F.when(sc === maxScore, F.lit(i)).otherwise(els)
-      }
+      val scores = scoresArr(emb)
+      (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     }
     // nProbe cells per query: rank centroids by score, keep the top ids
     def probeCells(emb: Column): Column = {
-      val scores = cellScores(emb)
-      val arr = F.array(scores.map { case (i, sc) =>
-        F.struct((-sc).as("neg"), F.lit(i).as("cell"))
-      }: _*)
-      F.slice(F.transform(F.array_sort(arr), x => x.getField("cell")), 1, nProbe)
+      val ranked = F.zip_with(
+        scoresArr(emb), F.sequence(F.lit(0), F.lit(nLists - 1)),
+        (s, i) => F.struct((-s).as("neg"), i.as("cell")))
+      F.slice(F.transform(F.array_sort(ranked), x => x.getField("cell")), 1, nProbe)
     }
 
     val c = corpus.select(F.col("id").as("neighbor_id"),

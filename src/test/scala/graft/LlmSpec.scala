@@ -102,6 +102,25 @@ class LlmSpec extends AnyFunSuite {
     info(s"IVF recall@5 = $recall")
   }
 
+  test("IVF at nLists=64 stays whole-stage-codegen'd (flat argmax, no when-chain)") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 10)
+    val df = Similarity.ivfTopK(spark, queries, emb, 5, nLists = 64, nProbe = 16)
+    assert(df.collect().length == 50) // 10 queries × k=5, argmax well-defined everywhere
+    // the cell-assignment Project must sit INSIDE a WholeStageCodegen
+    // span ("*(n) Project ...") — AQE finalizes stages only after the
+    // collect above. The old nLists-deep when-chain broke codegen at
+    // this centroid count.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "expected a finalized AQE plan")
+    val cellLine = plan.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")) // final plan section only
+      .find(_.contains("array_position"))
+    assert(cellLine.exists(l => l.substring(l.indexWhere(c => c != ' ' && c != ':' &&
+        c != '+' && c != '-' && c != '|')).startsWith("*(")),
+      s"cell assignment not codegen'd:\n${cellLine.getOrElse(plan)}")
+  }
+
   test("brute-force topK is exact, k rows per query, self excluded") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
     val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 5).collect()
