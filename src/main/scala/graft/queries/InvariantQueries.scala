@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.cubes.Tables
+import graft.llm.Similarity
+import org.apache.spark.sql.{functions => F}
+
+/** Invariant-derived oracles for the approximate operators whose raw
+  * output is not SQL-expressible (fixed-seed sketches / LSH / k-means).
+  * The trick: emit the DECIDABLE part of the contract as the query
+  * result — exact reference counts the DuckDB oracle CAN compute, plus
+  * invariant booleans (bound/subset/recall claims) the engine checks
+  * internally against its own exact operators. A drifting sketch or a
+  * broken bucketing flips a boolean and goes red at the driver, instead
+  * of hiding behind `no_oracle`.
+  */
+object InvariantQueries {
+  import org.apache.spark.sql.functions.col
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // q21's contract made checkable: HLL++ approx distinct within 3×rsd
+    // of the exact per-group count (rsd=0.05 ⇒ ±15%). The exact counts
+    // anchor the oracle; the boolean is the sketch-accuracy invariant.
+    NamedQuery("q75_uniq_approx_bound",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("return_flag"))
+        .agg(
+          F.count_distinct(col("l_orderkey")).as("uniq_orders"),
+          F.approx_count_distinct("l_orderkey").as("__approx"))
+        .select(col("return_flag"), col("uniq_orders"),
+          (F.abs(col("__approx") - col("uniq_orders")) <=
+            col("uniq_orders") * 0.15).as("approx_ok"))
+        .orderBy(col("return_flag").asc_nulls_first),
+      Some("""SELECT l_returnflag AS return_flag,
+             |count(DISTINCT l_orderkey) AS uniq_orders,
+             |true AS approx_ok
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
+
+    // q58/q64's contract made checkable: ANN recall vs the exact
+    // brute-force top-k (all three computed by the engine; the joins are
+    // the recall measurement). n_exact = 10 queries × k=5 is the
+    // oracle's anchor; the recall bound mirrors LlmSpec's.
+    NamedQuery("q76_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val queries = emb.filter(col("id") < 10)
+        val brute = Similarity.bruteForceTopK(queries, emb, 5)
+          .select("query_id", "neighbor_id")
+        val lsh = Similarity.lshTopK(queries, emb, 5, dim = 64,
+            nBits = 6, tables = 8, probeBits = 6)
+          .select("query_id", "neighbor_id")
+        val ivf = Similarity.ivfTopK(s, queries, emb, 5, nLists = 16, nProbe = 6)
+          .select("query_id", "neighbor_id")
+        val keys = Seq("query_id", "neighbor_id")
+        val nExact = brute.agg(F.count(F.lit(1)).as("n_exact"))
+        val lshHits = brute.join(lsh, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__hl"))
+        val ivfHits = brute.join(ivf, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__hi"))
+        nExact.crossJoin(lshHits).crossJoin(ivfHits).select(
+          col("n_exact"),
+          (col("__hl") >= col("n_exact") * 0.6).as("lsh_recall_ok"),
+          (col("__hi") >= col("n_exact") * 0.6).as("ivf_recall_ok"))
+      },
+      Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
+             |true AS lsh_recall_ok, true AS ivf_recall_ok""".stripMargin)),
+
+    // q59's contract made checkable: the LSH-bucketed near-dup pairs at
+    // q65's threshold are a SUBSET of the exact all-pairs result
+    // (precision 1 — the bucket join only ever prunes) and non-empty on
+    // this corpus. n_exact is recomputed independently by the oracle.
+    NamedQuery("q77_neardup_subset",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val exact = Similarity.cosineNearDupPairsExact(emb, 0.45)
+          .select("a_id", "b_id")
+        val lsh = Similarity.cosineNearDupPairs(emb, 0.45, dim = 64, nBits = 8)
+          .select("a_id", "b_id")
+        val keys = Seq("a_id", "b_id")
+        val nExact = exact.agg(F.count(F.lit(1)).as("n_exact"))
+        val nLsh = lsh.agg(F.count(F.lit(1)).as("__nl"))
+        val viol = lsh.join(exact, keys, "left_anti")
+          .agg(F.count(F.lit(1)).as("__nv"))
+        nExact.crossJoin(nLsh).crossJoin(viol).select(
+          col("n_exact"),
+          (col("__nv") === 0).as("lsh_subset_ok"),
+          (col("__nl") >= 1).as("lsh_found_some"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |true AS lsh_subset_ok, true AS lsh_found_some
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]) /
+             |  (sqrt(list_sum([ (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE) for i in range(1, 65)])) *
+             |   sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))) >= 0.45""".stripMargin))
+  )
+}
