@@ -35,11 +35,17 @@ object Joins {
     * the right row (inclusive <=), matching DuckDB's `>=` bound.
     *
     * @param valueCols right-side columns to carry (renamed as given)
+    * @param joinType  "inner" (drop lefts with no prior right) or "left"
+    *                  (keep them with NULL value columns — DuckDB's
+    *                  `ASOF LEFT JOIN`)
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"asOf joinType must be inner or left, got '$joinType'")
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
     // the whole right payload rides in ONE struct so the matched row is
@@ -57,10 +63,13 @@ object Joins {
     val w = Window.partitionBy(keys.map(F.col): _*)
       .orderBy(F.col("__ts").asc, F.col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__m", F.last(F.col("__rv"), ignoreNulls = true).over(w))
       .filter(F.col("__side") === 1)
-      .filter(F.col("__m").isNotNull) // inner: drop lefts with no prior right
+    val flavored =
+      if (joinType == "inner") matched.filter(F.col("__m").isNotNull)
+      else matched // left: unmatched rows keep a NULL payload struct
+    flavored
       .select(keys.map(F.col) ++ Seq(F.col("__ts").as(leftTs)) ++
         leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(F.col) ++
         valueCols.map { case (_, dst) => F.col("__m").getField(dst).as(dst) }: _*)

@@ -29,18 +29,22 @@ final case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    isLeft: Boolean = false) extends BinaryNode {
   // plain Attributes only: CleanupAliases strips Alias from every node
-  // except Project/Aggregate/Window, so a custom node must not carry them
-  override def output: Seq[Attribute] = left.output ++ rightValues
+  // except Project/Aggregate/Window, so a custom node must not carry them.
+  // Left flavor: unmatched lefts emit NULL values, so the carried
+  // attributes turn nullable (same exprIds — nullability is metadata).
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeft) rightValues.map(_.withNullability(true)) else rightValues)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
     copy(left = l, right = r)
 }
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, flavor) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, flavor) :: Nil
     case _ => Nil
   }
 }
@@ -52,9 +56,11 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute],
+    isLeft: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ rightValues
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isLeft) rightValues.map(_.withNullability(true)) else rightValues)
 
   // co-partition by key (EnsureRequirements inserts matching hash
   // exchanges, exactly as for sort-merge join) and sort each side by
@@ -83,6 +89,8 @@ final case class AsOfJoinExec(
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
       val outProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
+      val nullVal: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightValues.length)
 
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastKey: InternalRow = null
@@ -105,6 +113,7 @@ final case class AsOfJoinExec(
         }
         if (lastKey != null && keyOrd.compare(lastKey, lKeyProj(lRow)) == 0)
           Iterator.single(outProj(joined(lRow, lastVal)))
+        else if (isLeft) Iterator.single(outProj(joined(lRow, nullVal)))
         else Iterator.empty
       }
     }
@@ -124,8 +133,11 @@ object AsOfJoin {
       spark: SparkSession,
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "asOf needs at least one key column")
+    require(joinType == "inner" || joinType == "left",
+      s"asOf joinType must be inner or left, got '$joinType'")
     val lPlan = GraftBridge.analyzed(left)
     // left and right often derive from the same relation (self as-of) and
     // would share expression ids, which the analyzer's relation dedup
@@ -146,7 +158,7 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs"),
-      rightValues))
+      rightValues, isLeft = joinType == "left"))
     // rename through an ordinary Project (aliases are legal there)
     import org.apache.spark.sql.functions.col
     raw.select(left.columns.map(col).toSeq ++

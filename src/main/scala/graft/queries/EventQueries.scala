@@ -144,6 +144,38 @@ object EventQueries {
              |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
         .stripMargin)),
 
+    // LEFT as-of flavor through the native exec: purchases with no prior
+    // signup survive with NULL payload (coalesced to -1 on both sides so
+    // the driver's pandas dtypes stay integral). Oracle is DuckDB's
+    // native ASOF LEFT JOIN.
+    NamedQuery("q78_asof_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.plans.AsOfJoin.dataframe(s,
+            left = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("event_id" -> "signup_event_id", "ts" -> "signup_ts"),
+            joinType = "left")
+          .select(col("user_id"), F.unix_millis(col("ts")).as("purchase_ms"),
+            col("event_id").as("purchase_event_id"),
+            F.coalesce(col("signup_event_id"), F.lit(-1L)).as("signup_event_id"),
+            F.coalesce(F.unix_millis(col("signup_ts")), F.lit(-1L)).as("signup_ms"))
+          .orderBy(col("user_id").asc, col("purchase_ms").asc,
+            col("purchase_event_id").asc)
+      },
+      Some("""SELECT p.user_id, epoch_ms(p.ts) AS purchase_ms,
+             |p.event_id AS purchase_event_id,
+             |COALESCE(s.event_id, -1) AS signup_event_id,
+             |COALESCE(epoch_ms(s.ts), -1) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
+        .stripMargin)),
+
     // stream-stream interval join transform, batch-executed (the same
     // function runs watermarked in StreamingSpec)
     NamedQuery("q49_interval_join",

@@ -38,6 +38,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.nonEmpty && native.sameElements(composed))
   }
 
+  test("left flavor: native == composed, supersets inner, unmatched lefts NULL") {
+    val args = (Seq("user_id"), "ts", "ts",
+      Seq("event_id" -> "signup_id", "ts" -> "signup_ts"))
+    val cols = Seq("user_id", "ts", "event_id", "signup_id", "signup_ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    val nativeLeft = AsOfJoin.dataframe(spark, purchases, signups,
+      args._1, args._2, args._3, args._4, joinType = "left")
+    val composedLeft = Joins.asOf(purchases, signups,
+      args._1, args._2, args._3, args._4, joinType = "left")
+    val nl = rows(nativeLeft)
+    assert(nl.sameElements(rows(composedLeft)))
+    // every purchase survives; the inner flavor is the matched subset
+    assert(nl.length == purchases.count())
+    val inner = rows(Joins.asOf(purchases, signups,
+      args._1, args._2, args._3, args._4))
+    assert(inner.length < nl.length, "fixture should contain unmatched purchases")
+    assert(inner.toSet.subsetOf(nl.toSet))
+    // unmatched rows carry NULLs in both payload columns
+    val unmatched = nativeLeft.filter(col("signup_id").isNull)
+    assert(unmatched.count() == nl.length - inner.length)
+    assert(unmatched.filter(col("signup_ts").isNotNull).count() == 0)
+  }
+
   test("physical plan uses the custom exec with co-partitioned sorted inputs") {
     val df = AsOfJoin.dataframe(spark, purchases, signups,
       Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
