@@ -17,6 +17,26 @@ object Profile {
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
+
+    // plan-cache effect on the front-door runner: repeated identical query
+    // with and without memoization (response_builder.rb:27-38 analogue)
+    import graft.cubes.Cubes
+    import graft.exec.{CubeRunner, DatabaseRegistry, PlanCache}
+    val registry = DatabaseRegistry(Map("bench" -> dir), "bench")
+    val doc =
+      """{"fields": [{"name": "returnFlag", "alias": "flag"},
+                     {"name": "shipDate", "fields": [{"name": "year"}]},
+                     {"name": "count", "alias": "cnt"},
+                     {"name": "amount", "args": {"quantity": {"gt": 25}}}],
+          "args": {"options": {"desc": "cnt", "limit": 10}}}"""
+    val cache = new PlanCache()
+    Seq("cached" -> Some(cache), "uncached" -> None).foreach { case (label, c) =>
+      (1 to 4).foreach { i =>
+        val t0 = System.nanoTime()
+        CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc, cache = c)
+        println(f"runner-$label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -54,30 +54,41 @@ object CubeRunner {
       queryJson: String,
       database: Option[String] = None,
       hook: QueryHook = identity,
-      nested: Boolean = true): Result = {
+      nested: Boolean = true,
+      cache: Option[PlanCache] = None): Result = {
 
     val dir = registry.dir(database) // O17
     val cube = cubeFor(spark, dir)
     val parsed = QueryParser.parse(cube, queryJson)
     val q = hook(parsed.query) // O18
-    val flat = q.toDF
-    val df = if (nested) Renest.nest(flat, parsed.root, cube.name) else flat
+    def build: DataFrame = {
+      val flat = q.toDF
+      if (nested) Renest.nest(flat, parsed.root, cube.name) else flat
+    }
+    // memoized per canonical (post-hook) query — response_builder.rb:27-38
+    val df = cache match {
+      case Some(c) =>
+        c.getOrCompile(PlanCache.key(spark, dir, cube.name, nested, q, parsed.root))(build)
+      case None => build
+    }
 
     val stats = new ExecStats
+    val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new QueryExecutionListener { // O19
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
         stats.durationNs = durationNs
         stats.physicalPlan = qe.executedPlan.toString
+        done.countDown()
       }
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        done.countDown()
     }
     spark.listenerManager.register(listener)
     try {
       val (cols, rows) = Renest.tabular(df) // O20
       stats.rowCount = rows.size.toLong
       // the listener fires asynchronously; wait briefly for it
-      val deadline = System.nanoTime() + 2_000_000_000L
-      while (stats.durationNs < 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      done.await(2, java.util.concurrent.TimeUnit.SECONDS)
       Result(cols, rows, stats)
     } finally spark.listenerManager.unregister(listener)
   }

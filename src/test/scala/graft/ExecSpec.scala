@@ -44,6 +44,30 @@ class ExecSpec extends AnyFunSuite {
     assert(hooked.rows.head.getLong(0) > 0)
   }
 
+  test("plan cache: repeated query compiles once, results identical, keys scope by database") {
+    val cache = new graft.exec.PlanCache()
+    val doc2 =
+      """{"fields": [{"name": "returnFlag", "alias": "flag"},
+                     {"name": "count", "alias": "cnt"}],
+          "args": {"options": {"asc": "flag"}}}"""
+    val r1 = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc2,
+      cache = Some(cache))
+    val r2 = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc2,
+      cache = Some(cache))
+    assert(cache.misses == 1 && cache.hits == 1, s"hits=${cache.hits} misses=${cache.misses}")
+    assert(r1.rows.map(_.toString) == r2.rows.map(_.toString) && r1.rows.nonEmpty)
+    // a different database root is a different plan (reads different files)
+    val r3 = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc2,
+      database = Some("small"), cache = Some(cache))
+    assert(cache.misses == 2)
+    assert(r3.rows.map(_.getLong(1)).sum > r1.rows.map(_.getLong(1)).sum)
+    // a hooked (tenant-scoped) query must NOT collide with the unhooked one
+    val r4 = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc2,
+      hook = _.when(Pred.eq("returnFlag", "R")), cache = Some(cache))
+    assert(cache.misses == 3)
+    assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
+  }
+
   test("O19/O20: execute returns columns+rows and captures stats") {
     val r = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc)
     assert(r.columns == Seq("cnt") && r.rows.size == 1)
