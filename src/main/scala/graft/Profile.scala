@@ -22,7 +22,7 @@ object Profile {
     // with and without memoization (response_builder.rb:27-38 analogue)
     import graft.cubes.Cubes
     import graft.exec.{CubeRunner, DatabaseRegistry, PlanCache}
-    val registry = DatabaseRegistry(Map("bench" -> dir), "bench")
+    val registry = DatabaseRegistry.paths(Map("bench" -> dir), "bench")
     val doc =
       """{"fields": [{"name": "returnFlag", "alias": "flag"},
                      {"name": "shipDate", "fields": [{"name": "year"}]},

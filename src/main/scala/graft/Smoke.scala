@@ -18,7 +18,7 @@ object Smoke {
     println(s"rows=${df.count()}")
 
     // full front door: JSON doc -> route -> hook -> compile -> renest -> stats
-    val registry = graft.exec.DatabaseRegistry(
+    val registry = graft.exec.DatabaseRegistry.paths(
       Map("tiny" -> "/root/testdata/sf0.001"), default = "tiny")
     val result = graft.exec.CubeRunner.execute(
       spark, registry, graft.cubes.Cubes.lineitemCube,

@@ -1,13 +1,29 @@
 package graft.cubes
 
 import graft.model._
+import graft.sources.{Catalog, PathCatalog}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-/** Fixture table loaders (TESTDATA.md: parquet per table under the sf dir). */
+/** Table loaders: fixture parquet roots (TESTDATA.md) or any typed
+  * [[graft.sources.Catalog]] (O17 heterogeneous routing). */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Catalog-routed load; `events` gets its timestamp normalization. */
+  def table(s: SparkSession, cat: Catalog, name: String): DataFrame =
+    if (name == "events") events(s, cat) else cat.load(s, name)
+
+  def events(s: SparkSession, cat: Catalog): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = cat.load(s, "events")
+    // parquet fixtures carry TIMESTAMP(NANOS) read as raw longs (see
+    // below); a warehouse catalog serves real timestamps — pass through
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      convertEventTs(raw)
+    else raw
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
@@ -43,8 +59,11 @@ object Cubes {
     * lineitem→orders→customer→nation→region for dimension sub-fields
     * that cross tables (SURVEY §2.4 Joins; reference parse_tree.rb:29).
     */
-  def lineitemCube(s: SparkSession, d: String): Cube = {
-    val li = Tables.lineitem(s, d)
+  def lineitemCube(s: SparkSession, d: String): Cube =
+    lineitemCube(s, PathCatalog(d))
+
+  def lineitemCube(s: SparkSession, cat: Catalog): Cube = {
+    val li = Tables.table(s, cat, "lineitem")
     Cube(
       name = "lineitem",
       fact = li,
@@ -135,15 +154,15 @@ object Cubes {
         // orders is a FACT, not a dimension: never force-broadcast it.
         // Catalyst/AQE still broadcasts below the size threshold (so small
         // SFs plan identically) but switches to shuffle join at scale.
-        "orders" -> JoinSpec("orders", Tables.orders(s, d),
+        "orders" -> JoinSpec("orders", Tables.table(s, cat, "orders"),
           col("l_orderkey") === col("o_orderkey"), broadcastRight = false),
-        "customer" -> JoinSpec("customer", Tables.customer(s, d),
+        "customer" -> JoinSpec("customer", Tables.table(s, cat, "customer"),
           col("o_custkey") === col("c_custkey"), dependsOn = Set("orders")),
-        "nation" -> JoinSpec("nation", Tables.nation(s, d),
+        "nation" -> JoinSpec("nation", Tables.table(s, cat, "nation"),
           col("c_nationkey") === col("n_nationkey"), dependsOn = Set("customer")),
-        "region" -> JoinSpec("region", Tables.region(s, d),
+        "region" -> JoinSpec("region", Tables.table(s, cat, "region"),
           col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation")),
-        "part" -> JoinSpec("part", Tables.part(s, d),
+        "part" -> JoinSpec("part", Tables.table(s, cat, "part"),
           col("l_partkey") === col("p_partkey"))))
   }
 
@@ -155,8 +174,11 @@ object Cubes {
     * the rollup is a materialized table; here it's derived on the fly
     * from the same fixture so the oracle can verify equivalence.
     */
-  def lineitemCubeWithRollup(s: SparkSession, d: String): Cube = {
-    val base = lineitemCube(s, d)
+  def lineitemCubeWithRollup(s: SparkSession, d: String): Cube =
+    lineitemCubeWithRollup(s, PathCatalog(d))
+
+  def lineitemCubeWithRollup(s: SparkSession, cat: Catalog): Cube = {
+    val base = lineitemCube(s, cat)
     val rollup = base.fact
       .groupBy(col("l_shipdate"), col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -182,8 +204,11 @@ object Cubes {
   /** OrdersCube — second fact; customer sub-fields resolve via broadcast
     * join (FIXTURES.md OrdersCube).
     */
-  def ordersCube(s: SparkSession, d: String): Cube = {
-    val o = Tables.orders(s, d)
+  def ordersCube(s: SparkSession, d: String): Cube =
+    ordersCube(s, PathCatalog(d))
+
+  def ordersCube(s: SparkSession, cat: Catalog): Cube = {
+    val o = Tables.table(s, cat, "orders")
     Cube(
       name = "orders",
       fact = o,
@@ -214,11 +239,11 @@ object Cubes {
         "mktSegment" -> Selector("mktSegment", col("c_mktsegment"),
           requires = Set("customer"))),
       joins = Map(
-        "customer" -> JoinSpec("customer", Tables.customer(s, d),
+        "customer" -> JoinSpec("customer", Tables.table(s, cat, "customer"),
           col("o_custkey") === col("c_custkey")),
-        "nation" -> JoinSpec("nation", Tables.nation(s, d),
+        "nation" -> JoinSpec("nation", Tables.table(s, cat, "nation"),
           col("c_nationkey") === col("n_nationkey"), dependsOn = Set("customer")),
-        "region" -> JoinSpec("region", Tables.region(s, d),
+        "region" -> JoinSpec("region", Tables.table(s, cat, "region"),
           col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation"))))
   }
 
@@ -228,9 +253,12 @@ object Cubes {
     * two aggregates full-outer-joined on the slice keys (SURVEY §1/§7
     * multi-source cube merge; activecube's multi-table cubes).
     */
-  def salesCube(s: SparkSession, d: String): Cube = {
-    val li = Tables.lineitem(s, d)
-    val o = Tables.orders(s, d)
+  def salesCube(s: SparkSession, d: String): Cube =
+    salesCube(s, PathCatalog(d))
+
+  def salesCube(s: SparkSession, cat: Catalog): Cube = {
+    val li = Tables.table(s, cat, "lineitem")
+    val o = Tables.table(s, cat, "orders")
     Cube(
       name = "sales",
       fact = li,
@@ -262,8 +290,11 @@ object Cubes {
   /** EventsCube — the stream table queried as a batch cube (the streaming
     * variants live in graft.streaming).
     */
-  def eventsCube(s: SparkSession, d: String): Cube = {
-    val e = Tables.events(s, d)
+  def eventsCube(s: SparkSession, d: String): Cube =
+    eventsCube(s, PathCatalog(d))
+
+  def eventsCube(s: SparkSession, cat: Catalog): Cube = {
+    val e = Tables.events(s, cat)
     Cube(
       name = "events",
       fact = e,

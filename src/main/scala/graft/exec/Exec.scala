@@ -15,16 +15,31 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 
 /** O17 — `cube.connected_to(database:)` (cube_field.rb:33-38): a named
-  * registry of data roots; the whole query runs against the chosen one.
-  * In a deployed engine entries are catalogs ("clickhouse.prod", a JDBC
-  * url, a lakehouse path); for the fixtures they are sf directories.
+  * registry of catalogs; the whole query runs against the chosen one.
+  * Entries are TYPED ([[graft.sources.Catalog]]): a lakehouse path for
+  * the fixtures, a JDBC url for a warehouse — heterogeneous kinds behind
+  * one name space, like the reference's named connections.
   */
-final case class DatabaseRegistry(databases: Map[String, String], default: String) {
-  def dir(db: Option[String]): String = {
+final case class DatabaseRegistry(
+    databases: Map[String, graft.sources.Catalog], default: String) {
+  def catalog(db: Option[String]): graft.sources.Catalog = {
     val name = db.getOrElse(default)
     databases.getOrElse(name,
       throw new CubeQueryException(s"unknown database '$name' (have: ${databases.keys.mkString(",")})"))
   }
+  /** Legacy accessor for path-backed entries. */
+  def dir(db: Option[String]): String = catalog(db) match {
+    case graft.sources.PathCatalog(root) => root
+    case c => throw new CubeQueryException(s"database '${c.id}' is not path-backed")
+  }
+}
+
+object DatabaseRegistry {
+  /** All-parquet registry (the fixture shape). */
+  def paths(m: Map[String, String], default: String): DatabaseRegistry =
+    DatabaseRegistry(
+      m.map { case (k, v) => k -> (graft.sources.PathCatalog(v): graft.sources.Catalog) },
+      default)
 }
 
 /** O19 — execution telemetry (cube_field.rb:51-52 `stats`/`headers`
@@ -50,15 +65,15 @@ object CubeRunner {
   def execute(
       spark: SparkSession,
       registry: DatabaseRegistry,
-      cubeFor: (SparkSession, String) => Cube,
+      cubeFor: (SparkSession, graft.sources.Catalog) => Cube,
       queryJson: String,
       database: Option[String] = None,
       hook: QueryHook = identity,
       nested: Boolean = true,
       cache: Option[PlanCache] = None): Result = {
 
-    val dir = registry.dir(database) // O17
-    val cube = cubeFor(spark, dir)
+    val cat = registry.catalog(database) // O17
+    val cube = cubeFor(spark, cat)
     val parsed = QueryParser.parse(cube, queryJson)
     val q = hook(parsed.query) // O18
     def build: DataFrame = {
@@ -68,7 +83,7 @@ object CubeRunner {
     // memoized per canonical (post-hook) query — response_builder.rb:27-38
     val df = cache match {
       case Some(c) =>
-        c.getOrCompile(PlanCache.key(spark, dir, cube.name, nested, q, parsed.root))(build)
+        c.getOrCompile(PlanCache.key(spark, cat.id, cube.name, nested, q, parsed.root))(build)
       case None => build
     }
 

@@ -15,7 +15,7 @@ class ExecSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val registry = DatabaseRegistry(
+  private val registry = DatabaseRegistry.paths(
     Map("tiny" -> "/root/testdata/sf0.001", "small" -> "/root/testdata/sf0.01"),
     default = "tiny")
 
@@ -28,6 +28,40 @@ class ExecSpec extends AnyFunSuite {
       database = Some("small"))
     val (a, b) = (tiny.rows.head.getLong(0), small.rows.head.getLong(0))
     assert(a > 0 && b > 5 * a, s"sf0.01 ($b) should dwarf sf0.001 ($a)")
+  }
+
+  test("O17: heterogeneous catalogs — one query routed to parquet AND a JDBC warehouse") {
+    import graft.model.{Cube, Dimension, Metric, Selector}
+    import graft.sources.{Catalog, JdbcCatalog, PathCatalog}
+    import org.apache.spark.sql.functions.col
+    // seed an in-memory Derby warehouse from the fixture (the spec-local
+    // stand-in for the reference's named ClickHouse connection)
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    graft.cubes.Tables.load(spark, "/root/testdata/sf0.001", "region")
+      .write.mode("overwrite").format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "region").save()
+
+    val hetero = DatabaseRegistry(Map(
+      "lake" -> PathCatalog("/root/testdata/sf0.001"),
+      "warehouse" -> JdbcCatalog(url, Map("driver" -> driver))), default = "lake")
+    def regionCube(s: SparkSession, cat: Catalog): Cube = Cube(
+      name = "region",
+      fact = graft.cubes.Tables.table(s, cat, "region"),
+      dimensions = Map("name" -> Dimension("name", col("r_name"))),
+      metrics = Map("count" -> Metric.countAll("count")),
+      selectors = Map("name" -> Selector("name", col("r_name"))))
+    val rdoc =
+      """{"fields": [{"name": "name"}, {"name": "count", "alias": "cnt"}],
+          "args": {"options": {"asc": "name"}}}"""
+
+    val lake = CubeRunner.execute(spark, hetero, regionCube, rdoc)
+    val wh = CubeRunner.execute(spark, hetero, regionCube, rdoc,
+      database = Some("warehouse"))
+    assert(lake.rows.nonEmpty)
+    assert(lake.rows.map(_.toString) == wh.rows.map(_.toString))
+    assert(lake.columns == wh.columns)
   }
 
   test("O17: unknown database raises") {
