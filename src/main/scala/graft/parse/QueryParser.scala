@@ -282,12 +282,25 @@ object QueryParser {
     parts.head + parts.tail.map(_.capitalize).mkString
   }
 
+  /** Option/metric-arg value conversion. Integers keep their value: Int
+    * when they fit, Long otherwise (the consumer errors cleanly on an
+    * out-of-range Long — no silent 2³¹ wraparound). The `_aq.` injection
+    * guard applies here too: the reference raises for ANY argument value
+    * containing the key prefix (parse_tree.rb:113-114), not just
+    * selector args. */
   private def optionValue(name: String, v: JValue): Any = v match {
     case JObject(kv) => kv.map { case (k, vv) => k -> optionValue(k, vv) }.toMap
     case JArray(items) => items.map(i => optionValue(name, i))
-    case JInt(i) => i.toInt
-    case JLong(l) => l.toInt
-    case JString(s) => s
+    case JInt(i) =>
+      if (i.isValidInt) i.toInt
+      else if (i.isValidLong) i.toLong
+      else throw new CubeQueryException(s"option '$name' value out of range: $i")
+    case JLong(l) =>
+      if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l
+    case JString(s) =>
+      if (s.contains(KeyPrefix))
+        throw new CubeQueryException(s"argument value may not contain '$KeyPrefix'") // V5
+      s
     case other => throw new CubeQueryException(s"bad option value for '$name': $other")
   }
 

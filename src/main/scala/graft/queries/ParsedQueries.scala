@@ -92,6 +92,14 @@ object ParsedQueries {
     // apply_args) PLUS a selector arg that becomes a FILTER predicate —
     // both on the same metric element. Tuple output serialized with
     // to_json for the driver harness.
+    //
+    // Oracle bounds: the SpaceSaving sketch behind topParts is exact only
+    // while per-group distinct l_partkey < capacity=65536; TPC-H has
+    // 200k×SF partkeys, so this exact-equality oracle holds to SF≈0.3.
+    // Beyond that the sketch answers within its guaranteed error and the
+    // exact two-phase TopK operator (q22/q23) is the bit-exact path. The
+    // LEFT JOIN + COALESCE('[]') keeps flag groups whose every row fails
+    // the quantity filter — the engine emits those with an empty list.
     NamedQuery("q73_parsed_topk_arg",
       (s, d) => {
         import org.apache.spark.sql.functions.{col, to_json}
@@ -106,10 +114,11 @@ object ParsedQueries {
              |    PARTITION BY flag ORDER BY c DESC, pk ASC) AS rn
              |  FROM counted)
              |SELECT f.flag AS "flag", f.cnt AS "cnt",
-             |  CAST(to_json(list({'value': r.pk, 'cnt': r.c} ORDER BY r.c DESC, r.pk ASC)) AS VARCHAR) AS "top_parts"
+             |  CAST(COALESCE(to_json(list({'value': r.pk, 'cnt': r.c} ORDER BY r.c DESC, r.pk ASC)
+             |    FILTER (WHERE r.pk IS NOT NULL)), '[]') AS VARCHAR) AS "top_parts"
              |FROM (SELECT l_returnflag AS flag, count(*) AS cnt
              |      FROM lineitem GROUP BY 1) f
-             |JOIN ranked r ON r.flag = f.flag AND r.rn <= 2
+             |LEFT JOIN ranked r ON r.flag = f.flag AND r.rn <= 2
              |GROUP BY f.flag, f.cnt
              |ORDER BY "flag" ASC NULLS FIRST, "cnt" ASC, "top_parts" ASC""".stripMargin)),
 

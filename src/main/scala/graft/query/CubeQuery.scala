@@ -137,16 +137,26 @@ final case class CubeQuery(
     case "asc" => asc(asStrings(arg): _*)
     case "descByInteger" | "desc_by_integer" => descByInteger(asStrings(arg): _*)
     case "ascByInteger" | "asc_by_integer" => ascByInteger(asStrings(arg): _*)
-    case "limit" => limit(arg.asInstanceOf[Int])
-    case "offset" => offset(arg.asInstanceOf[Int])
+    case "limit" => limit(asInt("limit", arg))
+    case "offset" => offset(asInt("offset", arg))
     case "limitBy" | "limit_by" => arg match {
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
-        limitBy(asStrings(mm("each")), mm("limit").asInstanceOf[Int],
-          mm.get("offset").map(_.asInstanceOf[Int]).getOrElse(0))
+        limitBy(asStrings(mm("each")), asInt("limitBy.limit", mm("limit")),
+          mm.get("offset").map(asInt("limitBy.offset", _)).getOrElse(0))
       case other => throw new CubeQueryException(s"limitBy needs a map, got $other")
     }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
+  }
+
+  /** Integer option values: reject anything that doesn't fit an Int
+    * EXPLICITLY (a >2³¹ limit used to wrap around silently). */
+  private def asInt(name: String, a: Any): Int = a match {
+    case i: Int => i
+    case l: Long => throw new CubeQueryException(
+      s"option '$name' value $l exceeds integer range")
+    case other => throw new CubeQueryException(
+      s"option '$name' needs an integer, got $other")
   }
 
   private def asStrings(a: Any): Seq[String] = a match {

@@ -201,6 +201,21 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("option values beyond Int range error cleanly (no silent wraparound)") {
+    // optionValue keeps the Long; applying it as `limit` errors during parse
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      s"""{"args": {"options": {"limit": ${1L + Int.MaxValue}}},
+           "fields": [{"name": "count"}]}"""))
+    assert(e.getMessage.contains("exceeds integer range"))
+  }
+
+  test("V5: _aq. injection guard also covers option/metric-arg strings") {
+    val e = intercept[CubeQueryException](QueryParser.parse(cube,
+      """{"args": {"options": {"desc": "_aq.cnt"}},
+         "fields": [{"name": "count", "alias": "cnt"}]}"""))
+    assert(e.getMessage.contains("_aq."))
+  }
+
   test("unknown metric argument raises (V4 on metrics)") {
     val p = QueryParser.parse(cube,
       """{"fields": [{"name": "topParts", "args": {"bogus": 9}}]}""")
