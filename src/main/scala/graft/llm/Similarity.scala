@@ -115,42 +115,91 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+    val centroids = trainCentroids(corpus, nLists, seed)
+    val c = corpus.select(F.col("id").as("neighbor_id"),
+      F.col("embedding").as("c_emb"), bestCell(centroids)(F.col("embedding")).as("cell"))
+    probeAndRerank(c, queries, centroids, k, nProbe)
+  }
+
+  /** Materialize an IVF index: the corpus written PARTITIONED BY cell id
+    * (hive-style directories) with the centroids alongside. This is the
+    * promised 100 TB shape of [[ivfTopK]]: the one-off build pays the
+    * k-means + cell shuffle; after that every probe is PARTITION PRUNING
+    * — the scan reads ~nProbe/nLists of the files (dynamic partition
+    * pruning from the broadcast probe side), instead of re-assigning
+    * cells over the full corpus per query batch. */
+  def ivfBuildIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, path: String,
+      nLists: Int = 16, seed: Long = 7L): Unit = {
+    val centroids = trainCentroids(corpus, nLists, seed)
+    corpus.select(F.col("id"), F.col("embedding"),
+        bestCell(centroids)(F.col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+    spark.createDataFrame(rows).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN over a materialized [[ivfBuildIndex]] index. The centroid read
+    * is driver-side model metadata (nLists rows); the corpus scan is
+    * pruned to the probed cells via the partition column. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexPath: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+    val c = spark.read.parquet(s"$indexPath/corpus") // cell = partition col
+      .select(F.col("id").as("neighbor_id"), F.col("embedding").as("c_emb"),
+        F.col("cell"))
+    probeAndRerank(c, queries, centroids, k, nProbe)
+  }
+
+  /** Coarse quantizer: spark-mllib k-means, fixed seed ⇒ reproducible. */
+  private def trainCentroids(
+      corpus: DataFrame, nLists: Int, seed: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val train = corpus.select(array_to_vector(F.col("embedding")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+  }
 
-    // cell assignment / probe list as Column exprs over the broadcast
-    // centroid literals — no mllib transform on the hot path. Everything
-    // stays FLAT (one scores array + array_position/array_sort): a
-    // per-centroid `when`-chain nests nLists deep and falls out of
-    // whole-stage codegen past ~10² centroids (64KB method limit),
-    // whereas flat array children split into codegen sub-methods fine.
-    def scoresArr(emb: Column): Column =
-      F.array(centroids.toSeq.map(c => CosineSim(emb, F.typedlit(c.toSeq))): _*)
-    // argmax = first position of the max score (ties → lowest cell id,
-    // same as a first-match when-chain); array_position is 1-based
-    def bestCell(emb: Column): Column = {
-      val scores = scoresArr(emb)
-      (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    }
-    // nProbe cells per query: rank centroids by score, keep the top ids
-    def probeCells(emb: Column): Column = {
-      val ranked = F.zip_with(
-        scoresArr(emb), F.sequence(F.lit(0), F.lit(nLists - 1)),
-        (s, i) => F.struct((-s).as("neg"), i.as("cell")))
-      F.slice(F.transform(F.array_sort(ranked), x => x.getField("cell")), 1, nProbe)
-    }
+  // Cell assignment / probe list as Column exprs over the broadcast
+  // centroid literals — no mllib transform on the hot path. Everything
+  // stays FLAT (one scores array + array_position/array_sort): a
+  // per-centroid `when`-chain nests nLists deep and falls out of
+  // whole-stage codegen past ~10² centroids (64KB method limit),
+  // whereas flat array children split into codegen sub-methods fine.
+  private def scoresArr(centroids: Array[Array[Float]])(emb: Column): Column =
+    F.array(centroids.toSeq.map(c => CosineSim(emb, F.typedlit(c.toSeq))): _*)
 
-    val c = corpus.select(F.col("id").as("neighbor_id"),
-      F.col("embedding").as("c_emb"), bestCell(F.col("embedding")).as("cell"))
+  /** argmax = first position of the max score (ties → lowest cell id,
+    * same as a first-match when-chain); array_position is 1-based. */
+  private def bestCell(centroids: Array[Array[Float]])(emb: Column): Column = {
+    val scores = scoresArr(centroids)(emb)
+    (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+  }
+
+  /** nProbe cells per query: rank centroids by score, keep the top ids. */
+  private def probeCells(centroids: Array[Array[Float]], nProbe: Int)(
+      emb: Column): Column = {
+    val ranked = F.zip_with(
+      scoresArr(centroids)(emb), F.sequence(F.lit(0), F.lit(centroids.length - 1)),
+      (s, i) => F.struct((-s).as("neg"), i.as("cell")))
+    F.slice(F.transform(F.array_sort(ranked), x => x.getField("cell")), 1, nProbe)
+  }
+
+  /** Shared probe tail: broadcast the exploded probe side, exact cosine
+    * within probed cells, per-query top-k window. */
+  private def probeAndRerank(
+      cellCorpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Float]], k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(F.col("id").as("query_id"),
         F.col("embedding").as("q_emb"),
-        F.explode(probeCells(F.col("embedding"))).as("cell"))
-    val scored = c.join(F.broadcast(q), Seq("cell"))
+        F.explode(probeCells(centroids, nProbe)(F.col("embedding"))).as("cell"))
+    val scored = cellCorpus.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
     val w = Window.partitionBy("query_id")

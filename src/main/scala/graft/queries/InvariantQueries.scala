@@ -67,6 +67,38 @@ object InvariantQueries {
       Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
              |true AS lsh_recall_ok, true AS ivf_recall_ok""".stripMargin)),
 
+    // the materialized IVF index (corpus partitioned by cell, probe =
+    // partition pruning): must return EXACTLY the inline ivfTopK rows
+    // (same quantizer seed) and clear the same recall bar vs brute force.
+    NamedQuery("q79_ann_ivf_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val queries = emb.filter(col("id") < 10)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_index").toString
+        Similarity.ivfBuildIndex(s, emb, path, nLists = 16, seed = 7L)
+        val keys = Seq("query_id", "neighbor_id")
+        val indexed = Similarity.ivfTopKIndexed(s, queries, path, 5, nProbe = 6)
+          .select(keys.head, keys.tail: _*)
+        val inline = Similarity.ivfTopK(s, queries, emb, 5, nLists = 16, nProbe = 6)
+          .select(keys.head, keys.tail: _*)
+        val brute = Similarity.bruteForceTopK(queries, emb, 5)
+          .select(keys.head, keys.tail: _*)
+        val nExact = brute.agg(F.count(F.lit(1)).as("n_exact"))
+        val hits = brute.join(indexed, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__h"))
+        val diff = indexed.join(inline, keys, "left_anti")
+          .unionByName(inline.join(indexed, keys, "left_anti"))
+          .agg(F.count(F.lit(1)).as("__d"))
+        nExact.crossJoin(hits).crossJoin(diff).select(
+          col("n_exact"),
+          (col("__h") >= col("n_exact") * 0.6).as("recall_ok"),
+          (col("__d") === 0).as("matches_inline"))
+      },
+      Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
+             |true AS recall_ok, true AS matches_inline""".stripMargin)),
+
     // q59's contract made checkable: the LSH-bucketed near-dup pairs at
     // q65's threshold are a SUBSET of the exact all-pairs result
     // (precision 1 — the bucket join only ever prunes) and non-empty on

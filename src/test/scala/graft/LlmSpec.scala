@@ -121,6 +121,30 @@ class LlmSpec extends AnyFunSuite {
       s"cell assignment not codegen'd:\n${cellLine.getOrElse(plan)}")
   }
 
+  test("indexed IVF: partition-pruned probe matches the inline plan row for row") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      Similarity.ivfBuildIndex(spark, emb, path, nLists = 16, seed = 7L)
+      val indexed = Similarity.ivfTopKIndexed(spark, queries, path, 5, nProbe = 6)
+      val got = indexed.collect().map(_.toString).sorted
+      val inline = Similarity.ivfTopK(spark, queries, emb, 5, nLists = 16, nProbe = 6)
+        .collect().map(_.toString).sorted
+      assert(got.nonEmpty && got.sameElements(inline))
+      // the scan must be pruned by the probe side: the partition column
+      // appears as a PartitionFilter (dynamic pruning from the broadcast)
+      val plan = indexed.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .takeWhile(!_.contains("== Initial Plan =="))
+        .find(l => l.contains("FileScan") && l.contains("corpus"))
+      assert(scanLine.exists(l => l.contains("dynamicpruning")),
+        s"corpus scan not partition-pruned:\n${scanLine.getOrElse(plan)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("brute-force topK is exact, k rows per query, self excluded") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
     val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 5).collect()
