@@ -103,6 +103,61 @@ object Streaming {
         F.unix_millis(F.col("s_ts")).as("signup_ms"))
   }
 
+  // ---- sinks (beyond the test-only memory sink) --------------------
+
+  /** Append-mode parquet sink. Exactly-once comes from the checkpoint +
+    * the file sink's `_spark_metadata` transaction log: a restarted
+    * query resumes from the checkpoint and readers only see committed
+    * files. The 100 TB default for landing a stream in the lakehouse. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** Idempotent per-micro-batch JDBC writer: stamps the batch id and
+    * DELETE-then-INSERTs, so a replayed batch (restart after a partial
+    * failure) overwrites its own rows instead of duplicating — the
+    * standard exactly-once `foreachBatch` pattern over a transactional
+    * warehouse (the reference's pushes into ClickHouse are the same
+    * shape). Exposed separately from [[toJdbcSink]] so idempotency is
+    * directly testable. */
+  def jdbcBatchWriter(url: String, table: String,
+      options: Map[String, String] = Map.empty): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      options.get("driver").foreach(Class.forName)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        // Spark's JDBC writer quotes column names as given; mirror that
+        val rs = conn.getMetaData.getTables(null, null, null, null)
+        var exists = false
+        while (rs.next() && !exists)
+          exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        if (exists) {
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"""DELETE FROM $table WHERE "__batch_id" = $batchId""")
+          finally st.close()
+        }
+      } finally conn.close()
+      val writer = batch.withColumn("__batch_id", F.lit(batchId))
+        .write.mode("append").format("jdbc")
+        .option("url", url).option("dbtable", table)
+      options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
+  }
+
+  /** Stream → JDBC warehouse via the idempotent batch writer. */
+  def toJdbcSink(df: DataFrame, url: String, table: String, checkpoint: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(jdbcBatchWriter(url, table, options))
+      .start()
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -102,6 +102,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("parquet file sink: exactly-once across a checkpointed restart") {
+    val out = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ckpt").toString
+    def run(): Unit = {
+      val q = Streaming.toParquetSink(
+        Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
+          .select("event_id", "event_type", "value"),
+        s"$out/data", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val expected = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(s"$out/data").count() == expected)
+    // restart from the same checkpoint: no new input => nothing re-emitted
+    run()
+    assert(spark.read.parquet(s"$out/data").count() == expected)
+  }
+
+  test("JDBC warehouse sink lands the stream; batch replay is idempotent") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jsink_ckpt").toString
+    val q = Streaming.toJdbcSink(
+      Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
+        .select("event_id", "event_type", "value"),
+      url, "events_sink", ckpt, opts)
+    try q.processAllAvailable() finally q.stop()
+    def sinkCount(): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_sink")
+      .option("driver", opts("driver")).load().count()
+    val expected = Tables.events(spark, sf).count()
+    assert(sinkCount() == expected)
+    // replaying micro-batch 0 with the same rows must NOT duplicate:
+    // the writer deletes its own batch id before inserting
+    val replay = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    Streaming.jdbcBatchWriter(url, "events_sink", opts)(replay, 0L)
+    assert(sinkCount() == expected)
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
