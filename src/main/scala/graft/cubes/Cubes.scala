@@ -92,7 +92,9 @@ object Cubes {
         "partBrand" -> Dimension("partBrand", col("p_brand"),
           requires = Set("part")),
         "partType" -> Dimension("partType", col("p_type"),
-          requires = Set("part"))),
+          requires = Set("part")),
+        "suppName" -> Dimension("suppName", col("s_name"),
+          requires = Set("supplier"))),
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "sumQty" -> Metric.sumOf("sumQty", col("l_quantity")),
@@ -163,7 +165,9 @@ object Cubes {
         "region" -> JoinSpec("region", Tables.table(s, cat, "region"),
           col("n_regionkey") === col("r_regionkey"), dependsOn = Set("nation")),
         "part" -> JoinSpec("part", Tables.table(s, cat, "part"),
-          col("l_partkey") === col("p_partkey"))))
+          col("l_partkey") === col("p_partkey")),
+        "supplier" -> JoinSpec("supplier", Tables.table(s, cat, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))))
   }
 
   /** LineitemCube with a daily pre-aggregated alternative source — the

@@ -200,6 +200,27 @@ object StarQueries {
              |SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_totalprice > 200000
              |ORDER BY okey ASC NULLS FIRST""".stripMargin)),
 
+    // supplier star: the remaining fixture dimension table, pulled in by
+    // a broadcast join only when the suppName slice is used (top-10
+    // suppliers by shipped quantity — a limit query, so the full
+    // deterministic tiebreak order is mirrored in the oracle)
+    NamedQuery("q80_supplier_dim",
+      (s, d) => CubeQuery(Cubes.lineitemCube(s, d))
+        .slice("supp_name", "suppName")
+        .measure("sum_qty", "sumQty")
+        .measure("cnt", "count")
+        .desc("sum_qty")
+        .limit(10)
+        .toDF,
+      Some("""SELECT * FROM (
+             |SELECT s.s_name AS supp_name, sum(l.l_quantity) AS sum_qty,
+             |count(*) AS cnt
+             |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |GROUP BY 1)
+             |ORDER BY sum_qty DESC NULLS LAST, supp_name ASC NULLS FIRST,
+             |cnt ASC NULLS FIRST
+             |LIMIT 10""".stripMargin)),
+
     // scalar function library coverage (string/date/math in projections)
     NamedQuery("q38_scalar_funcs",
       (s, d) => Tables.orders(s, d)
