@@ -97,6 +97,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of flavors on random data: native == composed, left keeps all lefts, matches precede") {
+    val r = new Random(21)
+    val sqlc = spark
+    import sqlc.implicits._
+    (1 to 3).foreach { i =>
+      val nKeys = 4 + r.nextInt(4)
+      // right side unique on (k, ts) so "latest prior row" is well-defined
+      val right = (0 until nKeys).flatMap { k =>
+        r.shuffle((0 until 300).toList).take(25)
+          .map(ts => (k.toLong, ts.toLong, r.nextInt(1000)))
+      }.toDF("k", "ts", "rv")
+      val left = Seq.fill(120)(
+        (r.nextInt(nKeys).toLong, r.nextInt(300).toLong, r.nextInt(1000))).toDF("k", "ts", "lv")
+      val vcols = Seq("ts" -> "m_ts", "rv" -> "m_rv")
+      val composed = graft.operators.Joins.asOf(
+        left, right, Seq("k"), "ts", "ts", vcols, joinType = "left")
+      val native = graft.plans.AsOfJoin.dataframe(spark,
+        left, right, Seq("k"), "ts", "ts", vcols, joinType = "left")
+      val cRows = composed.select("k", "ts", "lv", "m_ts", "m_rv")
+        .collect().map(_.toString).sorted
+      val nRows = native.select("k", "ts", "lv", "m_ts", "m_rv")
+        .collect().map(_.toString).sorted
+      assert(cRows.sameElements(nRows), s"case $i: native != composed")
+      // left flavor preserves left cardinality exactly
+      assert(cRows.length == left.count(), s"case $i: left rows dropped/duplicated")
+      // inner flavor == the matched subset of left
+      val inner = graft.operators.Joins.asOf(
+          left, right, Seq("k"), "ts", "ts", vcols)
+        .select("k", "ts", "lv", "m_ts", "m_rv").collect().map(_.toString).sorted
+      val matched = composed.filter(org.apache.spark.sql.functions.col("m_ts").isNotNull)
+        .select("k", "ts", "lv", "m_ts", "m_rv").collect().map(_.toString).sorted
+      assert(inner.sameElements(matched), s"case $i: inner != matched-left")
+      // every match is at-or-before the left timestamp
+      assert(composed.filter($"m_ts".isNotNull && $"m_ts" > $"ts").count() == 0,
+        s"case $i: a match came from the future")
+    }
+  }
+
   test("slice+measure row count equals distinct slice combinations") {
     val r = new Random(5)
     (1 to 6).foreach { i =>
