@@ -127,15 +127,19 @@ object Cubes {
         // parameterized tuple metric (ClickHouse topK(size); the reference
         // dispatches the size arg onto the metric, parse_tree.rb:127-130).
         // Single-pass SpaceSaving sketch; exact while the per-group
-        // distinct count stays under capacity.
-        "topParts" -> Metric.parameterized("topParts", Map("size" -> 3)) {
+        // distinct count stays under `capacity`, so capacity is a metric
+        // arg too: the default covers TPC-H partkeys to SF≈0.3, larger
+        // corpora raise it per query (or use the exact two-phase TopK
+        // operator, q22/q23).
+        "topParts" -> Metric.parameterized("topParts",
+            Map("size" -> 3, "capacity" -> 65536)) {
           bound => p =>
-            val size = bound("size") match {
+            def intArg(name: String): Int = bound(name) match {
               case i: Int => i
               case other => throw new CubeQueryException(
-                s"topParts size must be an integer, got $other")
+                s"topParts $name must be an integer, got $other")
             }
-            graft.functions.TopKFreq(size, capacity = 65536)(
+            graft.functions.TopKFreq(intArg("size"), capacity = intArg("capacity"))(
               p.map(pr => F.when(pr, col("l_partkey"))).getOrElse(col("l_partkey")))
         }),
       selectors = Map(

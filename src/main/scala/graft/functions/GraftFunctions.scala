@@ -38,13 +38,18 @@ object GraftFunctions {
     }
 }
 
-/** `SparkSession.builder().withExtensions(new GraftExtensions)` */
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * functions AND the native as-of planner strategy in one shot (the
+  * deployment path; `AsOfJoin.dataframe` also self-registers the
+  * strategy on `experimental.extraStrategies` for ad-hoc sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }

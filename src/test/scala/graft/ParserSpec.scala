@@ -216,6 +216,19 @@ class ParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_aq."))
   }
 
+  test("topParts capacity is a metric arg: tiny capacity still returns k rows") {
+    // capacity bounds the sketch, not the output: with capacity=4 over
+    // 200 distinct parts the counts are approximate but the shape holds
+    val p = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "returnFlag", "alias": "flag"},
+           {"name": "topParts", "alias": "tp", "args": {"size": 2, "capacity": 4}}],
+         "args": {"options": {"asc": "flag"}}}""")
+    val rows = p.query.toDF.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](1).size <= 2))
+  }
+
   test("unknown metric argument raises (V4 on metrics)") {
     val p = QueryParser.parse(cube,
       """{"fields": [{"name": "topParts", "args": {"bogus": 9}}]}""")
