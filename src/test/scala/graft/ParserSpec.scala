@@ -173,6 +173,36 @@ class ParserSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("multi-fact merge generalizes to THREE sources (pairwise full-outer fold)") {
+    import org.apache.spark.sql.functions._
+    import graft.model._
+    val li = graft.cubes.Tables.lineitem(spark, sf)
+    def src(name: String, metrics: Set[String], cost: Int) = CubeSource(
+      name, li, servesDimensions = Set("year"), servesMetrics = metrics, cost = cost)
+    val tri = Cube(
+      name = "tri", fact = li,
+      dimensions = Map("year" -> Dimension("year", year(col("l_shipdate")))),
+      metrics = Map(
+        "cnt" -> Metric.countAll("cnt"),
+        "qty" -> Metric.sumOf("qty", col("l_quantity")),
+        "maxp" -> Metric.maxOf("maxp", col("l_extendedprice"))),
+      selectors = Map("year" -> Selector("year", year(col("l_shipdate")))),
+      altSources = Seq(
+        src("a", Set("cnt"), 1), src("b", Set("qty"), 2), src("c", Set("maxp"), 3)))
+    val merged = graft.query.CubeQuery(tri).slice("yr", "year")
+      .measure("cnt", "cnt").measure("qty", "qty").measure("maxp", "maxp")
+      .asc("yr").toDF
+    val direct = li.groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"),
+        max("l_extendedprice").as("maxp"))
+      .orderBy("yr")
+    assert(merged.collect().map(_.toString) sameElements direct.collect().map(_.toString))
+    // genuinely a 3-way merge: two full-outer joins in the plan
+    val joins = merged.queryExecution.optimizedPlan.toString
+      .linesIterator.count(l => l.contains("Join FullOuter"))
+    assert(joins == 2, s"expected 2 full-outer joins, saw $joins")
+  }
+
   test("metric args dispatch onto the metric: topParts size + FILTER selector") {
     import org.apache.spark.sql.functions.col
     // size arg reaches the metric; quantity arg becomes a FILTER pred
