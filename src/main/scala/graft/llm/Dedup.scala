@@ -79,6 +79,13 @@ object Dedup {
     * Candidates are then verified with exact Jaccard over the shingle
     * sets, so the threshold is exact, LSH only bounds recall.
     *
+    * Skew note for 100 TB: candidate count is quadratic in the size of a
+    * bucket, so a corpus with millions of IDENTICAL documents makes one
+    * bucket explode. Run [[exactDuplicateGroups]] first and near-dup only
+    * the keep-list — exact copies are cheaper to remove by hash, and the
+    * residual bucket sizes stay bounded (AQE skew-join splits handle the
+    * rest).
+    *
     * Returns (a_id, b_id, jaccard) with a_id < b_id.
     */
   def minHashPairs(

@@ -101,6 +101,31 @@ class ParserSpec extends AnyFunSuite {
     assert(tn("N") == "ShipDate" && tn("A") == "ShipDate")
   }
 
+  test("R3: three-level nesting — chained sub-field paths re-nest as struct of struct") {
+    val p = QueryParser.parse(cube,
+      """{"args": { "options": {"asc": "flag"} },
+          "fields": [
+           {"name": "returnFlag", "alias": "flag"},
+           {"name": "shipDate", "alias": "sd", "fields": [
+              {"name": "date", "alias": "d", "fields": [
+                 {"name": "year"}, {"name": "month"}]}]},
+           {"name": "count", "alias": "cnt"}]}""")
+    val nested = Renest.nest(p.query.toDF, p.root)
+    assert(nested.schema("sd").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val rows = nested.select("flag", "sd.d.year", "sd.d.month", "cnt").collect()
+    assert(rows.nonEmpty)
+    // chained resolution == applying year/month to the cast date directly
+    val direct = graft.cubes.Tables.lineitem(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.year(
+          org.apache.spark.sql.functions.col("l_shipdate").cast("date")).as("y"),
+        org.apache.spark.sql.functions.month(
+          org.apache.spark.sql.functions.col("l_shipdate").cast("date")).as("m"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet == direct)
+  }
+
   test("R8: discriminator 'on' must be a result column (validated, not AnalysisException)") {
     val p = QueryParser.parse(cube,
       """{ "union": true,
