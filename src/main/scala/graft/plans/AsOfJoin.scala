@@ -139,12 +139,18 @@ object AsOfJoin {
     require(joinType == "inner" || joinType == "left",
       s"asOf joinType must be inner or left, got '$joinType'")
     val lPlan = GraftBridge.analyzed(left)
+    // Catalyst's ColumnPruning doesn't see through a custom node, so
+    // prune the right side HERE: only keys, the timestamp, and the
+    // requested value columns survive into the exchange + sort. At scale
+    // this is the difference between shuffling three columns and
+    // shuffling the whole right table.
+    val rNeeded = (keys ++ Seq(rightTs) ++ valueCols.map(_._1)).distinct
     // left and right often derive from the same relation (self as-of) and
     // would share expression ids, which the analyzer's relation dedup
     // rewrites out from under a custom node — alias every right column
     // through a Project so the right side carries fresh ids
-    val rAliased = right.select(right.columns.map(c =>
-      org.apache.spark.sql.functions.col(c).as(s"__r_$c")).toSeq: _*)
+    val rAliased = right.select(rNeeded.map(c =>
+      org.apache.spark.sql.functions.col(c).as(s"__r_$c")): _*)
     val rPlan = GraftBridge.analyzed(rAliased)
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(

@@ -62,6 +62,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(unmatched.filter(col("signup_ts").isNotNull).count() == 0)
   }
 
+  test("right side is column-pruned before the exchange (custom nodes don't get ColumnPruning)") {
+    // hand the FULL events table to the right side; only user_id/ts/event_id
+    // are needed — value and props must never reach a scan
+    val fullRight = Tables.events(spark, sf).filter(col("event_type") === "signup")
+    val df = AsOfJoin.dataframe(spark, purchases, fullRight,
+      Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
+    assert(df.count() > 0)
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("props") && !scans.contains("value"),
+      s"unpruned right-side scan:\n$scans")
+  }
+
   test("physical plan uses the custom exec with co-partitioned sorted inputs") {
     val df = AsOfJoin.dataframe(spark, purchases, signups,
       Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
