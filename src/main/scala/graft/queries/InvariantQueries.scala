@@ -67,6 +67,29 @@ object InvariantQueries {
       Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
              |true AS lsh_recall_ok, true AS ivf_recall_ok""".stripMargin)),
 
+    // the 100 TB percentile path made checkable: percentile_approx
+    // (single-pass mergeable KLL-style sketch, the scale drop-in for the
+    // exact sort-based quantile) must land between the exact p45 and p55
+    // — rank error at accuracy=1000 is ~0.1%, so the .45/.55 bracket is
+    // generous. Exact medians anchor the oracle.
+    NamedQuery("q81_percentile_approx_bound",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("return_flag"))
+        .agg(
+          F.round(F.call_function("percentile", col("l_extendedprice"), F.lit(0.5)), 4)
+            .as("median_price"),
+          F.call_function("percentile", col("l_extendedprice"), F.lit(0.45)).as("__lo"),
+          F.call_function("percentile", col("l_extendedprice"), F.lit(0.55)).as("__hi"),
+          F.percentile_approx(col("l_extendedprice"), F.lit(0.5), F.lit(1000)).as("__ap"))
+        .select(col("return_flag"), col("median_price"),
+          (col("__ap") >= col("__lo") && col("__ap") <= col("__hi")).as("approx_ok"))
+        .orderBy(col("return_flag").asc_nulls_first),
+      Some("""SELECT l_returnflag AS return_flag,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |true AS approx_ok
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
+
     // the materialized IVF index (corpus partitioned by cell, probe =
     // partition pruning): must return EXACTLY the inline ivfTopK rows
     // (same quantizer seed) and clear the same recall bar vs brute force.

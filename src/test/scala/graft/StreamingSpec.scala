@@ -141,6 +141,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(sinkCount() == expected)
   }
 
+  test("cube queries compile against a STREAMING fact: stream == batch") {
+    import graft.model.{Cube, Dimension, Metric, Selector}
+    import graft.query.{CubeQuery, Pred}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{functions => F}
+    // the same cube declaration over a streaming vs batch fact — the
+    // compiler emits one declarative plan; Spark runs it in either mode
+    def cubeOf(fact: org.apache.spark.sql.DataFrame) = Cube(
+      name = "events_live", fact = fact,
+      dimensions = Map("eventType" -> Dimension("eventType", col("event_type"))),
+      metrics = Map(
+        "cnt" -> Metric.countAll("cnt"),
+        "sv" -> Metric.sumOf("sv", col("value")).mapValue(F.round(_, 2))),
+      selectors = Map("value" -> Selector("value", col("value"))))
+    def query(fact: org.apache.spark.sql.DataFrame) =
+      CubeQuery(cubeOf(fact)).slice("t", "eventType")
+        .measure("cnt", "cnt").measure("sv", "sv")
+        .when(Pred.gt("value", 10)).toDF
+    val stream = runStream(query(Streaming.eventsStream(spark, sf)), "cube_live")
+    val batch = batchRows(query(Tables.events(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
