@@ -247,6 +247,45 @@ object LlmQueries {
         .orderBy(col("media_id").asc),
       None),
 
+    // the full training-data dedup PIPELINE as one declarative plan:
+    // exact dedup (hash keep-list) → near-dup detection over the
+    // keep-list only (banded, the skew mitigation the Dedup scaladoc
+    // prescribes) → greedy survivor choice (drop the higher id of each
+    // near-dup pair) → per-source accounting. Every stage is exact-
+    // oracle-able, so the whole composition is hash-verified.
+    NamedQuery("q82_dedup_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keepIds = Dedup.exactDuplicateGroups(docs, col("doc_id"), col("text"))
+          .select(col("keep_id").as("doc_id"))
+        val kept = docs.join(keepIds, "doc_id")
+        val nearDrop = Dedup.ngramJaccardPairsBanded(
+            kept, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          .select(col("b_id").as("doc_id")).distinct()
+        kept.join(nearDrop, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(F.count(F.lit(1)).as("n_survivors"),
+            F.sum(col("n_chars")).as("chars_kept"))
+          .orderBy(col("source").asc)
+      },
+      Some("""WITH keep AS (
+             |  SELECT * FROM documents WHERE doc_id IN (
+             |    SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM keep)
+             |  WHERE len(w) >= 3),
+             |drop_ids AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |        len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8)
+             |SELECT source, count(*) AS n_survivors,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_kept
+             |FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+             |GROUP BY 1 ORDER BY source ASC""".stripMargin)),
+
     // dedup keep-list: the end-to-end "which docs survive" projection
     // (exact + normalized fingerprint agree on this corpus)
     NamedQuery("q62_dedup_keeplist",
