@@ -41,6 +41,30 @@ final case class AsOfJoinPlan(
     copy(left = l, right = r)
 }
 
+/** Optimizer rule for the custom node: Catalyst's PushDownPredicates
+  * cannot see through [[AsOfJoinPlan]], so a Filter above it would run
+  * AFTER the exchange+merge at scale. Pushing is sound only for
+  * conjuncts that reference the LEFT side alone — each left row's match
+  * is independent of other left rows. Right-side or match-column
+  * predicates must stay above: they filter the join RESULT, not the
+  * right input (pushing them would change which row is "latest").
+  * Once below the node, the built-in rules carry the predicate on into
+  * the scan (`PushedFilters`). */
+object AsOfPushdownRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(j.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, flavor) =>
@@ -160,6 +184,9 @@ object AsOfJoin {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies = strategies :+ AsOfStrategy
+    val optimizations = spark.experimental.extraOptimizations
+    if (!optimizations.contains(AsOfPushdownRule))
+      spark.experimental.extraOptimizations = optimizations :+ AsOfPushdownRule
     val raw = GraftBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),

@@ -75,6 +75,27 @@ class AsOfSpec extends AnyFunSuite {
       s"unpruned right-side scan:\n$scans")
   }
 
+  test("AsOfPushdownRule: left-only filters sink below the join, into the scan") {
+    val joined = AsOfJoin.dataframe(spark, purchases, signups,
+      Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
+    val filtered = joined.filter(col("event_id") % 2 === 0) // left-only pred
+    // correctness: pushing must not change results
+    val expected = joined.collect().filter(_.getLong(2) % 2 == 0)
+      .map(_.toString).sorted
+    assert(filtered.collect().map(_.toString).sorted.sameElements(expected))
+    // the optimized tree has the Filter INSIDE the join's left subtree:
+    // the AsOfJoinPlan line prints before any Filter line
+    val lines = filtered.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("AsOfJoinPlan"))
+    val filterIdx = lines.indexWhere(_.contains("Filter"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"filter not pushed below the as-of join:\n${lines.mkString("\n")}")
+    // and the built-in rules carry it on into the parquet scan
+    val scans = filtered.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scans.contains("event_id"), s"predicate never reached a scan:\n$scans")
+  }
+
   test("physical plan uses the custom exec with co-partitioned sorted inputs") {
     val df = AsOfJoin.dataframe(spark, purchases, signups,
       Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
