@@ -88,6 +88,27 @@ object EventQueries {
              |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50
              |GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
 
+    // the same props pipeline through Spark 4's VARIANT type: parse the
+    // JSON ONCE into the binary variant encoding, then field access is
+    // a byte-offset read — at 100 TB this replaces a regex/JSON reparse
+    // per access (q44's shape) with one parse per row, and variant
+    // columns can be stored parsed. Same oracle family as q44.
+    NamedQuery("q83_props_variant",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          F.variant_get(F.parse_json(col("props")), "$.k", "long").as("k"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum("k").as("sum_k"),
+          F.round(F.avg("k"), 4).as("avg_k"))
+        .orderBy(col("event_type").asc),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+             |FROM events
+             |WHERE CAST(props->>'$.k' AS BIGINT) > 50
+             |GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
+
     // as-of join: each purchase matched to the user's latest prior-or-
     // simultaneous signup (DuckDB has native ASOF JOIN — the oracle);
     // implemented as union+window, one shuffle, no interval explosion
