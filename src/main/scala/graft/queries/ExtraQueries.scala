@@ -175,6 +175,45 @@ object ExtraQueries {
              |  count(*) AS cnt FROM lineitem GROUP BY 1, 2))
              |WHERE rn <= 3
              |ORDER BY return_flag ASC NULLS FIRST, cnt DESC NULLS LAST, part_key ASC"""
-        .stripMargin))
+        .stripMargin)),
+
+    // analytic-function family beyond q67: lead, ntile, percent_rank,
+    // cume_dist, running first_value — default frames match DuckDB's
+    NamedQuery("q84_window_funcs2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("prio")
+          .orderBy(col("price").desc, col("okey").asc)
+        Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+          .select(col("o_orderpriority").as("prio"),
+            col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+          .withColumn("next_price", F.lead("price", 1).over(w))
+          .withColumn("quartile", F.ntile(4).over(w))
+          .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+          .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+          .withColumn("top_price", F.first("price").over(w))
+          .orderBy(col("prio").asc_nulls_first, col("okey").asc)
+      },
+      Some("""SELECT o_orderpriority AS prio, o_orderkey AS okey,
+             |o_totalprice AS price,
+             |lead(o_totalprice) OVER w AS next_price,
+             |CAST(ntile(4) OVER w AS INT) AS quartile,
+             |round(percent_rank() OVER w, 6) AS pct_rank,
+             |round(cume_dist() OVER w, 6) AS cume,
+             |first_value(o_totalprice) OVER w AS top_price
+             |FROM orders WHERE o_orderkey < 2000
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+             |ORDER BY prio ASC NULLS FIRST, okey ASC""".stripMargin)),
+
+    // EXCEPT completes the set-op family (union q37, intersect q39):
+    // orders with no line items (non-empty in this fixture)
+    NamedQuery("q85_except_keys",
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"))
+        .except(Tables.lineitem(s, d).select(col("l_orderkey")))
+        .orderBy(col("o_orderkey").asc),
+      Some("""SELECT o_orderkey FROM orders
+             |EXCEPT SELECT l_orderkey FROM lineitem
+             |ORDER BY o_orderkey ASC""".stripMargin))
   )
 }

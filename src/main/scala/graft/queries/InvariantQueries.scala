@@ -122,6 +122,36 @@ object InvariantQueries {
       Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
              |true AS recall_ok, true AS matches_inline""".stripMargin)),
 
+    // training-data subsampling, plain + stratified (per-source), made
+    // checkable: sampling at p=0.2 over the corpus must stay inside a
+    // generous binomial envelope, be an exact subset, and the stratified
+    // variant obeys the same bound. n_total anchors the oracle.
+    NamedQuery("q86_sampling_bounds",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val sample = docs.sample(withReplacement = false, 0.2, seed = 42L)
+        // sampleBy takes explicit per-stratum fractions; the tiny distinct
+        // pull here is fraction METADATA, not a data-plane collect
+        val fractions = docs.select("source").distinct().collect()
+          .map(_.getString(0) -> 0.2).toMap
+        val strat = docs.stat.sampleBy("source", fractions, 42L)
+        val nTotal = docs.agg(F.count(F.lit(1)).as("n_total"))
+        val nSample = sample.agg(F.count(F.lit(1)).as("__ns"))
+        val notSubset = sample.join(docs, Seq("doc_id"), "left_anti")
+          .agg(F.count(F.lit(1)).as("__nv"))
+        val nStrat = strat.agg(F.count(F.lit(1)).as("__nst"))
+        nTotal.crossJoin(nSample).crossJoin(notSubset).crossJoin(nStrat).select(
+          col("n_total"),
+          (col("__ns") >= col("n_total") * 0.1 &&
+            col("__ns") <= col("n_total") * 0.3).as("sample_in_bounds"),
+          (col("__nv") === 0).as("sample_is_subset"),
+          (col("__nst") >= col("n_total") * 0.1 &&
+            col("__nst") <= col("n_total") * 0.3).as("strat_in_bounds"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |true AS sample_in_bounds, true AS sample_is_subset,
+             |true AS strat_in_bounds FROM documents""".stripMargin)),
+
     // q59's contract made checkable: the LSH-bucketed near-dup pairs at
     // q65's threshold are a SUBSET of the exact all-pairs result
     // (precision 1 — the bucket join only ever prunes) and non-empty on
