@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.Tables
-import graft.llm.Similarity
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{functions => F}
 
 /** Invariant-derived oracles for the approximate operators whose raw
@@ -179,6 +179,75 @@ object InvariantQueries {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]) /
              |  (sqrt(list_sum([ (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE) for i in range(1, 65)])) *
-             |   sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))) >= 0.45""".stripMargin))
+             |   sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))) >= 0.45""".stripMargin)),
+
+    // q56's contract made checkable: the rolling-hash fingerprint is a
+    // pure function of the text (equal texts collapse) with no
+    // collisions between the corpus' distinct texts. n_docs and the
+    // distinct-text count anchor the oracle.
+    NamedQuery("q87_fingerprint_classes",
+      (s, d) => {
+        val fp = Tables.documents(s, d).select(col("text"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        fp.agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.count_distinct(col("text")).as("n_distinct_text"),
+          (F.count_distinct(col("fp")) === F.count_distinct(col("text")))
+            .as("collision_free"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+             |true AS collision_free FROM documents""".stripMargin)),
+
+    // q52's contract made checkable: SimHash Hamming<=3 is a STRICTER
+    // bar than Jaccard 0.8, so its pairs are a non-empty subset of the
+    // exact near-dup pairs. The exact pair count anchors the oracle
+    // (same formula as q54's).
+    NamedQuery("q88_simhash_subset",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keys = Seq("a_id", "b_id")
+        val sim = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+          .select(keys.head, keys.tail: _*)
+        val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+          .select(keys.head, keys.tail: _*)
+        val nExact = exact.agg(F.count(F.lit(1)).as("n_exact"))
+        val nSim = sim.agg(F.count(F.lit(1)).as("__n"))
+        val viol = sim.join(exact, keys, "left_anti")
+          .agg(F.count(F.lit(1)).as("__v"))
+        nExact.crossJoin(nSim).crossJoin(viol).select(
+          col("n_exact"),
+          (col("__v") === 0).as("simhash_precise"),
+          (col("__n") >= 1).as("simhash_found_some"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |true AS simhash_precise, true AS simhash_found_some
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8""".stripMargin)),
+
+    // q61's contract made checkable: the mapPartitions feature extractor
+    // agrees with the columnar stats on every shared field, for every
+    // media row. n_media anchors the oracle.
+    NamedQuery("q89_media_consistency",
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        val stats = Multimodal.mediaStats(media)
+          .select(col("media_id"), col("byte_len"), col("sha_hex"))
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+          .select(col("media_id"), col("byte_len").as("__bl"),
+            col("sha256").as("__sha"))
+        val joined = stats.join(feats, "media_id")
+        joined.agg(
+          F.count(F.lit(1)).as("n_media"),
+          (F.count(F.when(col("byte_len") =!= col("__bl") ||
+            col("sha_hex") =!= col("__sha"), 1)) === 0).as("features_match"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_media,
+             |true AS features_match FROM documents""".stripMargin))
   )
 }
