@@ -164,6 +164,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("SpaceSaving top-K sketch aggregates a STREAM: matches exact batch top-3") {
+    import org.apache.spark.sql.functions.col
+    // mergeable-summaries construction => valid as a streaming aggregate
+    def topUsers(events: org.apache.spark.sql.DataFrame) = events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKFreq(3, capacity = 65536)(col("user_id")).as("topk"))
+      .selectExpr("event_type", "inline(topk)")
+    val stream = runStream(topUsers(Streaming.eventsStream(spark, sf)), "topk_live")
+    val batch = batchRows(topUsers(Tables.events(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
