@@ -201,15 +201,17 @@ object InvariantQueries {
 
     // q52's contract made checkable: SimHash Hamming<=3 is a STRICTER
     // bar than Jaccard 0.8, so its pairs are a non-empty subset of the
-    // exact near-dup pairs. The exact pair count anchors the oracle
-    // (same formula as q54's).
+    // exact near-dup pairs. The exact side uses the BANDED plan (q54's
+    // all-pairs oracle equality already proves banded == all-pairs at
+    // this threshold — the all-pairs form would be O(n²) here). The
+    // exact pair count anchors the oracle (same formula as q54's).
     NamedQuery("q88_simhash_subset",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val keys = Seq("a_id", "b_id")
         val sim = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
           .select(keys.head, keys.tail: _*)
-        val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+        val exact = Dedup.ngramJaccardPairsBanded(docs, col("doc_id"), col("text"), 3, 0.8)
           .select(keys.head, keys.tail: _*)
         val nExact = exact.agg(F.count(F.lit(1)).as("n_exact"))
         val nSim = sim.agg(F.count(F.lit(1)).as("__n"))
