@@ -9,7 +9,7 @@ import org.apache.spark.sql.{functions => F}
   * [[graft.sources.Catalog]] (O17 heterogeneous routing). */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ReadCache.parquet(spark, s"$dir/$name.parquet")
 
   /** Catalog-routed load; `events` gets its timestamp normalization. */
   def table(s: SparkSession, cat: Catalog, name: String): DataFrame =

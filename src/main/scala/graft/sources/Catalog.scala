@@ -13,11 +13,25 @@ sealed trait Catalog {
   def load(spark: SparkSession, table: String): DataFrame
 }
 
+/** Memoized parquet reads: `spark.read.parquet` pays a file listing +
+  * footer/schema read EVERY call, and cube construction eagerly builds
+  * every join-spec table — across a large query registry that is
+  * hundreds of redundant footer reads. DataFrames are immutable plans,
+  * so sharing one per (session, path) is safe for immutable datasets
+  * (the engine's source contract; a mutated path would need
+  * `REFRESH`-style invalidation, like Spark's own table cache). */
+object ReadCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent((spark, path), k => k._1.read.parquet(k._2))
+}
+
 /** A lakehouse root: one parquet dataset per table name. */
 final case class PathCatalog(root: String) extends Catalog {
   def id: String = root
   def load(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$root/$table.parquet")
+    ReadCache.parquet(spark, s"$root/$table.parquet")
 }
 
 /** A JDBC database (parity-in-kind with the reference's named ClickHouse
