@@ -102,6 +102,14 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("ReadCache: one DataFrame per (session, path); distinct paths stay distinct") {
+    val a = graft.sources.ReadCache.parquet(spark, "/root/testdata/sf0.001/region.parquet")
+    val b = graft.sources.ReadCache.parquet(spark, "/root/testdata/sf0.001/region.parquet")
+    assert(a eq b, "same session+path must share the memoized DataFrame")
+    val c = graft.sources.ReadCache.parquet(spark, "/root/testdata/sf0.01/region.parquet")
+    assert(!(a eq c) && a.count() == c.count()) // region is 5 rows at every SF
+  }
+
   test("O19/O20: execute returns columns+rows and captures stats") {
     val r = CubeRunner.execute(spark, registry, Cubes.lineitemCube, doc)
     assert(r.columns == Seq("cnt") && r.rows.size == 1)
