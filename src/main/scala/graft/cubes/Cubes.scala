@@ -295,6 +295,35 @@ object Cubes {
             "year" -> Selector("year", F.year(col("o_orderdate")))))))
   }
 
+  /** DocumentsCube — the training-data corpus as a cube: text-analysis
+    * operators (language ID, quality score, token counts, fingerprints)
+    * exposed as dimensions/metrics so curation queries go through the
+    * same front door as OLAP ones. All derived columns are row-local
+    * codegen'd expressions (graft.llm.TextAnalysis).
+    */
+  def documentsCube(s: SparkSession, d: String): Cube =
+    documentsCube(s, PathCatalog(d))
+
+  def documentsCube(s: SparkSession, cat: Catalog): Cube = {
+    import graft.llm.TextAnalysis
+    val docs = Tables.table(s, cat, "documents")
+    Cube(
+      name = "documents",
+      fact = docs,
+      dimensions = Map(
+        "source" -> Dimension("source", col("source")),
+        "lang" -> Dimension("lang", TextAnalysis.langId(col("text")))),
+      metrics = Map(
+        "count" -> Metric.countAll("count"),
+        "avgQuality" -> Metric.avgOf("avgQuality",
+            TextAnalysis.qualityScore(col("text"))).mapValue(F.round(_, 4)),
+        "sumTokens" -> Metric.sumOf("sumTokens", TextAnalysis.tokenCount(col("text"))),
+        "uniqueTexts" -> Metric.uniqExact("uniqueTexts", F.md5(col("text")))),
+      selectors = Map(
+        "source" -> Selector("source", col("source")),
+        "nChars" -> Selector("nChars", col("n_chars"))))
+  }
+
   /** EventsCube — the stream table queried as a batch cube (the streaming
     * variants live in graft.streaming).
     */

@@ -65,7 +65,64 @@ object ParsedQueries {
       |    {"name": "sumValue", "alias": "revenue", "onType": "PurchaseStats"},
       |    {"name": "avgValue", "alias": "avg_signup_value", "onType": "SignupStats"} ] }""".stripMargin
 
+  private val docsDoc =
+    """{ "cube": "documents",
+      |  "args": { "nChars": {"gt": 100}, "options": {"asc": ["lang", "source"]} },
+      |  "fields": [
+      |    {"name": "lang"},
+      |    {"name": "source"},
+      |    {"name": "count", "alias": "cnt"},
+      |    {"name": "avgQuality", "alias": "avg_quality"},
+      |    {"name": "sumTokens", "alias": "sum_tokens"},
+      |    {"name": "uniqueTexts", "alias": "uniq_texts"}] }""".stripMargin
+
   val qs: Seq[NamedQuery] = Seq(
+
+    // the documents cube through the front door: text-analysis derived
+    // dimension (language ID) and metrics (quality, token counts,
+    // distinct texts) compiled from the same JSON tree as OLAP queries.
+    // Every formula is mirrored exactly in the oracle (q55's proven
+    // mirrors, grouped).
+    NamedQuery("q90_docs_cube",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d), docsDoc).query.toDF,
+      Some("""WITH m AS (
+             |  SELECT source, text, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE n_chars > 100),
+             |sc AS (
+             |  SELECT source, text, len(toks) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS stopword_ratio,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['el','la','de','que','y','en'], x))) AS s_es,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['le','les','et','une','dans'], x))) AS s_fr
+             |  FROM m),
+             |q AS (
+             |  SELECT source, text, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality,
+             |    CASE
+             |      WHEN s_en >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+             |      WHEN s_es >= greatest(s_es, s_de, s_fr) AND greatest(s_es, s_de, s_fr) > 0 THEN 'es'
+             |      WHEN s_de >= greatest(s_de, s_fr) AND greatest(s_de, s_fr) > 0 THEN 'de'
+             |      WHEN s_fr > 0 THEN 'fr'
+             |      ELSE 'und' END AS lang
+             |  FROM sc)
+             |SELECT lang, source, count(*) AS cnt,
+             |round(avg(quality), 4) AS avg_quality,
+             |CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts
+             |FROM q GROUP BY 1, 2
+             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST,
+             |cnt ASC, avg_quality ASC, sum_tokens ASC, uniq_texts ASC""".stripMargin)),
 
     // per-row union discriminator through the front door (R8,
     // response_builder.rb:21-24: __typename resolves from the runtime
