@@ -28,14 +28,15 @@ final class PlanCache(maxEntries: Int = 128) {
   private var _hits = 0L
   private var _misses = 0L
 
-  def getOrCompile(key: String)(build: => DataFrame): DataFrame = {
-    val cached = synchronized { map.get(key) }
-    if (cached != null) { synchronized { _hits += 1 }; cached }
-    else {
-      val df = build // build outside the lock — Catalyst analysis can be slow
-      synchronized { _misses += 1; map.put(key, df) }
-      df
-    }
+  /** Single-flight: the build runs under the lock, so a concurrent burst
+    * of the same shape compiles ONCE and the rest block briefly then hit.
+    * Serializing first-builds of different shapes is the accepted cost —
+    * a build is tens of ms of Catalyst work, and the entire point of the
+    * cache is that builds are rare. */
+  def getOrCompile(key: String)(build: => DataFrame): DataFrame = synchronized {
+    val cached = map.get(key)
+    if (cached != null) { _hits += 1; cached }
+    else { _misses += 1; val df = build; map.put(key, df); df }
   }
   def hits: Long = synchronized(_hits)
   def misses: Long = synchronized(_misses)

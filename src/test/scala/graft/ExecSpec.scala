@@ -102,6 +102,32 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("concurrent execution: parallel queries through one shared PlanCache stay correct") {
+    val cache = new graft.exec.PlanCache()
+    val flags = Seq("A", "N", "R")
+    def docFor(flag: String) =
+      s"""{"args": {"returnFlag": {"eq": "$flag"}},
+           "fields": [{"name": "count", "alias": "cnt"}]}"""
+    // sequential ground truth
+    val expected = flags.map(f => f ->
+      CubeRunner.execute(spark, registry, Cubes.lineitemCube, docFor(f))
+        .rows.head.getLong(0)).toMap
+    // 24 parallel executions over 3 query shapes hammer the same cache
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(
+      (1 to 24).map { i =>
+        val f = flags(i % 3)
+        Future(f -> CubeRunner.execute(spark, registry, Cubes.lineitemCube,
+          docFor(f), cache = Some(cache)).rows.head.getLong(0))
+      }), 120.seconds)
+    results.foreach { case (f, n) => assert(n == expected(f), s"flag $f: $n") }
+    // single-flight: each of the 3 shapes compiled exactly once
+    assert(cache.misses == 3, s"cache over-compiled: misses=${cache.misses}")
+    assert(cache.hits == 21)
+  }
+
   test("ReadCache: one DataFrame per (session, path); distinct paths stay distinct") {
     val a = graft.sources.ReadCache.parquet(spark, "/root/testdata/sf0.001/region.parquet")
     val b = graft.sources.ReadCache.parquet(spark, "/root/testdata/sf0.001/region.parquet")
