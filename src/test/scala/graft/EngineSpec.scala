@@ -136,4 +136,17 @@ class EngineSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_returnflag:string>"),
       s"scan reads more than needed:\n$scan")
   }
+
+  test("documents cube: selector pushes to the scan; derived dims don't widen it") {
+    val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
+      .slice("lang", "lang").measure("c", "count")
+      .when(Pred.gt("nChars", 100)).toDF
+    val scan = q.queryExecution.executedPlan.toString
+    // the n_chars filter reaches parquet; only text (for langId) and
+    // n_chars are read — doc_id/source/everything else pruned
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"selector not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<text:string,n_chars:"),
+      s"scan reads more than text+n_chars:\n$scan")
+  }
 }
