@@ -74,6 +74,22 @@ object Compiler {
           filtered.rollup(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
         case GroupingMode.CubeSets =>
           filtered.cube(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        case GroupingMode.Sets(sets) =>
+          // groupingSets matches set members against the grouping columns
+          // by expression equality, and neither aliased nor re-derived
+          // expressions match — only plain attribute references do. So
+          // materialize each slice key as a column first and group on the
+          // bare references in both lists.
+          val keys = q.slices.map(_._1)
+          sets.flatten.find(!keys.contains(_)).foreach(k =>
+            throw new CubeQueryException(
+              s"groupingSets key '$k' is not a slice (have: ${keys.mkString(",")})"))
+          val withKeys = q.slices.foldLeft(filtered) { case (df, (key, ref)) =>
+            df.withColumn(key, r.dim(ref.dim).resolve(ref.path))
+          }
+          withKeys.groupingSets(
+              sets.map(_.map(F.col)), keys.map(F.col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
       }
       else if (aggCols.nonEmpty)
         filtered.agg(aggCols.head, aggCols.tail: _*)

@@ -206,6 +206,25 @@ object ExtraQueries {
              |             ORDER BY o_totalprice DESC, o_orderkey ASC)
              |ORDER BY prio ASC NULLS FIRST, okey ASC""".stripMargin)),
 
+    // arbitrary GROUPING SETS — the general form behind ROLLUP (q26) and
+    // CUBE (q27): user-chosen aggregation levels in one pass
+    NamedQuery("q91_grouping_sets",
+      (s, d) => li(s, d)
+        .slice("return_flag", "returnFlag")
+        .slice("line_status", "lineStatus")
+        .measure("cnt", "count")
+        .measure("sum_qty", "sumQty")
+        .withGroupingSets(Seq(
+          Seq("return_flag", "line_status"), Seq("line_status"), Seq()))
+        .asc("return_flag", "line_status")
+        .toDF,
+      Some("""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+             |count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY return_flag ASC NULLS FIRST, line_status ASC NULLS FIRST,
+             |cnt ASC, sum_qty ASC""".stripMargin)),
+
     // EXCEPT completes the set-op family (union q37, intersect q39):
     // orders with no line items (non-empty in this fixture)
     NamedQuery("q85_except_keys",

@@ -89,6 +89,9 @@ object GroupingMode {
   case object Flat extends GroupingMode
   case object Rollup extends GroupingMode
   case object CubeSets extends GroupingMode
+  /** Arbitrary GROUPING SETS over slice keys (ROLLUP/CUBE are the two
+    * fixed shapes; this is the general form). */
+  final case class Sets(sets: Seq[Seq[String]]) extends GroupingMode
 }
 
 /** Immutable fluent query builder (reference parse_tree.rb:84-107 — every
@@ -105,6 +108,9 @@ final case class CubeQuery(
 
   def withRollup: CubeQuery = copy(grouping = GroupingMode.Rollup)
   def withCubeSets: CubeQuery = copy(grouping = GroupingMode.CubeSets)
+  /** Arbitrary grouping sets over slice KEYS (validated at compile). */
+  def withGroupingSets(sets: Seq[Seq[String]]): CubeQuery =
+    copy(grouping = GroupingMode.Sets(sets))
 
   def slice(key: String, dim: String, path: String*): CubeQuery =
     copy(slices = slices :+ (key -> SliceRef(dim, path)))
