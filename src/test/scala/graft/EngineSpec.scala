@@ -137,6 +137,25 @@ class EngineSpec extends AnyFunSuite {
       s"scan reads more than needed:\n$scan")
   }
 
+  test("groupingSets: unknown key raises; sets union == separate groupBys") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[graft.model.CubeQueryException](
+      li.slice("f", "returnFlag").measure("c", "count")
+        .withGroupingSets(Seq(Seq("bogus"))).toDF)
+    assert(e.getMessage.contains("bogus"))
+    val sets = li.slice("f", "returnFlag").slice("s", "lineStatus")
+      .measure("c", "count")
+      .withGroupingSets(Seq(Seq("f", "s"), Seq("f"))).toDF
+      .collect().map(_.toString).sorted
+    val manual = (
+      li.slice("f", "returnFlag").slice("s", "lineStatus").measure("c", "count").toDF
+        .collect().map(_.toString) ++
+      li.slice("f", "returnFlag").measure("c", "count").toDF
+        .select(col("f"), org.apache.spark.sql.functions.lit(null).cast("string").as("s"),
+          col("c")).collect().map(_.toString)).sorted
+    assert(sets.nonEmpty && sets.sameElements(manual))
+  }
+
   test("documents cube: selector pushes to the scan; derived dims don't widen it") {
     val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
       .slice("lang", "lang").measure("c", "count")
