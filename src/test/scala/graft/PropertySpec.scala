@@ -135,6 +135,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollup == groupingSets over key prefixes (fixed shapes are the general form)") {
+    val q = base.slice("f", "returnFlag").slice("s", "lineStatus")
+      .measure("c", "count").measure("sq", "sumQty")
+    val rollup = q.withRollup.toDF.collect().map(_.toString).sorted
+    val sets = q.withGroupingSets(Seq(Seq("f", "s"), Seq("f"), Seq()))
+      .toDF.collect().map(_.toString).sorted
+    assert(rollup.nonEmpty && rollup.sameElements(sets))
+  }
+
   test("slice+measure row count equals distinct slice combinations") {
     val r = new Random(5)
     (1 to 6).foreach { i =>
