@@ -124,6 +124,26 @@ object Cubes {
           F.call_function("percentile",
             p.map(pr => F.when(pr, col("l_extendedprice"))).getOrElse(col("l_extendedprice")),
             F.lit(0.9)), 4)),
+        // ClickHouse quantiles(...) parity: several percentiles in ONE
+        // aggregation pass (array-typed metric)
+        "quantilesPrice" -> Metric("quantilesPrice", p => {
+          val c = p.map(pr => F.when(pr, col("l_extendedprice")))
+            .getOrElse(col("l_extendedprice"))
+          F.transform(
+            F.call_function("percentile", c, F.typedlit(Seq(0.25, 0.5, 0.75))),
+            x => F.round(x, 4))
+        }),
+        // ClickHouse argMin/argMax parity. The ordering is a (price, key)
+        // struct so ties break deterministically — at 100 TB a bare
+        // min_by(price) tie would be partition-order-dependent.
+        "cheapestPart" -> Metric("cheapestPart", p =>
+          F.min_by(col("l_partkey"), p.map(pr => F.when(pr,
+              F.struct(col("l_extendedprice"), col("l_partkey"))))
+            .getOrElse(F.struct(col("l_extendedprice"), col("l_partkey"))))),
+        "priciestPart" -> Metric("priciestPart", p =>
+          F.max_by(col("l_partkey"), p.map(pr => F.when(pr,
+              F.struct(col("l_extendedprice"), col("l_partkey"))))
+            .getOrElse(F.struct(col("l_extendedprice"), col("l_partkey"))))),
         // parameterized tuple metric (ClickHouse topK(size); the reference
         // dispatches the size arg onto the metric, parse_tree.rb:127-130).
         // Single-pass SpaceSaving sketch; exact while the per-group

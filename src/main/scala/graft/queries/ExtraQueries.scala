@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.cubes.{Cubes, Tables}
 import graft.operators.Skew
-import graft.query.CubeQuery
+import graft.query.{CubeQuery, Pred}
 import org.apache.spark.sql.{functions => F}
 
 /** Grouping sets, percentile metrics, skew-salted aggregation. */
@@ -205,6 +205,60 @@ object ExtraQueries {
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice DESC, o_orderkey ASC)
              |ORDER BY prio ASC NULLS FIRST, okey ASC""".stripMargin)),
+
+    // ClickHouse quantiles(0.25,0.5,0.75) parity: one-pass array metric
+    // (to_json at the driver edge — nested values aren't pandas-hashable)
+    NamedQuery("q92_quantiles_metric",
+      (s, d) => {
+        import org.apache.spark.sql.functions.to_json
+        li(s, d)
+          .slice("return_flag", "returnFlag")
+          .measure("price_quartiles", "quantilesPrice")
+          .asc("return_flag")
+          .toDF
+          .withColumn("price_quartiles", to_json(col("price_quartiles")))
+      },
+      Some("""SELECT l_returnflag AS return_flag,
+             |CAST(to_json([round(quantile_cont(l_extendedprice, 0.25), 4),
+             |  round(quantile_cont(l_extendedprice, 0.5), 4),
+             |  round(quantile_cont(l_extendedprice, 0.75), 4)]) AS VARCHAR) AS price_quartiles
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST, price_quartiles ASC""".stripMargin)),
+
+    // ClickHouse argMin/argMax parity, deterministic under price ties via
+    // (price, key) struct ordering; filtered variant exercises FILTER +
+    // min_by together. Oracle = window rn=1 (DuckDB arg_min can't take a
+    // struct ordering).
+    NamedQuery("q93_argminmax",
+      (s, d) => li(s, d)
+        .slice("return_flag", "returnFlag")
+        .measure("cheapest_part", "cheapestPart")
+        .measure("priciest_part", "priciestPart")
+        .measureWhen("cheapest_hiqty", "cheapestPart", Pred.gt("quantity", 40))
+        .asc("return_flag")
+        .toDF,
+      Some("""WITH lo AS (
+             |  SELECT l_returnflag AS f, l_partkey AS pk, row_number() OVER (
+             |    PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice ASC, l_partkey ASC) AS rn
+             |  FROM lineitem),
+             |hi AS (
+             |  SELECT l_returnflag AS f, l_partkey AS pk, row_number() OVER (
+             |    PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice DESC, l_partkey DESC) AS rn
+             |  FROM lineitem),
+             |lof AS (
+             |  SELECT l_returnflag AS f, l_partkey AS pk, row_number() OVER (
+             |    PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice ASC, l_partkey ASC) AS rn
+             |  FROM lineitem WHERE l_quantity > 40)
+             |SELECT lo.f AS return_flag, lo.pk AS cheapest_part,
+             |hi.pk AS priciest_part, lof.pk AS cheapest_hiqty
+             |FROM lo JOIN hi ON lo.f = hi.f AND hi.rn = 1
+             |JOIN lof ON lof.f = lo.f AND lof.rn = 1
+             |WHERE lo.rn = 1
+             |ORDER BY return_flag ASC NULLS FIRST, cheapest_part ASC,
+             |priciest_part ASC, cheapest_hiqty ASC""".stripMargin)),
 
     // arbitrary GROUPING SETS — the general form behind ROLLUP (q26) and
     // CUBE (q27): user-chosen aggregation levels in one pass
