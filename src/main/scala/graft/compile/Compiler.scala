@@ -79,17 +79,25 @@ object Compiler {
           // by expression equality, and neither aliased nor re-derived
           // expressions match — only plain attribute references do. So
           // materialize each slice key as a column first and group on the
-          // bare references in both lists.
+          // bare references in both lists. The keys are materialized
+          // under reserved __gs_ names, NOT the user aliases: withColumn
+          // on the pre-aggregation frame would otherwise overwrite a
+          // fact column a metric still reads (slice alias "l_quantity"
+          // silently corrupting sum(l_quantity)).
           val keys = q.slices.map(_._1)
           sets.flatten.find(!keys.contains(_)).foreach(k =>
             throw new CubeQueryException(
               s"groupingSets key '$k' is not a slice (have: ${keys.mkString(",")})"))
+          keys.find(_.startsWith("__gs_")).foreach(k =>
+            throw new CubeQueryException(s"slice key '$k' uses the reserved __gs_ prefix"))
+          def tag(k: String) = s"__gs_$k"
           val withKeys = q.slices.foldLeft(filtered) { case (df, (key, ref)) =>
-            df.withColumn(key, r.dim(ref.dim).resolve(ref.path))
+            df.withColumn(tag(key), r.dim(ref.dim).resolve(ref.path))
           }
           withKeys.groupingSets(
-              sets.map(_.map(F.col)), keys.map(F.col): _*)
+              sets.map(_.map(k => F.col(tag(k)))), keys.map(k => F.col(tag(k))): _*)
             .agg(aggCols.head, aggCols.tail: _*)
+            .withColumnsRenamed(keys.map(k => tag(k) -> k).toMap)
       }
       else if (aggCols.nonEmpty)
         filtered.agg(aggCols.head, aggCols.tail: _*)

@@ -44,12 +44,42 @@ final class PlanCache(maxEntries: Int = 128) {
 
 object PlanCache {
   /** Canonical cache key: session identity + database root + cube +
-    * query data + response shape. A CubeQuery minus its cube is pure
-    * data (ADTs, strings, primitives), so its structural toString is a
-    * stable canonical form; same for the parsed element tree. */
+    * query data + response shape. Serialized with TYPE TAGS, not
+    * structural toString: `Op("flag","eq",Some(25))` and
+    * `Op("flag","eq",Some("25"))` render identically under toString but
+    * compile to different plans (numeric vs string comparison under
+    * Spark's coercion), so an untyped key would silently share one
+    * cached DataFrame between semantically different queries. Strings
+    * are length-prefixed so no value can forge a delimiter. */
   def key(spark: SparkSession, dir: String, cubeName: String, nested: Boolean,
       q: CubeQuery, root: Element): String =
-    Seq(System.identityHashCode(spark), dir, cubeName, nested,
-      (q.slices, q.measures, q.wheres, q.options, q.grouping), root)
-      .mkString("§")
+    canon((System.identityHashCode(spark), dir, cubeName, nested,
+      (q.slices, q.measures, q.wheres, q.options, q.grouping), root))
+
+  /** Typed canonical form of the query-data value graph (ADTs, tuples,
+    * Options, Seqs, primitive leaves). Every leaf carries its runtime
+    * type; strings are `s<len>:<bytes>`, so "25" ≠ 25 and no embedded
+    * delimiter or parenthesis can alias two structures. */
+  private[graft] def canon(v: Any): String = v match {
+    case null => "z"
+    case s: String => s"s${s.length}:$s"
+    case i: Int => s"i$i"
+    case l: Long => s"l$l"
+    case d: Double => s"d$d"
+    case f: Float => s"f$f"
+    case sh: Short => s"h$sh"
+    case by: Byte => s"y$by"
+    case b: Boolean => s"b$b"
+    case bd: BigDecimal => s"m$bd"
+    case bi: BigInt => s"g$bi"
+    case None => "n"
+    case Some(x) => s"o(${canon(x)})"
+    case xs: Seq[_] => xs.map(canon).mkString("q(", ",", ")")
+    case m: Map[_, _] => // deterministic regardless of insertion order
+      m.toSeq.map { case (k, x) => s"${canon(k)}->${canon(x)}" }
+        .sorted.mkString("M(", ",", ")")
+    case p: Product =>
+      p.productIterator.map(canon).mkString(p.productPrefix + "(", ",", ")")
+    case other => s"${other.getClass.getName}:$other"
+  }
 }

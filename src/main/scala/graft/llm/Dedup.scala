@@ -79,6 +79,11 @@ object Dedup {
     * Candidates are then verified with exact Jaccard over the shingle
     * sets, so the threshold is exact, LSH only bounds recall.
     *
+    * Band count: 16 bands × 2 rows keeps the per-pair structural miss
+    * probability at the 0.8 threshold near 1e-7 (vs ~1.5% at 8×4), so
+    * recall is corpus-independent, not fixture luck; the exact verify
+    * absorbs the extra low-similarity candidates 2-row bands admit.
+    *
     * Skew note for 100 TB: candidate count is quadratic in the size of a
     * bucket, so a corpus with millions of IDENTICAL documents makes one
     * bucket explode. Run [[exactDuplicateGroups]] first and near-dup only
@@ -94,7 +99,7 @@ object Dedup {
       textCol: Column,
       shingleK: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8,
+      bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 1234L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -176,7 +181,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 32,
-      bands: Int = 8,
+      bands: Int = 16,
       seed: Long = 1234L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val docSh = df.select(idCol.as("id"),

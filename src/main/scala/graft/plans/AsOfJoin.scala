@@ -55,8 +55,11 @@ object AsOfPushdownRule extends org.apache.spark.sql.catalyst.rules.Rule[Logical
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
+      // deterministic only, mirroring Catalyst's own PushDownPredicates:
+      // rand() < 0.1 has an empty reference set but pushing it changes
+      // how many times (and on which rows) it is evaluated
       val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(j.left.outputSet))
+        .partition(e => e.references.subsetOf(j.left.outputSet) && e.deterministic)
       if (leftOnly.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))

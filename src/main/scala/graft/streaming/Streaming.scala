@@ -128,17 +128,18 @@ object Streaming {
       options: Map[String, String] = Map.empty): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       options.get("driver").foreach(Class.forName)
-      val conn = java.sql.DriverManager.getConnection(url)
+      // the DELETE connection must authenticate exactly like the Spark
+      // append: user/password (and any driver flags) arrive via options
+      val conn = java.sql.DriverManager.getConnection(
+        url, connectionProperties(options))
       try {
-        // Spark's JDBC writer quotes column names as given; mirror that
         val rs = conn.getMetaData.getTables(null, null, null, null)
         var exists = false
         while (rs.next() && !exists)
           exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
         if (exists) {
           val st = conn.createStatement()
-          try st.executeUpdate(
-            s"""DELETE FROM $table WHERE "__batch_id" = $batchId""")
+          try st.executeUpdate(deleteStatement(url, table, batchId))
           finally st.close()
         }
       } finally conn.close()
@@ -146,6 +147,32 @@ object Streaming {
         .write.mode("append").format("jdbc")
         .option("url", url).option("dbtable", table)
       options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
+  }
+
+  /** Connection properties for the idempotency DELETE, mirroring Spark's
+    * own JDBC option handling: every option that isn't a Spark-side knob
+    * is a driver property (user, password, ssl flags, ...). */
+  private[graft] def connectionProperties(
+      options: Map[String, String]): java.util.Properties = {
+    val sparkSide = Set("url", "dbtable", "driver", "numpartitions",
+      "batchsize", "isolationlevel", "truncate", "createtableoptions",
+      "createtablecolumntypes", "query", "partitioncolumn",
+      "lowerbound", "upperbound", "fetchsize")
+    val p = new java.util.Properties()
+    options.foreach { case (k, v) =>
+      if (!sparkSide.contains(k.toLowerCase(java.util.Locale.ROOT))) p.setProperty(k, v)
+    }
+    p
+  }
+
+  /** The per-batch idempotency DELETE, with the batch-id column quoted by
+    * the warehouse's own JDBC dialect (ANSI double quotes are a syntax
+    * error on default-mode MySQL; backticks are one on Derby/Postgres). */
+  private[graft] def deleteStatement(url: String, table: String,
+      batchId: Long): String = {
+    val col = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier("__batch_id")
+    s"DELETE FROM $table WHERE $col = $batchId"
   }
 
   /** Stream → JDBC warehouse via the idempotent batch writer. */

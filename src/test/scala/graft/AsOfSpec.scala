@@ -96,6 +96,22 @@ class AsOfSpec extends AnyFunSuite {
     assert(scans.contains("event_id"), s"predicate never reached a scan:\n$scans")
   }
 
+  test("AsOfPushdownRule: non-deterministic predicates stay above the join") {
+    import org.apache.spark.sql.functions.rand
+    val joined = AsOfJoin.dataframe(spark, purchases, signups,
+      Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))
+    // rand() references nothing, so a reference-only split would push it;
+    // pushing changes which rows it is evaluated on (Catalyst's own
+    // PushDownPredicates requires cond.deterministic — so do we)
+    val filtered = joined.filter(rand(42) < 0.5)
+    val lines = filtered.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("AsOfJoinPlan"))
+    val randIdx = lines.indexWhere(_.contains("rand("))
+    assert(joinIdx >= 0 && randIdx >= 0 && randIdx < joinIdx,
+      s"non-deterministic filter was pushed below the as-of join:\n${lines.mkString("\n")}")
+    assert(filtered.count() <= joined.count())
+  }
+
   test("physical plan uses the custom exec with co-partitioned sorted inputs") {
     val df = AsOfJoin.dataframe(spark, purchases, signups,
       Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"))

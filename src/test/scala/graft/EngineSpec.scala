@@ -156,6 +156,23 @@ class EngineSpec extends AnyFunSuite {
     assert(sets.nonEmpty && sets.sameElements(manual))
   }
 
+  test("groupingSets: slice alias shadowing a fact column cannot corrupt metrics") {
+    // alias the slice key as "l_quantity" — the very column sumQty reads.
+    // Materializing keys under user names would overwrite it pre-agg and
+    // silently corrupt the aggregate; the __gs_ internal names must not.
+    val shadowed = li.slice("l_quantity", "returnFlag").measure("q", "sumQty")
+      .withGroupingSets(Seq(Seq("l_quantity"))).toDF
+      .collect().map(_.toString).sorted
+    val flat = li.slice("l_quantity", "returnFlag").measure("q", "sumQty").toDF
+      .collect().map(_.toString).sorted
+    assert(shadowed.nonEmpty && shadowed.sameElements(flat))
+    // and the reserved prefix itself is rejected as a user alias
+    val e = intercept[graft.model.CubeQueryException](
+      li.slice("__gs_x", "returnFlag").measure("c", "count")
+        .withGroupingSets(Seq(Seq("__gs_x"))).toDF)
+    assert(e.getMessage.contains("__gs_"))
+  }
+
   test("documents cube: selector pushes to the scan; derived dims don't widen it") {
     val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
       .slice("lang", "lang").measure("c", "count")

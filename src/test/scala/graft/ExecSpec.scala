@@ -102,6 +102,23 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("plan cache keys are typed: Int vs String args, list splits, separators never alias") {
+    import graft.exec.PlanCache.canon
+    // the toString trap: Op("flag","eq",Some(25)) and Op("flag","eq",Some("25"))
+    // print identically but compile to different plans under coercion
+    assert(canon(Pred.Op("flag", "eq", Some(25))) !=
+      canon(Pred.Op("flag", "eq", Some("25"))))
+    assert(canon(Pred.Op("flag", "eq", Some(25L))) !=
+      canon(Pred.Op("flag", "eq", Some(25))))
+    // list element boundaries are length-prefixed: ["a,b"] != ["a","b"]
+    assert(canon(Seq("a,b")) != canon(Seq("a", "b")))
+    // a value containing the old '§' separator cannot forge another key
+    assert(canon(("a§b", "c")) != canon(("a", "b§c")))
+    // stability: equal values, equal keys
+    assert(canon(Pred.and(Pred.eq("f", "R"), Pred.gt("q", 3))) ==
+      canon(Pred.and(Pred.eq("f", "R"), Pred.gt("q", 3))))
+  }
+
   test("concurrent execution: parallel queries through one shared PlanCache stay correct") {
     val cache = new graft.exec.PlanCache()
     val flags = Seq("A", "N", "R")

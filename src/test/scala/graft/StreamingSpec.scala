@@ -141,6 +141,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sinkCount() == expected)
   }
 
+  test("JDBC writer: credentials reach the DELETE connection; dialect quotes the batch column") {
+    // connection properties mirror Spark's split: user/password (and any
+    // driver flag) pass through; Spark-side knobs like driver/batchsize don't
+    val p = Streaming.connectionProperties(Map(
+      "user" -> "u", "password" -> "pw", "ssl" -> "true",
+      "driver" -> "org.x.Driver", "batchsize" -> "1000", "dbtable" -> "t"))
+    assert(p.getProperty("user") == "u" && p.getProperty("password") == "pw"
+      && p.getProperty("ssl") == "true")
+    assert(p.getProperty("driver") == null && p.getProperty("batchsize") == null
+      && p.getProperty("dbtable") == null)
+    // identifier quoting follows the warehouse dialect: backticks on MySQL
+    // (ANSI double quotes are a syntax error there), double quotes elsewhere
+    assert(Streaming.deleteStatement("jdbc:mysql://h/db", "t", 7) ==
+      "DELETE FROM t WHERE `__batch_id` = 7")
+    assert(Streaming.deleteStatement("jdbc:postgresql://h/db", "t", 7) ==
+      "DELETE FROM t WHERE \"__batch_id\" = 7")
+    assert(Streaming.deleteStatement("jdbc:derby:memory:x", "t", 7)
+      .contains("\"__batch_id\""))
+  }
+
   test("cube queries compile against a STREAMING fact: stream == batch") {
     import graft.model.{Cube, Dimension, Metric, Selector}
     import graft.query.{CubeQuery, Pred}
