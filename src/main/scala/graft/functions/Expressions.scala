@@ -234,3 +234,55 @@ object WordShingles {
   def apply(c: Column, k: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), k))
 }
+
+/** Point-frequency estimate from a serialized Spark `CountMinSketch`
+  * (the binary `F.count_min_sketch` emits). The sketch is the mergeable
+  * frequency summary for 100 TB streams — partial sketches combine
+  * map-side and across batches; this expression reads estimates back at
+  * the result edge. Eval-only (`CodegenFallback`): it runs over a
+  * handful of post-aggregation rows, never inside the scan loop, and
+  * deserialization is memoized per-partition below.
+  *
+  * Items must be estimated the same way the aggregate added them:
+  * integral types via the long path, strings via their UTF-8 bytes.
+  */
+case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType | ShortType | ByteType | StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate needs (binary sketch, integral or string item), got $other")
+    }
+
+  @transient private lazy val cache =
+    new java.util.HashMap[java.nio.ByteBuffer, org.apache.spark.util.sketch.CountMinSketch]()
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    val keyBuf = java.nio.ByteBuffer.wrap(bytes)
+    var cms = cache.get(keyBuf)
+    if (cms == null) {
+      cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cache.put(keyBuf, cms)
+    }
+    item match {
+      case s: UTF8String => cms.estimateCount(s.getBytes)
+      case i: Integer => cms.estimateCount(java.lang.Long.valueOf(i.longValue))
+      case other => cms.estimateCount(other)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "cms_estimate"
+}
+
+object CmsEstimate {
+  def apply(sketch: Column, item: Column): Column =
+    GraftBridge.column(CmsEstimate(GraftBridge.expression(sketch), GraftBridge.expression(item)))
+}

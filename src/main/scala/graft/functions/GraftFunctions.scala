@@ -28,7 +28,8 @@ object GraftFunctions {
     "polyhash64" -> (exprs => PolyHash64(exprs.head)),
     "word_shingles" -> (exprs =>
       WordShingles(exprs.head,
-        if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)))
+        if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)),
+    "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -287,6 +287,32 @@ object ExtraQueries {
         .orderBy(col("o_orderkey").asc),
       Some("""SELECT o_orderkey FROM orders
              |EXCEPT SELECT l_orderkey FROM lineitem
-             |ORDER BY o_orderkey ASC""".stripMargin))
+             |ORDER BY o_orderkey ASC""".stripMargin)),
+
+    // one-pass fixed-width histogram per group (ClickHouse histogram()
+    // analogue): width_bucket lays l_quantity (1..50) into 10 bins; one
+    // conditional sum per bin — a single aggregation pass, no
+    // per-bin re-scan, map-side combined. to_json at the driver edge
+    // (list cells are unhashable in the harness).
+    NamedQuery("q95_histogram",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          F.to_json(F.array((1 to 10).map(i =>
+            F.sum(F.when(F.width_bucket(
+              col("l_quantity"), F.lit(1.0), F.lit(51.0), F.lit(10)) === i, 1L)
+              .otherwise(0L))): _*)).as("hist"),
+          F.count(F.lit(1)).as("n"))
+        .orderBy(col("flag").asc),
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |  CAST(floor((l_quantity - 1) / 5) + 1 AS INT) AS bucket FROM lineitem),
+             |c AS (SELECT flag, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+             |g AS (SELECT f.flag, gs.bucket FROM (SELECT DISTINCT flag FROM b) f,
+             |      (SELECT unnest(generate_series(1, 10)) AS bucket) gs),
+             |z AS (SELECT g.flag, g.bucket, COALESCE(c.n, 0) AS n
+             |      FROM g LEFT JOIN c ON g.flag = c.flag AND g.bucket = c.bucket)
+             |SELECT flag, CAST(to_json(list(n ORDER BY bucket)) AS VARCHAR) AS hist,
+             |CAST(sum(n) AS BIGINT) AS n
+             |FROM z GROUP BY flag ORDER BY flag ASC""".stripMargin))
   )
 }

@@ -250,6 +250,36 @@ object InvariantQueries {
             col("sha_hex") =!= col("__sha"), 1)) === 0).as("features_match"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_media,
-             |true AS features_match FROM documents""".stripMargin))
+             |true AS features_match FROM documents""".stripMargin)),
+
+    // count-min sketch frequency estimates: the mergeable frequency
+    // summary for streams. CMS guarantees est >= exact always, and
+    // est <= exact + eps*N with prob >= confidence per key — both
+    // emitted as invariant booleans over EVERY distinct supplier key,
+    // anchored by the exact key count the oracle recomputes.
+    NamedQuery("q96_cms_bound",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sk = li.agg(
+          F.count_min_sketch(col("l_suppkey"),
+            F.lit(0.001), F.lit(0.999), F.lit(42)).as("__cms"),
+          F.count(F.lit(1)).as("__n_total"))
+        val exact = li.groupBy(col("l_suppkey").as("__k"))
+          .agg(F.count(F.lit(1)).as("__exact"))
+        val est = exact.crossJoin(F.broadcast(sk))
+          .select(col("__k"), col("__exact"),
+            graft.functions.CmsEstimate(col("__cms"), col("__k")).as("__est"),
+            col("__n_total"))
+        est.agg(
+          F.count(F.lit(1)).as("n_keys"),
+          (F.count(F.when(col("__est") < col("__exact"), 1)) === 0)
+            .as("never_underestimates"),
+          (F.count(F.when(
+            col("__est") > col("__exact") + F.lit(0.001) * col("__n_total"), 1)) === 0)
+            .as("within_eps_bound"))
+      },
+      Some("""SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_keys,
+             |true AS never_underestimates, true AS within_eps_bound
+             |FROM lineitem""".stripMargin))
   )
 }

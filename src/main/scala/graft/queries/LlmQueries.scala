@@ -302,6 +302,31 @@ object LlmQueries {
       Some("""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
              |FROM documents WHERE doc_id IN (
              |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
-             |GROUP BY 1 ORDER BY source ASC""".stripMargin))
+             |GROUP BY 1 ORDER BY source ASC""".stripMargin)),
+
+    // deterministic hash split (train/val/test): md5-bucketed assignment
+    // is engine-independent and partitioning-independent — the oracle
+    // recomputes the SAME buckets in DuckDB, proving any loader can
+    // reproduce the split without Spark (rand()/sample() cannot do this).
+    NamedQuery("q94_hash_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+            graft.llm.Splits.assignSplit(col("doc_id"),
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+          .groupBy(col("split"))
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.min(col("doc_id")).as("min_id"),
+            F.max(col("doc_id")).as("max_id"))
+          .orderBy(col("split").asc)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 80 THEN 'train'
+             |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY split ASC""".stripMargin))
   )
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB table-layout story, part two (part one is BucketingSpec's
+  * shuffle-free co-located joins): date-partitioned directories make
+  * time-range queries read only the matching partitions — at a thousand
+  * days of history, a one-day query touches 0.1% of the files — and
+  * dynamic partition overwrite makes backfills surgical (rewrite one
+  * day, never truncate the table).
+  */
+class LakehouseSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  private lazy val eventsByDay = {
+    val out = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    // Tables.events already normalizes the fixture's int64-nanos ts to
+    // a proper TIMESTAMP column
+    graft.cubes.Tables.events(spark, sf)
+      .withColumn("event_date", F.to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    out
+  }
+
+  test("date-partitioned layout: a day filter prunes the scan to that partition's files") {
+    val lake = spark.read.parquet(eventsByDay)
+    val allDays = lake.select("event_date").distinct().count()
+    assert(allDays > 5, s"fixture spans $allDays days")
+
+    val day = lake.agg(F.min(col("event_date"))).collect()(0).getDate(0)
+    val q = lake.filter(col("event_date") === F.lit(day))
+      .groupBy(col("event_type")).count()
+
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT PushedFilters (row-group skipping after listing every file)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_date"),
+      s"day predicate did not become a partition filter:\n$scan")
+
+    // and the scan reads only that day's files: numFiles == the part
+    // files in event_date=<day>/, strictly fewer than the whole table
+    val total = q.collect().map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(eventsByDay)
+      .filter(col("event_date") === F.lit(day)).count())
+    def partFiles(dir: java.io.File): Int =
+      Option(dir.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    val dayFiles = partFiles(new java.io.File(s"$eventsByDay/event_date=$day"))
+    val allFiles = new java.io.File(eventsByDay).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(partFiles).sum
+    // AQE hides the scan behind AdaptiveSparkPlanExec/QueryStageExec
+    // leaves — unwrap to the real FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val numFiles = scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    assert(dayFiles > 0 && numFiles == dayFiles && numFiles < allFiles,
+      s"pruning read $numFiles files (day=$dayFiles, table=$allFiles)")
+  }
+
+  test("dynamic partition overwrite: backfilling one day leaves every other day untouched") {
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val lake = spark.read.parquet(eventsByDay)
+      val day = lake.agg(F.max(col("event_date"))).collect()(0).getDate(0)
+      val beforeOther = lake.filter(col("event_date") =!= F.lit(day)).count()
+      val beforeDay = lake.filter(col("event_date") === F.lit(day)).count()
+      assert(beforeDay > 0 && beforeOther > 0)
+
+      // backfill: re-land that day with corrected values (half the rows).
+      // Materialize BEFORE writing — the plan reads the very files the
+      // overwrite replaces (localCheckpoint cuts the file lineage).
+      val corrected = lake.filter(col("event_date") === F.lit(day))
+        .filter(col("event_id") % 2 === 0)
+        .localCheckpoint()
+      val nCorrected = corrected.count()
+      corrected.write.mode("overwrite").partitionBy("event_date").parquet(eventsByDay)
+
+      val after = spark.read.parquet(eventsByDay)
+      assert(after.filter(col("event_date") =!= F.lit(day)).count() == beforeOther,
+        "dynamic overwrite touched unrelated partitions")
+      assert(after.filter(col("event_date") === F.lit(day)).count() == nCorrected)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

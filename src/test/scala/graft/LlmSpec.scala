@@ -201,4 +201,44 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [simhash64"), s"no codegen span:\n$plan")
     assert(df.agg(F.count_distinct(col("sig"))).collect()(0).getLong(0) > 100)
   }
+
+  test("hash split: assignment survives repartitioning; fractions track weights") {
+    import graft.llm.Splits
+    val docs = Tables.documents(spark, sf)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Splits.assignSplit(col("doc_id"), w).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(docs)
+    // THE property rand()/sample() lack: physical layout cannot move a
+    // document between splits
+    val reshuffled = assign(docs.repartition(17, col("source")))
+    assert(base == reshuffled)
+    // every doc labeled, labels only from the weight list
+    assert(base.values.toSet.subsetOf(w.map(_._1).toSet))
+    val n = base.size.toDouble
+    val trainFrac = base.values.count(_ == "train") / n
+    assert(math.abs(trainFrac - 0.8) < 0.1, s"train fraction $trainFrac")
+    // bad weights rejected
+    intercept[IllegalArgumentException](
+      Splits.assignSplit(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Splits.assignSplit(col("doc_id"), Seq("a" -> 0.999, "b" -> 0.001)))
+  }
+
+  test("cms_estimate: string keys estimate over UTF-8 bytes; never underestimates") {
+    import graft.functions.CmsEstimate
+    val docs = Tables.documents(spark, sf)
+    val sk = docs.agg(F.count_min_sketch(col("source"),
+      F.lit(0.01), F.lit(0.99), F.lit(7)).as("cms"))
+    val exact = docs.groupBy(col("source")).agg(F.count(F.lit(1)).as("n"))
+    val rows = exact.crossJoin(F.broadcast(sk))
+      .select(col("source"), col("n"), CmsEstimate(col("cms"), col("source")).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}: est=${r.getLong(2)} exact=${r.getLong(1)}")
+    }
+  }
 }
