@@ -286,3 +286,64 @@ object CmsEstimate {
   def apply(sketch: Column, item: Column): Column =
     GraftBridge.column(CmsEstimate(GraftBridge.expression(sketch), GraftBridge.expression(item)))
 }
+
+/** Furthest funnel stage reached from a per-user, ts-sorted
+  * array<struct<ts:long, step:int>>: anchor at the FIRST step-0 event
+  * (first-touch attribution), then greedily take the earliest event of
+  * each next step with ts strictly increasing and within `windowMicros`
+  * of the anchor. Returns 0..nSteps. Greedy-earliest is optimal for a
+  * fixed anchor: taking the earliest valid event can only leave more
+  * room for later steps. One pass per user, codegen'd — the funnel
+  * aggregation is ONE shuffle (the per-user collect), matching the
+  * mergeable-state design ClickHouse's windowFunnel uses, instead of a
+  * join per funnel step.
+  */
+case class FunnelStage(child: Expression, windowMicros: Long, nSteps: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == LongType && s(1).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"funnel_stage needs array<struct<long,int>> (ts, step), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    FunnelStage.compute(v.asInstanceOf[ArrayData], windowMicros, nSteps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FunnelStage.compute($c, ${windowMicros}L, $nSteps);")
+
+  override protected def withNewChildInternal(newChild: Expression): FunnelStage =
+    copy(child = newChild)
+  override def prettyName: String = "funnel_stage"
+}
+
+object FunnelStage {
+  def compute(ev: ArrayData, windowMicros: Long, nSteps: Int): Int = {
+    val n = ev.numElements()
+    var stage = 0
+    var anchor = 0L
+    var prev = 0L
+    var i = 0
+    while (i < n && stage < nSteps) {
+      val row = ev.getStruct(i, 2)
+      val ts = row.getLong(0)
+      val st = row.getInt(1)
+      if (stage == 0) {
+        if (st == 0) { anchor = ts; prev = ts; stage = 1 }
+      } else if (st == stage && ts > prev && ts <= anchor + windowMicros) {
+        prev = ts; stage += 1
+      }
+      i += 1
+    }
+    stage
+  }
+
+  def apply(c: Column, windowMicros: Long, nSteps: Int): Column =
+    GraftBridge.column(FunnelStage(GraftBridge.expression(c), windowMicros, nSteps))
+}

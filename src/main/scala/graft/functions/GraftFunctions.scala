@@ -29,7 +29,15 @@ object GraftFunctions {
     "word_shingles" -> (exprs =>
       WordShingles(exprs.head,
         if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)),
-    "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))))
+    "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
+    "funnel_stage" -> (exprs => FunnelStage(exprs(0),
+      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"))))
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new CubeQueryException(s"$what must be a long literal, got $other")
+  }
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

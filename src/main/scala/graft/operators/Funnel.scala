@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.FunnelStage
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Event-sequence analytics (the ClickHouse windowFunnel / retention
+  * family — the reference's ClickHouse backend ships these as first-class
+  * aggregates for exactly the event-stream data this engine targets).
+  *
+  * Scale shape: both operators are ONE hash aggregation by user — no
+  * join per funnel step, no self-joins. funnel's per-user state is the
+  * user's own step events (bounded by per-user activity, combinable
+  * map-side as a list merge); retention's is a handful of booleans.
+  */
+object Funnel {
+
+  /** Furthest funnel stage per user: anchored at the user's FIRST
+    * `steps(0)` event (first-touch attribution), each later step must
+    * occur strictly after the previous and within `windowMicros` of the
+    * anchor. Output: (user_id, stage) with stage in 0..steps.size; users
+    * with no funnel events at all are absent, users with later-step
+    * events but no anchor get 0.
+    */
+  def funnelStages(events: DataFrame, user: Column, ts: Column, etype: Column,
+      steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
+    events.filter(etype.isin(steps: _*))
+      .select(user.as("user_id"), F.unix_micros(ts).as("__ts"), stepIdx.as("__step"))
+      .groupBy(F.col("user_id"))
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
+        .as("__ev"))
+      .select(F.col("user_id"),
+        FunnelStage(F.col("__ev"), windowMicros, steps.size).as("stage"))
+  }
+
+  /** Cohort retention (ClickHouse `retention` semantics): `conds.head`
+    * is the anchor condition; element k of the result counts users
+    * satisfying BOTH the anchor and condition k, so the series reads
+    * "of the anchor cohort, how many came back for each window".
+    * Returns one row: (n_cohort, retained_1, ..., retained_{n-1}).
+    */
+  def retention(events: DataFrame, user: Column, conds: Seq[Column]): DataFrame = {
+    require(conds.size >= 2, "retention needs an anchor plus >=1 condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      F.max(F.when(c, 1).otherwise(0)).as(s"__r$i")
+    }
+    val perUser = events.groupBy(user.as("__u")).agg(flags.head, flags.tail: _*)
+    val out = F.sum(F.col("__r0")).as("n_cohort") +:
+      (1 until conds.size).map(i =>
+        F.sum(F.col("__r0") * F.col(s"__r$i")).as(s"retained_$i"))
+    perUser.agg(out.head, out.tail: _*)
+  }
+}

@@ -221,6 +221,62 @@ object EventQueries {
         .agg(F.count(F.lit(1)).as("cnt"))
         .orderBy(col("event_type").asc),
       Some("""SELECT event_type, count(*) AS cnt FROM events
-             |GROUP BY 1 ORDER BY event_type ASC""".stripMargin))
+             |GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
+
+    // window funnel (ClickHouse windowFunnel analogue): furthest
+    // signup -> view -> purchase stage within 7 days of the user's FIRST
+    // signup, strictly ordered. ONE shuffle (per-user collect + codegen'd
+    // chain scan); the oracle mirrors the greedy-earliest chain as
+    // successive min-joins.
+    NamedQuery("q97_window_funnel",
+      (s, d) => graft.operators.Funnel.funnelStages(
+          Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "view", "purchase"), windowMicros = 7L * 86400 * 1000000)
+        .groupBy(col("stage"))
+        .agg(F.count(F.lit(1)).as("n_users"))
+        .orderBy(col("stage").asc),
+      Some("""WITH f AS (SELECT user_id, ts, event_type FROM events
+             |          WHERE event_type IN ('signup', 'view', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM f),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN s1 USING (user_id)
+             |       WHERE f.event_type = 'view' AND f.ts > s1.t1
+             |         AND f.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+             |s3 AS (SELECT f.user_id, min(f.ts) AS t3 FROM f
+             |       JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+             |       WHERE f.event_type = 'purchase' AND f.ts > s2.t2
+             |         AND f.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+             |st AS (SELECT u.user_id,
+             |       CASE WHEN s3.user_id IS NOT NULL THEN 3
+             |            WHEN s2.user_id IS NOT NULL THEN 2
+             |            WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |       FROM u LEFT JOIN s1 USING (user_id)
+             |              LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+             |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+             |FROM st GROUP BY 1 ORDER BY stage ASC""".stripMargin)),
+
+    // cohort retention (ClickHouse retention analogue): of users who
+    // signed up in the first 3 days, how many returned in week 2 and in
+    // week 4 — per-user boolean flags, one aggregation, no joins.
+    NamedQuery("q98_retention",
+      (s, d) => graft.operators.Funnel.retention(
+          Tables.events(s, d), col("user_id"), Seq(
+            col("event_type") === "signup" &&
+              col("ts") < F.lit("2024-01-04").cast("timestamp"),
+            col("ts") >= F.lit("2024-01-08").cast("timestamp") &&
+              col("ts") < F.lit("2024-01-15").cast("timestamp"),
+            col("ts") >= F.lit("2024-01-22").cast("timestamp") &&
+              col("ts") < F.lit("2024-01-29").cast("timestamp"))),
+      Some("""SELECT CAST(sum(r0) AS BIGINT) AS n_cohort,
+             |CAST(sum(r0 * r1) AS BIGINT) AS retained_1,
+             |CAST(sum(r0 * r2) AS BIGINT) AS retained_2
+             |FROM (SELECT user_id,
+             |  max(CASE WHEN event_type = 'signup'
+             |           AND ts < TIMESTAMP '2024-01-04' THEN 1 ELSE 0 END) AS r0,
+             |  max(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+             |           AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS r1,
+             |  max(CASE WHEN ts >= TIMESTAMP '2024-01-22'
+             |           AND ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) AS r2
+             |  FROM events GROUP BY 1)""".stripMargin))
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "t", "event_type")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"), col("event_type"))
+  }
+
+  private val steps = Seq("signup", "view", "purchase")
+  private val day = 86400L * 1000000 // micros
+
+  private def stages(df: org.apache.spark.sql.DataFrame, windowDays: Int = 7) =
+    Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
+      steps, windowDays * day)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("funnel: ordering, anchor, window cutoff, and strictness semantics") {
+    val df = ev(
+      // u1 completes in order within window
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      // u2: purchase BEFORE view — chain stops at view
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-02 00:00:00", "purchase"),
+      (2L, "2024-01-03 00:00:00", "view"),
+      // u3: view outside the 7-day window of first signup
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-09 00:00:01", "view"),
+      // u4: no anchor at all — later steps alone count for nothing
+      (4L, "2024-01-02 00:00:00", "view"),
+      (4L, "2024-01-03 00:00:00", "purchase"),
+      // u5: anchor is the FIRST signup; a later signup cannot rescue the
+      // out-of-window view (first-touch attribution)
+      (5L, "2024-01-01 00:00:00", "signup"),
+      (5L, "2024-01-08 00:00:00", "signup"),
+      (5L, "2024-01-09 00:00:00", "view"))
+    assert(stages(df) == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
+  test("funnel: equal timestamps do not advance the chain (strict >)") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-01 00:00:01", "view"))
+    assert(stages(df) == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("funnel: greedy-earliest takes the chain-maximizing view") {
+    // the EARLIEST view after signup leaves room for the purchase;
+    // anchoring on it (not the later one) is what finds stage 3
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-06 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "purchase"))
+    assert(stages(df) == Map(1L -> 3))
+  }
+
+  test("funnel plan: one shuffle total (per-user aggregate, no per-step joins)") {
+    val df = Funnel.funnelStages(
+      graft.cubes.Tables.events(spark, "/root/testdata/sf0.001"),
+      col("user_id"), col("ts"), col("event_type"), steps, 7 * day)
+    df.collect()
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — count
+    // shuffles in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"funnel should be one shuffle, saw $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"funnel should not join:\n$plan")
+    // the chain scan is the custom expression (it prints in the logical
+    // plan; physically it folds into the aggregate's result projection)
+    assert(df.queryExecution.optimizedPlan.toString.contains("funnel_stage"))
+    // and the step events are filtered AT the scan
+    assert(plan.contains("PushedFilters: [In(event_type"), plan)
+  }
+
+  test("retention: anchor gates every later window") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),   // cohort, returns wk2
+      (1L, "2024-01-10 00:00:00", "click"),
+      (2L, "2024-01-02 00:00:00", "signup"),   // cohort, never returns
+      (3L, "2024-01-10 00:00:00", "signup"),   // NOT cohort (late signup)
+      (3L, "2024-01-11 00:00:00", "click"))
+    val r = Funnel.retention(df, col("user_id"), Seq(
+      col("event_type") === "signup" && col("ts") < F.lit("2024-01-04").cast("timestamp"),
+      col("ts") >= F.lit("2024-01-08").cast("timestamp") &&
+        col("ts") < F.lit("2024-01-15").cast("timestamp"))).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+  }
+}
