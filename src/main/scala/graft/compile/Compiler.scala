@@ -60,11 +60,22 @@ object Compiler {
     val sliceCols: Seq[Column] = q.slices.map { case (key, ref) =>
       checkKey(key); r.dim(ref.dim).resolve(ref.path).as(key)
     }
-    val aggCols: Seq[Column] = q.measures.map { case (key, m) =>
+    // measures split into expression-backed (one agg Column each) and
+    // plan-backed (compiled as their own per-group plan, joined back on
+    // the slice keys — e.g. EXACT top-K's two-phase count+window shape)
+    val boundMeasures = q.measures.map { case (key, m) =>
       checkKey(key)
-      val pred = m.filter.flatMap(p => compilePred(r.sel, p))
-      boundMetric(r, m).build(pred).as(key)
+      (key, m, boundMetric(r, m))
     }
+    val (planMeasures, aggMeasures) = boundMeasures.partition(_._3.planBuild.isDefined)
+    val aggCols: Seq[Column] = aggMeasures.map { case (key, m, met) =>
+      val pred = m.filter.flatMap(p => compilePred(r.sel, p))
+      met.build(pred).as(key)
+    }
+    if (planMeasures.nonEmpty && q.grouping != GroupingMode.Flat)
+      throw new CubeQueryException(
+        s"plan-backed metric '${planMeasures.head._1}' requires flat grouping " +
+          "(rollup/cube/groupingSets compute grouped supersets one agg pass can't join)")
 
     val shaped: DataFrame =
       if (aggCols.nonEmpty && sliceCols.nonEmpty) q.grouping match {
@@ -103,10 +114,38 @@ object Compiler {
         filtered.agg(aggCols.head, aggCols.tail: _*)
       else if (sliceCols.nonEmpty)
         filtered.select(sliceCols: _*).distinct()
+      else if (planMeasures.nonEmpty)
+        // no slices, no agg exprs: a one-row zero-column anchor for the
+        // plan-backed cross joins (a global query always yields one row)
+        filtered.agg(F.count(F.lit(1)).as("__pb_anchor")).select()
       else filtered
 
+    // ---- plan-backed measures: compile + join back ------------------
+    val sliceKeyPairs = q.slices.map { case (key, ref) =>
+      key -> r.dim(ref.dim).resolve(ref.path)
+    }
+    val withPlan = planMeasures.foldLeft(shaped) { case (df, (key, m, met)) =>
+      val pred = m.filter.flatMap(p => compilePred(r.sel, p))
+      val pr = met.planBuild.get(filtered, sliceKeyPairs, pred)
+        .withColumnRenamed("__pb_value", key)
+      if (sliceKeyPairs.isEmpty) df.crossJoin(pr)
+      else {
+        // null-safe equality: a NULL slice value is a real group and
+        // must still find its plan-backed row
+        val cond = q.slices.map(_._1).map(k => df(k) <=> pr(k)).reduce(_ && _)
+        q.slices.map(_._1).foldLeft(df.join(pr, cond, "left")) {
+          (d, k) => d.drop(pr(k))
+        }
+      }
+    }
+    // restore the declared output-column order after the joins
+    val ordered =
+      if (planMeasures.isEmpty) withPlan
+      else withPlan.select(
+        (q.slices.map(_._1) ++ q.measures.map(_._1)).map(F.col): _*)
+
     // ---- ordered options fold (O16: application order is semantic) --
-    foldOptions(shaped, q.options)
+    foldOptions(ordered, q.options)
   }
 
   /** Resolve a measure's metric and bind its named args (parse_tree.rb:

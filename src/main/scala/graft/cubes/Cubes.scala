@@ -151,16 +151,36 @@ object Cubes {
         // arg too: the default covers TPC-H partkeys to SF≈0.3, larger
         // corpora raise it per query (or use the exact two-phase TopK
         // operator, q22/q23).
-        "topParts" -> Metric.parameterized("topParts",
-            Map("size" -> 3, "capacity" -> 65536)) {
-          bound => p =>
-            def intArg(name: String): Int = bound(name) match {
-              case i: Int => i
+        // `exact: true` switches to the plan-backed two-phase TopK
+        // (Metric.planBuild): bit-exact at ANY scale — no capacity bound
+        // — for the cost of a second scan of the fact.
+        "topParts" -> {
+          def intArg(bound: Map[String, Any], name: String): Int = bound(name) match {
+            case i: Int => i
+            case other => throw new CubeQueryException(
+              s"topParts $name must be an integer, got $other")
+          }
+          def make(bound: Map[String, Any]): Metric = {
+            val exact = bound("exact") match {
+              case b: Boolean => b
               case other => throw new CubeQueryException(
-                s"topParts $name must be an integer, got $other")
+                s"topParts exact must be a boolean, got $other")
             }
-            graft.functions.TopKFreq(intArg("size"), capacity = intArg("capacity"))(
-              p.map(pr => F.when(pr, col("l_partkey"))).getOrElse(col("l_partkey")))
+            Metric("topParts",
+              build = p => graft.functions.TopKFreq(
+                intArg(bound, "size"), capacity = intArg(bound, "capacity"))(
+                p.map(pr => F.when(pr, col("l_partkey"))).getOrElse(col("l_partkey"))),
+              applyArgFn = Some { (k, v) =>
+                if (bound.contains(k)) make(bound + (k -> v))
+                else throw new CubeQueryException(
+                  s"metric 'topParts' takes no argument '$k' (has: ${bound.keys.mkString(",")})")
+              },
+              planBuild = if (!exact) None else Some { (fact, keys, pred) =>
+                graft.operators.TopK.perGroupTuplesComplete(
+                  fact, keys, col("l_partkey"), intArg(bound, "size"), pred)
+              })
+          }
+          make(Map("size" -> 3, "capacity" -> 65536, "exact" -> false))
         }),
       selectors = Map(
         "shipDate" -> Selector("shipDate", col("l_shipdate")),

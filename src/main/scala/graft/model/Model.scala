@@ -49,7 +49,15 @@ final case class Metric(
     name: String,
     build: Option[Column] => Column,
     requires: Set[String] = Set.empty,
-    applyArgFn: Option[(String, Any) => Metric] = None) {
+    applyArgFn: Option[(String, Any) => Metric] = None,
+    /** Plan-backed escape hatch for metrics whose value is not ONE
+      * aggregate expression (e.g. EXACT top-K, which needs a two-phase
+      * count + window plan). Given the pre-filtered fact, the resolved
+      * slice keys, and the metric-level predicate, returns a DataFrame
+      * of (slice keys..., `__pb_value`); the Compiler joins it back on
+      * the slice keys and renames the value to the measure key. Flat
+      * grouping only. */
+    planBuild: Option[(DataFrame, Seq[(String, Column)], Option[Column]) => DataFrame] = None) {
   /** Post-process the aggregate value (e.g. rounding for stable compare). */
   def mapValue(f: Column => Column): Metric = copy(build = p => f(build(p)))
 

@@ -50,4 +50,39 @@ object TopK {
         x => F.struct(x.getField("value").as("value"), x.getField("cnt").as("cnt")))
         .as(outKey))
   }
+
+  /** [[perGroupTuples]] with the SKETCH METRIC's group contract: one row
+    * for EVERY group present in `df` (not just groups with surviving
+    * values), empty array — never null — where `pred` filtered every
+    * value out. This is the exact plan-backed form behind the `topParts`
+    * metric's `exact: true` arg ([[graft.model.Metric.planBuild]]): two
+    * scans of the fact (group set + counted values) instead of one, the
+    * price of bit-exactness at any scale; the join back is on the tiny
+    * group cardinality, AQE-broadcast.
+    */
+  def perGroupTuplesComplete(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      valueCol: Column,
+      k: Int,
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame = {
+    // no groups: anchor on a constant so empty input still yields [] (the
+    // aggregate form returns one row on empty input; so must this)
+    val (base, keyed) =
+      if (groupCols.nonEmpty)
+        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
+      else {
+        val g = Seq("__pb_g" -> F.lit(1))
+        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
+      }
+    val vals = pred.map(df.filter).getOrElse(df)
+    val t = perGroupTuples(vals, keyed, valueCol, k, outKey)
+    val emptyArr = F.array().cast(t.schema(outKey).dataType)
+    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
+    val joined = keyed.map(_._1)
+      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
+      .withColumn(outKey, F.coalesce(F.col(outKey), emptyArr))
+    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+  }
 }

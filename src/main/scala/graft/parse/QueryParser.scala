@@ -297,6 +297,7 @@ object QueryParser {
       else throw new CubeQueryException(s"option '$name' value out of range: $i")
     case JLong(l) =>
       if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l
+    case JBool(b) => b
     case JString(s) =>
       if (s.contains(KeyPrefix))
         throw new CubeQueryException(s"argument value may not contain '$KeyPrefix'") // V5

@@ -52,6 +52,15 @@ object ParsedQueries {
       |    {"name": "topParts", "alias": "top_parts",
       |     "args": {"size": 2, "quantity": {"gt": 25}}} ] }""".stripMargin
 
+  private val topkExactDoc =
+    """{ "cube": "lineitem",
+      |  "args": { "options": {"asc": "flag"} },
+      |  "fields": [
+      |    {"name": "returnFlag", "alias": "flag"},
+      |    {"name": "count", "alias": "cnt"},
+      |    {"name": "topParts", "alias": "top_parts",
+      |     "args": {"size": 2, "exact": true, "quantity": {"gt": 25}}} ] }""".stripMargin
+
   private val unionDoc =
     """{ "cube": "events", "union": true,
       |  "discriminator": {"on": "etype",
@@ -161,6 +170,34 @@ object ParsedQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.{col, to_json}
         QueryParser.parse(Cubes.lineitemCube(s, d), topkDoc).query.toDF
+          .withColumn("top_parts", to_json(col("top_parts")))
+      },
+      Some("""WITH counted AS (
+             |  SELECT l_returnflag AS flag, l_partkey AS pk, count(*) AS c
+             |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT flag, pk, c, row_number() OVER (
+             |    PARTITION BY flag ORDER BY c DESC, pk ASC) AS rn
+             |  FROM counted)
+             |SELECT f.flag AS "flag", f.cnt AS "cnt",
+             |  CAST(COALESCE(to_json(list({'value': r.pk, 'cnt': r.c} ORDER BY r.c DESC, r.pk ASC)
+             |    FILTER (WHERE r.pk IS NOT NULL)), '[]') AS VARCHAR) AS "top_parts"
+             |FROM (SELECT l_returnflag AS flag, count(*) AS cnt
+             |      FROM lineitem GROUP BY 1) f
+             |LEFT JOIN ranked r ON r.flag = f.flag AND r.rn <= 2
+             |GROUP BY f.flag, f.cnt
+             |ORDER BY "flag" ASC NULLS FIRST, "cnt" ASC, "top_parts" ASC""".stripMargin)),
+
+    // the SAME front-door query with `exact: true`: the metric arg flips
+    // topParts to the plan-backed two-phase TopK (Metric.planBuild —
+    // count by (flag, part), window-trim to K, null-safe join back on
+    // the slice key), so the result is bit-exact at ANY SF with no
+    // sketch capacity bound. Same oracle as q73 — equality here is the
+    // claim that sketch and exact paths agree below capacity.
+    NamedQuery("q99_parsed_topk_exact",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, to_json}
+        QueryParser.parse(Cubes.lineitemCube(s, d), topkExactDoc).query.toDF
           .withColumn("top_parts", to_json(col("top_parts")))
       },
       Some("""WITH counted AS (

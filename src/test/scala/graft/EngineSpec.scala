@@ -156,6 +156,36 @@ class EngineSpec extends AnyFunSuite {
     assert(sets.nonEmpty && sets.sameElements(manual))
   }
 
+  test("plan-backed exact topK: matches the sketch, fills empty groups, rejects rollup") {
+    import org.apache.spark.sql.functions.{col, to_json}
+    def run(q: graft.query.CubeQuery) =
+      q.toDF.withColumn("tp", to_json(col("tp"))).collect().map(_.toString).sorted
+    // exact plan-backed == SpaceSaving sketch while distinct < capacity
+    val exact = run(li.slice("f", "returnFlag")
+      .measureArgs("tp", "topParts", Seq("size" -> 2, "exact" -> true)).asc("f"))
+    val sketch = run(li.slice("f", "returnFlag")
+      .measureArgs("tp", "topParts", Seq("size" -> 2)).asc("f"))
+    assert(exact.nonEmpty && exact.sameElements(sketch))
+    // a metric filter nothing survives → empty arrays, not nulls/dropped rows
+    val empty = li.slice("f", "returnFlag")
+      .measureArgs("tp", "topParts", Seq("size" -> 2, "exact" -> true),
+        filter = Some(Pred.gt("quantity", 99999))).toDF.collect()
+    assert(empty.length == 3 && empty.forall(_.getSeq[Any](1).isEmpty))
+    // global (no slices): one row even with plan-backed metric
+    val global = li.measureArgs("tp", "topParts", Seq("size" -> 2, "exact" -> true))
+      .toDF.collect()
+    assert(global.length == 1 && global(0).getSeq[Any](0).nonEmpty)
+    // plan-backed metrics cannot join against rollup supersets
+    val e = intercept[graft.model.CubeQueryException](
+      li.slice("f", "returnFlag")
+        .measureArgs("tp", "topParts", Seq("exact" -> true)).withRollup.toDF)
+    assert(e.getMessage.contains("flat grouping"))
+    // arg typing
+    val e2 = intercept[graft.model.CubeQueryException](
+      li.measureArgs("tp", "topParts", Seq("exact" -> "yes")).toDF)
+    assert(e2.getMessage.contains("boolean"))
+  }
+
   test("groupingSets: slice alias shadowing a fact column cannot corrupt metrics") {
     // alias the slice key as "l_quantity" — the very column sumQty reads.
     // Materializing keys under user names would overwrite it pre-agg and
