@@ -347,3 +347,92 @@ object FunnelStage {
   def apply(c: Column, windowMicros: Long, nSteps: Int): Column =
     GraftBridge.column(FunnelStage(GraftBridge.expression(c), windowMicros, nSteps))
 }
+
+/** Row-local MinHash signature over array<string> shingles: each element
+  * is xxhash64'd ONCE (seed 42, identical to `F.xxhash64`), folded to
+  * [0, 2^32) and run through k fixed-seed affine permutations mod the
+  * Mersenne prime 2^61-1 — bit-identical to the explode → xxhash64 →
+  * affine → min-aggregate pipeline it replaces, but with NO exchange:
+  * the signature never leaves the row, so the only shuffle left in
+  * MinHash dedup is the band join itself. a < 2^30 keeps a*x + b inside
+  * a signed long (x < 2^32) even under ANSI overflow checking.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<string> or array<long>, got $other")
+    }
+
+  private def isString: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData], numHashes, seed, isString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $numHashes, ${seed}L, $isString);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Same draw order as the original pipeline's coefficient seeding, so
+    * signatures are reproducible across engine versions. */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { case (k, s) =>
+      val rnd = new scala.util.Random(s)
+      val as = new Array[Long](k)
+      val bs = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        as(i) = 1L + rnd.nextLong((1L << 30) - 1)
+        bs(i) = rnd.nextLong(MersennePrime)
+        i += 1
+      }
+      (as, bs)
+    })
+
+  def compute(arr: ArrayData, numHashes: Int, seed: Long, isString: Boolean): ArrayData = {
+    val (as, bs) = coeffs(numHashes, seed)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // same element hash as F.xxhash64 (seed 42): bytes for strings,
+        // XXH64.hashLong for longs — signatures match the SQL pipeline
+        val h =
+          if (isString) {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+          } else XXH64.hashLong(arr.getLong(i), 42L)
+        val x = h & 0xFFFFFFFFL // == pmod(h, 2^32)
+        var j = 0
+        while (j < numHashes) {
+          val v = (x * as(j) + bs(j)) % MersennePrime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def apply(c: Column, numHashes: Int, seed: Long): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHashes, seed))
+}

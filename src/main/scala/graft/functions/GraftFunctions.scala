@@ -31,7 +31,9 @@ object GraftFunctions {
         if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)),
     "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
     "funnel_stage" -> (exprs => FunnelStage(exprs(0),
-      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"))))
+      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"))),
+    "minhash_sig" -> (exprs => MinHashSig(exprs(0),
+      intLit(exprs(1), "minhash_sig numHashes"), longLit(exprs(2), "minhash_sig seed"))))
 
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v

@@ -37,39 +37,21 @@ object Dedup {
     F.md5(F.concat_ws(" ", F.array_sort(F.split(F.trim(norm), " "))))
   }
 
-  private val MersennePrime = (1L << 61) - 1
-
-  /** Fixed-seed affine coefficients. a < 2^30 keeps a*x < 2^62
-    * (x < 2^32), so a*x + b stays inside a signed long even under ANSI
-    * overflow checking. */
-  private def affineCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (1L + rnd.nextLong((1L << 30) - 1), rnd.nextLong(MersennePrime)))
-  }
-
   /** MinHash signatures for (id, sh: array<string>) docs → (id, mh:
     * array<long>).
     *
-    * Shape chosen for both codegen and scale: explode the shingles, hash
-    * each ONCE with codegen'd xxhash64, apply the k affine permutations as
-    * plain arithmetic, and min-reduce with groupBy(id) — Spark's partial
-    * aggregation combines map-side, so the shuffle carries k longs per
-    * doc, not the shingles. (The tempting alternative — k nested
-    * `transform`/`array_min` higher-order calls — evaluates interpreted,
-    * re-hashes the array k times, and benches ~10× slower.) */
-  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, seed: Long = 1234L): DataFrame = {
-    val coeffs = affineCoeffs(numHashes, seed)
-    val exploded = docs
-      .select(F.col("id"), F.explode(F.col("sh")).as("s"))
-      .select(F.col("id"), F.pmod(F.xxhash64(F.col("s")), F.lit(1L << 32)).as("x"))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      F.min(F.pmod(F.col("x") * a + b, F.lit(MersennePrime))).as(s"_m$i")
-    }
-    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(F.col("id"),
-        F.array((0 until numHashes).map(i => F.col(s"_m$i")): _*).as("mh"))
-  }
+    * Row-local: the codegen'd [[graft.functions.MinHashSig]] expression
+    * hashes each shingle once and folds all k affine permutations in a
+    * single pass, so signing is shuffle-FREE — the only exchange in
+    * MinHash dedup is the band join. (History: k nested
+    * `transform`/`array_min` higher-order calls evaluate interpreted and
+    * bench ~10× slower; the earlier explode → codegen'd xxhash64 →
+    * map-side-combined min-aggregate was exchange-bound on corpus ×
+    * shingles rows. The custom expression computes the identical
+    * signatures with neither cost.) */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, seed: Long = 1234L): DataFrame =
+    docs.select(F.col("id"),
+      graft.functions.MinHashSig(F.col("sh"), numHashes, seed).as("mh"))
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
