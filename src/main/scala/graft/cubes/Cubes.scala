@@ -98,6 +98,12 @@ object Cubes {
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "sumQty" -> Metric.sumOf("sumQty", col("l_quantity")),
+        // distinct-collect metric (ClickHouse groupUniqArray): sorted for
+        // determinism, JSON at the edge (array cells are unhashable in
+        // the driver harness); collect_set skips the FILTER-nulled rows
+        "lineStatuses" -> Metric("lineStatuses", p => F.to_json(F.array_sort(
+          F.collect_set(p.map(pr => F.when(pr, col("l_linestatus")))
+            .getOrElse(col("l_linestatus")))))),
         // money sums rounded to cents on both engine and oracle side so the
         // float-summation order difference can't flip the hash compare
         "amount" -> Metric.sumOf("amount", col("l_extendedprice"))

@@ -19,7 +19,11 @@ object Splits {
   /** Engine-independent bucket in [0, buckets): the first 8 hex chars of
     * md5(key's string form) parsed as an integer, mod buckets. md5 and
     * hex are universal, so the same document lands in the same bucket in
-    * every engine and on every run, regardless of partitioning. */
+    * every engine and on every run, regardless of partitioning.
+    *
+    * Use an integral or string id as the key: fractional types render
+    * differently across engines ("1.0" vs "1") and would silently break
+    * the cross-engine reproducibility this exists for. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
     F.pmod(
       F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),

@@ -25,6 +25,8 @@ object Funnel {
   def funnelStages(events: DataFrame, user: Column, ts: Column, etype: Column,
       steps: Seq[String], windowMicros: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(",")}")
     val stepIdx = steps.zipWithIndex.tail.foldLeft(
       F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
     events.filter(etype.isin(steps: _*))

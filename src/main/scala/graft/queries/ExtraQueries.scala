@@ -313,6 +313,25 @@ object ExtraQueries {
              |      FROM g LEFT JOIN c ON g.flag = c.flag AND g.bucket = c.bucket)
              |SELECT flag, CAST(to_json(list(n ORDER BY bucket)) AS VARCHAR) AS hist,
              |CAST(sum(n) AS BIGINT) AS n
-             |FROM z GROUP BY flag ORDER BY flag ASC""".stripMargin))
+             |FROM z GROUP BY flag ORDER BY flag ASC""".stripMargin)),
+
+    // distinct-collect metric (ClickHouse groupUniqArray) with a metric
+    // FILTER: which line statuses appear per flag, and which appear on
+    // high-quantity rows only
+    NamedQuery("q100_group_uniq_array",
+      (s, d) => li(s, d)
+        .slice("flag", "returnFlag")
+        .measure("statuses", "lineStatuses")
+        .measureWhen("hiqty_statuses", "lineStatuses", Pred.gt("quantity", 45))
+        .measure("cnt", "count")
+        .asc("flag")
+        .toDF,
+      Some("""SELECT l_returnflag AS flag,
+             |CAST(to_json(list(DISTINCT l_linestatus ORDER BY l_linestatus)) AS VARCHAR) AS statuses,
+             |CAST(to_json(list(DISTINCT l_linestatus ORDER BY l_linestatus)
+             |  FILTER (WHERE l_quantity > 45)) AS VARCHAR) AS hiqty_statuses,
+             |count(*) AS cnt
+             |FROM lineitem GROUP BY 1
+             |ORDER BY flag ASC NULLS FIRST, statuses ASC, hiqty_statuses ASC, cnt ASC""".stripMargin))
   )
 }

@@ -91,6 +91,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(event_type"), plan)
   }
 
+  test("funnel runs as a LIVE STREAM: stream == batch (one stateful aggregation)") {
+    val sf = "/root/testdata/sf0.001"
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
+        steps, 7 * day)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val q = funnel(graft.streaming.Streaming.eventsStream(spark, sf))
+      .writeStream.outputMode("complete").format("memory")
+      .option("checkpointLocation", ckpt).queryName("funnel_live").start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("funnel_live").collect().map(_.toString).sorted
+    val batch = funnel(graft.cubes.Tables.events(spark, sf))
+      .collect().map(_.toString).sorted
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("retention: anchor gates every later window") {
     val df = ev(
       (1L, "2024-01-01 00:00:00", "signup"),   // cohort, returns wk2
