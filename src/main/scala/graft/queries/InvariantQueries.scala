@@ -280,6 +280,37 @@ object InvariantQueries {
       },
       Some("""SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_keys,
              |true AS never_underestimates, true AS within_eps_bound
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // mergeable distinct-count pre-aggregation: the 100 TB rollup story
+    // for non-additive metrics. Additive metrics re-aggregate from plain
+    // rollups (q36); distinct counts can't — unless the rollup stores an
+    // HLL SKETCH per cell. Build daily sketches, answer an arbitrary
+    // date range by sketch UNION, and bound the estimate against the
+    // exact distinct count over the same range (HLL lgK=14 keeps
+    // relative error ~1%; 5% asserted). The exact count anchors the
+    // oracle.
+    NamedQuery("q101_hll_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", F.to_date(col("ts")))
+        val daily = ev.groupBy(col("day"))
+          .agg(F.hll_sketch_agg(col("user_id"), F.lit(14)).as("__sk"))
+        val lo = F.lit("2024-01-08").cast("date")
+        val hi = F.lit("2024-01-22").cast("date")
+        val est = daily.filter(col("day") >= lo && col("day") < hi)
+          .agg(F.hll_sketch_estimate(F.hll_union_agg(col("__sk"))).as("__est"))
+        val exact = ev.filter(col("day") >= lo && col("day") < hi)
+          .agg(F.count_distinct(col("user_id")).as("n_exact"))
+        exact.crossJoin(est).select(
+          col("n_exact"),
+          (F.abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.05 + 1)
+            .as("union_within_bound"))
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |true AS union_within_bound
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin))
   )
 }

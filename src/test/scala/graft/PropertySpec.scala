@@ -154,4 +154,23 @@ class PropertySpec extends AnyFunSuite {
       assert(df.count() == distinct, s"case $i: duplicate slice rows")
     }
   }
+
+  test("HLL sketch union at fixed lgK is lossless: union-of-daily == one-shot sketch") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    // the q101 pre-aggregation contract: merging per-cell sketches must
+    // give EXACTLY the estimate a single sketch over the union would —
+    // otherwise rollup answers depend on how the data was partitioned
+    val ev = graft.cubes.Tables.events(spark, sf)
+      .withColumn("day", F.to_date(col("ts")))
+    val unioned = ev.groupBy(col("day"))
+      .agg(F.hll_sketch_agg(col("user_id"), F.lit(14)).as("sk"))
+      .agg(F.hll_sketch_estimate(F.hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val oneShot = ev
+      .agg(F.hll_sketch_estimate(F.hll_sketch_agg(col("user_id"), F.lit(14))).as("est"))
+      .collect()(0).getLong(0)
+    assert(unioned == oneShot, s"union=$unioned oneShot=$oneShot")
+    assert(oneShot > 0)
+  }
 }
