@@ -399,4 +399,56 @@ object Cubes {
         "ts" -> Selector("ts", col("ts")),
         "user" -> Selector("user", col("user_id"))))
   }
+
+  /** EventsCube + a daily SKETCH rollup alternative source — optimal-
+    * table selection for a NON-ADDITIVE metric (the AggregatingMergeTree
+    * pattern behind the reference's ClickHouse backend): each rollup
+    * cell stores an HLL sketch of its users, so `uniqueUsersApprox`
+    * re-aggregates by sketch UNION, which is lossless at fixed lgK
+    * (PropertySpec) — the rollup path returns BIT-IDENTICAL estimates
+    * to sketching the raw fact. In production the rollup is a
+    * materialized table; here it's derived from the fixture so specs can
+    * prove fact-path == rollup-path.
+    */
+  def eventsCubeWithSketchRollup(s: SparkSession, d: String): Cube =
+    eventsCubeWithSketchRollup(s, PathCatalog(d))
+
+  def eventsCubeWithSketchRollup(s: SparkSession, cat: Catalog): Cube = {
+    val base = eventsCube(s, cat)
+    val day = col("ts").cast("date")
+    val daily = base.fact
+      .groupBy(day.as("day"), col("event_type"))
+      .agg(
+        F.hll_sketch_agg(col("user_id"), F.lit(14)).as("uu_sk"),
+        F.count(F.lit(1)).as("cnt_p"))
+    def filtered(c: org.apache.spark.sql.Column, p: Option[org.apache.spark.sql.Column]) =
+      p.map(pr => F.when(pr, c)).getOrElse(c)
+    base.copy(
+      dimensions = base.dimensions +
+        ("day" -> Dimension("day", day)),
+      selectors = base.selectors +
+        ("day" -> Selector("day", day)),
+      metrics = base.metrics +
+        ("uniqueUsersApprox" -> Metric("uniqueUsersApprox",
+          p => F.hll_sketch_estimate(
+            F.hll_sketch_agg(filtered(col("user_id"), p), F.lit(14))))),
+      altSources = Seq(CubeSource(
+        name = "daily_sketch",
+        df = daily,
+        servesDimensions = Set("day", "eventType"),
+        servesMetrics = Set("count", "uniqueUsersApprox"),
+        cost = 1,
+        dimOverrides = Map(
+          "day" -> Dimension("day", col("day")),
+          "eventType" -> Dimension("eventType", col("event_type"))),
+        selectorOverrides = Map(
+          "day" -> Selector("day", col("day")),
+          "eventType" -> Selector("eventType", col("event_type"))),
+        metricOverrides = Map(
+          "count" -> Metric("count",
+            p => F.coalesce(F.sum(filtered(col("cnt_p"), p)), F.lit(0L))),
+          "uniqueUsersApprox" -> Metric("uniqueUsersApprox",
+            p => F.hll_sketch_estimate(
+              F.hll_union_agg(filtered(col("uu_sk"), p))))))))
+  }
 }

@@ -311,6 +311,35 @@ object InvariantQueries {
              |true AS union_within_bound
              |FROM events
              |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
-             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin))
+             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin)),
+
+    // the sketch rollup SERVED THROUGH THE CUBE FRONT DOOR: optimal-
+    // source selection routes (day × uniqueUsersApprox, count) to the
+    // daily sketch cells (EngineSpec asserts the routing and that the
+    // rollup path is bit-identical to sketching the fact). Per day:
+    // exact distinct anchors the oracle, the estimate's bound and the
+    // rollup count's exactness are emitted as invariants.
+    NamedQuery("q102_sketch_rollup_route",
+      (s, d) => {
+        import graft.query.CubeQuery
+        val cube = graft.cubes.Cubes.eventsCubeWithSketchRollup(s, d)
+        val via = CubeQuery(cube).slice("day", "day")
+          .measure("uniq_est", "uniqueUsersApprox")
+          .measure("cnt", "count").toDF
+        val exact = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(F.count_distinct(col("user_id")).as("n_exact"),
+            F.count(F.lit(1)).as("__n"))
+        via.join(exact, "day").select(
+          col("day"), col("n_exact"),
+          (F.abs(col("uniq_est") - col("n_exact")) <= col("n_exact") * 0.05 + 1)
+            .as("est_within_bound"),
+          (col("cnt") === col("__n")).as("rollup_count_exact"))
+          .orderBy(col("day").asc)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |true AS est_within_bound, true AS rollup_count_exact
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
   )
 }

@@ -203,6 +203,28 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("__gs_"))
   }
 
+  test("sketch rollup source: non-additive distinct routes to daily cells, bit-equal to fact path") {
+    import graft.query.CubeQuery
+    val cube = Cubes.eventsCubeWithSketchRollup(spark, sf)
+    def q(c: graft.model.Cube) = CubeQuery(c).slice("d", "day")
+      .measure("uu", "uniqueUsersApprox").measure("c", "count").asc("d")
+    // routed to the rollup: the plan re-aggregates sketches (union), it
+    // does not re-sketch raw user_ids
+    val viaRollup = q(cube).toDF
+    val plan = viaRollup.queryExecution.optimizedPlan.toString
+    assert(plan.contains("hll_union_agg"), s"not served by the sketch rollup:\n$plan")
+    // lossless merge: rollup path == sketching the raw fact, bit-equal
+    val viaFact = q(cube.copy(altSources = Nil)).toDF
+    assert(viaFact.queryExecution.optimizedPlan.toString.contains("hll_sketch_agg"))
+    val a = viaRollup.collect().map(_.toString)
+    val b = viaFact.collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    // a metric the rollup can't serve (sumValue) falls back to the fact
+    val fallback = CubeQuery(cube).slice("d", "day")
+      .measure("sv", "sumValue").toDF.queryExecution.optimizedPlan.toString
+    assert(!fallback.contains("hll_union_agg"))
+  }
+
   test("documents cube: selector pushes to the scan; derived dims don't widen it") {
     val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
       .slice("lang", "lang").measure("c", "count")
