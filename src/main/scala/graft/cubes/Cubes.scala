@@ -400,6 +400,29 @@ object Cubes {
         "user" -> Selector("user", col("user_id"))))
   }
 
+  /** Funnel cube: the per-user funnel-stage frame AS a cube fact — any
+    * derived DataFrame is a legal fact, so event-sequence analytics
+    * compose with the whole front door (slices, selectors, options).
+    * One row per user with funnel activity; `stage` = furthest
+    * signup→view→purchase step within 7 days of first signup.
+    */
+  def funnelCube(s: SparkSession, d: String): Cube =
+    funnelCube(s, PathCatalog(d))
+
+  def funnelCube(s: SparkSession, cat: Catalog): Cube = {
+    val stages = graft.operators.Funnel.funnelStages(
+      Tables.events(s, cat), col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view", "purchase"), windowMicros = 7L * 86400 * 1000000)
+    Cube(
+      name = "funnel",
+      fact = stages,
+      dimensions = Map("stage" -> Dimension("stage", col("stage"))),
+      metrics = Map("users" -> Metric.countAll("users")),
+      selectors = Map(
+        "stage" -> Selector("stage", col("stage")),
+        "user" -> Selector("user", col("user_id"))))
+  }
+
   /** EventsCube + a daily SKETCH rollup alternative source — optimal-
     * table selection for a NON-ADDITIVE metric (the AggregatingMergeTree
     * pattern behind the reference's ClickHouse backend): each rollup

@@ -340,6 +340,37 @@ object InvariantQueries {
       Some("""SELECT CAST(ts AS DATE) AS day,
              |CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
              |true AS est_within_bound, true AS rollup_count_exact
-             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin)),
+
+    // mergeable QUANTILE pre-aggregation (the percentile analogue of
+    // q101): daily Greenwald-Khanna sketch cells, unioned over an
+    // arbitrary range with the one-shot rank-error guarantee ε=0.01.
+    // The unioned median must land between the exact 45th and 55th
+    // percentiles of the same rows (±5×ε rank margin, computed in-engine
+    // with Spark's EXACT percentile); row count anchors the oracle.
+    NamedQuery("q104_quantile_rollup",
+      (s, d) => {
+        import graft.functions.QuantileSketch
+        val ev = Tables.events(s, d).withColumn("day", F.to_date(col("ts")))
+        val lo = F.lit("2024-01-08").cast("date")
+        val hi = F.lit("2024-01-22").cast("date")
+        val daily = ev.groupBy(col("day"))
+          .agg(QuantileSketch.quantileCell(0.01)(col("value")).as("__q_sk"))
+        val est = daily.filter(col("day") >= lo && col("day") < hi)
+          .agg(QuantileSketch.quantileUnion(0.5, 0.01)(col("__q_sk")).as("__med"))
+        val exact = ev.filter(col("day") >= lo && col("day") < hi)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.expr("percentile(value, 0.45)").as("__p45"),
+            F.expr("percentile(value, 0.55)").as("__p55"))
+        exact.crossJoin(est).select(
+          col("n_rows"),
+          (col("__med") >= col("__p45") && col("__med") <= col("__p55"))
+            .as("median_within_bound"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |true AS median_within_bound
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin))
   )
 }

@@ -216,6 +216,39 @@ object ParsedQueries {
              |GROUP BY f.flag, f.cnt
              |ORDER BY "flag" ASC NULLS FIRST, "cnt" ASC, "top_parts" ASC""".stripMargin)),
 
+    // the funnel frame AS a cube fact, queried through the front door:
+    // slice by stage, count users, selector filters out stage-0 (users
+    // with funnel events but no anchor) — event-sequence analytics
+    // composing with the generic query surface. Oracle = q97's
+    // min-join-chain with the same filter.
+    NamedQuery("q103_parsed_funnel_cube",
+      (s, d) => QueryParser.parse(Cubes.funnelCube(s, d),
+        """{ "cube": "funnel",
+          |  "args": { "stage": {"gt": 0}, "options": {"asc": "stage"} },
+          |  "fields": [
+          |    {"name": "stage"},
+          |    {"name": "users", "alias": "n_users"} ] }""".stripMargin).query.toDF,
+      Some("""WITH f AS (SELECT user_id, ts, event_type FROM events
+             |          WHERE event_type IN ('signup', 'view', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM f),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN s1 USING (user_id)
+             |       WHERE f.event_type = 'view' AND f.ts > s1.t1
+             |         AND f.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+             |s3 AS (SELECT f.user_id, min(f.ts) AS t3 FROM f
+             |       JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+             |       WHERE f.event_type = 'purchase' AND f.ts > s2.t2
+             |         AND f.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+             |st AS (SELECT u.user_id,
+             |       CASE WHEN s3.user_id IS NOT NULL THEN 3
+             |            WHEN s2.user_id IS NOT NULL THEN 2
+             |            WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |       FROM u LEFT JOIN s1 USING (user_id)
+             |              LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+             |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+             |FROM st WHERE stage > 0 GROUP BY 1
+             |ORDER BY stage ASC NULLS FIRST, n_users ASC""".stripMargin)),
+
     // parser → compiler, flat response; desc cnt + limit with tiebreaks;
     // metric-level filter via args on the metric; nil-arg op pruned
     NamedQuery("q70_parsed_flat",

@@ -173,4 +173,26 @@ class PropertySpec extends AnyFunSuite {
     assert(unioned == oneShot, s"union=$unioned oneShot=$oneShot")
     assert(oneShot > 0)
   }
+
+  test("quantile sketch cells union with the one-shot rank guarantee") {
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    val ev = graft.cubes.Tables.events(spark, sf)
+      .withColumn("day", F.to_date(col("ts")))
+    def median(cells: org.apache.spark.sql.DataFrame) = cells
+      .agg(QuantileSketch.quantileUnion(0.5, 0.01)(col("sk")).as("m"))
+      .collect()(0).getDouble(0)
+    // union of per-day cells vs a single whole-range cell: both must
+    // satisfy the ε rank bound against the EXACT percentiles
+    val daily = median(ev.groupBy(col("day"))
+      .agg(QuantileSketch.quantileCell(0.01)(col("value")).as("sk")))
+    val oneShot = median(ev
+      .agg(QuantileSketch.quantileCell(0.01)(col("value")).as("sk")))
+    val Array(p45, p55) = ev.agg(
+      F.expr("percentile(value, 0.45)"), F.expr("percentile(value, 0.55)"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(daily >= p45 && daily <= p55, s"daily-union median $daily outside [$p45,$p55]")
+    assert(oneShot >= p45 && oneShot <= p55, s"one-shot median $oneShot outside [$p45,$p55]")
+  }
 }
