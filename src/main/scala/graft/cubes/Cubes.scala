@@ -443,6 +443,7 @@ object Cubes {
       .groupBy(day.as("day"), col("event_type"))
       .agg(
         F.hll_sketch_agg(col("user_id"), F.lit(14)).as("uu_sk"),
+        graft.functions.QuantileSketch.quantileCell(0.01)(col("value")).as("q_sk"),
         F.count(F.lit(1)).as("cnt_p"))
     def filtered(c: org.apache.spark.sql.Column, p: Option[org.apache.spark.sql.Column]) =
       p.map(pr => F.when(pr, c)).getOrElse(c)
@@ -454,12 +455,15 @@ object Cubes {
       metrics = base.metrics +
         ("uniqueUsersApprox" -> Metric("uniqueUsersApprox",
           p => F.hll_sketch_estimate(
-            F.hll_sketch_agg(filtered(col("user_id"), p), F.lit(14))))),
+            F.hll_sketch_agg(filtered(col("user_id"), p), F.lit(14))))) +
+        // GK-based both ways: accuracy 100 == the cells' eps 0.01
+        ("medianValueApprox" -> Metric("medianValueApprox",
+          p => F.percentile_approx(filtered(col("value"), p), F.lit(0.5), F.lit(100)))),
       altSources = Seq(CubeSource(
         name = "daily_sketch",
         df = daily,
         servesDimensions = Set("day", "eventType"),
-        servesMetrics = Set("count", "uniqueUsersApprox"),
+        servesMetrics = Set("count", "uniqueUsersApprox", "medianValueApprox"),
         cost = 1,
         dimOverrides = Map(
           "day" -> Dimension("day", col("day")),
@@ -472,6 +476,9 @@ object Cubes {
             p => F.coalesce(F.sum(filtered(col("cnt_p"), p)), F.lit(0L))),
           "uniqueUsersApprox" -> Metric("uniqueUsersApprox",
             p => F.hll_sketch_estimate(
-              F.hll_union_agg(filtered(col("uu_sk"), p))))))))
+              F.hll_union_agg(filtered(col("uu_sk"), p)))),
+          "medianValueApprox" -> Metric("medianValueApprox",
+            p => graft.functions.QuantileSketch.quantileUnion(0.5, 0.01)(
+              filtered(col("q_sk"), p)))))))
   }
 }

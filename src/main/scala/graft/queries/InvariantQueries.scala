@@ -371,6 +371,33 @@ object InvariantQueries {
              |true AS median_within_bound
              |FROM events
              |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
-             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin))
+             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin)),
+
+    // the quantile rollup THROUGH the front door: medianValueApprox on
+    // the sketch-rollup events cube routes to the daily GK cells (same
+    // CubeSource as q102's HLL route — one daily rollup serves additive
+    // counts, distinct sketches AND quantile sketches). Per day, the
+    // served median must land between the exact 45th/55th percentiles.
+    NamedQuery("q105_sketch_rollup_median",
+      (s, d) => {
+        import graft.query.CubeQuery
+        val cube = graft.cubes.Cubes.eventsCubeWithSketchRollup(s, d)
+        val via = CubeQuery(cube).slice("day", "day")
+          .measure("med_est", "medianValueApprox").toDF
+        val exact = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.expr("percentile(value, 0.45)").as("__p45"),
+            F.expr("percentile(value, 0.55)").as("__p55"))
+        via.join(exact, "day").select(
+          col("day"), col("n_rows"),
+          (col("med_est") >= col("__p45") && col("med_est") <= col("__p55"))
+            .as("median_within_bound"))
+          .orderBy(col("day").asc)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |CAST(count(*) AS BIGINT) AS n_rows,
+             |true AS median_within_bound
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
   )
 }

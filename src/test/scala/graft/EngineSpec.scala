@@ -223,6 +223,12 @@ class EngineSpec extends AnyFunSuite {
     val fallback = CubeQuery(cube).slice("d", "day")
       .measure("sv", "sumValue").toDF.queryExecution.optimizedPlan.toString
     assert(!fallback.contains("hll_union_agg"))
+    // quantiles route too: served from GK cells, not by re-scanning values
+    val med = CubeQuery(cube).slice("d", "day")
+      .measure("m", "medianValueApprox").toDF
+    assert(!med.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+      "median served from the fact, not the quantile cells")
+    assert(med.collect().forall(!_.isNullAt(1)))
   }
 
   test("documents cube: selector pushes to the scan; derived dims don't widen it") {
