@@ -298,7 +298,8 @@ object CmsEstimate {
   * mergeable-state design ClickHouse's windowFunnel uses, instead of a
   * join per funnel step.
   */
-case class FunnelStage(child: Expression, windowMicros: Long, nSteps: Int)
+case class FunnelStage(child: Expression, windowMicros: Long, nSteps: Int,
+    anyAnchor: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -312,11 +313,14 @@ case class FunnelStage(child: Expression, windowMicros: Long, nSteps: Int)
     }
 
   override def nullSafeEval(v: Any): Any =
-    FunnelStage.compute(v.asInstanceOf[ArrayData], windowMicros, nSteps)
+    if (anyAnchor) FunnelStage.computeAny(v.asInstanceOf[ArrayData], windowMicros, nSteps)
+    else FunnelStage.compute(v.asInstanceOf[ArrayData], windowMicros, nSteps)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (anyAnchor) "computeAny" else "compute"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.FunnelStage.compute($c, ${windowMicros}L, $nSteps);")
+      s"${ev.value} = graft.functions.FunnelStage.$fn($c, ${windowMicros}L, $nSteps);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): FunnelStage =
     copy(child = newChild)
@@ -344,8 +348,52 @@ object FunnelStage {
     stage
   }
 
-  def apply(c: Column, windowMicros: Long, nSteps: Int): Column =
-    GraftBridge.column(FunnelStage(GraftBridge.expression(c), windowMicros, nSteps))
+  /** ANY-anchor variant (ClickHouse windowFunnel semantics): the chain
+    * may start at ANY step-0 event, not just the first — returns the
+    * longest strictly-ordered chain completable within `windowMicros`
+    * of its own start. Standard DP over the ts-sorted events:
+    * `best(k)` = the LATEST start time of any chain reaching k steps
+    * (a later start maximizes remaining window headroom, so it
+    * dominates). Updates at one timestamp are committed only when ts
+    * advances, preserving the strict `>` between chain steps under
+    * ties. Single pass, O(events × steps) worst case.
+    */
+  def computeAny(ev: ArrayData, windowMicros: Long, nSteps: Int): Int = {
+    val n = ev.numElements()
+    val NoneTs = Long.MinValue
+    val best = Array.fill(nSteps + 1)(NoneTs) // best(k): latest chain start reaching k steps
+    val pend = Array.fill(nSteps + 1)(NoneTs) // per-level updates buffered within one ts
+    def commit(): Unit = {
+      var k = 1
+      while (k <= nSteps) {
+        if (pend(k) > best(k)) best(k) = pend(k)
+        pend(k) = NoneTs
+        k += 1
+      }
+    }
+    var lastTs = NoneTs
+    var i = 0
+    while (i < n) {
+      val row = ev.getStruct(i, 2)
+      val ts = row.getLong(0)
+      val st = row.getInt(1)
+      if (ts != lastTs) { commit(); lastTs = ts }
+      if (st == 0) {
+        if (ts > pend(1)) pend(1) = ts
+      } else if (st <= nSteps - 1 && best(st) != NoneTs &&
+          ts <= best(st) + windowMicros) {
+        if (best(st) > pend(st + 1)) pend(st + 1) = best(st)
+      }
+      i += 1
+    }
+    commit()
+    var k = nSteps
+    while (k > 0 && best(k) == NoneTs) k -= 1
+    k
+  }
+
+  def apply(c: Column, windowMicros: Long, nSteps: Int, anyAnchor: Boolean): Column =
+    GraftBridge.column(FunnelStage(GraftBridge.expression(c), windowMicros, nSteps, anyAnchor))
 }
 
 /** Row-local MinHash signature over array<string> shingles: each element

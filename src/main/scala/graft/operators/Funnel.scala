@@ -15,15 +15,21 @@ import org.apache.spark.sql.{functions => F}
   */
 object Funnel {
 
-  /** Furthest funnel stage per user: anchored at the user's FIRST
-    * `steps(0)` event (first-touch attribution), each later step must
-    * occur strictly after the previous and within `windowMicros` of the
-    * anchor. Output: (user_id, stage) with stage in 0..steps.size; users
-    * with no funnel events at all are absent, users with later-step
-    * events but no anchor get 0.
+  /** Furthest funnel stage per user. Two anchor modes:
+    *  - default (first-touch attribution): the chain starts at the
+    *    user's FIRST `steps(0)` event; each later step must occur
+    *    strictly after the previous and within `windowMicros` of it.
+    *  - `anyAnchor = true` (ClickHouse windowFunnel semantics): the
+    *    chain may start at ANY `steps(0)` event — a user who missed the
+    *    window from their first anchor but converted from a later one
+    *    still counts (single-pass DP, [[FunnelStage.computeAny]]).
+    * Output: (user_id, stage) with stage in 0..steps.size; users with
+    * no funnel events at all are absent, users with later-step events
+    * but no anchor get 0.
     */
   def funnelStages(events: DataFrame, user: Column, ts: Column, etype: Column,
-      steps: Seq[String], windowMicros: Long): DataFrame = {
+      steps: Seq[String], windowMicros: Long,
+      anyAnchor: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got ${steps.mkString(",")}")
@@ -35,7 +41,7 @@ object Funnel {
       .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
         .as("__ev"))
       .select(F.col("user_id"),
-        FunnelStage(F.col("__ev"), windowMicros, steps.size).as("stage"))
+        FunnelStage(F.col("__ev"), windowMicros, steps.size, anyAnchor).as("stage"))
   }
 
   /** Cohort retention (ClickHouse `retention` semantics): `conds.head`

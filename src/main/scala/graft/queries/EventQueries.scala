@@ -255,6 +255,41 @@ object EventQueries {
              |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
              |FROM st GROUP BY 1 ORDER BY stage ASC""".stripMargin)),
 
+    // ANY-anchor window funnel (full ClickHouse windowFunnel semantics):
+    // the chain may start at ANY signup, so users who missed the window
+    // from their first anchor but converted from a later one count.
+    // The oracle is the EXACT exists-a-chain form (triple join) — the
+    // DP must agree with brute force on every user.
+    NamedQuery("q106_window_funnel_any",
+      (s, d) => graft.operators.Funnel.funnelStages(
+          Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "view", "purchase"), windowMicros = 7L * 86400 * 1000000,
+          anyAnchor = true)
+        .groupBy(col("stage"))
+        .agg(F.count(F.lit(1)).as("n_users"))
+        .orderBy(col("stage").asc),
+      Some("""WITH f AS (SELECT user_id, ts, event_type FROM events
+             |          WHERE event_type IN ('signup', 'view', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM f),
+             |c1 AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'signup'),
+             |c2 AS (SELECT DISTINCT a.user_id FROM f a
+             |       JOIN f b ON b.user_id = a.user_id AND b.event_type = 'view'
+             |         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+             |       WHERE a.event_type = 'signup'),
+             |c3 AS (SELECT DISTINCT a.user_id FROM f a
+             |       JOIN f b ON b.user_id = a.user_id AND b.event_type = 'view'
+             |         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+             |       JOIN f c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+             |         AND c.ts > b.ts AND c.ts <= a.ts + INTERVAL 7 DAY
+             |       WHERE a.event_type = 'signup'),
+             |st AS (SELECT u.user_id,
+             |       CASE WHEN u.user_id IN (SELECT user_id FROM c3) THEN 3
+             |            WHEN u.user_id IN (SELECT user_id FROM c2) THEN 2
+             |            WHEN u.user_id IN (SELECT user_id FROM c1) THEN 1
+             |            ELSE 0 END AS stage FROM u)
+             |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+             |FROM st GROUP BY 1 ORDER BY stage ASC""".stripMargin)),
+
     // cohort retention (ClickHouse retention analogue): of users who
     // signed up in the first 3 days, how many returned in week 2 and in
     // week 4 — per-user boolean flags, one aggregation, no joins.

@@ -73,6 +73,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(stages(df) == Map(1L -> 3))
   }
 
+  test("any-anchor mode: later anchors rescue chains the first anchor missed") {
+    def anyStages(df: org.apache.spark.sql.DataFrame, windowDays: Int) =
+      Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
+        steps, windowDays * day, anyAnchor = true)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = ev(
+      // u1: first anchor's window misses the purchase; the later
+      // signup@04's chain (view@06, purchase@08) completes. Window 5d:
+      // first-touch = 2 (view@02 only), any-anchor = 3.
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-04 00:00:00", "signup"),
+      (1L, "2024-01-06 00:00:00", "view"),
+      (1L, "2024-01-08 00:00:00", "purchase"),
+      // u2: no anchor rescues an out-of-window view
+      (2L, "2024-01-01 00:00:00", "signup"),
+      (2L, "2024-01-20 00:00:00", "view"),
+      // u3: equal timestamps still don't chain
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-01 00:00:00", "view"))
+    assert(anyStages(df, 5) == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    assert(stages(df, 5) == Map(1L -> 2, 2L -> 1, 3L -> 1),
+      "first-touch mode must NOT use the later anchor")
+    // any-anchor dominates first-touch on every user
+    val big = graft.cubes.Tables.events(spark, "/root/testdata/sf0.001")
+    val ft = Funnel.funnelStages(big, col("user_id"), col("ts"),
+      col("event_type"), steps, 7 * day)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val any = Funnel.funnelStages(big, col("user_id"), col("ts"),
+      col("event_type"), steps, 7 * day, anyAnchor = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ft.keySet == any.keySet)
+    ft.foreach { case (u, s) => assert(any(u) >= s, s"user $u: any < first-touch") }
+  }
+
   test("funnel plan: one shuffle total (per-user aggregate, no per-step joins)") {
     val df = Funnel.funnelStages(
       graft.cubes.Tables.events(spark, "/root/testdata/sf0.001"),
