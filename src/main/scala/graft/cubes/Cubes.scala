@@ -358,7 +358,13 @@ object Cubes {
       fact = docs,
       dimensions = Map(
         "source" -> Dimension("source", col("source")),
-        "lang" -> Dimension("lang", TextAnalysis.langId(col("text")))),
+        "lang" -> Dimension("lang", TextAnalysis.langId(col("text"))),
+        // the deterministic train/val/test assignment as a first-class
+        // dimension: slicing training data by split composes with every
+        // other front-door feature, and the assignment is reproducible
+        // by ANY engine (llm/Splits)
+        "split" -> Dimension("split", graft.llm.Splits.assignSplit(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))),
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "avgQuality" -> Metric.avgOf("avgQuality",
@@ -367,6 +373,8 @@ object Cubes {
         "uniqueTexts" -> Metric.uniqExact("uniqueTexts", F.md5(col("text")))),
       selectors = Map(
         "source" -> Selector("source", col("source")),
+        "split" -> Selector("split", graft.llm.Splits.assignSplit(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
         "nChars" -> Selector("nChars", col("n_chars"))))
   }
 

@@ -216,6 +216,53 @@ object ParsedQueries {
              |GROUP BY f.flag, f.cnt
              |ORDER BY "flag" ASC NULLS FIRST, "cnt" ASC, "top_parts" ASC""".stripMargin)),
 
+    // training-data slicing through the front door: the deterministic
+    // hash split is a first-class DIMENSION on the documents cube, so
+    // "how many docs/tokens per split per language, excluding test"
+    // is one declarative cube query — and the oracle re-derives the
+    // split from the same md5 buckets, proving any engine reproduces it.
+    NamedQuery("q107_parsed_split_dim",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "split": {"notEq": "test"},
+          |            "options": {"asc": ["split", "lang"]} },
+          |  "fields": [
+          |    {"name": "split"},
+          |    {"name": "lang"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "sumTokens", "alias": "n_tokens"} ] }""".stripMargin).query.toDF,
+      Some("""WITH m AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, len(toks) AS n_tokens,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['the','a','and','of','to','is'], x))) AS s_en,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['el','la','de','que','y','en'], x))) AS s_es,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             |    len(list_filter(list_transform(toks, x -> lower(x)),
+             |      x -> list_contains(['le','les','et','une','dans'], x))) AS s_fr
+             |  FROM m),
+             |q AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE
+             |      WHEN s_en >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+             |      WHEN s_es >= greatest(s_es, s_de, s_fr) AND greatest(s_es, s_de, s_fr) > 0 THEN 'es'
+             |      WHEN s_de >= greatest(s_de, s_fr) AND greatest(s_de, s_fr) > 0 THEN 'de'
+             |      WHEN s_fr > 0 THEN 'fr'
+             |      ELSE 'und' END AS lang,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM sc)
+             |SELECT split, lang, count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |FROM q WHERE split <> 'test' GROUP BY 1, 2
+             |ORDER BY split ASC NULLS FIRST, lang ASC NULLS FIRST,
+             |n_docs ASC, n_tokens ASC""".stripMargin)),
+
     // the funnel frame AS a cube fact, queried through the front door:
     // slice by stage, count users, selector filters out stage-0 (users
     // with funnel events but no anchor) — event-sequence analytics
