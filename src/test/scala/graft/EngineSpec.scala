@@ -156,6 +156,18 @@ class EngineSpec extends AnyFunSuite {
     assert(sets.nonEmpty && sets.sameElements(manual))
   }
 
+  test("limit_by plans with partial WindowGroupLimit: each partition truncates to K pre-shuffle") {
+    val df = li.slice("f", "returnFlag").slice("s", "lineStatus")
+      .measure("c", "count").desc("c").limitBy(Seq("f"), 2).toDF
+    val plan = df.queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    // Spark's rank-limit pushdown must fire in BOTH modes: partial
+    // (map-side, before the exchange — the 100 TB lever: only K rows
+    // per partition per group ever shuffle) and final
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit, got $hits:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("plan-backed exact topK: matches the sketch, fills empty groups, rejects rollup") {
     import org.apache.spark.sql.functions.{col, to_json}
     def run(q: graft.query.CubeQuery) =

@@ -195,4 +195,37 @@ class PropertySpec extends AnyFunSuite {
     assert(daily >= p45 && daily <= p55, s"daily-union median $daily outside [$p45,$p55]")
     assert(oneShot >= p45 && oneShot <= p55, s"one-shot median $oneShot outside [$p45,$p55]")
   }
+
+  test("histogram bins partition the rows: per-group bin sums equal group counts") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    val li = graft.cubes.Tables.lineitem(spark, sf)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        F.sum(F.lit(1)).as("n"),
+        F.array((1 to 10).map(i =>
+          F.sum(F.when(F.width_bucket(
+            col("l_quantity"), F.lit(1.0), F.lit(51.0), F.lit(10)) === i, 1L)
+            .otherwise(0L))): _*).as("hist"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](2).sum == r.getLong(1),
+        s"bins lost rows for flag ${r.getString(0)}")
+    }
+  }
+
+  test("hash splits partition the corpus: disjoint by construction, exhaustive, stable size") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    val docs = graft.cubes.Tables.documents(spark, sf)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = docs.select(col("doc_id"),
+      graft.llm.Splits.assignSplit(col("doc_id"), w).as("split"))
+    // exhaustive: every doc gets exactly one label (a column can't give
+    // two, so partition == no null labels + counts summing to total)
+    assert(labeled.filter(col("split").isNull).count() == 0)
+    assert(labeled.groupBy("split").count().agg(F.sum("count")).collect()(0).getLong(0)
+      == docs.count())
+  }
 }
