@@ -31,7 +31,8 @@ object GraftFunctions {
         if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)),
     "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
     "funnel_stage" -> (exprs => FunnelStage(exprs(0),
-      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"))),
+      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"),
+      if (exprs.size > 3) boolLit(exprs(3), "funnel_stage anyAnchor") else false)),
     "minhash_sig" -> (exprs => MinHashSig(exprs(0),
       intLit(exprs(1), "minhash_sig numHashes"), longLit(exprs(2), "minhash_sig seed"))))
 
@@ -39,6 +40,11 @@ object GraftFunctions {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
     case other => throw new CubeQueryException(s"$what must be a long literal, got $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new CubeQueryException(s"$what must be a boolean literal, got $other")
   }
 
   /** Imperative registration on a live session. */
