@@ -156,6 +156,23 @@ class EngineSpec extends AnyFunSuite {
     assert(sets.nonEmpty && sets.sameElements(manual))
   }
 
+  test("Metric.parameterized: declared args rebind, unknown args error") {
+    import org.apache.spark.sql.{functions => F}
+    val cube = Cubes.lineitemCube(spark, sf)
+    val scaled = graft.model.Metric.parameterized("scaledQty", Map("by" -> 1)) {
+      bound => p =>
+        F.sum(org.apache.spark.sql.functions.col("l_quantity") *
+          bound("by").asInstanceOf[Int])
+    }
+    val c2 = cube.copy(metrics = cube.metrics + ("scaledQty" -> scaled))
+    def total(args: Seq[(String, Any)]) =
+      graft.query.CubeQuery(c2).measureArgs("q", "scaledQty", args)
+        .toDF.collect()(0).getDouble(0)
+    assert(total(Seq("by" -> 2)) == 2 * total(Nil))
+    val e = intercept[graft.model.CubeQueryException](total(Seq("nope" -> 1)))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("limit_by plans with partial WindowGroupLimit: each partition truncates to K pre-shuffle") {
     val df = li.slice("f", "returnFlag").slice("s", "lineStatus")
       .measure("c", "count").desc("c").limitBy(Seq("f"), 2).toDF
