@@ -327,6 +327,53 @@ object LlmQueries {
              |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
              |CAST(count(*) AS BIGINT) AS n_docs,
              |min(doc_id) AS min_id, max(doc_id) AS max_id
-             |FROM b GROUP BY 1 ORDER BY split ASC""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY split ASC""".stripMargin)),
+
+    // quality-weighted deterministic sampling: keep each doc with
+    // probability ≈ its quality score, decided by the SAME md5 bucket
+    // machinery as the splits — reproducible in any engine (the oracle
+    // re-derives both the quality formula and the buckets), unlike
+    // rand()-thinning which resharding silently changes. The canonical
+    // "upsample clean text" pipeline step.
+    NamedQuery("q108_quality_sampling",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.qualityScore(col("text"))
+        val keep = graft.llm.Splits.hashBucket(col("doc_id"), 100) <
+          F.round(q * 100, 0)
+        docs.groupBy(col("source"))
+          .agg(F.count(F.lit(1)).as("n_total"),
+            F.sum(F.when(keep, 1L).otherwise(0L)).as("n_kept"),
+            F.sum(F.when(keep, TextAnalysis.tokenCount(col("text")))
+              .otherwise(0L)).as("tokens_kept"))
+          .orderBy(col("source").asc)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, source, len(toks) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS stopword_ratio
+             |  FROM m),
+             |q AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM sc),
+             |k AS (
+             |  SELECT source, n_tokens,
+             |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+             |      < round(quality * 100, 0)) AS keep
+             |  FROM q)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+             |CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+             |FROM k GROUP BY 1 ORDER BY source ASC""".stripMargin))
   )
 }
