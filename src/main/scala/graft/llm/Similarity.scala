@@ -211,7 +211,16 @@ object Similarity {
 
   /** Exact embedding near-duplicate pairs: full pairwise cosine ≥
     * threshold. The verifier / small-corpus path; [[cosineNearDupPairs]]
-    * is the LSH-bucketed scale path. */
+    * is the LSH-bucketed scale path.
+    *
+    * Why all-pairs is DELIBERATE here: the only exact pruning for dense
+    * vectors is the projection bound |â·u − b̂·u| ≤ √(2(1−τ)) — at
+    * τ = 0.45 the window is ±1.05 while unit-vector projections on
+    * 64 dims have σ ≈ 1/√64 = 0.125, so the bound excludes nothing
+    * (it only bites above τ ≈ 0.99). There is no exact sub-quadratic
+    * plan at this threshold; anything cheaper trades recall, which is
+    * exactly what the LSH path does — with its recall proven against
+    * THIS operator (q77 subset invariant, LlmSpec). */
   def cosineNearDupPairsExact(df: DataFrame, threshold: Double): DataFrame = {
     val a = df.select(F.col("id").as("a_id"), F.col("embedding").as("a_emb"))
     val b = df.select(F.col("id").as("b_id"), F.col("embedding").as("b_emb"))

@@ -156,6 +156,30 @@ class EngineSpec extends AnyFunSuite {
     assert(sets.nonEmpty && sets.sameElements(manual))
   }
 
+  test("plan-backed metric on a cube WITH alt sources: falls back to the fact cleanly") {
+    import org.apache.spark.sql.functions.{col, to_json}
+    // exact topParts is served only by the fact; the rollup serves the
+    // additive metrics. A mixed query must compile single-source from
+    // the fact (no merge, no sketch substitution) and stay correct.
+    val cube = Cubes.lineitemCubeWithRollup(spark, sf)
+    val q = graft.query.CubeQuery(cube).slice("f", "returnFlag")
+      .measure("c", "count")
+      .measureArgs("tp", "topParts", Seq("size" -> 2, "exact" -> true))
+      .asc("f")
+    val rows = q.toDF.withColumn("tp", to_json(col("tp")))
+      .collect().map(_.toString).sorted
+    val plain = graft.query.CubeQuery(Cubes.lineitemCube(spark, sf))
+      .slice("f", "returnFlag").measure("c", "count")
+      .measureArgs("tp", "topParts", Seq("size" -> 2, "exact" -> true))
+      .asc("f").toDF.withColumn("tp", to_json(col("tp")))
+      .collect().map(_.toString).sorted
+    assert(rows.nonEmpty && rows.sameElements(plain))
+    // while a rollup-servable query on the same cube still routes there
+    val routed = graft.query.CubeQuery(cube).slice("f", "returnFlag")
+      .measure("c", "count").toDF.queryExecution.optimizedPlan.toString
+    assert(routed.contains("cnt_p"), s"additive query lost the rollup route:\n$routed")
+  }
+
   test("Metric.parameterized: declared args rebind, unknown args error") {
     import org.apache.spark.sql.{functions => F}
     val cube = Cubes.lineitemCube(spark, sf)
