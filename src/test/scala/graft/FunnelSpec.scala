@@ -126,20 +126,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(event_type"), plan)
   }
 
-  test("funnel runs as a LIVE STREAM: stream == batch (one stateful aggregation)") {
+  test("funnel runs as a LIVE STREAM: stream == batch in both anchor modes") {
     val sf = "/root/testdata/sf0.001"
-    def funnel(df: org.apache.spark.sql.DataFrame) =
-      Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
-        steps, 7 * day)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
-    val q = funnel(graft.streaming.Streaming.eventsStream(spark, sf))
-      .writeStream.outputMode("complete").format("memory")
-      .option("checkpointLocation", ckpt).queryName("funnel_live").start()
-    try q.processAllAvailable() finally q.stop()
-    val stream = spark.table("funnel_live").collect().map(_.toString).sorted
-    val batch = funnel(graft.cubes.Tables.events(spark, sf))
-      .collect().map(_.toString).sorted
-    assert(stream.nonEmpty && stream.sameElements(batch))
+    for ((anchorMode, name) <- Seq(false -> "funnel_live_ft", true -> "funnel_live_any")) {
+      def funnel(df: org.apache.spark.sql.DataFrame) =
+        Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
+          steps, 7 * day, anyAnchor = anchorMode)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${name}_ckpt").toString
+      val q = funnel(graft.streaming.Streaming.eventsStream(spark, sf))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", ckpt).queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val stream = spark.table(name).collect().map(_.toString).sorted
+      val batch = funnel(graft.cubes.Tables.events(spark, sf))
+        .collect().map(_.toString).sorted
+      assert(stream.nonEmpty && stream.sameElements(batch), s"mode anyAnchor=$anchorMode")
+    }
   }
 
   test("retention: anchor gates every later window") {
