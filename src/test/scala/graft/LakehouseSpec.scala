@@ -73,6 +73,36 @@ class LakehouseSpec extends AnyFunSuite {
       s"pruning read $numFiles files (day=$dayFiles, table=$allFiles)")
   }
 
+  test("runtime bloom filter: a selective dim side prunes the fact scan at the row-group level") {
+    // the third 100 TB join lever after broadcast and bucketing: when the
+    // dim side is filtered hard, Spark builds a bloom filter of its keys
+    // at runtime and semi-joins the fact scan against it — rows that
+    // can't match never leave the scan. Thresholds are sized for real
+    // clusters; lower them to demonstrate the mechanism at fixture scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it must not change the answer
+      val expected = li.join(o.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count().collect().map(_.toString).sorted
+      assert(j.collect().map(_.toString).sorted.sameElements(expected))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition overwrite: backfilling one day leaves every other day untouched") {
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
