@@ -104,6 +104,16 @@ object Cubes {
         "lineStatuses" -> Metric("lineStatuses", p => F.to_json(F.array_sort(
           F.collect_set(p.map(pr => F.when(pr, col("l_linestatus")))
             .getOrElse(col("l_linestatus")))))),
+        // map-valued aggregate (ClickHouse sumMap): per group, the
+        // lineStatus -> sum(quantity) map. Plan-backed — the per-key
+        // sums need their own grouping level (operators/MapAgg).
+        "qtyByStatus" -> Metric("qtyByStatus",
+          build = _ => throw new CubeQueryException(
+            "qtyByStatus is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.operators.MapAgg.sumMapJson(
+              fact, keys, col("l_linestatus"), col("l_quantity"), pred)
+          }),
         // money sums rounded to cents on both engine and oracle side so the
         // float-summation order difference can't flip the hash compare
         "amount" -> Metric.sumOf("amount", col("l_extendedprice"))

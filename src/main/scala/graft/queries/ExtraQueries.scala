@@ -315,6 +315,38 @@ object ExtraQueries {
              |CAST(sum(n) AS BIGINT) AS n
              |FROM z GROUP BY flag ORDER BY flag ASC""".stripMargin)),
 
+    // map-valued aggregate (ClickHouse sumMap) through the front door:
+    // per flag, the lineStatus -> sum(qty) map — plan-backed metric #2,
+    // proving Metric.planBuild generalizes beyond exact top-K. The
+    // FILTERed variant exercises pred flow into the cascaded aggs.
+    NamedQuery("q109_sum_map",
+      (s, d) => li(s, d)
+        .slice("flag", "returnFlag")
+        .measure("cnt", "count")
+        .measure("qty_by_status", "qtyByStatus")
+        .measureWhen("hiqty_by_status", "qtyByStatus", Pred.gt("quantity", 45))
+        .asc("flag")
+        .toDF,
+      Some("""WITH p AS (SELECT l_returnflag AS flag, l_linestatus AS s,
+             |            sum(l_quantity) AS v
+             |            FROM lineitem GROUP BY 1, 2),
+             |h AS (SELECT l_returnflag AS flag, l_linestatus AS s,
+             |       sum(l_quantity) AS v
+             |       FROM lineitem WHERE l_quantity > 45 GROUP BY 1, 2),
+             |pm AS (SELECT flag, CAST(to_json(map_from_entries(
+             |         list({'k': s, 'v': v} ORDER BY s))) AS VARCHAR) AS qty_by_status
+             |       FROM p GROUP BY 1),
+             |hm AS (SELECT flag, CAST(to_json(map_from_entries(
+             |         list({'k': s, 'v': v} ORDER BY s))) AS VARCHAR) AS hiqty_by_status
+             |       FROM h GROUP BY 1),
+             |c AS (SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1)
+             |SELECT c.flag, c.cnt, pm.qty_by_status,
+             |COALESCE(hm.hiqty_by_status, '{}') AS hiqty_by_status
+             |FROM c JOIN pm ON c.flag = pm.flag
+             |LEFT JOIN hm ON c.flag = hm.flag
+             |ORDER BY c.flag ASC NULLS FIRST, c.cnt ASC,
+             |qty_by_status ASC, hiqty_by_status ASC""".stripMargin)),
+
     // distinct-collect metric (ClickHouse groupUniqArray) with a metric
     // FILTER: which line statuses appear per flag, and which appear on
     // high-quantity rows only
