@@ -177,6 +177,30 @@ object ExtraQueries {
              |ORDER BY return_flag ASC NULLS FIRST, cnt DESC NULLS LAST, part_key ASC"""
         .stripMargin)),
 
+    // weighted SpaceSaving sketch (ClickHouse topKWeighted): top parts
+    // by TOTAL QUANTITY, not occurrence count — exact while distinct
+    // per group <= capacity, so the oracle is exact weighted top-3
+    NamedQuery("q110_topk_weighted",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("return_flag"))
+        .agg(graft.functions.TopKWeighted(3, capacity = 65536)(
+          col("l_partkey"), col("l_quantity").cast("long")).as("topk"))
+        .selectExpr("return_flag", "inline(topk)")
+        .withColumnRenamed("value", "part_key")
+        .withColumnRenamed("cnt", "total_qty")
+        .orderBy(col("return_flag").asc_nulls_first,
+          col("total_qty").desc, col("part_key").asc),
+      Some("""SELECT return_flag, part_key, total_qty FROM (
+             |SELECT return_flag, part_key, total_qty, row_number() OVER (
+             |  PARTITION BY return_flag
+             |  ORDER BY total_qty DESC NULLS LAST, part_key ASC NULLS FIRST) AS rn
+             |FROM (SELECT l_returnflag AS return_flag, l_partkey AS part_key,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |  FROM lineitem GROUP BY 1, 2))
+             |WHERE rn <= 3
+             |ORDER BY return_flag ASC NULLS FIRST, total_qty DESC NULLS LAST, part_key ASC"""
+        .stripMargin)),
+
     // analytic-function family beyond q67: lead, ntile, percent_rank,
     // cume_dist, running first_value — default frames match DuckDB's
     NamedQuery("q84_window_funcs2",

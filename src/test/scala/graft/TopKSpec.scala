@@ -67,6 +67,35 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sketch: exact at capacity, overestimate bound under merge below capacity") {
+    import graft.functions.TopKWeighted
+    val li = Tables.lineitem(spark, sf)
+    val qtyLong = col("l_quantity").cast("long")
+    // exact at sufficient capacity: equals the exact weighted top-3
+    val sketch = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKWeighted(3, capacity = 65536)(col("l_partkey"), qtyLong).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = li.groupBy(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      .agg(org.apache.spark.sql.functions.sum(qtyLong).as("w"))
+      .collect().groupBy(_.getString(0)).toSeq.flatMap { case (f, rows) =>
+        rows.toSeq.map(r => (f, r.getLong(1), r.getLong(2)))
+          .sortBy { case (_, pk, w) => (-w, pk) }.take(3)
+      }.toSet
+    assert(sketch.nonEmpty && sketch == exact)
+    // merge-heavy path below capacity: estimates never underestimate
+    val small = li.repartition(16).groupBy(col("l_returnflag").as("flag"))
+      .agg(TopKWeighted(8, capacity = 8)(col("l_partkey"), qtyLong).as("topk"))
+      .selectExpr("flag", "inline(topk)")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val truth = li.groupBy(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      .agg(org.apache.spark.sql.functions.sum(qtyLong).as("w"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    small.foreach { case (key, est) =>
+      assert(est >= truth.getOrElse(key, 0L), s"weighted underestimate at $key")
+    }
+  }
+
   test("null inputs are skipped (FILTER-style conditional tuple metric)") {
     import org.apache.spark.sql.functions.when
     val li = Tables.lineitem(spark, sf)
