@@ -230,17 +230,31 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
-  /** Embedding near-duplicate pairs: all pairs sharing an LSH bucket with
-    * cosine ≥ threshold. The dedup counterpart of [[lshTopK]]. */
+  /** Embedding near-duplicate pairs: all pairs sharing ANY of `nTables`
+    * LSH buckets, exact-cosine verified against the threshold. The dedup
+    * counterpart of [[lshTopK]], multi-table like it: a single wide
+    * signature has per-pair recall (1−θ/π)^nBits — ~3% for borderline
+    * pairs at threshold 0.45 — so one table is corpus-luck, not an
+    * operator guarantee. With 8 tables × 4 bits a 0.9-cosine near-dup
+    * pair is missed with probability ~0.2%, and every candidate is
+    * exact-verified, so precision is 1 regardless. Shuffle ∝ corpus ×
+    * nTables, never n². */
   def cosineNearDupPairs(
       df: DataFrame, threshold: Double,
-      dim: Int, nBits: Int = 12, seed: Long = 7L): DataFrame = {
+      dim: Int, nBits: Int = 4, nTables: Int = 8, seed: Long = 7L): DataFrame = {
+    val tableKeys = (0 until nTables).map { t =>
+      F.struct(F.lit(t).as("t"),
+        signature(F.col("embedding"), dim, nBits, seed + t * 7919L).as("sig"))
+    }
     val withSig = df.select(F.col("id"), F.col("embedding"),
-      signature(F.col("embedding"), dim, nBits, seed).as("bucket"))
-    val a = withSig.select(F.col("id").as("a_id"), F.col("embedding").as("a_emb"), F.col("bucket"))
-    val b = withSig.select(F.col("id").as("b_id"), F.col("embedding").as("b_emb"), F.col("bucket"))
+      F.explode(F.array(tableKeys: _*)).as("bucket"))
+    val a = withSig.select(F.col("id").as("a_id"), F.col("bucket"))
+    val b = withSig.select(F.col("id").as("b_id"), F.col("bucket"))
     a.join(b, Seq("bucket")).filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+      .join(df.select(F.col("id").as("a_id"), F.col("embedding").as("a_emb")), "a_id")
+      .join(df.select(F.col("id").as("b_id"), F.col("embedding").as("b_emb")), "b_id")
       .withColumn("cosine", CosineSim(F.col("a_emb"), F.col("b_emb")))
       .filter(F.col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

@@ -162,7 +162,7 @@ object InvariantQueries {
           .select(col("vec_id").as("id"), col("embedding"))
         val exact = Similarity.cosineNearDupPairsExact(emb, 0.45)
           .select("a_id", "b_id")
-        val lsh = Similarity.cosineNearDupPairs(emb, 0.45, dim = 64, nBits = 8)
+        val lsh = Similarity.cosineNearDupPairs(emb, 0.45, dim = 64)
           .select("a_id", "b_id")
         val keys = Seq("a_id", "b_id")
         val nExact = exact.agg(F.count(F.lit(1)).as("n_exact"))

@@ -204,7 +204,7 @@ object LlmQueries {
     NamedQuery("q59_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")),
-          threshold = 0.4, dim = 64, nBits = 8)
+          threshold = 0.4, dim = 64)
         .withColumn("cosine", F.round(col("cosine"), 6))
         .orderBy(col("a_id").asc, col("b_id").asc),
       None),
