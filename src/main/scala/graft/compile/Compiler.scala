@@ -56,9 +56,27 @@ object Compiler {
     val filtered = q.wheres.flatMap(p => compilePred(r.sel, p))
       .reduceOption(_ && _).map(joined.filter).getOrElse(joined)
 
+    // ---- exploding dimensions (ClickHouse arrayJoin, O: one row per
+    // array element). The explode happens AFTER the WHERE (row-level
+    // predicates see the original rows) and BEFORE aggregation, so
+    // metrics count elements — arrayJoin semantics.
+    val explodingSlices = q.slices.filter { case (_, ref) => r.dim(ref.dim).explode }
+    if (explodingSlices.size > 1)
+      throw new CubeQueryException(
+        s"at most one exploding dimension per query (got: ${explodingSlices.map(_._1).mkString(",")})")
+    if (explodingSlices.nonEmpty && q.grouping != GroupingMode.Flat)
+      throw new CubeQueryException("exploding dimensions require flat grouping")
+    val sliceInput = explodingSlices.foldLeft(filtered) { case (df, (key, ref)) =>
+      checkKey(key)
+      df.withColumn(s"__ex_$key", F.explode(r.dim(ref.dim).resolve(ref.path)))
+    }
+
     // ---- slices + measures ------------------------------------------
     val sliceCols: Seq[Column] = q.slices.map { case (key, ref) =>
-      checkKey(key); r.dim(ref.dim).resolve(ref.path).as(key)
+      checkKey(key)
+      val dim = r.dim(ref.dim)
+      if (dim.explode) F.col(s"__ex_$key").as(key)
+      else dim.resolve(ref.path).as(key)
     }
     // measures split into expression-backed (one agg Column each) and
     // plan-backed (compiled as their own per-group plan, joined back on
@@ -76,11 +94,14 @@ object Compiler {
       throw new CubeQueryException(
         s"plan-backed metric '${planMeasures.head._1}' requires flat grouping " +
           "(rollup/cube/groupingSets compute grouped supersets one agg pass can't join)")
+    if (planMeasures.nonEmpty && explodingSlices.nonEmpty)
+      throw new CubeQueryException(
+        "plan-backed metrics cannot combine with an exploding dimension")
 
     val shaped: DataFrame =
       if (aggCols.nonEmpty && sliceCols.nonEmpty) q.grouping match {
         case GroupingMode.Flat =>
-          filtered.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          sliceInput.groupBy(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
         case GroupingMode.Rollup =>
           filtered.rollup(sliceCols: _*).agg(aggCols.head, aggCols.tail: _*)
         case GroupingMode.CubeSets =>
@@ -113,7 +134,7 @@ object Compiler {
       else if (aggCols.nonEmpty)
         filtered.agg(aggCols.head, aggCols.tail: _*)
       else if (sliceCols.nonEmpty)
-        filtered.select(sliceCols: _*).distinct()
+        sliceInput.select(sliceCols: _*).distinct()
       else if (planMeasures.nonEmpty)
         // no slices, no agg exprs: a one-row zero-column anchor for the
         // plan-backed cross joins (a global query always yields one row)

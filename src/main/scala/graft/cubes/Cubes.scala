@@ -374,7 +374,11 @@ object Cubes {
         // other front-door feature, and the assignment is reproducible
         // by ANY engine (llm/Splits)
         "split" -> Dimension("split", graft.llm.Splits.assignSplit(
-          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))),
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+        // EXPLODING dimension (ClickHouse arrayJoin): one output row per
+        // token — corpus token frequency through the generic front door
+        "token" -> Dimension("token",
+          graft.llm.Dedup.tokens(F.lower(col("text"))), explode = true)),
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "avgQuality" -> Metric.avgOf("avgQuality",

@@ -25,7 +25,12 @@ final case class Dimension(
     name: String,
     col: Column,
     fields: Map[String, Column => Column] = Map.empty,
-    requires: Set[String] = Set.empty) {
+    requires: Set[String] = Set.empty,
+    /** ClickHouse `arrayJoin` semantics: the resolved column is an ARRAY
+      * and slicing on this dimension emits one row per element (rows
+      * with empty arrays drop, like arrayJoin). Flat grouping only; at
+      * most one exploding slice per query. */
+    explode: Boolean = false) {
 
   /** Resolve a chained sub-field path, e.g. Seq("year"). */
   def resolve(path: Seq[String]): Column =

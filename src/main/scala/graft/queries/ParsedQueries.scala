@@ -263,6 +263,23 @@ object ParsedQueries {
              |ORDER BY split ASC NULLS FIRST, lang ASC NULLS FIRST,
              |n_docs ASC, n_tokens ASC""".stripMargin)),
 
+    // EXPLODING dimension through the front door (ClickHouse arrayJoin):
+    // top tokens by frequency — slicing on `token` emits one row per
+    // array element before aggregation, so `count` counts tokens
+    NamedQuery("q111_parsed_token_freq",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "options": {"desc": "cnt", "limit": 10} },
+          |  "fields": [
+          |    {"name": "token"},
+          |    {"name": "count", "alias": "cnt"} ] }""".stripMargin).query.toDF,
+      Some("""SELECT token, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |  FROM documents)
+             |GROUP BY 1
+             |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
+             |LIMIT 10""".stripMargin)),
+
     // the funnel frame AS a cube fact, queried through the front door:
     // slice by stage, count users, selector filters out stage-0 (users
     // with funnel events but no anchor) — event-sequence analytics

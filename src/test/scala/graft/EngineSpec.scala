@@ -180,6 +180,30 @@ class EngineSpec extends AnyFunSuite {
     assert(routed.contains("cnt_p"), s"additive query lost the rollup route:\n$routed")
   }
 
+  test("exploding dimension: element rows, empty arrays drop, invalid combos rejected") {
+    import graft.query.CubeQuery
+    val docs = CubeQuery(Cubes.documentsCube(spark, sf))
+    // token count through the cube == direct explode count
+    val viaCube = docs.slice("t", "token").measure("c", "count").toDF
+      .agg(org.apache.spark.sql.functions.sum("c")).collect()(0).getLong(0)
+    val direct = graft.cubes.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.llm.Dedup.tokens(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")))))
+      .count()
+    assert(viaCube == direct && viaCube > 0)
+    // restrictions hold with clear errors
+    val twoDims = Cubes.documentsCube(spark, sf)
+    val two = CubeQuery(twoDims.copy(dimensions = twoDims.dimensions +
+      ("token2" -> twoDims.dimensions("token").copy(name = "token2"))))
+    val e1 = intercept[graft.model.CubeQueryException](
+      two.slice("a", "token").slice("b", "token2").measure("c", "count").toDF)
+    assert(e1.getMessage.contains("one exploding dimension"))
+    val e2 = intercept[graft.model.CubeQueryException](
+      docs.slice("t", "token").measure("c", "count").withRollup.toDF)
+    assert(e2.getMessage.contains("flat grouping"))
+  }
+
   test("Metric.parameterized: declared args rebind, unknown args error") {
     import org.apache.spark.sql.{functions => F}
     val cube = Cubes.lineitemCube(spark, sf)
