@@ -280,6 +280,27 @@ object ParsedQueries {
              |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
              |LIMIT 10""".stripMargin)),
 
+    // round-4 composition capstone: exploding dimension × deterministic
+    // split selector × pushdown-able row filter in ONE front-door query
+    // — "top training-split tokens among substantial documents"
+    NamedQuery("q112_parsed_train_tokens",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "split": {"eq": "train"}, "nChars": {"gt": 200},
+          |            "options": {"desc": "cnt", "limit": 5} },
+          |  "fields": [
+          |    {"name": "token"},
+          |    {"name": "count", "alias": "cnt"} ] }""".stripMargin).query.toDF,
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |  FROM documents
+             |  WHERE n_chars > 200
+             |    AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80)
+             |SELECT token, count(*) AS cnt FROM t
+             |GROUP BY 1
+             |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
+             |LIMIT 5""".stripMargin)),
+
     // the funnel frame AS a cube fact, queried through the front door:
     // slice by stage, count users, selector filters out stage-0 (users
     // with funnel events but no anchor) — event-sequence analytics
