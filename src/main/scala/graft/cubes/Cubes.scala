@@ -409,12 +409,33 @@ object Cubes {
         "ts" -> Dimension("ts", col("ts"), fields = Map(
           "hour" -> (c => F.date_trunc("hour", c)),
           "day" -> (c => c.cast("date")),
-          "minute" -> (c => F.date_trunc("minute", c))))),
+          "minute" -> (c => F.date_trunc("minute", c)))),
+        // deterministic experiment arm (llm/Splits hash bucket): constant
+        // per user across runs and engines, so retention/conversion read-
+        // outs slice by A/B assignment through the front door
+        "arm" -> Dimension("arm",
+          graft.llm.Splits.hashBucket(col("user_id"), 4))),
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "sumValue" -> Metric.sumOf("sumValue", col("value")).mapValue(F.round(_, 2)),
         "avgValue" -> Metric.avgOf("avgValue", col("value")).mapValue(F.round(_, 4)),
-        "uniqueUsers" -> Metric.uniqExact("uniqueUsers", col("user_id"))),
+        "uniqueUsers" -> Metric.uniqExact("uniqueUsers", col("user_id")),
+        // cohort retention as a METRIC (ClickHouse retention): needs a
+        // per-user flag level under the slice grouping, so it is plan-
+        // backed (operators/Funnel.retentionJson). Value = JSON
+        // [n_cohort, retained_wk2, retained_wk4] per group.
+        "retentionWeekly" -> Metric("retentionWeekly",
+          build = _ => throw new CubeQueryException(
+            "retentionWeekly is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.operators.Funnel.retentionJson(fact, keys, col("user_id"), Seq(
+              col("event_type") === "signup" &&
+                col("ts") < F.lit("2024-01-04").cast("timestamp"),
+              col("ts") >= F.lit("2024-01-08").cast("timestamp") &&
+                col("ts") < F.lit("2024-01-15").cast("timestamp"),
+              col("ts") >= F.lit("2024-01-22").cast("timestamp") &&
+                col("ts") < F.lit("2024-01-29").cast("timestamp")), pred)
+          })),
       selectors = Map(
         "eventType" -> Selector("eventType", col("event_type")),
         "value" -> Selector("value", col("value")),

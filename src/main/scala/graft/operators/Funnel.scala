@@ -61,4 +61,52 @@ object Funnel {
         F.sum(F.col("__r0") * F.col(s"__r$i")).as(s"retained_$i"))
     perUser.agg(out.head, out.tail: _*)
   }
+
+  /** Retention as a PLAN-BACKED cube metric ([[graft.model.Metric]]
+    * `planBuild` contract): per slice group, the JSON array
+    * `[n_cohort, retained_1, ...]`. Grouping is (slice keys..., user) —
+    * a user whose events span several slice values contributes flags to
+    * each, exactly ClickHouse's `retention(...) GROUP BY dim`. Two
+    * cascaded hash aggregations, both map-side combined; shuffle ∝
+    * distinct (group, user) pairs, never a join per condition.
+    *
+    * Group contract: one row for EVERY group present in `df` — a group
+    * whose rows are all removed by `pred` gets an all-zero series, never
+    * null. */
+  def retentionJson(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      user: Column,
+      conds: Seq[Column],
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame = {
+    require(conds.size >= 2, "retention needs an anchor plus >=1 condition")
+    val (base, keyed) =
+      if (groupCols.nonEmpty)
+        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
+      else {
+        val g = Seq("__pb_g" -> F.lit(1))
+        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
+      }
+    val vals = pred.map(df.filter).getOrElse(df)
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      F.max(F.when(c, 1L).otherwise(0L)).as(s"__r$i")
+    }
+    val perUser = vals
+      .groupBy((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u")): _*)
+      .agg(flags.head, flags.tail: _*)
+    val sums = F.sum(F.col("__r0")).as("__s0") +:
+      (1 until conds.size).map(i =>
+        F.sum(F.col("__r0") * F.col(s"__r$i")).as(s"__s$i"))
+    val t = perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+      .agg(sums.head, sums.tail: _*)
+      .select((keyed.map { case (n, _) => F.col(n) } :+
+        F.to_json(F.array(conds.indices.map(i => F.col(s"__s$i")): _*)).as(outKey)): _*)
+    val zeros = "[" + conds.indices.map(_ => "0").mkString(",") + "]"
+    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
+    val joined = keyed.map(_._1)
+      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
+      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(zeros)))
+    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+  }
 }

@@ -301,6 +301,39 @@ object ParsedQueries {
              |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
              |LIMIT 5""".stripMargin)),
 
+    // retention THROUGH the front door: the plan-backed retentionWeekly
+    // metric sliced by deterministic experiment arm — the ClickHouse
+    // `retention(...) GROUP BY dim` shape as one declarative cube query.
+    // The per-user flag level compiles as its own two-level aggregation
+    // and joins back on the slice key (Compiler plan-backed path).
+    NamedQuery("q113_parsed_retention_arm",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "options": {"asc": "arm"} },
+          |  "fields": [
+          |    {"name": "arm"},
+          |    {"name": "retentionWeekly", "alias": "retention"},
+          |    {"name": "uniqueUsers", "alias": "users"} ] }""".stripMargin).query.toDF,
+      Some("""WITH f AS (
+             |  SELECT CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS BIGINT) AS arm,
+             |         user_id, event_type, ts
+             |  FROM events),
+             |pu AS (
+             |  SELECT arm, user_id,
+             |    max(CASE WHEN event_type = 'signup'
+             |             AND ts < TIMESTAMP '2024-01-04' THEN 1 ELSE 0 END) AS r0,
+             |    max(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+             |             AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS r1,
+             |    max(CASE WHEN ts >= TIMESTAMP '2024-01-22'
+             |             AND ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) AS r2
+             |  FROM f GROUP BY 1, 2)
+             |SELECT arm,
+             |  CAST(to_json([CAST(sum(r0) AS BIGINT), CAST(sum(r0 * r1) AS BIGINT),
+             |                CAST(sum(r0 * r2) AS BIGINT)]) AS VARCHAR) AS retention,
+             |  CAST(count(*) AS BIGINT) AS users
+             |FROM pu GROUP BY 1
+             |ORDER BY arm ASC NULLS FIRST""".stripMargin)),
+
     // the funnel frame AS a cube fact, queried through the front door:
     // slice by stage, count users, selector filters out stage-0 (users
     // with funnel events but no anchor) — event-sequence analytics

@@ -157,4 +157,41 @@ class FunnelSpec extends AnyFunSuite {
         col("ts") < F.lit("2024-01-15").cast("timestamp"))).collect()(0)
     assert(r.getLong(0) == 2 && r.getLong(1) == 1)
   }
+
+  test("retentionJson plan-backed contract: groups, pred gating, zero series") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),   // grp A: cohort, returns
+      (1L, "2024-01-10 00:00:00", "click"),
+      (2L, "2024-01-02 00:00:00", "signup"),   // grp A: cohort, no return
+      (3L, "2024-01-10 00:00:00", "signup"),   // grp B: late signup only
+      (3L, "2024-01-11 00:00:00", "click"))
+      .withColumn("grp", F.when(col("user_id") < 3, "A").otherwise("B"))
+    val conds = Seq(
+      col("event_type") === "signup" && col("ts") < F.lit("2024-01-04").cast("timestamp"),
+      col("ts") >= F.lit("2024-01-08").cast("timestamp") &&
+        col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    val got = Funnel.retentionJson(df, Seq("grp" -> col("grp")), col("user_id"),
+        conds, pred = None)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // grp B has rows but an empty cohort: zero series, present, not null
+    assert(got == Map("A" -> "[2,1]", "B" -> "[0,0]"))
+    // metric-level pred removes every grp-A row: A still appears, zeroed
+    val gated = Funnel.retentionJson(df, Seq("grp" -> col("grp")), col("user_id"),
+        conds, pred = Some(col("user_id") >= 3))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gated == Map("A" -> "[0,0]", "B" -> "[0,0]"))
+    // global (no slice): one row, anchored counts
+    val global = Funnel.retentionJson(df, Seq.empty, col("user_id"), conds, None)
+      .collect()
+    assert(global.length == 1 && global(0).getString(0) == "[2,1]")
+  }
+
+  test("retentionWeekly through the front door requires flat grouping") {
+    val cube = graft.cubes.Cubes.eventsCube(spark, "/root/testdata/sf0.001")
+    val err = intercept[graft.model.CubeQueryException] {
+      graft.query.CubeQuery(cube).slice("arm", "arm")
+        .measure("r", "retentionWeekly").withRollup.toDF.collect()
+    }
+    assert(err.getMessage.contains("flat grouping"))
+  }
 }
