@@ -396,6 +396,61 @@ object FunnelStage {
     GraftBridge.column(FunnelStage(GraftBridge.expression(c), windowMicros, nSteps, anyAnchor))
 }
 
+/** Greedy non-overlapping pattern-occurrence count over a (ts, step)-
+  * sorted event array — ClickHouse `sequenceCount('(?1).*(?2).*…')`
+  * (and `sequenceMatch` = count > 0). The automaton advances one stage
+  * per matching element in sorted order and restarts after each complete
+  * chain; greedy-leftmost completion is optimal for disjoint subsequence
+  * counting, so the result is the true maximum. Event order is the
+  * deterministic lexicographic (ts, step) sort — ClickHouse leaves
+  * same-timestamp order undefined; we pin it. Same input shape and
+  * single-aggregation plan as [[FunnelStage]] (ref: the ClickHouse
+  * backend's sequence aggregates behind activecube metrics).
+  */
+case class SeqCount(child: Expression, nSteps: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == LongType && s(1).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"seq_count needs array<struct<long,int>> (ts, step), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SeqCount.compute(v.asInstanceOf[ArrayData], nSteps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SeqCount.compute($c, $nSteps);")
+
+  override protected def withNewChildInternal(newChild: Expression): SeqCount =
+    copy(child = newChild)
+  override def prettyName: String = "seq_count"
+}
+
+object SeqCount {
+  def compute(ev: ArrayData, nSteps: Int): Int = {
+    val n = ev.numElements()
+    var stage = 0
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (ev.getStruct(i, 2).getInt(1) == stage) {
+        stage += 1
+        if (stage == nSteps) { cnt += 1; stage = 0 }
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  def apply(c: Column, nSteps: Int): Column =
+    GraftBridge.column(SeqCount(GraftBridge.expression(c), nSteps))
+}
+
 /** Row-local MinHash signature over array<string> shingles: each element
   * is xxhash64'd ONCE (seed 42, identical to `F.xxhash64`), folded to
   * [0, 2^32) and run through k fixed-seed affine permutations mod the

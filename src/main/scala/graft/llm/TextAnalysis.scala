@@ -80,6 +80,47 @@ object TextAnalysis {
     }
   }
 
+  /** Overlapping word n-grams as an array column ("a b c", "b c d", …).
+    * Row-local; empty array when the document has fewer than n tokens
+    * (guarded — `sequence` would otherwise run DESCENDING for a negative
+    * span and fabricate grams). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val starts = F.size(toks) - (n - 1)
+    F.when(starts >= 1,
+        F.transform(F.sequence(F.lit(1), starts),
+          i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of word n-grams that
+    * are repeats of an earlier n-gram in the SAME document
+    * (1 − distinct/total). Templated or looping machine text scores
+    * high; natural prose stays near 0. Row-local (no shuffle, no join) —
+    * at 100 TB this is a map-only scan, and it composes with any
+    * cube filter as a quality selector. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    F.when(F.size(grams) > 0,
+        F.round(F.lit(1.0) -
+          F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6))
+      .otherwise(F.lit(0.0))
+  }
+
+  /** Most-repeated n-gram coverage (the other Gopher axis): occurrences
+    * of the modal n-gram over total n-grams. A doc that is one phrase
+    * stamped 50 times scores ~1.0 even when pairwise-distinct grams keep
+    * [[dupNgramFraction]] moderate. Row-local via aggregate over the
+    * distinct grams (bounded by doc length — no shuffle). */
+  def topNgramCoverage(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    val top = F.aggregate(F.array_distinct(grams), F.lit(0),
+      (acc, g) => F.greatest(acc, F.size(F.filter(grams, x => x === g))))
+    F.when(F.size(grams) > 0,
+        F.round(top.cast("double") / F.size(grams), 6))
+      .otherwise(F.lit(0.0))
+  }
+
   /** Order-sensitive content fingerprint: polynomial rolling hash (custom
     * codegen'd expression) of the lowercase-collapsed text. */
   def rollingFingerprint(text: Column): Column =

@@ -44,6 +44,34 @@ object Funnel {
         FunnelStage(F.col("__ev"), windowMicros, steps.size, anyAnchor).as("stage"))
   }
 
+  /** Non-overlapping ordered-sequence occurrences per user — ClickHouse
+    * `sequenceCount('(?1).*(?2).*…')` with the step conditions restricted
+    * to disjoint event-type equalities (the activecube-backend form).
+    * `n_matches` is the maximum number of DISJOINT step-0→…→step-(k-1)
+    * subsequences in the user's (ts, step)-sorted events (greedy scan,
+    * [[graft.functions.SeqCount]]); `matched` (= ClickHouse
+    * `sequenceMatch`) is `n_matches > 0`. No time-window constraint —
+    * that's [[funnelStages]]' contract. Same scale shape as the funnel:
+    * ONE hash aggregation by user, per-user state bounded by that user's
+    * own step events, no per-step self-joins.
+    */
+  def sequenceCount(events: DataFrame, user: Column, ts: Column, etype: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "sequence needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"sequence steps must be distinct, got ${steps.mkString(",")}")
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
+    events.filter(etype.isin(steps: _*))
+      .select(user.as("user_id"), F.unix_micros(ts).as("__ts"), stepIdx.as("__step"))
+      .groupBy(F.col("user_id"))
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
+        .as("__ev"))
+      .select(F.col("user_id"),
+        graft.functions.SeqCount(F.col("__ev"), steps.size).as("n_matches"))
+      .withColumn("matched", F.col("n_matches") > 0)
+  }
+
   /** Cohort retention (ClickHouse `retention` semantics): `conds.head`
     * is the anchor condition; element k of the result counts users
     * satisfying BOTH the anchor and condition k, so the series reads

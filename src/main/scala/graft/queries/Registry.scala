@@ -14,7 +14,8 @@ final case class NamedQuery(
 object Registry {
   def all: Seq[NamedQuery] =
     CoreQueries.qs ++ StarQueries.qs ++ EventQueries.qs ++ LlmQueries.qs ++
-      ParsedQueries.qs ++ ExtraQueries.qs ++ InvariantQueries.qs
+      ParsedQueries.qs ++ ExtraQueries.qs ++ InvariantQueries.qs ++
+      TrainQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -186,6 +186,54 @@ class FunnelSpec extends AnyFunSuite {
     assert(global.length == 1 && global(0).getString(0) == "[2,1]")
   }
 
+  test("sequenceCount: greedy disjoint occurrences; matched = count > 0") {
+    val df = ev(
+      // u1: two full disjoint chains plus a dangling anchor
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      (1L, "2024-01-04 00:00:00", "signup"),
+      (1L, "2024-01-05 00:00:00", "view"),
+      (1L, "2024-01-06 00:00:00", "purchase"),
+      (1L, "2024-01-07 00:00:00", "signup"),
+      // u2: steps out of order — no match
+      (2L, "2024-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-02 00:00:00", "view"),
+      (2L, "2024-01-03 00:00:00", "signup"),
+      // u3: doubled steps s s v v p p — the greedy automaton consumes
+      // s(1) v(3) p(5); only p(6) remains after the restart, so exactly
+      // one disjoint chain despite two of every step
+      (3L, "2024-01-01 00:00:00", "signup"),
+      (3L, "2024-01-02 00:00:00", "signup"),
+      (3L, "2024-01-03 00:00:00", "view"),
+      (3L, "2024-01-04 00:00:00", "view"),
+      (3L, "2024-01-05 00:00:00", "purchase"),
+      (3L, "2024-01-06 00:00:00", "purchase"))
+    val out = Funnel.sequenceCount(df, col("user_id"), col("ts"),
+        col("event_type"), steps)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> (2, true), 2L -> (0, false), 3L -> (1, true)))
+  }
+
+  test("sequenceCount: no time window — far-apart steps still chain; unmatched users absent only when no step events") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2025-06-01 00:00:00", "view"),
+      (1L, "2026-01-01 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "click")) // filtered out entirely
+    val out = Funnel.sequenceCount(df, col("user_id"), col("ts"),
+        col("event_type"), steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1))
+  }
+
+  test("sequenceCount plan: one shuffle total, same as the funnel") {
+    val df = ev((1L, "2024-01-01 00:00:00", "signup"))
+    val plan = Funnel.sequenceCount(df, col("user_id"), col("ts"),
+      col("event_type"), steps).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("retentionWeekly through the front door requires flat grouping") {
     val cube = graft.cubes.Cubes.eventsCube(spark, "/root/testdata/sf0.001")
     val err = intercept[graft.model.CubeQueryException] {

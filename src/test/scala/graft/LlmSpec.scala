@@ -241,4 +241,49 @@ class LlmSpec extends AnyFunSuite {
         s"CMS underestimated ${r.getString(0)}: est=${r.getLong(2)} exact=${r.getLong(1)}")
     }
   }
+
+  test("repetition metrics: stamped text scores high, varied text low, short text zero") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis.{dupNgramFraction, topNgramCoverage, wordNgrams}
+    val df = Seq(
+      (1L, ("buy now " * 10).trim),          // one 2-gram stamped 10×
+      (2L, "a b c d e f g h i j"),           // all n-grams distinct
+      (3L, "x y"),                           // shorter than n=3: no grams
+      (4L, "")                               // empty text
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        dupNgramFraction(col("text"), 3).as("dup3"),
+        topNgramCoverage(col("text"), 3).as("cov3"),
+        F.size(wordNgrams(col("text"), 3)).as("n3"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out(2L) == ((0.0, 0.125, 8)))         // 8 distinct grams, modal 1/8
+    assert(out(3L) == ((0.0, 0.0, 0)))
+    assert(out(4L) == ((0.0, 0.0, 0)))
+    val (dup1, cov1, n1) = out(1L)
+    // "buy now buy now ..." → 18 3-grams alternating two shapes
+    assert(n1 == 18 && dup1 > 0.8 && cov1 > 0.4, out(1L).toString)
+  }
+
+  test("decontamination: planted overlap flagged, clean corpus survives, train side never shuffles") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (1L, "intro text then the quick brown fox jumps somewhere else"), // shares 4-grams
+      (2L, "completely unrelated words with zero overlap whatsoever"),
+      (3L, "quick brown fox tail")                                      // only 3 shared tokens, no shared 4-gram
+    ).toDF("id", "text")
+    val pairs = Decontaminate.contaminationPairs(train, col("id"), col("text"),
+      bench, col("id"), col("text"), n = 4, minHits = 1)
+    val flagged = pairs.select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L), pairs.collect().mkString(";"))
+    val clean = Decontaminate.decontaminated(train, col("id"), col("text"),
+      bench, col("id"), col("text"), n = 4, minHits = 1)
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // scale assertion: the only exchanges are the broadcast of the bench
+    // side and the pair-count aggregation — the train relation reaches
+    // its join without a shuffle
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
