@@ -209,6 +209,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering then within-cluster cosine. The scale
+    * answer to "near-dup over 100 TB of embeddings": k-means partitions
+    * the corpus into `nLists` cells, and ONLY cluster-mates are ever
+    * compared — pair work is Σ|cell|², bounded by the max cell size,
+    * never corpus². Within a cell, items are ranked ascending by
+    * similarity-to-centroid (the paper keeps the LOW-centroid-similarity
+    * representative, retaining diversity) with id as tie-break; an item
+    * is DROPPED iff any better-ranked cluster-mate has cosine ≥
+    * `threshold` with it (one-pass deterministic form of the paper's
+    * keep-one-per-group rule — a dup of a dropped dup still drops).
+    * Cross-cluster duplicates are the accepted recall loss, exactly as
+    * in the paper.
+    *
+    * Output: (id, cell, centroid_sim, dropped) — one row per corpus
+    * item. Plan: one shuffle by cell (window + self-join share it),
+    * centroids broadcast as literals.
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      nLists: Int = 16, seed: Long = 7L): DataFrame = {
+    val centroids = trainCentroids(corpus, nLists, seed)
+    val scores = scoresArr(centroids)(F.col("embedding"))
+    val cells = corpus.select(F.col("id"), F.col("embedding"),
+      bestCell(centroids)(F.col("embedding")).as("cell"),
+      F.round(F.array_max(scores), 6).as("centroid_sim"))
+    val w = Window.partitionBy("cell")
+      .orderBy(F.col("centroid_sim").asc, F.col("id").asc)
+    val ranked = cells.withColumn("rnk", F.row_number().over(w))
+    val a = ranked.select(F.col("cell"), F.col("embedding").as("a_emb"),
+      F.col("rnk").as("a_rnk"))
+    val b = ranked.select(F.col("cell"), F.col("id").as("b_id"),
+      F.col("embedding").as("b_emb"), F.col("rnk").as("b_rnk"))
+    val drops = a.join(b, "cell")
+      .filter(F.col("a_rnk") < F.col("b_rnk"))
+      .filter(CosineSim(F.col("a_emb"), F.col("b_emb")) >= threshold)
+      .select(F.col("b_id").as("id")).distinct()
+    ranked.join(drops.withColumn("__d", F.lit(true)), Seq("id"), "left")
+      .select(F.col("id"), F.col("cell"), F.col("centroid_sim"),
+        F.coalesce(F.col("__d"), F.lit(false)).as("dropped"))
+  }
+
   /** Exact embedding near-duplicate pairs: full pairwise cosine ≥
     * threshold. The verifier / small-corpus path; [[cosineNearDupPairs]]
     * is the LSH-bucketed scale path.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.Tables
-import graft.llm.{Decontaminate, TextAnalysis}
+import graft.llm.{Decontaminate, Packing, Similarity, TextAnalysis}
 import graft.operators.Funnel
 import org.apache.spark.sql.{functions => F}
 
@@ -142,6 +142,88 @@ object TrainQueries {
              |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1)
              |SELECT w.user_id AS user_id, CAST(w.matches AS INT) AS n_matches
              |FROM walk w JOIN n ON w.user_id = n.user_id AND w.i = n.cnt
-             |ORDER BY 1 ASC""".stripMargin))
+             |ORDER BY 1 ASC""".stripMargin)),
+
+    // SemDeDup invariant contract (the k-means cells aren't SQL-
+    // reproducible, so the DECIDABLE claims go through the oracle, the
+    // q75/q77 pattern): the drop set partitions the corpus, every drop
+    // has a genuine ≥τ cosine partner somewhere (checked in-engine
+    // against the EXACT all-pairs operator — the verifier is quadratic,
+    // the operator is not), and no two survivors in one cell are still
+    // near-dups of each other. n_corpus anchors the oracle exactly.
+    NamedQuery("q118_semdedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val out = Similarity.semanticDedup(emb, threshold = 0.45, nLists = 16)
+        val exact = Similarity.cosineNearDupPairsExact(emb, 0.45)
+        val dupIds = exact.select(col("a_id").as("id"))
+          .union(exact.select(col("b_id").as("id"))).distinct()
+        val partStats = out.agg(
+          F.count(F.lit(1)).as("__n_rows"),
+          F.count_distinct(col("id")).as("__n_ids"),
+          F.sum(F.when(col("dropped"), 1L).otherwise(0L)).as("__n_dropped"))
+        val subsetBad = out.filter(col("dropped"))
+          .join(dupIds, Seq("id"), "left_anti")
+          .agg(F.count(F.lit(1)).as("__bad_drops"))
+        val kept = out.filter(!col("dropped"))
+          .join(emb, Seq("id"))
+        val ka = kept.select(col("cell"), col("id").as("a_id"),
+          col("embedding").as("a_emb"))
+        val kb = kept.select(col("cell"), col("id").as("b_id"),
+          col("embedding").as("b_emb"))
+        val survivorsBad = ka.join(kb, "cell")
+          .filter(col("a_id") < col("b_id"))
+          .filter(graft.functions.CosineSim(col("a_emb"), col("b_emb")) >= 0.45)
+          .agg(F.count(F.lit(1)).as("__bad_pairs"))
+        val total = emb.agg(F.count(F.lit(1)).as("n_corpus"))
+        total.crossJoin(partStats).crossJoin(subsetBad).crossJoin(survivorsBad)
+          .select(col("n_corpus"),
+            (col("__n_rows") === col("n_corpus") &&
+              col("__n_ids") === col("n_corpus")).as("partition_ok"),
+            (col("__n_dropped") > 0).as("found_dups"),
+            (col("__bad_drops") === 0).as("drops_are_real_dups"),
+            (col("__bad_pairs") === 0).as("cells_deduped"))
+      },
+      Some("""SELECT count(*) AS n_corpus, true AS partition_ok,
+             |true AS found_dups, true AS drops_are_real_dups,
+             |true AS cells_deduped FROM embeddings""".stripMargin)),
+
+    // Sequence packing invariant contract: every doc lands in exactly
+    // one bin, no bin over capacity (single oversize docs excepted by
+    // construction), and the bin count meets the ⌈total/cap⌉ lower
+    // bound. n_docs and total_tokens anchor the oracle exactly (the
+    // token count is the same whitespace formula as q55).
+    NamedQuery("q119_sequence_packing",
+      (s, d) => {
+        val cap = 128
+        val docs = Tables.documents(s, d)
+        val packed = Packing.packSequences(
+          docs, col("doc_id"), TextAnalysis.tokenCount(col("text")),
+          maxTokens = cap, partitions = 8)
+        val stats = packed.agg(
+          F.count(F.lit(1)).as("__n_rows"),
+          F.count_distinct(col("doc_id")).as("__n_ids"),
+          F.sum(col("n_tokens")).as("total_tokens"))
+        val bins = packed.groupBy(col("bin_id")).agg(
+            F.sum(col("n_tokens")).as("__fill"),
+            F.count(F.lit(1)).as("__n_in_bin"))
+          .agg(F.count(F.lit(1)).as("__n_bins"),
+            F.sum(F.when(col("__fill") > cap && col("__n_in_bin") > 1, 1L)
+              .otherwise(0L)).as("__over"))
+        val total = docs.agg(F.count(F.lit(1)).as("n_docs"))
+        total.crossJoin(stats).crossJoin(bins)
+          .select(col("n_docs"), col("total_tokens"),
+            (col("__n_rows") === col("n_docs") &&
+              col("__n_ids") === col("n_docs")).as("packed_once"),
+            (col("__over") === 0).as("bins_within_cap"),
+            (col("__n_bins") >= F.ceil(col("total_tokens").cast("double") / cap))
+              .as("bins_meet_lower_bound"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             |  AS total_tokens,
+             |true AS packed_once, true AS bins_within_cap,
+             |true AS bins_meet_lower_bound FROM documents""".stripMargin))
   )
 }

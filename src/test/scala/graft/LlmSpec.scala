@@ -264,6 +264,61 @@ class LlmSpec extends AnyFunSuite {
     assert(n1 == 18 && dup1 > 0.8 && cov1 > 0.4, out(1L).toString)
   }
 
+  test("semanticDedup: planted clones drop, one survivor per group, deterministic") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 100)
+    // plant exact clones of three vectors under fresh ids — cosine 1.0
+    // beats any threshold and clones always share their source's cell
+    val clones = base.filter(col("id").isin(1L, 2L, 3L))
+      .select((col("id") + 1000L).as("id"), col("embedding"))
+    val corpus = base.union(clones)
+    val out = graft.llm.Similarity.semanticDedup(corpus, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 103)
+    // exactly one of each (orig, clone) pair survives; the clone ranks
+    // after its source only via (centroid_sim, id) — equal sims, so the
+    // lower id (the original) is kept
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(!out(i), s"original $i should survive")
+      assert(out(i + 1000L), s"clone of $i should drop")
+    }
+    assert(out.count(_._2) == 3, "only the three clones drop at cos>=0.999")
+    val rerun = graft.llm.Similarity.semanticDedup(corpus, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rerun == out, "fixed-seed k-means + rank rule is deterministic")
+  }
+
+  test("packSequences: first-fit exact assignment, oversize isolation, pack-once") {
+    import spark.implicits._
+    import graft.llm.Packing
+    // single partition -> assignment is fully predictable: docs in id
+    // order, cap 10: [4,4] -> bin0; 7 -> bin1; 2 -> bin0 (first fit);
+    // 12 oversize -> own bin; 3 -> bin1
+    val docs = Seq((1L, 4), (2L, 4), (3L, 7), (4L, 2), (5L, 12), (6L, 3))
+      .toDF("doc_id", "n")
+    val out = Packing.packSequences(docs, col("doc_id"), col("n"),
+        maxTokens = 10, partitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == out(2L) && out(1L) == out(4L), "4+4+2 fills bin 0")
+    assert(out(3L) == out(6L), "7+3 fills bin 1")
+    assert(out(1L) != out(3L))
+    assert(Set(out(1L), out(3L)).intersect(Set(out(5L))).isEmpty,
+      "oversize doc gets an isolated bin")
+    // fixture-scale contract: every doc exactly once, caps respected
+    val big = Packing.packSequences(Tables.documents(spark, sf),
+      col("doc_id"), graft.llm.TextAnalysis.tokenCount(col("text")),
+      maxTokens = 128, partitions = 4)
+    val n = Tables.documents(spark, sf).count()
+    assert(big.count() == n)
+    assert(big.select("doc_id").distinct().count() == n)
+    val overfull = big.groupBy("bin_id")
+      .agg(F.sum("n_tokens").as("fill"), F.count(F.lit(1)).as("k"))
+      .filter(col("fill") > 128 && col("k") > 1).count()
+    assert(overfull == 0)
+  }
+
   test("decontamination: planted overlap flagged, clean corpus survives, train side never shuffles") {
     import spark.implicits._
     import graft.llm.Decontaminate
