@@ -384,12 +384,20 @@ object Cubes {
         "avgQuality" -> Metric.avgOf("avgQuality",
             TextAnalysis.qualityScore(col("text"))).mapValue(F.round(_, 4)),
         "sumTokens" -> Metric.sumOf("sumTokens", TextAnalysis.tokenCount(col("text"))),
-        "uniqueTexts" -> Metric.uniqExact("uniqueTexts", F.md5(col("text")))),
+        "uniqueTexts" -> Metric.uniqExact("uniqueTexts", F.md5(col("text"))),
+        // mean Gopher repetition score — curation dashboards slice this
+        // by lang/source to find templated shards
+        "avgDup3" -> Metric.avgOf("avgDup3",
+          TextAnalysis.dupNgramFraction(col("text"), 3)).mapValue(F.round(_, 4))),
       selectors = Map(
         "source" -> Selector("source", col("source")),
         "split" -> Selector("split", graft.llm.Splits.assignSplit(
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
-        "nChars" -> Selector("nChars", col("n_chars"))))
+        "nChars" -> Selector("nChars", col("n_chars")),
+        // repetition-quality gate as a first-class selector: `when
+        // dup3 <= 0.2` drops stamped/templated docs in-plan (row-local
+        // expression, composes with pushdown like any other predicate)
+        "dup3" -> Selector("dup3", TextAnalysis.dupNgramFraction(col("text"), 3))))
   }
 
   /** EventsCube — the stream table queried as a batch cube (the streaming
@@ -435,6 +443,18 @@ object Cubes {
                 col("ts") < F.lit("2024-01-15").cast("timestamp"),
               col("ts") >= F.lit("2024-01-22").cast("timestamp") &&
                 col("ts") < F.lit("2024-01-29").cast("timestamp")), pred)
+          }),
+        // total completed view→signup→purchase sequences (ClickHouse
+        // sequenceCount) per slice group — plan-backed like retention:
+        // the greedy chain scan needs a per-user level under the slice
+        // grouping (operators/Funnel.sequenceTotalPlan)
+        "seqConversions" -> Metric("seqConversions",
+          build = _ => throw new CubeQueryException(
+            "seqConversions is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.operators.Funnel.sequenceTotalPlan(fact, keys,
+              col("user_id"), col("ts"), col("event_type"),
+              Seq("view", "signup", "purchase"), pred)
           })),
       selectors = Map(
         "eventType" -> Selector("eventType", col("event_type")),

@@ -72,6 +72,52 @@ object Funnel {
       .withColumn("matched", F.col("n_matches") > 0)
   }
 
+  /** [[sequenceCount]] as a PLAN-BACKED cube metric
+    * ([[graft.model.Metric]] `planBuild` contract): per slice group,
+    * Σ over users of the greedy disjoint-chain count — "total completed
+    * step₀→…→stepₖ sequences" sliced by any cube dimension. Grouping is
+    * (slice keys..., user) for the chain scan, then one re-aggregation:
+    * two cascaded hash aggs exactly like [[retentionJson]], shuffle ∝
+    * distinct (group, user), never a per-step join.
+    *
+    * Group contract: one row for EVERY group present in `df` — a group
+    * whose rows are all removed by `pred` (or that has no step events)
+    * gets 0, never null. */
+  def sequenceTotalPlan(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      user: Column, ts: Column, etype: Column,
+      steps: Seq[String],
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame = {
+    require(steps.nonEmpty, "sequence needs at least one step")
+    val (base, keyed) =
+      if (groupCols.nonEmpty)
+        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
+      else {
+        val g = Seq("__pb_g" -> F.lit(1))
+        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
+      }
+    val vals = pred.map(df.filter).getOrElse(df)
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
+    val perUser = vals.filter(etype.isin(steps: _*))
+      .select((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u") :+
+        F.unix_micros(ts).as("__ts") :+ stepIdx.as("__step")): _*)
+      .groupBy((keyed.map { case (n, _) => F.col(n) } :+ F.col("__u")): _*)
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
+        .as("__ev"))
+      .select((keyed.map { case (n, _) => F.col(n) } :+
+        graft.functions.SeqCount(F.col("__ev"), steps.size).cast("long").as("__n")): _*)
+    val t = perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+      .agg(F.sum(F.col("__n")).as(outKey))
+    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
+    val joined = keyed.map(_._1)
+      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
+      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(0L)))
+    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+  }
+
   /** Cohort retention (ClickHouse `retention` semantics): `conds.head`
     * is the anchor condition; element k of the result counts users
     * satisfying BOTH the anchor and condition k, so the series reads

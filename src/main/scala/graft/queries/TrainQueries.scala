@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.cubes.Tables
+import graft.cubes.{Cubes, Tables}
 import graft.llm.{Decontaminate, Packing, Similarity, TextAnalysis}
 import graft.operators.Funnel
+import graft.parse.QueryParser
 import org.apache.spark.sql.{functions => F}
 
 /** Round-4 training-pipeline depth: repetition quality signals,
@@ -224,6 +225,79 @@ object TrainQueries {
              |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
              |  AS total_tokens,
              |true AS packed_once, true AS bins_within_cap,
-             |true AS bins_meet_lower_bound FROM documents""".stripMargin))
+             |true AS bins_meet_lower_bound FROM documents""".stripMargin)),
+
+    // sequenceCount THROUGH the front door: the plan-backed
+    // seqConversions metric (total completed view→signup→purchase
+    // chains) sliced by experiment arm, next to uniqueUsers — the
+    // ClickHouse `sequenceCount(...) GROUP BY dim` shape as one cube
+    // query. Oracle: per-user greedy walk (the q117 recursive CTE)
+    // re-aggregated over the md5 arm buckets.
+    NamedQuery("q120_parsed_seq_conversions",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "options": {"asc": "arm"} },
+          |  "fields": [
+          |    {"name": "arm"},
+          |    {"name": "seqConversions", "alias": "conversions"},
+          |    {"name": "uniqueUsers", "alias": "users"} ] }""".stripMargin).query.toDF,
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, step) AS i,
+             |    step
+             |  FROM (SELECT user_id, ts,
+             |          CASE event_type WHEN 'view' THEN 0 WHEN 'signup' THEN 1
+             |               ELSE 2 END AS step
+             |        FROM events
+             |        WHERE event_type IN ('view', 'signup', 'purchase'))),
+             |n AS (SELECT user_id, count(*) AS cnt FROM ev GROUP BY 1),
+             |walk AS (
+             |  SELECT user_id, 0 AS i, 0 AS stage, 0 AS matches FROM n
+             |  UNION ALL
+             |  SELECT w.user_id, w.i + 1,
+             |    CASE WHEN e.step = w.stage
+             |         THEN (CASE WHEN w.stage = 2 THEN 0 ELSE w.stage + 1 END)
+             |         ELSE w.stage END,
+             |    w.matches + (CASE WHEN e.step = w.stage AND w.stage = 2
+             |                      THEN 1 ELSE 0 END)
+             |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1),
+             |pm AS (SELECT w.user_id AS user_id, w.matches FROM walk w
+             |       JOIN n ON w.user_id = n.user_id AND w.i = n.cnt),
+             |u AS (SELECT DISTINCT
+             |  CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS BIGINT) AS arm,
+             |  user_id FROM events)
+             |SELECT u.arm, CAST(sum(coalesce(pm.matches, 0)) AS BIGINT) AS conversions,
+             |  CAST(count(*) AS BIGINT) AS users
+             |FROM u LEFT JOIN pm ON u.user_id = pm.user_id
+             |GROUP BY 1 ORDER BY u.arm ASC NULLS FIRST""".stripMargin)),
+
+    // the repetition gate THROUGH the front door: dup3 as a selector
+    // (`when dup3 <= 0.2` — row-local predicate, composes with pushdown)
+    // and avgDup3 as a sliced metric. Oracle recomputes the whole
+    // formula per doc from raw text.
+    NamedQuery("q121_parsed_repetition_gate",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "dup3": {"lteq": 0.2}, "options": {"asc": "source"} },
+          |  "fields": [
+          |    {"name": "source"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "avgDup3", "alias": "avg_dup3"} ] }""".stripMargin).query.toDF,
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |g AS (SELECT doc_id, source,
+             |  CASE WHEN len(w) >= 3
+             |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             |    ELSE [] END AS g3
+             |  FROM t),
+             |m AS (SELECT doc_id, source,
+             |  CASE WHEN len(g3) > 0
+             |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+             |    ELSE 0.0 END AS dup3
+             |  FROM g)
+             |SELECT source, count(*) AS n_docs,
+             |  round(avg(dup3), 4) AS avg_dup3
+             |FROM m WHERE dup3 <= 0.2 GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_dup3 ASC""".stripMargin))
   )
 }

@@ -234,6 +234,46 @@ class FunnelSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("sequenceCount runs as a LIVE STREAM: stream == batch") {
+    val sf = "/root/testdata/sf0.001"
+    def seq(df: org.apache.spark.sql.DataFrame) =
+      Funnel.sequenceCount(df, col("user_id"), col("ts"), col("event_type"), steps)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_live_ckpt").toString
+    val q = seq(graft.streaming.Streaming.eventsStream(spark, sf))
+      .writeStream.outputMode("complete").format("memory")
+      .option("checkpointLocation", ckpt).queryName("seq_live").start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("seq_live").collect().map(_.toString).sorted
+    val batch = seq(graft.cubes.Tables.events(spark, sf))
+      .collect().map(_.toString).sorted
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
+  test("sequenceTotalPlan group contract: all groups present, pred gates, zeros never null") {
+    val df = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "click"))
+      .withColumn("grp", F.when(col("user_id") === 1L, "A").otherwise("B"))
+    // NOTE steps here are the FunnelSpec order: signup -> view -> purchase
+    val out = Funnel.sequenceTotalPlan(df, Seq("grp" -> col("grp")),
+        col("user_id"), col("ts"), col("event_type"), steps, pred = None)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // grp B has no step events at all -> 0, not absent, not null
+    assert(out == Map("A" -> 1L, "B" -> 0L))
+    // pred removes every A row: A remains, zeroed
+    val gated = Funnel.sequenceTotalPlan(df, Seq("grp" -> col("grp")),
+        col("user_id"), col("ts"), col("event_type"), steps,
+        pred = Some(col("user_id") >= 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gated == Map("A" -> 0L, "B" -> 0L))
+    // global (no slice): one row
+    val global = Funnel.sequenceTotalPlan(df, Seq.empty,
+      col("user_id"), col("ts"), col("event_type"), steps, None).collect()
+    assert(global.length == 1 && global(0).getLong(0) == 1L)
+  }
+
   test("retentionWeekly through the front door requires flat grouping") {
     val cube = graft.cubes.Cubes.eventsCube(spark, "/root/testdata/sf0.001")
     val err = intercept[graft.model.CubeQueryException] {
