@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.{Cubes, Tables}
-import graft.llm.{Decontaminate, Packing, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Mixture, Packing, Similarity, TextAnalysis}
 import graft.operators.Funnel
 import graft.parse.QueryParser
 import org.apache.spark.sql.{functions => F}
@@ -298,6 +298,48 @@ object TrainQueries {
              |SELECT source, count(*) AS n_docs,
              |  round(avg(dup3), 4) AS avg_dup3
              |FROM m WHERE dup3 <= 0.2 GROUP BY 1
-             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_dup3 ASC""".stripMargin))
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_dup3 ASC""".stripMargin)),
+
+    // token-budget mixture: per source, keep the best-quality docs while
+    // the running token sum fits a 300-token budget — deterministic
+    // greedy prefix (quality desc, id asc). The oracle replays the
+    // identical window, including the quality formula (q108's mirror).
+    NamedQuery("q122_token_budget_mix",
+      (s, d) => Mixture.tokenBudgetSample(
+          Tables.documents(s, d), col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")),
+          TextAnalysis.qualityScore(col("text")), F.lit(300L))
+        .filter(col("kept"))
+        .select(col("doc_id"), col("stratum").as("source"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source").asc, col("cum_tokens").asc),
+      Some("""WITH m AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, source, len(toks) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS stopword_ratio
+             |  FROM m),
+             |q AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM sc),
+             |sel AS (
+             |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+             |WHERE cum_tokens <= 300
+             |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
   )
 }

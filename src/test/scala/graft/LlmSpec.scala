@@ -319,6 +319,27 @@ class LlmSpec extends AnyFunSuite {
     assert(overfull == 0)
   }
 
+  test("tokenBudgetSample: greedy prefix per stratum, crossing doc dropped, deterministic ties") {
+    import spark.implicits._
+    import graft.llm.Mixture
+    val docs = Seq(
+      // stratum A, budget 10: prio order c(9.0,4) a(5.0,4) b(5.0,5)
+      //   cum: 4, 8, 13 -> c,a kept; b crosses and drops
+      ("A", 1L, 4, 5.0), ("A", 2L, 5, 5.0), ("A", 3L, 4, 9.0),
+      // stratum B independent: one doc exactly at budget
+      ("B", 4L, 10, 1.0),
+      // stratum C: first doc alone over budget -> nothing kept
+      ("C", 5L, 11, 9.9))
+      .toDF("src", "id", "n", "prio")
+    val out = Mixture.tokenBudgetSample(docs, col("src"), col("id"),
+        col("n"), col("prio"), F.lit(10L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      1L -> ((8L, true)), 2L -> ((13L, false)), 3L -> ((4L, true)),
+      4L -> ((10L, true)), 5L -> ((11L, false))))
+    // tie on priority breaks by id: ids 1 (n=4) then 2 (n=5)
+  }
+
   test("decontamination: planted overlap flagged, clean corpus survives, train side never shuffles") {
     import spark.implicits._
     import graft.llm.Decontaminate
