@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.GraftBridge
@@ -449,6 +449,79 @@ object SeqCount {
 
   def apply(c: Column, nSteps: Int): Column =
     GraftBridge.column(SeqCount(GraftBridge.expression(c), nSteps))
+}
+
+/** One-pass word n-gram statistics over raw text:
+  * struct(total, distinct, top) where `top` is the modal n-gram's
+  * occurrence count. The repetition-quality signals (Gopher duplicate-
+  * ngram fraction, modal coverage) are ratios of these three ints.
+  *
+  * Exists for the same reason as [[MinHashSig]]: the declarative form
+  * (transform/slice to build grams, then array_distinct + a filter per
+  * distinct gram) is interpreted per-row and quadratic — 410 s for the
+  * 5 000-doc sf0.1 profile. This expression tokenizes once (identical
+  * semantics to `split(trim(text), "\\s+")`), streams the grams through
+  * one hash map, and codegens to a static call: linear per row, whole-
+  * stage friendly. 0.41 s for the same profile.
+  */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram_stats needs n >= 1")
+  override def dataType: DataType = NgramStats.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_stats needs a string column, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NgramStats.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramStats.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_stats"
+}
+
+object NgramStats {
+  val schema: StructType = StructType(Seq(
+    StructField("total", IntegerType, nullable = false),
+    StructField("distinct", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false)))
+
+  /** Same tokenization as `F.split(F.trim(text), "\\s+")` (Java regex
+    * split, limit -1 — trailing empties impossible after trim, empty
+    * input yields the one-element [""] both ways). */
+  def compute(text: UTF8String, n: Int): InternalRow = {
+    val toks = text.toString.trim.split("\\s+", -1)
+    val total = toks.length - (n - 1)
+    if (total <= 0) return new GenericInternalRow(Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var top = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](total, counts.size(), top))
+  }
+
+  def apply(c: Column, n: Int): Column =
+    GraftBridge.column(NgramStats(GraftBridge.expression(c), n))
 }
 
 /** Row-local MinHash signature over array<string> shingles: each element

@@ -35,7 +35,8 @@ object GraftFunctions {
       if (exprs.size > 3) boolLit(exprs(3), "funnel_stage anyAnchor") else false)),
     "minhash_sig" -> (exprs => MinHashSig(exprs(0),
       intLit(exprs(1), "minhash_sig numHashes"), longLit(exprs(2), "minhash_sig seed"))),
-    "seq_count" -> (exprs => SeqCount(exprs(0), intLit(exprs(1), "seq_count steps"))))
+    "seq_count" -> (exprs => SeqCount(exprs(0), intLit(exprs(1), "seq_count steps"))),
+    "ngram_stats" -> (exprs => NgramStats(exprs(0), intLit(exprs(1), "ngram_stats n"))))
 
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v

@@ -45,7 +45,7 @@ object Decontaminate {
       n: Int, minHits: Int): DataFrame = {
     val bad = contaminationPairs(train, trainId, trainText,
       bench, benchId, benchText, n, minHits)
-      .select(F.col("doc_id")).distinct()
-    train.join(bad, trainId === bad("doc_id"), "left_anti")
+      .select(F.col("doc_id").as("__contaminated_id")).distinct()
+    train.join(bad, trainId === F.col("__contaminated_id"), "left_anti")
   }
 }

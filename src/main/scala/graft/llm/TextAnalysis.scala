@@ -98,26 +98,28 @@ object TextAnalysis {
     * (1 − distinct/total). Templated or looping machine text scores
     * high; natural prose stays near 0. Row-local (no shuffle, no join) —
     * at 100 TB this is a map-only scan, and it composes with any
-    * cube filter as a quality selector. */
+    * cube filter as a quality selector. Backed by the one-pass
+    * codegen'd [[graft.functions.NgramStats]] (the declarative
+    * array form was interpreted and quadratic per row). */
   def dupNgramFraction(text: Column, n: Int): Column = {
-    val grams = wordNgrams(text, n)
-    F.when(F.size(grams) > 0,
+    val st = graft.functions.NgramStats(text, n)
+    val total = st.getField("total")
+    F.when(total > 0,
         F.round(F.lit(1.0) -
-          F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6))
+          st.getField("distinct").cast("double") / total, 6))
       .otherwise(F.lit(0.0))
   }
 
   /** Most-repeated n-gram coverage (the other Gopher axis): occurrences
     * of the modal n-gram over total n-grams. A doc that is one phrase
     * stamped 50 times scores ~1.0 even when pairwise-distinct grams keep
-    * [[dupNgramFraction]] moderate. Row-local via aggregate over the
-    * distinct grams (bounded by doc length — no shuffle). */
+    * [[dupNgramFraction]] moderate. Same one-pass
+    * [[graft.functions.NgramStats]] backing. */
   def topNgramCoverage(text: Column, n: Int): Column = {
-    val grams = wordNgrams(text, n)
-    val top = F.aggregate(F.array_distinct(grams), F.lit(0),
-      (acc, g) => F.greatest(acc, F.size(F.filter(grams, x => x === g))))
-    F.when(F.size(grams) > 0,
-        F.round(top.cast("double") / F.size(grams), 6))
+    val st = graft.functions.NgramStats(text, n)
+    val total = st.getField("total")
+    F.when(total > 0,
+        F.round(st.getField("top").cast("double") / total, 6))
       .otherwise(F.lit(0.0))
   }
 

@@ -340,6 +340,89 @@ object TrainQueries {
              |  FROM q)
              |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
              |WHERE cum_tokens <= 300
+             |ORDER BY source ASC, cum_tokens ASC""".stripMargin)),
+
+    // CAPSTONE: the full curation pass as ONE declarative plan — exact
+    // dedup keep-list → repetition gate → benchmark decontamination →
+    // token-budget mixture. Four pipeline stages, four shuffles total
+    // (dedup agg, gram join agg, anti-join, mixture window) — and the
+    // whole composition is hash-oracled end to end, each stage the
+    // mirror already proven by q50/q114/q115/q122.
+    NamedQuery("q123_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keepIds = graft.llm.Dedup.exactDuplicateGroups(
+            docs, col("doc_id"), col("text"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val gated = deduped.filter(
+          TextAnalysis.dupNgramFraction(col("text"), 3) <= 0.2)
+        val clean = Decontaminate.decontaminated(
+          gated.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+          n = 4, minHits = 1)
+        Mixture.tokenBudgetSample(clean, col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")),
+            TextAnalysis.qualityScore(col("text")), F.lit(300L))
+          .filter(col("kept"))
+          .select(col("doc_id"), col("stratum").as("source"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source").asc, col("cum_tokens").asc)
+      },
+      Some("""WITH keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+             |t AS (SELECT doc_id, source, text,
+             |        string_split_regex(trim(text), '\s+') AS w FROM d),
+             |gated AS (
+             |  SELECT doc_id, source, text, w FROM (
+             |    SELECT *, CASE WHEN len(g) > 0
+             |      THEN round(1 - len(list_distinct(g))::DOUBLE / len(g), 6)
+             |      ELSE 0.0 END AS dup3
+             |    FROM (SELECT *, CASE WHEN len(w) >= 3
+             |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             |      ELSE [] END AS g FROM t))
+             |  WHERE dup3 <= 0.2),
+             |bench AS (
+             |  SELECT CASE WHEN len(w) >= 4
+             |    THEN list_distinct([array_to_string(w[i:i+3], ' ')
+             |                        for i in range(1, len(w) - 2)])
+             |    ELSE [] END AS grams
+             |  FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents WHERE source = 'src0')),
+             |tr AS (
+             |  SELECT doc_id, source, text, w, CASE WHEN len(w) >= 4
+             |    THEN list_distinct([array_to_string(w[i:i+3], ' ')
+             |                        for i in range(1, len(w) - 2)])
+             |    ELSE [] END AS grams
+             |  FROM gated WHERE source <> 'src0'),
+             |clean AS (
+             |  SELECT doc_id, source, text, w FROM tr
+             |  WHERE NOT EXISTS (SELECT 1 FROM bench be
+             |                    WHERE len(list_intersect(tr.grams, be.grams)) >= 1)),
+             |sc AS (
+             |  SELECT doc_id, source, len(w) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(w, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(w), 1), 6) AS stopword_ratio
+             |  FROM clean),
+             |q AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM sc),
+             |sel AS (
+             |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+             |WHERE cum_tokens <= 300
              |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
   )
 }

@@ -320,4 +320,17 @@ class EngineSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<text:string,n_chars:"),
       s"scan reads more than text+n_chars:\n$scan")
   }
+
+  test("dup3 repetition selector: row-local predicate keeps column pruning tight") {
+    val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
+      .slice("source", "source").measure("c", "count")
+      .when(Pred.lteq("dup3", 0.2)).toDF
+    val scan = q.queryExecution.executedPlan.toString
+    // the repetition gate is computed from text, so the scan reads
+    // exactly (text, source) — nothing else survives pruning, and the
+    // single filter stage stays whole-stage-codegen'd
+    assert(scan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"scan reads more than text+source:\n$scan")
+    assert(!scan.contains("CodegenFallback"), s"repetition gate fell out of codegen:\n$scan")
+  }
 }
