@@ -319,6 +319,37 @@ class LlmSpec extends AnyFunSuite {
     assert(overfull == 0)
   }
 
+  test("NgramStats equals the declarative array formula on real docs (and stays codegen'd)") {
+    import graft.llm.TextAnalysis.{dupNgramFraction, topNgramCoverage, wordNgrams}
+    // the formula NgramStats replaced, rebuilt declaratively
+    def slowDup(n: Int) = {
+      val grams = wordNgrams(col("text"), n)
+      F.when(F.size(grams) > 0,
+          F.round(F.lit(1.0) -
+            F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6))
+        .otherwise(F.lit(0.0))
+    }
+    def slowCov(n: Int) = {
+      val grams = wordNgrams(col("text"), n)
+      val top = F.aggregate(F.array_distinct(grams), F.lit(0),
+        (acc, g) => F.greatest(acc, F.size(F.filter(grams, x => x === g))))
+      F.when(F.size(grams) > 0, F.round(top.cast("double") / F.size(grams), 6))
+        .otherwise(F.lit(0.0))
+    }
+    val diff = Tables.documents(spark, sf).limit(100)
+      .select(
+        dupNgramFraction(col("text"), 2).as("f2"), slowDup(2).as("s2"),
+        dupNgramFraction(col("text"), 3).as("f3"), slowDup(3).as("s3"),
+        topNgramCoverage(col("text"), 3).as("c3"), slowCov(3).as("sc3"))
+      .filter(col("f2") =!= col("s2") || col("f3") =!= col("s3") ||
+        col("c3") =!= col("sc3"))
+    assert(diff.count() == 0)
+    val plan = Tables.documents(spark, sf)
+      .select(dupNgramFraction(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("tokenBudgetSample: greedy prefix per stratum, crossing doc dropped, deterministic ties") {
     import spark.implicits._
     import graft.llm.Mixture
