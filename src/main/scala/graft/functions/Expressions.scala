@@ -494,11 +494,13 @@ object NgramStats {
     StructField("distinct", IntegerType, nullable = false),
     StructField("top", IntegerType, nullable = false)))
 
-  /** Same tokenization as `F.split(F.trim(text), "\\s+")` (Java regex
-    * split, limit -1 — trailing empties impossible after trim, empty
-    * input yields the one-element [""] both ways). */
+  /** Same tokenization as `F.split(F.trim(text), "\\s+")`: UTF8String
+    * .trim strips ASCII SPACES ONLY (Java String.trim would also strip
+    * tabs/newlines and silently drop the leading empty token Spark's
+    * form produces); then Java regex split with limit -1, matching
+    * Spark's StringSplit. */
   def compute(text: UTF8String, n: Int): InternalRow = {
-    val toks = text.toString.trim.split("\\s+", -1)
+    val toks = text.trim.toString.split("\\s+", -1)
     val total = toks.length - (n - 1)
     if (total <= 0) return new GenericInternalRow(Array[Any](0, 0, 0))
     val counts = new java.util.HashMap[String, Int](total * 2)

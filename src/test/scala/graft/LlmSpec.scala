@@ -336,7 +336,14 @@ class LlmSpec extends AnyFunSuite {
       F.when(F.size(grams) > 0, F.round(top.cast("double") / F.size(grams), 6))
         .otherwise(F.lit(0.0))
     }
-    val diff = Tables.documents(spark, sf).limit(100)
+    import spark.implicits._
+    // fixture docs PLUS whitespace adversaries: tab/newline padding must
+    // tokenize identically to split(trim(text)) — Spark trim strips
+    // spaces only, so "\tx y x y" keeps a leading empty token
+    val adversarial = Seq("\ta b a b", "a  b\n\na b", "  a b a b  ", "", " ", "\t")
+      .toDF("text")
+    val diff = Tables.documents(spark, sf).limit(100).select(col("text"))
+      .union(adversarial)
       .select(
         dupNgramFraction(col("text"), 2).as("f2"), slowDup(2).as("s2"),
         dupNgramFraction(col("text"), 3).as("f3"), slowDup(3).as("s3"),
