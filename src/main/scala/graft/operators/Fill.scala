@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** ClickHouse `ORDER BY … WITH FILL` (ref: the ClickHouse dialect behind
+  * activecube's production use): densify an ordered date/numeric key so
+  * every step in [min, max] appears, default-filling the metric columns
+  * of absent rows — the standard "no data ≠ no row" fix for time-series
+  * readouts.
+  *
+  * Scale shape: the per-group bounds are ONE map-side-combined min/max
+  * aggregation (rows ∝ groups); the spine is `sequence(lo, hi, step)`
+  * exploded FROM those group rows — generated distributed, no driver
+  * loop, linear in emitted rows; real rows come back via a left join on
+  * (group, key). Nothing in the plan holds a full series in one place.
+  */
+object Fill {
+
+  /** Densify `df` on `key` with `step` (e.g. `expr("interval 1 day")`
+    * for dates, `lit(1)` for ints). `groupCols` get an independent
+    * spine per group (their own min..max). `fills` maps metric column →
+    * default for manufactured rows; columns not listed stay null.
+    */
+  def fillSeries(
+      df: DataFrame, key: String, groupCols: Seq[String],
+      step: Column, fills: Map[String, Column]): DataFrame = {
+    val g = groupCols.map(F.col)
+    val bounds =
+      if (groupCols.nonEmpty)
+        df.groupBy(g: _*).agg(F.min(key).as("__lo"), F.max(key).as("__hi"))
+      else df.agg(F.min(key).as("__lo"), F.max(key).as("__hi"))
+    val spine = bounds
+      .where(F.col("__lo").isNotNull) // empty input -> empty spine, not a null row
+      .select(g :+
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).as(key): _*)
+    val joined = spine.join(df, groupCols :+ key, "left")
+    fills.foldLeft(joined) { case (d, (c, dflt)) =>
+      d.withColumn(c, F.coalesce(F.col(c), dflt))
+    }
+  }
+}

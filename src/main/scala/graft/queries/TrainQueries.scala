@@ -423,6 +423,36 @@ object TrainQueries {
              |  FROM q)
              |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
              |WHERE cum_tokens <= 300
-             |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
+             |ORDER BY source ASC, cum_tokens ASC""".stripMargin)),
+
+    // ClickHouse ORDER BY ... WITH FILL: daily high-value purchase
+    // revenue with the 9 silent days manufactured back as zero rows
+    // (no data ≠ no row). Spine = distributed sequence explode over the
+    // min/max bounds; oracle = generate_series + left join.
+    NamedQuery("q124_date_fill",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("value") >= 200)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(F.count(F.lit(1)).as("n"),
+            F.round(F.sum(col("value")), 2).as("revenue"))
+        graft.operators.Fill.fillSeries(daily, "day", Seq.empty,
+            F.expr("interval 1 day"),
+            Map("n" -> F.lit(0L), "revenue" -> F.lit(0.0)))
+          .orderBy(col("day").asc)
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(ts AS DATE) AS day, value FROM events
+             |  WHERE event_type = 'purchase' AND value >= 200),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM f),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM b),
+             |agg AS (SELECT day, count(*) AS n, round(sum(value), 2) AS revenue
+             |        FROM f GROUP BY 1)
+             |SELECT spine.day AS day, CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+             |  coalesce(agg.revenue, 0.0) AS revenue
+             |FROM spine LEFT JOIN agg USING (day)
+             |ORDER BY day ASC""".stripMargin))
   )
 }

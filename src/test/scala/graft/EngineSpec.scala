@@ -5,6 +5,7 @@ import graft.cubes.Cubes
 import graft.model.CubeQueryException
 import graft.query.{CubeQuery, Pred}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
 class EngineSpec extends AnyFunSuite {
@@ -319,6 +320,23 @@ class EngineSpec extends AnyFunSuite {
       s"selector not pushed:\n$scan")
     assert(scan.contains("ReadSchema: struct<text:string,n_chars:"),
       s"scan reads more than text+n_chars:\n$scan")
+  }
+
+  test("Fill.fillSeries: per-group spines, defaults only on manufactured rows, empty input stays empty") {
+    import spark.implicits._
+    import graft.operators.Fill
+    val df = Seq(("a", 1, 10L), ("a", 4, 40L), ("b", 2, 20L), ("b", 3, 30L))
+      .toDF("g", "k", "v")
+    val filled = Fill.fillSeries(df, "k", Seq("g"), F.lit(1),
+        Map("v" -> F.lit(0L)))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a spans 1..4 (2,3 manufactured); b spans 2..3 (dense already)
+    assert(filled == Map(
+      ("a", 1) -> 10L, ("a", 2) -> 0L, ("a", 3) -> 0L, ("a", 4) -> 40L,
+      ("b", 2) -> 20L, ("b", 3) -> 30L))
+    val empty = Fill.fillSeries(df.filter(F.lit(false)), "k", Seq("g"),
+      F.lit(1), Map("v" -> F.lit(0L)))
+    assert(empty.count() == 0)
   }
 
   test("dup3 repetition selector: row-local predicate keeps column pruning tight") {
