@@ -435,6 +435,33 @@ object Compiler {
           .filter(F.col(rn) > off && F.col(rn) <= off + n)
           .drop(rn)
         if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
+      case QueryOpt.Fill(key, step, each) =>
+        import org.apache.spark.sql.types._
+        (Seq(key) ++ each).foreach(k =>
+          if (!df.columns.contains(k))
+            throw new CubeQueryException(s"fill: unknown result column '$k'"))
+        // step is a validated literal, never free-form SQL (the option
+        // string already passed the '_aq.' guard; this narrows further)
+        step.foreach(s =>
+          if (!s.matches("(?i)\\s*(interval\\s+\\d+\\s+[a-z]+|\\d+)\\s*"))
+            throw new CubeQueryException(s"fill: step must be an interval or integer literal, got '$s'"))
+        val stepCol = step.map(F.expr).getOrElse(df.schema(key).dataType match {
+          case DateType => F.expr("interval 1 day")
+          case TimestampType => F.expr("interval 1 hour")
+          case ByteType | ShortType | IntegerType | LongType => F.lit(1)
+          case other => throw new CubeQueryException(
+            s"fill: column '$key' of type $other needs an explicit step")
+        })
+        val zeros = df.columns.filterNot(c => c == key || each.contains(c))
+          .flatMap { c =>
+            df.schema(c).dataType match {
+              case n: NumericType => Some(c -> F.lit(0).cast(n))
+              case BooleanType => Some(c -> F.lit(false))
+              case _ => None // non-numeric columns stay null on filled rows
+            }
+          }.toMap
+        df = graft.operators.Fill.fillSeries(df, key, each, stepCol, zeros)
+        if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
     }
     df
   }

@@ -453,6 +453,33 @@ object TrainQueries {
              |SELECT spine.day AS day, CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
              |  coalesce(agg.revenue, 0.0) AS revenue
              |FROM spine LEFT JOIN agg USING (day)
-             |ORDER BY day ASC""".stripMargin))
+             |ORDER BY day ASC""".stripMargin)),
+
+    // WITH FILL through the front door: the fill QUERY OPTION composes
+    // with selectors, a sub-field slice, and the ordered-options fold
+    // (asc then fill; the fold re-sorts after densifying) — ClickHouse
+    // `ORDER BY day WITH FILL` as one cube query.
+    NamedQuery("q125_parsed_fill",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "eventType": {"eq": "purchase"}, "value": {"gteq": 200},
+          |            "options": {"asc": "ts__day", "fill": "ts__day"} },
+          |  "fields": [
+          |    {"name": "ts", "fields": [{"name": "day"}]},
+          |    {"name": "count", "alias": "n"},
+          |    {"name": "sumValue", "alias": "revenue"} ] }""".stripMargin).query.toDF,
+      Some("""WITH f AS (
+             |  SELECT CAST(ts AS DATE) AS day, value FROM events
+             |  WHERE event_type = 'purchase' AND value >= 200),
+             |agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+             |        round(sum(value), 2) AS revenue FROM f GROUP BY 1),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM f),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM b)
+             |SELECT spine.day AS ts__day, coalesce(agg.n, 0) AS n,
+             |  coalesce(agg.revenue, 0.0) AS revenue
+             |FROM spine LEFT JOIN agg USING (day)
+             |ORDER BY ts__day ASC NULLS FIRST, n ASC, revenue ASC""".stripMargin))
   )
 }

@@ -66,6 +66,13 @@ object QueryOpt {
     * of result column(s) `each` (parse_tree.rb:142-143). Ordering within a
     * group = the sort state current at fold time. */
   final case class LimitBy(each: Seq[String], limit: Int, offset: Int = 0) extends QueryOpt
+  /** ClickHouse `ORDER BY … WITH FILL [STEP n]`: densify result column
+    * `key` to a fixed step after aggregation — absent steps appear with
+    * numeric metrics zeroed. `step` is a validated literal ("interval 1
+    * day", "4") and defaults by the key's type; `each` gives every
+    * distinct combination of those result columns its own spine. */
+  final case class Fill(key: String, step: Option[String] = None,
+      each: Seq[String] = Nil) extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -135,6 +142,9 @@ final case class CubeQuery(
   def offset(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Offset(n))
   def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
     copy(options = options :+ QueryOpt.LimitBy(each, limit, offset))
+  def fill(key: String, step: Option[String] = None,
+      each: Seq[String] = Nil): CubeQuery =
+    copy(options = options :+ QueryOpt.Fill(key, step, each))
 
   /** Generic option dispatch by name (reference parse_tree.rb:127-130 —
     * any argument name is tried as a method; unknown raises). */
@@ -151,6 +161,16 @@ final case class CubeQuery(
         limitBy(asStrings(mm("each")), asInt("limitBy.limit", mm("limit")),
           mm.get("offset").map(asInt("limitBy.offset", _)).getOrElse(0))
       case other => throw new CubeQueryException(s"limitBy needs a map, got $other")
+    }
+    case "fill" | "withFill" | "with_fill" => arg match {
+      case s: String => fill(s)
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        fill(mm.getOrElse("key",
+            throw new CubeQueryException("fill needs a 'key'")).toString,
+          mm.get("step").map(_.toString),
+          mm.get("each").map(asStrings).getOrElse(Nil))
+      case other => throw new CubeQueryException(s"fill needs a key or map, got $other")
     }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
   }

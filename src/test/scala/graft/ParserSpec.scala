@@ -297,4 +297,35 @@ class ParserSpec extends AnyFunSuite {
     val (cols, rows) = Renest.tabular(p.query.toDF)
     assert(cols == Seq("returnFlag", "cnt") && rows.nonEmpty)
   }
+
+  test("fill option: map form parses; step validated as a literal; unknown column raises") {
+    // map form with explicit step + per-group spines
+    val p = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "returnFlag", "alias": "flag"},
+           {"name": "shipDate", "fields": [{"name": "year"}]},
+           {"name": "count", "alias": "cnt"}],
+         "args": {"options": {"asc": "shipDate__year",
+           "fill": {"key": "shipDate__year", "step": "1", "each": "flag"}}}}""")
+    val rows = p.query.toDF.collect()
+    val perFlag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)))
+    perFlag.foreach { case (_, years) =>
+      assert(years.toSeq == (years.min to years.max).toSeq,
+        s"years not dense: ${years.mkString(",")}")
+    }
+    // free-form SQL in step is rejected, not eval'd
+    val bad = QueryParser.parse(cube,
+      """{"fields": [{"name": "shipDate", "fields": [{"name": "year"}]},
+                     {"name": "count"}],
+         "args": {"options": {"fill": {"key": "shipDate__year",
+           "step": "1) union select 1"}}}}""")
+    val e1 = intercept[CubeQueryException](bad.query.toDF)
+    assert(e1.getMessage.contains("interval or integer literal"))
+    // unknown result column
+    val e2 = intercept[CubeQueryException](
+      QueryParser.parse(cube,
+        """{"fields": [{"name": "count"}],
+           "args": {"options": {"fill": "nope"}}}""").query.toDF)
+    assert(e2.getMessage.contains("unknown result column"))
+  }
 }
