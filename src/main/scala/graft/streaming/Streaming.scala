@@ -30,6 +30,15 @@ object Streaming {
         .parquet(dir))
   }
 
+  /** The documents table as a stream — ingestion-time screening (dedup /
+    * decontamination on arriving docs) runs the same operators as batch. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   private def ms(c: Column): Column = F.unix_millis(c)
 
   /** Tumbling 1-hour windows per event type. */

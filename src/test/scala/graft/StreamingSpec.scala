@@ -81,6 +81,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("ingestion-time decontamination: stream-static gram join, stream == batch") {
+    import org.apache.spark.sql.functions.col
+    // arriving docs (stream) screened against the static benchmark set
+    // (src0) — explode + broadcast static join are stateless, the
+    // per-pair count is the only stateful aggregation
+    def screen(docs: org.apache.spark.sql.DataFrame) =
+      graft.llm.Decontaminate.contaminationPairs(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        Tables.documents(spark, sf).filter(col("source") === "src0"),
+        col("doc_id"), col("text"), n = 4, minHits = 1)
+    val stream = runStream(screen(Streaming.documentsStream(spark, sf)), "decon")
+    val batch = batchRows(screen(Tables.documents(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("custom SQL functions register and run via spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
