@@ -480,6 +480,24 @@ object TrainQueries {
              |SELECT spine.day AS ts__day, coalesce(agg.n, 0) AS n,
              |  coalesce(agg.revenue, 0.0) AS revenue
              |FROM spine LEFT JOIN agg USING (day)
-             |ORDER BY ts__day ASC NULLS FIRST, n ASC, revenue ASC""".stripMargin))
+             |ORDER BY ts__day ASC NULLS FIRST, n ASC, revenue ASC""".stripMargin)),
+
+    // ClickHouse uniqUpTo(N): exact distinct count saturating at N+1
+    // with aggregation state bounded at N+1 values per group — the
+    // "more than N distinct?" check that must not materialize a full
+    // distinct set at 100 TB. lineNumbers (7 distinct) exercises the
+    // exact path, suppliers (hundreds) the saturation witness.
+    NamedQuery("q126_uniq_upto",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          graft.functions.UniqUpTo(100)(col("l_linenumber")).as("uniq_lines"),
+          graft.functions.UniqUpTo(100)(col("l_suppkey")).as("uniq_supp"))
+        .orderBy(col("flag").asc_nulls_first),
+      Some("""SELECT l_returnflag AS flag,
+             |CAST(least(count(DISTINCT l_linenumber), 101) AS INT) AS uniq_lines,
+             |CAST(least(count(DISTINCT l_suppkey), 101) AS INT) AS uniq_supp
+             |FROM lineitem GROUP BY 1
+             |ORDER BY flag ASC NULLS FIRST""".stripMargin))
   )
 }

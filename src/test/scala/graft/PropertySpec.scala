@@ -215,6 +215,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packing invariants hold on random workloads (seeded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    val r = new Random(42)
+    (1 to 5).foreach { trial =>
+      val cap = 50 + r.nextInt(200)
+      val nDocs = 50 + r.nextInt(300)
+      // token sizes skewed: mostly small, some oversize beyond cap
+      val docs = (1 to nDocs).map { i =>
+        (i.toLong, if (r.nextInt(10) == 0) cap + r.nextInt(cap) else 1 + r.nextInt(cap))
+      }.toDF("doc_id", "n")
+      val parts = 1 + r.nextInt(6)
+      val packed = graft.llm.Packing.packSequences(
+        docs, col("doc_id"), col("n"), cap, parts)
+      val rows = packed.collect()
+      assert(rows.length == nDocs, s"trial $trial: pack-once broken")
+      assert(rows.map(_.getLong(0)).distinct.length == nDocs)
+      val byBin = rows.groupBy(_.getLong(2))
+      byBin.foreach { case (bin, ds) =>
+        val fill = ds.map(_.getInt(1).toLong).sum
+        assert(fill <= cap || ds.length == 1,
+          s"trial $trial: bin $bin overfull ($fill > $cap) with ${ds.length} docs")
+      }
+      // lower bound: each oversize doc (n >= cap) owns a bin; the
+      // normal tokens need at least ceil(total_normal / cap) more
+      val (over, normal) = rows.partition(_.getInt(1) >= cap)
+      val normalTotal = normal.map(_.getInt(1).toLong).sum
+      assert(byBin.size >= over.length + math.ceil(normalTotal.toDouble / cap).toLong,
+        s"trial $trial: fewer bins than the token lower bound")
+    }
+  }
+
   test("hash splits partition the corpus: disjoint by construction, exhaustive, stable size") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.functions.col

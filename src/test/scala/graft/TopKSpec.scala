@@ -96,6 +96,24 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("uniqUpTo: exact below N, saturates at N+1, partitioning-invariant, nulls skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: 5 distinct (< N=3? no — use N=3: saturates at 4)
+    // group b: 2 distinct (exact); null rows never count
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)), ("a", Some(4L)),
+      ("a", Some(5L)), ("a", Some(1L)),
+      ("b", Some(7L)), ("b", Some(7L)), ("b", Some(8L)), ("b", None))
+      .toDF("g", "v")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(graft.functions.UniqUpTo(3)(col("v")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val out = run(1)
+    assert(out == Map("a" -> 4, "b" -> 2)) // 5 distinct saturates at N+1=4
+    (2 to 8).foreach(p => assert(run(p) == out, s"parts=$p diverged"))
+  }
+
   test("null inputs are skipped (FILTER-style conditional tuple metric)") {
     import org.apache.spark.sql.functions.when
     val li = Tables.lineitem(spark, sf)
