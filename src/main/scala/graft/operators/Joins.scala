@@ -43,29 +43,41 @@ object Joins {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       valueCols: Seq[(String, String)],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "backward"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asOf joinType must be inner or left, got '$joinType'")
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be backward or forward, got '$direction'")
     import org.apache.spark.sql.expressions.Window
+    val fwd = direction == "forward"
     val leftCols = left.columns.toSeq
     // the whole right payload rides in ONE struct so the matched row is
     // atomic — per-column last(ignoreNulls) could stitch different right
     // rows together when payload columns contain nulls
     val payload = F.struct(valueCols.map { case (src, dst) => F.col(src).as(dst) }: _*)
-    // side 0 = right (sorts before a left row with the same ts → inclusive)
+    // backward: right tags 0 (sorts BEFORE a same-ts left → inclusive <=)
+    // and the match is last(right) over the preceding frame; forward is
+    // the mirror — right tags 1 (sorts AFTER a same-ts left → inclusive
+    // >=), first(right) over the following frame
+    val (rightTag, leftTag) = if (fwd) (1, 0) else (0, 1)
     val taggedRight = right.select(
-      keys.map(F.col) :+ F.col(rightTs).as("__ts") :+ F.lit(0).as("__side") :+
+      keys.map(F.col) :+ F.col(rightTs).as("__ts") :+ F.lit(rightTag).as("__side") :+
         payload.as("__rv"): _*)
     val taggedLeft = left.select(
-      (keys.map(F.col) :+ F.col(leftTs).as("__ts") :+ F.lit(1).as("__side")) ++
+      (keys.map(F.col) :+ F.col(leftTs).as("__ts") :+ F.lit(leftTag).as("__side")) ++
         leftCols.filterNot(keys.contains).map(F.col): _*)
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(F.col): _*)
+    val base = Window.partitionBy(keys.map(F.col): _*)
       .orderBy(F.col("__ts").asc, F.col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (fwd) (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        F.first(F.col("__rv"), ignoreNulls = true))
+      else (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        F.last(F.col("__rv"), ignoreNulls = true))
     val matched = unioned
-      .withColumn("__m", F.last(F.col("__rv"), ignoreNulls = true).over(w))
-      .filter(F.col("__side") === 1)
+      .withColumn("__m", pick.over(w))
+      .filter(F.col("__side") === leftTag)
     val flavored =
       if (joinType == "inner") matched.filter(F.col("__m").isNotNull)
       else matched // left: unmatched rows keep a NULL payload struct

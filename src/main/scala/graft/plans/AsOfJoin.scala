@@ -30,7 +30,8 @@ final case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightValues: Seq[Attribute],
-    isLeft: Boolean = false) extends BinaryNode {
+    isLeft: Boolean = false,
+    forward: Boolean = false) extends BinaryNode {
   // plain Attributes only: CleanupAliases strips Alias from every node
   // except Project/Aggregate/Window, so a custom node must not carry them.
   // Left flavor: unmatched lefts emit NULL values, so the carried
@@ -70,8 +71,8 @@ object AsOfPushdownRule extends org.apache.spark.sql.catalyst.rules.Rule[Logical
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, flavor) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, flavor) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, flavor, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, flavor, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +85,8 @@ final case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightValues: Seq[Attribute],
-    isLeft: Boolean = false) extends BinaryExecNode {
+    isLeft: Boolean = false,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeft) rightValues.map(_.withNullability(true)) else rightValues)
@@ -123,7 +125,28 @@ final case class AsOfJoinExec(
       var lastKey: InternalRow = null
       var lastVal: InternalRow = null
 
-      lIter.flatMap { lRow =>
+      if (forward) lIter.flatMap { lRow =>
+        // FORWARD: earliest right row with rightTs >= leftTs. Discard
+        // right rows strictly before this left row — left ts only grows,
+        // so they can never match a later left either — then PEEK (not
+        // consume) the boundary row: it may also be the match for
+        // several subsequent left rows.
+        val lKey = lKeyProj(lRow)
+        val lTsV = lTsBound.eval(lRow)
+        var advance = true
+        while (advance && rRow != null) {
+          val rKey = rKeyProj(rRow)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0 || (c == 0 && tsOrd.lt(rTsBound.eval(rRow), lTsV)))
+            rRow = if (rIter.hasNext) rIter.next() else null
+          else advance = false
+        }
+        if (rRow != null && keyOrd.compare(rKeyProj(rRow), lKeyProj(lRow)) == 0)
+          Iterator.single(outProj(joined(lRow, valProj(rRow))))
+        else if (isLeft) Iterator.single(outProj(joined(lRow, nullVal)))
+        else Iterator.empty
+      }
+      else lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
         val lTsV = lTsBound.eval(lRow)
         // consume right rows at-or-before this left row, remembering the
@@ -161,10 +184,13 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       valueCols: Seq[(String, String)],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asOf needs at least one key column")
     require(joinType == "inner" || joinType == "left",
       s"asOf joinType must be inner or left, got '$joinType'")
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be backward or forward, got '$direction'")
     val lPlan = GraftBridge.analyzed(left)
     // Catalyst's ColumnPruning doesn't see through a custom node, so
     // prune the right side HERE: only keys, the timestamp, and the
@@ -194,7 +220,8 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs"),
-      rightValues, isLeft = joinType == "left"))
+      rightValues, isLeft = joinType == "left",
+      forward = direction == "forward"))
     // rename through an ordinary Project (aliases are legal there)
     import org.apache.spark.sql.functions.col
     raw.select(left.columns.map(col).toSeq ++

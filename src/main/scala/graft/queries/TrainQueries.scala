@@ -498,6 +498,36 @@ object TrainQueries {
              |CAST(least(count(DISTINCT l_linenumber), 101) AS INT) AS uniq_lines,
              |CAST(least(count(DISTINCT l_suppkey), 101) AS INT) AS uniq_supp
              |FROM lineitem GROUP BY 1
-             |ORDER BY flag ASC NULLS FIRST""".stripMargin))
+             |ORDER BY flag ASC NULLS FIRST""".stripMargin)),
+
+    // FORWARD as-of through the native exec (q66's operator, mirrored
+    // direction): each purchase matched to the user's EARLIEST signup
+    // at-or-after it — "next event" attribution. Same single merge pass;
+    // the oracle is DuckDB ASOF JOIN with the <= inequality.
+    NamedQuery("q127_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.plans.AsOfJoin.dataframe(s,
+            left = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            right = ev.filter(col("event_type") === "signup")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("event_id" -> "signup_event_id", "ts" -> "signup_ts"),
+            direction = "forward")
+          .select(col("user_id"), F.unix_millis(col("ts")).as("purchase_ms"),
+            col("event_id").as("purchase_event_id"),
+            col("signup_event_id"), F.unix_millis(col("signup_ts")).as("signup_ms"))
+          .orderBy(col("user_id").asc, col("purchase_ms").asc,
+            col("purchase_event_id").asc)
+      },
+      Some("""SELECT p.user_id, epoch_ms(p.ts) AS purchase_ms,
+             |p.event_id AS purchase_event_id,
+             |s.event_id AS signup_event_id, epoch_ms(s.ts) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND p.ts <= s.ts
+             |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
+        .stripMargin))
   )
 }

@@ -62,6 +62,44 @@ class AsOfSpec extends AnyFunSuite {
     assert(unmatched.filter(col("signup_ts").isNotNull).count() == 0)
   }
 
+  test("forward direction: native == composed; hand-checked next-match semantics; ties inclusive") {
+    import spark.implicits._
+    // forward = earliest right with rts >= lts: l(1,10)->r12 (not r20),
+    // l(1,25)->none, l(2,5)->none (r(2,1) is in the past), tie l(3,7)->r7
+    val l = Seq((1L, 10L), (1L, 25L), (2L, 5L), (3L, 7L)).toDF("k", "ts")
+    val r = Seq((1L, 12L, "a"), (1L, 20L, "b"), (2L, 1L, "c"), (3L, 7L, "d"))
+      .toDF("k", "ts", "v")
+    val native = AsOfJoin.dataframe(spark, l, r, Seq("k"), "ts", "ts",
+        Seq("v" -> "v", "ts" -> "rts"), direction = "forward")
+      .collect().map(_.toString).sorted
+    assert(native.toSeq == Seq("[1,10,a,12]", "[3,7,d,7]"))
+    val composed = Joins.asOf(l, r, Seq("k"), "ts", "ts",
+        Seq("v" -> "v", "ts" -> "rts"), direction = "forward")
+      .select("k", "ts", "v", "rts")
+      .collect().map(_.toString).sorted
+    assert(composed.sameElements(native))
+    // left + forward: unmatched lefts survive with nulls, both forms
+    val nativeLeft = AsOfJoin.dataframe(spark, l, r, Seq("k"), "ts", "ts",
+        Seq("v" -> "v"), joinType = "left", direction = "forward")
+      .collect().map(_.toString).sorted
+    val composedLeft = Joins.asOf(l, r, Seq("k"), "ts", "ts",
+        Seq("v" -> "v"), joinType = "left", direction = "forward")
+      .select("k", "ts", "v")
+      .collect().map(_.toString).sorted
+    assert(nativeLeft.length == 4 && nativeLeft.sameElements(composedLeft))
+    // fixture-scale agreement on real data
+    val big = AsOfJoin.dataframe(spark, purchases, signups,
+        Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"),
+        direction = "forward")
+      .collect().map(_.toString).sorted
+    val bigComposed = Joins.asOf(purchases, signups,
+        Seq("user_id"), "ts", "ts", Seq("event_id" -> "signup_id"),
+        direction = "forward")
+      .select("user_id", "ts", "event_id", "signup_id")
+      .collect().map(_.toString).sorted
+    assert(big.nonEmpty && big.sameElements(bigComposed))
+  }
+
   test("right side is column-pruned before the exchange (custom nodes don't get ColumnPruning)") {
     // hand the FULL events table to the right side; only user_id/ts/event_id
     // are needed — value and props must never reach a scan
