@@ -499,15 +499,18 @@ object Cubes {
   def eventsCubeWithSketchRollup(s: SparkSession, d: String): Cube =
     eventsCubeWithSketchRollup(s, PathCatalog(d))
 
-  def eventsCubeWithSketchRollup(s: SparkSession, cat: Catalog): Cube = {
+  def eventsCubeWithSketchRollup(s: SparkSession, cat: Catalog): Cube =
+    eventsCubeWithSketchRollup(s, cat, rollup = None)
+
+  /** `rollup = Some(df)`: serve the daily_sketch source from a
+    * MATERIALIZED cell table (e.g. one maintained live by
+    * [[graft.streaming.Streaming.maintainSketchRollup]]) instead of
+    * recomputing cells from the fact on every query. */
+  def eventsCubeWithSketchRollup(s: SparkSession, cat: Catalog,
+      rollup: Option[org.apache.spark.sql.DataFrame]): Cube = {
     val base = eventsCube(s, cat)
     val day = col("ts").cast("date")
-    val daily = base.fact
-      .groupBy(day.as("day"), col("event_type"))
-      .agg(
-        F.hll_sketch_agg(col("user_id"), F.lit(14)).as("uu_sk"),
-        graft.functions.QuantileSketch.quantileCell(0.01)(col("value")).as("q_sk"),
-        F.count(F.lit(1)).as("cnt_p"))
+    val daily = rollup.getOrElse(dailySketchCells(base.fact))
     def filtered(c: org.apache.spark.sql.Column, p: Option[org.apache.spark.sql.Column]) =
       p.map(pr => F.when(pr, c)).getOrElse(c)
     base.copy(
@@ -544,4 +547,15 @@ object Cubes {
             p => graft.functions.QuantileSketch.quantileUnion(0.5, 0.01)(
               filtered(col("q_sk"), p)))))))
   }
+
+  /** The daily sketch-cell aggregation shared by the on-the-fly rollup
+    * source and the streaming maintainer: per (day, event_type), an HLL
+    * user sketch, a GK quantile cell, and a plain count. */
+  def dailySketchCells(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(
+        F.hll_sketch_agg(col("user_id"), F.lit(14)).as("uu_sk"),
+        graft.functions.QuantileSketch.quantileCell(0.01)(col("value")).as("q_sk"),
+        F.count(F.lit(1)).as("cnt_p"))
 }

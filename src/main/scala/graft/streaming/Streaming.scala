@@ -39,6 +39,38 @@ object Streaming {
       .parquet(dir)
   }
 
+  /** Live rollup maintenance — the AggregatingMergeTree pattern as a
+    * Structured Streaming job: arriving events aggregate into the daily
+    * sketch cells ([[graft.cubes.Cubes.dailySketchCells]]) in UPDATE
+    * mode, and each micro-batch upserts its CHANGED cells into a parquet
+    * cell table partitioned by (day, event_type) — dynamic partition
+    * overwrite rewrites exactly the touched cells, so the serving table
+    * stays queryable throughout and refreshes are partition-local, never
+    * a full-table rebuild. Serve it through optimal-source selection via
+    * `Cubes.eventsCubeWithSketchRollup(s, cat, Some(read))`.
+    * Production note: add a watermark on `ts` upstream to bound the
+    * aggregation state to the lateness horizon; unwatermarked, state
+    * holds every (day, event_type) ever seen (tiny cells, but unbounded
+    * days).
+    */
+  def maintainSketchRollup(events: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.cubes.Cubes.dailySketchCells(events)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite")
+          .partitionBy("day", "event_type").parquet(outDir)
+        finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+
   private def ms(c: Column): Column = F.unix_millis(c)
 
   /** Tumbling 1-hour windows per event type. */

@@ -81,6 +81,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("live rollup maintenance: streamed sketch cells serve the cube like on-the-fly cells") {
+    import org.apache.spark.sql.functions.col
+    import graft.cubes.Cubes
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_cells").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rollup_ckpt").toString
+    val q = Streaming.maintainSketchRollup(
+      Streaming.eventsStream(spark, sf), dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def answers(cube: graft.model.Cube) =
+      graft.query.CubeQuery(cube)
+        .slice("day", "day").measure("n", "count")
+        .measure("uu", "uniqueUsersApprox").measure("med", "medianValueApprox")
+        .asc("day").toDF.collect().map(_.toString)
+    val streamed = Cubes.eventsCubeWithSketchRollup(spark,
+      graft.sources.PathCatalog(sf), Some(spark.read.parquet(dir)))
+    val onTheFly = Cubes.eventsCubeWithSketchRollup(spark, sf)
+    // the streamed table actually serves: optimal-source selection picks it
+    assert(graft.compile.Compiler.chosenSourceName(
+      graft.query.CubeQuery(streamed).slice("day", "day").measure("n", "count"))
+      == "daily_sketch")
+    val a = answers(streamed)
+    val b = answers(onTheFly)
+    assert(a.nonEmpty && a.sameElements(b),
+      s"streamed=${a.take(3).mkString(";")} fly=${b.take(3).mkString(";")}")
+  }
+
   test("ingestion-time decontamination: stream-static gram join, stream == batch") {
     import org.apache.spark.sql.functions.col
     // arriving docs (stream) screened against the static benchmark set
