@@ -444,6 +444,27 @@ object Cubes {
               col("ts") >= F.lit("2024-01-22").cast("timestamp") &&
                 col("ts") < F.lit("2024-01-29").cast("timestamp")), pred)
           }),
+        // parameterized bounded-state distinct (ClickHouse uniqUpTo(N)):
+        // exact while <= n, n+1 once exceeded — state capped at n+1
+        // values per group; n is a metric arg, FILTER-composable
+        "usersUpTo" -> {
+          def make(bound: Map[String, Any]): Metric = {
+            def nArg: Int = bound("n") match {
+              case i: Int => i
+              case other => throw new CubeQueryException(
+                s"usersUpTo n must be an integer, got $other")
+            }
+            Metric("usersUpTo",
+              build = p => graft.functions.UniqUpTo(nArg)(
+                p.map(pr => F.when(pr, col("user_id"))).getOrElse(col("user_id"))),
+              applyArgFn = Some { (k, v) =>
+                if (bound.contains(k)) make(bound + (k -> v))
+                else throw new CubeQueryException(
+                  s"metric 'usersUpTo' takes no argument '$k' (has: ${bound.keys.mkString(",")})")
+              })
+          }
+          make(Map("n" -> 100))
+        },
         // total completed view→signup→purchase sequences (ClickHouse
         // sequenceCount) per slice group — plan-backed like retention:
         // the greedy chain scan needs a per-user level under the slice

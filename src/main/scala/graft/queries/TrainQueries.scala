@@ -528,6 +528,28 @@ object TrainQueries {
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
              |ON p.user_id = s.user_id AND p.ts <= s.ts
              |ORDER BY p.user_id ASC, purchase_ms ASC, purchase_event_id ASC"""
+        .stripMargin)),
+
+    // uniqUpTo THROUGH the front door: metric arg n=10 plus a
+    // metric-level FILTER (value >= 250), sliced by event type — at this
+    // threshold two types stay exact (7, 8 distinct) and three saturate
+    // at n+1=11, exercising both paths in one query.
+    NamedQuery("q128_parsed_uniq_upto",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "options": {"asc": "eventType"} },
+          |  "fields": [
+          |    {"name": "eventType"},
+          |    {"name": "count", "alias": "n_events"},
+          |    {"name": "usersUpTo", "alias": "users_capped",
+          |     "args": {"n": 10, "value": {"gteq": 250}}} ] }""".stripMargin)
+        .query.toDF,
+      Some("""SELECT event_type AS "eventType",
+             |CAST(count(*) AS BIGINT) AS n_events,
+             |CAST(least(count(DISTINCT CASE WHEN value >= 250 THEN user_id END), 11) AS INT)
+             |  AS users_capped
+             |FROM events GROUP BY 1
+             |ORDER BY "eventType" ASC NULLS FIRST, n_events ASC, users_capped ASC"""
         .stripMargin))
   )
 }
