@@ -34,7 +34,7 @@ object Compiler {
 
     // ---- multi-fact merge: metrics split across sources -------------
     compileMerged(q) match {
-      case Some(df) => return foldOptions(df, q.options)
+      case Some(df) => return foldOptions(df, q.options, q.slices.map(_._1).toSet)
       case None => ()
     }
 
@@ -166,7 +166,7 @@ object Compiler {
         (q.slices.map(_._1) ++ q.measures.map(_._1)).map(F.col): _*)
 
     // ---- ordered options fold (O16: application order is semantic) --
-    foldOptions(ordered, q.options)
+    foldOptions(ordered, q.options, q.slices.map(_._1).toSet)
   }
 
   /** Resolve a measure's metric and bind its named args (parse_tree.rb:
@@ -397,7 +397,8 @@ object Compiler {
     * limitBy are deterministic — at 100 TB a tie at the cut line would
     * otherwise return different rows per run.
     */
-  private def foldOptions(df0: DataFrame, opts: Seq[QueryOpt]): DataFrame = {
+  private def foldOptions(df0: DataFrame, opts: Seq[QueryOpt],
+      sliceKeys: Set[String] = Set.empty): DataFrame = {
     var df = df0
     var sort: Seq[SortKey] = Nil
 
@@ -452,7 +453,12 @@ object Compiler {
           case other => throw new CubeQueryException(
             s"fill: column '$key' of type $other needs an explicit step")
         })
-        val zeros = df.columns.filterNot(c => c == key || each.contains(c))
+        // zero-fill METRIC columns only: a numeric slice key (e.g. a
+        // second dimension not in `each`) must stay null on manufactured
+        // rows — zeroing it would fabricate rows attributed to a real
+        // group value
+        val zeros = df.columns
+          .filterNot(c => c == key || each.contains(c) || sliceKeys.contains(c))
           .flatMap { c =>
             df.schema(c).dataType match {
               case n: NumericType => Some(c -> F.lit(0).cast(n))

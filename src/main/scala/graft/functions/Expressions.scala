@@ -258,18 +258,26 @@ case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpres
           s"cms_estimate needs (binary sketch, integral or string item), got $other")
     }
 
-  @transient private lazy val cache =
-    new java.util.HashMap[java.nio.ByteBuffer, org.apache.spark.util.sketch.CountMinSketch]()
+  // single-entry last-sketch memo, not a map: rows of one frame usually
+  // carry a handful of distinct sketches CONSECUTIVELY (one per group),
+  // so a last-seen memo gets the same hit rate at O(1) memory — an
+  // unbounded map would grow with distinct sketch count for the life of
+  // a cached plan. One volatile reference: a racing re-read only costs
+  // a redundant deserialize, never a torn pair.
+  @transient @volatile private var memo:
+    (Array[Byte], org.apache.spark.util.sketch.CountMinSketch) = _
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    val keyBuf = java.nio.ByteBuffer.wrap(bytes)
-    var cms = cache.get(keyBuf)
-    if (cms == null) {
-      cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      cache.put(keyBuf, cms)
-    }
+    val m = memo
+    val cms =
+      if (m != null && java.util.Arrays.equals(m._1, bytes)) m._2
+      else {
+        val c = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        memo = (bytes, c)
+        c
+      }
     item match {
       case s: UTF8String => cms.estimateCount(s.getBytes)
       case i: Integer => cms.estimateCount(java.lang.Long.valueOf(i.longValue))

@@ -22,21 +22,42 @@ object GraftFunctions {
     case other => throw new CubeQueryException(s"$what must be an int literal, got $other")
   }
 
+  /** Arity guard: a wrong-arity SQL call gets a domain error, not an
+    * IndexOutOfBoundsException from exprs(i). */
+  private def arity(name: String, exprs: Seq[Expression], min: Int,
+      max: Int): Seq[Expression] = {
+    if (exprs.size < min || exprs.size > max)
+      throw new CubeQueryException(
+        s"$name takes ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"argument(s), got ${exprs.size}")
+    exprs
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (exprs => SimHash64(exprs.head)),
-    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
-    "polyhash64" -> (exprs => PolyHash64(exprs.head)),
-    "word_shingles" -> (exprs =>
-      WordShingles(exprs.head,
-        if (exprs.size > 1) intLit(exprs(1), "word_shingles k") else 3)),
-    "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
-    "funnel_stage" -> (exprs => FunnelStage(exprs(0),
-      longLit(exprs(1), "funnel_stage window"), intLit(exprs(2), "funnel_stage steps"),
-      if (exprs.size > 3) boolLit(exprs(3), "funnel_stage anyAnchor") else false)),
-    "minhash_sig" -> (exprs => MinHashSig(exprs(0),
-      intLit(exprs(1), "minhash_sig numHashes"), longLit(exprs(2), "minhash_sig seed"))),
-    "seq_count" -> (exprs => SeqCount(exprs(0), intLit(exprs(1), "seq_count steps"))),
-    "ngram_stats" -> (exprs => NgramStats(exprs(0), intLit(exprs(1), "ngram_stats n"))))
+    "simhash64" -> (exprs => SimHash64(arity("simhash64", exprs, 1, 1).head)),
+    "cosine_sim" -> { exprs =>
+      val a = arity("cosine_sim", exprs, 2, 2); CosineSim(a(0), a(1)) },
+    "polyhash64" -> (exprs => PolyHash64(arity("polyhash64", exprs, 1, 1).head)),
+    "word_shingles" -> { exprs =>
+      val a = arity("word_shingles", exprs, 1, 2)
+      WordShingles(a.head, if (a.size > 1) intLit(a(1), "word_shingles k") else 3) },
+    "cms_estimate" -> { exprs =>
+      val a = arity("cms_estimate", exprs, 2, 2); CmsEstimate(a(0), a(1)) },
+    "funnel_stage" -> { exprs =>
+      val a = arity("funnel_stage", exprs, 3, 4)
+      FunnelStage(a(0),
+        longLit(a(1), "funnel_stage window"), intLit(a(2), "funnel_stage steps"),
+        if (a.size > 3) boolLit(a(3), "funnel_stage anyAnchor") else false) },
+    "minhash_sig" -> { exprs =>
+      val a = arity("minhash_sig", exprs, 3, 3)
+      MinHashSig(a(0),
+        intLit(a(1), "minhash_sig numHashes"), longLit(a(2), "minhash_sig seed")) },
+    "seq_count" -> { exprs =>
+      val a = arity("seq_count", exprs, 2, 2)
+      SeqCount(a(0), intLit(a(1), "seq_count steps")) },
+    "ngram_stats" -> { exprs =>
+      val a = arity("ngram_stats", exprs, 2, 2)
+      NgramStats(a(0), intLit(a(1), "ngram_stats n")) })
 
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v

@@ -49,7 +49,7 @@ object QuantileSketch {
     require(q >= 0 && q <= 1, s"quantile rank must be in [0,1], got $q")
     override def zero: QuantileSummaries = empty(eps)
     override def reduce(b: QuantileSummaries, cell: Array[Byte]): QuantileSummaries =
-      b.compress().merge(deser(cell))
+      if (cell == null) b else b.compress().merge(deser(cell)) // FILTER-nulled cells skip
     override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
       a.compress().merge(b.compress())
     override def finish(b: QuantileSummaries): Double =

@@ -142,7 +142,8 @@ class TopKWeighted(k: Int, capacity: Int = 4096)
 }
 
 object TopKWeighted {
-  /** `agg(topKWeighted(3)(struct(valueCol, weightCol)))`. */
+  /** Two-column call: `agg(TopKWeighted(3)(valueCol, weightCol))` —
+    * the WIn encoder declares two top-level fields, NOT one struct. */
   def apply(k: Int, capacity: Int = 4096): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKWeighted(k, capacity),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKFreq.WIn]())

@@ -35,8 +35,11 @@ object Fill {
       .select(g :+
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).as(key): _*)
     val joined = spine.join(df, groupCols :+ key, "left")
-    fills.foldLeft(joined) { case (d, (c, dflt)) =>
+    val filled = fills.foldLeft(joined) { case (d, (c, dflt)) =>
       d.withColumn(c, F.coalesce(F.col(c), dflt))
     }
+    // the using-column join fronts (each..., key); restore the input's
+    // declared column order
+    filled.select(df.columns.map(F.col).toSeq: _*)
   }
 }

@@ -91,6 +91,8 @@ object Funnel {
       pred: Option[Column],
       outKey: String = "__pb_value"): DataFrame = {
     require(steps.nonEmpty, "sequence needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"sequence steps must be distinct, got ${steps.mkString(",")}")
     val (base, keyed) =
       if (groupCols.nonEmpty)
         (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)

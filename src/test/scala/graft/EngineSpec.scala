@@ -339,6 +339,45 @@ class EngineSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("fill: manufactured rows zero metrics but keep OTHER numeric slice keys null") {
+    val q = li.slice("y", "shipDate", "year").slice("pk", "partKey")
+      .measure("c", "count")
+      .when(Pred.eq("partKey", 5)) // part 5 ships in 6 of its 7-year span
+      .asc("y").fill("y")
+    val rows = q.toDF.collect()
+    val manufactured = rows.filter(_.getLong(2) == 0L)
+    assert(manufactured.nonEmpty, "expected gap years for a single part")
+    // the pk slice column must be NULL on filled rows — zeroing it would
+    // fabricate rows attributed to the real partKey 0
+    manufactured.foreach(r => assert(r.isNullAt(1), r.toString))
+    rows.filter(_.getLong(2) > 0L).foreach(r => assert(r.getLong(1) == 5L))
+  }
+
+  test("FILTER-composed sketch metrics on the rollup route skip nulled cells (no NPE)") {
+    val cube = Cubes.eventsCubeWithSketchRollup(spark, sf)
+    val q = CubeQuery(cube).slice("day", "day")
+      .measureWhen("med", "medianValueApprox", Pred.eq("eventType", "purchase"))
+      .measureWhen("uu", "uniqueUsersApprox", Pred.eq("eventType", "purchase"))
+      .asc("day")
+    assert(Compiler.chosenSourceName(q) == "daily_sketch")
+    val rows = q.toDF.collect()
+    assert(rows.nonEmpty)
+    // cells for other event types arrive as FILTER-nulled inputs; the
+    // union aggregators must skip them and still answer from the
+    // purchase cells alone
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.getDouble(1).isNaN, r.toString)
+      assert(r.getLong(2) > 0, r.toString)
+    }
+  }
+
+  test("SQL function arity errors are domain errors, not IndexOutOfBounds") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT cms_estimate(CAST('x' AS BINARY))").collect())
+    assert(e.getMessage.contains("2 argument") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 argument")), e.toString)
+  }
+
   test("dup3 repetition selector: row-local predicate keeps column pruning tight") {
     val q = graft.query.CubeQuery(Cubes.documentsCube(spark, sf))
       .slice("source", "source").measure("c", "count")
