@@ -436,7 +436,7 @@ object Compiler {
           .filter(F.col(rn) > off && F.col(rn) <= off + n)
           .drop(rn)
         if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
-      case QueryOpt.Fill(key, step, each) =>
+      case QueryOpt.Fill(key, step, each, from, to) =>
         import org.apache.spark.sql.types._
         (Seq(key) ++ each).foreach(k =>
           if (!df.columns.contains(k))
@@ -466,7 +466,13 @@ object Compiler {
               case _ => None // non-numeric columns stay null on filled rows
             }
           }.toMap
-        df = graft.operators.Fill.fillSeries(df, key, each, stepCol, zeros)
+        // from/to are VALUES cast to the key's type (never parsed as
+        // expressions), so no literal validation is needed beyond the
+        // cast itself
+        val keyType = df.schema(key).dataType
+        df = graft.operators.Fill.fillSeries(df, key, each, stepCol, zeros,
+          from = from.map(v => F.lit(v).cast(keyType)),
+          to = to.map(v => F.lit(v).cast(keyType)))
         if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
     }
     df

@@ -156,14 +156,20 @@ object Similarity {
     probeAndRerank(c, queries, centroids, k, nProbe)
   }
 
-  /** Coarse quantizer: spark-mllib k-means, fixed seed ⇒ reproducible. */
+  /** Coarse quantizer: spark-mllib k-means, fixed seed ⇒ reproducible.
+    * The training frame is cached for the iterations — k-means rescans
+    * its input once per iteration, and re-deriving it from the corpus
+    * scan each time dominated the build (the one-off index cost all IVF
+    * paths and SemDeDup share). */
   private def trainCentroids(
       corpus: DataFrame, nLists: Int, seed: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(array_to_vector(F.col("embedding")).as("features"))
-    new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
       .fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+    finally train.unpersist()
   }
 
   // Cell assignment / probe list as Column exprs over the broadcast

@@ -21,19 +21,24 @@ object Fill {
     * for dates, `lit(1)` for ints). `groupCols` get an independent
     * spine per group (their own min..max). `fills` maps metric column →
     * default for manufactured rows; columns not listed stay null.
+    * `from`/`to` pin the spine bounds (ClickHouse WITH FILL FROM/TO —
+    * a dashboard's fixed axis) instead of the observed min/max; with
+    * both pinned the spine exists even over empty input.
     */
   def fillSeries(
       df: DataFrame, key: String, groupCols: Seq[String],
-      step: Column, fills: Map[String, Column]): DataFrame = {
+      step: Column, fills: Map[String, Column],
+      from: Option[Column] = None, to: Option[Column] = None): DataFrame = {
     val g = groupCols.map(F.col)
     val bounds =
       if (groupCols.nonEmpty)
         df.groupBy(g: _*).agg(F.min(key).as("__lo"), F.max(key).as("__hi"))
       else df.agg(F.min(key).as("__lo"), F.max(key).as("__hi"))
+    val lo = from.getOrElse(F.col("__lo"))
+    val hi = to.getOrElse(F.col("__hi"))
     val spine = bounds
-      .where(F.col("__lo").isNotNull) // empty input -> empty spine, not a null row
-      .select(g :+
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).as(key): _*)
+      .where(lo.isNotNull && hi.isNotNull) // empty unpinned input -> empty spine
+      .select(g :+ F.explode(F.sequence(lo, hi, step)).as(key): _*)
     val joined = spine.join(df, groupCols :+ key, "left")
     val filled = fills.foldLeft(joined) { case (d, (c, dflt)) =>
       d.withColumn(c, F.coalesce(F.col(c), dflt))

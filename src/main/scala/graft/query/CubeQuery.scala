@@ -66,13 +66,16 @@ object QueryOpt {
     * of result column(s) `each` (parse_tree.rb:142-143). Ordering within a
     * group = the sort state current at fold time. */
   final case class LimitBy(each: Seq[String], limit: Int, offset: Int = 0) extends QueryOpt
-  /** ClickHouse `ORDER BY … WITH FILL [STEP n]`: densify result column
-    * `key` to a fixed step after aggregation — absent steps appear with
-    * numeric metrics zeroed. `step` is a validated literal ("interval 1
-    * day", "4") and defaults by the key's type; `each` gives every
-    * distinct combination of those result columns its own spine. */
+  /** ClickHouse `ORDER BY … WITH FILL [FROM x] [TO y] [STEP n]`: densify
+    * result column `key` to a fixed step after aggregation — absent
+    * steps appear with numeric metrics zeroed. `step` is a validated
+    * literal ("interval 1 day", "4") and defaults by the key's type;
+    * `from`/`to` override the observed min/max bounds (a dashboard's
+    * fixed axis); `each` gives every distinct combination of those
+    * result columns its own spine. */
   final case class Fill(key: String, step: Option[String] = None,
-      each: Seq[String] = Nil) extends QueryOpt
+      each: Seq[String] = Nil, from: Option[String] = None,
+      to: Option[String] = None) extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -143,8 +146,9 @@ final case class CubeQuery(
   def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
     copy(options = options :+ QueryOpt.LimitBy(each, limit, offset))
   def fill(key: String, step: Option[String] = None,
-      each: Seq[String] = Nil): CubeQuery =
-    copy(options = options :+ QueryOpt.Fill(key, step, each))
+      each: Seq[String] = Nil, from: Option[String] = None,
+      to: Option[String] = None): CubeQuery =
+    copy(options = options :+ QueryOpt.Fill(key, step, each, from, to))
 
   /** Generic option dispatch by name (reference parse_tree.rb:127-130 —
     * any argument name is tried as a method; unknown raises). */
@@ -169,7 +173,9 @@ final case class CubeQuery(
         fill(mm.getOrElse("key",
             throw new CubeQueryException("fill needs a 'key'")).toString,
           mm.get("step").map(_.toString),
-          mm.get("each").map(asStrings).getOrElse(Nil))
+          mm.get("each").map(asStrings).getOrElse(Nil),
+          mm.get("from").map(_.toString),
+          mm.get("to").map(_.toString))
       case other => throw new CubeQueryException(s"fill needs a key or map, got $other")
     }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4

@@ -327,5 +327,19 @@ class ParserSpec extends AnyFunSuite {
         """{"fields": [{"name": "count"}],
            "args": {"options": {"fill": "nope"}}}""").query.toDF)
     assert(e2.getMessage.contains("unknown result column"))
+    // pinned FROM/TO bounds: the axis is fixed regardless of the data's
+    // observed span (WITH FILL FROM x TO y)
+    val pinned = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "shipDate", "fields": [{"name": "year"}]},
+           {"name": "count", "alias": "cnt"}],
+         "args": {"shipDate": {"between": ["1996-01-01", "1997-12-31"]},
+           "options": {"asc": "shipDate__year",
+             "fill": {"key": "shipDate__year", "step": "1",
+                      "from": "1990", "to": "2003"}}}}""")
+      .query.toDF.collect()
+    assert(pinned.map(_.getInt(0)).toSeq == (1990 to 2003).toSeq)
+    assert(pinned.filter(r => r.getInt(0) < 1996 || r.getInt(0) > 1997)
+      .forall(_.getLong(1) == 0L))
   }
 }
