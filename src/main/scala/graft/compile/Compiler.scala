@@ -436,9 +436,9 @@ object Compiler {
           .filter(F.col(rn) > off && F.col(rn) <= off + n)
           .drop(rn)
         if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
-      case QueryOpt.Fill(key, step, each, from, to) =>
+      case QueryOpt.Fill(key, step, each, from, to, interp) =>
         import org.apache.spark.sql.types._
-        (Seq(key) ++ each).foreach(k =>
+        (Seq(key) ++ each ++ interp).foreach(k =>
           if (!df.columns.contains(k))
             throw new CubeQueryException(s"fill: unknown result column '$k'"))
         // step is a validated literal, never free-form SQL (the option
@@ -458,7 +458,8 @@ object Compiler {
         // rows — zeroing it would fabricate rows attributed to a real
         // group value
         val zeros = df.columns
-          .filterNot(c => c == key || each.contains(c) || sliceKeys.contains(c))
+          .filterNot(c => c == key || each.contains(c) || sliceKeys.contains(c)
+            || interp.contains(c))
           .flatMap { c =>
             df.schema(c).dataType match {
               case n: NumericType => Some(c -> F.lit(0).cast(n))
@@ -473,6 +474,18 @@ object Compiler {
         df = graft.operators.Fill.fillSeries(df, key, each, stepCol, zeros,
           from = from.map(v => F.lit(v).cast(keyType)),
           to = to.map(v => F.lit(v).cast(keyType)))
+        // INTERPOLATE: last observation carried forward along the spine
+        // (per `each` group) — manufactured rows inherit the previous
+        // real value instead of a zero
+        if (interp.nonEmpty) {
+          val wI = Window.partitionBy(each.map(F.col): _*)
+            .orderBy(F.col(key).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df = interp.foldLeft(df) { (d, c) =>
+            d.withColumn(c,
+              F.coalesce(F.col(c), F.last(F.col(c), ignoreNulls = true).over(wI)))
+          }
+        }
         if (sort.nonEmpty) df = df.orderBy(fullSortCols(Set.empty): _*)
     }
     df

@@ -550,6 +550,40 @@ object TrainQueries {
              |  AS users_capped
              |FROM events GROUP BY 1
              |ORDER BY "eventType" ASC NULLS FIRST, n_events ASC, users_capped ASC"""
-        .stripMargin))
+        .stripMargin)),
+
+    // WITH FILL ... INTERPOLATE through the front door: counts zero-fill
+    // on manufactured days, but the average carries the last observation
+    // forward — the ClickHouse INTERPOLATE clause. Oracle mirrors with
+    // last_value IGNORE NULLS over the densified spine.
+    NamedQuery("q129_parsed_fill_interpolate",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "eventType": {"eq": "purchase"}, "value": {"gteq": 200},
+          |            "options": {"asc": "ts__day",
+          |              "fill": {"key": "ts__day",
+          |                       "interpolate": "avg_value"}} },
+          |  "fields": [
+          |    {"name": "ts", "fields": [{"name": "day"}]},
+          |    {"name": "count", "alias": "n"},
+          |    {"name": "avgValue", "alias": "avg_value"} ] }""".stripMargin)
+        .query.toDF,
+      Some("""WITH f AS (
+             |  SELECT CAST(ts AS DATE) AS day, value FROM events
+             |  WHERE event_type = 'purchase' AND value >= 200),
+             |agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+             |        round(avg(value), 4) AS av FROM f GROUP BY 1),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM f),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM b),
+             |j AS (SELECT spine.day AS ts__day, coalesce(agg.n, 0) AS n, agg.av
+             |      FROM spine LEFT JOIN agg USING (day))
+             |SELECT ts__day, n,
+             |  coalesce(av, last_value(av IGNORE NULLS) OVER (
+             |    ORDER BY ts__day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |    AS avg_value
+             |FROM j
+             |ORDER BY ts__day ASC NULLS FIRST, n ASC, avg_value ASC""".stripMargin))
   )
 }

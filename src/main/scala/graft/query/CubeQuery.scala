@@ -75,7 +75,8 @@ object QueryOpt {
     * result columns its own spine. */
   final case class Fill(key: String, step: Option[String] = None,
       each: Seq[String] = Nil, from: Option[String] = None,
-      to: Option[String] = None) extends QueryOpt
+      to: Option[String] = None,
+      interpolate: Seq[String] = Nil) extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -147,8 +148,8 @@ final case class CubeQuery(
     copy(options = options :+ QueryOpt.LimitBy(each, limit, offset))
   def fill(key: String, step: Option[String] = None,
       each: Seq[String] = Nil, from: Option[String] = None,
-      to: Option[String] = None): CubeQuery =
-    copy(options = options :+ QueryOpt.Fill(key, step, each, from, to))
+      to: Option[String] = None, interpolate: Seq[String] = Nil): CubeQuery =
+    copy(options = options :+ QueryOpt.Fill(key, step, each, from, to, interpolate))
 
   /** Generic option dispatch by name (reference parse_tree.rb:127-130 —
     * any argument name is tried as a method; unknown raises). */
@@ -175,7 +176,8 @@ final case class CubeQuery(
           mm.get("step").map(_.toString),
           mm.get("each").map(asStrings).getOrElse(Nil),
           mm.get("from").map(_.toString),
-          mm.get("to").map(_.toString))
+          mm.get("to").map(_.toString),
+          mm.get("interpolate").map(asStrings).getOrElse(Nil))
       case other => throw new CubeQueryException(s"fill needs a key or map, got $other")
     }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
