@@ -584,6 +584,39 @@ object TrainQueries {
              |    ORDER BY ts__day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
              |    AS avg_value
              |FROM j
-             |ORDER BY ts__day ASC NULLS FIRST, n ASC, avg_value ASC""".stripMargin))
+             |ORDER BY ts__day ASC NULLS FIRST, n ASC, avg_value ASC""".stripMargin)),
+
+    // tokenizer-style vocabulary build: tokens ranked by frequency, keep
+    // the prefix covering 95% of corpus occurrences. The running total
+    // uses the DISTRIBUTED two-phase prefix sum (operators/PrefixSum) —
+    // a bare Window.orderBy cumsum would collapse the vocabulary into
+    // ONE partition, the classic silent scale-killer this operator
+    // exists to avoid. Oracle: the single-window cumsum (fine at oracle
+    // scale), proving the two-phase split is exact.
+    NamedQuery("q130_vocab_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(F.explode(graft.llm.Dedup.tokens(F.lower(col("text")))).as("token"))
+          .groupBy(col("token")).agg(F.count(F.lit(1)).as("cnt"))
+        val total = counts.agg(F.sum(col("cnt")).as("__total"))
+        graft.operators.PrefixSum.runningTotal(counts,
+            Seq(col("cnt").desc, col("token").asc), col("cnt"),
+            outCol = "cum", partitions = 8)
+          .crossJoin(total)
+          .filter(col("cum") - col("cnt") < col("__total") * 0.95)
+          .select(col("token"), col("cnt"), col("cum").cast("long").as("cum"))
+          .orderBy(col("cum").asc)
+      },
+      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |          FROM documents),
+             |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+             |tot AS (SELECT sum(cnt) AS total FROM c),
+             |r AS (SELECT token, CAST(cnt AS BIGINT) AS cnt,
+             |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM c)
+             |SELECT token, cnt, cum FROM r, tot
+             |WHERE cum - cnt < 0.95 * total
+             |ORDER BY cum ASC""".stripMargin))
   )
 }

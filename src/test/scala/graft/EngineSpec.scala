@@ -322,6 +322,28 @@ class EngineSpec extends AnyFunSuite {
       s"scan reads more than text+n_chars:\n$scan")
   }
 
+  test("PrefixSum.runningTotal == single-window cumsum, with NO single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val r = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (i.toLong, r.nextInt(100).toLong)).toDF("id", "v")
+      .repartition(7) // scrambled input partitioning
+    val two = graft.operators.PrefixSum.runningTotal(
+        df, Seq(F.col("v").desc, F.col("id").asc), F.col("v"), partitions = 5)
+      .select(F.col("id"), F.col("cum").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = df.withColumn("cum", F.sum("v").over(
+        W.orderBy(F.col("v").desc, F.col("id").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select("id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == one)
+    val plan = graft.operators.PrefixSum.runningTotal(
+        df, Seq(F.col("v").desc, F.col("id").asc), F.col("v"), partitions = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("Fill.fillSeries: per-group spines, defaults only on manufactured rows, empty input stays empty") {
     import spark.implicits._
     import graft.operators.Fill
