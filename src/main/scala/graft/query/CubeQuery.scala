@@ -71,8 +71,10 @@ object QueryOpt {
     * steps appear with numeric metrics zeroed. `step` is a validated
     * literal ("interval 1 day", "4") and defaults by the key's type;
     * `from`/`to` override the observed min/max bounds (a dashboard's
-    * fixed axis); `each` gives every distinct combination of those
-    * result columns its own spine. */
+    * fixed axis) — `from` inclusive, `to` EXCLUSIVE, exactly as
+    * ClickHouse; real result rows outside the pinned window are
+    * preserved, never dropped. `each` gives every distinct combination
+    * of those result columns its own spine. */
   final case class Fill(key: String, step: Option[String] = None,
       each: Seq[String] = Nil, from: Option[String] = None,
       to: Option[String] = None,

@@ -59,15 +59,12 @@ object Streaming {
       .writeStream.outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try batch.write.mode("overwrite")
+        // writer-scoped dynamic overwrite: overrides the session conf for
+        // THIS write only — no session-global mutation for concurrent
+        // queries to observe, nothing to leak on a crash mid-batch
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("day", "event_type").parquet(outDir)
-        finally prev match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
       }
       .start()
 

@@ -338,10 +338,14 @@ class EngineSpec extends AnyFunSuite {
       .select("id", "cum")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == one)
-    val plan = graft.operators.PrefixSum.runningTotal(
+    // runningTotal returns an eagerly-checkpointed frame (so offsets and
+    // output share one physical partitioning) — its plan is a LogicalRDD
+    // scan. Assert the shape of the distributed stage underneath instead.
+    val plan = graft.operators.PrefixSum.localStage(
         df, Seq(F.col("v").desc, F.col("id").asc), F.col("v"), partitions = 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
   }
 
   test("Fill.fillSeries: per-group spines, defaults only on manufactured rows, empty input stays empty") {

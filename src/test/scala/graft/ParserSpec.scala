@@ -338,8 +338,35 @@ class ParserSpec extends AnyFunSuite {
              "fill": {"key": "shipDate__year", "step": "1",
                       "from": "1990", "to": "2003"}}}}""")
       .query.toDF.collect()
-    assert(pinned.map(_.getInt(0)).toSeq == (1990 to 2003).toSeq)
+    // ClickHouse bound semantics: FROM inclusive, TO exclusive => [1990, 2003)
+    assert(pinned.map(_.getInt(0)).toSeq == (1990 to 2002).toSeq)
     assert(pinned.filter(r => r.getInt(0) < 1996 || r.getInt(0) > 1997)
       .forall(_.getLong(1) == 0L))
+    // real rows OUTSIDE the pinned window are preserved, not dropped:
+    // spine is [1990, 1997) but the real 1997 row still appears
+    val outside = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "shipDate", "fields": [{"name": "year"}]},
+           {"name": "count", "alias": "cnt"}],
+         "args": {"shipDate": {"between": ["1996-01-01", "1997-12-31"]},
+           "options": {"asc": "shipDate__year",
+             "fill": {"key": "shipDate__year", "step": "1",
+                      "from": "1990", "to": "1997"}}}}""")
+      .query.toDF.collect()
+    assert(outside.map(_.getInt(0)).toSeq == (1990 to 1997).toSeq)
+    assert(outside.find(_.getInt(0) == 1997).get.getLong(1) > 0L)
+    // inverted pinned window (from past the data, from > to): empty
+    // spine, no runtime error, input rows pass through untouched
+    val inverted = QueryParser.parse(cube,
+      """{"fields": [
+           {"name": "shipDate", "fields": [{"name": "year"}]},
+           {"name": "count", "alias": "cnt"}],
+         "args": {"shipDate": {"between": ["1996-01-01", "1997-12-31"]},
+           "options": {"asc": "shipDate__year",
+             "fill": {"key": "shipDate__year", "step": "1",
+                      "from": "2010", "to": "2005"}}}}""")
+      .query.toDF.collect()
+    assert(inverted.map(_.getInt(0)).toSeq == Seq(1996, 1997))
+    assert(inverted.forall(_.getLong(1) > 0L))
   }
 }
