@@ -6,12 +6,16 @@ import org.apache.spark.sql.{functions => F}
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed in partition-local batches.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `decodeStub` derives deterministic fake features from the bytes. What
-  * is real — and what the tests cover — is the Spark plumbing a 100 TB
-  * media pipeline needs: a stable `binary` schema, typed Dataset
-  * batching via mapPartitions (one decoder init per partition, not per
-  * row), and columnar metadata that survives parquet round-trips.
+  * The IMAGE path is real end-to-end: `pngMediaFromDocuments` renders
+  * each document as a tiny genuine grayscale PNG (JDK `javax.imageio`,
+  * no external dependency) and `decodeImage` decodes payload bytes back
+  * into width / height / mean luminance through the same codec. Because
+  * the renderer is a deterministic function of (doc_id, text), an
+  * oracle can recompute the decoded features analytically — a broken
+  * decode cannot reproduce them (q61). Audio/video remain STUBS
+  * (`resizeStub`, `sampleFramesStub` — no codecs in this container):
+  * their Spark plumbing (binary schema, per-partition decoder init,
+  * frame-explode shape) is real and tested, the codec body is not.
   */
 object Multimodal {
 
@@ -24,40 +28,90 @@ object Multimodal {
       height: Int,
       brightness: Double)
 
-  /** Fixture adapter: wrap a documents table as fake media blobs
-    * (payload = utf8 bytes of the text). */
+  /** Fixture adapter, opaque flavor: wrap a documents table as binary
+    * blobs (payload = utf8 bytes of the text) for the column-only
+    * metadata path — `mediaStats` never decodes, so any bytes do. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       F.col("doc_id").as("media_id"),
-      F.lit("image/fake").as("mime"),
+      F.lit("application/octet-stream").as("mime"),
       F.col("text").cast("binary").as("payload"))
 
-  /** STUB decoder — stands in for an image library. Deterministic pure
-    * function of the payload bytes so results are reproducible; replace
-    * the body with a real codec (keeping the signature) in production.
-    * One invocation per partition: a real decoder would init its native
-    * context here once and stream the batch through it. */
-  def decodeStub(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
-    // per-partition init would go here (native codec handle, model, …)
+  /** Fixture adapter, decodable flavor: render each document as a tiny
+    * REAL grayscale PNG. Deterministic by construction so the decoded
+    * features are SQL-recomputable: width = 1 + (doc_id mod 8), height =
+    * 1 + (byteLen(text) mod 8), pixel i (row-major) = text byte at
+    * (i mod byteLen). Encoding runs per-partition on executors — the
+    * same distributed shape a real ingest-and-transcode stage has. */
+  def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(F.col("doc_id"), F.col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init: no temp-file spooling
+        it.map { case (id, text) => MediaRecord(id, "image/png", encodePng(id, text)) }
+      }
+  }
+
+  /** Deterministic tiny-PNG renderer (see [[pngMediaFromDocuments]]). */
+  private[llm] def encodePng(id: Long, text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 1 + math.floorMod(id, 8L).toInt
+    val h = 1 + math.floorMod(bytes.length, 8)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val gray = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+      raster.setSample(i % w, i / w, 0, gray)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode — JDK `javax.imageio`, one reader context per
+    * partition. Width/height come from the decoded image, brightness is
+    * the mean sample of the luminance band (single-band images: the raw
+    * gray samples — PNG is lossless so they round-trip exactly; multi-
+    * band: Rec.601 luma from RGB). */
+  def decodeImage(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // per-partition init: in-memory decode only, one digest instance
+    javax.imageio.ImageIO.setUseCache(false)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     batch.map { rec =>
       val bytes = rec.payload
       md.reset()
       val sha = md.digest(bytes).map("%02x".format(_)).mkString
-      // fake "decode": dimensions + brightness derived from content
-      val w = 1 + math.floorMod(if (bytes.nonEmpty) bytes(0).toInt else 0, 64)
-      val h = 1 + math.floorMod(bytes.length, 64)
-      val brightness =
-        if (bytes.isEmpty) 0.0
-        else math.rint(bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length * 1e6) / 1e6
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media ${rec.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0.0
+      if (raster.getNumBands == 1) {
+        var i = 0
+        while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
+      } else {
+        var i = 0
+        while (i < w * h) {
+          val rgb = img.getRGB(i % w, i / w)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          i += 1
+        }
+      }
+      val brightness = math.rint(sum / (w * h) * 1e6) / 1e6
       MediaFeatures(rec.media_id, bytes.length, sha, w, h, brightness)
     }
   }
 
-  /** The real pipeline shape: typed batch map over partitions. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** The real pipeline shape: typed batch map over partitions, real
+    * codec inside. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(decodeStub)
+    media.mapPartitions(decodeImage)
   }
 
   /** Column-only metadata (no decode): byte length + content digest —
@@ -81,9 +135,9 @@ object Multimodal {
     * plumbing: one decoder per partition, one output row per frame
     * (media_id, frame_idx, frame bytes) — the explode-shaped schema a
     * frame-level training pipeline consumes. */
-  def sampleFramesStub(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+  def sampleFramesStub(spark: SparkSession, media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
+    media.mapPartitions { batch =>
       // per-partition decoder init would go here
       batch.flatMap { rec =>
         val len = rec.payload.length

@@ -232,13 +232,14 @@ object InvariantQueries {
              |WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
              |      len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8""".stripMargin)),
 
-    // q61's contract made checkable: the mapPartitions feature extractor
-    // agrees with the columnar stats on every shared field, for every
-    // media row. n_media anchors the oracle.
+    // q61's contract made checkable: the real-codec feature extractor
+    // agrees with the columnar (no-decode) stats on every shared field —
+    // byte_len and sha256 of the SAME png payloads — for every media
+    // row. n_media anchors the oracle.
     NamedQuery("q89_media_consistency",
       (s, d) => {
-        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-        val stats = Multimodal.mediaStats(media)
+        val media = Multimodal.pngMediaFromDocuments(s, Tables.documents(s, d))
+        val stats = Multimodal.mediaStats(media.toDF())
           .select(col("media_id"), col("byte_len"), col("sha_hex"))
         val feats = Multimodal.extractFeatures(s, media).toDF()
           .select(col("media_id"), col("byte_len").as("__bl"),

@@ -137,13 +137,29 @@ object LlmQueries {
              |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
              |FROM m ORDER BY doc_id ASC""".stripMargin)),
 
-    // rolling-hash fingerprint (custom codegen'd expression) — rows-only
+    // rolling-hash fingerprint (custom codegen'd expression). The oracle
+    // mirrors the PolyHash64 fold exactly: a list_reduce over the utf8
+    // codepoints in HUGEINT with mod-2^64 wraparound, mapped back to the
+    // signed 64-bit value Java's native overflow produces.
     NamedQuery("q56_rolling_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id").asc),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id,
+             |    list_reduce(
+             |      list_prepend(1125899906842597::HUGEINT,
+             |        [ord(s[i])::HUGEINT for i in range(1, strlen(s) + 1)]),
+             |      (acc, b) -> (acc * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+             |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+             |FROM u ORDER BY doc_id ASC""".stripMargin)),
 
     // brute-force exact cosine top-5 for 10 query vectors; oracle computes
     // the dot in DOUBLE sequentially, matching CosineSim bit-for-bit
@@ -237,15 +253,28 @@ object LlmQueries {
              |sha256(text) AS sha_hex
              |FROM documents ORDER BY media_id ASC""".stripMargin)),
 
-    // multimodal: typed mapPartitions batch "decode" (stubbed codec,
-    // real plumbing); sha256 oracled, fake decode fields rows-only —
-    // cross-checked against mediaStats in LlmSpec
+    // multimodal: REAL codec round-trip. Each document renders to a tiny
+    // genuine grayscale PNG on the executors, and the decode stage reads
+    // width/height/mean-luminance back out of the PNG bytes with JDK
+    // ImageIO. The renderer is deterministic in (doc_id, text), so the
+    // oracle recomputes the decoded features analytically — a broken
+    // encode OR decode cannot hash-match.
     NamedQuery("q61_media_features",
       (s, d) => Multimodal.extractFeatures(s,
-          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          Multimodal.pngMediaFromDocuments(s, Tables.documents(s, d)))
         .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("brightness"))
         .orderBy(col("media_id").asc),
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(1 + (doc_id % 8) AS INT) AS width,
+             |    CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS height,
+             |    octet_length(CAST(text AS BLOB)) AS blen
+             |  FROM documents)
+             |SELECT doc_id AS media_id, width, height,
+             |  round(list_avg([ord(text[((i-1) % blen) + 1])
+             |                  for i in range(1, width*height + 1)]), 6) AS brightness
+             |FROM m ORDER BY media_id ASC""".stripMargin)),
 
     // the full training-data dedup PIPELINE as one declarative plan:
     // exact dedup (hash keep-list) → near-dup detection over the

@@ -154,8 +154,8 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("media features agree with columnar stats (sha256, byte_len)") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
-    val stats = Multimodal.mediaStats(media)
+    val media = Multimodal.pngMediaFromDocuments(spark, Tables.documents(spark, sf))
+    val stats = Multimodal.mediaStats(media.toDF())
       .select(col("media_id"), col("byte_len"), col("sha_hex"))
     val feats = Multimodal.extractFeatures(spark, media).toDF()
       .select(col("media_id"), col("byte_len").as("bl2"), col("sha256").as("sha2"))
@@ -165,15 +165,42 @@ class LlmSpec extends AnyFunSuite {
     assert(joined.count() == 500)
   }
 
+  test("real PNG codec round-trip: decoded dims and luminance match the render spec") {
+    // the payloads are genuine PNGs (magic bytes), and ImageIO decode
+    // recovers exactly what the deterministic renderer drew
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val media = Multimodal.pngMediaFromDocuments(spark, docs)
+    val recs = media.collect()
+    assert(recs.length == 20)
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    assert(recs.forall(_.payload.take(4).sameElements(pngMagic)))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val f = feats(id)
+      assert(f.width == 1 + (id % 8).toInt, s"doc $id width")
+      assert(f.height == 1 + bytes.length % 8, s"doc $id height")
+      val expect = (0 until f.width * f.height)
+        .map(i => (bytes(i % bytes.length) & 0xFF).toDouble)
+      val mean = math.rint(expect.sum / expect.length * 1e6) / 1e6
+      assert(f.brightness == mean, s"doc $id brightness ${f.brightness} != $mean")
+    }
+  }
+
   test("multimodal stubs: resize truncates; frame sampling partitions the payload") {
     import org.apache.spark.sql.functions.col
+    import spark.implicits._
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val resized = media.select(col("media_id"),
       org.apache.spark.sql.functions.length(
         Multimodal.resizeStub(col("payload"), 64)).as("len")).collect()
     assert(resized.forall(_.getInt(1) <= 64))
 
-    val frames = Multimodal.sampleFramesStub(spark, media, 4)
+    val frames = Multimodal.sampleFramesStub(spark,
+      media.as[Multimodal.MediaRecord], 4)
     val byDoc = frames.toDF().groupBy("media_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDoc.values.forall(_ == 4))
