@@ -69,9 +69,11 @@ object Dedup {
     * Skew note for 100 TB: candidate count is quadratic in the size of a
     * bucket, so a corpus with millions of IDENTICAL documents makes one
     * bucket explode. Run [[exactDuplicateGroups]] first and near-dup only
-    * the keep-list — exact copies are cheaper to remove by hash, and the
-    * residual bucket sizes stay bounded (AQE skew-join splits handle the
-    * rest).
+    * the keep-list — exact copies are cheaper to remove by hash. Residual
+    * hot buckets (near-identical boilerplate surviving exact dedup) are
+    * split deterministically by the band-key salting in
+    * [[bandCandidates]] — AQE's byte-based skew-join does NOT catch them,
+    * because identical-key rows compress away in shuffle.
     *
     * Returns (a_id, b_id, jaccard) with a_id < b_id.
     */
@@ -83,11 +85,14 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 1234L): DataFrame = {
+      seed: Long = 1234L,
+      saltThreshold: Int = 4096,
+      salts: Int = 16,
+      sampleMod: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val docSh = df.select(idCol.as("id"), shingles(textCol, shingleK).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
-    bandCandidates(docSh, numHashes, bands, seed)
+    bandCandidates(docSh, numHashes, bands, seed, saltThreshold, salts, sampleMod)
       .withColumn("jaccard",
         F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
           F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
@@ -100,20 +105,69 @@ object Dedup {
     * exchanges — the shingle arrays stay behind and are re-attached per
     * candidate afterwards (candidates ≪ corpus; carrying arrays through
     * the band join is what hurts at scale). Returns distinct (a_id, b_id,
-    * a_sh, b_sh) with a_id < b_id, ready for an exact verify. */
+    * a_sh, b_sh) with a_id < b_id, ready for an exact verify.
+    *
+    * Hot-bucket salting: a band bucket of near-identical boilerplate docs
+    * concentrates |B|² candidate work on ONE reducer, and AQE's skew-join
+    * cannot see it — identical-key rows compress ~50× in shuffle, so the
+    * hot partition's BYTES (what AQE measures) stay unremarkable while
+    * its row count (what makes the reducer quadratic) explodes (measured
+    * in LlmSpec + BASELINE.md). So the split is done deterministically
+    * here instead: a hash-sampled probe (1/`sampleMod` of DOCS, chosen by
+    * xxhash64 of the id — reproducible on recompute, unlike rand()
+    * sampling, which could flag different buckets on the two join
+    * branches and lose pairs) signs just the sampled docs and counts
+    * their bucket memberships; buckets whose extrapolated size exceeds
+    * `saltThreshold` get their A-side rows salted into `salts` sub-keys
+    * by id-hash, with the B side replicated across all salts — every
+    * cross pair still meets exactly once, at the A row's salt. Cold
+    * buckets keep salt 0 and pay nothing; detection is a perf heuristic
+    * only (a missed hot bucket = the status quo, a false positive = a
+    * few replicated rows), never a correctness input. */
   private def bandCandidates(
-      docSh: DataFrame, numHashes: Int, bands: Int, seed: Long): DataFrame = {
+      docSh: DataFrame, numHashes: Int, bands: Int, seed: Long,
+      saltThreshold: Int = 4096, salts: Int = 16, sampleMod: Int = 64): DataFrame = {
     val r = numHashes / bands
-    val docs = docSh.join(minHashSignatures(docSh, numHashes, seed), "id")
     val bandCols = (0 until bands).map { bIdx =>
       F.struct(
         F.lit(bIdx).as("band"),
         F.xxhash64(F.concat_ws("_",
           (0 until r).map(j => F.col("mh").getItem(bIdx * r + j)): _*)).as("bh"))
     }
-    val banded = docs.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bk"))
-    banded.select(F.col("id").as("a_id"), F.col("bk"))
-      .join(banded.select(F.col("id").as("b_id"), F.col("bk")), "bk")
+    // signature is a row-local projection (MinHashSig) — joining the
+    // frame with its own signature projection would add a pointless
+    // SMJ + two exchanges (a leftover from the pre-expression design).
+    // The explicit repartition pins ONE exchange that all three
+    // consumers below (A side, B side, probe) canonicalize to and
+    // REUSE, so the corpus is scanned, shingled and signed exactly once
+    // however many branches read the banded frame. It deliberately
+    // partitions by id, NOT bk: a bk-partitioning would satisfy the
+    // salted join's (bk, __salt) clustering via the subset rule, Spark
+    // would skip the salted exchange, and the hot bucket would land on
+    // one reducer again — exactly what the salt exists to prevent.
+    val banded = docSh.select(F.col("id"),
+        graft.functions.MinHashSig(F.col("sh"), numHashes, seed).as("mh"))
+      .select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bk"))
+      .repartition(F.col("id"))
+    // deterministic sampled bucket-size probe over the shared exchange:
+    // 1/sampleMod of rows feed a map-side-combined count, so the probe
+    // costs one cheap pass, no extra signing; hot buckets are few by
+    // definition (≤ corpus*bands/saltThreshold), so broadcast
+    val hot = banded
+      .filter(F.pmod(F.xxhash64(F.col("id"), F.col("bk")), F.lit(sampleMod.toLong)) === 0)
+      .groupBy(F.col("bk")).agg(F.count(F.lit(1)).as("__bn"))
+      .filter(F.col("__bn") * sampleMod >= saltThreshold)
+      .select(F.col("bk"), F.lit(true).as("__hot"))
+    val flagged = banded.join(F.broadcast(hot), Seq("bk"), "left")
+    val aSide = flagged.select(F.col("id").as("a_id"), F.col("bk"),
+      F.when(F.col("__hot"),
+          F.pmod(F.xxhash64(F.col("id")), F.lit(salts.toLong)))
+        .otherwise(F.lit(0L)).as("__salt"))
+    val bSide = flagged.select(F.col("id").as("b_id"), F.col("bk"),
+      F.explode(F.when(F.col("__hot"),
+          F.sequence(F.lit(0L), F.lit(salts.toLong - 1)))
+        .otherwise(F.array(F.lit(0L)))).as("__salt"))
+    aSide.join(bSide, Seq("bk", "__salt"))
       .filter(F.col("a_id") < F.col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
@@ -164,12 +218,15 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 16,
-      seed: Long = 1234L): DataFrame = {
+      seed: Long = 1234L,
+      saltThreshold: Int = 4096,
+      salts: Int = 16,
+      sampleMod: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val docSh = df.select(idCol.as("id"),
         F.array_distinct(F.transform(shingles(textCol, n), s => F.xxhash64(s))).as("sh"))
       .filter(F.size(F.col("sh")) > 0)
-    bandCandidates(docSh, numHashes, bands, seed)
+    bandCandidates(docSh, numHashes, bands, seed, saltThreshold, salts, sampleMod)
       .withColumn("jaccard",
         F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
           F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))

@@ -212,6 +212,58 @@ class LlmSpec extends AnyFunSuite {
     assert(new String(f0, "UTF-8") == doc0)
   }
 
+  test("LSH band join under a hot band bucket: salted band key splits it, no pairs lost") {
+    // the 100-TB risk in the dedup path: near-identical boilerplate docs
+    // agree on every band, concentrating one bucket's |B|^2 candidate
+    // pairs on a single reducer. AQE's skew-join does NOT catch this
+    // (identical-key rows compress ~50x in shuffle, so the hot
+    // partition's bytes — the only thing AQE measures — stay ordinary;
+    // see BASELINE.md). Mitigation = the deterministic band-key salting
+    // in bandCandidates: the probe flags the hot buckets, A-side rows
+    // scatter over `salts` sub-keys, and the join key becomes
+    // (bk, __salt) — observable in the plan — without losing or
+    // duplicating a single candidate pair.
+    import org.apache.spark.sql.functions.col
+    val tuned = Seq(
+      // force shuffle joins so the salted key is exercised as the
+      // shuffle partition key, as it would be at corpus scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val boilerN = 600
+      val boiler = spark.range(boilerN).select(
+        (col("id") + 100000L).as("doc_id"),
+        F.lit("zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 " +
+          "zza zzb zzc zzd zze zzf zzg zzh zzi zzj").as("text"))
+      val basePairs = Dedup.minHashPairs(
+        base, col("doc_id"), col("text"), 3, 32, 8, 0.8).count()
+      // salt aggressively at fixture scale: buckets >= 64 rows, 8 salts,
+      // exact probe (sampleMod = 1)
+      val pairsDf = Dedup.minHashPairs(
+        base.unionByName(boiler), col("doc_id"), col("text"), 3, 32, 8, 0.8,
+        seed = 1234L, saltThreshold = 64, salts = 8, sampleMod = 1)
+      val rows = pairsDf.collect()
+      // exactness under the split: every boilerplate pair exactly once,
+      // base pairs untouched, no cross pairs (disjoint vocab)
+      assert(rows.length == basePairs + boilerN.toLong * (boilerN - 1) / 2,
+        s"pair count changed under salting: ${rows.length}")
+      // the band join really is keyed by (bk, salt): the hot bucket's
+      // rows now spread over 8 reducer keys instead of one
+      val plan = pairsDf.queryExecution.executedPlan.toString
+      assert(plan.contains("bk") && plan.contains("__salt"),
+        s"band join not salted:\n${plan.take(4000)}")
+      // and salting is OFF for cold corpora: same query, default
+      // threshold — single zero salt, identical pairs
+      val cold = Dedup.minHashPairs(
+        base, col("doc_id"), col("text"), 3, 32, 8, 0.8).count()
+      assert(cold == basePairs)
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
+
   test("custom expressions are deterministic across plans") {
     val d1 = Tables.documents(spark, sf)
       .select(graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
