@@ -388,7 +388,26 @@ object Cubes {
         // mean Gopher repetition score — curation dashboards slice this
         // by lang/source to find templated shards
         "avgDup3" -> Metric.avgOf("avgDup3",
-          TextAnalysis.dupNgramFraction(col("text"), 3)).mapValue(F.round(_, 4))),
+          TextAnalysis.dupNgramFraction(col("text"), 3)).mapValue(F.round(_, 4)),
+        // sequence packing through the front door: context windows
+        // (next-fit bins over the group's docs in doc_id order) needed
+        // to hold the group at `maxTokens` capacity — a deterministic
+        // aggregate (functions/NextFitBins), FILTER-composable because
+        // collect_list skips the nulls a metric-level predicate makes.
+        // The unbounded streaming path stays llm/Packing.packSequences.
+        "packedBins" -> Metric.parameterized(
+          "packedBins", Map("maxTokens" -> 128)) { bound => p =>
+          val cap = bound("maxTokens") match {
+            case i: Int if i > 0 => i
+            case other => throw new CubeQueryException(
+              s"packedBins maxTokens must be a positive integer, got $other")
+          }
+          val doc = F.struct(col("doc_id").cast("long"),
+            TextAnalysis.tokenCount(col("text")).cast("int"))
+          graft.functions.NextFitBins(
+            F.sort_array(F.collect_list(
+              p.map(pr => F.when(pr, doc)).getOrElse(doc))), cap)
+        }),
       selectors = Map(
         "source" -> Selector("source", col("source")),
         "split" -> Selector("split", graft.llm.Splits.assignSplit(
@@ -398,6 +417,62 @@ object Cubes {
         // dup3 <= 0.2` drops stamped/templated docs in-plan (row-local
         // expression, composes with pushdown like any other predicate)
         "dup3" -> Selector("dup3", TextAnalysis.dupNgramFraction(col("text"), 3))))
+  }
+
+  /** EmbeddingsCube — the embedding corpus behind the same front door as
+    * the OLAP cubes, so curation readouts (semantic dedup yield, per-label
+    * vector counts) are ordinary parsed queries. `semanticSurvivors` is
+    * the SemDeDup library operator (llm/Similarity.semanticDedup) as a
+    * parameterized plan-backed metric: the dedup is computed over the
+    * whole pred-filtered corpus (k-means cells + within-cell drops,
+    * exactly the library semantics), survivors attributed back to their
+    * slice group.
+    */
+  def embeddingsCube(s: SparkSession, d: String): Cube =
+    embeddingsCube(s, PathCatalog(d))
+
+  def embeddingsCube(s: SparkSession, cat: Catalog): Cube = {
+    val emb = Tables.table(s, cat, "embeddings")
+    Cube(
+      name = "embeddings",
+      fact = emb,
+      dimensions = Map(
+        "label" -> Dimension("label", col("label"))),
+      metrics = Map(
+        "vectors" -> Metric.countAll("vectors"),
+        "semanticSurvivors" -> {
+          def make(bound: Map[String, Any]): Metric = {
+            def thresholdArg: Double = bound("threshold") match {
+              case d: Double => d
+              case i: Int => i.toDouble
+              case other => throw new CubeQueryException(
+                s"semanticSurvivors threshold must be numeric, got $other")
+            }
+            def nListsArg: Int = bound("nLists") match {
+              case i: Int if i > 0 => i
+              case other => throw new CubeQueryException(
+                s"semanticSurvivors nLists must be a positive integer, got $other")
+            }
+            Metric("semanticSurvivors",
+              build = _ => throw new CubeQueryException(
+                "semanticSurvivors is plan-backed: flat grouping only"),
+              planBuild = Some { (fact, keys, pred) =>
+                graft.llm.Similarity.semanticSurvivorsPlan(
+                  fact, keys, col("vec_id"), col("embedding"),
+                  thresholdArg, nListsArg, seed = 7L, pred = pred)
+              },
+              applyArgFn = Some { (k, v) =>
+                if (bound.contains(k)) make(bound + (k -> v))
+                else throw new CubeQueryException(
+                  s"metric 'semanticSurvivors' takes no argument '$k' " +
+                    s"(has: ${bound.keys.mkString(",")})")
+              })
+          }
+          make(Map("threshold" -> 0.5, "nLists" -> 16))
+        }),
+      selectors = Map(
+        "label" -> Selector("label", col("label")),
+        "vecId" -> Selector("vecId", col("vec_id"))))
   }
 
   /** EventsCube — the stream table queried as a batch cube (the streaming

@@ -459,6 +459,66 @@ object SeqCount {
     GraftBridge.column(SeqCount(GraftBridge.expression(c), nSteps))
 }
 
+/** Next-fit bin count over an (id, n_tokens)-sorted doc array —
+  * sequence packing's per-group aggregate face. Walks docs in id order
+  * keeping ONE open bin: a doc that fits the remaining capacity joins
+  * it, otherwise the bin closes and a new one opens; docs at or above
+  * the cap take a bin of their own and close the current bin. The fold
+  * is deterministic in the sorted input, so the result is mirrorable by
+  * any engine replaying the same walk (unlike
+  * [[graft.llm.Packing.packSequences]]' first-fit over partition-local
+  * open-bin windows, whose bin ids depend on partitioning — that
+  * remains the unbounded streaming path; this is the cube-metric form,
+  * per-group state bounded by the group's own docs like [[SeqCount]]).
+  * Ref: the reference delegates such custom aggregation to its backend
+  * (parse_tree.rb:88 measure dispatch); training-data packing itself is
+  * from the LLM-pipeline brief, not the reference surface.
+  */
+case class NextFitBins(child: Expression, maxTokens: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+          s(0).dataType == LongType && s(1).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"next_fit_bins needs array<struct<long,int>> (id, n_tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NextFitBins.compute(v.asInstanceOf[ArrayData], maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NextFitBins.compute($c, $maxTokens);")
+
+  override protected def withNewChildInternal(newChild: Expression): NextFitBins =
+    copy(child = newChild)
+  override def prettyName: String = "next_fit_bins"
+}
+
+object NextFitBins {
+  def compute(ev: ArrayData, cap: Int): Int = {
+    val n = ev.numElements()
+    var bins = 0
+    var rem = 0
+    var i = 0
+    while (i < n) {
+      val raw = ev.getStruct(i, 2).getInt(1)
+      val t = if (raw < 0) 0 else raw
+      if (t >= cap) { bins += 1; rem = 0 } // oversize: own bin, closes current
+      else if (bins > 0 && rem >= t) rem -= t
+      else { bins += 1; rem = cap - t }
+      i += 1
+    }
+    bins
+  }
+
+  def apply(c: Column, maxTokens: Int): Column =
+    GraftBridge.column(NextFitBins(GraftBridge.expression(c), maxTokens))
+}
+
 /** One-pass word n-gram statistics over raw text:
   * struct(total, distinct, top) where `top` is the modal n-gram's
   * occurrence count. The repetition-quality signals (Gopher duplicate-

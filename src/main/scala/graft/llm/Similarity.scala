@@ -165,6 +165,17 @@ object Similarity {
       corpus: DataFrame, nLists: Int, seed: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    if (nLists == 1) {
+      // the k=1 k-means optimum IS the mean vector (mllib rejects k<2).
+      // One cell ⇒ SemDeDup's exact mode: every item compared, no
+      // cross-cell recall loss (q131's oracle-able configuration).
+      val dim = corpus.select(F.size(F.col("embedding"))).first().getInt(0)
+      val mean = corpus.agg(
+        F.array((0 until dim).map(i =>
+          F.avg(F.col("embedding").getItem(i))): _*).as("m"))
+        .first().getSeq[Double](0)
+      return Array(mean.map(_.toFloat).toArray)
+    }
     val train = corpus.select(array_to_vector(F.col("embedding")).as("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
@@ -255,6 +266,53 @@ object Similarity {
     ranked.join(drops.withColumn("__d", F.lit(true)), Seq("id"), "left")
       .select(F.col("id"), F.col("cell"), F.col("centroid_sim"),
         F.coalesce(F.col("__d"), F.lit(false)).as("dropped"))
+  }
+
+  /** [[semanticDedup]] as a PLAN-BACKED cube metric
+    * ([[graft.model.Metric]] `planBuild` contract): per slice group, the
+    * count of corpus items SURVIVING semantic deduplication. The dedup
+    * itself is global — k-means cells and within-cell drops are computed
+    * over the whole (pred-filtered) corpus, exactly as the library call
+    * — and survivors are then attributed back to their group, so sliced
+    * survivor counts sum to the flat one. Same group contract as
+    * [[graft.operators.Funnel.sequenceTotalPlan]]: one row for EVERY
+    * group present in `df`; a group whose items all drop (or that pred
+    * removes entirely) gets 0, never null.
+    *
+    * Note the centroid training runs AT PLAN BUILD (k-means is
+    * iterative): this metric materializes an index the way the IVF path
+    * does, a deliberate cost paid once per query shape. */
+  def semanticSurvivorsPlan(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      id: Column, emb: Column,
+      threshold: Double, nLists: Int, seed: Long,
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame = {
+    val (base, keyed) =
+      if (groupCols.nonEmpty)
+        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
+      else {
+        val g = Seq("__pb_g" -> F.lit(1))
+        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
+      }
+    val vals = pred.map(df.filter).getOrElse(df)
+    val corpus = vals.select(id.as("id"), emb.as("embedding"))
+    // a pred matching nothing must still honor the group contract (all
+    // groups, 0 survivors) — and centroid training needs >= 1 vector
+    val survivors =
+      if (corpus.isEmpty) corpus.select("id").limit(0)
+      else semanticDedup(corpus, threshold, nLists, seed)
+        .filter(!F.col("dropped")).select("id")
+    val t = vals.select((keyed.map { case (n, c) => c.as(n) } :+ id.as("id")): _*)
+      .join(survivors, "id")
+      .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+      .agg(F.count(F.lit(1)).as(outKey))
+    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
+    val joined = keyed.map(_._1)
+      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
+      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(0L)))
+    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
   }
 
   /** Exact embedding near-duplicate pairs: full pairwise cosine ≥

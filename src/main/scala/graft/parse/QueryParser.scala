@@ -297,6 +297,8 @@ object QueryParser {
       else throw new CubeQueryException(s"option '$name' value out of range: $i")
     case JLong(l) =>
       if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l
+    case JDouble(d) => d // fractional metric args (thresholds, quantile levels)
+    case JDecimal(d) => d.toDouble
     case JBool(b) => b
     case JString(s) =>
       if (s.contains(KeyPrefix))

@@ -617,6 +617,77 @@ object TrainQueries {
              |      FROM c)
              |SELECT token, cnt, cum FROM r, tot
              |WHERE cum - cnt < 0.95 * total
-             |ORDER BY cum ASC""".stripMargin))
+             |ORDER BY cum ASC""".stripMargin)),
+
+    // SemDeDup THROUGH the front door (q118's operator as a parsed cube
+    // query): corpus size next to the count surviving semantic dedup at
+    // cosine 0.45. nLists=1 runs the operator in its EXACT mode — one
+    // cell, so no cross-cell recall loss — which is what makes a hash
+    // oracle possible: survivors = n − |exact near-dup pairs| whenever
+    // the pair graph is a matching (isolated edges, true here: this
+    // corpus's 14 planted pairs share no endpoint and sit at cosine
+    // 0.45–0.51, far from near-identical, so ANY cell split k>1 may
+    // legitimately separate some pair — measured: k=16 co-cells 6/14,
+    // k=2 co-cells 11/14). The banded scale posture (nLists≫1, accepted
+    // cross-cell loss) is q118's invariant gate. Exact-pair cosine
+    // mirror = q65's formula.
+    NamedQuery("q131_parsed_semdedup",
+      (s, d) => QueryParser.parse(Cubes.embeddingsCube(s, d),
+        """{ "cube": "embeddings",
+          |  "fields": [
+          |    {"name": "vectors"},
+          |    {"name": "semanticSurvivors", "alias": "survivors",
+          |     "args": {"threshold": 0.45, "nLists": 1}} ] }""".stripMargin)
+        .query.toDF,
+      Some("""WITH p AS (
+             |  SELECT a.vec_id AS a_id FROM embeddings a
+             |  JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]) /
+             |    (sqrt(list_sum([ (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE) for i in range(1, 65)])) *
+             |     sqrt(list_sum([ (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, 65)]))) >= 0.45)
+             |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS vectors,
+             |  CAST((SELECT count(*) FROM embeddings) - (SELECT count(*) FROM p) AS BIGINT)
+             |    AS survivors""".stripMargin)),
+
+    // sequence packing THROUGH the front door: per source, the context
+    // windows (128-token next-fit bins over docs in doc_id order) needed
+    // to hold the shard — the packedBins metric (functions/NextFitBins)
+    // next to count and sumTokens. The oracle replays the identical
+    // next-fit walk as a recursive CTE (the q120 per-group walk pattern),
+    // so a single misplaced bin boundary hash-mismatches.
+    NamedQuery("q132_parsed_packing",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "options": {"asc": "source"} },
+          |  "fields": [
+          |    {"name": "source"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "sumTokens", "alias": "total_tokens"},
+          |    {"name": "packedBins", "alias": "n_bins",
+          |     "args": {"maxTokens": 128}} ] }""".stripMargin)
+        .query.toDF,
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT doc_id, source,
+             |    len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+             |s AS (SELECT doc_id, source, n,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i FROM m),
+             |cnt AS (SELECT source, count(*) AS m_total,
+             |    CAST(sum(n) AS BIGINT) AS tot FROM s GROUP BY 1),
+             |walk AS (
+             |  SELECT source, 0 AS i, 0 AS bins, 0 AS rem FROM cnt
+             |  UNION ALL
+             |  SELECT w.source, w.i + 1,
+             |    CASE WHEN s.n >= 128 THEN w.bins + 1
+             |         WHEN w.bins > 0 AND w.rem >= s.n THEN w.bins
+             |         ELSE w.bins + 1 END,
+             |    CASE WHEN s.n >= 128 THEN 0
+             |         WHEN w.bins > 0 AND w.rem >= s.n THEN w.rem - s.n
+             |         ELSE 128 - s.n END
+             |  FROM walk w JOIN s ON s.source = w.source AND s.i = w.i + 1)
+             |SELECT c.source, CAST(c.m_total AS BIGINT) AS n_docs,
+             |  c.tot AS total_tokens, CAST(w.bins AS INT) AS n_bins
+             |FROM walk w JOIN cnt c ON w.source = c.source AND w.i = c.m_total
+             |ORDER BY c.source ASC NULLS FIRST, n_docs ASC, total_tokens ASC,
+             |  n_bins ASC""".stripMargin))
   )
 }

@@ -264,6 +264,69 @@ class LlmSpec extends AnyFunSuite {
       vo.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
 
+  test("NextFitBins matches a reference fold: random sizes, oversize, negatives, empty") {
+    val cap = 100
+    def reference(ns: Seq[Int]): Int = {
+      var bins = 0; var rem = 0
+      ns.foreach { raw =>
+        val t = math.max(raw, 0)
+        if (t >= cap) { bins += 1; rem = 0 }
+        else if (bins > 0 && rem >= t) rem -= t
+        else { bins += 1; rem = cap - t }
+      }
+      bins
+    }
+    val rnd = new scala.util.Random(42)
+    // groups of mixed shapes: typical, all-oversize, zeros, one-element,
+    // adversarial exact-fits; group 9 is empty (no rows)
+    val rows = (0 until 9).flatMap { g =>
+      val n = g match { case 0 => 1; case 1 => 200; case _ => 30 + rnd.nextInt(40) }
+      (0 until n).map { i =>
+        val tok = g match {
+          case 1 => 100 + rnd.nextInt(50)          // every doc >= cap
+          case 2 => 0                               // degenerate zero-token docs
+          case 3 => if (i % 2 == 0) -5 else 60      // negatives clamp to 0
+          case 4 => 50                              // exact halves: 2 per bin
+          case _ => 1 + rnd.nextInt(120)
+        }
+        (g, i.toLong, tok)
+      }
+    }
+    import spark.implicits._
+    val df = rows.toDF("g", "id", "n").repartition(4)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.NextFitBins(
+        F.sort_array(F.collect_list(F.struct(col("id"), col("n")))), cap).as("bins"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> reference(rs.sortBy(_._2).map(_._3))
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("semanticSurvivors sliced by label sums to the flat count; zero-groups kept") {
+    val emb = Tables.embeddings(spark, sf)
+    val flat = Similarity.semanticSurvivorsPlan(
+      emb, Nil, col("vec_id"), col("embedding"),
+      threshold = 0.45, nLists = 1, seed = 7L, pred = None)
+      .collect()(0).getLong(0)
+    val byLabel = Similarity.semanticSurvivorsPlan(
+      emb, Seq("label" -> col("label")), col("vec_id"), col("embedding"),
+      threshold = 0.45, nLists = 1, seed = 7L, pred = None).collect()
+    assert(byLabel.map(_.getLong(1)).sum == flat,
+      "sliced survivor counts must sum to the flat count (global dedup, " +
+        "group attribution only)")
+    val nLabels = emb.select("label").distinct().count()
+    assert(byLabel.length == nLabels, "one row per group present in the fact")
+    // pred gates the corpus: an impossible predicate still yields rows
+    // (the group contract), each with 0 survivors
+    val none = Similarity.semanticSurvivorsPlan(
+      emb, Seq("label" -> col("label")), col("vec_id"), col("embedding"),
+      threshold = 0.45, nLists = 1, seed = 7L, pred = Some(F.lit(false)))
+      .collect()
+    assert(none.length == nLabels && none.forall(_.getLong(1) == 0L))
+  }
+
   test("custom expressions are deterministic across plans") {
     val d1 = Tables.documents(spark, sf)
       .select(graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()

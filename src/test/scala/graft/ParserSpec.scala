@@ -291,6 +291,55 @@ class ParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("takes no argument 'bogus'"))
   }
 
+  test("fractional + integer metric args parse and dispatch: semanticSurvivors, packedBins") {
+    // fractional arg (threshold 0.9 → no pairs qualify → zero drops)
+    val emb = Cubes.embeddingsCube(spark, sf)
+    val r = QueryParser.parse(emb,
+      """{"fields": [
+           {"name": "vectors"},
+           {"name": "semanticSurvivors", "alias": "sv",
+            "args": {"threshold": 0.9, "nLists": 1}}]}""").query.toDF.collect()(0)
+    assert(r.getLong(0) == r.getLong(1),
+      "at threshold 0.9 nothing drops: survivors == corpus size")
+    // unknown arg raises on both new metrics (V4)
+    val e1 = intercept[CubeQueryException](QueryParser.parse(emb,
+      """{"fields": [{"name": "semanticSurvivors", "args": {"bogus": 1}}]}""")
+      .query.toDF)
+    assert(e1.getMessage.contains("takes no argument 'bogus'"))
+    val docs = Cubes.documentsCube(spark, sf)
+    val e2 = intercept[CubeQueryException](QueryParser.parse(docs,
+      """{"fields": [{"name": "packedBins", "args": {"cap": 64}}]}""")
+      .query.toDF)
+    assert(e2.getMessage.contains("takes no argument 'cap'"))
+    // invalid capacity errors cleanly, not at execution
+    val e3 = intercept[CubeQueryException](QueryParser.parse(docs,
+      """{"fields": [{"name": "packedBins", "args": {"maxTokens": 0}}]}""")
+      .query.toDF)
+    assert(e3.getMessage.contains("positive integer"))
+  }
+
+  test("packedBins FILTER composes: metric-level predicate gates which docs pack") {
+    val docs = Cubes.documentsCube(spark, sf)
+    val viaFilter = QueryParser.parse(docs,
+      """{"args": {"options": {"asc": "source"}},
+          "fields": [
+           {"name": "source"},
+           {"name": "packedBins", "alias": "bins",
+            "args": {"maxTokens": 128, "nChars": {"gteq": 200}}}]}""").query.toDF
+    val viaWhere = QueryParser.parse(docs,
+      """{"args": {"nChars": {"gteq": 200}, "options": {"asc": "source"}},
+          "fields": [
+           {"name": "source"},
+           {"name": "packedBins", "alias": "bins", "args": {"maxTokens": 128}}]}""")
+      .query.toDF
+    // FILTER keeps every group (groups whose docs all fail pred pack 0
+    // bins); the WHERE form drops rows first. On groups surviving both,
+    // the bin counts agree.
+    val f = viaFilter.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val w = viaWhere.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(w.nonEmpty && w.forall { case (s, b) => f.get(s).contains(b) })
+  }
+
   test("tabular contract returns columns + rows (O20)") {
     val p = QueryParser.parse(cube,
       """{"fields": [{"name": "returnFlag"}, {"name": "count", "alias": "cnt"}]}""")
