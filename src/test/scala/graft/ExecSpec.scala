@@ -102,6 +102,22 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("plan cache is bounded: LRU eviction at maxEntries, access refreshes recency") {
+    // a long-lived server accumulating distinct query shapes must not
+    // grow without bound (janino classes pin metaspace)
+    val cache = new graft.exec.PlanCache(maxEntries = 2)
+    def df(n: Int) = spark.range(n).toDF()
+    cache.getOrCompile("a")(df(1))
+    cache.getOrCompile("b")(df(2))
+    cache.getOrCompile("a")(df(1))           // touch a → b is now eldest
+    cache.getOrCompile("c")(df(3))           // evicts b, not a
+    assert(cache.misses == 3 && cache.hits == 1)
+    cache.getOrCompile("a")(df(1))           // still cached
+    assert(cache.hits == 2, "recently-used entry must survive eviction")
+    cache.getOrCompile("b")(df(2))           // evicted → rebuilt
+    assert(cache.misses == 4, "evicted entry must be a miss")
+  }
+
   test("plan cache keys are typed: Int vs String args, list splits, separators never alias") {
     import graft.exec.PlanCache.canon
     // the toString trap: Op("flag","eq",Some(25)) and Op("flag","eq",Some("25"))
