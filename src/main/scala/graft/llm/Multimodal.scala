@@ -12,10 +12,14 @@ import org.apache.spark.sql.{functions => F}
   * into width / height / mean luminance through the same codec. Because
   * the renderer is a deterministic function of (doc_id, text), an
   * oracle can recompute the decoded features analytically — a broken
-  * decode cannot reproduce them (q61). Audio/video remain STUBS
-  * (`resizeStub`, `sampleFramesStub` — no codecs in this container):
-  * their Spark plumbing (binary schema, per-partition decoder init,
-  * frame-explode shape) is real and tested, the codec body is not.
+  * decode cannot reproduce them (q61). The AUDIO path is real too:
+  * `wavMediaFromDocuments` renders genuine PCM WAVs (JDK
+  * `javax.sound.sampled`) and `decodeAudio` parses the container back
+  * into rate / frame-count / RMS features, analytically oracled the
+  * same way (q133). VIDEO remains a STUB (`resizeStub`,
+  * `sampleFramesStub` — the JDK ships no video codec): its Spark
+  * plumbing (binary schema, per-partition decoder init, frame-explode
+  * shape) is real and tested, the codec body is not.
   */
 object Multimodal {
 
@@ -121,6 +125,90 @@ object Multimodal {
       F.col("media_id"),
       F.length(F.col("payload")).as("byte_len"),
       F.sha2(F.col("payload"), 256).as("sha_hex"))
+
+  final case class AudioFeatures(
+      media_id: Long,
+      byte_len: Int,
+      sample_rate: Int,
+      n_samples: Int,
+      duration_ms: Double,
+      rms: Double)
+
+  /** Fixture adapter, decodable AUDIO flavor: render each document as a
+    * REAL PCM WAV (JDK `javax.sound.sampled`, no external dependency).
+    * Deterministic in the text so the decoded features are
+    * SQL-recomputable: n = 200 + (codepoints mod 100) 16-bit mono
+    * samples at 8 kHz, sample i = ((cp(i mod nCp) * 131 + i * 7) mod
+    * 65536) − 32768 over the text's codepoints. Encoding runs
+    * per-partition on executors, like [[pngMediaFromDocuments]]. */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(F.col("doc_id"), F.col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) => MediaRecord(id, "audio/wav", encodeWav(text)) }
+      }
+  }
+
+  private[graft] val WavSampleRate = 8000
+
+  private[graft] def sampleValues(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    val nCp = cps.length
+    val n = 200 + math.floorMod(nCp, 100)
+    Array.tabulate(n) { i =>
+      if (nCp == 0) 0
+      else math.floorMod(cps(i % nCp) * 131 + i * 7, 65536) - 32768
+    }
+  }
+
+  /** Deterministic WAV renderer (see [[wavMediaFromDocuments]]). */
+  private[graft] def encodeWav(text: String): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = sampleValues(text)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val fmt = new AudioFormat(WavSampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` parses the WAV container
+    * and format (rate / width / channels from the decoded header, never
+    * assumed), then the PCM frames are read back into amplitude
+    * statistics: frame count, duration, RMS. */
+  def decodeAudio(batch: Iterator[MediaRecord]): Iterator[AudioFeatures] = {
+    import javax.sound.sampled.AudioSystem
+    batch.map { rec =>
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(rec.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media ${rec.media_id}: expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) { val s = bb.getShort(i * 2).toDouble; sumSq += s * s; i += 1 }
+      val rate = fmt.getSampleRate.toDouble
+      AudioFeatures(rec.media_id, rec.payload.length, fmt.getSampleRate.toInt, n,
+        math.rint(n * 1000.0 / rate * 1e6) / 1e6,
+        if (n == 0) 0.0 else math.rint(math.sqrt(sumSq / n) * 1e6) / 1e6)
+    }
+  }
+
+  /** Audio pipeline shape, mirroring [[extractFeatures]]. */
+  def extractAudioFeatures(
+      spark: SparkSession, media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(decodeAudio)
+  }
 
   /** STUB resize: in production a codec re-encodes to `maxBytes`; the stub
     * truncates deterministically. The SHAPE is what matters: binary →

@@ -276,6 +276,35 @@ object LlmQueries {
              |                  for i in range(1, width*height + 1)]), 6) AS brightness
              |FROM m ORDER BY media_id ASC""".stripMargin)),
 
+    // REAL audio decode (q61's pattern for the audio modality): docs
+    // render to genuine PCM WAVs on the executors (javax.sound.sampled),
+    // the extractor parses the container back (rate/width/channels from
+    // the decoded header) and reads the frames into RMS amplitude. The
+    // synth is deterministic in the text's codepoints, so the oracle
+    // recomputes frame count, duration and RMS analytically — a broken
+    // encode OR decode cannot hash-match.
+    NamedQuery("q133_audio_features",
+      (s, d) => Multimodal.extractAudioFeatures(s,
+          Multimodal.wavMediaFromDocuments(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("rms"))
+        .orderBy(col("media_id").asc),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, length(text) AS ncp,
+             |    200 + (length(text) % 100) AS n
+             |  FROM documents),
+             |sm AS (
+             |  SELECT doc_id, n,
+             |    [ ((unicode(text[(i % ncp) + 1]) * 131 + i * 7) % 65536) - 32768
+             |      for i in range(0, n) ] AS s
+             |  FROM t)
+             |SELECT doc_id AS media_id, 8000 AS sample_rate,
+             |  CAST(n AS INT) AS n_samples,
+             |  round(n * 1000.0 / 8000.0, 6) AS duration_ms,
+             |  round(sqrt(list_sum([ (x * x)::DOUBLE for x in s ]) / n), 6) AS rms
+             |FROM sm ORDER BY media_id ASC""".stripMargin)),
+
     // the full training-data dedup PIPELINE as one declarative plan:
     // exact dedup (hash keep-list) → near-dup detection over the
     // keep-list only (banded, the skew mitigation the Dedup scaladoc

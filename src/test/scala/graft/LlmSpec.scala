@@ -264,6 +264,31 @@ class LlmSpec extends AnyFunSuite {
       vo.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
 
+  test("WAV codec round-trips: decoded rate/frames/RMS match the synth formula") {
+    import graft.llm.Multimodal
+    val texts = Seq("hello world", "a", "Zz9 ~!", "x" * 300)
+    texts.foreach { t =>
+      val wav = Multimodal.encodeWav(t)
+      // genuine RIFF/WAVE container, canonical 44-byte PCM header
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val samples = Multimodal.sampleValues(t)
+      assert(wav.length == 44 + 2 * samples.length)
+      val f = Multimodal.decodeAudio(Iterator(
+        Multimodal.MediaRecord(1L, "audio/wav", wav))).next()
+      assert(f.sample_rate == 8000 && f.n_samples == samples.length)
+      val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+      assert(math.abs(f.rms - rms) < 1e-5, s"rms ${f.rms} vs $rms for '$t'")
+      assert(f.duration_ms == math.rint(samples.length * 1000.0 / 8000 * 1e6) / 1e6)
+    }
+    // distributed shape: the dataset path decodes what it encoded
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.extractAudioFeatures(spark,
+      Multimodal.wavMediaFromDocuments(spark, docs)).toDF()
+    assert(feats.count() == docs.count())
+    assert(feats.filter(col("sample_rate") =!= 8000).count() == 0)
+  }
+
   test("NextFitBins matches a reference fold: random sizes, oversize, negatives, empty") {
     val cap = 100
     def reference(ns: Seq[Int]): Int = {
