@@ -16,10 +16,15 @@ import org.apache.spark.sql.{functions => F}
   * `wavMediaFromDocuments` renders genuine PCM WAVs (JDK
   * `javax.sound.sampled`) and `decodeAudio` parses the container back
   * into rate / frame-count / RMS features, analytically oracled the
-  * same way (q133). VIDEO remains a STUB (`resizeStub`,
-  * `sampleFramesStub` — the JDK ships no video codec): its Spark
-  * plumbing (binary schema, per-partition decoder init, frame-explode
-  * shape) is real and tested, the codec body is not.
+  * same way (q133). The VIDEO path is real to the extent the JDK
+  * allows: `videoMediaFromDocuments` builds a motion-PNG container
+  * (length-prefixed frame table of genuine PNGs — the MJPEG shape),
+  * `sampleFrames` parses and seeks it emitting every k-th frame
+  * without materializing the rest, and `frameFeatures` decodes the
+  * samples through the real image codec (q134). What stays STUBBED is
+  * inter-frame codec work (H.264-class decode/re-encode —
+  * `resizeStub`, `sampleFramesStub` keep that opaque-codec
+  * placeholder shape, real plumbing, documented fake body).
   */
 object Multimodal {
 
@@ -56,8 +61,10 @@ object Multimodal {
       }
   }
 
-  /** Deterministic tiny-PNG renderer (see [[pngMediaFromDocuments]]). */
-  private[llm] def encodePng(id: Long, text: String): Array[Byte] = {
+  /** Deterministic tiny-PNG renderer (see [[pngMediaFromDocuments]]).
+    * `offset` shifts which text byte paints pixel 0 — frame f of the
+    * multi-frame container is the same image advanced by f bytes. */
+  private[llm] def encodePng(id: Long, text: String, offset: Int = 0): Array[Byte] = {
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val w = 1 + math.floorMod(id, 8L).toInt
     val h = 1 + math.floorMod(bytes.length, 8)
@@ -66,7 +73,7 @@ object Multimodal {
     val raster = img.getRaster
     var i = 0
     while (i < w * h) {
-      val gray = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+      val gray = if (bytes.isEmpty) 0 else bytes((i + offset) % bytes.length) & 0xFF
       raster.setSample(i % w, i / w, 0, gray)
       i += 1
     }
@@ -217,6 +224,92 @@ object Multimodal {
     F.substring(payload, 1, maxBytes)
 
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Fixture adapter, multi-FRAME flavor: render each document as a
+    * motion-PNG container — magic "MPNG", int32 frame count, then a
+    * length-prefixed table of genuine PNG frames (frame f = the doc's
+    * image advanced f text-bytes; 2 + (doc_id mod 3) frames). This is
+    * the MJPEG shape: a real container with a real intra-frame codec;
+    * what the JDK cannot provide is INTER-frame compression (H.264 et
+    * al.), which is why [[sampleFramesStub]] stays as the opaque-codec
+    * placeholder. Container spec: all ints big-endian. */
+  def videoMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(F.col("doc_id"), F.col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) => MediaRecord(id, "video/x-mpng", encodeMpng(id, text)) }
+      }
+  }
+
+  private[graft] def encodeMpng(id: Long, text: String): Array[Byte] = {
+    val nFrames = 2 + math.floorMod(id, 3L).toInt
+    val frames = (0 until nFrames).map(f => encodePng(id, text, offset = f))
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("MPNG")
+    dos.writeInt(nFrames)
+    frames.foreach { fr => dos.writeInt(fr.length); dos.write(fr) }
+    out.toByteArray
+  }
+
+  /** REAL frame sampling over the frame-table container: parse the
+    * header, seek the length-prefixed table, emit every `stride`-th
+    * frame's still-encoded PNG bytes — one row per sampled frame, the
+    * explode-shaped schema a frame-level training pipeline consumes.
+    * Skipped frames are never materialized (the point of a seekable
+    * frame table at 100 TB: sampling reads ~1/stride of the payload
+    * bytes it touches, and column pruning keeps untouched payloads in
+    * parquet). */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        val bb = java.nio.ByteBuffer.wrap(rec.payload) // big-endian by default
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(new String(magic, "US-ASCII") == "MPNG",
+          s"media ${rec.media_id}: not an MPNG container")
+        val n = bb.getInt
+        (0 until n).iterator.flatMap { f =>
+          val len = bb.getInt
+          if (f % stride == 0) {
+            val frame = new Array[Byte](len)
+            bb.get(frame)
+            Iterator.single(Frame(rec.media_id, f, frame))
+          } else {
+            bb.position(bb.position() + len) // seek, don't copy
+            Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, brightness: Double)
+
+  /** Decode sampled frames through the same real image codec as
+    * [[decodeImage]] — per-frame width/height/mean-luminance. */
+  def frameFeatures(spark: SparkSession, frames: Dataset[Frame]): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    frames.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { fr =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame))
+        require(img != null, s"media ${fr.media_id} frame ${fr.frame_idx}: not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0.0
+        var i = 0
+        while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
+        FrameFeatures(fr.media_id, fr.frame_idx, w, h,
+          math.rint(sum / (w * h) * 1e6) / 1e6)
+      }
+    }
+  }
 
   /** STUB frame sampling: in production a video codec extracts `n` key
     * frames; the stub slices the payload into n equal chunks. Real

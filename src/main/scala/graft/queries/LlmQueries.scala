@@ -305,6 +305,38 @@ object LlmQueries {
              |  round(sqrt(list_sum([ (x * x)::DOUBLE for x in s ]) / n), 6) AS rms
              |FROM sm ORDER BY media_id ASC""".stripMargin)),
 
+    // REAL video-frame sampling (the q61/q133 pattern for the frame
+    // table): docs render to motion-PNG containers, sampleFrames parses
+    // the length-prefixed table seeking past skipped frames, and every
+    // 2nd frame decodes through the real image codec. Frame f's pixels
+    // are the doc image advanced f text-bytes, so the oracle recomputes
+    // per-frame brightness analytically — container parse, frame seek
+    // and PNG decode all have to be right to hash-match.
+    NamedQuery("q134_video_frames",
+      (s, d) => Multimodal.frameFeatures(s,
+          Multimodal.sampleFrames(s,
+            Multimodal.videoMediaFromDocuments(s, Tables.documents(s, d)), 2))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("brightness"))
+        .orderBy(col("media_id").asc, col("frame_idx").asc),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(1 + (doc_id % 8) AS INT) AS width,
+             |    CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS height,
+             |    octet_length(CAST(text AS BLOB)) AS blen,
+             |    2 + (doc_id % 3) AS n_frames
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, text, width, height, blen,
+             |    unnest(range(0, n_frames::INT)) AS f
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, width, height,
+             |  round(list_avg([ord(text[((p + f) % blen) + 1])
+             |                  for p in range(0, width*height)]), 6) AS brightness
+             |FROM fr WHERE f % 2 = 0
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin)),
+
     // the full training-data dedup PIPELINE as one declarative plan:
     // exact dedup (hash keep-list) → near-dup detection over the
     // keep-list only (banded, the skew mitigation the Dedup scaladoc

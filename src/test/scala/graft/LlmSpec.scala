@@ -289,6 +289,39 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.filter(col("sample_rate") =!= 8000).count() == 0)
   }
 
+  test("MPNG container round-trips: frame table seek, stride sampling, codec decode") {
+    import graft.llm.Multimodal
+    val docs = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.videoMediaFromDocuments(spark, docs)
+    // stride 1: every frame present, count = 2 + (id mod 3)
+    val all = Multimodal.sampleFrames(spark, media, 1).collect()
+    val byId = all.groupBy(_.media_id)
+    byId.foreach { case (id, frames) =>
+      assert(frames.length == 2 + math.floorMod(id, 3L).toInt)
+      assert(frames.map(_.frame_idx).sorted.toSeq == (0 until frames.length))
+    }
+    // stride 2 keeps exactly the even indices
+    val sampled = Multimodal.sampleFrames(spark, media, 2).collect()
+    sampled.foreach(f => assert(f.frame_idx % 2 == 0))
+    assert(sampled.length == all.count(_.frame_idx % 2 == 0))
+    // frame 0 decodes to the SAME image the single-image path produces
+    val f0 = Multimodal.frameFeatures(spark,
+        Multimodal.sampleFrames(spark, media, 1000)).toDF() // only frame 0
+      .select(col("media_id"), col("width"), col("height"), col("brightness"))
+    val png = Multimodal.extractFeatures(spark,
+        Multimodal.pngMediaFromDocuments(spark, docs)).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("brightness"))
+    assert(f0.except(png).isEmpty && png.except(f0).isEmpty,
+      "frame 0 must equal the still image")
+    // a corrupted container fails loudly, not silently
+    val bad = media.limit(1).collect()(0).copy(payload = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    import spark.implicits._
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(spark, spark.createDataset(Seq(bad)), 1).collect()
+    }
+    assert(ex.getMessage.contains("MPNG") || ex.getCause != null)
+  }
+
   test("NextFitBins matches a reference fold: random sizes, oversize, negatives, empty") {
     val cap = 100
     def reference(ns: Seq[Int]): Int = {
