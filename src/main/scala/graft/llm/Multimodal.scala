@@ -21,10 +21,12 @@ import org.apache.spark.sql.{functions => F}
   * (length-prefixed frame table of genuine PNGs — the MJPEG shape),
   * `sampleFrames` parses and seeks it emitting every k-th frame
   * without materializing the rest, and `frameFeatures` decodes the
-  * samples through the real image codec (q134). What stays STUBBED is
-  * inter-frame codec work (H.264-class decode/re-encode —
-  * `resizeStub`, `sampleFramesStub` keep that opaque-codec
-  * placeholder shape, real plumbing, documented fake body).
+  * samples through the real image codec (q134). `resizeImages` is a
+  * real decode→transform→re-encode stage (integer-exact
+  * nearest-neighbor, q135). What stays STUBBED is inter-frame codec
+  * work (H.264-class decode/re-encode — `resizeStub`,
+  * `sampleFramesStub` keep that opaque-codec placeholder shape, real
+  * plumbing, documented fake body).
   */
 object Multimodal {
 
@@ -215,6 +217,54 @@ object Multimodal {
       spark: SparkSession, media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.mapPartitions(decodeAudio)
+  }
+
+  /** REAL image resize: decode through the codec, nearest-neighbor
+    * downscale to fit `maxDim` on the longest side, re-encode PNG.
+    * Deliberately integer-exact (floor mapping: dst (x,y) reads src
+    * (x·w/w', y·h/h')) rather than AWT's AffineTransformOp, so the
+    * transform is bit-reproducible by any engine — the q135 oracle
+    * replays it analytically. Images already within `maxDim` pass
+    * through byte-identical (no re-encode). Single-band (grayscale)
+    * inputs only — the fixture codec's output; a multi-band source
+    * would first reduce via the Rec.601 luma of [[decodeImage]]. */
+  def resizeImages(
+      spark: SparkSession, media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    require(maxDim > 0, "maxDim must be positive")
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { rec =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null, s"media ${rec.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = math.max(w, h)
+        if (m <= maxDim) rec
+        else {
+          require(img.getRaster.getNumBands == 1,
+            s"media ${rec.media_id}: resize expects single-band (grayscale) input")
+          val w2 = math.max(1, w * maxDim / m)
+          val h2 = math.max(1, h * maxDim / m)
+          val dst = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val sr = img.getRaster
+          val dr = dst.getRaster
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              dr.setSample(x, y, 0, sr.getSample(x * w / w2, y * h / h2, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          rec.copy(payload = out.toByteArray)
+        }
+      }
+    }
   }
 
   /** STUB resize: in production a codec re-encodes to `maxBytes`; the stub

@@ -337,6 +337,38 @@ object LlmQueries {
              |FROM fr WHERE f % 2 = 0
              |ORDER BY media_id ASC, frame_idx ASC""".stripMargin)),
 
+    // REAL image resize: decode → integer-exact nearest-neighbor
+    // downscale to fit 4px → re-encode → decode again for features.
+    // The floor pixel mapping (dst (x,y) reads src (x*w/w', y*h/h'))
+    // is replayed analytically by the oracle, so the whole
+    // decode-transform-encode-decode chain must be exact to hash-match;
+    // images already within bounds pass through byte-identical.
+    NamedQuery("q135_media_resize",
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.resizeImages(s,
+            Multimodal.pngMediaFromDocuments(s, Tables.documents(s, d)), 4))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("brightness"))
+        .orderBy(col("media_id").asc),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(1 + (doc_id % 8) AS INT) AS w,
+             |    CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS h,
+             |    octet_length(CAST(text AS BLOB)) AS blen
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, text, blen, w, h,
+             |    CASE WHEN greatest(w, h) <= 4 THEN w
+             |         ELSE greatest(1, w * 4 // greatest(w, h)) END AS w2,
+             |    CASE WHEN greatest(w, h) <= 4 THEN h
+             |         ELSE greatest(1, h * 4 // greatest(w, h)) END AS h2
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(w2 AS INT) AS width,
+             |  CAST(h2 AS INT) AS height,
+             |  round(list_avg([ord(text[((((p // w2) * h // h2) * w + ((p % w2) * w // w2)) % blen) + 1])
+             |                  for p in range(0, w2*h2)]), 6) AS brightness
+             |FROM r ORDER BY media_id ASC""".stripMargin)),
+
     // the full training-data dedup PIPELINE as one declarative plan:
     // exact dedup (hash keep-list) → near-dup detection over the
     // keep-list only (banded, the skew mitigation the Dedup scaladoc

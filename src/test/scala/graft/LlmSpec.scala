@@ -289,6 +289,33 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.filter(col("sample_rate") =!= 8000).count() == 0)
   }
 
+  test("image resize: within-bounds pass through byte-identical, larger downscale exactly") {
+    import graft.llm.Multimodal
+    val docs = Tables.documents(spark, sf).limit(60)
+    val media = Multimodal.pngMediaFromDocuments(spark, docs)
+    val resized = Multimodal.resizeImages(spark, media, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    val orig = media.collect()
+    orig.foreach { rec =>
+      val w = 1 + math.floorMod(rec.media_id, 8L).toInt
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+      val (ow, oh) = (img.getWidth, img.getHeight)
+      val out = resized(rec.media_id)
+      if (math.max(ow, oh) <= 4)
+        assert(java.util.Arrays.equals(out.payload, rec.payload),
+          s"${rec.media_id}: within-bounds image must pass through unchanged")
+      else {
+        val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+        val m = math.max(ow, oh)
+        assert(rimg.getWidth == math.max(1, ow * 4 / m) &&
+          rimg.getHeight == math.max(1, oh * 4 / m))
+        // spot-check the floor mapping on pixel (0,0): reads src (0,0)
+        assert(rimg.getRaster.getSample(0, 0, 0) == img.getRaster.getSample(0, 0, 0))
+      }
+      assert(w == ow)
+    }
+  }
+
   test("MPNG container round-trips: frame table seek, stride sampling, codec decode") {
     import graft.llm.Multimodal
     val docs = Tables.documents(spark, sf).limit(40)
