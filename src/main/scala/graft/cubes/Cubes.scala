@@ -461,6 +461,9 @@ object Cubes {
                   fact, keys, col("vec_id"), col("embedding"),
                   thresholdArg, nListsArg, seed = 7L, pred = pred)
               },
+              // centroids are TRAINED at compile and baked as literals —
+              // an index snapshot; CubeRunner must not plan-cache it
+              snapshotsData = true,
               applyArgFn = Some { (k, v) =>
                 if (bound.contains(k)) make(bound + (k -> v))
                 else throw new CubeQueryException(

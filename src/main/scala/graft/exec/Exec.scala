@@ -80,11 +80,17 @@ object CubeRunner {
       val flat = q.toDF
       if (nested) Renest.nest(flat, parsed.root, cube.name) else flat
     }
-    // memoized per canonical (post-hook) query — response_builder.rb:27-38
+    // memoized per canonical (post-hook) query — response_builder.rb:27-38.
+    // EXCEPT metrics that materialize data into the plan (snapshotsData,
+    // e.g. semanticSurvivors' centroids trained at compile): caching one
+    // would replay a frozen index after the table changed, so those
+    // compile fresh every time.
+    val cacheable = q.measures.forall { case (_, m) =>
+      cube.metrics.get(m.metric).forall(!_.snapshotsData) }
     val df = cache match {
-      case Some(c) =>
+      case Some(c) if cacheable =>
         c.getOrCompile(PlanCache.key(spark, cat.id, cube.name, nested, q, parsed.root))(build)
-      case None => build
+      case _ => build
     }
 
     val stats = new ExecStats

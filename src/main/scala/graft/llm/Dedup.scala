@@ -113,11 +113,13 @@ object Dedup {
     * hot partition's BYTES (what AQE measures) stay unremarkable while
     * its row count (what makes the reducer quadratic) explodes (measured
     * in LlmSpec + BASELINE.md). So the split is done deterministically
-    * here instead: a hash-sampled probe (1/`sampleMod` of DOCS, chosen by
-    * xxhash64 of the id — reproducible on recompute, unlike rand()
-    * sampling, which could flag different buckets on the two join
-    * branches and lose pairs) signs just the sampled docs and counts
-    * their bucket memberships; buckets whose extrapolated size exceeds
+    * here instead: a hash-sampled probe over the already-signed banded
+    * frame — 1/`sampleMod` of its (id, band-key) rows, chosen by
+    * xxhash64(id, bk), reproducible on recompute (rand() sampling could
+    * flag different buckets on the two join branches and lose pairs),
+    * and costing one cheap pass over the shared exchange, no extra
+    * signing — counts bucket memberships; buckets whose extrapolated
+    * size exceeds
     * `saltThreshold` get their A-side rows salted into `salts` sub-keys
     * by id-hash, with the B side replicated across all salts — every
     * cross pair still meets exactly once, at the A row's salt. Cold
@@ -127,6 +129,13 @@ object Dedup {
   private def bandCandidates(
       docSh: DataFrame, numHashes: Int, bands: Int, seed: Long,
       saltThreshold: Int = 4096, salts: Int = 16, sampleMod: Int = 64): DataFrame = {
+    // salts = 0 would make the A-side salt pmod(x, 0) = NULL while the B
+    // side explodes sequence(0, -1) = [0, -1]: the join silently drops
+    // every hot-bucket pair — exactly what "never a correctness input"
+    // forbids, so reject loudly
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
+    require(saltThreshold > 0, s"saltThreshold must be positive, got $saltThreshold")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       F.struct(

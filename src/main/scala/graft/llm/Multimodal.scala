@@ -99,25 +99,33 @@ object Multimodal {
       val sha = md.digest(bytes).map("%02x".format(_)).mkString
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"media ${rec.media_id}: payload is not a decodable image")
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      var sum = 0.0
-      if (raster.getNumBands == 1) {
-        var i = 0
-        while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
-      } else {
-        var i = 0
-        while (i < w * h) {
-          val rgb = img.getRGB(i % w, i / w)
-          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-            0.114 * (rgb & 0xFF)
-          i += 1
-        }
-      }
-      val brightness = math.rint(sum / (w * h) * 1e6) / 1e6
+      val (w, h, brightness) = luminance(img)
       MediaFeatures(rec.media_id, bytes.length, sha, w, h, brightness)
     }
+  }
+
+  /** Width, height and mean luminance of a decoded image — single-band:
+    * the raw gray samples (PNG is lossless so they round-trip exactly);
+    * multi-band: Rec.601 luma from RGB. Shared by every decode site so
+    * the image and frame paths cannot drift. */
+  private def luminance(img: java.awt.image.BufferedImage): (Int, Int, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0.0
+    if (raster.getNumBands == 1) {
+      var i = 0
+      while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
+    } else {
+      var i = 0
+      while (i < w * h) {
+        val rgb = img.getRGB(i % w, i / w)
+        sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        i += 1
+      }
+    }
+    (w, h, math.rint(sum / (w * h) * 1e6) / 1e6)
   }
 
   /** The real pipeline shape: typed batch map over partitions, real
@@ -349,14 +357,8 @@ object Multimodal {
       batch.map { fr =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame))
         require(img != null, s"media ${fr.media_id} frame ${fr.frame_idx}: not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
-        var sum = 0.0
-        var i = 0
-        while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
-        FrameFeatures(fr.media_id, fr.frame_idx, w, h,
-          math.rint(sum / (w * h) * 1e6) / 1e6)
+        val (w, h, brightness) = luminance(img)
+        FrameFeatures(fr.media_id, fr.frame_idx, w, h, brightness)
       }
     }
   }

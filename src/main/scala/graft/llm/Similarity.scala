@@ -289,30 +289,19 @@ object Similarity {
       threshold: Double, nLists: Int, seed: Long,
       pred: Option[Column],
       outKey: String = "__pb_value"): DataFrame = {
-    val (base, keyed) =
-      if (groupCols.nonEmpty)
-        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
-      else {
-        val g = Seq("__pb_g" -> F.lit(1))
-        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
-      }
-    val vals = pred.map(df.filter).getOrElse(df)
-    val corpus = vals.select(id.as("id"), emb.as("embedding"))
-    // a pred matching nothing must still honor the group contract (all
-    // groups, 0 survivors) — and centroid training needs >= 1 vector
-    val survivors =
-      if (corpus.isEmpty) corpus.select("id").limit(0)
-      else semanticDedup(corpus, threshold, nLists, seed)
-        .filter(!F.col("dropped")).select("id")
-    val t = vals.select((keyed.map { case (n, c) => c.as(n) } :+ id.as("id")): _*)
-      .join(survivors, "id")
-      .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
-      .agg(F.count(F.lit(1)).as(outKey))
-    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
-    val joined = keyed.map(_._1)
-      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
-      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(0L)))
-    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+    graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val corpus = vals.select(id.as("id"), emb.as("embedding"))
+      // a pred matching nothing must still honor the group contract (all
+      // groups, 0 survivors) — and centroid training needs >= 1 vector
+      val survivors =
+        if (corpus.isEmpty) corpus.select("id").limit(0)
+        else semanticDedup(corpus, threshold, nLists, seed)
+          .filter(!F.col("dropped")).select("id")
+      vals.select((keyed.map { case (n, c) => c.as(n) } :+ id.as("id")): _*)
+        .join(survivors, "id")
+        .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(F.count(F.lit(1)).as(outKey))
+    }(_ => F.lit(0L))
   }
 
   /** Exact embedding near-duplicate pairs: full pairwise cosine ≥

@@ -62,7 +62,17 @@ final case class Metric(
       * of (slice keys..., `__pb_value`); the Compiler joins it back on
       * the slice keys and renames the value to the measure key. Flat
       * grouping only. */
-    planBuild: Option[(DataFrame, Seq[(String, Column)], Option[Column]) => DataFrame] = None) {
+    planBuild: Option[(DataFrame, Seq[(String, Column)], Option[Column]) => DataFrame] = None,
+    /** True when compiling this metric MATERIALIZES data into the plan
+      * (runs Spark actions whose results become literals — e.g.
+      * semanticSurvivors' k-means centroids, an IVF index build). Such a
+      * plan is a snapshot: re-executing it after the underlying table
+      * changed replays the frozen index, so the PlanCache must not memo
+      * it ([[graft.exec.CubeRunner]] skips the cache when a bound metric
+      * sets this). Pure plan-backed metrics (exact top-K) stay
+      * cacheable: their plans re-scan the table per execution like any
+      * Spark plan. */
+    snapshotsData: Boolean = false) {
   /** Post-process the aggregate value (e.g. rounding for stable compare). */
   def mapValue(f: Column => Column): Metric = copy(build = p => f(build(p)))
 

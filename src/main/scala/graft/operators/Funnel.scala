@@ -93,31 +93,20 @@ object Funnel {
     require(steps.nonEmpty, "sequence needs at least one step")
     require(steps.distinct.size == steps.size,
       s"sequence steps must be distinct, got ${steps.mkString(",")}")
-    val (base, keyed) =
-      if (groupCols.nonEmpty)
-        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
-      else {
-        val g = Seq("__pb_g" -> F.lit(1))
-        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
-      }
-    val vals = pred.map(df.filter).getOrElse(df)
-    val stepIdx = steps.zipWithIndex.tail.foldLeft(
-      F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
-    val perUser = vals.filter(etype.isin(steps: _*))
-      .select((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u") :+
-        F.unix_micros(ts).as("__ts") :+ stepIdx.as("__step")): _*)
-      .groupBy((keyed.map { case (n, _) => F.col(n) } :+ F.col("__u")): _*)
-      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
-        .as("__ev"))
-      .select((keyed.map { case (n, _) => F.col(n) } :+
-        graft.functions.SeqCount(F.col("__ev"), steps.size).cast("long").as("__n")): _*)
-    val t = perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
-      .agg(F.sum(F.col("__n")).as(outKey))
-    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
-    val joined = keyed.map(_._1)
-      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
-      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(0L)))
-    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+    PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val stepIdx = steps.zipWithIndex.tail.foldLeft(
+        F.when(etype === steps.head, 0)) { case (acc, (s, i)) => acc.when(etype === s, i) }
+      val perUser = vals.filter(etype.isin(steps: _*))
+        .select((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u") :+
+          F.unix_micros(ts).as("__ts") :+ stepIdx.as("__step")): _*)
+        .groupBy((keyed.map { case (n, _) => F.col(n) } :+ F.col("__u")): _*)
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
+          .as("__ev"))
+        .select((keyed.map { case (n, _) => F.col(n) } :+
+          graft.functions.SeqCount(F.col("__ev"), steps.size).cast("long").as("__n")): _*)
+      perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(F.sum(F.col("__n")).as(outKey))
+    }(_ => F.lit(0L))
   }
 
   /** Cohort retention (ClickHouse `retention` semantics): `conds.head`
@@ -157,32 +146,22 @@ object Funnel {
       pred: Option[Column],
       outKey: String = "__pb_value"): DataFrame = {
     require(conds.size >= 2, "retention needs an anchor plus >=1 condition")
-    val (base, keyed) =
-      if (groupCols.nonEmpty)
-        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
-      else {
-        val g = Seq("__pb_g" -> F.lit(1))
-        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
-      }
-    val vals = pred.map(df.filter).getOrElse(df)
-    val flags = conds.zipWithIndex.map { case (c, i) =>
-      F.max(F.when(c, 1L).otherwise(0L)).as(s"__r$i")
-    }
-    val perUser = vals
-      .groupBy((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u")): _*)
-      .agg(flags.head, flags.tail: _*)
-    val sums = F.sum(F.col("__r0")).as("__s0") +:
-      (1 until conds.size).map(i =>
-        F.sum(F.col("__r0") * F.col(s"__r$i")).as(s"__s$i"))
-    val t = perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
-      .agg(sums.head, sums.tail: _*)
-      .select((keyed.map { case (n, _) => F.col(n) } :+
-        F.to_json(F.array(conds.indices.map(i => F.col(s"__s$i")): _*)).as(outKey)): _*)
     val zeros = "[" + conds.indices.map(_ => "0").mkString(",") + "]"
-    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
-    val joined = keyed.map(_._1)
-      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
-      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit(zeros)))
+    val joined = PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val flags = conds.zipWithIndex.map { case (c, i) =>
+        F.max(F.when(c, 1L).otherwise(0L)).as(s"__r$i")
+      }
+      val perUser = vals
+        .groupBy((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u")): _*)
+        .agg(flags.head, flags.tail: _*)
+      val sums = F.sum(F.col("__r0")).as("__s0") +:
+        (1 until conds.size).map(i =>
+          F.sum(F.col("__r0") * F.col(s"__r$i")).as(s"__s$i"))
+      perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(sums.head, sums.tail: _*)
+        .select((keyed.map { case (n, _) => F.col(n) } :+
+          F.to_json(F.array(conds.indices.map(i => F.col(s"__s$i")): _*)).as(outKey)): _*)
+    }(_ => F.lit(zeros))
     if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
   }
 }

@@ -24,24 +24,13 @@ object MapAgg {
       valCol: Column,
       pred: Option[Column],
       outKey: String = "__pb_value"): DataFrame = {
-    val (base, keyed) =
-      if (groupCols.nonEmpty)
-        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
-      else {
-        val g = Seq("__pb_g" -> F.lit(1))
-        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
-      }
-    val vals = pred.map(df.filter).getOrElse(df)
-    val pairs = vals
-      .groupBy((keyed.map { case (n, c) => c.as(n) } :+ keyCol.as("__k")): _*)
-      .agg(F.sum(valCol).as("__v"))
-    val t = pairs.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
-      .agg(F.to_json(F.map_from_entries(F.array_sort(
-        F.collect_list(F.struct(F.col("__k"), F.col("__v")))))).as(outKey))
-    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
-    val joined = keyed.map(_._1)
-      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
-      .withColumn(outKey, F.coalesce(F.col(outKey), F.lit("{}")))
-    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+    PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val pairs = vals
+        .groupBy((keyed.map { case (n, c) => c.as(n) } :+ keyCol.as("__k")): _*)
+        .agg(F.sum(valCol).as("__v"))
+      pairs.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(F.to_json(F.map_from_entries(F.array_sort(
+          F.collect_list(F.struct(F.col("__k"), F.col("__v")))))).as(outKey))
+    }(_ => F.lit("{}"))
   }
 }

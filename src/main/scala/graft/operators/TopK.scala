@@ -67,22 +67,8 @@ object TopK {
       k: Int,
       pred: Option[Column],
       outKey: String = "__pb_value"): DataFrame = {
-    // no groups: anchor on a constant so empty input still yields [] (the
-    // aggregate form returns one row on empty input; so must this)
-    val (base, keyed) =
-      if (groupCols.nonEmpty)
-        (df.select(groupCols.map { case (n, c) => c.as(n) }: _*).distinct(), groupCols)
-      else {
-        val g = Seq("__pb_g" -> F.lit(1))
-        (df.agg(F.count(F.lit(1)).as("__n")).select(F.lit(1).as("__pb_g")), g)
-      }
-    val vals = pred.map(df.filter).getOrElse(df)
-    val t = perGroupTuples(vals, keyed, valueCol, k, outKey)
-    val emptyArr = F.array().cast(t.schema(outKey).dataType)
-    val cond = keyed.map(_._1).map(n => base(n) <=> t(n)).reduce(_ && _)
-    val joined = keyed.map(_._1)
-      .foldLeft(base.join(t, cond, "left")) { (d, n) => d.drop(t(n)) }
-      .withColumn(outKey, F.coalesce(F.col(outKey), emptyArr))
-    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
+    PlanBacked.groupContract(df, groupCols, pred, outKey)(
+      (vals, keyed) => perGroupTuples(vals, keyed, valueCol, k, outKey))(
+      t => F.array().cast(t.schema(outKey).dataType))
   }
 }

@@ -102,6 +102,30 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("snapshot metrics bypass the plan cache: centroids must not be frozen by memoization") {
+    // semanticSurvivors trains centroids AT COMPILE and bakes them as
+    // literals — caching that plan would replay a stale index after the
+    // table changes, so CubeRunner compiles it fresh every time
+    val cache = new graft.exec.PlanCache()
+    val doc =
+      """{"fields": [
+           {"name": "vectors"},
+           {"name": "semanticSurvivors", "alias": "sv",
+            "args": {"threshold": 0.9, "nLists": 1}}]}"""
+    val r1 = CubeRunner.execute(spark, registry, Cubes.embeddingsCube, doc,
+      cache = Some(cache))
+    val r2 = CubeRunner.execute(spark, registry, Cubes.embeddingsCube, doc,
+      cache = Some(cache))
+    assert(cache.hits == 0 && cache.misses == 0,
+      s"snapshot metric must not touch the cache: hits=${cache.hits} misses=${cache.misses}")
+    assert(r1.rows.map(_.toString) == r2.rows.map(_.toString) && r1.rows.nonEmpty)
+    // a cacheable query through the same cache still memoizes
+    val plain = """{"fields": [{"name": "vectors", "alias": "n"}]}"""
+    CubeRunner.execute(spark, registry, Cubes.embeddingsCube, plain, cache = Some(cache))
+    CubeRunner.execute(spark, registry, Cubes.embeddingsCube, plain, cache = Some(cache))
+    assert(cache.misses == 1 && cache.hits == 1)
+  }
+
   test("plan cache is bounded: LRU eviction at maxEntries, access refreshes recency") {
     // a long-lived server accumulating distinct query shapes must not
     // grow without bound (janino classes pin metaspace)
