@@ -123,6 +123,38 @@ object TextAnalysis {
       .otherwise(F.lit(0.0))
   }
 
+  /** Sliding-window document chunking for context-window training prep:
+    * array of struct(idx, chunk, n_tokens), window `sizeTokens` tokens
+    * advancing by `stride` (= size − overlap). Chunk starts run 0,
+    * stride, 2·stride… up to the FIRST window reaching the end of the
+    * doc — every token is covered, the final chunk may be short, and no
+    * redundant trailing sub-window (fully contained in its predecessor)
+    * is emitted; a doc at or under one window yields exactly one chunk.
+    * Row-local (no shuffle): total work per doc is n·(size/stride) — a
+    * constant overlap factor over the token count, never quadratic.
+    * Explode the result for the one-row-per-chunk training shape.
+    */
+  def chunks(text: Column, sizeTokens: Int, stride: Int): Column = {
+    require(sizeTokens > 0, s"chunk size must be positive, got $sizeTokens")
+    require(stride > 0 && stride <= sizeTokens,
+      s"stride must be in 1..sizeTokens, got $stride")
+    val toks = tokens(text)
+    val n = F.size(toks)
+    // last start = stride * ceil((n - size) / stride), floored at 0
+    val over = F.greatest(n - F.lit(sizeTokens), F.lit(0))
+    val maxStart =
+      F.floor((over + F.lit(stride - 1)) / F.lit(stride)).cast("int") * stride
+    F.transform(
+      F.sequence(F.lit(0), maxStart, F.lit(stride)),
+      s => {
+        val piece = F.slice(toks, s + 1, F.lit(sizeTokens))
+        F.struct(
+          (s / stride).cast("int").as("idx"),
+          F.concat_ws(" ", piece).as("chunk"),
+          F.size(piece).as("n_tokens"))
+      })
+  }
+
   /** Order-sensitive content fingerprint: polynomial rolling hash (custom
     * codegen'd expression) of the lowercase-collapsed text. */
   def rollingFingerprint(text: Column): Column =

@@ -688,6 +688,33 @@ object TrainQueries {
              |  c.tot AS total_tokens, CAST(w.bins AS INT) AS n_bins
              |FROM walk w JOIN cnt c ON w.source = c.source AND w.i = c.m_total
              |ORDER BY c.source ASC NULLS FIRST, n_docs ASC, total_tokens ASC,
-             |  n_bins ASC""".stripMargin))
+             |  n_bins ASC""".stripMargin)),
+
+    // sliding-window document chunking (context-window training prep):
+    // 40-token windows advancing by 30 (10-token overlap), one output
+    // row per chunk, the chunk text carried as its md5 so the compare
+    // hashes content without shipping it. Row-local explode — map-only
+    // at any scale. The oracle replays the identical window arithmetic
+    // with DuckDB list slices.
+    NamedQuery("q136_doc_chunks",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          F.explode(TextAnalysis.chunks(col("text"), 40, 30)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          col("c.n_tokens").as("n_tokens"), F.md5(col("c.chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+             |    ((greatest(len(string_split_regex(trim(text), '\s+')) - 40, 0)
+             |      + 29) // 30) * 30 AS max_start
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, w,
+             |    unnest(range(0, max_start + 1, 30)) AS s
+             |  FROM t)
+             |SELECT doc_id, CAST(s // 30 AS INT) AS chunk_idx,
+             |  CAST(len(w[s+1:s+40]) AS INT) AS n_tokens,
+             |  md5(array_to_string(w[s+1:s+40], ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin))
   )
 }

@@ -289,6 +289,39 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.filter(col("sample_rate") =!= 8000).count() == 0)
   }
 
+  test("chunking: coverage, overlap continuity, short docs, arg validation") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 tokens → starts 0,30,60
+      (2L, "a b c"),                                   // under one window → 1 chunk
+      (3L, (1 to 40).map(i => s"x$i").mkString(" ")),  // exactly one window → 1 chunk
+      (4L, (1 to 41).map(i => s"y$i").mkString(" "))   // one token over → 2 chunks
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        F.explode(TextAnalysis.chunks($"text", 40, 30)).as("c"))
+      .select($"doc_id", $"c.idx", $"c.chunk", $"c.n_tokens")
+      .collect().groupBy(_.getLong(0))
+    assert(out(1L).length == 3 && out(2L).length == 1 &&
+      out(3L).length == 1 && out(4L).length == 2)
+    // every token covered, in order: stitching chunks at stride offsets
+    // reproduces the doc
+    val d1 = out(1L).sortBy(_.getInt(1))
+    val stitched = d1.init.flatMap(_.getString(2).split(" ").take(30)) ++
+      d1.last.getString(2).split(" ")
+    assert(stitched.toSeq == (1 to 95).map(i => s"w$i"))
+    // overlap: chunk k's last 10 tokens == chunk k+1's first 10
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getString(2).split(" ")
+      val bt = b.getString(2).split(" ")
+      if (at.length == 40) assert(at.drop(30).toSeq == bt.take(10).toSeq)
+    }
+    // the short tail chunk reports its true token count
+    assert(out(1L).map(_.getInt(3)).sorted.toSeq == Seq(35, 40, 40))
+    intercept[IllegalArgumentException](TextAnalysis.chunks(F.lit("x"), 40, 0))
+    intercept[IllegalArgumentException](TextAnalysis.chunks(F.lit("x"), 40, 41))
+  }
+
   test("image resize: within-bounds pass through byte-identical, larger downscale exactly") {
     import graft.llm.Multimodal
     val docs = Tables.documents(spark, sf).limit(60)
