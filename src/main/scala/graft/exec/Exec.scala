@@ -85,8 +85,12 @@ object CubeRunner {
     // e.g. semanticSurvivors' centroids trained at compile): caching one
     // would replay a frozen index after the table changed, so those
     // compile fresh every time.
+    // checked against EVERY registry that could resolve the name — the
+    // Compiler binds metrics through optimal-source selection, so an
+    // alt-source metricOverride that snapshots must also bypass
     val cacheable = q.measures.forall { case (_, m) =>
-      cube.metrics.get(m.metric).forall(!_.snapshotsData) }
+      !cube.metrics.get(m.metric).exists(_.snapshotsData) &&
+        !cube.altSources.exists(_.metricOverrides.get(m.metric).exists(_.snapshotsData)) }
     val df = cache match {
       case Some(c) if cacheable =>
         c.getOrCompile(PlanCache.key(spark, cat.id, cube.name, nested, q, parsed.root))(build)

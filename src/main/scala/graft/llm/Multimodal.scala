@@ -104,16 +104,19 @@ object Multimodal {
     }
   }
 
-  /** Width, height and mean luminance of a decoded image — single-band:
-    * the raw gray samples (PNG is lossless so they round-trip exactly);
-    * multi-band: Rec.601 luma from RGB. Shared by every decode site so
+  /** Width, height and mean luminance of a decoded image — 8-bit
+    * grayscale: the raw gray samples (PNG is lossless so they
+    * round-trip exactly); anything else: Rec.601 luma from the sRGB
+    * conversion. The branch keys on TYPE_BYTE_GRAY, NOT band count —
+    * an indexed-palette PNG also has one band, but its samples are
+    * palette indices, not luminance. Shared by every decode site so
     * the image and frame paths cannot drift. */
   private def luminance(img: java.awt.image.BufferedImage): (Int, Int, Double) = {
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster
     var sum = 0.0
-    if (raster.getNumBands == 1) {
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
       var i = 0
       while (i < w * h) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
     } else {

@@ -144,15 +144,20 @@ object TextAnalysis {
     val over = F.greatest(n - F.lit(sizeTokens), F.lit(0))
     val maxStart =
       F.floor((over + F.lit(stride - 1)) / F.lit(stride)).cast("int") * stride
-    F.transform(
-      F.sequence(F.lit(0), maxStart, F.lit(stride)),
-      s => {
-        val piece = F.slice(toks, s + 1, F.lit(sizeTokens))
-        F.struct(
-          (s / stride).cast("int").as("idx"),
-          F.concat_ws(" ", piece).as("chunk"),
-          F.size(piece).as("n_tokens"))
-      })
+    // NULL text → NULL (explode then drops the row, matching a SQL
+    // mirror where NULL propagates through the window math); without
+    // the guard, greatest() skips the null size and fabricates one
+    // empty chunk
+    F.when(text.isNotNull,
+      F.transform(
+        F.sequence(F.lit(0), maxStart, F.lit(stride)),
+        s => {
+          val piece = F.slice(toks, s + 1, F.lit(sizeTokens))
+          F.struct(
+            (s / stride).cast("int").as("idx"),
+            F.concat_ws(" ", piece).as("chunk"),
+            F.size(piece).as("n_tokens"))
+        }))
   }
 
   /** Order-sensitive content fingerprint: polynomial rolling hash (custom

@@ -147,7 +147,7 @@ object Funnel {
       outKey: String = "__pb_value"): DataFrame = {
     require(conds.size >= 2, "retention needs an anchor plus >=1 condition")
     val zeros = "[" + conds.indices.map(_ => "0").mkString(",") + "]"
-    val joined = PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+    PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
       val flags = conds.zipWithIndex.map { case (c, i) =>
         F.max(F.when(c, 1L).otherwise(0L)).as(s"__r$i")
       }
@@ -162,6 +162,5 @@ object Funnel {
         .select((keyed.map { case (n, _) => F.col(n) } :+
           F.to_json(F.array(conds.indices.map(i => F.col(s"__s$i")): _*)).as(outKey)): _*)
     }(_ => F.lit(zeros))
-    if (groupCols.nonEmpty) joined else joined.drop("__pb_g")
   }
 }
