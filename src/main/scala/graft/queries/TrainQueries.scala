@@ -715,6 +715,33 @@ object TrainQueries {
              |SELECT doc_id, CAST(s // 30 AS INT) AS chunk_idx,
              |  CAST(len(w[s+1:s+40]) AS INT) AS n_tokens,
              |  md5(array_to_string(w[s+1:s+40], ' ')) AS chunk_md5
-             |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin))
+             |FROM c ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin)),
+
+    // corpus-trained bigram LM score (perplexity-gate family, no
+    // external model): per doc, avg ln P(w_i | w_{i-1}) with add-one
+    // smoothing over the corpus vocabulary — templated text scores
+    // high, line-noise low. The oracle retrains the identical model in
+    // SQL and replays every logarithm, so counts, smoothing and the
+    // join shape must all be exact.
+    NamedQuery("q137_bigram_lm",
+      (s, d) => graft.llm.LangModel.bigramScore(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': w[i], 'c': w[i+1]} for i in range(1, len(w))],
+             |           recursive := true)
+             |  FROM t WHERE len(w) >= 2),
+             |c2 AS (SELECT p, c, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT p, count(*) AS cnt1 FROM bg GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS nv
+             |      FROM (SELECT unnest(w) AS tok FROM t))
+             |SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |  round(avg(ln((cnt2 + 1.0) / (cnt1 + nv))), 6) AS logprob
+             |FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+             |GROUP BY 1 ORDER BY doc_id ASC""".stripMargin))
   )
 }

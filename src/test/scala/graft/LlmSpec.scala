@@ -289,6 +289,30 @@ class LlmSpec extends AnyFunSuite {
     assert(feats.filter(col("sample_rate") =!= 8000).count() == 0)
   }
 
+  test("bigram LM: hand-computed smoothing, short docs omitted, templated scores higher") {
+    import graft.llm.LangModel
+    import spark.implicits._
+    // corpus: "a b" x2, "a c", "z" (too short to score, still in vocab)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramScore(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // bigrams: (a,b) x2, (a,c) x1; C1(a)=3; V={a,b,c,z} -> 4
+    // P(b|a) = (2+1)/(3+4) = 3/7 ; P(c|a) = (1+1)/7 = 2/7
+    val lpAB = math.rint(math.log(3.0 / 7) * 1e6) / 1e6
+    val lpAC = math.rint(math.log(2.0 / 7) * 1e6) / 1e6
+    assert(out.keySet == Set(1L, 2L, 3L), "doc 4 has no bigram to score")
+    assert(out(1L) == ((1, lpAB)) && out(2L) == ((1, lpAB)) && out(3L) == ((1, lpAC)))
+    // the repeated template outscores the one-off continuation
+    assert(out(1L)._2 > out(3L)._2)
+    // fixture sanity: deterministic across runs, all log-probs negative
+    val fixture = graft.llm.LangModel.bigramScore(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    val a = fixture.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = fixture.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b && a.values.forall(_ < 0))
+  }
+
   test("chunking: coverage, overlap continuity, short docs, arg validation") {
     import graft.llm.TextAnalysis
     import spark.implicits._
