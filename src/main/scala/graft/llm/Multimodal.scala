@@ -23,10 +23,15 @@ import org.apache.spark.sql.{functions => F}
   * without materializing the rest, and `frameFeatures` decodes the
   * samples through the real image codec (q134). `resizeImages` is a
   * real decode→transform→re-encode stage (integer-exact
-  * nearest-neighbor, q135). What stays STUBBED is inter-frame codec
-  * work (H.264-class decode/re-encode — `resizeStub`,
-  * `sampleFramesStub` keep that opaque-codec placeholder shape, real
-  * plumbing, documented fake body).
+  * nearest-neighbor, q135).
+  *
+  * The remaining codec boundary is INTER-frame compression (H.264
+  * class): this container is not part of the JDK, so a production
+  * deployment swaps the per-partition decoder inside [[sampleFrames]] /
+  * [[resizeImages]] for a native codec binding. Everything Spark-side —
+  * schema, partition-local decoder init, explode-shaped frame output,
+  * binary-in/binary-out column contracts — is the real plumbing that
+  * binding drops into, and is what the specs and oracles pin down.
   */
 object Multimodal {
 
@@ -278,12 +283,6 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: in production a codec re-encodes to `maxBytes`; the stub
-    * truncates deterministically. The SHAPE is what matters: binary →
-    * binary, expressible as a plain column op (codegen'd substring). */
-  def resizeStub(payload: org.apache.spark.sql.Column, maxBytes: Int): org.apache.spark.sql.Column =
-    F.substring(payload, 1, maxBytes)
-
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Fixture adapter, multi-FRAME flavor: render each document as a
@@ -292,8 +291,9 @@ object Multimodal {
     * image advanced f text-bytes; 2 + (doc_id mod 3) frames). This is
     * the MJPEG shape: a real container with a real intra-frame codec;
     * what the JDK cannot provide is INTER-frame compression (H.264 et
-    * al.), which is why [[sampleFramesStub]] stays as the opaque-codec
-    * placeholder. Container spec: all ints big-endian. */
+    * al.) — that boundary is documented on the object scaladoc, and
+    * [[sampleFrames]] is where a native codec binding would slot in.
+    * Container spec: all ints big-endian. */
   def videoMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(F.col("doc_id"), F.col("text")).as[(Long, String)]
@@ -362,27 +362,6 @@ object Multimodal {
         require(img != null, s"media ${fr.media_id} frame ${fr.frame_idx}: not a decodable image")
         val (w, h, brightness) = luminance(img)
         FrameFeatures(fr.media_id, fr.frame_idx, w, h, brightness)
-      }
-    }
-  }
-
-  /** STUB frame sampling: in production a video codec extracts `n` key
-    * frames; the stub slices the payload into n equal chunks. Real
-    * plumbing: one decoder per partition, one output row per frame
-    * (media_id, frame_idx, frame bytes) — the explode-shaped schema a
-    * frame-level training pipeline consumes. */
-  def sampleFramesStub(spark: SparkSession, media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
-    import spark.implicits._
-    media.mapPartitions { batch =>
-      // per-partition decoder init would go here
-      batch.flatMap { rec =>
-        val len = rec.payload.length
-        if (len == 0) Iterator.empty
-        else (0 until n).iterator.map { i =>
-          val start = (len.toLong * i / n).toInt
-          val end = (len.toLong * (i + 1) / n).toInt
-          Frame(rec.media_id, i, java.util.Arrays.copyOfRange(rec.payload, start, end))
-        }
       }
     }
   }

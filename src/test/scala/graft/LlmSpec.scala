@@ -190,28 +190,6 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stubs: resize truncates; frame sampling partitions the payload") {
-    import org.apache.spark.sql.functions.col
-    import spark.implicits._
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
-    val resized = media.select(col("media_id"),
-      org.apache.spark.sql.functions.length(
-        Multimodal.resizeStub(col("payload"), 64)).as("len")).collect()
-    assert(resized.forall(_.getInt(1) <= 64))
-
-    val frames = Multimodal.sampleFramesStub(spark,
-      media.as[Multimodal.MediaRecord], 4)
-    val byDoc = frames.toDF().groupBy("media_id").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byDoc.values.forall(_ == 4))
-    // frames reassemble to the original payload (lossless chunking)
-    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
-      .select(col("text")).collect()(0).getString(0)
-    val f0 = frames.filter(_.media_id == 0L).collect().sortBy(_.frame_idx)
-      .flatMap(_.frame)
-    assert(new String(f0, "UTF-8") == doc0)
-  }
-
   test("LSH band join under a hot band bucket: salted band key splits it, no pairs lost") {
     // the 100-TB risk in the dedup path: near-identical boilerplate docs
     // agree on every band, concentrating one bucket's |B|^2 candidate
