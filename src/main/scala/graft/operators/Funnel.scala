@@ -12,8 +12,24 @@ import org.apache.spark.sql.{functions => F}
   * join per funnel step, no self-joins. funnel's per-user state is the
   * user's own step events (bounded by per-user activity, combinable
   * map-side as a list merge); retention's is a handful of booleans.
+  *
+  * Whale guard: per-user state is bounded by that user's OWN events,
+  * which is fine for humans but not for the one bot/ETL account with
+  * 10⁸ step events a 100 TB corpus always has — one giant list row on
+  * one reducer. `maxEventsPerUser = Some(n)` switches the event
+  * aggregation to [[graft.functions.EarliestN]]: deterministic
+  * earliest-n truncation with aggregation state hard-capped at 2n per
+  * user everywhere (map-side partials included). Results for users at
+  * or under the cap are bit-identical to the uncapped path.
   */
 object Funnel {
+
+  /** The (ts, step)-sorted event array feeding the chain scans: a plain
+    * sorted collect_list, or the state-bounded earliest-cap prefix. */
+  private def eventArray(cap: Option[Int]): Column = cap match {
+    case Some(n) => graft.functions.EarliestN(n)(F.col("__ts"), F.col("__step"))
+    case None => F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
+  }
 
   /** Furthest funnel stage per user. Two anchor modes:
     *  - default (first-touch attribution): the chain starts at the
@@ -29,7 +45,8 @@ object Funnel {
     */
   def funnelStages(events: DataFrame, user: Column, ts: Column, etype: Column,
       steps: Seq[String], windowMicros: Long,
-      anyAnchor: Boolean = false): DataFrame = {
+      anyAnchor: Boolean = false,
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got ${steps.mkString(",")}")
@@ -38,8 +55,7 @@ object Funnel {
     events.filter(etype.isin(steps: _*))
       .select(user.as("user_id"), F.unix_micros(ts).as("__ts"), stepIdx.as("__step"))
       .groupBy(F.col("user_id"))
-      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
-        .as("__ev"))
+      .agg(eventArray(maxEventsPerUser).as("__ev"))
       .select(F.col("user_id"),
         FunnelStage(F.col("__ev"), windowMicros, steps.size, anyAnchor).as("stage"))
   }
@@ -56,7 +72,8 @@ object Funnel {
     * own step events, no per-step self-joins.
     */
   def sequenceCount(events: DataFrame, user: Column, ts: Column, etype: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "sequence needs at least one step")
     require(steps.distinct.size == steps.size,
       s"sequence steps must be distinct, got ${steps.mkString(",")}")
@@ -65,8 +82,7 @@ object Funnel {
     events.filter(etype.isin(steps: _*))
       .select(user.as("user_id"), F.unix_micros(ts).as("__ts"), stepIdx.as("__step"))
       .groupBy(F.col("user_id"))
-      .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
-        .as("__ev"))
+      .agg(eventArray(maxEventsPerUser).as("__ev"))
       .select(F.col("user_id"),
         graft.functions.SeqCount(F.col("__ev"), steps.size).as("n_matches"))
       .withColumn("matched", F.col("n_matches") > 0)
@@ -89,7 +105,8 @@ object Funnel {
       user: Column, ts: Column, etype: Column,
       steps: Seq[String],
       pred: Option[Column],
-      outKey: String = "__pb_value"): DataFrame = {
+      outKey: String = "__pb_value",
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "sequence needs at least one step")
     require(steps.distinct.size == steps.size,
       s"sequence steps must be distinct, got ${steps.mkString(",")}")
@@ -100,8 +117,7 @@ object Funnel {
         .select((keyed.map { case (n, c) => c.as(n) } :+ user.as("__u") :+
           F.unix_micros(ts).as("__ts") :+ stepIdx.as("__step")): _*)
         .groupBy((keyed.map { case (n, _) => F.col(n) } :+ F.col("__u")): _*)
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("__ts"), F.col("__step"))))
-          .as("__ev"))
+        .agg(eventArray(maxEventsPerUser).as("__ev"))
         .select((keyed.map { case (n, _) => F.col(n) } :+
           graft.functions.SeqCount(F.col("__ev"), steps.size).cast("long").as("__n")): _*)
       perUser.groupBy(keyed.map { case (n, _) => F.col(n) }: _*)

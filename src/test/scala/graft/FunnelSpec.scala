@@ -274,6 +274,73 @@ class FunnelSpec extends AnyFunSuite {
     assert(global.length == 1 && global(0).getLong(0) == 1L)
   }
 
+  test("whale cap: bounded state, deterministic earliest-N truncation, capped corpus unchanged") {
+    // 1) STATE BOUND, proven on the aggregator itself: feed 50k events
+    //    into one buffer in descending-ts order (the worst case — every
+    //    element is a new minimum, so none can be early-rejected) and
+    //    assert the buffer never exceeds 2n at any point, map-side merge
+    //    included.
+    val n = 100
+    val agg = new graft.functions.EarliestN(n)
+    var buf = agg.zero
+    var maxSeen = 0
+    (50000 to 1 by -1).foreach { i =>
+      buf = agg.reduce(buf, graft.functions.EarliestN.In(i.toLong, 0))
+      maxSeen = math.max(maxSeen, buf.size)
+    }
+    assert(maxSeen <= 2 * n, s"buffer grew to $maxSeen > 2n")
+    var other = agg.zero
+    (1 to 5000).foreach { i => other = agg.reduce(other, graft.functions.EarliestN.In(i.toLong, 1)) }
+    val merged = agg.merge(buf, other)
+    assert(merged.size <= n, s"merged buffer ${merged.size} > n")
+    // the surviving N are the true earliest-N of the union: both sides
+    // kept ts 1..(at least 50), so the merged earliest-100 is each ts in
+    // 1..50 twice — once per step side, (ts, step)-lexicographic
+    val fin = agg.finish(merged)
+    assert(fin.map(e => (e.ts, e.step)) ==
+      (1 to n / 2).flatMap(i => Seq((i.toLong, 0), (i.toLong, 1))),
+      "not the earliest-N of the union")
+
+    // 2) PLANTED WHALE end-to-end: one bot user with 4000 step events
+    //    among normal users; capped at 50 the whale's stage must equal
+    //    the uncapped stage computed over its earliest-50 events, and
+    //    every non-whale user must be bit-identical to the uncapped run.
+    import spark.implicits._
+    val normal = ev(
+      (1L, "2024-01-01 00:00:00", "signup"),
+      (1L, "2024-01-02 00:00:00", "view"),
+      (1L, "2024-01-03 00:00:00", "purchase"),
+      (2L, "2024-01-01 00:00:00", "signup"))
+    // whale: 4000 views spread after one signup — a purchase only at the
+    // very END, beyond the earliest-50 prefix, so the cap visibly (and
+    // correctly-by-contract) truncates the chain at stage 2
+    val whale = spark.range(4000).select(
+        F.lit(99L).as("user_id"),
+        F.expr("timestamp '2024-01-01 01:00:00' + make_interval(0,0,0,0,0,0,id+1)")
+          .as("ts"),
+        F.when(F.col("id") === 3999, "purchase").otherwise("view").as("event_type"))
+      .unionByName(ev((99L, "2024-01-01 00:00:00", "signup")))
+    val df = normal.unionByName(whale)
+    def run(cap: Option[Int]) =
+      Funnel.funnelStages(df, col("user_id"), col("ts"), col("event_type"),
+        steps, 7 * day, maxEventsPerUser = cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val uncapped = run(None)
+    val capped = run(Some(50))
+    assert(uncapped == Map(1L -> 3, 2L -> 1, 99L -> 3))
+    assert(capped == Map(1L -> 3, 2L -> 1, 99L -> 2),
+      "whale must truncate to its earliest-50 events (signup + 49 views = stage 2)")
+    // cap above every user's count: bit-identical to uncapped
+    assert(run(Some(5000)) == uncapped)
+
+    // 3) sequenceCount takes the same cap
+    val sc = Funnel.sequenceCount(df, col("user_id"), col("ts"),
+        col("event_type"), steps, maxEventsPerUser = Some(50))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sc == Map(1L -> 1, 2L -> 0, 99L -> 0),
+      "whale's only purchase is outside the earliest-50 prefix")
+  }
+
   test("retentionWeekly through the front door requires flat grouping") {
     val cube = graft.cubes.Cubes.eventsCube(spark, "/root/testdata/sf0.001")
     val err = intercept[graft.model.CubeQueryException] {
