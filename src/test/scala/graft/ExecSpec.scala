@@ -102,6 +102,56 @@ class ExecSpec extends AnyFunSuite {
     assert(r4.rows.map(_.getLong(1)).sum < r1.rows.map(_.getLong(1)).sum)
   }
 
+  test("concurrent serving: N threads, repeat + distinct queries, one build per shape, correct results") {
+    // the serving-path race surface: many dashboard clients hitting one
+    // CubeRunner + shared PlanCache. Contract under concurrency:
+    // results are correct per shape, hit/miss accounting adds up, and
+    // single-flight means each distinct shape compiles EXACTLY once no
+    // matter how many threads race on its first request.
+    val cache = new graft.exec.PlanCache()
+    val shapes = Seq(
+      """{"fields": [{"name": "count", "alias": "cnt"}]}""",
+      """{"fields": [{"name": "returnFlag", "alias": "flag"},
+                     {"name": "count", "alias": "cnt"}],
+          "args": {"options": {"asc": "flag"}}}""",
+      """{"fields": [{"name": "lineStatus", "alias": "st"},
+                     {"name": "sumQty", "alias": "qty"}],
+          "args": {"options": {"asc": "st"}}}""",
+      """{"fields": [{"name": "returnFlag", "alias": "flag"},
+                     {"name": "uniqueOrders", "alias": "uo"}],
+          "args": {"quantity": {"gt": 10}, "options": {"asc": "flag"}}}""")
+    // single-threaded reference results, computed WITHOUT the cache
+    val expect = shapes.map { s =>
+      s -> CubeRunner.execute(spark, registry, Cubes.lineitemCube, s)
+        .rows.map(_.toString)
+    }.toMap
+    val nThreads = 8
+    val iters = 5
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          barrier.await() // maximize first-build contention
+          for (i <- 0 until iters; s <- shapes) {
+            val r = CubeRunner.execute(spark, registry, Cubes.lineitemCube, s,
+              cache = Some(cache))
+            if (r.rows.map(_.toString) != expect(s))
+              failures.add(s"thread $t iter $i: wrong rows for shape $s")
+          }
+        } catch { case e: Throwable => failures.add(s"thread $t: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    val calls = nThreads * iters * shapes.size
+    assert(cache.misses == shapes.size,
+      s"single-flight violated: ${cache.misses} builds for ${shapes.size} shapes")
+    assert(cache.hits == calls - shapes.size,
+      s"accounting: hits=${cache.hits} misses=${cache.misses} calls=$calls")
+  }
+
   test("snapshot metrics bypass the plan cache: centroids must not be frozen by memoization") {
     // semanticSurvivors trains centroids AT COMPILE and bakes them as
     // literals — caching that plan would replay a stale index after the
