@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-trained bigram language model for perplexity-style quality
   * gating (the CCNet/Gopher filter family, without an external model):
@@ -10,45 +11,93 @@ import org.apache.spark.sql.{functions => F}
   * log-probability, while line-noise scores low, and both tails are
   * gateable. Deliberately simple math (add-one smoothing over the
   * corpus vocabulary) so the score is exactly reproducible by any
-  * engine — the q137 oracle replays it to the last logarithm.
+  * engine — the q137/q138 oracles replay it to the last logarithm.
   *
-  * Scale shape: training is two hash aggregations (bigram counts,
-  * predecessor counts — shuffle ∝ distinct bigrams, map-side combined);
-  * scoring re-joins each document's bigrams to those counts ON THE SAME
-  * KEYS, so the exchanges line up, then one per-doc aggregation. No
-  * driver-side model object: the "model" stays a distributed table,
-  * which is what lets the same code train on 100 TB.
+  * Scale shape: training is ONE hash aggregation over the corpus
+  * bigrams (shuffle ∝ distinct bigrams, map-side combined) — the
+  * predecessor totals are DERIVED from the bigram counts
+  * (`Σ_c C(p,c) = C(p,·)`), an aggregation over distinct-bigram rows,
+  * never a second corpus scan. Scoring left-joins each document's
+  * bigrams to those counts ON THE SAME KEYS, so the exchanges line up,
+  * then one per-doc aggregation. No driver-side model object: the
+  * "model" stays a pair of distributed tables, which is what lets the
+  * same code train on 100 TB.
   */
 object LangModel {
 
-  /** (doc_id, n_bigrams, logprob): per document, the average
-    * ln P(w_i | w_{i-1}) under the corpus bigram model with add-one
-    * smoothing — P = (C(prev,cur) + 1) / (C(prev,·) + |V|). Documents
-    * with fewer than two tokens carry no bigram evidence and are
-    * omitted (mirror a WHERE len >= 2 in SQL). Tokens are
-    * lowercase-whitespace, the same normalization as the dedup path. */
-  def bigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** The trained model, as distributed tables: `bigrams` = (p, c,
+    * cnt2) — one row per distinct training bigram — and `vocabSize` =
+    * the single-row (nv) distinct-token count of the training corpus. */
+  final case class BigramModel(bigrams: DataFrame, vocabSize: DataFrame)
+
+  /** (doc_id, p, c): one row per adjacent lowercase-whitespace token
+    * pair — the same normalization as the dedup path. Documents with
+    * fewer than two tokens carry no bigram evidence and drop here. */
+  private def docBigrams(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = Dedup.tokens(F.lower(text))
-    val base = docs.select(id.as("doc_id"), toks.as("w"))
+    docs.select(id.as("doc_id"), toks.as("w"))
       .filter(F.size(F.col("w")) >= 2)
-    val bg = base.select(F.col("doc_id"),
-      F.explode(F.zip_with(
-        F.slice(F.col("w"), F.lit(1), F.size(F.col("w")) - 1),
-        F.slice(F.col("w"), F.lit(2), F.size(F.col("w")) - 1),
-        (p, c) => F.struct(p.as("p"), c.as("c")))).as("b"))
+      .select(F.col("doc_id"),
+        F.explode(F.zip_with(
+          F.slice(F.col("w"), F.lit(1), F.size(F.col("w")) - 1),
+          F.slice(F.col("w"), F.lit(2), F.size(F.col("w")) - 1),
+          (p, c) => F.struct(p.as("p"), c.as("c")))).as("b"))
       .select(F.col("doc_id"), F.col("b.p").as("p"), F.col("b.c").as("c"))
-    val c2 = bg.groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
-    val c1 = bg.groupBy("p").agg(F.count(F.lit(1)).as("cnt1"))
-    // vocabulary over ALL tokens (including docs too short to score —
-    // they still contribute evidence of existing words)
-    val v = docs.select(F.explode(Dedup.tokens(F.lower(text))).as("t"))
+  }
+
+  /** Train on a corpus: bigram counts + vocabulary size. The
+    * vocabulary spans ALL the corpus' tokens, including docs too short
+    * to contribute bigrams — they still attest that their words exist. */
+  def trainBigramModel(corpus: DataFrame, id: Column, text: Column): BigramModel = {
+    val c2 = docBigrams(corpus, id, text)
+      .groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
+    val v = corpus.select(F.explode(Dedup.tokens(F.lower(text))).as("t"))
       .agg(F.count_distinct(F.col("t")).as("nv"))
-    bg.join(c2, Seq("p", "c")).join(c1, Seq("p")).crossJoin(v)
+    BigramModel(c2, v)
+  }
+
+  /** Score documents against a trained model: (doc_id, n_bigrams,
+    * logprob) — per document, the average ln P(w_i | w_{i-1}) with
+    * add-one smoothing, P = (C(prev,cur) + 1) / (C(prev,·) + |V|),
+    * counts taken from the MODEL (so held-out shards score against a
+    * disjoint training corpus). OOV semantics: an unseen bigram scores
+    * with C(prev,cur) = 0; an unseen predecessor additionally has
+    * C(prev,·) = 0, i.e. P = 1 / |V| — the smoothing floor. Documents
+    * with fewer than two tokens are omitted (mirror WHERE len >= 2). */
+  def scoreAgainst(model: BigramModel, docs: DataFrame, id: Column, text: Column): DataFrame =
+    scoreBigrams(model, docBigrams(docs, id, text))
+
+  private def scoreBigrams(model: BigramModel, bg: DataFrame): DataFrame = {
+    // predecessor totals DERIVED from the bigram counts (Σ_c C(p,c)):
+    // an aggregation over distinct-bigram rows, not a corpus re-scan
+    val c1 = model.bigrams.groupBy("p").agg(F.sum("cnt2").as("cnt1"))
+    bg.join(model.bigrams, Seq("p", "c"), "left")
+      .join(c1, Seq("p"), "left")
+      .crossJoin(model.vocabSize)
       .groupBy("doc_id")
       .agg(
         F.count(F.lit(1)).cast("int").as("n_bigrams"),
         F.round(F.avg(F.log(
-          (F.col("cnt2") + 1.0) / (F.col("cnt1") + F.col("nv")))), 6)
+          (F.coalesce(F.col("cnt2"), F.lit(0L)) + 1.0) /
+            (F.coalesce(F.col("cnt1"), F.lit(0L)) + F.col("nv")))), 6)
           .as("logprob"))
+  }
+
+  /** Self-scoring convenience (the q137 gate): train on the corpus and
+    * score the same corpus. The shared bigram table is persisted
+    * (memory-with-disk-spill) so the lineage — tokenize + explode over
+    * every document — materializes once and feeds both the count
+    * aggregation and the scoring join; blocks spill/evict LRU and the
+    * plan stays correct either way, so no explicit unpersist hook is
+    * needed for a transient query. On the training corpus every bigram
+    * and predecessor is present in the model by construction, so the
+    * left joins reduce to the inner-join semantics the q137 oracle
+    * replays. */
+  def bigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = docBigrams(docs, id, text).persist(StorageLevel.MEMORY_AND_DISK)
+    val c2 = bg.groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
+    val v = docs.select(F.explode(Dedup.tokens(F.lower(text))).as("t"))
+      .agg(F.count_distinct(F.col("t")).as("nv"))
+    scoreBigrams(BigramModel(c2, v), bg)
   }
 }

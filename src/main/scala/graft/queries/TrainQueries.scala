@@ -742,6 +742,45 @@ object TrainQueries {
              |SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
              |  round(avg(ln((cnt2 + 1.0) / (cnt1 + nv))), 6) AS logprob
              |FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+             |GROUP BY 1 ORDER BY doc_id ASC""".stripMargin)),
+
+    // HELD-OUT bigram scoring (the real quality-gate shape): train the
+    // model on every source EXCEPT src0, score src0's documents against
+    // it. Unseen bigrams take C(p,c)=0; unseen predecessors take
+    // C(p,·)=0 too (P = 1/|V|, the smoothing floor) — the oracle
+    // retrains the identical model on the same split and replays the
+    // left-join + coalesce OOV arithmetic logarithm for logarithm.
+    NamedQuery("q138_bigram_heldout",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.llm.LangModel.trainBigramModel(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+        graft.llm.LangModel.scoreAgainst(
+            model, docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |bgtr AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': w[i], 'c': w[i+1]} for i in range(1, len(w))],
+             |           recursive := true)
+             |  FROM t WHERE len(w) >= 2 AND source <> 'src0'),
+             |c2 AS (SELECT p, c, count(*) AS cnt2 FROM bgtr GROUP BY 1, 2),
+             |c1 AS (SELECT p, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS nv
+             |      FROM (SELECT unnest(w) AS tok FROM t WHERE source <> 'src0')),
+             |bgte AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': w[i], 'c': w[i+1]} for i in range(1, len(w))],
+             |           recursive := true)
+             |  FROM t WHERE len(w) >= 2 AND source = 'src0')
+             |SELECT bgte.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |  round(avg(ln((coalesce(cnt2, 0) + 1.0) / (coalesce(cnt1, 0) + nv))), 6)
+             |    AS logprob
+             |FROM bgte LEFT JOIN c2 USING (p, c) LEFT JOIN c1 USING (p) CROSS JOIN v
              |GROUP BY 1 ORDER BY doc_id ASC""".stripMargin))
   )
 }
