@@ -368,7 +368,23 @@ object Cubes {
       fact = docs,
       dimensions = Map(
         "source" -> Dimension("source", col("source")),
+        "docId" -> Dimension("docId", col("doc_id")),
         "lang" -> Dimension("lang", TextAnalysis.langId(col("text"))),
+        // EXPLODING chunk dimension: the sliding-window chunking
+        // (llm/TextAnalysis.chunks, 40-token windows advancing 30) as a
+        // front-door slice — one output row per chunk. The element is a
+        // (idx, n_tokens, chunk_md5) struct; the `json` sub-field
+        // serializes it for the flat response (struct cells are
+        // unhashable at the driver edge, the q71 lesson). Row-local —
+        // map-only before the aggregation like `token`.
+        "chunk" -> Dimension("chunk",
+          F.transform(TextAnalysis.chunks(col("text"), 40, 30), c =>
+            F.struct(
+              c.getField("idx").as("idx"),
+              c.getField("n_tokens").as("n_tokens"),
+              F.md5(c.getField("chunk")).as("chunk_md5"))),
+          fields = Map("json" -> (arr => F.transform(arr, e => F.to_json(e)))),
+          explode = true),
         // the deterministic train/val/test assignment as a first-class
         // dimension: slicing training data by split composes with every
         // other front-door feature, and the assignment is reproducible
@@ -407,6 +423,47 @@ object Cubes {
           graft.functions.NextFitBins(
             F.sort_array(F.collect_list(
               p.map(pr => F.when(pr, doc)).getOrElse(doc))), cap)
+        },
+        // corpus-trained bigram quality gate through the front door:
+        // per group, mean per-doc avg ln P(w_i | w_{i-1}) under the
+        // model trained on the whole pred-filtered corpus. Pure plan
+        // lineage (model re-derived per execution — cacheable, no
+        // snapshotsData; see LangModel.avgLogprobPlan).
+        "avgLogprob" -> Metric("avgLogprob",
+          build = _ => throw new CubeQueryException(
+            "avgLogprob is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.llm.LangModel.avgLogprobPlan(
+              fact, keys, col("doc_id"), col("text"), pred)
+          }),
+        // token-budget mixture through the front door: tokens KEPT by
+        // the greedy (quality desc, id asc) prefix under a per-group
+        // budget — the budget is a metric arg, dispatched like topK's
+        // size (parse_tree.rb:127-130)
+        "mixTokens" -> {
+          def make(bound: Map[String, Any]): Metric = {
+            def budgetArg: Long = bound("budget") match {
+              case i: Int if i > 0 => i.toLong
+              case other => throw new CubeQueryException(
+                s"mixTokens budget must be a positive integer, got $other")
+            }
+            Metric("mixTokens",
+              build = _ => throw new CubeQueryException(
+                "mixTokens is plan-backed: flat grouping only"),
+              planBuild = Some { (fact, keys, pred) =>
+                graft.llm.Mixture.mixTokensPlan(
+                  fact, keys, col("doc_id"),
+                  TextAnalysis.tokenCount(col("text")),
+                  TextAnalysis.qualityScore(col("text")),
+                  budgetArg, pred)
+              },
+              applyArgFn = Some { (k, v) =>
+                if (bound.contains(k)) make(bound + (k -> v))
+                else throw new CubeQueryException(
+                  s"metric 'mixTokens' takes no argument '$k' (has: ${bound.keys.mkString(",")})")
+              })
+          }
+          make(Map("budget" -> 300))
         }),
       selectors = Map(
         "source" -> Selector("source", col("source")),
@@ -417,6 +474,69 @@ object Cubes {
         // dup3 <= 0.2` drops stamped/templated docs in-plan (row-local
         // expression, composes with pushdown like any other predicate)
         "dup3" -> Selector("dup3", TextAnalysis.dupNgramFraction(col("text"), 3))))
+  }
+
+  /** AudioCube — the decoded audio-feature table AS a cube fact: docs
+    * render to real PCM WAVs on the executors and decode back through
+    * the real codec (llm/Multimodal), and the resulting per-media
+    * features answer parsed queries like any other table. Any derived
+    * DataFrame is a legal fact (the funnelCube precedent), so the media
+    * modality needs no special front-door machinery.
+    */
+  def audioCube(s: SparkSession, d: String): Cube =
+    audioCube(s, PathCatalog(d))
+
+  def audioCube(s: SparkSession, cat: Catalog): Cube = {
+    import graft.llm.Multimodal
+    val feats = Multimodal.extractAudioFeatures(s,
+      Multimodal.wavMediaFromDocuments(s, Tables.table(s, cat, "documents"))).toDF()
+    Cube(
+      name = "audio",
+      fact = feats,
+      dimensions = Map(
+        "mediaId" -> Dimension("mediaId", col("media_id")),
+        "sampleRate" -> Dimension("sampleRate", col("sample_rate"))),
+      metrics = Map(
+        "count" -> Metric.countAll("count"),
+        "avgRms" -> Metric.avgOf("avgRms", col("rms")).mapValue(F.round(_, 6)),
+        "sumSamples" -> Metric.sumOf("sumSamples", col("n_samples")),
+        "avgDurationMs" -> Metric.avgOf("avgDurationMs", col("duration_ms"))
+          .mapValue(F.round(_, 6))),
+      selectors = Map(
+        "mediaId" -> Selector("mediaId", col("media_id")),
+        "nSamples" -> Selector("nSamples", col("n_samples")),
+        "rms" -> Selector("rms", col("rms"))))
+  }
+
+  /** VideoCube — the sampled-frame feature table AS a cube fact: docs
+    * render to motion-PNG containers, every 2nd frame is seek-sampled
+    * and decoded through the real image codec (llm/Multimodal), one
+    * fact row per sampled frame.
+    */
+  def videoCube(s: SparkSession, d: String): Cube =
+    videoCube(s, PathCatalog(d))
+
+  def videoCube(s: SparkSession, cat: Catalog): Cube = {
+    import graft.llm.Multimodal
+    val frames = Multimodal.frameFeatures(s,
+      Multimodal.sampleFrames(s,
+        Multimodal.videoMediaFromDocuments(s, Tables.table(s, cat, "documents")),
+        stride = 2)).toDF()
+    Cube(
+      name = "video",
+      fact = frames,
+      dimensions = Map(
+        "mediaId" -> Dimension("mediaId", col("media_id")),
+        "frameIdx" -> Dimension("frameIdx", col("frame_idx"))),
+      metrics = Map(
+        "frames" -> Metric.countAll("frames"),
+        "avgBrightness" -> Metric.avgOf("avgBrightness", col("brightness"))
+          .mapValue(F.round(_, 6)),
+        "maxWidth" -> Metric.maxOf("maxWidth", col("width")),
+        "maxHeight" -> Metric.maxOf("maxHeight", col("height"))),
+      selectors = Map(
+        "mediaId" -> Selector("mediaId", col("media_id")),
+        "frameIdx" -> Selector("frameIdx", col("frame_idx"))))
   }
 
   /** EmbeddingsCube — the embedding corpus behind the same front door as
@@ -484,8 +604,16 @@ object Cubes {
   def eventsCube(s: SparkSession, d: String): Cube =
     eventsCube(s, PathCatalog(d))
 
-  def eventsCube(s: SparkSession, cat: Catalog): Cube = {
-    val e = Tables.events(s, cat)
+  def eventsCube(s: SparkSession, cat: Catalog): Cube =
+    eventsCubeOver(Tables.events(s, cat))
+
+  /** The SAME events declaration over a caller-supplied fact — notably a
+    * STREAMING DataFrame (`Streaming.eventsStream` + watermark): a
+    * parsed front-door query compiles to one declarative plan that runs
+    * identically live and batch (StreamingSpec "parsed query served
+    * from a live stream"). Cube declarations bind column expressions,
+    * not tables, so streaming needs no parallel declaration. */
+  def eventsCubeOver(e: org.apache.spark.sql.DataFrame): Cube = {
     Cube(
       name = "events",
       fact = e,

@@ -83,6 +83,37 @@ object LangModel {
           .as("logprob"))
   }
 
+  /** The bigram gate as a PLAN-BACKED cube metric ([[graft.model.Metric]]
+    * `planBuild` contract): per slice group, the mean per-document
+    * logprob. The model trains on the WHOLE pred-filtered corpus
+    * (cross-group, like the SemDeDup metric's k-means — a quality gate
+    * scores against corpus statistics, not each slice's own) and each
+    * group averages its own documents' scores. Training and scoring are
+    * pure DataFrame lineage — no action runs at compile and nothing is
+    * baked as a literal — so unlike `semanticSurvivors` this metric does
+    * NOT set `snapshotsData`: a cached plan re-derives the model from
+    * the live table on every execution. (That is also why this path
+    * must not `persist`: frozen blocks would be the snapshot problem
+    * through the back door.)
+    *
+    * Group contract: a group whose docs all have < 2 tokens (no bigram
+    * evidence) gets NULL — the SQL `avg` of an empty set — not a row
+    * drop. */
+  def avgLogprobPlan(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      id: Column, text: Column,
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame =
+    graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val model = trainBigramModel(vals, id, text)
+      val scored = scoreAgainst(model, vals, id, text)
+      vals.select((keyed.map { case (n, c) => c.as(n) } :+ id.as("doc_id")): _*)
+        .join(scored, "doc_id")
+        .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(F.round(F.avg(F.col("logprob")), 6).as(outKey))
+    }(_ => F.lit(null).cast("double"))
+
   /** Self-scoring convenience (the q137 gate): train on the corpus and
     * score the same corpus. The shared bigram table is persisted
     * (memory-with-disk-spill) so the lineage — tokenize + explode over

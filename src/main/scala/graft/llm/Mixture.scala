@@ -39,4 +39,35 @@ object Mixture {
       .withColumn("kept", F.col("cum_tokens") <= F.col("__budget"))
       .drop("__prio", "__budget")
   }
+
+  /** The token-budget mixture as a PLAN-BACKED cube metric
+    * ([[graft.model.Metric]] `planBuild` contract): per slice group,
+    * the total tokens KEPT by the greedy budget prefix — each group is
+    * its own stratum (slice keys become the window partition via one
+    * struct column), so "tokens the mix takes from each source under a
+    * per-stratum budget" is an ordinary parsed cube query. Same scale
+    * shape as the library operator: one window aggregation, shuffle by
+    * group.
+    *
+    * Group contract: a group whose every doc is pred-filtered (or whose
+    * first doc already overflows the budget) gets 0, never null. */
+  def mixTokensPlan(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      id: Column, nTokens: Column, priority: Column,
+      budget: Long,
+      pred: Option[Column],
+      outKey: String = "__pb_value"): DataFrame = {
+    require(budget > 0, s"mixture budget must be positive, got $budget")
+    graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      val sampled = tokenBudgetSample(
+        vals, F.struct(keyed.map { case (n, c) => c.as(n) }: _*),
+        id, nTokens, priority, F.lit(budget))
+      sampled.filter(F.col("kept"))
+        .select((keyed.map { case (n, _) =>
+          F.col("stratum").getField(n).as(n) } :+ F.col("n_tokens")): _*)
+        .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+        .agg(F.sum(F.col("n_tokens")).cast("long").as(outKey))
+    }(_ => F.lit(0L))
+  }
 }

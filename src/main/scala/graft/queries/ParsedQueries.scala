@@ -367,6 +367,181 @@ object ParsedQueries {
              |FROM st WHERE stage > 0 GROUP BY 1
              |ORDER BY stage ASC NULLS FIRST, n_users ASC""".stripMargin)),
 
+    // CHUNKING through the front door: the sliding-window chunk table
+    // (q136's library operator) as an EXPLODING dimension — one row per
+    // chunk, the (idx, n_tokens, chunk_md5) element serialized by the
+    // `json` sub-field. The oracle replays the window arithmetic AND
+    // the json serialization, so explode placement, chunk math and
+    // struct field order all have to be right.
+    NamedQuery("q139_parsed_chunks",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "options": {"asc": ["doc_id", "chunk__json"]} },
+          |  "fields": [
+          |    {"name": "docId", "alias": "doc_id"},
+          |    {"name": "chunk", "fields": [{"name": "json"}]},
+          |    {"name": "count", "alias": "cnt"} ] }""".stripMargin).query.toDF,
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+             |    ((greatest(len(string_split_regex(trim(text), '\s+')) - 40, 0)
+             |      + 29) // 30) * 30 AS max_start
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, w,
+             |    unnest(range(0, max_start + 1, 30)) AS s
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(to_json({'idx': CAST(s // 30 AS INT),
+             |                'n_tokens': CAST(len(w[s+1:s+40]) AS INT),
+             |                'chunk_md5': md5(array_to_string(w[s+1:s+40], ' '))})
+             |    AS VARCHAR) AS chunk__json,
+             |  count(*) AS cnt
+             |FROM c GROUP BY 1, 2
+             |ORDER BY doc_id ASC NULLS FIRST, chunk__json ASC NULLS FIRST,
+             |cnt ASC""".stripMargin)),
+
+    // the BIGRAM QUALITY GATE through the front door: avgLogprob is the
+    // plan-backed corpus-trained bigram score (q137's operator), model
+    // trained on the WHERE-filtered corpus, each source averaging its
+    // own documents' scores. The oracle retrains the identical model —
+    // predecessor counts derived from the bigram counts — and replays
+    // the per-doc rounding before the group average.
+    NamedQuery("q140_parsed_bigram_gate",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "nChars": {"gt": 100}, "options": {"asc": "source"} },
+          |  "fields": [
+          |    {"name": "source"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "avgLogprob", "alias": "avg_logprob"} ] }""".stripMargin).query.toDF,
+      Some("""WITH d AS (SELECT * FROM documents WHERE n_chars > 100),
+             |t AS (
+             |  SELECT doc_id, source,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM d),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': w[i], 'c': w[i+1]} for i in range(1, len(w))],
+             |           recursive := true)
+             |  FROM t WHERE len(w) >= 2),
+             |c2 AS (SELECT p, c, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT p, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS nv
+             |      FROM (SELECT unnest(w) AS tok FROM t)),
+             |sc AS (
+             |  SELECT bg.doc_id,
+             |    round(avg(ln((cnt2 + 1.0) / (cnt1 + nv))), 6) AS lp
+             |  FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+             |  GROUP BY 1)
+             |SELECT t.source, count(*) AS n_docs,
+             |  round(avg(sc.lp), 6) AS avg_logprob
+             |FROM t LEFT JOIN sc USING (doc_id)
+             |GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_logprob ASC""".stripMargin)),
+
+    // the TOKEN-BUDGET MIXTURE through the front door: mixTokens is the
+    // plan-backed greedy budget prefix (q122's operator) with the
+    // budget as a metric arg — each source is its own stratum, the
+    // metric is the tokens the mix takes from it. The oracle replays
+    // the identical (quality desc, id asc) running-sum window.
+    NamedQuery("q141_parsed_mixture",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "options": {"asc": "source"} },
+          |  "fields": [
+          |    {"name": "source"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "mixTokens", "alias": "mix_tokens",
+          |     "args": {"budget": 300}} ] }""".stripMargin).query.toDF,
+      Some("""WITH m AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, source, len(toks) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(toks), 1), 6) AS stopword_ratio
+             |  FROM m),
+             |q AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM sc),
+             |sel AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM q),
+             |kept AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mix_tokens
+             |  FROM sel WHERE cum <= 300 GROUP BY 1),
+             |g AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+             |SELECT g.source, g.n_docs,
+             |  coalesce(k.mix_tokens, 0) AS mix_tokens
+             |FROM g LEFT JOIN kept k USING (source)
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, mix_tokens ASC""".stripMargin)),
+
+    // the AUDIO FEATURE TABLE through the front door: the decoded
+    // per-media features (q133's real-codec pipeline) as a cube fact —
+    // media metadata readouts are ordinary parsed queries. Oracle =
+    // q133's analytic synth mirror, grouped per media.
+    NamedQuery("q142_parsed_audio_cube",
+      (s, d) => QueryParser.parse(Cubes.audioCube(s, d),
+        """{ "cube": "audio",
+          |  "args": { "options": {"asc": "media_id"} },
+          |  "fields": [
+          |    {"name": "mediaId", "alias": "media_id"},
+          |    {"name": "count", "alias": "cnt"},
+          |    {"name": "sumSamples", "alias": "n_samples"},
+          |    {"name": "avgDurationMs", "alias": "duration_ms"},
+          |    {"name": "avgRms", "alias": "rms"} ] }""".stripMargin).query.toDF,
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, length(text) AS ncp,
+             |    200 + (length(text) % 100) AS n
+             |  FROM documents),
+             |sm AS (
+             |  SELECT doc_id, n,
+             |    [ ((unicode(text[(i % ncp) + 1]) * 131 + i * 7) % 65536) - 32768
+             |      for i in range(0, n) ] AS s
+             |  FROM t)
+             |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS cnt,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  round(n * 1000.0 / 8000.0, 6) AS duration_ms,
+             |  round(sqrt(list_sum([ (x * x)::DOUBLE for x in s ]) / n), 6) AS rms
+             |FROM sm ORDER BY media_id ASC""".stripMargin)),
+
+    // the VIDEO FRAME TABLE through the front door: per-frame decoded
+    // features (q134's seek-sampled motion-PNG pipeline) as a cube
+    // fact, with a selector picking frame 0 — "first-frame thumbnail
+    // stats per media" as one parsed query. Oracle = q134's analytic
+    // mirror restricted to f = 0.
+    NamedQuery("q143_parsed_video_cube",
+      (s, d) => QueryParser.parse(Cubes.videoCube(s, d),
+        """{ "cube": "video",
+          |  "args": { "frameIdx": {"eq": 0},
+          |            "options": {"asc": "media_id"} },
+          |  "fields": [
+          |    {"name": "mediaId", "alias": "media_id"},
+          |    {"name": "frames", "alias": "cnt"},
+          |    {"name": "maxWidth", "alias": "width"},
+          |    {"name": "maxHeight", "alias": "height"},
+          |    {"name": "avgBrightness", "alias": "brightness"} ] }""".stripMargin).query.toDF,
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(1 + (doc_id % 8) AS INT) AS width,
+             |    CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS height,
+             |    octet_length(CAST(text AS BLOB)) AS blen
+             |  FROM documents)
+             |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS cnt, width, height,
+             |  round(list_avg([ord(text[(p % blen) + 1])
+             |                  for p in range(0, width*height)]), 6) AS brightness
+             |FROM m ORDER BY media_id ASC""".stripMargin)),
+
     // parser → compiler, flat response; desc cnt + limit with tiebreaks;
     // metric-level filter via args on the metric; nil-arg op pruned
     NamedQuery("q70_parsed_flat",
