@@ -225,6 +225,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("PARSED query served from a LIVE STREAM: watermark + update mode, stream == batch") {
+    // the full front door — JSON tree -> parser -> events cube ->
+    // compiled plan — against a watermarked streaming fact in UPDATE
+    // mode, and the SAME parsed document against the batch table. One
+    // declaration, one parser, one compiler, two execution modes.
+    import graft.parse.QueryParser
+    val doc =
+      """{ "cube": "events",
+        |  "args": { "value": {"gt": 10} },
+        |  "fields": [
+        |    {"name": "ts", "fields": [{"name": "hour"}]},
+        |    {"name": "eventType", "alias": "etype"},
+        |    {"name": "count", "alias": "cnt"},
+        |    {"name": "sumValue", "alias": "sv"} ] }""".stripMargin
+    def query(fact: org.apache.spark.sql.DataFrame) =
+      QueryParser.parse(graft.cubes.Cubes.eventsCubeOver(fact), doc).query.toDF
+    val stream = runStream(
+      query(Streaming.eventsStream(spark, sf).withWatermark("ts", "10 minutes")),
+      "parsed_live", mode = "update")
+    val batch = batchRows(query(Tables.events(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("SpaceSaving top-K sketch aggregates a STREAM: matches exact batch top-3") {
     import org.apache.spark.sql.functions.col
     // mergeable-summaries construction => valid as a streaming aggregate
