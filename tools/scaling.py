@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Scaling-curve gate fitter: parse a graft.Scale log, fit per-query
+growth exponents, update the scaling section in BASELINE.md, and exit
+non-zero if any query grows super-linearly without an allowlisted
+explanation -- the standing 100x regression check.
+
+Model per query: warm time t(n) = c + a * n^e over the three measured
+points (n_small, n_mid, n_large) of its driver table. c is estimated by
+the smallest point's warm time (the fixture is ~no data there), so
+  e = ln((t_l - c) / (t_m - c)) / ln(n_l / n_m).
+
+Classification:
+  flat         t_l - c < FLAT_ABS            -- overhead-dominated, no
+                                                measurable scale exposure
+  ok           e <= 1.15                     -- linear or better
+  noise-band   1.15 < e <= 1.40, or the absolute delta is too small for
+               the +-20-35% sub-second noise band (BASELINE.md round-6
+               calibration) to support a super-linear claim
+  review       mid-point delta below the noise floor but the large point
+               grew -- exponent not identifiable, listed for eyes
+  SUPER-LINEAR e > 1.40 with enough absolute signal -- gate failure
+               unless allowlisted
+
+Usage: python3 tools/scaling.py /tmp/scale_full.log [--write-baseline]
+"""
+import math
+import re
+import sys
+
+FLAT_ABS = 0.30    # seconds of data-dependent work below which growth is unmeasurable
+MID_FLOOR = 0.05   # mid-point delta below this is inside timer noise
+FLAG_ABS = 0.50    # super-linear needs at least this much absolute growth
+E_LINEARISH = 1.15
+E_FLAG = 1.40
+
+# Queries allowed to be super-linear, with the documented reason.
+ALLOW = {
+    "q54_jaccard_pairs":
+        "exact all-pairs Jaccard verifier -- documented small-corpus "
+        "oracle anchor (llm/Dedup scaladoc); the scale path is the "
+        "banded variant proven by q51/q77/q82",
+    "q65_cosine_neardup_exact":
+        "exact all-pairs cosine verifier -- documented small-corpus "
+        "oracle anchor (llm/Similarity.scala:307-318); the scale path "
+        "is LSH/IVF (q58/q59/q64)",
+}
+
+
+def parse(path):
+    meta, times = {}, {}
+    errs = {}
+    for line in open(path):
+        line = re.sub(r"^\[info\] ", "", line.strip())
+        if line.startswith("SCALEMETA "):
+            _, name, driver, *pts = line.split()
+            meta[name] = (driver, [(p.split("=")[0], int(p.split("=")[1])) for p in pts])
+        elif line.startswith("SCALE "):
+            _, name, label, *ts = line.split()
+            times.setdefault(name, {})[label] = [float(t) for t in ts]
+        elif line.startswith("SCALEERR "):
+            errs[line.split()[1]] = line.split(None, 2)[2]
+    return meta, times, errs
+
+
+def fit(meta, times):
+    rows = []
+    for name in sorted(meta):
+        driver, pts = meta[name]
+        if name not in times or len(times[name]) < 3:
+            rows.append((name, driver, None, None, None, None, "incomplete", ""))
+            continue
+        (l0, n0), (l1, n1), (l2, n2) = pts
+        t0, t1, t2 = (min(times[name][l]) for l in (l0, l1, l2))
+        c = t0
+        dm, dl = t1 - c, t2 - c
+        e = None
+        note = ""
+        if dl < FLAT_ABS:
+            cls = "flat"
+        elif dm < MID_FLOOR:
+            cls = "review"
+            note = "mid-point delta %.2fs below noise floor; growth %.2fs not fittable" % (dm, dl)
+        else:
+            e = math.log(dl / dm) / math.log(n2 / n1)
+            if e <= E_LINEARISH:
+                cls = "ok"
+            elif e <= E_FLAG or dl < FLAG_ABS:
+                cls = "noise-band"
+            else:
+                cls = "SUPER-LINEAR"
+        rows.append((name, driver, t0, t1, t2, e, cls, note))
+    return rows
+
+
+def render(rows, errs):
+    out = []
+    out.append("| query | driver | t(small) | t(mid) | t(large) | e | class |")
+    out.append("|---|---|---|---|---|---|---|")
+    for name, driver, t0, t1, t2, e, cls, note in rows:
+        if t0 is None:
+            out.append("| %s | %s | - | - | - | - | %s |" % (name, driver, cls))
+            continue
+        es = "%.2f" % e if e is not None else "-"
+        mark = " **%s**" % cls if cls == "SUPER-LINEAR" else " %s" % cls
+        out.append("| %s | %s | %.2f | %.2f | %.2f | %s |%s |" %
+                   (name, driver, t0, t1, t2, es, mark))
+    for name, msg in sorted(errs.items()):
+        out.append("| %s | - | - | - | - | - | ERROR: %s |" % (name, msg))
+    return "\n".join(out)
+
+
+def update_baseline(section):
+    path = "BASELINE.md"
+    begin, end = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
+    text = open(path).read()
+    block = begin + "\n" + section + "\n" + end
+    if begin in text:
+        text = re.sub(re.escape(begin) + r".*?" + re.escape(end), block,
+                      text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
+def main():
+    log = sys.argv[1]
+    write = "--write-baseline" in sys.argv
+    meta, times, errs = parse(log)
+    rows = fit(meta, times)
+    flagged = [r for r in rows if r[6] == "SUPER-LINEAR" and r[0] not in ALLOW]
+    allowed = [r for r in rows if r[6] == "SUPER-LINEAR" and r[0] in ALLOW]
+    review = [r for r in rows if r[6] in ("review", "incomplete")]
+
+    classes = {}
+    for r in rows:
+        classes[r[6]] = classes.get(r[6], 0) + 1
+    summary = ["## Measured scaling curves (graft.Scale + tools/scaling.py)", ""]
+    summary.append(
+        "Warm-repeat protocol: per query, three driver-table sizes run "
+        "consecutively (floor = smallest point's warm time, subtracted "
+        "before the fit); documents/embeddings families run against "
+        "subsampled fixture dirs because those tables are constant "
+        "across the small native sfs. e fits t ~ rows^e between the mid "
+        "and large points. Class counts: " +
+        ", ".join("%s=%d" % kv for kv in sorted(classes.items())) + ".")
+    summary.append("")
+    if allowed:
+        summary.append("Allowlisted super-linear (documented verifiers):")
+        for r in allowed:
+            summary.append("- `%s` (e=%.2f): %s" % (r[0], r[5], ALLOW[r[0]]))
+        summary.append("")
+    if flagged:
+        summary.append("**GATE FAILURES (unexplained super-linear):**")
+        for r in flagged:
+            summary.append("- `%s` e=%.2f (%.2fs -> %.2fs)" % (r[0], r[5], r[3], r[4]))
+        summary.append("")
+    section = "\n".join(summary) + "\n" + render(rows, errs)
+
+    print(section)
+    if write:
+        update_baseline(section)
+        print("\n[scaling] BASELINE.md updated")
+    print("\n[scaling] %d queries, %d flagged, %d allowlisted, %d review/incomplete, %d errors"
+          % (len(rows), len(flagged), len(allowed), len(review), len(errs)))
+    sys.exit(1 if flagged or errs else 0)
+
+
+if __name__ == "__main__":
+    main()
