@@ -67,20 +67,30 @@ object LangModel {
   def scoreAgainst(model: BigramModel, docs: DataFrame, id: Column, text: Column): DataFrame =
     scoreBigrams(model, docBigrams(docs, id, text))
 
-  private def scoreBigrams(model: BigramModel, bg: DataFrame): DataFrame = {
+  /** Unrounded per-doc scores, for paths that AVERAGE the scores again
+    * (the grouped gate). Rounding per doc AND per group is double
+    * rounding: every doc becomes an independent rounding-boundary
+    * exposure, and one flipped 6th decimal shifts its group mean across
+    * the mean's own boundary. Feed raw doubles to the group average and
+    * round ONCE at the end. */
+  def scoreAgainstRaw(model: BigramModel, docs: DataFrame, id: Column, text: Column): DataFrame =
+    scoreBigrams(model, docBigrams(docs, id, text), roundPerDoc = false)
+
+  private def scoreBigrams(model: BigramModel, bg: DataFrame,
+      roundPerDoc: Boolean = true): DataFrame = {
     // predecessor totals DERIVED from the bigram counts (Σ_c C(p,c)):
     // an aggregation over distinct-bigram rows, not a corpus re-scan
     val c1 = model.bigrams.groupBy("p").agg(F.sum("cnt2").as("cnt1"))
+    val lp = F.avg(F.log(
+      (F.coalesce(F.col("cnt2"), F.lit(0L)) + 1.0) /
+        (F.coalesce(F.col("cnt1"), F.lit(0L)) + F.col("nv"))))
     bg.join(model.bigrams, Seq("p", "c"), "left")
       .join(c1, Seq("p"), "left")
       .crossJoin(model.vocabSize)
       .groupBy("doc_id")
       .agg(
         F.count(F.lit(1)).cast("int").as("n_bigrams"),
-        F.round(F.avg(F.log(
-          (F.coalesce(F.col("cnt2"), F.lit(0L)) + 1.0) /
-            (F.coalesce(F.col("cnt1"), F.lit(0L)) + F.col("nv")))), 6)
-          .as("logprob"))
+        (if (roundPerDoc) F.round(lp, 6) else lp).as("logprob"))
   }
 
   /** The bigram gate as a PLAN-BACKED cube metric ([[graft.model.Metric]]
@@ -107,7 +117,10 @@ object LangModel {
       outKey: String = "__pb_value"): DataFrame =
     graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
       val model = trainBigramModel(vals, id, text)
-      val scored = scoreAgainst(model, vals, id, text)
+      // raw per-doc scores: the SINGLE rounding happens on the group
+      // mean below (per-doc round + group round = double rounding, the
+      // round-7 q140 1-ulp hash flip)
+      val scored = scoreAgainstRaw(model, vals, id, text)
       vals.select((keyed.map { case (n, c) => c.as(n) } :+ id.as("doc_id")): _*)
         .join(scored, "doc_id")
         .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)

@@ -404,8 +404,9 @@ object ParsedQueries {
     // plan-backed corpus-trained bigram score (q137's operator), model
     // trained on the WHERE-filtered corpus, each source averaging its
     // own documents' scores. The oracle retrains the identical model —
-    // predecessor counts derived from the bigram counts — and replays
-    // the per-doc rounding before the group average.
+    // predecessor counts derived from the bigram counts — and, like the
+    // engine, keeps per-doc scores UNROUNDED: the one round(…,6) sits
+    // on the group mean (double rounding flipped a 6th decimal in r7).
     NamedQuery("q140_parsed_bigram_gate",
       (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
         """{ "cube": "documents",
@@ -430,7 +431,7 @@ object ParsedQueries {
              |      FROM (SELECT unnest(w) AS tok FROM t)),
              |sc AS (
              |  SELECT bg.doc_id,
-             |    round(avg(ln((cnt2 + 1.0) / (cnt1 + nv))), 6) AS lp
+             |    avg(ln((cnt2 + 1.0) / (cnt1 + nv))) AS lp
              |  FROM bg JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
              |  GROUP BY 1)
              |SELECT t.source, count(*) AS n_docs,

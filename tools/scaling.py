@@ -80,6 +80,11 @@ def fit(meta, times):
         elif dm < MID_FLOOR:
             cls = "review"
             note = "mid-point delta %.2fs below noise floor; growth %.2fs not fittable" % (dm, dl)
+        elif n1 <= 0 or n2 == n1:
+            # driver='none' (all row counts 0) or degenerate fixture --
+            # exponent not identifiable; don't divide by log(n2/n1)
+            cls = "review"
+            note = "driver rows %d -> %d: exponent not identifiable" % (n1, n2)
         else:
             e = math.log(dl / dm) / math.log(n2 / n1)
             if e <= E_LINEARISH:
