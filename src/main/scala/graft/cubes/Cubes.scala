@@ -628,7 +628,18 @@ object Cubes {
         // per user across runs and engines, so retention/conversion read-
         // outs slice by A/B assignment through the front door
         "arm" -> Dimension("arm",
-          graft.llm.Splits.hashBucket(col("user_id"), 4))),
+          graft.llm.Splits.hashBucket(col("user_id"), 4)),
+        // gap-based session window (30 min, Streaming.sessionAggs'
+        // semantics) as a first-class dimension: the compiler groups on
+        // the expression Column directly, so Spark's session-window
+        // rewrite fires in BOTH batch and streaming — one parsed
+        // document serves the sessionization read-out live (StreamingSpec
+        // "parsed SESSION-WINDOW query served from a live stream").
+        // Sliced as the whole {start, end} struct: sub-fields would wrap
+        // the expression in GetStructField, which the session-window
+        // grouping rewrite doesn't match.
+        "session" -> Dimension("session",
+          F.session_window(col("ts"), "30 minutes"))),
       metrics = Map(
         "count" -> Metric.countAll("count"),
         "sumValue" -> Metric.sumOf("sumValue", col("value")).mapValue(F.round(_, 2)),
@@ -674,15 +685,39 @@ object Cubes {
         // total completed view→signup→purchase sequences (ClickHouse
         // sequenceCount) per slice group — plan-backed like retention:
         // the greedy chain scan needs a per-user level under the slice
-        // grouping (operators/Funnel.sequenceTotalPlan)
-        "seqConversions" -> Metric("seqConversions",
-          build = _ => throw new CubeQueryException(
-            "seqConversions is plan-backed: flat grouping only"),
-          planBuild = Some { (fact, keys, pred) =>
-            graft.operators.Funnel.sequenceTotalPlan(fact, keys,
-              col("user_id"), col("ts"), col("event_type"),
-              Seq("view", "signup", "purchase"), pred)
-          })),
+        // grouping (operators/Funnel.sequenceTotalPlan). The whale cap
+        // is a metric ARG (dispatched like mixTokens' budget):
+        // `maxEventsPerUser: n` bounds per-user aggregation state at 2n
+        // everywhere incl. map-side partials (functions/EarliestN) —
+        // the front door for "don't let one bot account own a reducer".
+        // 0 (the default) = uncapped.
+        "seqConversions" -> {
+          def make(bound: Map[String, Any]): Metric = {
+            def capArg: Option[Int] = bound("maxEventsPerUser") match {
+              case 0 => None
+              case i: Int if i > 0 => Some(i)
+              case other => throw new CubeQueryException(
+                "seqConversions maxEventsPerUser must be a non-negative " +
+                  s"integer (0 = uncapped), got $other")
+            }
+            Metric("seqConversions",
+              build = _ => throw new CubeQueryException(
+                "seqConversions is plan-backed: flat grouping only"),
+              planBuild = Some { (fact, keys, pred) =>
+                graft.operators.Funnel.sequenceTotalPlan(fact, keys,
+                  col("user_id"), col("ts"), col("event_type"),
+                  Seq("view", "signup", "purchase"), pred,
+                  maxEventsPerUser = capArg)
+              },
+              applyArgFn = Some { (k, v) =>
+                if (bound.contains(k)) make(bound + (k -> v))
+                else throw new CubeQueryException(
+                  s"metric 'seqConversions' takes no argument '$k' " +
+                    s"(has: ${bound.keys.mkString(",")})")
+              })
+          }
+          make(Map("maxEventsPerUser" -> 0))
+        }),
       selectors = Map(
         "eventType" -> Selector("eventType", col("event_type")),
         "value" -> Selector("value", col("value")),

@@ -137,8 +137,14 @@ object LangModel {
     * and predecessor is present in the model by construction, so the
     * left joins reduce to the inner-join semantics the q137 oracle
     * replays. */
-  def bigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val bg = docBigrams(docs, id, text).persist(StorageLevel.MEMORY_AND_DISK)
+  def bigramScore(docs: DataFrame, id: Column, text: Column,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // storage is caller-scoped: a long-lived serving session passes
+    // StorageLevel.NONE (recompute the shared lineage twice rather
+    // than leave unowned cached blocks to LRU eviction); the one-shot
+    // verify/bench caller keeps the default single materialization
+    val bg0 = docBigrams(docs, id, text)
+    val bg = if (storage == StorageLevel.NONE) bg0 else bg0.persist(storage)
     val c2 = bg.groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
     val v = docs.select(F.explode(Dedup.tokens(F.lower(text))).as("t"))
       .agg(F.count_distinct(F.col("t")).as("nv"))

@@ -271,6 +271,53 @@ object TrainQueries {
              |FROM u LEFT JOIN pm ON u.user_id = pm.user_id
              |GROUP BY 1 ORDER BY u.arm ASC NULLS FIRST""".stripMargin)),
 
+    // the WHALE CAP through the front door: seqConversions with the
+    // maxEventsPerUser metric arg (dispatched like mixTokens' budget),
+    // bounding per-user aggregation state at 2n everywhere incl.
+    // map-side partials (functions/EarliestN). The cap (500) is far
+    // above any fixture user's event count, so results are bit-equal
+    // to the uncapped path and the oracle is q120's uncapped greedy
+    // walk; ParserSpec proves the same arg with a BINDING cap changes
+    // the count and equals the library operator's capped result.
+    NamedQuery("q144_parsed_seq_capped",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "args": { "options": {"asc": "arm"} },
+          |  "fields": [
+          |    {"name": "arm"},
+          |    {"name": "seqConversions", "alias": "conversions",
+          |     "args": {"maxEventsPerUser": 500}},
+          |    {"name": "uniqueUsers", "alias": "users"} ] }""".stripMargin).query.toDF,
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, step) AS i,
+             |    step
+             |  FROM (SELECT user_id, ts,
+             |          CASE event_type WHEN 'view' THEN 0 WHEN 'signup' THEN 1
+             |               ELSE 2 END AS step
+             |        FROM events
+             |        WHERE event_type IN ('view', 'signup', 'purchase'))),
+             |n AS (SELECT user_id, count(*) AS cnt FROM ev GROUP BY 1),
+             |walk AS (
+             |  SELECT user_id, 0 AS i, 0 AS stage, 0 AS matches FROM n
+             |  UNION ALL
+             |  SELECT w.user_id, w.i + 1,
+             |    CASE WHEN e.step = w.stage
+             |         THEN (CASE WHEN w.stage = 2 THEN 0 ELSE w.stage + 1 END)
+             |         ELSE w.stage END,
+             |    w.matches + (CASE WHEN e.step = w.stage AND w.stage = 2
+             |                      THEN 1 ELSE 0 END)
+             |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1),
+             |pm AS (SELECT w.user_id AS user_id, w.matches FROM walk w
+             |       JOIN n ON w.user_id = n.user_id AND w.i = n.cnt),
+             |u AS (SELECT DISTINCT
+             |  CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS BIGINT) AS arm,
+             |  user_id FROM events)
+             |SELECT u.arm, CAST(sum(coalesce(pm.matches, 0)) AS BIGINT) AS conversions,
+             |  CAST(count(*) AS BIGINT) AS users
+             |FROM u LEFT JOIN pm ON u.user_id = pm.user_id
+             |GROUP BY 1 ORDER BY u.arm ASC NULLS FIRST""".stripMargin)),
+
     // the repetition gate THROUGH the front door: dup3 as a selector
     // (`when dup3 <= 0.2` — row-local predicate, composes with pushdown)
     // and avgDup3 as a sliced metric. Oracle recomputes the whole

@@ -341,6 +341,39 @@ class FunnelSpec extends AnyFunSuite {
       "whale's only purchase is outside the earliest-50 prefix")
   }
 
+  test("maxEventsPerUser through the front door: binding cap changes the count and matches the library operator") {
+    import graft.parse.QueryParser
+    val dir = "/root/testdata/sf0.001"
+    val cube = graft.cubes.Cubes.eventsCube(spark, dir)
+    def parsed(capArg: String): Long =
+      QueryParser.parse(cube,
+        s"""{ "cube": "events",
+           |  "fields": [
+           |    {"name": "seqConversions", "alias": "conv"$capArg} ] }""".stripMargin)
+        .query.toDF.collect()(0).getLong(0)
+    val uncapped = parsed("")
+    val explicit0 = parsed(""", "args": {"maxEventsPerUser": 0}""")
+    val capped = parsed(""", "args": {"maxEventsPerUser": 2}""")
+    assert(explicit0 == uncapped, "explicit 0 must mean uncapped")
+    assert(uncapped > 0, "fixture must have completed chains")
+    assert(capped < uncapped,
+      "a 2-event cap must drop chains (every user keeps only their earliest 2 step events)")
+    // the front-door arg is EXACTLY the library operator's cap
+    val lib = Funnel.sequenceTotalPlan(
+      graft.cubes.Tables.events(spark, dir),
+      Seq.empty, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "signup", "purchase"), None,
+      maxEventsPerUser = Some(2)).collect()(0).getLong(0)
+    assert(capped == lib)
+    // validation: negative cap and unknown arg both reject at parse/apply
+    val neg = intercept[graft.model.CubeQueryException](
+      parsed(""", "args": {"maxEventsPerUser": -3}"""))
+    assert(neg.getMessage.contains("non-negative"))
+    val unk = intercept[graft.model.CubeQueryException](
+      parsed(""", "args": {"maxEvents": 5}"""))
+    assert(unk.getMessage.contains("takes no argument"))
+  }
+
   test("retentionWeekly through the front door requires flat grouping") {
     val cube = graft.cubes.Cubes.eventsCube(spark, "/root/testdata/sf0.001")
     val err = intercept[graft.model.CubeQueryException] {

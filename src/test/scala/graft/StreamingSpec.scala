@@ -248,6 +248,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("parsed SESSION-WINDOW query served from a live stream: stream == batch") {
+    // past plain aggregation: the parsed document slices the `session`
+    // dimension (gap-based session_window), so the compiled plan is a
+    // STATEFUL session-window aggregation — merging sessions as events
+    // arrive — not just a keyed running count. Same JSON document, same
+    // parser, same compiler; only the fact is live.
+    import graft.parse.QueryParser
+    val doc =
+      """{ "cube": "events",
+        |  "fields": [
+        |    {"name": "session"},
+        |    {"name": "user", "alias": "user_id"},
+        |    {"name": "count", "alias": "n_events"},
+        |    {"name": "sumValue", "alias": "sum_value"} ] }""".stripMargin
+    def query(fact: org.apache.spark.sql.DataFrame) =
+      QueryParser.parse(graft.cubes.Cubes.eventsCubeOver(fact), doc).query.toDF
+    val stream = runStream(
+      query(Streaming.eventsStream(spark, sf).withWatermark("ts", "10 minutes")),
+      "parsed_sess_live")
+    val batch = batchRows(query(Tables.events(spark, sf)))
+    assert(stream.nonEmpty && stream.sameElements(batch))
+    // and the parsed plan IS the library sessionization: identical
+    // (user, n_events, sum_value) cell multiset as Streaming.sessionAggs
+    val cells = batchRows(query(Tables.events(spark, sf))
+      .selectExpr("user_id", "n_events", "sum_value"))
+    val lib = batchRows(Streaming.sessionAggs(Tables.events(spark, sf))
+      .selectExpr("user_id", "n_events", "sum_value"))
+    assert(cells.sameElements(lib))
+  }
+
   test("SpaceSaving top-K sketch aggregates a STREAM: matches exact batch top-3") {
     import org.apache.spark.sql.functions.col
     // mergeable-summaries construction => valid as a streaming aggregate
