@@ -48,9 +48,24 @@ object Scale {
   private val docSizes = Seq(50L, 1581L, 5000L)
   private val embSizes = Seq(50L, 632L, 2000L)
 
+  /** Big-ladder mode (3rd arg = "big"): shift every point one scale up —
+    * (sf0.01, sf0.1, sfbig) for native drivers, (632, 2000, 16000) for
+    * embeddings — so review-class queries whose mid-point delta sat
+    * under the timer noise floor at the native ladder get an
+    * identifiable exponent. `sfbig` replicates lineitem/orders/events
+    * 8× from sf0.1 with shifted keys: join chains stay consistent and
+    * order/user cardinality scales with the rows (a pure perf fixture —
+    * never used for correctness). `emb_16000` adds 7 noise-perturbed
+    * replicas per sf0.1 vector, noise sized so a replica is NOT a
+    * near-dup of its original (cos ≈ 0.34) nor of its siblings (≈ 0.1):
+    * the corpus grows without manufacturing near-dup structure the
+    * operator would rightly pay output-linear work for. Documents
+    * queries keep the native ladder (docs already span 100× and none
+    * sits in the review class). */
   def main(args: Array[String]): Unit = {
     val filters = args.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
     val repeats = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val big = args.drop(2).headOption.contains("big")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -59,6 +74,7 @@ object Scale {
     spark.sparkContext.setLogLevel("ERROR")
 
     prepareSynthDirs(spark)
+    if (big) prepareBigDirs(spark)
     val rowCount = countsCache(spark)
 
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -71,8 +87,13 @@ object Scale {
           }.getOrElse("none") // `growing` is ordered smallest-last driver priority
           val points: Seq[(String, String)] = driver match {
             case "documents" => docSizes.map(n => s"docs_$n" -> s"$synthRoot/docs_$n")
-            case "embeddings" => embSizes.map(n => s"emb_$n" -> s"$synthRoot/emb_$n")
-            case _ => nativeSfs.map(sf => sf -> s"$testRoot/$sf")
+            case "embeddings" =>
+              val sizes = if (big) Seq(632L, 2000L, 16000L) else embSizes
+              sizes.map(n => s"emb_$n" -> s"$synthRoot/emb_$n")
+            case _ =>
+              val sfs = if (big) Seq("sf0.01", "sf0.1") else nativeSfs
+              val dirs = sfs.map(sf => sf -> s"$testRoot/$sf")
+              if (big) dirs :+ ("sfbig" -> s"$synthRoot/sfbig") else dirs
           }
           val meta = points.map { case (label, dir) =>
             val n = if (driver == "none") 0L else rowCount(driver, dir)
@@ -140,5 +161,95 @@ object Scale {
       }
     build("docs", docSizes, "documents", "doc_id")
     build("emb", embSizes, "embeddings", "vec_id")
+  }
+
+  /** Build the big-ladder fixture dirs (see `main` scaladoc): `sfbig`
+    * (8× lineitem/orders/events, key-shifted) and `emb_16000` (8×
+    * embeddings, replicas noise-perturbed out of near-dup range). */
+  private def prepareBigDirs(spark: SparkSession): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.Column
+
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(8).toDF("__copy"))
+    def shifted(c: String, by: Long): Column =
+      F.col(c) + F.col("__copy") * F.lit(by)
+    // a crashed earlier build leaves table files/dirs without _READY;
+    // wipe so the copy phase never lands a file on top of a directory
+    def reset(dir: java.nio.file.Path): Unit = {
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(dir)
+    }
+    // events.ts is parquet TIMESTAMP(NANOS); read it as raw long (same
+    // legacy conf Tables.events uses) and WRITE it as plain INT64 nanos
+    // so Tables.events' long→timestamp conversion applies unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val bigDir = Paths.get(s"$synthRoot/sfbig")
+    if (!Files.exists(bigDir.resolve("_READY"))) {
+      reset(bigDir)
+      val src = Paths.get(s"$testRoot/sf0.1")
+      Files.list(src).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, bigDir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+      def read(t: String) = spark.read.parquet(s"$testRoot/sf0.1/$t.parquet")
+      // one shift constant per key domain so lineitem→orders joins stay
+      // consistent across copies
+      val keyShift = read("orders").agg(F.max("o_orderkey")).head.getLong(0) + 1
+      val userShift = read("events").agg(F.max("user_id")).head.getLong(0) + 1
+      val eventShift = read("events").agg(F.max("event_id")).head.getLong(0) + 1
+      def overwrite(t: String, df: DataFrame): Unit = {
+        Files.deleteIfExists(bigDir.resolve(s"$t.parquet"))
+        df.drop("__copy").write.mode("overwrite")
+          .parquet(bigDir.resolve(s"$t.parquet").toString)
+      }
+      overwrite("lineitem", copies(read("lineitem"))
+        .withColumn("l_orderkey", shifted("l_orderkey", keyShift)))
+      overwrite("orders", copies(read("orders"))
+        .withColumn("o_orderkey", shifted("o_orderkey", keyShift)))
+      overwrite("events", copies(read("events"))
+        .withColumn("event_id", shifted("event_id", eventShift))
+        .withColumn("user_id", shifted("user_id", userShift)))
+      Files.createFile(bigDir.resolve("_READY"))
+    }
+
+    val embDir = Paths.get(s"$synthRoot/emb_16000")
+    if (!Files.exists(embDir.resolve("_READY"))) {
+      reset(embDir)
+      val src = Paths.get(s"$testRoot/sf0.01")
+      Files.list(src).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, embDir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.deleteIfExists(embDir.resolve("embeddings.parquet"))
+      val emb = spark.read.parquet(s"$testRoot/sf0.1/embeddings.parquet")
+      val vecShift = emb.agg(F.max("vec_id")).head.getLong(0) + 1
+      // copy 0 stays byte-identical (ladders nest); copies 1-7 get
+      // per-component uniform noise ±0.6·|v|: E|noise|² ≈ 7.7|v|², so
+      // cos(original, replica) ≈ 1/√8.7 ≈ 0.34 < the 0.4-0.45 near-dup
+      // thresholds, and independent noises make sibling replicas ~0.1.
+      // hash(vec_id, copy, i) keeps it deterministic.
+      val noisy = F.transform(F.col("embedding"), (x, i) => {
+        val u = (F.pmod(F.hash(F.col("vec_id"), F.col("__copy"), i),
+          F.lit(100000)).cast("double") / 100000.0 - 0.5) * 1.2
+        F.when(F.col("__copy") === 0, x)
+          .otherwise((x + F.col("__norm") * u).cast("float"))
+      })
+      val out = copies(emb)
+        .withColumn("__norm", F.sqrt(F.aggregate(F.col("embedding"),
+          F.lit(0.0d), (acc, v) => acc + v * v)))
+        .withColumn("vec_id", shifted("vec_id", vecShift))
+        .withColumn("embedding", noisy)
+        .drop("__copy", "__norm")
+      out.write.mode("overwrite").parquet(embDir.resolve("embeddings.parquet").toString)
+      Files.createFile(embDir.resolve("_READY"))
+    }
   }
 }

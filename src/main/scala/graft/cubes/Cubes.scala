@@ -569,9 +569,10 @@ object Cubes {
                 s"semanticSurvivors threshold must be numeric, got $other")
             }
             def nListsArg: Int = bound("nLists") match {
-              case i: Int if i > 0 => i
+              case i: Int if i >= 0 => i // 0 = occupancy-adaptive √n cells
               case other => throw new CubeQueryException(
-                s"semanticSurvivors nLists must be a positive integer, got $other")
+                "semanticSurvivors nLists must be a non-negative integer " +
+                  s"(0 = adaptive √n cells), got $other")
             }
             Metric("semanticSurvivors",
               build = _ => throw new CubeQueryException(
@@ -591,7 +592,7 @@ object Cubes {
                     s"(has: ${bound.keys.mkString(",")})")
               })
           }
-          make(Map("threshold" -> 0.5, "nLists" -> 16))
+          make(Map("threshold" -> 0.5, "nLists" -> 0))
         }),
       selectors = Map(
         "label" -> Selector("label", col("label")),

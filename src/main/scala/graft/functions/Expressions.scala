@@ -80,6 +80,79 @@ object SimHash64 {
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
 }
 
+/** Random-hyperplane LSH signature of an array<float> embedding: the
+  * sign bits of `nBits` fixed-seed gaussian hyperplane dots, packed into
+  * a long. One fused loop per row in codegen — the HOF formulation
+  * (per-plane zip_with + aggregate) dispatched an interpreted lambda per
+  * element per plane, and with tables × bits planes per row that
+  * constant dominated every LSH path (the NgramStats lesson applied to
+  * embeddings). Bit-compatible with the HOF version: products in FLOAT
+  * precision, accumulated left-to-right in double, bit i set iff
+  * dot ≥ 0 (LlmSpec pins the equivalence).
+  */
+case class HyperplaneSig(child: Expression, dim: Int, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig needs array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.compute(v.asInstanceOf[ArrayData], dim, nBits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneSig.compute($a, $dim, $nBits, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+object HyperplaneSig {
+  // planes are deterministic in (dim, nBits, seed) and tiny (nBits×dim
+  // floats); memoized per JVM so codegen's static call never re-draws
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Float]]]()
+
+  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] =
+    cache.computeIfAbsent((dim, nBits, seed), { key =>
+      val (d, b, s) = key
+      // EXACTLY Similarity.hyperplanes' draw order (Random(seed), row-major)
+      val rnd = new scala.util.Random(s)
+      Array.fill(b)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    })
+
+  def compute(a: ArrayData, dim: Int, nBits: Int, seed: Long): Long = {
+    val ps = planes(dim, nBits, seed)
+    val n = math.min(a.numElements(), dim)
+    var sig = 0L
+    var i = 0
+    while (i < nBits) {
+      val p = ps(i)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        // float multiply then double accumulate — the HOF formula's
+        // precision, kept for bit-identical signatures
+        dot += (a.getFloat(j) * p(j)).toDouble
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  def apply(emb: Column, dim: Int, nBits: Int, seed: Long): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(emb), dim, nBits, seed))
+}
+
 /** Cosine similarity between two array<float> embeddings, computed in
   * double precision in a single fused loop. The codegen path keeps the
   * whole ANN scoring stage inside one generated function — no boxing, no

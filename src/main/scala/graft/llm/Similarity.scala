@@ -23,27 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic unit-ish hyperplanes: nBits × dim gaussians from a
-    * fixed seed. */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-  }
-
-  /** Sign-bit signature of `emb` against the fixed hyperplanes, packed
-    * into a long (nBits ≤ 64). Row-local, codegen-friendly (CosineSim's
-    * dot is not needed — zip_with+aggregate suffices here since it runs
-    * once per row, not per candidate pair). */
+  /** Sign-bit signature of `emb` against fixed-seed gaussian
+    * hyperplanes, packed into a long (nBits ≤ 64). A codegen'd
+    * [[graft.functions.HyperplaneSig]] expression: the earlier
+    * zip_with + aggregate formulation paid an interpreted lambda
+    * dispatch per element per plane — with tables × bits planes per row
+    * that constant dominated every LSH path once the adaptive widths
+    * grew (measured on the q58/q59 scaling ladder). Signatures are
+    * bit-identical to the HOF version (LlmSpec pins it). */
   def signature(emb: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
     require(nBits <= 64)
-    val planes = hyperplanes(dim, nBits, seed)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = F.aggregate(
-        F.zip_with(emb, F.typedlit(p.toSeq), (x, y) => x * y),
-        F.lit(0.0d), (acc, v) => acc + v)
-      F.when(dot >= 0, F.lit(1L << i)).otherwise(F.lit(0L))
-    }
-    bits.reduce(_ + _)
+    graft.functions.HyperplaneSig(emb, dim, nBits, seed)
   }
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -70,20 +60,30 @@ object Similarity {
     * cosine re-ranks the candidate union. Shuffle is by (table, bucket)
     * key — corpus×L rows, never all-pairs. Recall < 1 by construction;
     * measured against [[bruteForceTopK]] in LlmSpec.
-    */
+    *
+    * `nBits = 0` (the default) sizes the signature by [[adaptiveBits]]
+    * so bucket occupancy — and with it the per-probe candidate count —
+    * stays ~`targetBucket` at ANY corpus size: probe cost is then
+    * O(|Q|·tables·probes·targetBucket) after the linear signature scan,
+    * instead of growing ∝ n/2^fixedBits the way a fixed width does (an
+    * indexed ANN lookup must not scan a constant fraction of the
+    * corpus). Explicit widths remain for reproducing a historical
+    * bucketing. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, nBits: Int = 6, tables: Int = 8, probeBits: Int = 6,
-      seed: Long = 7L): DataFrame = {
+      dim: Int, nBits: Int = 0, tables: Int = 8, probeBits: Int = 6,
+      seed: Long = 7L, targetBucket: Int = 32): DataFrame = {
+    val bits = if (nBits > 0) nBits else adaptiveBits(corpus.count(), targetBucket)
     def sigs(col: Column) = F.array((0 until tables).map(t =>
-      signature(col, dim, nBits, seed + t)): _*)
+      signature(col, dim, bits, seed + t)): _*)
     val c = corpus.select(F.col("id").as("neighbor_id"),
         F.col("embedding").as("c_emb"),
         F.posexplode(sigs(F.col("embedding"))))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    // per table, the query probes its own bucket plus the `probeBits`
-    // Hamming-1 neighbors — cheap recall boost, corpus side unchanged
-    val probeMasks = F.array((F.lit(0L) +: (0 until probeBits).map(i =>
+    // per table, the query probes its own bucket plus the Hamming-1
+    // neighbors on the low min(probeBits, bits) positions — cheap
+    // recall boost, corpus side unchanged
+    val probeMasks = F.array((F.lit(0L) +: (0 until math.min(probeBits, bits)).map(i =>
       F.lit(1L << i))): _*)
     val q = queries.select(F.col("id").as("query_id"),
         F.col("embedding").as("q_emb"),
@@ -240,14 +240,30 @@ object Similarity {
     * Cross-cluster duplicates are the accepted recall loss, exactly as
     * in the paper.
     *
+    * `nLists = 0` (the default) picks √n cells from one cheap corpus
+    * `count()` — the optimum of the single-level IVF cost trade
+    * (assignment ∝ n·L vs pair work ∝ n²/L meet at L = √n), giving
+    * Θ(n^1.5) total. Any FIXED cell count leaves pair work ∝ n²/L —
+    * the scaling gate measured the old fixed-16 default at e = 2.24
+    * (3 s → 101 s over 2k → 16k vectors), the textbook quadratic this
+    * operator exists to avoid. Sub-n^1.5 needs hierarchical cell
+    * routing (cluster the centroids, assign via the super-cells); that
+    * is the documented swap point past ~10⁸ vectors, not worth its
+    * approximation error below. Explicit `nLists` remains for
+    * oracle-deterministic replays (q118's invariant gate, q131's
+    * nLists=1 exact mode).
+    *
     * Output: (id, cell, centroid_sim, dropped) — one row per corpus
     * item. Plan: one shuffle by cell (window + self-join share it),
     * centroids broadcast as literals.
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
-      nLists: Int = 16, seed: Long = 7L): DataFrame = {
-    val centroids = trainCentroids(corpus, nLists, seed)
+      nLists: Int = 0, seed: Long = 7L): DataFrame = {
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(1, math.round(math.sqrt(corpus.count().toDouble)).toInt)
+    val centroids = trainCentroids(corpus, lists, seed)
     val scores = scoresArr(centroids)(F.col("embedding"))
     val cells = corpus.select(F.col("id"), F.col("embedding"),
       bestCell(centroids)(F.col("embedding")).as("cell"),
@@ -325,21 +341,48 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Occupancy-adaptive signature width: enough bits that the expected
+    * bucket holds ~`targetBucket` vectors, so within-bucket candidate
+    * work stays ~n·targetBucket·nTables/2 — LINEAR in corpus size. Any
+    * FIXED width has a fixed bucket count, and within-bucket all-pairs
+    * then grows ∝ n²/2^bits: measurably super-linear in the scaling
+    * gate (q59 fitted e=1.42 over 632→2000 rows at the old fixed 4
+    * bits) and fatal at real corpus sizes. Clamped to [4, 40]: ≥4 keeps
+    * the sf-fixture outputs identical to the historical fixed width at
+    * n ≤ ~750 (the verify corpora), ≤40 fits the packed long with
+    * headroom for any conceivable corpus. */
+  private[graft] def adaptiveBits(n: Long, targetBucket: Int): Int = {
+    require(n > 0 && targetBucket > 0)
+    val ideal = math.round(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(4, math.min(40, ideal))
+  }
+
   /** Embedding near-duplicate pairs: all pairs sharing ANY of `nTables`
     * LSH buckets, exact-cosine verified against the threshold. The dedup
     * counterpart of [[lshTopK]], multi-table like it: a single wide
     * signature has per-pair recall (1−θ/π)^nBits — ~3% for borderline
     * pairs at threshold 0.45 — so one table is corpus-luck, not an
-    * operator guarantee. With 8 tables × 4 bits a 0.9-cosine near-dup
-    * pair is missed with probability ~0.2%, and every candidate is
-    * exact-verified, so precision is 1 regardless. Shuffle ∝ corpus ×
-    * nTables, never n². */
+    * operator guarantee. Every candidate is exact-verified, so precision
+    * is 1 regardless of tuning. Shuffle ∝ corpus × nTables, never n².
+    *
+    * `nBits = 0` (the default) sizes the signature by [[adaptiveBits]]
+    * from one cheap `count()` of the corpus (parquet footer metadata at
+    * scan time) — the scale-safe mode; pass an explicit width only for
+    * reproducing a fixed historical bucketing. Recall falls as the
+    * width grows — at the 0.9-cosine near-dup design point p = 1−θ/π ≈
+    * 0.856, so 8 tables miss a pair with (1−p^bits)^8: ~2% at 6 bits,
+    * ~7% at 8, ~15% at 10. Holding recall at larger corpora means
+    * growing `nTables` ∝ (1/p)^Δbits ≈ 1.17^Δbits — the classic
+    * n^(1+ρ) LSH trade, still far below n² and caller-tunable here. */
   def cosineNearDupPairs(
       df: DataFrame, threshold: Double,
-      dim: Int, nBits: Int = 4, nTables: Int = 8, seed: Long = 7L): DataFrame = {
+      dim: Int, nBits: Int = 0, nTables: Int = 8, seed: Long = 7L,
+      targetBucket: Int = 32): DataFrame = {
+    val bits = if (nBits > 0) nBits else adaptiveBits(df.count(), targetBucket)
     val tableKeys = (0 until nTables).map { t =>
       F.struct(F.lit(t).as("t"),
-        signature(F.col("embedding"), dim, nBits, seed + t * 7919L).as("sig"))
+        signature(F.col("embedding"), dim, bits, seed + t * 7919L).as("sig"))
     }
     val withSig = df.select(F.col("id"), F.col("embedding"),
       F.explode(F.array(tableKeys: _*)).as("bucket"))

@@ -48,8 +48,10 @@ object InvariantQueries {
         val queries = emb.filter(col("id") < 10)
         val brute = Similarity.bruteForceTopK(queries, emb, 5)
           .select("query_id", "neighbor_id")
+        // occupancy-adaptive width — the same mode q58 registers, so the
+        // recall bound anchors the configuration the scaling gate measures
         val lsh = Similarity.lshTopK(queries, emb, 5, dim = 64,
-            nBits = 6, tables = 8, probeBits = 6)
+            tables = 8, probeBits = 6)
           .select("query_id", "neighbor_id")
         val ivf = Similarity.ivfTopK(s, queries, emb, 5, nLists = 16, nProbe = 6)
           .select("query_id", "neighbor_id")

@@ -197,7 +197,7 @@ object LlmQueries {
             .select(col("vec_id").as("id"), col("embedding")),
           Tables.embeddings(s, d)
             .select(col("vec_id").as("id"), col("embedding")),
-          k = 5, dim = 64, nBits = 6, tables = 8, probeBits = 6)
+          k = 5, dim = 64, tables = 8, probeBits = 6) // nBits: occupancy-adaptive
         .withColumn("cosine", F.round(col("cosine"), 6))
         .orderBy(col("query_id").asc, col("rnk").asc),
       None),

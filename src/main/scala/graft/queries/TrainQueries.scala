@@ -318,6 +318,79 @@ object TrainQueries {
              |FROM u LEFT JOIN pm ON u.user_id = pm.user_id
              |GROUP BY 1 ORDER BY u.arm ASC NULLS FIRST""".stripMargin)),
 
+    // the SESSION dimension through the front door, batch side: the
+    // parsed document groups on the gap-based session_window expression
+    // (the same document StreamingSpec serves from a live stream); the
+    // oracle replays gaps-and-islands SQL (q43's construction), proving
+    // Spark's session-window rewrite equals the classic lag + running-sum
+    // island numbering on real data. The registry fn only flattens the
+    // {start, end} struct to epoch millis for the compare, per the q41/
+    // q43 timestamp convention.
+    NamedQuery("q145_parsed_session",
+      (s, d) => QueryParser.parse(Cubes.eventsCube(s, d),
+        """{ "cube": "events",
+          |  "fields": [
+          |    {"name": "session"},
+          |    {"name": "user", "alias": "user_id"},
+          |    {"name": "count", "alias": "n_events"},
+          |    {"name": "sumValue", "alias": "sum_value"} ] }""".stripMargin).query.toDF
+        .select(col("user_id"),
+          F.unix_millis(col("session.start")).as("session_start"),
+          F.unix_millis(col("session.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id").asc, col("session_start").asc),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |         > INTERVAL 30 MINUTES OR
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+             |epoch_ms(max(ts) + INTERVAL 30 MINUTES) AS session_end,
+             |count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id ASC, session_start ASC""".stripMargin)),
+
+    // SemDeDup in its SCALE mode: occupancy-adaptive √n cells (the
+    // single-level IVF optimum — see Similarity.semanticDedup scaladoc).
+    // q118 is the semantic gate (exact all-pairs truth set proves drops
+    // are real — deliberately quadratic, like q65); q131 is the exact
+    // nLists=1 mode with a hash oracle. THIS query is what the scaling
+    // gate measures: the operator as a 100 TB user would run it, with
+    // the checks restricted to the linear-side invariants (partition is
+    // a permutation of the corpus, cell count matches the √n formula) so
+    // the measurement is of the operator, not of an O(n²) verifier.
+    NamedQuery("q146_semdedup_scale",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val out = Similarity.semanticDedup(emb, threshold = 0.45)
+        val total = emb.agg(F.count(F.lit(1)).as("n_corpus"))
+        val stats = out.agg(
+          F.count(F.lit(1)).as("__rows"),
+          F.count_distinct(col("id")).as("__ids"),
+          F.count_distinct(col("cell")).as("__cells"),
+          F.sum(F.when(col("dropped"), 1L).otherwise(0L)).as("__drops"))
+        total.crossJoin(stats).select(
+          col("n_corpus"),
+          (col("__rows") === col("n_corpus") &&
+            col("__ids") === col("n_corpus")).as("partition_ok"),
+          (col("__cells") >= 1 &&
+            col("__cells") <= F.round(F.sqrt(col("n_corpus").cast("double"))))
+            .as("cells_sqrt_bounded"),
+          (col("__drops") >= 0 && col("__drops") < col("n_corpus"))
+            .as("some_survive"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_corpus, true AS partition_ok,
+             |true AS cells_sqrt_bounded, true AS some_survive
+             |FROM embeddings""".stripMargin)),
+
     // the repetition gate THROUGH the front door: dup3 as a selector
     // (`when dup3 <= 0.2` — row-local predicate, composes with pushdown)
     // and avgDup3 as a sliced metric. Oracle recomputes the whole

@@ -662,4 +662,46 @@ class LlmSpec extends AnyFunSuite {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("HyperplaneSig equals the declarative zip_with+aggregate formula bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    for (bits <- Seq(4, 9, 16); seed <- Seq(7L, 7919L)) {
+      // the pre-codegen formulation, kept here as the semantic oracle:
+      // per plane, FLOAT products accumulated into a double, bit set on
+      // dot >= 0 — Similarity.signature must reproduce it exactly
+      val rnd = new scala.util.Random(seed)
+      val planes = Seq.fill(bits)(Array.fill(64)(rnd.nextGaussian().toFloat))
+      val hof = planes.zipWithIndex.map { case (p, i) =>
+        val dot = F.aggregate(
+          F.zip_with(col("embedding"), F.typedlit(p.toSeq), (x, y) => x * y),
+          F.lit(0.0d), (acc, v) => acc + v)
+        F.when(dot >= 0, F.lit(1L << i)).otherwise(F.lit(0L))
+      }.reduce(_ + _)
+      val diff = emb.select(
+          graft.llm.Similarity.signature(col("embedding"), 64, bits, seed).as("fast"),
+          hof.as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff == 0, s"signature mismatch at bits=$bits seed=$seed")
+    }
+  }
+
+  test("near-dup LSH width is occupancy-adaptive; auto mode reproduces the historical width at fixture scale") {
+    // the formula: bucket occupancy pinned near targetBucket, clamped to
+    // [4, 40] (floor keeps small corpora on the historical 16-bucket
+    // tables; ceiling fits the packed long)
+    assert(Similarity.adaptiveBits(50, 32) == 4)
+    assert(Similarity.adaptiveBits(500, 32) == 4)
+    assert(Similarity.adaptiveBits(2000, 32) == 6)
+    assert(Similarity.adaptiveBits(1L << 30, 32) == 25)
+    assert(Similarity.adaptiveBits(Long.MaxValue / 4, 32) == 40)
+    // auto == explicit-4-bits on the 500-vector fixture, pair for pair —
+    // the registry/native-sf outputs are unchanged by the adaptive default
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    def pairSet(nBits: Int) =
+      Similarity.cosineNearDupPairs(emb, 0.45, dim = 64, nBits = nBits)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairSet(0)
+    assert(auto.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(auto == pairSet(4))
+  }
 }

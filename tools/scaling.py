@@ -21,7 +21,11 @@ Classification:
   SUPER-LINEAR e > 1.40 with enough absolute signal -- gate failure
                unless allowlisted
 
-Usage: python3 tools/scaling.py /tmp/scale_full.log [--write-baseline]
+Usage: python3 tools/scaling.py <log> [<log2> ...] [--write-baseline]
+Later logs override earlier ones per query (SCALEMETA replaces the
+ladder; per-label times take the min across runs) -- run the full sweep
+once, then re-run just the review-class queries in Scale's big-ladder
+mode and pass both logs.
 """
 import math
 import re
@@ -43,12 +47,31 @@ ALLOW = {
         "exact all-pairs cosine verifier -- documented small-corpus "
         "oracle anchor (llm/Similarity.scala:307-318); the scale path "
         "is LSH/IVF (q58/q59/q64)",
+    "q118_semdedup":
+        "invariant gate for semanticDedup: recomputes the exact "
+        "all-pairs near-dup truth set (q65's verifier) to prove drops "
+        "are real, so the quadratic term IS the verifier by "
+        "construction; the operator's scale mode (adaptive sqrt-n "
+        "cells) is measured separately by q146",
+    "q131_parsed_semdedup":
+        "deliberate nLists=1 EXACT mode -- one cell means all-pairs, "
+        "the only mode a hash oracle can replay (see its registration "
+        "comment); the operator's scale mode is q146",
+    "q146_semdedup_scale":
+        "Theta(n^1.5) is the OPTIMUM of single-level IVF (assignment "
+        "n*L vs pair work n^2/L meet at L=sqrt(n)); going below needs "
+        "hierarchical cell routing, the documented swap point past "
+        "~1e8 vectors (Similarity.semanticDedup scaladoc)",
 }
 
 
-def parse(path):
-    meta, times = {}, {}
-    errs = {}
+def parse(path, meta=None, times=None, errs=None):
+    # dicts are carried across calls so several logs merge: a later log
+    # (e.g. a big-ladder triage rerun) REPLACES a query's ladder via its
+    # SCALEMETA, while per-label times take the min across runs
+    meta = {} if meta is None else meta
+    times = {} if times is None else times
+    errs = {} if errs is None else errs
     for line in open(path):
         line = re.sub(r"^\[info\] ", "", line.strip())
         if line.startswith("SCALEMETA "):
@@ -56,7 +79,8 @@ def parse(path):
             meta[name] = (driver, [(p.split("=")[0], int(p.split("=")[1])) for p in pts])
         elif line.startswith("SCALE "):
             _, name, label, *ts = line.split()
-            times.setdefault(name, {})[label] = [float(t) for t in ts]
+            times.setdefault(name, {}).setdefault(label, []).extend(
+                float(t) for t in ts)
         elif line.startswith("SCALEERR "):
             errs[line.split()[1]] = line.split(None, 2)[2]
     return meta, times, errs
@@ -67,7 +91,7 @@ def fit(meta, times):
     for name in sorted(meta):
         driver, pts = meta[name]
         if name not in times or len(times[name]) < 3:
-            rows.append((name, driver, None, None, None, None, "incomplete", ""))
+            rows.append((name, driver, None, None, None, None, "incomplete", "", pts))
             continue
         (l0, n0), (l1, n1), (l2, n2) = pts
         t0, t1, t2 = (min(times[name][l]) for l in (l0, l1, l2))
@@ -93,24 +117,33 @@ def fit(meta, times):
                 cls = "noise-band"
             else:
                 cls = "SUPER-LINEAR"
-        rows.append((name, driver, t0, t1, t2, e, cls, note))
+        rows.append((name, driver, t0, t1, t2, e, cls, note, pts))
     return rows
+
+
+def fmt_n(n):
+    if n >= 1_000_000:
+        return "%.1fM" % (n / 1e6)
+    if n >= 1000:
+        return "%.4gk" % (n / 1e3)
+    return str(n)
 
 
 def render(rows, errs):
     out = []
-    out.append("| query | driver | t(small) | t(mid) | t(large) | e | class |")
-    out.append("|---|---|---|---|---|---|---|")
-    for name, driver, t0, t1, t2, e, cls, note in rows:
+    out.append("| query | driver | rows | t(small) | t(mid) | t(large) | e | class |")
+    out.append("|---|---|---|---|---|---|---|---|")
+    for name, driver, t0, t1, t2, e, cls, note, pts in rows:
+        ns = "%s→%s" % (fmt_n(pts[0][1]), fmt_n(pts[-1][1])) if pts and pts[-1][1] else "-"
         if t0 is None:
-            out.append("| %s | %s | - | - | - | - | %s |" % (name, driver, cls))
+            out.append("| %s | %s | %s | - | - | - | - | %s |" % (name, driver, ns, cls))
             continue
         es = "%.2f" % e if e is not None else "-"
         mark = " **%s**" % cls if cls == "SUPER-LINEAR" else " %s" % cls
-        out.append("| %s | %s | %.2f | %.2f | %.2f | %s |%s |" %
-                   (name, driver, t0, t1, t2, es, mark))
+        out.append("| %s | %s | %s | %.2f | %.2f | %.2f | %s |%s |" %
+                   (name, driver, ns, t0, t1, t2, es, mark))
     for name, msg in sorted(errs.items()):
-        out.append("| %s | - | - | - | - | - | ERROR: %s |" % (name, msg))
+        out.append("| %s | - | - | - | - | - | - | ERROR: %s |" % (name, msg))
     return "\n".join(out)
 
 
@@ -128,9 +161,17 @@ def update_baseline(section):
 
 
 def main():
-    log = sys.argv[1]
+    logs = [a for a in sys.argv[1:] if not a.startswith("--")]
     write = "--write-baseline" in sys.argv
-    meta, times, errs = parse(log)
+    meta, times, errs = {}, {}, {}
+    for log in logs:
+        parse(log, meta, times, errs)
+    # a query that errored in one run but completed its ladder in a
+    # later one is no longer an error
+    for name in list(errs):
+        if name in meta and all(
+                l in times.get(name, {}) for l, _ in meta[name][1]):
+            del errs[name]
     rows = fit(meta, times)
     flagged = [r for r in rows if r[6] == "SUPER-LINEAR" and r[0] not in ALLOW]
     allowed = [r for r in rows if r[6] == "SUPER-LINEAR" and r[0] in ALLOW]
@@ -146,7 +187,12 @@ def main():
         "before the fit); documents/embeddings families run against "
         "subsampled fixture dirs because those tables are constant "
         "across the small native sfs. e fits t ~ rows^e between the mid "
-        "and large points. Class counts: " +
+        "and large points. Queries whose native-ladder fit was "
+        "review-class (mid-point delta under the timer noise floor) are "
+        "re-measured on the big ladder -- sf0.01 -> sf0.1 -> "
+        "8x-replicated sfbig / emb_16000 (Scale.prepareBigDirs) -- so "
+        "the exponent becomes identifiable; the rows column shows each "
+        "query's actual ladder. Class counts: " +
         ", ".join("%s=%d" % kv for kv in sorted(classes.items())) + ".")
     summary.append("")
     if allowed:
