@@ -153,6 +153,84 @@ object HyperplaneSig {
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(emb), dim, nBits, seed))
 }
 
+/** Nearest centroid of an array<float> embedding by cosine, returning
+  * struct(cell int, sim double) in ONE fused loop: the embedding's norm
+  * is computed once and every centroid norm is precomputed, where the
+  * previous formulation — a flat array of per-centroid [[CosineSim]]
+  * columns — recomputed the embedding norm per centroid (3× the flops)
+  * and materialized an L-wide array per row just to argmax it.
+  * Bit-compatible with that formulation: identical double arithmetic
+  * per score (same summation order as CosineSim.compute), ties broken
+  * by the FIRST maximal cell (array_position semantics); LlmSpec pins
+  * the equivalence. Centroids ride the codegen references array
+  * (`addReferenceObj`) — they are literals of the compiled plan, same
+  * index-snapshot semantics as before.
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell needs array<float>, got $other")
+    }
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { val x = c(j).toDouble; s += x * x; j += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCell.compute(v.asInstanceOf[ArrayData], centroids, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("cnorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NearestCell.compute($a, $cRef, $nRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCell {
+  def compute(a: ArrayData, cs: Array[Array[Float]],
+      norms: Array[Double]): InternalRow = {
+    val n = a.numElements()
+    var na = 0.0
+    var j = 0
+    while (j < n) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    val aNorm = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var cell = 0
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      j = 0
+      while (j < m) { dot += a.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+      val denom = aNorm * norms(i)
+      val score = if (denom == 0.0) 0.0 else dot / denom
+      if (score > best) { best = score; cell = i }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](cell, best))
+  }
+
+  def apply(emb: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCell(GraftBridge.expression(emb), centroids))
+}
+
 /** Cosine similarity between two array<float> embeddings, computed in
   * double precision in a single fused loop. The codegen path keeps the
   * whole ANN scoring stage inside one generated function — no boxing, no

@@ -160,9 +160,20 @@ object Similarity {
     * The training frame is cached for the iterations — k-means rescans
     * its input once per iteration, and re-deriving it from the corpus
     * scan each time dominated the build (the one-off index cost all IVF
-    * paths and SemDeDup share). */
+    * paths and SemDeDup share).
+    *
+    * Past `trainPerCell` (50) corpus points per cell, training runs on a
+    * deterministic Bernoulli SUBSAMPLE of ~50·L points — the faiss
+    * convention (a quantizer needs tens of points per cell, not the
+    * corpus), and what keeps training cost O(L²·iters) ∝ n when
+    * L = √n instead of O(n·L·iters) ∝ n^1.5. Below that size the full
+    * corpus trains, so every verify-scale output (q118's pinned 16
+    * cells on 500 vectors, the LlmSpec clone corpus) is bit-unchanged. */
+  private val trainPerCell = 50L
+
   private def trainCentroids(
-      corpus: DataFrame, nLists: Int, seed: Long): Array[Array[Float]] = {
+      corpus: DataFrame, nLists: Int, seed: Long,
+      knownCount: Long = -1L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     if (nLists == 1) {
@@ -176,7 +187,11 @@ object Similarity {
         .first().getSeq[Double](0)
       return Array(mean.map(_.toFloat).toArray)
     }
-    val train = corpus.select(array_to_vector(F.col("embedding")).as("features"))
+    val target = trainPerCell * nLists
+    val n = if (knownCount >= 0) knownCount else corpus.count()
+    val sampled =
+      if (n > target) corpus.sample(target.toDouble / n, seed) else corpus
+    val train = sampled.select(array_to_vector(F.col("embedding")).as("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
       .fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
@@ -184,20 +199,25 @@ object Similarity {
   }
 
   // Cell assignment / probe list as Column exprs over the broadcast
-  // centroid literals — no mllib transform on the hot path. Everything
-  // stays FLAT (one scores array + array_position/array_sort): a
-  // per-centroid `when`-chain nests nLists deep and falls out of
-  // whole-stage codegen past ~10² centroids (64KB method limit),
-  // whereas flat array children split into codegen sub-methods fine.
+  // centroid literals — no mllib transform on the hot path. Assignment
+  // (argmax only) is the fused [[graft.functions.NearestCell]]
+  // expression: one loop, embedding norm computed once, centroid norms
+  // precomputed — vs the flat array of per-centroid [[CosineSim]]
+  // columns, which recomputed the embedding norm per centroid and
+  // materialized an L-wide array per row just to argmax it. The probe
+  // list genuinely needs the full per-cell ranking, so it keeps the
+  // flat scores array (still codegen-safe: flat array children split
+  // into codegen sub-methods, unlike an nLists-deep `when`-chain).
   private def scoresArr(centroids: Array[Array[Float]])(emb: Column): Column =
     F.array(centroids.toSeq.map(c => CosineSim(emb, F.typedlit(c.toSeq))): _*)
 
-  /** argmax = first position of the max score (ties → lowest cell id,
-    * same as a first-match when-chain); array_position is 1-based. */
-  private def bestCell(centroids: Array[Array[Float]])(emb: Column): Column = {
-    val scores = scoresArr(centroids)(emb)
-    (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-  }
+  /** argmax (ties → lowest cell id) + its score, one fused loop;
+    * bit-identical to the flat-array formulation (LlmSpec pins it). */
+  private def nearest(centroids: Array[Array[Float]])(emb: Column): Column =
+    graft.functions.NearestCell(emb, centroids)
+
+  private def bestCell(centroids: Array[Array[Float]])(emb: Column): Column =
+    nearest(centroids)(emb).getField("cell")
 
   /** nProbe cells per query: rank centroids by score, keep the top ids. */
   private def probeCells(centroids: Array[Array[Float]], nProbe: Int)(
@@ -260,14 +280,15 @@ object Similarity {
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
       nLists: Int = 0, seed: Long = 7L): DataFrame = {
+    val n = if (nLists > 0) -1L else corpus.count()
     val lists =
       if (nLists > 0) nLists
-      else math.max(1, math.round(math.sqrt(corpus.count().toDouble)).toInt)
-    val centroids = trainCentroids(corpus, lists, seed)
-    val scores = scoresArr(centroids)(F.col("embedding"))
+      else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val centroids = trainCentroids(corpus, lists, seed, knownCount = n)
+    val nc = nearest(centroids)(F.col("embedding"))
     val cells = corpus.select(F.col("id"), F.col("embedding"),
-      bestCell(centroids)(F.col("embedding")).as("cell"),
-      F.round(F.array_max(scores), 6).as("centroid_sim"))
+      nc.getField("cell").as("cell"),
+      F.round(nc.getField("sim"), 6).as("centroid_sim"))
     val w = Window.partitionBy("cell")
       .orderBy(F.col("centroid_sim").asc, F.col("id").asc)
     val ranked = cells.withColumn("rnk", F.row_number().over(w))

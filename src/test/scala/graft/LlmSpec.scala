@@ -102,7 +102,7 @@ class LlmSpec extends AnyFunSuite {
     info(s"IVF recall@5 = $recall")
   }
 
-  test("IVF at nLists=64 stays whole-stage-codegen'd (flat argmax, no when-chain)") {
+  test("IVF at nLists=64 stays whole-stage-codegen'd (fused argmax, no when-chain)") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
     val queries = emb.filter(col("id") < 10)
     val df = Similarity.ivfTopK(spark, queries, emb, 5, nLists = 64, nProbe = 16)
@@ -110,12 +110,12 @@ class LlmSpec extends AnyFunSuite {
     // the cell-assignment Project must sit INSIDE a WholeStageCodegen
     // span ("*(n) Project ...") — AQE finalizes stages only after the
     // collect above. The old nLists-deep when-chain broke codegen at
-    // this centroid count.
+    // this centroid count; assignment is now the fused nearest_cell.
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), "expected a finalized AQE plan")
     val cellLine = plan.linesIterator
       .takeWhile(!_.contains("== Initial Plan ==")) // final plan section only
-      .find(_.contains("array_position"))
+      .find(_.contains("nearest_cell"))
     assert(cellLine.exists(l => l.substring(l.indexWhere(c => c != ' ' && c != ':' &&
         c != '+' && c != '-' && c != '|')).startsWith("*(")),
       s"cell assignment not codegen'd:\n${cellLine.getOrElse(plan)}")
@@ -682,6 +682,29 @@ class LlmSpec extends AnyFunSuite {
           hof.as("slow"))
         .filter(col("fast") =!= col("slow")).count()
       assert(diff == 0, s"signature mismatch at bits=$bits seed=$seed")
+    }
+  }
+
+  test("NearestCell equals the flat array-of-CosineSim argmax bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    for (nCells <- Seq(3, 16, 64)) {
+      // deterministic fake centroids — equivalence is arithmetic, not
+      // about k-means; include a zero vector to pin the denom==0 branch
+      val rnd = new scala.util.Random(nCells)
+      val cents = Array.tabulate(nCells)(i =>
+        if (i == 1) Array.fill(64)(0.0f)
+        else Array.fill(64)(rnd.nextGaussian().toFloat))
+      // the pre-fusion formulation, kept as the semantic oracle: one
+      // CosineSim column per centroid, argmax = first position of max
+      val scores = F.array(cents.toSeq.map(c =>
+        graft.functions.CosineSim(col("embedding"), F.typedlit(c.toSeq))): _*)
+      val diff = emb.select(
+          graft.functions.NearestCell(col("embedding"), cents).as("fast"),
+          (F.array_position(scores, F.array_max(scores)) - 1).cast("int").as("slow_cell"),
+          F.array_max(scores).as("slow_sim"))
+        .filter(col("fast.cell") =!= col("slow_cell") ||
+          col("fast.sim") =!= col("slow_sim")).count()
+      assert(diff == 0, s"nearest_cell mismatch at nCells=$nCells")
     }
   }
 
