@@ -231,6 +231,136 @@ object NearestCell {
     GraftBridge.column(NearestCell(GraftBridge.expression(emb), centroids))
 }
 
+/** Two-level (routed) nearest-centroid assignment: score the S coarse
+  * super-centroids, then scan only the member centroids of the
+  * `superProbe` best super-cells — ~S + probe·L/S cosines per row
+  * instead of L. At L = √n cells with S = √L this takes assignment from
+  * O(n·√n) to O(n·n^0.25): the hierarchical swap point the single-level
+  * IVF scaladocs document for ≥10⁸-vector corpora. APPROXIMATE by
+  * construction (the true argmax may live in an unprobed super-cell —
+  * same recall trade as faiss's coarse quantizer); `superProbe >=
+  * superCentroids.length` degenerates to an exhaustive scan and is
+  * bit-equal to [[NearestCell]] (ties break to the LOWEST cell id here
+  * regardless of probe order, matching NearestCell's first-maximal
+  * scan; LlmSpec pins the equivalence). Output struct(cell, sim); all
+  * level arrays ride the codegen references (plan literals).
+  */
+case class RoutedNearestCell(
+    child: Expression, centroids: Array[Array[Float]],
+    superCentroids: Array[Array[Float]], members: Array[Array[Int]],
+    superProbe: Int) extends UnaryExpression {
+  require(superCentroids.length == members.length, "one member list per super-cell")
+  require(superProbe >= 1)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"routed_nearest_cell needs array<float>, got $other")
+    }
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(RoutedNearestCell.norm)
+  @transient private lazy val superNorms: Array[Double] =
+    superCentroids.map(RoutedNearestCell.norm)
+
+  override def nullSafeEval(v: Any): Any =
+    RoutedNearestCell.compute(v.asInstanceOf[ArrayData], centroids, norms,
+      superCentroids, superNorms, members, superProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("cnorms", norms, "double[]")
+    val sRef = ctx.addReferenceObj("supers", superCentroids, "float[][]")
+    val snRef = ctx.addReferenceObj("snorms", superNorms, "double[]")
+    val mRef = ctx.addReferenceObj("members", members, "int[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RoutedNearestCell.compute(" +
+        s"$a, $cRef, $nRef, $sRef, $snRef, $mRef, $superProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RoutedNearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "routed_nearest_cell"
+}
+
+object RoutedNearestCell {
+  private[graft] def norm(c: Array[Float]): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) { val x = c(j).toDouble; s += x * x; j += 1 }
+    math.sqrt(s)
+  }
+
+  def compute(
+      a: ArrayData, cs: Array[Array[Float]], norms: Array[Double],
+      supers: Array[Array[Float]], superNorms: Array[Double],
+      members: Array[Array[Int]], superProbe: Int): InternalRow = {
+    val n = a.numElements()
+    var na = 0.0
+    var j = 0
+    while (j < n) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    val aNorm = math.sqrt(na)
+    def score(c: Array[Float], cNorm: Double): Double = {
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += a.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      val denom = aNorm * cNorm
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    // top-`probe` super-cells by insertion into a tiny sorted buffer
+    // (probe is 2-4; S is at most a few hundred — no heap needed).
+    // Ties rank the lower super-cell id first, for determinism.
+    val s = supers.length
+    val probe = math.min(superProbe, s)
+    val topIdx = new Array[Int](probe)
+    val topScore = new Array[Double](probe)
+    java.util.Arrays.fill(topScore, Double.NegativeInfinity)
+    var si = 0
+    while (si < s) {
+      val sc = score(supers(si), superNorms(si))
+      var p = probe - 1
+      if (sc > topScore(p)) {
+        while (p > 0 && sc > topScore(p - 1)) {
+          topScore(p) = topScore(p - 1); topIdx(p) = topIdx(p - 1); p -= 1
+        }
+        topScore(p) = sc; topIdx(p) = si
+      }
+      si += 1
+    }
+    var best = Double.NegativeInfinity
+    var cell = Int.MaxValue
+    var pi = 0
+    while (pi < probe) {
+      if (topScore(pi) > Double.NegativeInfinity) {
+        val mem = members(topIdx(pi))
+        var mi = 0
+        while (mi < mem.length) {
+          val id = mem(mi)
+          val sc = score(cs(id), norms(id))
+          // lowest-id tie-break independent of probe order — matches
+          // NearestCell's first-maximal semantics exactly
+          if (sc > best || (sc == best && id < cell)) { best = sc; cell = id }
+          mi += 1
+        }
+      }
+      pi += 1
+    }
+    if (cell == Int.MaxValue) cell = 0 // empty probe set: degenerate input
+    new GenericInternalRow(Array[Any](cell, best))
+  }
+
+  def apply(emb: Column, centroids: Array[Array[Float]],
+      superCentroids: Array[Array[Float]], members: Array[Array[Int]],
+      superProbe: Int): Column =
+    GraftBridge.column(RoutedNearestCell(GraftBridge.expression(emb),
+      centroids, superCentroids, members, superProbe))
+}
+
 /** Cosine similarity between two array<float> embeddings, computed in
   * double precision in a single fused loop. The codegen path keeps the
   * whole ANN scoring stage inside one generated function — no boxing, no

@@ -219,6 +219,92 @@ object Similarity {
   private def bestCell(centroids: Array[Array[Float]])(emb: Column): Column =
     nearest(centroids)(emb).getField("cell")
 
+  /** Cluster the (already tiny, driver-resident) centroid array into
+    * `s` super-cells: seeded k-means++ then Lloyd iterations over the
+    * UNIT-NORMALIZED centroids, so Euclidean assignment ≡ cosine
+    * assignment — the same metric [[graft.functions.RoutedNearestCell]]
+    * scores rows with. Plain deterministic Scala on the driver: L is at
+    * most ~10⁵ (it is √n of the corpus), so L·s·iters flops is
+    * microscopic next to one corpus scan, and keeping it off the
+    * cluster avoids a second mllib job per index build. Returns
+    * (superCentroids, member cell ids per super-cell); empty super-cells
+    * keep empty member lists (the routing expression skips them). */
+  private[graft] def clusterCentroids(
+      centroids: Array[Array[Float]], s: Int, seed: Long,
+      iters: Int = 15): (Array[Array[Float]], Array[Array[Int]]) = {
+    val l = centroids.length
+    val k = math.max(1, math.min(s, l))
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = graft.functions.RoutedNearestCell.norm(v)
+      if (n == 0.0) v.clone() else v.map(x => (x / n).toFloat)
+    }
+    val unit = centroids.map(normalize)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var j = 0
+      val m = math.min(a.length, b.length)
+      while (j < m) { val d = a(j).toDouble - b(j).toDouble; acc += d * d; j += 1 }
+      acc
+    }
+    // k-means++ seeding, deterministic via the query seed
+    val rnd = new scala.util.Random(seed)
+    val seeds = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(l)))
+    while (seeds.length < k) {
+      val dists = unit.map(u => seeds.map(d2(u, _)).min)
+      val total = dists.sum
+      if (total == 0.0) seeds += unit(rnd.nextInt(l))
+      else {
+        var pick = rnd.nextDouble() * total
+        var i = 0
+        while (i < l - 1 && pick > dists(i)) { pick -= dists(i); i += 1 }
+        seeds += unit(i)
+      }
+    }
+    var centers = seeds.toArray.map(_.clone())
+    var assign = new Array[Int](l)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < l) {
+        var best = Double.MaxValue; var bi = 0; var c = 0
+        while (c < k) {
+          val d = d2(unit(i), centers(c))
+          if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        assign(i) = bi
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < l) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += unit(i)(j); j += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c) // empty cluster keeps its center
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    val members = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    assign.zipWithIndex.foreach { case (c, i) => members(c) += i }
+    (centers, members.map(_.toArray))
+  }
+
+  /** Routed assignment column over a trained centroid set — the
+    * hierarchical mode of [[nearest]]: `superCells` coarse cells
+    * (√L by default), `superProbe` of them scanned per row. */
+  private def routedNearest(
+      centroids: Array[Array[Float]], superCells: Int, superProbe: Int,
+      seed: Long)(emb: Column): Column = {
+    val s = if (superCells > 0) superCells
+      else math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
+    val (supers, members) = clusterCentroids(centroids, s, seed)
+    graft.functions.RoutedNearestCell(emb, centroids, supers, members, superProbe)
+  }
+
   /** nProbe cells per query: rank centroids by score, keep the top ids. */
   private def probeCells(centroids: Array[Array[Float]], nProbe: Int)(
       emb: Column): Column = {
@@ -266,12 +352,21 @@ object Similarity {
     * Θ(n^1.5) total. Any FIXED cell count leaves pair work ∝ n²/L —
     * the scaling gate measured the old fixed-16 default at e = 2.24
     * (3 s → 101 s over 2k → 16k vectors), the textbook quadratic this
-    * operator exists to avoid. Sub-n^1.5 needs hierarchical cell
-    * routing (cluster the centroids, assign via the super-cells); that
-    * is the documented swap point past ~10⁸ vectors, not worth its
-    * approximation error below. Explicit `nLists` remains for
+    * operator exists to avoid. Explicit `nLists` remains for
     * oracle-deterministic replays (q118's invariant gate, q131's
     * nLists=1 exact mode).
+    *
+    * `superProbe > 0` switches assignment to HIERARCHICAL cell routing
+    * ([[graft.functions.RoutedNearestCell]]): the L centroids are
+    * clustered into √L super-cells on the driver and each row scores
+    * only the members of its `superProbe` best super-cells — ~√L +
+    * probe·√L cosines per row instead of L, taking assignment from
+    * Θ(n^1.5) to Θ(n^1.25). This is the sub-n^1.5 swap point for
+    * ≥10⁸-vector corpora; it is APPROXIMATE (a row whose true cell
+    * lives in an unprobed super-cell lands in a neighboring cell —
+    * the same recall trade as faiss's coarse quantizer), so it stays
+    * opt-in. `superProbe` ≥ the super-cell count degenerates to the
+    * exhaustive scan, bit-equal to the default (LlmSpec pins it).
     *
     * Output: (id, cell, centroid_sim, dropped) — one row per corpus
     * item. Plan: one shuffle by cell (window + self-join share it),
@@ -279,13 +374,15 @@ object Similarity {
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
-      nLists: Int = 0, seed: Long = 7L): DataFrame = {
+      nLists: Int = 0, seed: Long = 7L, superProbe: Int = 0): DataFrame = {
     val n = if (nLists > 0) -1L else corpus.count()
     val lists =
       if (nLists > 0) nLists
       else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
     val centroids = trainCentroids(corpus, lists, seed, knownCount = n)
-    val nc = nearest(centroids)(F.col("embedding"))
+    val nc =
+      if (superProbe > 0) routedNearest(centroids, 0, superProbe, seed)(F.col("embedding"))
+      else nearest(centroids)(F.col("embedding"))
     val cells = corpus.select(F.col("id"), F.col("embedding"),
       nc.getField("cell").as("cell"),
       F.round(nc.getField("sim"), 6).as("centroid_sim"))

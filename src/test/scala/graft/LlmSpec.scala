@@ -708,6 +708,62 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("RoutedNearestCell: exhaustive probe equals NearestCell bit-for-bit; narrow probe bounded by it") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val rnd = new scala.util.Random(64)
+    val cents = Array.tabulate(64)(i =>
+      if (i == 1) Array.fill(64)(0.0f)
+      else Array.fill(64)(rnd.nextGaussian().toFloat))
+    val (supers, members) = Similarity.clusterCentroids(cents, 8, seed = 7L)
+    assert(members.map(_.length).sum == 64, "every cell in exactly one super-cell")
+    // probe >= super-cell count degenerates to the exhaustive scan —
+    // must reproduce the flat argmax exactly, including the lowest-id
+    // tie-break and the zero-norm cell
+    val diff = emb.select(
+        graft.functions.RoutedNearestCell(col("embedding"), cents, supers, members, 8).as("routed"),
+        graft.functions.NearestCell(col("embedding"), cents).as("flat"))
+      .filter(col("routed.cell") =!= col("flat.cell") ||
+        col("routed.sim") =!= col("flat.sim")).count()
+    assert(diff == 0, "exhaustive routed scan must be bit-equal to NearestCell")
+    // a narrow probe may miss the global argmax, but must always return
+    // a real cell id and never claim a similarity above the true maximum
+    val narrowBad = emb.select(
+        graft.functions.RoutedNearestCell(col("embedding"), cents, supers, members, 2).as("routed"),
+        graft.functions.NearestCell(col("embedding"), cents).as("flat"))
+      .filter(col("routed.sim") > col("flat.sim") ||
+        col("routed.cell") < 0 || col("routed.cell") >= cents.length).count()
+    assert(narrowBad == 0, "routed sim is a lower bound on the exhaustive sim")
+  }
+
+  test("semanticDedup routed mode: exhaustive probe matches default bit-for-bit; narrow probe still drops clones") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 100)
+    val clones = base.filter(col("id").isin(1L, 2L, 3L))
+      .select((col("id") + 1000L).as("id"), col("embedding"))
+    val corpus = base.union(clones)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val exact = snap(Similarity.semanticDedup(corpus, threshold = 0.999, nLists = 16))
+    // 16 cells -> sqrt = 4 super-cells; probing all 4 is the degenerate
+    // exhaustive scan, so the whole output must be identical
+    val exhaustive = snap(
+      Similarity.semanticDedup(corpus, threshold = 0.999, nLists = 16, superProbe = 4))
+    assert(exhaustive == exact, "superProbe >= superCells must not change any row")
+    // narrow probe: a clone's embedding is bit-identical to its source,
+    // so routing sends both to the same cell whatever the probe set —
+    // the clone must still drop, and nothing else reaches cos >= 0.999
+    val routed = Similarity.semanticDedup(corpus, threshold = 0.999, nLists = 16, superProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(routed.size == 103)
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(!routed(i), s"original $i survives under routing")
+      assert(routed(i + 1000L), s"clone of $i drops under routing")
+    }
+    assert(routed.count(_._2) == 3, "exactly the three clones drop")
+  }
+
   test("near-dup LSH width is occupancy-adaptive; auto mode reproduces the historical width at fixture scale") {
     // the formula: bucket occupancy pinned near targetBucket, clamped to
     // [4, 40] (floor keeps small corpora on the historical 16-bucket
