@@ -17,12 +17,7 @@ object Tables {
 
   def events(s: SparkSession, cat: Catalog): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = cat.load(s, "events")
-    // parquet fixtures carry TIMESTAMP(NANOS) read as raw longs (see
-    // below); a warehouse catalog serves real timestamps — pass through
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      convertEventTs(raw)
-    else raw
+    normalizeEventTs(cat.load(s, "events"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
@@ -32,12 +27,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; read it as raw nanos (legacy conf) and floor-convert
-    * to a µs timestamp — same truncation DuckDB's epoch_ms applies. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // legacy conf kept so an older-style TIMESTAMP(NANOS) fixture still
+    // loads (as raw longs) instead of failing the scan outright
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    convertEventTs(load(s, d, "events"))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** The engine's contract is `ts: TimestampType`. Fixtures have shipped it
+    * three ways; normalize by the dtype actually read:
+    *   - LongType — parquet TIMESTAMP(NANOS) read as raw epoch-ns longs
+    *     (Spark 4 refuses nanos timestamps; see legacy conf above) →
+    *     floor-convert to µs, same truncation DuckDB's epoch_ms applies;
+    *   - TimestampNTZType — parquet timestamp[us] with no tz (current
+    *     fixtures) → cast to TimestampType, value-preserving under the
+    *     pinned UTC session zone and matching the oracles' naive stamps;
+    *   - TimestampType — a warehouse catalog serving real timestamps →
+    *     pass through. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => convertEventTs(raw)
+      case TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def convertEventTs(raw: DataFrame): DataFrame =

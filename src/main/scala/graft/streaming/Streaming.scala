@@ -24,7 +24,7 @@ object Streaming {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource takes a directory; glob-filter to the events table
-    graft.cubes.Tables.convertEventTs(
+    graft.cubes.Tables.normalizeEventTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
