@@ -317,7 +317,9 @@ object CoreQueries {
              |ORDER BY return_flag ASC NULLS FIRST, uniq_orders ASC, uniq_parts ASC"""
         .stripMargin)),
 
-    // approx distinct — the 100 TB default; not DuckDB-matchable (rows-only)
+    // approx distinct — the 100 TB default; no-oracle by design (HLL
+    // estimates aren't DuckDB-matchable), anchored by companion error-bound
+    // invariant q75
     NamedQuery("q21_uniq_approx",
       (s, d) => li(s, d)
         .slice("return_flag", "returnFlag")

@@ -46,7 +46,8 @@ object LlmQueries {
              |      len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
              |ORDER BY a_id ASC, b_id ASC""".stripMargin)),
 
-    // SimHash banded near-dup pairs — xxhash-based, not SQL-expressible
+    // SimHash banded near-dup pairs — xxhash-based: no-oracle by design
+    // (not SQL-expressible), anchored by companion invariant q88
     NamedQuery("q52_simhash_pairs",
       (s, d) => Dedup.simHashPairs(
           Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
@@ -190,7 +191,8 @@ object LlmQueries {
              |ORDER BY query_id ASC, rnk ASC""".stripMargin)),
 
     // LSH-bucketed ANN (scale path) — recall measured against brute force
-    // in LlmSpec; not SQL-expressible (fixed-seed hyperplanes)
+    // in LlmSpec; no-oracle by design (fixed-seed hyperplanes aren't
+    // SQL-expressible), anchored by companion recall invariant q76
     NamedQuery("q58_ann_lsh",
       (s, d) => Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") < 10)
@@ -204,7 +206,8 @@ object LlmQueries {
 
     // IVF-style ANN (coarse k-means quantizer + nProbe cells + exact
     // re-rank) — the other scale path beside LSH; recall vs brute force
-    // measured in LlmSpec
+    // measured in LlmSpec; no-oracle by design, anchored by companion
+    // recall invariant q79
     NamedQuery("q64_ann_ivf",
       (s, d) => Similarity.ivfTopK(s,
           Tables.embeddings(s, d).filter(col("vec_id") < 10)
@@ -216,7 +219,8 @@ object LlmQueries {
         .orderBy(col("query_id").asc, col("rnk").asc),
       None),
 
-    // embedding near-dup pairs via LSH buckets + cosine threshold
+    // embedding near-dup pairs via LSH buckets + cosine threshold —
+    // no-oracle by design, anchored by companion subset invariant q77
     NamedQuery("q59_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")),
