@@ -248,4 +248,111 @@ object Streaming {
           UserTotal(uid, n, math.rint(sum * 100) / 100)
       }
   }
+
+  // ---- live funnel (flatMapGroupsWithState + event-time timeout) ---
+
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, step: Int)
+  /** Per-user buffered (ts-µs, step) events, (ts, step)-sorted. */
+  final case class FunnelBuf(ts: Array[Long], step: Array[Int])
+  final case class FunnelResult(user_id: Long, stage: Int)
+
+  /** First-touch window funnel served from a LIVE stream — the past-
+    * plain-aggregation stateful operator: per-user event buffers in
+    * `flatMapGroupsWithState` state, finalized by EVENT-TIME TIMEOUT.
+    *
+    * Semantics are exactly [[graft.operators.Funnel.funnelStages]]
+    * (first-touch mode): the chain anchors at the user's FIRST
+    * `steps(0)` event and each later step must land within
+    * `windowMicros` of the anchor. The chain scan IS the batch one —
+    * [[graft.functions.FunnelStage.compute]] over the buffered array —
+    * so live and batch cannot drift.
+    *
+    * Finality: under a watermark, an ANCHORED user's stage is provably
+    * final once the watermark passes `anchor + window` — no event that
+    * could join the chain can still arrive, and no EARLIER anchor can
+    * appear (it would be behind the watermark). Such users emit exactly
+    * once, then their state is removed. Users with no anchor yet are
+    * IDLE-EVICTED at `lastSeen + window`, emitting the stage-0 row
+    * batch would give them; if such a user anchors after eviction they
+    * re-enter as a fresh group and may emit a second, refined row —
+    * append-mode consumers should read the funnel stream as
+    * latest-per-user. (Provable finality for never-anchoring users
+    * doesn't exist on an unbounded stream; unbounded idle state is the
+    * worse trade.)
+    *
+    * State bounds (the 100 TB discipline): the buffer keeps only events
+    * `<= anchor + window` (later ones cannot join a first-touch chain)
+    * and hard-caps at `maxEventsPerUser` EARLIEST (ts, step) events —
+    * [[graft.functions.EarliestN]]'s deterministic whale guard, so one
+    * bot account cannot grow a partition-killing state row. Event-time
+    * timeout + removal means total state ∝ users active within the last
+    * `window + lateness`, not users ever seen.
+    *
+    * anyAnchor intentionally has NO live variant: its "furthest chain
+    * from ANY anchor" is never final on an unbounded stream (every
+    * future anchor can still improve it) — serve it from batch or a
+    * bounded analysis window instead.
+    */
+  def funnelStagesLive(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], windowMicros: Long,
+      lateness: String = "10 minutes",
+      maxEventsPerUser: Int = 4096)
+      : org.apache.spark.sql.Dataset[FunnelResult] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(",")}")
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      F.when(F.col("event_type") === steps.head, 0)) {
+        case (acc, (s, i)) => acc.when(F.col("event_type") === s, i) }
+    val nSteps = steps.size
+
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def scanStage(buf: FunnelBuf): Int = {
+      val rows = Array.tabulate[Any](buf.ts.length)(i =>
+        org.apache.spark.sql.catalyst.InternalRow(buf.ts(i), buf.step(i)))
+      graft.functions.FunnelStage.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows),
+        windowMicros, nSteps)
+    }
+
+    events.filter(F.col("event_type").isin(steps: _*))
+      .withWatermark("ts", lateness)
+      .select(F.col("user_id").cast("long").as("user_id"), F.col("ts"),
+        stepIdx.as("step"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelResult](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val stage = scanStage(state.get)
+            state.remove()
+            Iterator.single(FunnelResult(uid, stage))
+          } else {
+            val prev = state.getOption
+              .getOrElse(FunnelBuf(Array.emptyLongArray, Array.emptyIntArray))
+            val incoming = it.map(e => (micros(e.ts), e.step)).toArray
+            val merged = (prev.ts.zip(prev.step) ++ incoming).sorted
+            // first-touch prune: beyond anchor+window nothing can join the
+            // chain; then the EarliestN whale cap
+            val anchorTs = merged.collectFirst { case (t, 0) => t }
+            val kept = anchorTs
+              .fold(merged)(a => merged.filter(_._1 <= a + windowMicros))
+              .take(maxEventsPerUser)
+            state.update(FunnelBuf(kept.map(_._1), kept.map(_._2)))
+            val horizonMs =
+              (anchorTs.getOrElse(kept.last._1) + windowMicros) / 1000L + 1L
+            // a late anchor can pull the horizon behind the watermark —
+            // clamp forward so the timeout fires on the next no-data batch
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -290,6 +290,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("live funnel (flatMapGroupsWithState + event-time timeout): " +
+      "emitted stages match batch, coverage near-complete") {
+    import org.apache.spark.sql.functions.col
+    val steps = Seq("signup", "view", "purchase")
+    val window = 3L * 86400 * 1000000 // 3 days: horizon well inside fixture span
+    val live = runStream(
+      Streaming.funnelStagesLive(spark, Streaming.eventsStream(spark, sf),
+        steps, window, lateness = "10 minutes").toDF(),
+      "funnel_live", mode = "append")
+    val batchDf = graft.operators.Funnel.funnelStages(
+      Tables.events(spark, sf), col("user_id"), col("ts"), col("event_type"),
+      steps, window)
+    val batch = batchDf.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val emitted = spark.table("funnel_live").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(emitted.nonEmpty)
+    // exactly-once per user in this single-batch stream
+    assert(emitted.map(_._1).distinct.length == emitted.length)
+    // every emitted stage is exactly the batch stage for that user
+    emitted.foreach { case (u, st) =>
+      assert(batch.get(u).contains(st),
+        s"user $u: live stage $st != batch ${batch.get(u)}") }
+    // only users whose horizon is within window+lateness of stream end may
+    // be withheld; with a 3-day window over the month-long fixture that
+    // must be a small minority
+    assert(emitted.length >= batch.size * 8 / 10,
+      s"live emitted ${emitted.length} of ${batch.size} users")
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
