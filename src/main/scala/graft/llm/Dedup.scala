@@ -126,6 +126,27 @@ object Dedup {
     * buckets keep salt 0 and pay nothing; detection is a perf heuristic
     * only (a missed hot bucket = the status quo, a false positive = a
     * few replicated rows), never a correctness input. */
+  /** The (band, band_hash) key columns over an `mh` signature column —
+    * shared by [[bandCandidates]], [[bandIndex]] and the arrival side of
+    * [[nearDupScreen]] so index and probe can never band differently. */
+  private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    val r = numHashes / bands
+    (0 until bands).map { bIdx =>
+      F.struct(
+        F.lit(bIdx).as("band"),
+        F.xxhash64(F.concat_ws("_",
+          (0 until r).map(j => F.col("mh").getItem(bIdx * r + j)): _*)).as("bh"))
+    }
+  }
+
+  /** (id, sh) projection with empty-shingle docs dropped — the common
+    * head of every MinHash path, and the frame a production pipeline
+    * materializes alongside [[bandIndex]] for [[nearDupScreen]]. */
+  def shingleDocs(df: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 3): DataFrame =
+    df.select(idCol.as("id"), shingles(textCol, shingleK).as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+
   private def bandCandidates(
       docSh: DataFrame, numHashes: Int, bands: Int, seed: Long,
       saltThreshold: Int = 4096, salts: Int = 16, sampleMod: Int = 64): DataFrame = {
@@ -136,13 +157,7 @@ object Dedup {
     require(salts > 0, s"salts must be positive, got $salts")
     require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
     require(saltThreshold > 0, s"saltThreshold must be positive, got $saltThreshold")
-    val r = numHashes / bands
-    val bandCols = (0 until bands).map { bIdx =>
-      F.struct(
-        F.lit(bIdx).as("band"),
-        F.xxhash64(F.concat_ws("_",
-          (0 until r).map(j => F.col("mh").getItem(bIdx * r + j)): _*)).as("bh"))
-    }
+    val bandCols = bandKeyCols(numHashes, bands)
     // signature is a row-local projection (MinHashSig) — joining the
     // frame with its own signature projection would add a pointless
     // SMJ + two exchanges (a leftover from the pre-expression design).
@@ -183,6 +198,88 @@ object Dedup {
       .join(docSh.select(F.col("id").as("a_id"), F.col("sh").as("a_sh")), "a_id")
       .join(docSh.select(F.col("id").as("b_id"), F.col("sh").as("b_sh")), "b_id")
   }
+
+  /** Slim (bk, id) MinHash band index of a corpus, for ingestion-time
+    * screening ([[nearDupScreen]]). Deliberately WITHOUT shingle arrays:
+    * at 100 TB the index is materialized to parquet once by a batch job
+    * and re-read every screening micro-batch, so each row must stay a
+    * few bytes — candidate verification re-attaches shingles from the
+    * corpus side afterwards (candidates ≪ corpus), the same
+    * arrays-stay-out-of-the-wide-exchange discipline as
+    * [[bandCandidates]]. */
+  def bandIndex(corpus: DataFrame, idCol: Column, textCol: Column,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      seed: Long = 1234L): DataFrame =
+    shingleDocs(corpus, idCol, textCol, shingleK)
+      .select(F.col("id"),
+        graft.functions.MinHashSig(F.col("sh"), numHashes, seed).as("mh"))
+      .select(F.explode(F.array(bandKeyCols(numHashes, bands): _*)).as("bk"),
+        F.col("id"))
+
+  /** Ingestion-time near-dup screening: each arriving document against a
+    * fixed historical corpus, returning its BEST corpus match at or above
+    * `threshold` — (doc_id, match_id, jaccard), novel docs absent.
+    *
+    * MODE-AGNOSTIC: `arrivals` may be a batch frame (backfill audit; the
+    * DuckDB-oracled registry query q147) or a stream
+    * ([[graft.streaming.Streaming.screenArrivals]]): sign + band the
+    * arrival row-locally, join the static band index, re-attach both
+    * shingle sets, verify with EXACT Jaccard, keep the argmax. As a
+    * stream this is a STREAM-STATIC join — stateless, no watermark
+    * needed; the only stateful op is the tiny per-doc argmax, and each
+    * doc's groups complete within its own micro-batch (update mode).
+    *
+    * Scale: arrival batches are small next to the corpus, so screening
+    * cost per batch is (arrival bands) × index-bucket lookups + exact
+    * verifies on candidates. Duplicate (doc, match) candidates from
+    * multi-band hits are NOT pre-deduped — a distinct would add a
+    * stateful shuffle; the ≤ bands× repeated verifies are row-local and
+    * the argmax absorbs them. Recall: at 16 bands × 2 rows the
+    * structural miss probability at 0.8 Jaccard is ~1e-7 (see
+    * [[minHashPairs]]); the verify keeps precision exact.
+    *
+    * `index` must come from [[bandIndex]] (same shingleK/numHashes/
+    * bands/seed) and `corpusSh` from the same corpus ((id, sh) —
+    * [[shingleDocs]] or its materialized parquet). */
+  def nearDupScreen(arrivals: DataFrame, idCol: Column, textCol: Column,
+      index: DataFrame, corpusSh: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 1234L): DataFrame = {
+    // the arrival's OWN shingles ride along through its band explode —
+    // an arrival micro-batch is small, so bands× array duplication on
+    // this side is cheap, and re-attaching them by id would be a second
+    // join against the stream (stream-stream — unsupported and
+    // pointless); only the CORPUS arrays stay behind until candidates
+    val arrBanded = shingleDocs(arrivals, idCol, textCol, shingleK)
+      .select(F.col("id").as("doc_id"), F.col("sh").as("a_sh"),
+        graft.functions.MinHashSig(F.col("sh"), numHashes, seed).as("mh"))
+      .select(F.col("doc_id"), F.col("a_sh"),
+        F.explode(F.array(bandKeyCols(numHashes, bands): _*)).as("bk"))
+    arrBanded
+      .join(index.select(F.col("bk"), F.col("id").as("match_id")), "bk")
+      .join(corpusSh.select(F.col("id").as("match_id"), F.col("sh").as("b_sh")),
+        "match_id")
+      .withColumn("jaccard",
+        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("double") /
+          F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
+      .filter(F.col("jaccard") >= threshold)
+      .groupBy(F.col("doc_id"))
+      // argmax by (jaccard, then LOWEST match id) — deterministic under ties
+      .agg(F.max_by(
+        F.struct(F.col("match_id"), F.col("jaccard")),
+        F.struct(F.col("jaccard"), (-F.col("match_id")).as("nid"))).as("best"))
+      .select(F.col("doc_id"), F.col("best.match_id").as("match_id"),
+        F.round(F.col("best.jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[nearDupScreen]] deriving index and corpus shingles from the corpus
+    * frame directly (small corpora / tests; production materializes both
+    * to parquet). */
+  def nearDupScreen(arrivals: DataFrame, corpus: DataFrame,
+      idCol: Column, textCol: Column): DataFrame =
+    nearDupScreen(arrivals, idCol, textCol,
+      bandIndex(corpus, idCol, textCol),
+      shingleDocs(corpus, idCol, textCol, shingleK = 3))
 
   /** SimHash near-dup pairs. 64-bit signature (custom codegen'd
     * expression), banded into four 16-bit chunks: any pair within Hamming

@@ -500,6 +500,34 @@ object LlmQueries {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
              |CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
-             |FROM k GROUP BY 1 ORDER BY source ASC""".stripMargin))
+             |FROM k GROUP BY 1 ORDER BY source ASC""".stripMargin)),
+
+    // ingestion-time near-dup screening (stream-static band join run in
+    // batch mode): docs >= 400 arrive against the < 400 corpus index,
+    // each reporting its best >= 0.8-Jaccard corpus match. The oracle is
+    // the EXACT all-cross-pairs argmax — equality also proves LSH recall
+    // at the threshold, as with q51.
+    NamedQuery("q147_neardup_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.nearDupScreen(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            col("doc_id"), col("text"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3),
+             |cand AS (SELECT a.doc_id AS doc_id, c.doc_id AS match_id,
+             |    len(list_intersect(a.ss, c.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(a.ss, c.ss))) AS j
+             |  FROM sh a JOIN sh c ON a.doc_id >= 400 AND c.doc_id < 400),
+             |best AS (SELECT doc_id, match_id, j,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, match_id ASC) AS rn
+             |  FROM cand WHERE j >= 0.8)
+             |SELECT doc_id, match_id, round(j, 6) AS jaccard
+             |FROM best WHERE rn = 1 ORDER BY doc_id ASC""".stripMargin))
   )
 }

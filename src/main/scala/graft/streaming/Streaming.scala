@@ -223,6 +223,22 @@ object Streaming {
       .foreachBatch(jdbcBatchWriter(url, table, options))
       .start()
 
+  /** Ingestion-time near-dup screening of a documents STREAM against a
+    * precomputed corpus band index — the arrival gate of a training-data
+    * pipeline: every arriving doc is checked for a ≥ `threshold` Jaccard
+    * match in the historical corpus before it is admitted. A
+    * STREAM-STATIC join (stateless — the index is re-read per
+    * micro-batch, no watermark, no join state) plus a per-doc argmax
+    * that completes within the doc's own micro-batch; run in update
+    * mode. `index`/`corpusSh` are [[graft.llm.Dedup.bandIndex]] /
+    * `(id, sh)` frames, in production read from their materialized
+    * parquet. Semantics are EXACTLY [[graft.llm.Dedup.nearDupScreen]] —
+    * same function, live fact (StreamingSpec asserts stream == batch). */
+  def screenArrivals(docs: DataFrame, index: DataFrame, corpusSh: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    graft.llm.Dedup.nearDupScreen(docs, F.col("doc_id"), F.col("text"),
+      index, corpusSh, threshold = threshold)
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -320,6 +320,23 @@ class StreamingSpec extends AnyFunSuite {
       s"live emitted ${emitted.length} of ${batch.size} users")
   }
 
+  test("ingestion screening: stream-static band join == batch screen") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val index = Dedup.bandIndex(corpus, col("doc_id"), col("text"))
+    val corpusSh = Dedup.shingleDocs(corpus, col("doc_id"), col("text"))
+    val live = runStream(
+      Streaming.screenArrivals(
+        Streaming.documentsStream(spark, sf).filter(col("doc_id") >= 400),
+        index, corpusSh),
+      "screen_live", mode = "update")
+    val batch = batchRows(Dedup.nearDupScreen(
+      docs.filter(col("doc_id") >= 400), corpus, col("doc_id"), col("text")))
+    assert(live.nonEmpty && live.sameElements(batch))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
