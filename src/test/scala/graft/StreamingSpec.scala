@@ -320,6 +320,59 @@ class StreamingSpec extends AnyFunSuite {
       s"live emitted ${emitted.length} of ${batch.size} users")
   }
 
+  test("live funnel across MULTIPLE micro-batches: incremental state merge, " +
+      "mid-stream finalization") {
+    import org.apache.spark.sql.functions.col
+    // split the fixture into 4 time-ordered files; maxFilesPerTrigger=1
+    // makes each a micro-batch, so (a) users spanning chunks exercise the
+    // state-merge path, (b) the watermark advances batch-by-batch and
+    // early anchors finalize MID-stream, not in one end-of-stream flush
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_mb")
+    val ev = Tables.events(spark, sf)
+    val chunked = ev.withColumn("__chunk",
+      org.apache.spark.sql.functions.ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    (1 to 4).foreach { i =>
+      val stage = tmp.resolve(s"stage$i")
+      chunked.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, tmp.resolve(f"f$i%02d.parquet"))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet part written for chunk $i")
+    }
+    val schema = spark.read.parquet(tmp.resolve("f01.parquet").toString).schema
+    val arrivals = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(tmp.toString)
+    val steps = Seq("signup", "view", "purchase")
+    val window = 3L * 86400 * 1000000
+    runStream(
+      Streaming.funnelStagesLive(spark, arrivals, steps, window,
+        lateness = "10 minutes").toDF(),
+      "funnel_mb", mode = "append")
+    val batch = graft.operators.Funnel.funnelStages(
+        ev, col("user_id"), col("ts"), col("event_type"), steps, window)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val emitted = spark.table("funnel_mb").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(emitted.nonEmpty)
+    assert(emitted.map(_._1).distinct.length == emitted.length,
+      "a user emitted more than once")
+    emitted.foreach { case (u, st) =>
+      assert(batch.get(u).contains(st),
+        s"user $u: live stage $st != batch ${batch.get(u)}") }
+    assert(emitted.length >= batch.size * 8 / 10,
+      s"live emitted ${emitted.length} of ${batch.size} users")
+  }
+
   test("ingestion screening: stream-static band join == batch screen") {
     import graft.llm.Dedup
     import org.apache.spark.sql.functions.col
