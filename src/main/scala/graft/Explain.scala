@@ -1,20 +1,30 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Plan audit helper: print formatted physical plans for named queries.
-  * `sbt "runMain graft.Explain q31_star_region_chain ..."` */
+/** Plan-audit tool: prints the formatted physical plan of one registry
+  * query (or `entry`) without executing it — the per-operator
+  * explain-and-iterate loop the build brief mandates.
+  *
+  * Usage: runMain graft.Explain <query-name|entry> [sfDir]
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val name = args.headOption.getOrElse("entry")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    args.foreach { name =>
-      println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
-    }
+    val df =
+      if (name == "entry") SparkEntry.entry(spark)
+      else SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))(
+        spark, sfDir)
+    df.explain("formatted")
     spark.stop()
   }
 }
