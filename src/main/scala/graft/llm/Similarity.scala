@@ -133,27 +133,79 @@ object Similarity {
       corpus: DataFrame, path: String,
       nLists: Int = 16, seed: Long = 7L): Unit = {
     val centroids = trainCentroids(corpus, nLists, seed)
-    corpus.select(F.col("id"), F.col("embedding"),
-        bestCell(centroids)(F.col("embedding")).as("cell"))
+    assignCells(corpus, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     spark.createDataFrame(rows).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** ANN over a materialized [[ivfBuildIndex]] index. The centroid read
-    * is driver-side model metadata (nLists rows); the corpus scan is
-    * pruned to the probed cells via the partition column. */
+  /** (id, embedding, cell) under FIXED centroids — the row-local
+    * assignment shared by the one-off build and the live ingestion path
+    * ([[graft.streaming.Streaming.maintainIvfIndex]]), so an arriving
+    * vector lands in exactly the cell a rebuild would give it. */
+  def assignCells(df: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    df.select(F.col("id"), F.col("embedding"),
+      bestCell(centroids)(F.col("embedding")).as("cell"))
+
+  /** The index's stored quantizer, cell-ordered. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Float]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+
+  /** The index corpus = the batch-built base plus any live-appended
+    * delta batches (`delta/batch=<id>/cell=<c>/`). Both sides carry
+    * `cell` as a partition column, so probe-side pruning keeps skipping
+    * unprobed cells in EVERY delta batch too. */
+  private def indexCorpus(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexPath/corpus")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    if (fs.exists(delta))
+      base.unionByName(spark.read.parquet(s"$indexPath/delta").drop("batch"))
+    else base
+  }
+
+  /** ANN over a materialized [[ivfBuildIndex]] index (including any live
+    * deltas). The centroid read is driver-side model metadata (nLists
+    * rows); the corpus scan is pruned to the probed cells via the
+    * partition column. */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, indexPath: String, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
-    val c = spark.read.parquet(s"$indexPath/corpus") // cell = partition col
+    val centroids = readCentroids(spark, indexPath)
+    val c = indexCorpus(spark, indexPath)
       .select(F.col("id").as("neighbor_id"), F.col("embedding").as("c_emb"),
         F.col("cell"))
     probeAndRerank(c, queries, centroids, k, nProbe)
+  }
+
+  /** Fold the live delta batches into the base corpus: read base+delta,
+    * rewrite partitioned by cell into a fresh directory, swap it in,
+    * drop the deltas. Run while the maintenance stream is STOPPED (the
+    * natural cadence: compact when deltas approach base size, i.e.
+    * O(log) compactions over the index's life). Centroids are untouched
+    * — cell assignment never changes at compaction, so a served query
+    * reads the same rows before and after (the spec asserts it). */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    if (!fs.exists(delta)) return
+    val tmp = s"$indexPath/corpus__compacting"
+    indexCorpus(spark, indexPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val corpus = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/corpus__old")
+    fs.rename(corpus, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), corpus)
+    fs.delete(old, true)
+    fs.delete(delta, true)
   }
 
   /** Coarse quantizer: spark-mllib k-means, fixed seed ⇒ reproducible.

@@ -39,6 +39,15 @@ object Streaming {
       .parquet(dir)
   }
 
+  /** The embeddings table as a stream — live ANN-index maintenance
+    * ([[maintainIvfIndex]]) ingests from here. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** Live rollup maintenance — the AggregatingMergeTree pattern as a
     * Structured Streaming job: arriving events aggregate into the daily
     * sketch cells ([[graft.cubes.Cubes.dailySketchCells]]) in UPDATE
@@ -222,6 +231,32 @@ object Streaming {
       .outputMode("append")
       .foreachBatch(jdbcBatchWriter(url, table, options))
       .start()
+
+  /** LIVE IVF-index maintenance: arriving (id, embedding) rows are
+    * assigned to their nearest cell under the index's STORED centroids
+    * (row-local [[graft.functions.NearestCell]], no shuffle) and each
+    * micro-batch lands as `delta/batch=<id>/` partitioned by cell — an
+    * idempotent per-batch overwrite, so a replayed batch after a crash
+    * rewrites its own delta instead of duplicating rows.
+    * [[graft.llm.Similarity.ivfTopKIndexed]] serves base+deltas with
+    * cell pruning intact; [[graft.llm.Similarity.ivfCompactIndex]] folds
+    * deltas into the base offline. Centroids stay fixed between
+    * retrains (the faiss operating model): quantizer drift under a
+    * shifting embedding distribution degrades recall gradually, not
+    * correctness — the periodic batch rebuild is the retrain path. */
+  def maintainIvfIndex(arrivals: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = arrivals.sparkSession
+    val centroids = graft.llm.Similarity.readCentroids(spark, indexPath)
+    graft.llm.Similarity.assignCells(arrivals, centroids)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/delta/batch=$batchId")
+      }
+      .start()
+  }
 
   /** Ingestion-time near-dup screening of a documents STREAM against a
     * precomputed corpus band index — the arrival gate of a training-data

@@ -390,6 +390,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.nonEmpty && live.sameElements(batch))
   }
 
+  test("live IVF maintenance: arrivals land in stored-centroid cells, " +
+      "updated index serves exactly, compaction preserves it") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.ivfBuildIndex(spark, emb.filter(col("id") < 400), dir, nLists = 8)
+    val q = Streaming.maintainIvfIndex(
+      Streaming.embeddingsStream(spark, sf).filter(col("vec_id") >= 400)
+        .select(col("vec_id").as("id"), col("embedding")),
+      dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // every arrival exactly once, in the cell the STORED centroids assign
+    val centroids = Similarity.readCentroids(spark, dir)
+    val delta = spark.read.parquet(s"$dir/delta")
+      .select(col("id"), col("cell")).collect().map(_.toString).sorted
+    val expected = Similarity
+      .assignCells(emb.filter(col("id") >= 400), centroids)
+      .select(col("id"), col("cell")).collect().map(_.toString).sorted
+    assert(delta.nonEmpty && delta.sameElements(expected))
+    // full-probe serving over the LIVE index == brute force over the
+    // full corpus (base + arrivals): the delta rows are first-class
+    val queries = emb.filter(col("id") < 10)
+    def served = batchRows(
+      Similarity.ivfTopKIndexed(spark, queries, dir, k = 5, nProbe = 8))
+    val exact = batchRows(Similarity.bruteForceTopK(queries, emb, 5))
+    assert(served.sameElements(exact))
+    // ...and ARRIVAL vectors are served as neighbors (several of these
+    // queries' exact top-5s are stream-arrived ids), so delta rows are
+    // provably first-class, not just carried dead weight
+    assert(Similarity.ivfTopKIndexed(spark, queries, dir, k = 5, nProbe = 8)
+      .filter(col("neighbor_id") >= 400).count() >= 1)
+    // compaction folds deltas into the base without changing what serves
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
+    assert(served.sameElements(exact))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
