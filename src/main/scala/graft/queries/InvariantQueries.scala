@@ -401,6 +401,51 @@ object InvariantQueries {
       Some("""SELECT CAST(ts AS DATE) AS day,
              |CAST(count(*) AS BIGINT) AS n_rows,
              |true AS median_within_bound
-             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin)),
+
+    // audience overlap SERVED FROM ROLLUP CELLS (Overlap inclusion–
+    // exclusion over three mergeable HLL sketches per day cell): view ∩
+    // purchase users over the q101 day range. Exact per-user-flag counts
+    // anchor the oracle; the estimate must land within the summed HLL
+    // term error (~1% each at lgK=14; 5% + 5 is the safe 2σ envelope of
+    // est_a + est_b − est_ab, whose estimand is |A|+|B|+|A∪B| — NOT the
+    // possibly-tiny intersection; see Overlap scaladoc).
+    NamedQuery("q148_overlap_rollup",
+      (s, d) => {
+        import graft.operators.Overlap
+        val ev = Tables.events(s, d).withColumn("day", F.to_date(col("ts")))
+        val a = col("event_type") === "view"
+        val b = col("event_type") === "purchase"
+        val lo = F.lit("2024-01-08").cast("date")
+        val hi = F.lit("2024-01-22").cast("date")
+        val cells = Overlap.overlapCells(ev, Seq("day" -> col("day")),
+          col("user_id"), a, b)
+        val est = Overlap.overlapFromCells(
+          cells.filter(col("day") >= lo && col("day") < hi))
+        val exact = ev.filter(col("day") >= lo && col("day") < hi)
+          .groupBy(col("user_id"))
+          .agg(F.max(F.when(a, 1L).otherwise(0L)).as("__fa"),
+            F.max(F.when(b, 1L).otherwise(0L)).as("__fb"))
+          .agg(F.sum(col("__fa")).as("n_a"), F.sum(col("__fb")).as("n_b"),
+            F.sum(col("__fa") * col("__fb")).as("n_inter"))
+        exact.crossJoin(est).select(
+          col("n_a"), col("n_b"), col("n_inter"),
+          (F.abs(col("est_intersect") - col("n_inter")) <=
+            (col("n_a") + col("n_b")) * 0.05 + 5)
+            .as("overlap_within_bound"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fa,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+             |  FROM events
+             |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |    AND CAST(ts AS DATE) < DATE '2024-01-22'
+             |  GROUP BY user_id)
+             |SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+             |CAST(sum(fb) AS BIGINT) AS n_b,
+             |CAST(sum(fa * fb) AS BIGINT) AS n_inter,
+             |true AS overlap_within_bound
+             |FROM u""".stripMargin))
   )
 }

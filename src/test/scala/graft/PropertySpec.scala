@@ -174,6 +174,26 @@ class PropertySpec extends AnyFunSuite {
     assert(oneShot > 0)
   }
 
+  test("overlap rollup cells serve bit-identically to the single-shot estimate") {
+    import graft.operators.Overlap
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.functions.col
+    // inclusion–exclusion over per-day sketch cells must equal the
+    // single-shot sketches exactly (HLL union at fixed lgK is lossless),
+    // so overlap answers don't depend on how the rollup was partitioned
+    val ev = graft.cubes.Tables.events(spark, sf)
+      .withColumn("day", F.to_date(col("ts")))
+    val a = col("event_type") === "view"
+    val b = col("event_type") === "purchase"
+    val fromCells = Overlap.overlapFromCells(
+      Overlap.overlapCells(ev, Seq("day" -> col("day")), col("user_id"), a, b))
+      .collect()(0)
+    val oneShot = Overlap
+      .overlapEstimate(ev, Nil, col("user_id"), a, b).collect()(0)
+    assert(fromCells == oneShot, s"cells=$fromCells oneShot=$oneShot")
+    assert(fromCells.getDouble(2) > 0, "fixture overlap should be non-trivial")
+  }
+
   test("quantile sketch cells union with the one-shot rank guarantee") {
     import graft.functions.QuantileSketch
     import org.apache.spark.sql.{functions => F}
