@@ -676,6 +676,19 @@ object Cubes {
               col("ts") >= F.lit("2024-01-22").cast("timestamp") &&
                 col("ts") < F.lit("2024-01-29").cast("timestamp")), pred)
           }),
+        // estimated |view-users ∩ purchase-users| per slice group —
+        // HLL inclusion–exclusion (operators/Overlap), plan-backed like
+        // retention: three conditional sketches per group, one hash agg.
+        // The error estimand is |A|+|B|+|A∪B|, not the intersection
+        // (Overlap scaladoc); q149 carries the exact-anchored bound.
+        "viewPurchaseOverlap" -> Metric("viewPurchaseOverlap",
+          build = _ => throw new CubeQueryException(
+            "viewPurchaseOverlap is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.operators.Overlap.overlapPlan(fact, keys, col("user_id"),
+              col("event_type") === "view", col("event_type") === "purchase",
+              pred)
+          }),
         // parameterized bounded-state distinct (ClickHouse uniqUpTo(N)):
         // exact while <= n, n+1 once exceeded — state capped at n+1
         // values per group; n is a metric arg, FILTER-composable

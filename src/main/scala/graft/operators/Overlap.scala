@@ -57,6 +57,24 @@ object Overlap {
       .agg(sk(condA, key, lgK).as("sk_a"), sk(condB, key, lgK).as("sk_b"),
         sk(condA || condB, key, lgK).as("sk_ab"))
 
+  /** [[overlapEstimate]] as a PLAN-BACKED cube metric
+    * ([[graft.model.Metric]] `planBuild` contract): per slice group, the
+    * estimated |A∩B| of `key` values. One hash aggregation per group
+    * set, map-side combined. Group contract: every group present in
+    * `df` gets a row — a group emptied by `pred` gets 0.0, never null. */
+  def overlapPlan(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      key: Column, condA: Column, condB: Column,
+      pred: Option[Column],
+      outKey: String = "__pb_value",
+      lgK: Int = 14): DataFrame =
+    PlanBacked.groupContract(df, groupCols, pred, outKey) { (vals, keyed) =>
+      overlapEstimate(vals, keyed, key, condA, condB, lgK)
+        .withColumnRenamed("est_intersect", outKey)
+        .drop("est_a", "est_b")
+    }(_ => F.lit(0.0))
+
   /** Serve an overlap estimate from [[overlapCells]] over any cell
     * subset (e.g. a day range): lossless HLL union per term, then the
     * same inclusion–exclusion. One row: (est_a, est_b, est_intersect).

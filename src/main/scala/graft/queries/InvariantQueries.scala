@@ -446,6 +446,42 @@ object InvariantQueries {
              |CAST(sum(fb) AS BIGINT) AS n_b,
              |CAST(sum(fa * fb) AS BIGINT) AS n_inter,
              |true AS overlap_within_bound
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // the overlap THROUGH THE FRONT DOOR: viewPurchaseOverlap is a
+    // plan-backed metric on the events cube (Overlap.overlapPlan), here
+    // sliced by day via the generic ts.day sub-field — per day the
+    // estimate must land within the summed-term HLL envelope around the
+    // exact per-user-flag intersection.
+    NamedQuery("q149_overlap_front_door",
+      (s, d) => {
+        import graft.query.CubeQuery
+        val via = CubeQuery(graft.cubes.Cubes.eventsCube(s, d))
+          .slice("day", "ts", "day")
+          .measure("ov_est", "viewPurchaseOverlap").toDF
+        val exact = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+          .agg(F.max(F.when(col("event_type") === "view", 1L).otherwise(0L)).as("__fa"),
+            F.max(F.when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__fb"))
+          .groupBy(col("day"))
+          .agg(F.sum(col("__fa")).as("n_view"), F.sum(col("__fb")).as("n_buy"),
+            F.sum(col("__fa") * col("__fb")).as("n_inter"))
+        via.join(exact, "day").select(
+          col("day"), col("n_view"), col("n_buy"), col("n_inter"),
+          (F.abs(col("ov_est") - col("n_inter")) <=
+            (col("n_view") + col("n_buy")) * 0.05 + 5)
+            .as("overlap_within_bound"))
+          .orderBy(col("day").asc)
+      },
+      Some("""WITH u AS (
+             |  SELECT CAST(ts AS DATE) AS day, user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fa,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+             |  FROM events GROUP BY 1, 2)
+             |SELECT day, CAST(sum(fa) AS BIGINT) AS n_view,
+             |CAST(sum(fb) AS BIGINT) AS n_buy,
+             |CAST(sum(fa * fb) AS BIGINT) AS n_inter,
+             |true AS overlap_within_bound
+             |FROM u GROUP BY day ORDER BY day ASC""".stripMargin))
   )
 }
