@@ -274,6 +274,30 @@ object Streaming {
     graft.llm.Dedup.nearDupScreen(docs, F.col("doc_id"), F.col("text"),
       index, corpusSh, threshold = threshold)
 
+  /** LIVE benchmark decontamination — the second ingestion gate beside
+    * [[screenArrivals]]: arriving docs sharing ≥ `minHits` word n-grams
+    * with the (static, broadcast) benchmark set are dropped; survivors
+    * land as `outDir/batch=<id>/` parquet, an idempotent per-batch
+    * overwrite. Runs [[graft.llm.Decontaminate.decontaminated]] on each
+    * micro-batch inside `foreachBatch`: a doc's contamination verdict
+    * depends only on the doc and the benchmark — never on other
+    * training docs — so the union of per-batch keep-lists EQUALS the
+    * one-shot batch keep-list over the same corpus (the spec asserts
+    * it), and the training side still never shuffles. */
+  def decontaminateArrivals(docs: DataFrame, bench: DataFrame,
+      outDir: String, checkpoint: String,
+      n: Int = 4, minHits: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Decontaminate.decontaminated(
+            batch, F.col("doc_id"), F.col("text"),
+            bench, F.col("doc_id"), F.col("text"), n, minHits)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -20,6 +20,22 @@ class EngineSpec extends AnyFunSuite {
 
   private def li = CubeQuery(Cubes.lineitemCube(spark, sf))
 
+  test("viewPurchaseOverlap: metric-filter-emptied groups get 0.0 and never vanish") {
+    import graft.cubes.Cubes
+    val all = CubeQuery(Cubes.eventsCube(spark, sf))
+      .slice("arm", "arm").measure("ov", "viewPurchaseOverlap")
+      .toDF.collect()
+    assert(all.nonEmpty && all.exists(_.getDouble(1) > 0))
+    // a METRIC filter (the plan-backed pred) that removes every row:
+    // every arm still present, value 0.0 — the group contract
+    val emptied = CubeQuery(Cubes.eventsCube(spark, sf))
+      .slice("arm", "arm")
+      .measureWhen("ov", "viewPurchaseOverlap", Pred.gt("value", 1e18))
+      .toDF.collect()
+    assert(emptied.length == all.length)
+    assert(emptied.forall(_.getDouble(1) == 0.0))
+  }
+
   test("V1: unknown dimension raises") {
     val e = intercept[CubeQueryException](li.slice("x", "nope").toDF)
     assert(e.getMessage.contains("unknown dimension"))

@@ -430,6 +430,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.sameElements(exact))
   }
 
+  test("live decontamination: per-batch keep-lists union to the batch keep-list") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("source") === "src0")
+    val arrivals = docs.filter(col("source") =!= "src0")
+    val q = Streaming.decontaminateArrivals(
+      Streaming.documentsStream(spark, sf).filter(col("source") =!= "src0"),
+      bench, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val batch = graft.llm.Decontaminate.decontaminated(
+        arrivals, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 4, minHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(live.nonEmpty && live.sameElements(batch))
+    // the gate actually dropped something (planted overlaps exist)
+    assert(live.length < arrivals.count())
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
