@@ -281,6 +281,72 @@ object Dedup {
       bandIndex(corpus, idCol, textCol),
       shingleDocs(corpus, idCol, textCol, shingleK = 3))
 
+  /** Connected components over a near-dup PAIR graph — the transitive-
+    * closure step between pairwise dedup ([[minHashPairs]] etc.) and a
+    * keep-list: near-dup is not transitive, but dropping all-but-one per
+    * component is the standard corpus-dedup policy (one representative
+    * per chain a∼b∼c even when a≁c directly).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * (1) every vertex takes the min label over itself and its
+    * neighbors, (2) labels chase their own label's label (path
+    * halving). The jump step is what makes long chains collapse in
+    * O(log n) rounds instead of O(diameter) (the CC-MR / large-star
+    * family); each round is two hash-join shuffles over (edges,
+    * labels), and `localCheckpoint` cuts the iterative lineage so round
+    * k doesn't replay rounds 1..k-1. Deterministic: labels are ids,
+    * min is order-free. Converged when no label changes (checked via
+    * count, driver-side scalar); `maxIters` (default 25 ⇒ graphs of
+    * diameter ≫ 2²⁵ would be required to exhaust it) is a safety rail,
+    * overrun raises rather than returning half-merged components.
+    *
+    * Returns (doc_id, cluster_id = min id reachable); only ids that
+    * appear in `pairs`. Keep-list policy: keep `cluster_id == doc_id`
+    * (the representative) plus every doc absent from `pairs`. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(F.col("a_id").as("src"), F.col("b_id").as("dst"))
+      .union(pairs.select(F.col("b_id").as("src"), F.col("a_id").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(F.col("src").as("id")).distinct()
+        .select(F.col("id"), F.col("id").as("label"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // (1) min over self ∪ neighbors
+        val viaNbr = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(F.col("dst").as("id"))
+          .agg(F.min(F.col("label")).as("__nbr_min"))
+        val stepped = labels.join(viaNbr, Seq("id"), "left")
+          .select(F.col("id"),
+            F.least(F.col("label"), F.coalesce(F.col("__nbr_min"), F.col("label")))
+              .as("label"))
+        // (2) pointer jump: label <- label(label)
+        val parents = stepped.select(F.col("id").as("__pid"),
+          F.col("label").as("__plabel"))
+        val jumped = stepped
+          .join(parents, stepped("label") === parents("__pid"), "left")
+          .select(F.col("id"),
+            F.least(F.col("label"), F.coalesce(F.col("__plabel"), F.col("label")))
+              .as("label"))
+          .localCheckpoint(true)
+        val changed = jumped.alias("n")
+          .join(labels.alias("o"), Seq("id"))
+          .filter(F.col("n.label") =!= F.col("o.label")).count()
+        labels = jumped
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIters rounds")
+      labels.select(F.col("id").as("doc_id"), F.col("label").as("cluster_id"))
+    } finally edges.unpersist()
+  }
+
   /** SimHash near-dup pairs. 64-bit signature (custom codegen'd
     * expression), banded into four 16-bit chunks: any pair within Hamming
     * distance 3 shares ≥1 chunk (pigeonhole), so the chunk join finds all

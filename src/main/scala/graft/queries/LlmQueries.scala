@@ -528,6 +528,34 @@ object LlmQueries {
              |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, match_id ASC) AS rn
              |  FROM cand WHERE j >= 0.8)
              |SELECT doc_id, match_id, round(j, 6) AS jaccard
-             |FROM best WHERE rn = 1 ORDER BY doc_id ASC""".stripMargin))
+             |FROM best WHERE rn = 1 ORDER BY doc_id ASC""".stripMargin)),
+
+    // near-dup CLUSTERS: connected components over the minhash pair
+    // graph (transitive closure — the keep-one-per-component policy).
+    // The oracle replays it as a recursive CTE over the EXACT all-pairs
+    // jaccard graph, so equality proves both the LSH pair recall and
+    // the component labels.
+    NamedQuery("q150_neardup_clusters",
+      (s, d) => Dedup.nearDupClusters(
+          Dedup.minHashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+            shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8))
+        .orderBy(col("doc_id").asc),
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |        len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |      UNION SELECT b_id, a_id FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+             |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin))
   )
 }

@@ -18,6 +18,21 @@ class LlmSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.functions.col
 
+  test("nearDupClusters: chains merge transitively, long chains converge via pointer jumping") {
+    import spark.implicits._
+    // a∼b, b∼c merge even though a≁c directly; disjoint pair untouched;
+    // a 21-vertex path (diameter 20) forces the pointer-jump rounds
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain)
+      .toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((100L to 120L).forall(got(_) == 100L))
+    assert(got.size == 3 + 2 + 21)
+  }
+
   test("minhash LSH finds every exact-jaccard pair at threshold 0.8 (recall=1 here)") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
