@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Deterministic dataset splitting for training pipelines.
@@ -46,5 +46,41 @@ object Splits {
     weights.tail.zip(cuts.tail).dropRight(1).foldLeft(first) {
       case (acc, ((name, _), hi)) => acc.when(b < hi, F.lit(name))
     }.otherwise(F.lit(weights.last._1))
+  }
+
+  /** Engine-independent uniform in (0, 1) from the same md5 hash as
+    * [[hashBucket]]: (h₃₂ + 0.5) / 2³², so it is never exactly 0 or 1. */
+  def hashUniform(key: Column): Column =
+    (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / F.lit(4294967296.0)
+
+  /** DETERMINISTIC weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = ln(u)/w with u = [[hashUniform]]
+    * and w its weight; the k LARGEST keys are exactly a weighted sample
+    * without replacement. rand()-based `sampleBy` gives a different
+    * sample every run and engine; the hash-derived uniform makes the
+    * sample a pure function of row identity — reproducible across
+    * engines, runs, and partitionings (the same discipline as
+    * [[hashBucket]] splits), and replayable in SQL (q151's oracle).
+    *
+    * Stratified (`strata` non-empty): top-k per stratum via one
+    * window — shuffle by strata, the limit_by shape. Global: TakeOrdered
+    * (distributed partial top-k), never a single-partition window.
+    * Rows with weight ≤ 0 or null cannot be sampled and are dropped.
+    * Returns the input columns plus `es_key` (the sort key, for rank
+    * auditing). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      strata: Seq[Column] = Nil): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val keyed = df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_key", F.log(hashUniform(key)) / weight.cast("double"))
+    if (strata.isEmpty)
+      keyed.orderBy(F.col("es_key").desc, key.asc).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+        .orderBy(F.col("es_key").desc, key.asc)
+      keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k).drop("__rn")
+    }
   }
 }

@@ -556,6 +556,31 @@ object LlmQueries {
              |  UNION
              |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-             |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin))
+             |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin)),
+
+    // deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis over the md5-derived uniform): 10 docs per source,
+    // char-count-weighted. The oracle replays the EXACT key formula —
+    // equality proves the sample is a pure function of row identity,
+    // not of engine, run, or partitioning.
+    NamedQuery("q151_weighted_sample",
+      (s, d) => graft.llm.Splits.weightedSample(
+          Tables.documents(s, d), col("doc_id"), col("n_chars"), k = 10,
+          strata = Seq(col("source")))
+        .select(col("source"), col("doc_id"),
+          F.round(col("es_key"), 6).as("es_key"))
+        .orderBy(col("source").asc, col("es_key").desc, col("doc_id").asc),
+      Some("""WITH keyed AS (
+             |  SELECT source, doc_id,
+             |    ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+             |       / 4294967296.0) / n_chars AS es
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |ranked AS (
+             |  SELECT source, doc_id, es,
+             |    row_number() OVER (PARTITION BY source ORDER BY es DESC, doc_id ASC) AS rn
+             |  FROM keyed)
+             |SELECT source, doc_id, round(es, 6) AS es_key
+             |FROM ranked WHERE rn <= 10
+             |ORDER BY source ASC, es_key DESC, doc_id ASC""".stripMargin))
   )
 }

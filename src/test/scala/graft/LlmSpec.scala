@@ -18,6 +18,26 @@ class LlmSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.functions.col
 
+  test("weightedSample: partitioning-invariant, per-stratum cap, distributed global top-k") {
+    import graft.llm.Splits
+    val docs = Tables.documents(spark, sf)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Splits.weightedSample(df, col("doc_id"), col("n_chars"), 10,
+          strata = Seq(col("source")))
+        .select("source", "doc_id").collect().map(_.toString).sorted
+    // the sample is a pure function of row identity — repartitioning
+    // (the thing that silently changes rand()-based samples) is a no-op
+    val a = sample(docs.repartition(1))
+    val b = sample(docs.repartition(7))
+    assert(a.nonEmpty && a.sameElements(b))
+    assert(a.length == docs.select("source").distinct().count() * 10)
+    // global (unstratified) mode: exactly k rows via distributed
+    // TakeOrdered, never a single-partition window
+    val g = Splits.weightedSample(docs, col("doc_id"), col("n_chars"), 10)
+    assert(g.count() == 10)
+    assert(g.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("nearDupClusters: chains merge transitively, long chains converge via pointer jumping") {
     import spark.implicits._
     // a∼b, b∼c merge even though a≁c directly; disjoint pair untouched;
