@@ -55,6 +55,19 @@ class ParserSpec extends AnyFunSuite {
     assert(row.map(_.getString(0)).toSeq == Seq("ShipDate"))
   }
 
+  test("plan-backed overlap metric dispatches through the parsed front door") {
+    val events = Cubes.eventsCube(spark, sf)
+    val p = QueryParser.parse(events,
+      """{ "fields": [
+           {"name": "arm"},
+           {"name": "viewPurchaseOverlap", "alias": "ov"}],
+           "args": { "options": {"asc": "arm"} } }""")
+    val rows = p.query.toDF.collect()
+    assert(rows.length == 4) // 4 experiment arms
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.exists(_.getDouble(1) > 0))
+  }
+
   test("R8: per-row discriminator resolves __typename from the row; onType gates fields") {
     val events = Cubes.eventsCube(spark, sf)
     val p = QueryParser.parse(events,
