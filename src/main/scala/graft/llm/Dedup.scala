@@ -281,6 +281,54 @@ object Dedup {
       bandIndex(corpus, idCol, textCol),
       shingleDocs(corpus, idCol, textCol, shingleK = 3))
 
+  /** Cross-document SPAN duplication — the substring-dedup signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499): for each doc, what fraction of its k-token
+    * spans also occurs in at least one OTHER document. Boilerplate,
+    * licenses, and templated text light up here even when whole-doc
+    * near-dup (MinHash) misses them; the full Lee et al. treatment
+    * REMOVES the duplicated spans — this emits the per-doc signal a
+    * filtering gate thresholds on.
+    *
+    * Per doc: `n_spans` (k-token span instances), `n_dup_spans` (those
+    * whose span text appears in ≥2 distinct docs), `dup_span_frac`.
+    * Docs shorter than k tokens report 0 spans, fraction 0.0.
+    *
+    * Scale shape: one explode → span-key aggregation (map-side
+    * combined; key space = distinct spans) → join back → per-doc
+    * re-count: two shuffles, no doc×doc work. `hashed = true` (the 100
+    * TB default) shuffles 64-bit xxhash64 span keys instead of the span
+    * strings — identical answers modulo hash collisions
+    * (~n²/2⁶⁵ expected, zero in any real corpus); `false` is the
+    * string-keyed exact configuration the DuckDB oracle replays (q152),
+    * and LlmSpec asserts the two agree on the fixtures. */
+  def crossDocSpanStats(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8, hashed: Boolean = true): DataFrame = {
+    require(k >= 1, s"span length must be positive, got $k")
+    val spanStr = TextAnalysis.wordNgrams(textCol, k)
+    val spans = df.select(idCol.as("doc_id"),
+        F.explode(spanStr).as("__span"))
+      .select(F.col("doc_id"),
+        (if (hashed) F.xxhash64(F.col("__span")) else F.col("__span"))
+          .as("__key"))
+    val docsPerSpan = spans.distinct()
+      .groupBy("__key").agg(F.count(F.lit(1)).as("__ndocs"))
+    val perDoc = spans.join(docsPerSpan, "__key")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_spans"),
+        F.sum(F.when(F.col("__ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    // docs with no spans (shorter than k tokens) still get a row
+    df.select(idCol.as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_spans"), F.lit(0L)).as("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        F.round(F.when(F.col("n_spans") > 0,
+          F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+          .otherwise(F.lit(0.0)), 6))
+  }
+
   /** Connected components over a near-dup PAIR graph — the transitive-
     * closure step between pairwise dedup ([[minHashPairs]] etc.) and a
     * keep-list: near-dup is not transitive, but dropping all-but-one per

@@ -581,6 +581,33 @@ object LlmQueries {
              |  FROM keyed)
              |SELECT source, doc_id, round(es, 6) AS es_key
              |FROM ranked WHERE rn <= 10
-             |ORDER BY source ASC, es_key DESC, doc_id ASC""".stripMargin))
+             |ORDER BY source ASC, es_key DESC, doc_id ASC""".stripMargin)),
+
+    // cross-doc span duplication (Lee et al. substring-dedup signal):
+    // per doc, the fraction of its 8-token spans that appear in ≥2
+    // distinct docs. Registered in the string-keyed exact configuration
+    // the oracle can replay; the hashed fast path is asserted equal in
+    // LlmSpec.
+    NamedQuery("q152_cross_doc_spans",
+      (s, d) => Dedup.crossDocSpanStats(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          k = 8, hashed = false)
+        .orderBy(col("doc_id").asc),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sp AS (SELECT doc_id,
+             |  unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS span
+             |  FROM t WHERE len(w) >= 8),
+             |nd AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span),
+             |pd AS (SELECT sp.doc_id, count(*) AS n_spans,
+             |    sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+             |  FROM sp JOIN nd USING (span) GROUP BY sp.doc_id)
+             |SELECT d.doc_id,
+             |CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+             |CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+             |round(CASE WHEN coalesce(pd.n_spans, 0) > 0
+             |      THEN pd.n_dup::DOUBLE / pd.n_spans ELSE 0.0 END, 6) AS dup_span_frac
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id ASC""".stripMargin))
   )
 }

@@ -38,6 +38,27 @@ class LlmSpec extends AnyFunSuite {
     assert(g.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
 
+  test("crossDocSpanStats: hashed fast path == string-keyed exact; planted spans detected") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.crossDocSpanStats(docs, col("doc_id"), col("text"),
+      k = 8, hashed = false).collect().map(_.toString).sorted
+    val hashed = Dedup.crossDocSpanStats(docs, col("doc_id"), col("text"),
+      k = 8, hashed = true).collect().map(_.toString).sorted
+    assert(exact.nonEmpty && exact.sameElements(hashed))
+    // planted: two docs sharing one 8-token span, a third unrelated
+    val planted = Seq(
+      (1L, "a b c d e f g h unique tail one"),
+      (2L, "prefix two a b c d e f g h"),
+      (3L, "totally different words with no shared span at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanStats(planted, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 4 && got(1L)._2 == 1) // 11 tokens -> 4 spans, 1 shared
+    assert(got(2L)._1 == 3 && got(2L)._2 == 1) // 10 tokens -> 3 spans, 1 shared
+    assert(got(3L)._2 == 0)
+  }
+
   test("nearDupClusters: chains merge transitively, long chains converge via pointer jumping") {
     import spark.implicits._
     // a∼b, b∼c merge even though a≁c directly; disjoint pair untouched;
