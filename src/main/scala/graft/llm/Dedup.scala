@@ -264,10 +264,14 @@ object Dedup {
           F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))))
       .filter(F.col("jaccard") >= threshold)
       .groupBy(F.col("doc_id"))
-      // argmax by (jaccard, then LOWEST match id) — deterministic under ties
-      .agg(F.max_by(
+      // argmax by (jaccard, then LOWEST match id) — deterministic under
+      // ties. min_by over (-jaccard, match_id) negates only the DOUBLE
+      // score, so the id is compared in its own type: numeric OR string
+      // ids both get a well-defined "lowest id wins" (negating a string
+      // id would cast to null and silently break determinism).
+      .agg(F.min_by(
         F.struct(F.col("match_id"), F.col("jaccard")),
-        F.struct(F.col("jaccard"), (-F.col("match_id")).as("nid"))).as("best"))
+        F.struct((-F.col("jaccard")).as("nj"), F.col("match_id"))).as("best"))
       .select(F.col("doc_id"), F.col("best.match_id").as("match_id"),
         F.round(F.col("best.jaccard"), 6).as("jaccard"))
   }

@@ -161,8 +161,7 @@ object Similarity {
   private def indexCorpus(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
     val base = spark.read.parquet(s"$indexPath/corpus")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, indexPath)
     val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
     if (fs.exists(delta))
       base.unionByName(spark.read.parquet(s"$indexPath/delta").drop("batch"))
@@ -193,20 +192,43 @@ object Similarity {
     * reads the same rows before and after (the spec asserts it). */
   def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, indexPath)
     val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
     if (!fs.exists(delta)) return
-    val tmp = s"$indexPath/corpus__compacting"
-    indexCorpus(spark, indexPath)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val corpus = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
     val old = new org.apache.hadoop.fs.Path(s"$indexPath/corpus__old")
-    fs.rename(corpus, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), corpus)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus__compacting")
+    // Leftovers from a crashed compaction mean the swap below could
+    // rename onto an occupied target and silently drop rows — refuse and
+    // make the operator tell the caller which half-finished state exists.
+    if (fs.exists(old)) sys.error(
+      s"ivfCompactIndex: $old exists — a previous compaction did not " +
+      "finish. Recover (restore or delete corpus__old) before compacting.")
+    // A stale tmp dir is safe to discard: nothing serves from it.
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    indexCorpus(spark, indexPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    def renameOrDie(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst)) sys.error(
+        s"ivfCompactIndex: rename $src -> $dst failed; index left " +
+        "un-swapped (delta retained, nothing dropped)")
+    renameOrDie(corpus, old)
+    renameOrDie(tmp, corpus)
+    // Only once the new corpus is verifiably in place may the inputs of
+    // the compaction (old corpus, delta batches) be discarded.
+    if (!fs.exists(corpus)) sys.error(
+      s"ivfCompactIndex: $corpus missing after swap; delta retained")
     fs.delete(old, true)
     fs.delete(delta, true)
   }
+
+  /** Filesystem OF the index path (not the default FS) — an index on
+    * s3a:// or abfs:// must have exists/rename/delete evaluated there. */
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Coarse quantizer: spark-mllib k-means, fixed seed ⇒ reproducible.
     * The training frame is cached for the iterations — k-means rescans

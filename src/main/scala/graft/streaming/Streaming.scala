@@ -57,14 +57,19 @@ object Streaming {
     * stays queryable throughout and refreshes are partition-local, never
     * a full-table rebuild. Serve it through optimal-source selection via
     * `Cubes.eventsCubeWithSketchRollup(s, cat, Some(read))`.
-    * Production note: add a watermark on `ts` upstream to bound the
-    * aggregation state to the lateness horizon; unwatermarked, state
-    * holds every (day, event_type) ever seen (tiny cells, but unbounded
-    * days).
+    * `lateness` bounds the aggregation state: when set, a watermark of
+    * that horizon is applied on `ts` INSIDE the operator, so (day,
+    * event_type) state older than the horizon is evicted — the
+    * production configuration for a continuous stream. `None` (tests /
+    * bounded replays) keeps every day's state: tiny cells, but unbounded
+    * days, so don't run `None` on an unbounded source.
     */
   def maintainSketchRollup(events: DataFrame, outDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    graft.cubes.Cubes.dailySketchCells(events)
+      checkpoint: String,
+      lateness: Option[String] = Some("1 day"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.cubes.Cubes.dailySketchCells(
+        lateness.fold(events)(l => events.withWatermark("ts", l)))
       .writeStream.outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -261,18 +266,30 @@ object Streaming {
   /** Ingestion-time near-dup screening of a documents STREAM against a
     * precomputed corpus band index — the arrival gate of a training-data
     * pipeline: every arriving doc is checked for a ≥ `threshold` Jaccard
-    * match in the historical corpus before it is admitted. A
-    * STREAM-STATIC join (stateless — the index is re-read per
-    * micro-batch, no watermark, no join state) plus a per-doc argmax
-    * that completes within the doc's own micro-batch; run in update
-    * mode. `index`/`corpusSh` are [[graft.llm.Dedup.bandIndex]] /
-    * `(id, sh)` frames, in production read from their materialized
-    * parquet. Semantics are EXACTLY [[graft.llm.Dedup.nearDupScreen]] —
-    * same function, live fact (StreamingSpec asserts stream == batch). */
+    * match in the historical corpus before it is admitted. Runs
+    * [[graft.llm.Dedup.nearDupScreen]] on each micro-batch INSIDE
+    * `foreachBatch`, so the per-doc argmax is a plain batch aggregation
+    * that lives and dies with its micro-batch — the job holds ZERO
+    * streaming state (as a streaming `groupBy` the argmax would retain
+    * per-doc_id state forever without a watermark, growing with every
+    * doc ever screened). A doc's verdict depends only on the doc and the
+    * static corpus, never on other arrivals, so the union of per-batch
+    * verdicts EQUALS the one-shot batch screen (StreamingSpec asserts
+    * it). Verdict rows land as `outDir/batch=<id>/` parquet — an
+    * idempotent per-batch overwrite, safe under micro-batch replay.
+    * `index`/`corpusSh` are [[graft.llm.Dedup.bandIndex]] / `(id, sh)`
+    * frames, in production read from their materialized parquet. */
   def screenArrivals(docs: DataFrame, index: DataFrame, corpusSh: DataFrame,
-      threshold: Double = 0.8): DataFrame =
-    graft.llm.Dedup.nearDupScreen(docs, F.col("doc_id"), F.col("text"),
-      index, corpusSh, threshold = threshold)
+      outDir: String, checkpoint: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Dedup.nearDupScreen(batch, F.col("doc_id"), F.col("text"),
+            index, corpusSh, threshold = threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
 
   /** LIVE benchmark decontamination — the second ingestion gate beside
     * [[screenArrivals]]: arriving docs sharing ≥ `minHits` word n-grams

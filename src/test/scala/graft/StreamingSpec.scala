@@ -373,18 +373,26 @@ class StreamingSpec extends AnyFunSuite {
       s"live emitted ${emitted.length} of ${batch.size} users")
   }
 
-  test("ingestion screening: stream-static band join == batch screen") {
+  test("ingestion screening: per-batch foreachBatch screen == batch screen, " +
+      "zero streaming state") {
     import graft.llm.Dedup
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < 400)
     val index = Dedup.bandIndex(corpus, col("doc_id"), col("text"))
     val corpusSh = Dedup.shingleDocs(corpus, col("doc_id"), col("text"))
-    val live = runStream(
-      Streaming.screenArrivals(
-        Streaming.documentsStream(spark, sf).filter(col("doc_id") >= 400),
-        index, corpusSh),
-      "screen_live", mode = "update")
+    val out = java.nio.file.Files.createTempDirectory("graft_screen_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_screen_ckpt").toString
+    val q = Streaming.screenArrivals(
+      Streaming.documentsStream(spark, sf).filter(col("doc_id") >= 400),
+      index, corpusSh, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // zero streaming state: the argmax ran batch-local inside foreachBatch
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"expected stateless sink, got ${q.lastProgress.stateOperators.length} state operators")
+    val live = spark.read.parquet(out)
+      .select("doc_id", "match_id", "jaccard")
+      .collect().map(_.toString).sorted
     val batch = batchRows(Dedup.nearDupScreen(
       docs.filter(col("doc_id") >= 400), corpus, col("doc_id"), col("text")))
     assert(live.nonEmpty && live.sameElements(batch))
