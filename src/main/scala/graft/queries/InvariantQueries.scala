@@ -482,6 +482,34 @@ object InvariantQueries {
              |CAST(sum(fb) AS BIGINT) AS n_buy,
              |CAST(sum(fa * fb) AS BIGINT) AS n_inter,
              |true AS overlap_within_bound
-             |FROM u GROUP BY day ORDER BY day ASC""".stripMargin))
+             |FROM u GROUP BY day ORDER BY day ASC""".stripMargin)),
+
+    // q152 registers crossDocSpanStats in its string-keyed oracle
+    // configuration; the LIBRARY DEFAULT ships hashed=true (64-bit span
+    // keys through the shuffles — the 100 TB path). This row makes the
+    // shipped default driver-verified: per-doc equality of the hashed
+    // and string-keyed outputs, anchored by the corpus doc count.
+    NamedQuery("q153_span_hash_invariant",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def stats(h: Boolean) = Dedup.crossDocSpanStats(
+          docs, col("doc_id"), col("text"), k = 8, hashed = h)
+        val joined = stats(true).alias("h")
+          .join(stats(false).alias("e"), Seq("doc_id"))
+        val nDocs = docs.agg(F.count(F.lit(1)).as("n_docs"))
+        val mismatch = joined.filter(
+            F.col("h.n_spans") =!= F.col("e.n_spans") ||
+            F.col("h.n_dup_spans") =!= F.col("e.n_dup_spans") ||
+            F.col("h.dup_span_frac") =!= F.col("e.dup_span_frac"))
+          .agg(F.count(F.lit(1)).as("__nm"))
+        val covered = joined.agg(F.count(F.lit(1)).as("__nc"))
+        nDocs.crossJoin(mismatch).crossJoin(covered).select(
+          col("n_docs"),
+          (col("__nm") === 0).as("hashed_matches_exact"),
+          (col("__nc") === col("n_docs")).as("all_docs_covered"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |true AS hashed_matches_exact,
+             |true AS all_docs_covered FROM documents""".stripMargin))
   )
 }
