@@ -333,6 +333,82 @@ object Dedup {
           .otherwise(F.lit(0.0)), 6))
   }
 
+  /** Span-level DEDUPLICATION — the full treatment of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), where [[crossDocSpanStats]] stops at the
+    * signal: spans whose text occurs in ≥2 distinct documents are
+    * EXCISED from every document except one canonical owner, and the
+    * rewritten text is emitted. Boilerplate and license blocks that
+    * whole-doc MinHash misses (they sit inside otherwise-distinct docs)
+    * are removed instead of merely measured.
+    *
+    * Policy, per distinct duplicated span text: the doc with the MIN id
+    * among those containing it keeps its occurrences (the canonical
+    * copy — exactly one doc still carries the text); every other doc
+    * removes ALL its occurrences. A doc's hit positions are merged into
+    * maximal covered intervals (overlapping and adjacent k-token hits
+    * coalesce), and tokens inside any interval are dropped; the
+    * rewritten text is the kept tokens joined with single spaces
+    * (token-normalizing, like every text op here).
+    *
+    * Returns one row per input doc: (doc_id, text_clean, n_tokens,
+    * n_removed, n_intervals). Docs shorter than k tokens pass through
+    * untouched (0 removed).
+    *
+    * Scale shape: explode → span-key aggregation (map-side combined) →
+    * join back → per-doc hit-list aggregation → join to the doc tokens:
+    * the wide exchanges are on span keys and doc ids, never doc×doc.
+    * Only DUPLICATED span instances survive past the second shuffle, so
+    * the hit side is proportional to the duplication actually present.
+    * The rewrite itself is row-local: interval merge is a single
+    * fold over the sorted hit list, and the token filter tests the
+    * MERGED intervals (heavy boilerplate collapses to few intervals, so
+    * the per-row cost is tokens × intervals, not tokens × hits).
+    * `hashed = true` (default) shuffles 64-bit xxhash64 span keys — the
+    * 100 TB path; `false` is the string-keyed configuration the DuckDB
+    * oracle replays (q154), and LlmSpec asserts the two agree. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8, hashed: Boolean = true): DataFrame = {
+    require(k >= 1, s"span length must be positive, got $k")
+    val spans = df.select(idCol.as("doc_id"),
+        F.posexplode(TextAnalysis.wordNgrams(textCol, k)))
+      .select(F.col("doc_id"), F.col("pos"),
+        (if (hashed) F.xxhash64(F.col("col")) else F.col("col")).as("__key"))
+    // per span text: is it cross-doc duplicated, and who keeps it
+    val owners = spans.groupBy("__key")
+      .agg(F.count_distinct(F.col("doc_id")).as("__ndocs"),
+        F.min(F.col("doc_id")).as("__keeper"))
+      .filter(F.col("__ndocs") >= 2)
+    val hits = spans.join(owners, "__key")
+      .filter(F.col("doc_id") =!= F.col("__keeper"))
+      .groupBy("doc_id").agg(F.collect_list(F.col("pos")).as("__hits"))
+    val emptyInts = F.array().cast("array<int>")
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+    val withHits = base.join(hits, Seq("doc_id"), "left")
+      .withColumn("__hs", F.array_sort(F.coalesce(F.col("__hits"), emptyInts)))
+    // merge sorted fixed-length hits [p, p+k) into maximal intervals
+    val zero = F.transform(emptyInts,
+      x => F.struct(x.as("s"), x.as("e")))
+    val merged = F.aggregate(F.col("__hs"), zero, (acc, p) => {
+      val last = F.element_at(acc, -1)
+      F.when(F.size(acc) === 0 || p > last.getField("e"),
+          F.concat(acc, F.array(F.struct(p.as("s"), (p + F.lit(k)).as("e")))))
+        .otherwise(F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+          F.array(F.struct(last.getField("s").as("s"),
+            F.greatest(last.getField("e"), p + F.lit(k)).as("e")))))
+    })
+    withHits.withColumn("__iv", merged)
+      .withColumn("__kept", F.filter(F.col("__toks"), (tok, j) =>
+        !F.exists(F.col("__iv"), iv =>
+          iv.getField("s") <= j && j < iv.getField("e"))))
+      .select(F.col("doc_id"),
+        F.concat_ws(" ", F.col("__kept")).as("text_clean"),
+        F.size(F.col("__toks")).cast("long").as("n_tokens"),
+        (F.size(F.col("__toks")) - F.size(F.col("__kept"))).cast("long")
+          .as("n_removed"),
+        F.size(F.col("__iv")).cast("long").as("n_intervals"))
+  }
+
   /** Connected components over a near-dup PAIR graph — the transitive-
     * closure step between pairwise dedup ([[minHashPairs]] etc.) and a
     * keep-list: near-dup is not transitive, but dropping all-but-one per

@@ -608,6 +608,45 @@ object LlmQueries {
              |      THEN pd.n_dup::DOUBLE / pd.n_spans ELSE 0.0 END, 6) AS dup_span_frac
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN pd USING (doc_id)
-             |ORDER BY doc_id ASC""".stripMargin))
+             |ORDER BY doc_id ASC""".stripMargin)),
+
+    // span-level REMOVAL (the full Lee et al. substring-dedup
+    // treatment): cross-doc duplicated 8-token spans are excised from
+    // every doc but the min-id canonical owner; hit positions merge
+    // into maximal intervals before excision. The oracle replays the
+    // whole transform — span extraction, ownership, interval merge,
+    // token excision, rewrite — on the string-keyed configuration; the
+    // hashed default is asserted equal in LlmSpec.
+    NamedQuery("q154_span_removal",
+      (s, d) => Dedup.removeDuplicatedSpans(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          k = 8, hashed = false)
+        .orderBy(col("doc_id").asc),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sp0 AS (SELECT doc_id,
+             |  unnest([{'p': i, 's': array_to_string(w[i:i+7], ' ')} for i in range(1, len(w) - 6)]) AS u
+             |  FROM t WHERE len(w) >= 8),
+             |sp AS (SELECT doc_id, u.p AS pos, u.s AS span FROM sp0),
+             |ag AS (SELECT span, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+             |  FROM sp GROUP BY span),
+             |h AS (SELECT sp.doc_id, sp.pos FROM sp JOIN ag USING (span)
+             |  WHERE nd >= 2 AND sp.doc_id <> keeper),
+             |hl AS (SELECT doc_id, list_sort(list(pos)) AS hs FROM h GROUP BY doc_id),
+             |o AS (SELECT t.doc_id, t.w, coalesce(hl.hs, CAST([] AS BIGINT[])) AS hs
+             |  FROM t LEFT JOIN hl USING (doc_id)),
+             |r AS (SELECT doc_id, w, hs,
+             |  list_transform(
+             |    list_filter(range(1, len(w) + 1), j ->
+             |      len(list_filter(hs, h -> h <= j AND j < h + 8)) = 0),
+             |    j -> w[j]) AS kept,
+             |  len(list_filter(range(1, len(hs) + 1), i ->
+             |    i = 1 OR hs[i] > hs[i - 1] + 8)) AS n_iv
+             |  FROM o)
+             |SELECT doc_id,
+             |coalesce(array_to_string(kept, ' '), '') AS text_clean,
+             |CAST(len(w) AS BIGINT) AS n_tokens,
+             |CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+             |CAST(n_iv AS BIGINT) AS n_intervals
+             |FROM r ORDER BY doc_id ASC""".stripMargin))
   )
 }

@@ -59,6 +59,47 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3L)._2 == 0)
   }
 
+  test("removeDuplicatedSpans: MinHash-missed license block excised everywhere " +
+      "but the canonical doc; hashed == exact; short docs untouched") {
+    import spark.implicits._
+    // four otherwise-distinct docs all embedding the same 12-token
+    // license block — whole-doc jaccard ~0.26, far below the 0.8 bar, so
+    // whole-doc MinHash dedup does NOT flag them...
+    val license = "this code is released under the apache license version two point zero"
+    def doc(i: Int) =
+      (0 until 10).map(t => s"u${i}w$t").mkString(" ") +
+        s" $license " + (0 until 4).map(t => s"u${i}t$t").mkString(" ")
+    val planted = (1 to 4).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashPairs(planted, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.8).isEmpty)
+    // ...but span removal excises it from docs 2-4 and keeps doc 1's copy
+    val out = Dedup.removeDuplicatedSpans(planted, col("doc_id"), col("text"),
+        k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (doc(1), 26L, 0L, 0L)) // canonical copy intact
+    (2 to 4).foreach { i =>
+      val (clean, nTok, nRem, nIv) = out(i.toLong)
+      // the 5 overlapping shared spans merged into ONE interval covering
+      // exactly the 12 license tokens; doc-unique text fully preserved
+      assert(nTok == 26L && nRem == 12L && nIv == 1L, s"doc $i: $nRem/$nIv")
+      assert(clean == doc(i).replace(s" $license ", " "), s"doc $i text")
+    }
+    // hashed default == string-keyed exact, on fixtures and planted
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame, h: Boolean) =
+      Dedup.removeDuplicatedSpans(df, col("doc_id"), col("text"), 8, h)
+        .collect().map(_.toString).sorted
+    val ex = run(docs, false)
+    assert(ex.nonEmpty && ex.sameElements(run(docs, true)))
+    // a doc shorter than k tokens passes through token-normalized
+    val short = Seq((9L, "  just three tokens ")).toDF("doc_id", "text")
+    val s = Dedup.removeDuplicatedSpans(short, col("doc_id"), col("text"), 8)
+      .collect().head
+    assert(s.getString(1) == "just three tokens" && s.getLong(3) == 0L)
+  }
+
   test("nearDupClusters: chains merge transitively, long chains converge via pointer jumping") {
     import spark.implicits._
     // a∼b, b∼c merge even though a≁c directly; disjoint pair untouched;
