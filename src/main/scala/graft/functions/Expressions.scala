@@ -963,3 +963,101 @@ object MinHashSig {
   def apply(c: Column, numHashes: Int, seed: Long): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHashes, seed))
 }
+
+/** Greedy longest-match subword tokenization against a fixed vocabulary
+  * — the tokenizer-APPLY operator (WordPiece-style greedy segmentation;
+  * the inference-time half of BPE: a trained merge table flattened to
+  * its vocab segments the same way under longest-match). Per
+  * whitespace word, repeatedly emit the longest vocabulary entry
+  * prefixing the remaining characters; a character matched by no entry
+  * is emitted as itself (its non-membership in the vocab marks it
+  * unknown — the guaranteed-progress fallback). Deterministic: two
+  * distinct vocab entries of equal length cannot both match the same
+  * position, so the longest match is unique.
+  *
+  * Row-local and codegen'd: the vocab rides the plan as a codegen
+  * reference (hash set + max entry length, built once per instance),
+  * each row costs O(chars × maxEntryLen) substring probes, and NOTHING
+  * shuffles — real token counts for packing/mixture/chunking budgets
+  * come from `size()` over this array, replacing the whitespace
+  * approximation without changing any downstream operator (they all
+  * take the count as a Column). For production-size vocabs (~50k
+  * entries) the reference object serializes once per executor with the
+  * plan, not per row. Word boundaries follow `split(trim(text),
+  * "\s+")` — identical to every other text op here.
+  */
+case class SubwordEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"subword_encode needs string, got $other")
+    }
+
+  @transient private lazy val table: SubwordEncode.Table =
+    SubwordEncode.buildTable(vocab)
+
+  override def nullSafeEval(v: Any): Any =
+    SubwordEncode.compute(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("subwordVocab", table,
+      classOf[SubwordEncode.Table].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SubwordEncode.compute($c, $tRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordEncode =
+    copy(child = newChild)
+  override def prettyName: String = "subword_encode"
+}
+
+object SubwordEncode {
+  final class Table(val set: java.util.HashSet[String], val maxLen: Int)
+    extends Serializable
+
+  def buildTable(vocab: Seq[String]): Table = {
+    val set = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+    var maxLen = 1
+    vocab.foreach { v =>
+      require(v.nonEmpty, "vocab entries must be non-empty")
+      set.add(v)
+      if (v.length > maxLen) maxLen = v.length
+    }
+    new Table(set, maxLen)
+  }
+
+  def compute(text: UTF8String, table: Table): ArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    // same word boundaries as split(trim(text), "\s+")
+    val words = text.toString.trim.split("\\s+")
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      val n = word.length
+      var pos = 0
+      while (pos < n) {
+        var l = math.min(table.maxLen, n - pos)
+        var hit = 1 // fallback: single unknown char
+        var found = false
+        while (!found && l >= 1) {
+          if (table.set.contains(word.substring(pos, pos + l))) {
+            hit = l; found = true
+          }
+          l -= 1
+        }
+        out.add(UTF8String.fromString(word.substring(pos, pos + hit)))
+        pos += hit
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def apply(c: Column, vocab: Seq[String]): Column =
+    GraftBridge.column(SubwordEncode(GraftBridge.expression(c), vocab))
+}

@@ -23,6 +23,34 @@ object TextAnalysis {
     F.size(F.call_function("regexp_extract_all", text,
       F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), F.lit(0)))
 
+  /** REAL tokenizer-apply: greedy longest-match subword segmentation
+    * against a fixed vocabulary (the codegen'd
+    * [[graft.functions.SubwordEncode]] — see its scaladoc for the
+    * algorithm and scale shape). Returns the subword token array; a
+    * character no vocab entry covers is emitted as itself (unknown —
+    * recognizable by non-membership). Replaces the [[subwordCount]]
+    * regex APPROXIMATION wherever an actual vocabulary exists: packing,
+    * mixture, and chunking budgets all take the count as a Column, so
+    * `F.size(subwordTokens(text, vocab))` drops in directly. */
+  def subwordTokens(text: Column, vocab: Seq[String]): Column =
+    graft.functions.SubwordEncode(text, vocab)
+
+  /** Vocabulary-true token count (size of [[subwordTokens]]). */
+  def subwordCount(text: Column, vocab: Seq[String]): Column =
+    F.size(subwordTokens(text, vocab))
+
+  /** Deterministic fixture vocabulary for the subword demo query (q155)
+    * and its DuckDB replay: full words, multi-char pieces, and most —
+    * deliberately not all — single letters, so the unknown path is
+    * exercised by real fixture words (f/k/v/q-initial words). Ids are
+    * 1-based positions in this list, shared by both sides. */
+  val DemoVocab: Seq[String] = Seq(
+    "spark", "filter", "scan", "sort", "key", "batch", "tab", "le", "jo",
+    "in", "me", "rge", "row", "da", "ta", "val", "ue", "str", "eam",
+    "wind", "ow", "gr", "oup", "er", "qu",
+    "a", "b", "c", "d", "e", "g", "h", "i", "j", "l", "m", "n", "o", "p",
+    "r", "s", "t", "u", "w", "y")
+
   /** Ratio of characters that are not lowercase alphanumerics/space. */
   def punctRatio(text: Column): Column =
     F.round(

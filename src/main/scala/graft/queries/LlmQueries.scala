@@ -647,6 +647,63 @@ object LlmQueries {
              |CAST(len(w) AS BIGINT) AS n_tokens,
              |CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
              |CAST(n_iv AS BIGINT) AS n_intervals
-             |FROM r ORDER BY doc_id ASC""".stripMargin))
+             |FROM r ORDER BY doc_id ASC""".stripMargin)),
+
+    // tokenizer-APPLY (greedy longest-match subword segmentation, the
+    // codegen'd SubwordEncode expression) with real token ids from a
+    // broadcast vocab join: per doc, whitespace words, vocabulary-true
+    // subword count, unknown count, and the id checksum. The oracle
+    // replays the greedy walk exactly — a (word, pos) jump table of
+    // longest vocab matches, then a recursive CTE following it — over
+    // the SAME vocab/id list (generated from TextAnalysis.DemoVocab, so
+    // the two sides cannot drift).
+    NamedQuery("q155_subword_tokens",
+      (s, d) => {
+        import s.implicits._
+        val vocab = TextAnalysis.DemoVocab
+        val vocabDf = F.broadcast(vocab.zipWithIndex
+          .map { case (t, i) => (t, (i + 1).toLong) }.toDF("__tok", "__tid"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            F.size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+            F.explode(TextAnalysis.subwordTokens(col("text"), vocab)).as("__tok"))
+          .join(vocabDf, Seq("__tok"), "left")
+          .groupBy("doc_id", "n_words")
+          .agg(F.count(F.lit(1)).as("n_subwords"),
+            F.sum(F.when(col("__tid").isNull, 1L).otherwise(0L)).as("n_unk"),
+            F.sum(F.coalesce(col("__tid"), F.lit(0L))).as("id_sum"))
+          .select(col("doc_id"), col("n_words"), col("n_subwords"),
+            col("n_unk"), col("id_sum"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some {
+        val values = TextAnalysis.DemoVocab.zipWithIndex
+          .map { case (t, i) => s"('$t', ${i + 1})" }.mkString(",")
+        s"""WITH RECURSIVE v(tok, tid) AS (VALUES $values),
+           |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+           |words AS (SELECT doc_id, unnest(w) AS word FROM t),
+           |dw AS (SELECT DISTINCT word FROM words WHERE len(word) >= 1),
+           |pos AS (SELECT word, unnest(range(1, len(word) + 1)) AS p FROM dw),
+           |jmp AS (SELECT pos.word, pos.p,
+           |    coalesce(max(len(v.tok)), 1) AS step,
+           |    coalesce(max_by(v.tid, len(v.tok)), 0) AS tid,
+           |    max(len(v.tok)) IS NULL AS unk
+           |  FROM pos LEFT JOIN v ON substring(pos.word, pos.p, len(v.tok)) = v.tok
+           |  GROUP BY pos.word, pos.p),
+           |wk(word, p, nt, nu, ids) AS (
+           |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+           |  UNION ALL
+           |  SELECT wk.word, wk.p + j.step, wk.nt + 1,
+           |    wk.nu + (CASE WHEN j.unk THEN 1 ELSE 0 END), wk.ids + j.tid
+           |  FROM wk JOIN jmp j ON j.word = wk.word AND j.p = wk.p
+           |  WHERE wk.p <= len(wk.word)),
+           |res AS (SELECT word, nt AS nsub, nu AS nunk, ids FROM wk WHERE p > len(word))
+           |SELECT words.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |CAST(sum(res.nsub) AS BIGINT) AS n_subwords,
+           |CAST(sum(res.nunk) AS BIGINT) AS n_unk,
+           |CAST(sum(res.ids) AS BIGINT) AS id_sum
+           |FROM words JOIN res USING (word)
+           |GROUP BY words.doc_id ORDER BY doc_id ASC""".stripMargin
+      })
   )
 }

@@ -552,6 +552,65 @@ class LlmSpec extends AnyFunSuite {
     assert(d1.map(_.getLong(0)).sorted.sameElements(d2.map(_.getLong(0)).sorted))
   }
 
+  test("subwordTokens: greedy longest-match equals a reference fold on real " +
+      "docs; stays codegen'd; budgets parameterize packing and mixture") {
+    import graft.llm.TextAnalysis
+    val vocab = TextAnalysis.DemoVocab
+    // reference: straight-line greedy over a Scala set
+    val vset = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    def ref(text: String): Seq[String] =
+      text.trim.split("\\s+").toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var pos = 0
+        while (pos < w.length) {
+          val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+            .find(n => vset(w.substring(pos, pos + n))).getOrElse(1)
+          out += w.substring(pos, pos + l); pos += l
+        }
+        out.toSeq
+      }
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = docs.select(col("text"),
+        TextAnalysis.subwordTokens(col("text"), vocab).as("st"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == ref(r.getString(0)), r.getString(0).take(60))
+    }
+    // codegen: the expression rides a whole-stage-codegen'd Project
+    val plan = docs.select(
+        TextAnalysis.subwordTokens(col("text"), vocab).as("st"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [subword_encode"), s"no codegen span:\n$plan")
+    // vocabulary-true budgets drive packing and mixture unchanged: both
+    // take the count as a Column, and every constraint must hold under
+    // SUBWORD counts (which exceed whitespace counts ~3x here)
+    val counted = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.subwordCount(col("text"), vocab).cast("long").as("n_sub"))
+    val cap = 600
+    val packed = graft.llm.Packing.packSequences(
+      counted, col("doc_id"), col("n_sub"), cap, partitions = 2)
+    val binSums = packed
+      .groupBy("bin_id").agg(F.sum("n_tokens").as("s"), F.count(F.lit(1)).as("n"))
+      .collect()
+    assert(binSums.nonEmpty && packed.count() == counted.count())
+    binSums.foreach { r =>
+      assert(r.getLong(1) <= cap || r.getLong(2) == 1,
+        s"bin ${r.get(0)} overflows: ${r.getLong(1)} tokens in ${r.getLong(2)} docs")
+    }
+    val budget = 2000L
+    val perSource = graft.llm.Mixture.tokenBudgetSample(
+        counted, col("source"), col("doc_id"), col("n_sub"),
+        priority = col("doc_id"), budget = F.lit(budget))
+      .filter(col("kept"))
+      .groupBy("stratum").agg(F.sum("n_tokens").as("s")).collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) <= budget,
+      s"source ${r.get(0)} exceeds subword budget: ${r.getLong(1)}"))
+  }
+
   test("simhash64 whole-stage codegen does not fall back") {
     val df = Tables.documents(spark, sf)
       .select(graft.functions.SimHash64(Dedup.tokens(col("text"))).as("sig"))
