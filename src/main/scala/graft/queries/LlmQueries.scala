@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{functions => F}
 
 /** LLM-training-data pipeline queries (build brief: dedup, similarity
@@ -704,6 +704,34 @@ object LlmQueries {
            |CAST(sum(res.ids) AS BIGINT) AS id_sum
            |FROM words JOIN res USING (word)
            |GROUP BY words.doc_id ORDER BY doc_id ASC""".stripMargin
-      })
+      }),
+
+    // FUZZY decontamination: MinHash-banded near-match of training docs
+    // against a benchmark side (docs with id % 25 == 0 stand in for the
+    // eval set). The oracle computes the EXACT all-cross-pairs shingle
+    // Jaccard at this threshold — equality proves the banded plan's
+    // recall is 1 at fixture scale while the engine side never goes
+    // train×bench.
+    NamedQuery("q156_fuzzy_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.fuzzyContaminationPairs(
+          docs.filter(col("doc_id") % 25 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 25 === 0), col("doc_id"), col("text"))
+          .orderBy(col("doc_id").asc, col("bench_id").asc)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3),
+             |tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+             |be AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+             |SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id,
+             |round(len(list_intersect(tr.ss, be.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(tr.ss, be.ss))), 6) AS jaccard
+             |FROM tr JOIN be ON true
+             |WHERE len(list_intersect(tr.ss, be.ss))::DOUBLE /
+             |      len(list_distinct(list_concat(tr.ss, be.ss))) >= 0.5
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -611,6 +611,35 @@ class LlmSpec extends AnyFunSuite {
       s"source ${r.get(0)} exceeds subword budget: ${r.getLong(1)}"))
   }
 
+  test("fuzzy decontamination: paraphrase invisible to exact n-grams is " +
+      "caught by the band pass and dropped; clean docs survive") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    // benchmark doc of 50 distinct tokens; the training "paraphrase"
+    // substitutes every 10th word — longest verbatim run is 9 words, so
+    // a 13-gram exact check (the GPT-3-style gate) sees NOTHING, while
+    // 3-shingle jaccard stays at 35/61 ≈ 0.574
+    val base = (0 until 50).map(i => s"b$i")
+    val para = base.zipWithIndex.map { case (w, i) =>
+      if (i % 10 == 9) s"x$i" else w }
+    val clean = (0 until 30).map(i => s"c$i")
+    val train = Seq((1L, para.mkString(" ")), (2L, clean.mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base.mkString(" "))).toDF("doc_id", "text")
+    assert(Decontaminate.contaminationPairs(train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 13, minHits = 1).isEmpty)
+    val fuzzy = Decontaminate.fuzzyContaminationPairs(
+      train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text")).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    assert(math.abs(fuzzy.head.getDouble(2) - 35.0 / 61.0) < 1e-4)
+    val kept = Decontaminate.fuzzyDecontaminated(
+      train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("simhash64 whole-stage codegen does not fall back") {
     val df = Tables.documents(spark, sf)
       .select(graft.functions.SimHash64(Dedup.tokens(col("text"))).as("sig"))
