@@ -421,51 +421,89 @@ object Dedup {
     * halving). The jump step is what makes long chains collapse in
     * O(log n) rounds instead of O(diameter) (the CC-MR / large-star
     * family); each round is two hash-join shuffles over (edges,
-    * labels), and `localCheckpoint` cuts the iterative lineage so round
+    * labels), and the checkpoint cuts the iterative lineage so round
     * k doesn't replay rounds 1..k-1. Deterministic: labels are ids,
-    * min is order-free. Converged when no label changes (checked via
-    * count, driver-side scalar); `maxIters` (default 25 ⇒ graphs of
-    * diameter ≫ 2²⁵ would be required to exhaust it) is a safety rail,
-    * overrun raises rather than returning half-merged components.
+    * min is order-free. Convergence is checked WITHOUT an extra join
+    * job: each round carries its starting label alongside the new one
+    * through the checkpoint, so "did anything change" is a scalar
+    * aggregation over the already-materialized frame — two jobs per
+    * round total (checkpoint + scalar), not three. `maxIters` (default
+    * 25 ⇒ graphs of diameter ≫ 2²⁵ would be required to exhaust it) is
+    * a safety rail; overrun raises rather than returning half-merged
+    * components.
+    *
+    * 100 TB hardening knobs, both default-off so the fixture-scale
+    * behavior (q150's oracle) is unchanged:
+    * - `reliableCheckpoint = true` swaps `localCheckpoint` (executor-
+    *   local blocks — an executor loss mid-iteration kills the
+    *   lineage-cut state and the job) for reliable `checkpoint` to the
+    *   configured checkpoint dir (`sc.setCheckpointDir` first).
+    * - `hubSalt > 1` bounds the jump join's per-reducer fan-in: in a
+    *   corpus with one giant near-dup component, every member row
+    *   carries the SAME label key and the label-chase join lands the
+    *   whole component on one reducer. Salting replicates the parent
+    *   side `hubSalt`× and routes probes by xxhash64(id) — the
+    *   deterministic-salt discipline of [[bandCandidates]], trading a
+    *   bounded replication for an even spread. (The large-star/
+    *   small-star edge-rewriting family solves the same skew by
+    *   shrinking edges instead; at this operator's input — near-dup
+    *   pairs AFTER exact dedup — components are boilerplate families,
+    *   and salting the chase is the cheaper fix.)
     *
     * Returns (doc_id, cluster_id = min id reachable); only ids that
     * appear in `pairs`. Keep-list policy: keep `cluster_id == doc_id`
     * (the representative) plus every doc absent from `pairs`. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25,
+      reliableCheckpoint: Boolean = false, hubSalt: Int = 1): DataFrame = {
+    require(hubSalt >= 1, s"hubSalt must be positive, got $hubSalt")
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(F.col("a_id").as("src"), F.col("b_id").as("dst"))
       .union(pairs.select(F.col("b_id").as("src"), F.col("a_id").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(F.col("src").as("id")).distinct()
-        .select(F.col("id"), F.col("id").as("label"))
-        .localCheckpoint(true)
+      var labels = cut(edges.select(F.col("src").as("id")).distinct()
+        .select(F.col("id"), F.col("id").as("label")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        // (1) min over self ∪ neighbors
+        // (1) min over self ∪ neighbors; the round's starting label
+        // rides along as __old for the post-checkpoint convergence scan
         val viaNbr = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(F.col("dst").as("id"))
           .agg(F.min(F.col("label")).as("__nbr_min"))
         val stepped = labels.join(viaNbr, Seq("id"), "left")
-          .select(F.col("id"),
+          .select(F.col("id"), F.col("label").as("__old"),
             F.least(F.col("label"), F.coalesce(F.col("__nbr_min"), F.col("label")))
               .as("label"))
         // (2) pointer jump: label <- label(label)
         val parents = stepped.select(F.col("id").as("__pid"),
           F.col("label").as("__plabel"))
-        val jumped = stepped
-          .join(parents, stepped("label") === parents("__pid"), "left")
-          .select(F.col("id"),
+        val chased =
+          if (hubSalt == 1)
+            stepped.join(parents, stepped("label") === parents("__pid"), "left")
+          else {
+            val probe = stepped.withColumn("__s",
+              F.pmod(F.xxhash64(F.col("id")), F.lit(hubSalt.toLong)))
+            val repl = parents.withColumn("__s",
+              F.explode(F.sequence(F.lit(0L), F.lit(hubSalt.toLong - 1))))
+            probe.join(repl,
+              probe("label") === repl("__pid") && probe("__s") === repl("__s"),
+              "left")
+          }
+        val jumped = cut(chased
+          .select(F.col("id"), F.col("__old"),
             F.least(F.col("label"), F.coalesce(F.col("__plabel"), F.col("label")))
-              .as("label"))
-          .localCheckpoint(true)
-        val changed = jumped.alias("n")
-          .join(labels.alias("o"), Seq("id"))
-          .filter(F.col("n.label") =!= F.col("o.label")).count()
-        labels = jumped
-        converged = changed == 0
+              .as("label")))
+        // scalar scan of the frame the checkpoint just materialized —
+        // no join, no extra wide job
+        val changed = jumped
+          .agg(F.sum(F.when(F.col("label") =!= F.col("__old"), 1L)
+            .otherwise(0L)).as("c")).first()
+        labels = jumped.select("id", "label")
+        converged = changed.isNullAt(0) || changed.getLong(0) == 0L
         iter += 1
       }
       if (!converged)

@@ -115,6 +115,58 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size == 3 + 2 + 21)
   }
 
+  test("nearDupClusters hardening: star hub collapses, salted jump == default, " +
+      "reliable checkpoint works, two jobs per round") {
+    import spark.implicits._
+    // star: hub 0 with 200 leaves, plus a chain — exercises both the
+    // hot-label fan-in shape and multi-round convergence
+    val star = (1L to 200L).map(i => (0L, i))
+    val chain = (300L until 316L).map(i => (i, i + 1))
+    val pairs = (star ++ chain).toDF("a_id", "b_id")
+    def runIt(salt: Int, reliable: Boolean = false) =
+      Dedup.nearDupClusters(pairs, hubSalt = salt,
+          reliableCheckpoint = reliable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    val base = runIt(1)
+    assert(base.filter(_._1 <= 200L).forall(_._2 == 0L))
+    assert(base.filter(_._1 >= 300L).forall(_._2 == 300L))
+    // deterministic salting must not change a single label
+    assert(runIt(4).sameElements(base))
+    // reliable checkpoint mode (the executor-loss-safe 100 TB form)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    assert(runIt(1, reliable = true).sameElements(base))
+    // convergence folded into the round: the per-round change check must
+    // be a plain scalar SCAN of the just-checkpointed frame (<=2 stages,
+    // one per round) — the old implementation ran a JOIN against the
+    // previous labels, whose exchange stages would show up here. (Total
+    // job count is not asserted: broadcast builds legitimately run as
+    // their own jobs and the number is environment-dependent.)
+    val convJobs = scala.collection.mutable.ArrayBuffer[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.stageInfos.exists(_.name.contains("first at Dedup")))
+          convJobs.synchronized { convJobs += j.stageInfos.length }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE off for the observation only: it rewrites stage names and runs
+    // stages as anonymous jobs, hiding the call-site signal
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.nearDupClusters(Seq((1L, 2L)).toDF("a_id", "b_id")).collect()
+      Thread.sleep(1000) // listener bus is async
+      assert(convJobs.length == 2,
+        s"expected 1 convergence-scan job per round (2 rounds), got $convJobs")
+      assert(convJobs.forall(_ <= 2),
+        s"convergence scan grew join stages: $convJobs")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("minhash LSH finds every exact-jaccard pair at threshold 0.8 (recall=1 here)") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
