@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.Tables
-import graft.llm.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{functions => F}
 
 /** LLM-training-data pipeline queries (build brief: dedup, similarity
@@ -732,6 +732,93 @@ object LlmQueries {
              |FROM tr JOIN be ON true
              |WHERE len(list_intersect(tr.ss, be.ss))::DOUBLE /
              |      len(list_distinct(list_concat(tr.ss, be.ss))) >= 0.5
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // CAPSTONE v2 — the round-11/12 dedup operators composed into the
+    // curation pass as ONE declarative plan: exact dedup keep-list →
+    // near-dup CLUSTER keep-list (minhash pairs → connected components,
+    // representatives only) → cross-doc span-duplication gate → token-
+    // budget mixture. The oracle chains each stage's already-proven
+    // mirror (q50 / q150 / q152 / q122) over the same intermediate
+    // corpora, so the composition is hash-verified end to end.
+    NamedQuery("q157_curation_v2",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keepIds = Dedup.exactDuplicateGroups(
+            docs, col("doc_id"), col("text"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val clusters = Dedup.nearDupClusters(
+          Dedup.minHashPairs(deduped, col("doc_id"), col("text"),
+            shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8))
+        val reps = deduped.join(
+          clusters.filter(col("doc_id") =!= col("cluster_id"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val spanOk = Dedup.crossDocSpanStats(
+            reps, col("doc_id"), col("text"), k = 8)
+          .filter(col("dup_span_frac") <= 0.5).select("doc_id")
+        val gated = reps.join(spanOk, Seq("doc_id"), "left_semi")
+        Mixture.tokenBudgetSample(gated, col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")),
+            TextAnalysis.qualityScore(col("text")), F.lit(300L))
+          .filter(col("kept"))
+          .select(col("doc_id"), col("stratum").as("source"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source").asc, col("cum_tokens").asc)
+      },
+      Some("""WITH RECURSIVE
+             |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+             |t AS (SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS w FROM d),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS ss
+             |  FROM t WHERE len(w) >= 3),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE /
+             |        len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+             |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |k2 AS (SELECT t.* FROM t LEFT JOIN cl USING (doc_id)
+             |  WHERE cl.cluster_id IS NULL OR cl.cluster_id = t.doc_id),
+             |sp AS (SELECT doc_id,
+             |  unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS span
+             |  FROM k2 WHERE len(w) >= 8),
+             |nd AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span),
+             |pd AS (SELECT sp.doc_id, count(*) AS n_spans,
+             |    sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+             |  FROM sp JOIN nd USING (span) GROUP BY sp.doc_id),
+             |gated AS (SELECT k2.* FROM k2 LEFT JOIN pd USING (doc_id)
+             |  WHERE coalesce(round(CASE WHEN pd.n_spans > 0
+             |          THEN pd.n_dup::DOUBLE / pd.n_spans ELSE 0.0 END, 6), 0.0) <= 0.5),
+             |sc AS (
+             |  SELECT doc_id, source, len(w) AS n_tokens,
+             |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |          greatest(length(text), 1), 6) AS punct_ratio,
+             |    round(len(list_filter(w, x -> list_contains(
+             |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |          greatest(len(w), 1), 6) AS stopword_ratio
+             |  FROM gated),
+             |q AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+             |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+             |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM sc),
+             |sel AS (
+             |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+             |WHERE cum_tokens <= 300
+             |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
   )
 }
