@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cubes.Tables
-import graft.llm.{Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Decontaminate, Dedup, Importance, Mixture, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{functions => F}
 
 /** LLM-training-data pipeline queries (build brief: dedup, similarity
@@ -819,6 +819,58 @@ object LlmQueries {
              |  FROM q)
              |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
              |WHERE cum_tokens <= 300
-             |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
+             |ORDER BY source ASC, cum_tokens ASC""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2302.03169): select raw
+    // docs whose hashed-n-gram distribution resembles a target corpus
+    // (docs with id % 10 == 0 stand in for the quality set). The oracle
+    // re-derives EVERY formula — md5 bucket hash, add-1 smoothed bucket
+    // log-probs on both sides, per-doc Σ c_b·Δlogp, and the
+    // deterministic Gumbel top-k key — so equality proves the whole
+    // pipeline is a pure function of row identity, not of engine or
+    // partitioning.
+    NamedQuery("q158_dsir_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Importance.dsirSample(
+            docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 10 === 0), col("text"), k = 25)
+          .select(col("doc_id"), F.round(col("log_w"), 6).as("log_w"),
+            F.round(col("dsir_key"), 6).as("dsir_key"))
+          .orderBy(col("dsir_key").desc, col("doc_id").asc)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |g AS (SELECT doc_id, unnest(list_concat(w,
+             |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS gram
+             |  FROM t),
+             |bk AS (SELECT doc_id,
+             |    CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS bucket
+             |  FROM g),
+             |feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+             |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+             |rawc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
+             |rawn AS (SELECT sum(c) AS n FROM rawc),
+             |tgtc AS (SELECT bucket, count(*) AS c FROM bk
+             |  WHERE doc_id % 10 = 0 GROUP BY 1),
+             |tgtn AS (SELECT sum(c) AS n FROM tgtc),
+             |buckets AS (SELECT unnest(range(0, 4096)) AS bucket),
+             |model AS (SELECT buckets.bucket,
+             |    ln((coalesce(tgtc.c, 0) + 1.0) / (tgtn.n + 4096.0)) -
+             |    ln((coalesce(rawc.c, 0) + 1.0) / (rawn.n + 4096.0)) AS dlog
+             |  FROM buckets LEFT JOIN tgtc USING (bucket)
+             |  LEFT JOIN rawc USING (bucket), tgtn, rawn),
+             |sc AS (SELECT feats.doc_id, sum(feats.cnt * model.dlog) AS log_w
+             |  FROM feats JOIN model USING (bucket) GROUP BY 1),
+             |keyed AS (SELECT a.doc_id, coalesce(sc.log_w, 0.0) AS log_w,
+             |    coalesce(sc.log_w, 0.0) - ln(-ln(
+             |      (CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+             |      / 4294967296.0)) AS k
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) a
+             |  LEFT JOIN sc USING (doc_id)),
+             |top AS (SELECT doc_id, log_w, k,
+             |    row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rn FROM keyed)
+             |SELECT doc_id, round(log_w, 6) AS log_w, round(k, 6) AS dsir_key
+             |FROM top WHERE rn <= 25
+             |ORDER BY dsir_key DESC, doc_id ASC""".stripMargin))
   )
 }

@@ -1020,4 +1020,36 @@ class LlmSpec extends AnyFunSuite {
     assert(auto.nonEmpty, "fixture should contain planted near-dup pairs")
     assert(auto == pairSet(4))
   }
+
+  test("DSIR importance resampling: target-leaning, deterministic, partitioning-invariant") {
+    import spark.implicits._
+    import graft.llm.Importance
+    // target distribution: one fixed sentence; raw corpus = 20 docs of
+    // that sentence + 20 docs of disjoint vocabulary. The model gap makes
+    // every target-like log_w exceed every noise log_w by ~30 nats —
+    // beyond the hash-Gumbel key's worst-case spread (±~26), so the
+    // selected set is target-like half EXACTLY, not just in expectation.
+    val sentence = "spark query plan shuffle join group"
+    val target = (0 until 20).map(i => (1000L + i, sentence)).toDF("doc_id", "text")
+    val raw = ((0 until 20).map(i => (i.toLong, sentence)) ++
+      (20 until 40).map(i => (i.toLong, "zebra quartz violet mango umbrella kiwi")))
+      .toDF("doc_id", "text")
+    val byId = Importance.importanceWeights(raw, col("doc_id"), col("text"),
+        target, col("text"))
+      .select("doc_id", "log_w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.size == 40)
+    val likeMin = (0 until 20).map(i => byId(i.toLong)).min
+    val noiseMax = (20 until 40).map(i => byId(i.toLong)).max
+    assert(likeMin > noiseMax + 20,
+      s"target-like docs must dominate: $likeMin vs $noiseMax")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      Importance.dsirSample(df, col("doc_id"), col("text"),
+          target, col("text"), k = 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val picked = pick(raw)
+    assert(picked == (0 until 20).map(_.toLong).toSet)
+    // pure function of row identity: repartitioning is a no-op
+    assert(pick(raw.repartition(7)) == picked)
+  }
 }
