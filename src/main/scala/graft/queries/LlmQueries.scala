@@ -871,6 +871,37 @@ object LlmQueries {
              |    row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rn FROM keyed)
              |SELECT doc_id, round(log_w, 6) AS log_w, round(k, 6) AS dsir_key
              |FROM top WHERE rn <= 25
-             |ORDER BY dsir_key DESC, doc_id ASC""".stripMargin))
+             |ORDER BY dsir_key DESC, doc_id ASC""".stripMargin)),
+
+    // deterministic shard plan: the audit face of the shuffle-and-shard
+    // writer (Sharding.shardStats) — per-shard membership, token mass,
+    // order ENDPOINTS under the (shuffle_key, id) order, and the key
+    // checksum. The oracle recomputes the md5 shard hash, the order
+    // key, and the endpoint argmin/argmax — equality proves the emitted
+    // training stream is a pure function of row identity.
+    NamedQuery("q159_shard_plan",
+      (s, d) => graft.llm.Sharding.shardStats(
+          Tables.documents(s, d), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), shards = 8)
+        .orderBy(col("shard").asc),
+      Some("""WITH a AS (SELECT doc_id,
+             |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+             |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS sk,
+             |    len(string_split_regex(trim(text), '\s+')) AS nt
+             |  FROM documents),
+             |agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |    round(sum(sk), 6) AS key_sum
+             |  FROM a GROUP BY shard),
+             |r AS (SELECT shard, doc_id,
+             |    row_number() OVER (PARTITION BY shard ORDER BY sk ASC, doc_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY shard) AS cnt
+             |  FROM a),
+             |fl AS (SELECT shard,
+             |    max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+             |    max(CASE WHEN rn = cnt THEN doc_id END) AS last_doc
+             |  FROM r GROUP BY shard)
+             |SELECT agg.shard, n_docs, n_tokens, first_doc, last_doc, key_sum
+             |FROM agg JOIN fl USING (shard) ORDER BY shard ASC""".stripMargin))
   )
 }

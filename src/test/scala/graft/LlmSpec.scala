@@ -1052,4 +1052,38 @@ class LlmSpec extends AnyFunSuite {
     // pure function of row identity: repartitioning is a no-op
     assert(pick(raw.repartition(7)) == picked)
   }
+
+  test("shard writer: deterministic membership and intra-shard order, round-trips through parquet") {
+    import graft.llm.{Sharding, Splits}
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sharding.writeShards(docs, col("doc_id"), dir, shards = 4)
+    val back = spark.read.parquet(dir)
+    // membership: every doc exactly once, shard == the recomputed hash
+    assert(back.count() == docs.count())
+    assert(back.filter(
+      F.col("shard") =!= Splits.hashBucket(col("doc_id"), 4)).count() == 0)
+    // order: per shard, the CONCATENATED files in part-number order form
+    // the (shuffle_key, id)-ordered stream (range boundaries may split a
+    // shard across adjacent parts; each file alone is a single split, so
+    // reading one file preserves its row order)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { sd =>
+      val keys = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .flatMap(f => spark.read.parquet(f.toString)
+          .select("shuffle_key", "doc_id").collect()
+          .map(r => (r.getDouble(0), r.getLong(1))))
+      assert(keys.nonEmpty && keys.sameElements(keys.sorted),
+        s"${sd.getName}: concatenated stream must be in shuffle_key order")
+    }
+    // the audit stats are partitioning-invariant
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Sharding.shardStats(df, col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")), 4)
+        .collect().map(_.toString).sorted
+    assert(stats(docs.repartition(1)).sameElements(stats(docs.repartition(7))))
+  }
 }
