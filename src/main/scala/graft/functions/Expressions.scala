@@ -1061,3 +1061,160 @@ object SubwordEncode {
   def apply(c: Column, vocab: Seq[String]): Column =
     GraftBridge.column(SubwordEncode(GraftBridge.expression(c), vocab))
 }
+
+/** Product-quantization encoder: split an array<float> embedding into
+  * M subspaces of dim/M and emit, per subspace, the index of the
+  * nearest (L2) codebook centroid — array<int> of length M, the
+  * compressed form of the vector (M small ints vs dim floats: the
+  * 100 TB ANN memory/IO lever — see [[graft.llm.Similarity.pqTopK]]).
+  * Row-local, one fused loop, codebooks ride the codegen references
+  * array as plan literals. Ties break to the LOWEST code, so encoding
+  * is deterministic. A vector shorter than M·subDim treats missing
+  * components as 0 (mirrors [[NearestCell]]'s min-guard).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqEncode.compute($a, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  def compute(a: ArrayData, cbs: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cbs.length
+    val codes = new Array[Any](m)
+    val n = a.numElements()
+    var base = 0
+    var s = 0
+    while (s < m) {
+      val book = cbs(s)
+      val subDim = if (book.length > 0) book(0).length else 0
+      var best = Double.MaxValue
+      var bi = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = (if (base + j < n) a.getFloat(base + j).toDouble else 0.0) -
+            cent(j).toDouble
+          d += x * x
+          j += 1
+        }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      codes(s) = bi
+      base += subDim
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  def apply(emb: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(emb), codebooks))
+}
+
+/** Asymmetric-distance (ADC) cosine between a FULL query vector and a
+  * PQ-encoded corpus vector: the corpus side is reconstructed
+  * centroid-by-centroid from its codes, so the score equals
+  * cos(q, recon(codes)) exactly — approximate only in that recon ≈
+  * the original vector. Per-centroid squared norms are precomputed, so
+  * the reconstruction norm is M table lookups; the dot costs the same
+  * flops as an exact scan but reads M ints per corpus row instead of
+  * dim floats — the scan-bandwidth win PQ exists for.
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_cosine needs (array<float>, array<int>), got $other")
+    }
+
+  @transient private lazy val normsSq: Array[Array[Double]] =
+    codebooks.map(_.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { val x = c(j).toDouble; s += x * x; j += 1 }
+      s
+    })
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    PqAdcCosine.compute(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], codebooks, normsSq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val nRef = ctx.addReferenceObj("normsSq", normsSq, "double[][]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqAdcCosine.compute($q, $c, $cbRef, $nRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcCosine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_cosine"
+}
+
+object PqAdcCosine {
+  def compute(q: ArrayData, codes: ArrayData, cbs: Array[Array[Array[Float]]],
+      normsSq: Array[Array[Double]]): Double = {
+    val n = q.numElements()
+    var qs = 0.0
+    var j = 0
+    while (j < n) { val x = q.getFloat(j).toDouble; qs += x * x; j += 1 }
+    val qNorm = math.sqrt(qs)
+    val m = math.min(cbs.length, codes.numElements())
+    var dot = 0.0
+    var reconSq = 0.0
+    var base = 0
+    var s = 0
+    while (s < m) {
+      val book = cbs(s)
+      val subDim = if (book.length > 0) book(0).length else 0
+      val code = codes.getInt(s)
+      if (code >= 0 && code < book.length) {
+        val cent = book(code)
+        var jj = 0
+        while (jj < subDim) {
+          if (base + jj < n) dot += q.getFloat(base + jj).toDouble * cent(jj).toDouble
+          jj += 1
+        }
+        reconSq += normsSq(s)(code)
+      }
+      base += subDim
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(reconSq)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def apply(qEmb: Column, codes: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqAdcCosine(GraftBridge.expression(qEmb),
+      GraftBridge.expression(codes), codebooks))
+}

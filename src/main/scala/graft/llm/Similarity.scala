@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, PqAdcCosine, PqEncode}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
@@ -588,5 +588,135 @@ object Similarity {
       .withColumn("cosine", CosineSim(F.col("a_emb"), F.col("b_emb")))
       .filter(F.col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
+  }
+
+  /** Plain L2 Lloyd's k-means on driver-resident points (PQ sub-vector
+    * codebook training — unlike [[clusterCentroids]] this must NOT
+    * unit-normalize: PQ reconstructs raw sub-vectors, so the codebook
+    * lives in the raw space). Deterministic: seeded k-means++ then
+    * fixed iterations; empty clusters keep their center. */
+  private def lloydL2(points: Array[Array[Float]], k: Int, seed: Long,
+      iters: Int = 15): Array[Array[Float]] = {
+    val l = points.length
+    val kk = math.max(1, math.min(k, l))
+    val dim = points(0).length
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val x = a(j).toDouble - b(j).toDouble; s += x * x; j += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val seeds = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(l)))
+    while (seeds.length < kk) {
+      val dists = points.map(p => seeds.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total == 0.0) seeds += points(rnd.nextInt(l))
+      else {
+        var pick = rnd.nextDouble() * total
+        var i = 0
+        while (i < l - 1 && pick > dists(i)) { pick -= dists(i); i += 1 }
+        seeds += points(i)
+      }
+    }
+    var centers = seeds.toArray.map(_.clone())
+    val assign = new Array[Int](l)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < l) {
+        var best = Double.MaxValue; var bi = 0; var c = 0
+        while (c < kk) {
+          val d = d2(points(i), centers(c))
+          if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        assign(i) = bi
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < l) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    centers
+  }
+
+  /** Train product-quantization codebooks on a driver-side sample:
+    * split each sampled vector into `m` sub-vectors of dim/m, run a
+    * small L2 k-means per subspace. Returns codebooks[m][ksub][subDim].
+    * The sample (default ≤ 50·ksub vectors) is the same driver-resident
+    * training discipline as [[trainCentroids]]; at any corpus size the
+    * collect is bounded by `sampleN`, never the corpus. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int = 16,
+      seed: Long = 7L, sampleN: Int = 0): Array[Array[Array[Float]]] = {
+    val target = if (sampleN > 0) sampleN.toLong else 50L * ksub
+    val n = corpus.count()
+    val sampled =
+      if (n > target) corpus.sample(target.toDouble / n, seed) else corpus
+    val vecs = sampled.select(F.col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(vecs.nonEmpty, "pqTrain: empty corpus")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloydL2(sub, ksub, seed + s)
+    }
+  }
+
+  /** Product-quantized ANN: corpus compressed to M small ints per
+    * vector ([[graft.functions.PqEncode]] — dim·4 bytes → M bytes, the
+    * 16–32× scan-bandwidth/memory lever that lets a 100 TB embedding
+    * corpus serve from a few TB of codes), queries scored against the
+    * codes by asymmetric-distance cosine
+    * ([[graft.functions.PqAdcCosine]]), then — the standard PQ
+    * short-list discipline — the top `rerank` ADC candidates re-ranked
+    * by EXACT cosine against the full vectors. `rerank = 0` returns the
+    * raw ADC ranking (pure compressed-domain search).
+    *
+    * Plan shape mirrors [[bruteForceTopK]]: broadcast query side over a
+    * map-only corpus scan (of the CODES, not the vectors), per-query
+    * window top-k; the rerank join touches only |Q|·rerank full
+    * vectors. Composable with IVF (encode within cells) when the scan
+    * itself must shrink, not just its bandwidth. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 7L,
+      codebooks: Array[Array[Array[Float]]] = null): DataFrame = {
+    val cbs = if (codebooks != null) codebooks else pqTrain(corpus, m, ksub, seed)
+    val enc = corpus.select(F.col("id").as("neighbor_id"),
+      PqEncode(F.col("embedding"), cbs).as("codes"))
+    val q = queries.select(F.col("id").as("query_id"),
+      F.col("embedding").as("q_emb"))
+    val scored = enc.crossJoin(F.broadcast(q))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("pq_cosine", PqAdcCosine(F.col("q_emb"), F.col("codes"), cbs))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("pq_cosine").desc_nulls_last, F.col("neighbor_id").asc)
+    val ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if (rerank <= 0)
+      ranked.filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rnk")
+    else {
+      val shortlist = ranked.filter(F.col("rnk") <= math.max(k, rerank))
+        .select("query_id", "q_emb", "neighbor_id")
+      val exact = corpus.select(F.col("id").as("neighbor_id"),
+          F.col("embedding").as("c_emb"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc_nulls_last, F.col("neighbor_id").asc)
+      exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    }
   }
 }

@@ -510,6 +510,39 @@ object InvariantQueries {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
              |true AS hashed_matches_exact,
-             |true AS all_docs_covered FROM documents""".stripMargin))
+             |true AS all_docs_covered FROM documents""".stripMargin)),
+
+    // product-quantized ANN (compressed-domain search + exact rerank)
+    // against the brute-force oracle: recall@5 over the first 10 query
+    // vectors. The ADC shortlist at rerank=50 of a 500-vector corpus
+    // must recover >= 80% of the true neighbors (measured 0.92 — the
+    // shortlist metric PQ is designed around); the pure
+    // compressed-domain top-5 is held to >= 25% (measured 0.40 on this
+    // near-random fixture; a broken encoder scores ~1%).
+    NamedQuery("q160_ann_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val queries = emb.filter(col("id") < 10)
+        val brute = Similarity.bruteForceTopK(queries, emb, 5)
+          .select("query_id", "neighbor_id")
+        val pqRerank = Similarity.pqTopK(queries, emb, 5,
+            m = 16, ksub = 16, rerank = 50)
+          .select("query_id", "neighbor_id")
+        val pqRaw = Similarity.pqTopK(queries, emb, 5, m = 16, ksub = 16)
+          .select("query_id", "neighbor_id")
+        val keys = Seq("query_id", "neighbor_id")
+        val nExact = brute.agg(F.count(F.lit(1)).as("n_exact"))
+        val rrHits = brute.join(pqRerank, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__hr"))
+        val rawHits = brute.join(pqRaw, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__ha"))
+        nExact.crossJoin(rrHits).crossJoin(rawHits).select(
+          col("n_exact"),
+          (col("__hr") >= col("n_exact") * 0.8).as("pq_rerank_recall_ok"),
+          (col("__ha") >= col("n_exact") * 0.25).as("pq_adc_recall_ok"))
+      },
+      Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
+             |true AS pq_rerank_recall_ok, true AS pq_adc_recall_ok""".stripMargin))
   )
 }

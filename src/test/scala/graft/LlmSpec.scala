@@ -1086,4 +1086,38 @@ class LlmSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted
     assert(stats(docs.repartition(1)).sameElements(stats(docs.repartition(7))))
   }
+
+  test("PQ ANN: lossless codebook reproduces the exact ranking; ADC cosine == exact cosine") {
+    import spark.implicits._
+    // every sub-vector is drawn from a 4-entry vocabulary per subspace;
+    // with the codebook = that vocabulary, encoding is LOSSLESS, so the
+    // compressed-domain score must equal the exact cosine and the
+    // ranking must match brute force row for row
+    val vocab = Array(
+      Array(1.0f, 0.3f), Array(-0.7f, 1.1f), Array(0.2f, -1.3f), Array(1.9f, 0.8f))
+    val cbs: Array[Array[Array[Float]]] = Array.fill(4)(vocab.map(_.clone()))
+    val vecs = (0 until 40).map { i =>
+      val emb = (0 until 4).flatMap { s => vocab(((i >> s) + i) % 4).toSeq }
+      (i.toLong, emb.toArray)
+    }
+    val corpus = vecs.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = corpus.filter(col("id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(queries, corpus, 5, m = 4, ksub = 4,
+        codebooks = cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)) -> r.getDouble(2)).toMap
+    assert(pq.keySet == brute.keySet,
+      "lossless PQ must reproduce the exact top-k, rank for rank")
+    pq.foreach { case (key, s) =>
+      assert(math.abs(s - brute(key)) < 1e-9, s"$key: ADC $s vs exact ${brute(key)}")
+    }
+    // rerank path returns exact cosines by construction
+    val rr = Similarity.pqTopK(queries, corpus, 5, m = 4, ksub = 4,
+        rerank = 10, codebooks = cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)) -> r.getDouble(2)).toMap
+    assert(rr.keySet == brute.keySet)
+    rr.foreach { case (key, s) => assert(s == brute(key)) }
+  }
 }
