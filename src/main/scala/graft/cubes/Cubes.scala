@@ -405,6 +405,12 @@ object Cubes {
         // by ANY engine (llm/Splits)
         "split" -> Dimension("split", graft.llm.Splits.assignSplit(
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+        // the deterministic output-shard assignment (llm/Sharding) as a
+        // dimension: auditing the emitted training stream composes with
+        // every other slice/metric, and any engine recomputes the same
+        // shard from the same md5 hash
+        "shard" -> Dimension("shard",
+          graft.llm.Splits.hashBucket(col("doc_id"), 8)),
         // EXPLODING dimension (ClickHouse arrayJoin): one output row per
         // token — corpus token frequency through the generic front door
         "token" -> Dimension("token",
@@ -449,6 +455,21 @@ object Cubes {
           planBuild = Some { (fact, keys, pred) =>
             graft.llm.LangModel.avgLogprobPlan(
               fact, keys, col("doc_id"), col("text"), pred)
+          }),
+        // DSIR importance through the front door: per group, the mean
+        // log importance weight of its docs w.r.t. the deterministic
+        // VALIDATION split as the target distribution (llm/Importance —
+        // hashed-n-gram models, both re-derived in-plan). High = the
+        // slice looks like the data we want more of.
+        "avgDsirWeight" -> Metric("avgDsirWeight",
+          build = _ => throw new CubeQueryException(
+            "avgDsirWeight is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.llm.Importance.avgWeightPlan(
+              fact, keys, col("doc_id"), col("text"),
+              graft.llm.Splits.assignSplit(col("doc_id"),
+                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "val",
+              pred)
           }),
         // token-budget mixture through the front door: tokens KEPT by
         // the greedy (quality desc, id asc) prefix under a per-group

@@ -93,6 +93,33 @@ object Importance {
       .withColumn("log_w", F.coalesce(F.col("log_w"), F.lit(0.0)))
   }
 
+  /** Plan-backed cube metric face (the avgLogprob pattern): per group,
+    * the mean DSIR log importance weight of its documents, with the
+    * TARGET side = the `targetPred` subset of the same pred-filtered
+    * corpus (e.g. the deterministic validation split) and the RAW model
+    * trained on the whole filtered corpus. Curation dashboards slice
+    * this by source/lang to see which shards look most (or least) like
+    * the distribution they actually want to train toward. Pure
+    * DataFrame lineage — both models re-derive from the live table per
+    * execution, nothing is baked as a literal, so the metric is
+    * cacheable without snapshot semantics. Groups emptied by `pred`
+    * yield NULL. */
+  def avgWeightPlan(
+      df: DataFrame, groupCols: Seq[(String, Column)],
+      id: Column, text: Column, targetPred: Column,
+      pred: Option[Column],
+      buckets: Int = 4096, alpha: Double = 1.0,
+      outKey: String = "__pb_value"): DataFrame =
+    graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) {
+      (vals, keyed) =>
+        importanceWeights(vals, id, text, vals.filter(targetPred), text,
+            buckets, alpha)
+          .select((keyed.map { case (n, c) => c.as(n) } :+
+            F.col("log_w")): _*)
+          .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+          .agg(F.round(F.avg(F.col("log_w")), 6).as(outKey))
+    }(_ => F.lit(null).cast("double"))
+
   /** DSIR selection: the k docs with the largest `log_w + gumbel(id)`
     * keys — a deterministic without-replacement sample ∝ softmax(log_w).
     * Returns the input columns plus `log_w` and `dsir_key`. */

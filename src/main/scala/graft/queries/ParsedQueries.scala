@@ -596,6 +596,68 @@ object ParsedQueries {
              |WHERE rn <= 2
              |ORDER BY "cnt" DESC NULLS LAST, "flag" ASC NULLS FIRST,
              |"shipDate__year" ASC NULLS FIRST
-             |LIMIT 4""".stripMargin))
+             |LIMIT 4""".stripMargin)),
+
+    // DSIR importance through the front door: avgDsirWeight is the
+    // plan-backed per-group mean log importance weight of the slice's
+    // docs against the VALIDATION split as the target distribution
+    // (q158's operator as a cube metric). The oracle re-derives the
+    // hashed-n-gram models, the per-doc weights, and the deterministic
+    // split — composed with the nChars predicate the metric must honor.
+    NamedQuery("q161_parsed_dsir",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "nChars": {"gt": 100}, "options": {"asc": "source"} },
+          |  "fields": [
+          |    {"name": "source"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "avgDsirWeight", "alias": "avg_dsir"} ] }""".stripMargin).query.toDF,
+      Some("""WITH d AS (SELECT * FROM documents WHERE n_chars > 100),
+             |t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM d),
+             |g AS (SELECT doc_id, unnest(list_concat(w,
+             |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS gram
+             |  FROM t),
+             |bk AS (SELECT doc_id,
+             |    CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS bucket
+             |  FROM g),
+             |feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+             |rawc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
+             |rawn AS (SELECT sum(c) AS n FROM rawc),
+             |sp AS (SELECT doc_id FROM d
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 >= 80
+             |    AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90),
+             |tgtc AS (SELECT bucket, sum(cnt) AS c FROM feats JOIN sp USING (doc_id) GROUP BY bucket),
+             |tgtn AS (SELECT sum(c) AS n FROM tgtc),
+             |buckets AS (SELECT unnest(range(0, 4096)) AS bucket),
+             |model AS (SELECT buckets.bucket,
+             |    ln((coalesce(tgtc.c, 0) + 1.0) / (coalesce(tgtn.n, 0) + 4096.0)) -
+             |    ln((coalesce(rawc.c, 0) + 1.0) / (coalesce(rawn.n, 0) + 4096.0)) AS dlog
+             |  FROM buckets LEFT JOIN tgtc USING (bucket)
+             |  LEFT JOIN rawc USING (bucket), tgtn, rawn),
+             |sc AS (SELECT feats.doc_id, sum(feats.cnt * model.dlog) AS log_w
+             |  FROM feats JOIN model USING (bucket) GROUP BY 1),
+             |w AS (SELECT t.doc_id, t.source, coalesce(sc.log_w, 0.0) AS log_w
+             |  FROM t LEFT JOIN sc USING (doc_id))
+             |SELECT source, count(*) AS n_docs, round(avg(log_w), 6) AS avg_dsir
+             |FROM w GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_dsir ASC""".stripMargin)),
+
+    // the deterministic output-shard assignment as a front-door slice:
+    // per shard, membership and token mass — the q159 audit composed
+    // through the generic cube path instead of the dedicated operator.
+    NamedQuery("q162_parsed_shard",
+      (s, d) => QueryParser.parse(Cubes.documentsCube(s, d),
+        """{ "cube": "documents",
+          |  "args": { "options": {"asc": "shard"} },
+          |  "fields": [
+          |    {"name": "shard"},
+          |    {"name": "count", "alias": "n_docs"},
+          |    {"name": "sumTokens", "alias": "n_tokens"} ] }""".stripMargin).query.toDF,
+      Some("""SELECT
+             |CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+             |count(*) AS n_docs,
+             |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY 1
+             |ORDER BY shard ASC NULLS FIRST, n_docs ASC, n_tokens ASC""".stripMargin))
   )
 }
