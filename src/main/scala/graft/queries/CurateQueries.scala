@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.cubes.Tables
 import graft.functions.KmvSketch
-import graft.llm.Pii
+import graft.llm.{Bpe, Pii}
 import graft.operators.Joins
 import graft.sources.Layout
 import org.apache.spark.sql.{functions => F}
@@ -203,5 +203,69 @@ object CurateQueries {
            |SELECT z, CAST(count(*) AS BIGINT) AS n,
            |  CAST(sum(event_id) AS BIGINT) AS id_sum
            |FROM z GROUP BY z ORDER BY z ASC""".stripMargin
-      }))
+      }),
+
+    // BPE merge training, replayed ROUND BY ROUND by the oracle: the
+    // word-frequency table (the only corpus-wide aggregation), then per
+    // round the weighted pair argmax (count DESC, a ASC, b ASC — the
+    // engine's exact tie-break) and the greedy left-to-right merge
+    // rewrite (list_reduce replays the same non-overlapping fold).
+    // Early stop (no pair with count >= 2) composes identically on both
+    // sides: an empty m_i empties every later stage, so both emit the
+    // same short merge table.
+    NamedQuery("q168_bpe_merges",
+      (s, d) => {
+        val merges = Bpe.trainMerges(
+          Tables.documents(s, d), col("text"), nMerges = 8)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "a", "b")
+          .orderBy(col("rank").asc)
+      },
+      Some(bpeOracleSql(8)))
+  )
+
+  /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —
+    * generated CTE chain, one (pair-count, argmax, rewrite) stage per
+    * round. chr(31) is the fold's token separator (never occurs in
+    * word characters or their concatenations). */
+  private def bpeOracleSql(n: Int): String = {
+    val rounds = (0 until n).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, sum(cnt) AS c FROM (
+         |    SELECT cnt, sym[j] AS a, sym[j + 1] AS b
+         |    FROM s$i, UNNEST(range(1, len(sym))) AS t(j)
+         |  ) GROUP BY a, b
+         |),
+         |m$i AS (SELECT a AS ma, b AS mb FROM p$i WHERE c >= 2
+         |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |s${i + 1} AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN len(sym) < 2 THEN sym ELSE
+         |      string_split(
+         |        list_reduce(sym, (acc, x) -> CASE
+         |          WHEN x = mb AND (acc = ma OR ends_with(acc, chr(31) || ma))
+         |          THEN acc[1:len(acc) - len(ma)] || ma || mb
+         |          ELSE acc || chr(31) || x END),
+         |        chr(31))
+         |    END AS sym
+         |  FROM s$i, m$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until n).map { i =>
+      s"SELECT ${i + 1} AS rank, ma AS a, mb AS b FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word
+       |),
+       |s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS sym FROM w),
+       |$rounds
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rank ASC""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.KmvSketch
-import graft.llm.Pii
+import graft.llm.{Bpe, Pii}
 import graft.operators.Joins
 import graft.sources.Layout
 import org.apache.spark.sql.SparkSession
@@ -102,6 +102,43 @@ class CurateSpec extends AnyFunSuite {
     val (i, u) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(i - 2000) < 500, s"intersection est $i vs 2000")
     assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
+  }
+
+  // ---- BPE training ------------------------------------------------
+
+  test("bpe: learns the hand-computed merge sequence and stops when dry") {
+    import spark.implicits._
+    // 'abab'×3: round 1 pairs (a,b)=6 > (b,a)=3 → merge (a,b);
+    // round 2 the only pair is (ab,ab)=3 → merge; round 3 no pairs.
+    val docs = Seq("abab abab", "abab").toDF("text")
+    val merges = Bpe.trainMerges(docs, col("text"), nMerges = 8)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")), s"got $merges")
+  }
+
+  test("bpe: minCount gate yields no merges on a one-off corpus") {
+    import spark.implicits._
+    val docs = Seq("xy").toDF("text")
+    assert(Bpe.trainMerges(docs, col("text"), nMerges = 4).isEmpty)
+  }
+
+  test("bpe: encode applies merges greedily left-to-right, in rank order") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val out = Seq("abab ab ba aab").toDF("text")
+      .select(Bpe.encode(col("text"), merges).as("enc"))
+      .collect()(0).getSeq[Seq[String]](0)
+    // 'aab': greedy pass for (a,b) scans a,a → no; a,b → merge ⇒ [a, ab]
+    assert(out == Seq(Seq("abab"), Seq("ab"), Seq("b", "a"), Seq("a", "ab")),
+      s"got $out")
+  }
+
+  test("bpe: encoding the training corpus reproduces the trained symbols") {
+    import spark.implicits._
+    val docs = Seq("abab abab", "abab").toDF("text")
+    val merges = Bpe.trainMerges(docs, col("text"), nMerges = 8)
+    val enc = docs.select(F.explode(Bpe.encode(col("text"), merges)).as("sym"))
+      .collect().map(_.getSeq[String](0)).toSet
+    assert(enc == Set(Seq("abab")))
   }
 
   // ---- banded range join -------------------------------------------
