@@ -681,6 +681,16 @@ object Cubes {
         "sumValue" -> Metric.sumOf("sumValue", col("value")).mapValue(F.round(_, 2)),
         "avgValue" -> Metric.avgOf("avgValue", col("value")).mapValue(F.round(_, 4)),
         "uniqueUsers" -> Metric.uniqExact("uniqueUsers", col("user_id")),
+        // KMV/theta distinct sketch (functions/KmvSketch) as a front-
+        // door metric: deterministic (xxhash64), FILTER-composable —
+        // the predicate nulls the hash so non-matching rows skip the
+        // sketch, never pollute it (xxhash64(null) is NOT null).
+        "uniqueUsersKmv" -> Metric("uniqueUsersKmv", p => {
+          val h = F.xxhash64(col("user_id"))
+          graft.functions.KmvSketch.estimateDistinct(
+            graft.functions.KmvSketch(1024)(
+              p.map(pp => F.when(pp, h)).getOrElse(h)), 1024)
+        }),
         // cohort retention as a METRIC (ClickHouse retention): needs a
         // per-user flag level under the slice grouping, so it is plan-
         // backed (operators/Funnel.retentionJson). Value = JSON

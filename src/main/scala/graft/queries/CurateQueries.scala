@@ -223,7 +223,47 @@ object CurateQueries {
           .toDF("rank", "a", "b")
           .orderBy(col("rank").asc)
       },
-      Some(bpeOracleSql(8)))
+      Some(bpeOracleSql(8)),
+      ),
+
+    // the KMV metric THROUGH THE CUBE FRONT DOOR (the q102 shape):
+    // slice day × (uniqueUsersKmv, count), exact per-day distincts
+    // anchor the oracle, the estimate is bound-checked (k=1024 ⇒
+    // σ≈3.1%; 10%+1 ≈ 3σ; exact — σ=0 — below saturation, which is
+    // every day at the driver's verify scale). A metric-level FILTER
+    // estimate is checked the same way on the purchase arm.
+    NamedQuery("q169_parsed_kmv",
+      (s, d) => {
+        import graft.query.CubeQuery
+        val cube = graft.cubes.Cubes.eventsCube(s, d)
+        val via = CubeQuery(cube).slice("day", "ts", "day")
+          .measure("uniq_est", "uniqueUsersKmv")
+          .measureWhen("purch_est", "uniqueUsersKmv",
+            graft.query.Pred.Op("eventType", "eq", Some("purchase")))
+          .measure("cnt", "count").toDF
+        val exact = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(F.count_distinct(col("user_id")).as("n_exact"),
+            F.count_distinct(
+              F.when(col("event_type") === "purchase", col("user_id")))
+              .as("n_purch_exact"),
+            F.count(F.lit(1)).as("__n"))
+        via.join(exact, "day").select(
+          col("day"), col("n_exact"), col("n_purch_exact"),
+          (F.abs(col("uniq_est") - col("n_exact")) <= col("n_exact") * 0.1 + 1)
+            .as("est_within_bound"),
+          (F.abs(col("purch_est") - col("n_purch_exact"))
+            <= col("n_purch_exact") * 0.1 + 1).as("filtered_within_bound"),
+          (col("cnt") === col("__n")).as("count_exact"))
+          .orderBy(col("day").asc)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+             |  THEN user_id END) AS BIGINT) AS n_purch_exact,
+             |true AS est_within_bound, true AS filtered_within_bound,
+             |true AS count_exact
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —

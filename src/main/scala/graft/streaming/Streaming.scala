@@ -315,6 +315,23 @@ object Streaming {
       }
       .start()
 
+  /** LIVE PII scrubbing — the third ingestion gate: every arriving doc
+    * is redacted ([[graft.llm.Pii.scrub]]) before it lands, so raw PII
+    * never reaches the training store. A doc's scrub depends only on
+    * the doc itself (row-local regexps — zero streaming state, no
+    * watermark, no join), so the per-batch union trivially EQUALS the
+    * one-shot batch scrub (the spec asserts it); idempotent per-batch
+    * overwrite like the other gates. */
+  def scrubArrivals(docs: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Pii.scrub(batch, F.col("doc_id"), F.col("text"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

@@ -460,6 +460,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.length < arrivals.count())
   }
 
+  test("live PII scrub: per-batch outputs equal the one-shot batch scrub") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val out = java.nio.file.Files.createTempDirectory("graft_pii_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pii_ckpt").toString
+    // plant PII on the live side the same deterministic way q163 does
+    def withPii(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", concat(col("text"),
+        lit(" ping user"), col("doc_id").cast("string"), lit("@ex.org")))
+    val q = Streaming.scrubArrivals(
+      withPii(Streaming.documentsStream(spark, sf)), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(out)
+      .select("doc_id", "n_email", "has_pii", "text_redacted")
+      .collect().map(_.toString).sorted
+    val batch = graft.llm.Pii.scrub(
+        withPii(Tables.documents(spark, sf)), col("doc_id"), col("text"))
+      .select("doc_id", "n_email", "has_pii", "text_redacted")
+      .collect().map(_.toString).sorted
+    assert(live.nonEmpty && live.sameElements(batch))
+    // every arriving doc carried (and lost) its planted address
+    assert(spark.read.parquet(out)
+      .filter(col("n_email") >= 1 &&
+        !col("text_redacted").contains("@")).count()
+      == spark.read.parquet(out).count())
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
