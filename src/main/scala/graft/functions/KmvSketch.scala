@@ -52,7 +52,47 @@ class KmvSketch(k: Int)
   // hot path once warm: acceptance probability decays as k/seen).
   override def zero: Array[Long] = Array.emptyLongArray
 
-  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+  override def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] =
+    if (boxed == null) buf else KmvSketch.insert(buf, boxed.longValue(), k)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvSketch.union(a, b, k)
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Second-level KMV aggregation: unions already-built sketch COLUMNS
+  * (the rollup-serve face — daily cells in, one range sketch out).
+  * Because a KMV sketch is a pure function of the value SET, cell
+  * union is not merely "lossless within error": the unioned sketch is
+  * BIT-IDENTICAL to sketching the raw rows (q170 and PropertySpec
+  * assert equality, not a bound) — so a rollup can serve any date
+  * range with zero estimate drift vs the fact table. */
+class KmvUnion(k: Int)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+  require(k >= 2, s"kmv needs k >= 2, got $k")
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], sk: Seq[Long]): Array[Long] =
+    if (sk == null) buf
+    else { var acc = buf; sk.foreach(v => acc = KmvSketch.insert(acc, v, k)); acc }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvSketch.union(a, b, k)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvSketch {
+  /** Bounded sorted-insert shared by both aggregators: keeps `buf`
+    * unsigned-ascending, duplicate-free, capped at k. */
+  private[functions] def insert(buf: Array[Long], v: Long, k: Int): Array[Long] = {
     val key = v ^ Long.MinValue
     val n = buf.length
     if (n == k && key >= (buf(n - 1) ^ Long.MinValue)) return buf
@@ -70,27 +110,20 @@ class KmvSketch(k: Int)
     out
   }
 
-  override def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] =
-    if (boxed == null) buf else insert(buf, boxed.longValue())
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  private[functions] def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     var acc = a; var i = 0
-    while (i < b.length) { acc = insert(acc, b(i)); i += 1 }
+    while (i < b.length) { acc = insert(acc, b(i), k); i += 1 }
     acc
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = buf
-
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-}
-
-object KmvSketch {
   /** `agg(kmv(1024)(xxhash64(col)))` — untyped column form. */
   def apply(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     F.udaf(new KmvSketch(k), Encoders.LONG)
+
+  /** `agg(kmvUnion(1024)(sketchCol))` — rollup-cell union form. */
+  def unionAgg(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udaf(new KmvUnion(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
 
   private val Two64 = 1.8446744073709552e19 // 2^64 as double
 

@@ -19,6 +19,18 @@ import org.apache.spark.sql.{functions => F}
 object CurateQueries {
   import org.apache.spark.sql.functions.col
 
+  /** The deterministic PII augmentation shared by q163 and the v3
+    * capstone: address/phone/IP derived from doc_id, identical on the
+    * oracle side ([[augmentSql]]). */
+  private def plantedPii(text: org.apache.spark.sql.Column) = F.concat(
+    text, F.lit(" reach user"), col("doc_id").cast("string"),
+    F.lit("@ex-mail.org via 10."),
+    (col("doc_id") % 256).cast("string"), F.lit(".0."),
+    ((col("doc_id") * 7) % 256).cast("string"),
+    F.lit(" or call +1 555-"),
+    F.lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+    F.lit("-0199 now"))
+
   /** PII planted deterministically from doc identity — the fixtures'
     * synthetic prose contains none, so both engine and oracle append
     * the SAME address/phone/IP derived from doc_id and the scrub is
@@ -41,14 +53,7 @@ object CurateQueries {
     NamedQuery("q163_pii_scrub",
       (s, d) => {
         val aug = Tables.documents(s, d).select(col("doc_id"),
-          F.concat(
-            col("text"), F.lit(" reach user"), col("doc_id").cast("string"),
-            F.lit("@ex-mail.org via 10."),
-            (col("doc_id") % 256).cast("string"), F.lit(".0."),
-            ((col("doc_id") * 7) % 256).cast("string"),
-            F.lit(" or call +1 555-"),
-            F.lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-0199 now")).as("text"))
+          plantedPii(col("text")).as("text"))
         Pii.scrub(aug, col("doc_id"), col("text"))
           .select(col("doc_id"), col("n_email"), col("n_phone"),
             col("n_ip"), col("has_pii"),
@@ -263,7 +268,140 @@ object CurateQueries {
              |  THEN user_id END) AS BIGINT) AS n_purch_exact,
              |true AS est_within_bound, true AS filtered_within_bound,
              |true AS count_exact
-             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin)),
+
+    // KMV ROLLUP (the q101 pre-aggregation shape, stronger claim):
+    // daily sketch cells unioned over a range must be BIT-IDENTICAL to
+    // sketching the range's raw rows — KMV is a pure function of the
+    // value set, so cell union has ZERO estimate drift, not just a
+    // lossless-within-error bound. Exact distinct anchors the oracle.
+    NamedQuery("q170_kmv_rollup",
+      (s, d) => {
+        val k = 1024
+        val kmv = KmvSketch(k)
+        val kun = KmvSketch.unionAgg(k)
+        val ev = Tables.events(s, d).withColumn("day", F.to_date(col("ts")))
+        val lo = F.lit("2024-01-08").cast("date")
+        val hi = F.lit("2024-01-22").cast("date")
+        val daily = ev.groupBy(col("day"))
+          .agg(kmv(F.xxhash64(col("user_id"))).as("__sk"))
+        val rolled = daily.filter(col("day") >= lo && col("day") < hi)
+          .agg(kun(col("__sk")).as("__roll"))
+        val direct = ev.filter(col("day") >= lo && col("day") < hi)
+          .agg(kmv(F.xxhash64(col("user_id"))).as("__direct"),
+            F.count_distinct(col("user_id")).as("n_exact"))
+        rolled.crossJoin(direct).select(
+          col("n_exact"),
+          (col("__roll") === col("__direct")).as("rollup_bit_identical"),
+          (F.abs(KmvSketch.estimateDistinct(col("__roll"), k) - col("n_exact"))
+            <= col("n_exact") * 0.1 + 1).as("est_within_bound"))
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |true AS rollup_bit_identical, true AS est_within_bound
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-22'""".stripMargin)),
+
+    // CURATION CAPSTONE v3 — the round-12b ops composed as ONE plan,
+    // in the order a real pipeline runs them: PII scrub FIRST (so
+    // dedup sees canonical text — two docs differing only in planted
+    // addresses collapse AFTER redaction, which is exactly why
+    // scrub-before-dedup matters), exact dedup on the REDACTED text,
+    // Gopher 3-gram repetition gate, then a token-budget mixture
+    // priced in VOCABULARY-TRUE subword tokens (SubwordEncode) instead
+    // of whitespace words. The oracle chains the proven q163 / q50 /
+    // q114 / q155 / q122 mirrors over the same intermediate corpora.
+    NamedQuery("q171_curation_v3",
+      (s, d) => {
+        import graft.llm.{Dedup, Mixture, Pii, TextAnalysis}
+        val aug = Tables.documents(s, d).select(
+          col("doc_id"), col("source"), plantedPii(col("text")).as("text"))
+        val red = aug.select(col("doc_id"), col("source"),
+          Pii.redact(col("text")).as("rtext"))
+        val keep = Dedup.exactDuplicateGroups(red, col("doc_id"), col("rtext"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = red.join(keep, Seq("doc_id"), "left_semi")
+        val gated = deduped.filter(
+          TextAnalysis.dupNgramFraction(col("rtext"), 3) <= 0.2)
+        Mixture.tokenBudgetSample(gated, col("source"), col("doc_id"),
+            TextAnalysis.subwordCount(col("rtext"), TextAnalysis.DemoVocab),
+            TextAnalysis.qualityScore(col("rtext")), F.lit(800L))
+          .filter(col("kept"))
+          .select(col("doc_id"), col("stratum").as("source"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source").asc, col("cum_tokens").asc)
+      },
+      Some {
+        val values = graft.llm.TextAnalysis.DemoVocab.zipWithIndex
+          .map { case (t, i) => s"('$t', ${i + 1})" }.mkString(",")
+        s"""WITH RECURSIVE v(tok, tid) AS (VALUES $values),
+           |a AS (SELECT doc_id, source,
+           |  text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+           |  '@ex-mail.org via 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+           |  '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+           |  ' or call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+           |  '-0199 now' AS t
+           |  FROM documents),
+           |r AS (SELECT doc_id, source,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+           |    '${Pii.PhoneRe}', '<PHONE>', 'g'),
+           |    '${Pii.Ipv4Re}', '<IP>', 'g') AS rt
+           |  FROM a),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(rt)),
+           |d AS (SELECT r.* FROM r JOIN keep USING (doc_id)),
+           |t AS (SELECT doc_id, source, rt,
+           |  string_split_regex(trim(rt), '\\s+') AS w FROM d),
+           |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+           |    ELSE [] END AS g3 FROM t),
+           |rep AS (SELECT doc_id, CASE WHEN len(g3) > 0
+           |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+           |    ELSE 0.0 END AS dup3 FROM g),
+           |gated AS (SELECT t.* FROM t JOIN rep USING (doc_id)
+           |  WHERE rep.dup3 <= 0.2),
+           |words AS (SELECT doc_id, unnest(w) AS word FROM gated),
+           |dw AS (SELECT DISTINCT word FROM words WHERE len(word) >= 1),
+           |pos AS (SELECT word, unnest(range(1, len(word) + 1)) AS p FROM dw),
+           |jmp AS (SELECT pos.word, pos.p,
+           |    coalesce(max(len(v.tok)), 1) AS step,
+           |    coalesce(max_by(v.tid, len(v.tok)), 0) AS tid
+           |  FROM pos LEFT JOIN v ON substring(pos.word, pos.p, len(v.tok)) = v.tok
+           |  GROUP BY pos.word, pos.p),
+           |wk(word, p, nt) AS (
+           |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+           |  UNION ALL
+           |  SELECT wk.word, wk.p + j.step, wk.nt + 1
+           |  FROM wk JOIN jmp j ON j.word = wk.word AND j.p = wk.p
+           |  WHERE wk.p <= len(wk.word)),
+           |res AS (SELECT word, nt AS nsub FROM wk WHERE p > len(word)),
+           |sub AS (SELECT words.doc_id, CAST(sum(res.nsub) AS BIGINT) AS n_sub
+           |  FROM words JOIN res USING (word) GROUP BY words.doc_id),
+           |sc AS (
+           |  SELECT doc_id, source, len(w) AS n_words,
+           |    round((length(rt) - length(regexp_replace(lower(rt), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+           |          greatest(length(rt), 1), 6) AS punct_ratio,
+           |    round(len(list_filter(w, x -> list_contains(
+           |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+           |          greatest(len(w), 1), 6) AS stopword_ratio
+           |  FROM gated),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    round(least(n_words / 100.0, 1.0) * 0.5 +
+           |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+           |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+           |  FROM sc),
+           |sel AS (
+           |  SELECT q.doc_id, q.source, CAST(sub.n_sub AS INT) AS n_tokens,
+           |    CAST(sum(sub.n_sub) OVER (PARTITION BY q.source
+           |      ORDER BY q.quality DESC, q.doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM q JOIN sub USING (doc_id))
+           |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+           |WHERE cum_tokens <= 800
+           |ORDER BY source ASC, cum_tokens ASC""".stripMargin
+      })
   )
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —

@@ -49,6 +49,25 @@ class CurateSpec extends AnyFunSuite {
       "edge: not-an-ip 1.2.3.4000 but <IP> is one")))
   }
 
+  test("pii: scrub-before-dedup collapses docs that differ only in PII (the v3 ordering)") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same base text mail alice@a.org"),
+      (2L, "the same base text mail bob@b.net"),
+      (3L, "a different text entirely")
+    ).toDF("doc_id", "text")
+    // raw texts are pairwise distinct -> dedup keeps all 3
+    val rawKeep = Dedup.exactDuplicateGroups(docs, col("doc_id"), col("text"))
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(rawKeep == Set(1L, 2L, 3L))
+    // redacted texts collapse 1 and 2 -> canonical min-id survives
+    val red = docs.select(col("doc_id"), Pii.redact(col("text")).as("text"))
+    val scrubKeep = Dedup.exactDuplicateGroups(red, col("doc_id"), col("text"))
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(scrubKeep == Set(1L, 3L))
+  }
+
   // ---- KMV / theta sketch ------------------------------------------
 
   test("kmv: sketch is a pure function of the value set (partitioning/dup invariant)") {
@@ -84,6 +103,18 @@ class CurateSpec extends AnyFunSuite {
         kmv(F.xxhash64(col("v"))), k).as("e"))
       .collect()(0).getDouble(0)
     assert(small == 100.0, "unsaturated sketch must be exact")
+  }
+
+  test("kmv: unioned cells are BIT-IDENTICAL to the single-shot sketch") {
+    import spark.implicits._
+    val k = 128
+    val kmv = KmvSketch(k)
+    val kun = KmvSketch.unionAgg(k)
+    val df = (1 to 3000).map(v => (v % 13, v)).toDF("cell", "v")
+    val cells = df.groupBy("cell").agg(kmv(F.xxhash64(col("v"))).as("sk"))
+    val rolled = cells.agg(kun(col("sk"))).collect()(0).getSeq[Long](0)
+    val direct = df.agg(kmv(F.xxhash64(col("v")))).collect()(0).getSeq[Long](0)
+    assert(rolled == direct, "cell union must have zero drift vs the fact scan")
   }
 
   test("kmv: theta-combine intersection/union estimates track exact overlap") {
