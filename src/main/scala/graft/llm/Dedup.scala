@@ -596,4 +596,71 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  // ---- incremental exact-dup screening (bloom) ---------------------
+
+  import org.apache.spark.sql.GraftBridge
+
+  /** Bloom filter of the history corpus' 64-bit text hashes — the
+    * compact screen side for [[bloomExactScreen]]. `numBits` sized from
+    * the target false-positive rate: m = ⌈−n·ln p / ln²2⌉ (≈1.2 GB per
+    * 10⁹ docs at p=0.01 — broadcastable where the corpus itself never
+    * is). Built on the INTERNAL `BloomFilterAggregate` the runtime
+    * bloom-join optimizer uses (not SQL-registered; bridged like the
+    * other Catalyst internals) — mergeable, map-side combined, ONE
+    * history scan. In production this is materialized once and unioned
+    * incrementally as batches land, not rebuilt per screen. */
+  def historyBloom(history: DataFrame, textCol: Column,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    val ln2 = math.log(2)
+    val numBits = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    history.agg(GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(F.xxhash64(textCol)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("__bf"))
+  }
+
+  /** Incremental EXACT-dup screen of an arriving batch against a huge
+    * historical corpus — the first gate real ingestion runs, shaped so
+    * the 100 TB side never joins: the history collapses to a broadcast
+    * Bloom filter ([[historyBloom]]); every arrival tests membership
+    * row-locally; only the bloom-POSITIVE arrivals (true dups + the fpp
+    * false alarms) proceed to the exact md5-fingerprint semi-join
+    * against `historyFps`, so the verify join's probe side is
+    * |arrivals|·(dup_rate+fpp). Bloom membership has NO false
+    * negatives, so `is_dup ⇒ bloom_hit` — every true duplicate is
+    * caught (q172 emits the implication as an invariant).
+    *
+    * @param historyFps distinct md5 fingerprints of the history
+    *   (`history.select(md5(text))`) — in production a pre-materialized
+    *   table appended per batch, exactly like the bloom side
+    * @return one row per arrival: (doc_id, bloom_hit, is_dup) */
+  def bloomExactScreen(arrivals: DataFrame, idCol: Column, textCol: Column,
+      bloom: DataFrame, historyFps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    // might_contain demands a CONSTANT or scalar-subquery bloom — the
+    // same shape the runtime bloom-join optimizer injects: the 1-row
+    // aggregate rides as a subquery result broadcast to every task,
+    // never a joined column
+    val bfSub = GraftBridge.column(ScalarSubquery(
+      GraftBridge.analyzed(bloom.select(F.col("__bf")))))
+    def mightContain(v: Column): Column =
+      GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(bfSub), GraftBridge.expression(v)))
+    val tagged = arrivals.select(idCol.as("doc_id"),
+        F.xxhash64(textCol).as("__h"), F.md5(textCol).as("__fp"))
+      .withColumn("bloom_hit", mightContain(F.col("__h")))
+    val dupIds = tagged.filter(F.col("bloom_hit"))
+      .join(historyFps.select(F.col(historyFps.columns.head).as("__fp")),
+        Seq("__fp"), "left_semi")
+      .select(F.col("doc_id"), F.lit(true).as("__d"))
+    tagged.join(dupIds, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("bloom_hit"),
+        F.coalesce(F.col("__d"), F.lit(false)).as("is_dup"))
+  }
 }

@@ -401,7 +401,33 @@ object CurateQueries {
            |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
            |WHERE cum_tokens <= 800
            |ORDER BY source ASC, cum_tokens ASC""".stripMargin
-      })
+      }),
+
+    // Incremental exact-dup screen: arrivals (doc_id % 3 == 0) against
+    // the history (the rest) via a broadcast Bloom of history hashes +
+    // an exact md5 semi-join probed ONLY by bloom positives. The
+    // oracle recomputes is_dup exactly (text equality); bloom_hit
+    // itself is implementation detail, surfaced through the Bloom
+    // no-false-negative invariant is_dup ⇒ bloom_hit.
+    NamedQuery("q172_bloom_screen",
+      (s, d) => {
+        import graft.llm.Dedup
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") % 3 =!= 0)
+        val arr = docs.filter(col("doc_id") % 3 === 0)
+        Dedup.bloomExactScreen(arr, col("doc_id"), col("text"),
+            Dedup.historyBloom(hist, col("text"), expectedItems = 10000L),
+            hist.select(F.md5(col("text"))).distinct())
+          .select(col("doc_id"), col("is_dup"),
+            (col("bloom_hit") || !col("is_dup")).as("no_false_negative"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT a.doc_id,
+             |  EXISTS (SELECT 1 FROM documents h
+             |          WHERE h.doc_id % 3 <> 0 AND h.text = a.text) AS is_dup,
+             |  true AS no_false_negative
+             |FROM documents a WHERE a.doc_id % 3 = 0
+             |ORDER BY a.doc_id ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —

@@ -135,6 +135,47 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
   }
 
+  // ---- bloom incremental exact-dup screen --------------------------
+
+  test("bloom screen: exact dups flagged, uniques pass, no false negatives") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val hist = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val arr = Seq(
+      (1L, "alpha beta gamma"), // exact dup of 10
+      (2L, "delta epsilon"),    // exact dup of 11
+      (3L, "zeta eta theta"),   // novel
+      (4L, "alpha beta")        // prefix, NOT a dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomExactScreen(arr, col("doc_id"), col("text"),
+        Dedup.historyBloom(hist, col("text"), expectedItems = 100L),
+        hist.select(F.md5(col("text"))).distinct())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out.map(t => (t._1, t._3)).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+    // Bloom guarantee: every true dup was a bloom hit
+    assert(out.forall { case (_, hit, dup) => !dup || hit })
+  }
+
+  test("bloom screen: a saturated (tiny) bloom still never misses a dup") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val hist = (1 to 500).map(i => (i.toLong, s"history document number $i"))
+      .toDF("doc_id", "text")
+    val arr = (450 to 550).map(i => (i.toLong + 1000, s"history document number $i"))
+      .toDF("doc_id", "text") // 450..500 are dups, 501..550 novel
+    // expectedItems=8 -> heavy false-positive rate, zero false negatives
+    val out = Dedup.bloomExactScreen(arr, col("doc_id"), col("text"),
+        Dedup.historyBloom(hist, col("text"), expectedItems = 8L),
+        hist.select(F.md5(col("text"))).distinct())
+      .collect().map(r => (r.getLong(0) - 1000, r.getBoolean(1), r.getBoolean(2)))
+    assert(out.forall { case (i, _, dup) => dup == (i <= 500) },
+      "exact verdicts must be exact even under bloom saturation")
+    assert(out.forall { case (_, hit, dup) => !dup || hit })
+  }
+
   // ---- BPE training ------------------------------------------------
 
   test("bpe: learns the hand-computed merge sequence and stops when dry") {
