@@ -163,4 +163,22 @@ object KmvSketch {
     F.size(F.filter(F.array_union(a, b), x => u(x) < th))
       .cast("double") / th
   }
+
+  /** |A\B| estimate — the set op HLL cannot express at all. Sound
+    * because membership of a sub-θ sample hash is decidable from B's
+    * RETAINED set alone: u(x) < θ ≤ θ_B means x ∈ B ⟺ x ∈ B's sample. */
+  def estimateDifference(a: Column, b: Column, k: Int): Column = {
+    val th = F.least(theta(a, k), theta(b, k))
+    F.size(F.filter(F.array_except(a, b), x => u(x) < th))
+      .cast("double") / th
+  }
+
+  /** |A∩B∩C| — the joint threshold extends to any arity; every
+    * retained hash under min-θ is a uniform sample of all three sets'
+    * union space, so the count scales by 1/θ exactly as pairwise. */
+  def estimateIntersection3(a: Column, b: Column, c: Column, k: Int): Column = {
+    val th = F.least(theta(a, k), theta(b, k), theta(c, k))
+    F.size(F.filter(F.array_intersect(F.array_intersect(a, b), c),
+      x => u(x) < th)).cast("double") / th
+  }
 }

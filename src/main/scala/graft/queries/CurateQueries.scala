@@ -427,7 +427,63 @@ object CurateQueries {
              |          WHERE h.doc_id % 3 <> 0 AND h.text = a.text) AS is_dup,
              |  true AS no_false_negative
              |FROM documents a WHERE a.doc_id % 3 = 0
-             |ORDER BY a.doc_id ASC""".stripMargin))
+             |ORDER BY a.doc_id ASC""".stripMargin)),
+
+    // the full KMV set algebra in one pass: difference (inexpressible
+    // under HLL at any cost) and 3-way intersection, all from the same
+    // three FILTERed sketches, each bound-checked against the exact
+    // counts the oracle recomputes.
+    NamedQuery("q173_kmv_algebra",
+      (s, d) => {
+        val k = 1024
+        val kmv = KmvSketch(k)
+        val h = F.xxhash64(col("user_id"))
+        val ev = Tables.events(s, d)
+        def sk(t: String) = kmv(F.when(col("event_type") === t, h))
+        val sks = ev.agg(sk("view").as("a"), sk("signup").as("b"),
+          sk("purchase").as("c"))
+        val exact = ev.agg(
+          F.count_distinct(F.when(col("event_type") === "view", col("user_id")))
+            .as("__nv"),
+          F.count_distinct(
+            F.when(col("event_type").isin("view", "signup", "purchase"),
+              col("user_id"))).as("n_any_exact"))
+        val viewNotSignup = ev.filter(col("event_type") === "view")
+          .select(col("user_id")).distinct()
+          .exceptAll(ev.filter(col("event_type") === "signup")
+            .select(col("user_id")).distinct())
+          .agg(F.count(F.lit(1)).as("n_diff_exact"))
+        val all3 = ev.filter(col("event_type") === "view")
+          .select(col("user_id")).distinct()
+          .intersect(ev.filter(col("event_type") === "signup")
+            .select(col("user_id")).distinct())
+          .intersect(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id")).distinct())
+          .agg(F.count(F.lit(1)).as("n_tri_exact"))
+        sks.crossJoin(exact).crossJoin(viewNotSignup).crossJoin(all3).select(
+          col("n_diff_exact"), col("n_tri_exact"),
+          (F.abs(KmvSketch.estimateDifference(col("a"), col("b"), k)
+            - col("n_diff_exact")) <= col("n_any_exact") * 0.1 + 2)
+            .as("diff_within_bound"),
+          (F.abs(KmvSketch.estimateIntersection3(
+              col("a"), col("b"), col("c"), k)
+            - col("n_tri_exact")) <= col("n_any_exact") * 0.1 + 2)
+            .as("tri_within_bound"))
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM
+             |    (SELECT user_id FROM events WHERE event_type = 'view'
+             |     EXCEPT
+             |     SELECT user_id FROM events WHERE event_type = 'signup'))
+             |    AS BIGINT) AS n_diff_exact,
+             |  CAST((SELECT count(*) FROM
+             |    (SELECT user_id FROM events WHERE event_type = 'view'
+             |     INTERSECT
+             |     SELECT user_id FROM events WHERE event_type = 'signup'
+             |     INTERSECT
+             |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+             |    AS BIGINT) AS n_tri_exact,
+             |  true AS diff_within_bound, true AS tri_within_bound""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —

@@ -315,6 +315,25 @@ object Streaming {
       }
       .start()
 
+  /** LIVE exact-dup screening — arrivals tested against the HISTORICAL
+    * corpus without ever joining it: the static side is its Bloom
+    * filter + fingerprint table ([[graft.llm.Dedup.historyBloom]]),
+    * both materialized once and appended per landed batch in
+    * production. Verdicts are per-doc (batch-local argmax-free), so
+    * per-batch outputs trivially union to the one-shot screen; no
+    * streaming state, no watermark. */
+  def screenExactArrivals(docs: DataFrame, bloom: DataFrame,
+      historyFps: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Dedup.bloomExactScreen(batch,
+            F.col("doc_id"), F.col("text"), bloom, historyFps)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** LIVE PII scrubbing — the third ingestion gate: every arriving doc
     * is redacted ([[graft.llm.Pii.scrub]]) before it lands, so raw PII
     * never reaches the training store. A doc's scrub depends only on

@@ -460,6 +460,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.length < arrivals.count())
   }
 
+  test("live exact-dup screen: bloom verdicts on a stream equal the batch screen") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Dedup
+    val out = java.nio.file.Files.createTempDirectory("graft_exd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_exd_ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val arr = docs.filter(col("doc_id") % 3 === 0)
+    val bloom = Dedup.historyBloom(hist, col("text"), expectedItems = 10000L)
+    val fps = hist.select(org.apache.spark.sql.functions.md5(col("text"))).distinct()
+    val q = Streaming.screenExactArrivals(
+      Streaming.documentsStream(spark, sf).filter(col("doc_id") % 3 === 0),
+      bloom, fps, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(out).select("doc_id", "is_dup")
+      .collect().map(_.toString).sorted
+    val batch = Dedup.bloomExactScreen(arr, col("doc_id"), col("text"), bloom, fps)
+      .select("doc_id", "is_dup").collect().map(_.toString).sorted
+    assert(live.nonEmpty && live.sameElements(batch))
+  }
+
   test("live PII scrub: per-batch outputs equal the one-shot batch scrub") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out = java.nio.file.Files.createTempDirectory("graft_pii_out").toString
