@@ -483,8 +483,72 @@ object CurateQueries {
              |     INTERSECT
              |     SELECT user_id FROM events WHERE event_type = 'purchase'))
              |    AS BIGINT) AS n_tri_exact,
-             |  true AS diff_within_bound, true AS tri_within_bound""".stripMargin))
+             |  true AS diff_within_bound, true AS tri_within_bound""".stripMargin)),
+
+    // TRAINED quality classifier: logistic regression over hashed
+    // n-gram frequencies, 5 batch-GD steps (supervision: "is this doc
+    // from the curated reference source src0"). Weights live on a 1e-9
+    // grid after every step, so the model is an exact, engine-
+    // independent function of the corpus — the oracle re-trains it in
+    // SQL, replaying every score/residual/gradient/update round, and
+    // the final weight table must match to 6 decimals.
+    NamedQuery("q174_quality_classifier",
+      (s, d) => {
+        import graft.llm.Classifier
+        val model = Classifier.trainLogReg(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          (col("source") === "src0").cast("int"),
+          buckets = 32, iters = 5, lr = 0.5)
+        import s.implicits._
+        ((-1, model.bias) +: model.w.zipWithIndex.toSeq
+          .map { case (wv, i) => (i, wv) })
+          .toDF("bucket", "weight")
+          .select(col("bucket"), F.round(col("weight"), 6).as("weight"))
+          .orderBy(col("bucket").asc)
+      },
+      Some(logRegOracleSql(buckets = 32, iters = 5, lr = 0.5)))
   )
+
+  /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
+    * (score, residual, gradient, update) CTE block per GD iteration,
+    * weights re-rounded to the same 1e-9 grid each step. */
+  private def logRegOracleSql(buckets: Int, iters: Int, lr: Double): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
+         |  FROM feats f JOIN w$i w ON w.b = f.bucket GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT y.doc_id,
+         |    1.0 / (1.0 + exp(-(s.z + (SELECT w FROM w$i WHERE b = -1)))) - y.y AS r
+         |  FROM y JOIN s$i s USING (doc_id)),
+         |g$i AS MATERIALIZED (SELECT f.bucket AS b, sum(f.x * r.r) AS g
+         |  FROM feats f JOIN r$i r USING (doc_id) GROUP BY 1),
+         |w${i + 1} AS MATERIALIZED (SELECT wp.b,
+         |    round(wp.w - $lr * (CASE WHEN wp.b = -1
+         |        THEN (SELECT sum(r) FROM r$i)
+         |        ELSE coalesce((SELECT g FROM g$i gg WHERE gg.b = wp.b), 0.0)
+         |      END) / (SELECT n FROM nn), 9) AS w
+         |  FROM w$i wp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, unnest(list_concat(w,
+       |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS gram
+       |  FROM t),
+       |bk AS MATERIALIZED (SELECT doc_id,
+       |    CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) % $buckets AS BIGINT) AS bucket
+       |  FROM g),
+       |fc AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |tt AS MATERIALIZED (SELECT doc_id, sum(cnt) AS tot FROM fc GROUP BY 1),
+       |feats AS MATERIALIZED (SELECT fc.doc_id, fc.bucket, fc.cnt::DOUBLE / tt.tot AS x
+       |  FROM fc JOIN tt USING (doc_id)),
+       |y AS MATERIALIZED (SELECT t.doc_id,
+       |    CASE WHEN t.source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM t JOIN tt ON tt.doc_id = t.doc_id),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM y),
+       |w0 AS MATERIALIZED (SELECT unnest(range(-1, $buckets)) AS b, 0.0 AS w),
+       |$rounds
+       |SELECT CAST(b AS INT) AS bucket, round(w, 6) AS weight
+       |FROM w$iters ORDER BY bucket ASC""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —
     * generated CTE chain, one (pair-count, argmax, rewrite) stage per

@@ -135,6 +135,42 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
   }
 
+  // ---- trained quality classifier ----------------------------------
+
+  test("logreg: trained discriminator separates the planted positive dialect") {
+    import graft.llm.Classifier
+    import spark.implicits._
+    val docs = ((1 to 40).map(i =>
+        (i.toLong, s"curated shiny reference prose piece $i gold standard", 1)) ++
+      (41 to 80).map(i =>
+        (i.toLong, s"random web junk noise blob $i clutter spam", 0)))
+      .toDF("doc_id", "text", "y")
+    val m = Classifier.trainLogReg(docs, col("doc_id"), col("text"),
+      col("y"), buckets = 64, iters = 20, lr = 2.0)
+    val scored = docs.select(col("y"),
+        Classifier.scoreText(col("text"), m).as("p"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val posMin = scored.filter(_._1 == 1).map(_._2).min
+    val negMax = scored.filter(_._1 == 0).map(_._2).max
+    assert(posMin > negMax,
+      s"classifier failed to separate: posMin=$posMin negMax=$negMax")
+  }
+
+  test("logreg: weights are partitioning-independent (grid-snapped batch GD)") {
+    import graft.llm.Classifier
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+        (i.toLong, s"doc number $i with shared words plus token${i % 7}", i % 3 == 0))
+      .toDF("doc_id", "text", "y")
+    def weights(parts: Int) = {
+      val m = Classifier.trainLogReg(docs.repartition(parts), col("doc_id"),
+        col("text"), col("y").cast("int"), buckets = 32, iters = 5, lr = 0.5)
+      m.bias +: m.w.toSeq
+    }
+    assert(weights(2) == weights(13),
+      "1e-9 grid snap must make the model a pure function of the corpus")
+  }
+
   // ---- bloom incremental exact-dup screen --------------------------
 
   test("bloom screen: exact dups flagged, uniques pass, no false negatives") {
