@@ -471,6 +471,18 @@ object Cubes {
                 Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "val",
               pred)
           }),
+        // per-group average TRAINED-classifier probability (llm/
+        // Classifier — logistic regression re-trained in-plan on the
+        // pred-filtered corpus; supervision: "is src0", the curated
+        // reference source). High = the slice reads like reference data.
+        "avgModelQuality" -> Metric("avgModelQuality",
+          build = _ => throw new CubeQueryException(
+            "avgModelQuality is plan-backed: flat grouping only"),
+          planBuild = Some { (fact, keys, pred) =>
+            graft.llm.Classifier.avgScorePlan(
+              fact, keys, col("doc_id"), col("text"),
+              col("source") === "src0", pred)
+          }),
         // token-budget mixture through the front door: tokens KEPT by
         // the greedy (quality desc, id asc) prefix under a per-group
         // budget — the budget is a metric arg, dispatched like topK's

@@ -75,6 +75,49 @@ object Classifier {
     LinearModel(bias, w)
   }
 
+  /** Per-doc model probability via the feature frame — the exact
+    * arithmetic of training's score step, so a trained-then-scored
+    * corpus reproduces the final training residual inputs. */
+  def scoreViaFeatures(docs: DataFrame, idCol: Column, textCol: Column,
+      model: LinearModel): DataFrame = {
+    val b = model.w.length
+    val feats = Importance.hashedFeatures(docs, idCol, textCol, b)
+    val tot = feats.groupBy("id").agg(F.sum("cnt").as("__tot"))
+    val wLit = F.array(model.w.map(F.lit): _*)
+    feats.join(tot, "id")
+      .groupBy("id")
+      .agg(F.sum(F.col("cnt").cast("double") / F.col("__tot") *
+        F.element_at(wLit, F.col("bucket").cast("int") + 1)).as("z"))
+      .select(F.col("id"),
+        (F.lit(1.0) / (F.lit(1.0) +
+          F.exp(-(F.col("z") + F.lit(model.bias))))).as("__p"))
+  }
+
+  /** Plan-backed cube metric: per-group AVERAGE model probability,
+    * with the model trained IN-PLAN on the whole pred-filtered corpus
+    * (`labelPred` supplies the supervision) — the q161/avgDsirWeight
+    * contract shape. Docs with no tokens score sigmoid(bias) (z = 0),
+    * mirrored by the oracle's coalesce. */
+  def avgScorePlan(
+      df: DataFrame, groupCols: Seq[(String, Column)],
+      id: Column, text: Column, labelPred: Column,
+      pred: Option[Column],
+      buckets: Int = 32, iters: Int = 5, lr: Double = 0.5,
+      outKey: String = "__pb_value"): DataFrame =
+    graft.operators.PlanBacked.groupContract(df, groupCols, pred, outKey) {
+      (vals, keyed) =>
+        val m = trainLogReg(vals, id, text, labelPred.cast("int"),
+          buckets, iters, lr)
+        val pEmpty = 1.0 / (1.0 + math.exp(-m.bias))
+        vals.select((keyed.map { case (n, c) => c.as(n) } :+
+            id.as("__cid")): _*)
+          .join(scoreViaFeatures(vals, id, text, m)
+            .withColumnRenamed("id", "__cid"), Seq("__cid"), "left")
+          .withColumn("__p", F.coalesce(F.col("__p"), F.lit(pEmpty)))
+          .groupBy(keyed.map { case (n, _) => F.col(n) }: _*)
+          .agg(F.round(F.avg(F.col("__p")), 6).as(outKey))
+    }(_ => F.lit(null).cast("double"))
+
   /** Row-local scoring Column: P(label=1 | text) under a trained
     * model — grams recomputed in place (no feature-frame join), so the
     * gate fuses into any scan. */

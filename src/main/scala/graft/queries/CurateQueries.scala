@@ -506,14 +506,53 @@ object CurateQueries {
           .select(col("bucket"), F.round(col("weight"), 6).as("weight"))
           .orderBy(col("bucket").asc)
       },
-      Some(logRegOracleSql(buckets = 32, iters = 5, lr = 0.5)))
+      Some(logRegOracleSql(buckets = 32, iters = 5, lr = 0.5))),
+
+    // the trained classifier THROUGH THE CUBE FRONT DOOR: per-source
+    // average model probability (src0 — the supervision target — must
+    // read highest), model re-trained in-plan on the
+    // selector-filtered corpus (the avgDsirWeight plan-backed
+    // contract). The oracle re-trains on the same filtered relation
+    // and replays the scoring join, docs without features at
+    // sigmoid(bias).
+    NamedQuery("q175_parsed_classifier",
+      (s, d) => {
+        import graft.parse.QueryParser
+        QueryParser.parse(graft.cubes.Cubes.documentsCube(s, d),
+          """{ "cube": "documents",
+            |  "args": { "nChars": {"gt": 100}, "options": {"asc": "source"} },
+            |  "fields": [
+            |    {"name": "source"},
+            |    {"name": "count", "alias": "n_docs"},
+            |    {"name": "avgModelQuality", "alias": "avg_q"} ] }""".stripMargin)
+          .query.toDF
+      },
+      Some(s"""WITH d AS MATERIALIZED (SELECT * FROM documents WHERE n_chars > 100),
+             |${logRegCtes(32, "d")},
+             |${logRegRounds(5, 0.5)},
+             |sc AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
+             |  FROM feats f JOIN w5 w ON w.b = f.bucket GROUP BY 1),
+             |p AS (SELECT d.doc_id, d.source,
+             |    1.0 / (1.0 + exp(-(coalesce(sc.z, 0.0) +
+             |      (SELECT w FROM w5 WHERE b = -1)))) AS p
+             |  FROM d LEFT JOIN sc USING (doc_id))
+             |SELECT source, count(*) AS n_docs, round(avg(p), 6) AS avg_q
+             |FROM p GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_q ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
     * (score, residual, gradient, update) CTE block per GD iteration,
     * weights re-rounded to the same 1e-9 grid each step. */
-  private def logRegOracleSql(buckets: Int, iters: Int, lr: Double): String = {
-    val rounds = (0 until iters).map { i =>
+  private def logRegOracleSql(buckets: Int, iters: Int, lr: Double): String =
+    s"""WITH ${logRegCtes(buckets, "documents")},
+       |${logRegRounds(iters, lr)}
+       |SELECT CAST(b AS INT) AS bucket, round(w, 6) AS weight
+       |FROM w$iters ORDER BY bucket ASC""".stripMargin
+
+  /** One (score, residual, gradient, update) CTE block per GD step. */
+  private def logRegRounds(iters: Int, lr: Double): String =
+    (0 until iters).map { i =>
       s"""s$i AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
          |  FROM feats f JOIN w$i w ON w.b = f.bucket GROUP BY 1),
          |r$i AS MATERIALIZED (SELECT y.doc_id,
@@ -528,8 +567,13 @@ object CurateQueries {
          |      END) / (SELECT n FROM nn), 9) AS w
          |  FROM w$i wp)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
-       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+
+  /** The featurize + label + init CTE prefix of the log-reg replay,
+    * parameterized by the training relation (shared by q174 and the
+    * front-door q175). */
+  private def logRegCtes(buckets: Int, docsRel: String): String =
+    s"""t AS MATERIALIZED (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM $docsRel),
        |g AS MATERIALIZED (SELECT doc_id, unnest(list_concat(w,
        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS gram
        |  FROM t),
@@ -544,11 +588,7 @@ object CurateQueries {
        |    CASE WHEN t.source = 'src0' THEN 1.0 ELSE 0.0 END AS y
        |  FROM t JOIN tt ON tt.doc_id = t.doc_id),
        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM y),
-       |w0 AS MATERIALIZED (SELECT unnest(range(-1, $buckets)) AS b, 0.0 AS w),
-       |$rounds
-       |SELECT CAST(b AS INT) AS bucket, round(w, 6) AS weight
-       |FROM w$iters ORDER BY bucket ASC""".stripMargin
-  }
+       |w0 AS MATERIALIZED (SELECT unnest(range(-1, $buckets)) AS b, 0.0 AS w)""".stripMargin
 
   /** DuckDB replay of [[graft.llm.Bpe.trainMerges]] for `n` rounds —
     * generated CTE chain, one (pair-count, argmax, rewrite) stage per
