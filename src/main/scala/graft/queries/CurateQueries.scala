@@ -538,7 +538,66 @@ object CurateQueries {
              |  FROM d LEFT JOIN sc USING (doc_id))
              |SELECT source, count(*) AS n_docs, round(avg(p), 6) AS avg_q
              |FROM p GROUP BY 1
-             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_q ASC""".stripMargin))
+             |ORDER BY source ASC NULLS FIRST, n_docs ASC, avg_q ASC""".stripMargin)),
+
+    // domain governance: URLs synthesized deterministically from doc
+    // identity (the PII-planting trick — the fixture has no url
+    // column), parsed into host/registered-domain/TLD/path-depth, then
+    // the per-domain contribution cap (5 best-by-quality docs per
+    // registered domain). Output aggregates per domain; the oracle
+    // replays the string surgery AND the cap window exactly.
+    NamedQuery("q176_domain_cap",
+      (s, d) => {
+        import graft.llm.{Domains, TextAnalysis}
+        val withUrl = Tables.documents(s, d).withColumn("url",
+          F.concat(F.lit("https://sub"), (col("doc_id") % 7).cast("string"),
+            F.lit(".site"), (col("doc_id") % 13).cast("string"),
+            F.lit(".example/p"), (col("doc_id") % 3).cast("string"),
+            F.lit("/"), col("doc_id").cast("string")))
+        Domains.capPerDomain(withUrl, col("doc_id"), col("url"),
+            TextAnalysis.qualityScore(col("text")), n = 5)
+          .withColumn("tld", graft.llm.Domains.tld(col("url")))
+          .withColumn("depth", graft.llm.Domains.pathDepth(col("url")))
+          .groupBy(col("domain"))
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.sum(F.when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            F.sum(F.when(col("kept"), col("doc_id"))).as("kept_id_sum"),
+            F.first(col("tld")).as("tld"),
+            F.max(col("depth")).as("max_depth"))
+          .orderBy(col("domain").asc)
+      },
+      Some("""WITH u AS (SELECT doc_id, text,
+             |    'https://sub' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '.site' || CAST(doc_id % 13 AS VARCHAR) ||
+             |    '.example/p' || CAST(doc_id % 3 AS VARCHAR) ||
+             |    '/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id, text, url,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |  FROM u),
+             |dd AS (SELECT doc_id, url,
+             |    array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+             |    string_split(host, '.')[-1] AS tld,
+             |    len(list_filter(string_split(
+             |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/[^?#]*)', 1),
+             |      '/'), x -> x <> '')) AS depth,
+             |    round(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) * 0.5 +
+             |      (1.0 - least(round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |        greatest(length(text), 1), 6) * 5.0, 1.0)) * 0.3 +
+             |      least(round(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        x -> list_contains(['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |        greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) * 5.0, 1.0) * 0.2,
+             |      6) AS quality
+             |  FROM h),
+             |k AS (SELECT doc_id, domain, tld, depth,
+             |    row_number() OVER (PARTITION BY domain
+             |      ORDER BY quality DESC, doc_id ASC) <= 5 AS kept
+             |  FROM dd)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum,
+             |  min(tld) AS tld, CAST(max(depth) AS INT) AS max_depth
+             |FROM k GROUP BY domain ORDER BY domain ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one

@@ -72,6 +72,50 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Small-files compaction — the other half of layout maintenance:
+    * a table accreted by many incremental writes (micro-batches,
+    * per-day backfills) degrades into thousands of KB-scale files
+    * whose open/footer costs dominate the scan. Rewrite it into
+    * ⌈totalBytes / targetBytes⌉ files, optionally re-sorted so the
+    * per-file min/max envelopes stay tight, and SWAP atomically with
+    * the [[graft.llm.Similarity]]-index discipline: refuse on
+    * leftover state from a crashed run, rename-or-die both hops,
+    * delete the old data only once the new directory is verifiably in
+    * place. Readers at any moment see the old or the new layout,
+    * never a mixture.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, sortBy: Option[Column] = None): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    val old = new Path(s"$path/../${dir.getName}__old")
+    val tmp = new Path(s"$path/../${dir.getName}__compacting")
+    if (fs.exists(old)) sys.error(
+      s"Layout.compact: $old exists — a previous compaction did not " +
+        "finish. Recover (restore or delete it) before compacting.")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val totalBytes = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val laid = sortBy match {
+      case Some(c) => df.repartitionByRange(nFiles, c).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    laid.write.mode("overwrite").parquet(tmp.toString)
+    def renameOrDie(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst)) sys.error(
+        s"Layout.compact: rename $src -> $dst failed; table left un-swapped")
+    renameOrDie(dir, old)
+    renameOrDie(tmp, dir)
+    if (!fs.exists(dir)) sys.error(
+      s"Layout.compact: $dir missing after swap; old data retained at $old")
+    fs.delete(old, true)
+  }
+
   /** Pruning audit: per written file, the min/max envelope of both
     * axes — the information parquet stats give a scan planner. A file
     * must be read by a predicate `axis ∈ [lo, hi]` iff the envelope

@@ -135,6 +135,42 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
   }
 
+  // ---- domain governance -------------------------------------------
+
+  test("domains: host/registered/tld/depth parse, including degenerate urls") {
+    import graft.llm.Domains
+    import spark.implicits._
+    val rows = Seq(
+      "https://a.b.site.com/x/y/z?q=1",
+      "http://site.com/",
+      "https://localhost/p",
+      "not a url at all").toDF("url")
+      .select(
+        Domains.host(col("url")).as("h"),
+        Domains.registeredDomain(col("url")).as("d"),
+        Domains.tld(col("url")).as("t"),
+        Domains.pathDepth(col("url")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows(0) == (("a.b.site.com", "site.com", "com", 3)))
+    assert(rows(1) == (("site.com", "site.com", "com", 0)))
+    assert(rows(2) == (("localhost", "localhost", "localhost", 1)))
+    assert(rows(3)._1 == "" && rows(3)._4 == 0)
+  }
+
+  test("domains: per-domain cap keeps the n best by (order desc, id asc)") {
+    import graft.llm.Domains
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://x.aa.com/1", 0.9), (2L, "https://y.aa.com/2", 0.7),
+      (3L, "https://z.aa.com/3", 0.8), (4L, "https://w.aa.com/4", 0.7),
+      (5L, "https://q.bb.com/5", 0.1)).toDF("id", "url", "score")
+    val kept = Domains.capPerDomain(docs, col("id"), col("url"),
+        col("score"), n = 2)
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    // aa.com keeps 0.9(id1) and 0.8(id3); ties broken by id; bb.com keeps its only doc
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   // ---- trained quality classifier ----------------------------------
 
   test("logreg: trained discriminator separates the planted positive dialect") {
@@ -293,6 +329,29 @@ class CurateSpec extends AnyFunSuite {
       .select(Layout.axisBucket(col("v"), 0.0, 512.0, 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(0L, 0L, 127L, 128L, 255L, 255L, 255L), s"buckets: $got")
+  }
+
+  test("compact: many small files fold into few, content identical, crash-leftovers refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val tbl = s"$dir/t"
+    (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+      .repartition(64).write.parquet(tbl)
+    def files = new java.io.File(tbl).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files
+    val rows = spark.read.parquet(tbl).collect().map(_.toString).sorted
+    Layout.compact(spark, tbl, targetBytes = 1L << 30,
+      sortBy = Some(col("id")))
+    assert(files < before && files <= 2, s"still $files files after compact")
+    val after = spark.read.parquet(tbl).collect().map(_.toString).sorted
+    assert(after.sameElements(rows), "compaction must not change content")
+    // a leftover __old directory from a crashed run must refuse the swap
+    new java.io.File(s"$dir/t__old").mkdirs()
+    val e = intercept[RuntimeException] {
+      Layout.compact(spark, tbl, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("previous compaction"))
   }
 
   test("zorder layout prunes BOTH axes; linear sort only its prefix") {
