@@ -597,7 +597,89 @@ object CurateQueries {
              |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum,
              |  min(tld) AS tld, CAST(max(depth) AS INT) AS max_depth
-             |FROM k GROUP BY domain ORDER BY domain ASC""".stripMargin))
+             |FROM k GROUP BY domain ORDER BY domain ASC""".stripMargin)),
+
+    // time-decayed aggregates (exponentialTimeDecayed* family): every
+    // event weighs exp(-(T-t)/tau) toward the reference instant — ONE
+    // plain aggregation, mergeable, no window recursion. The oracle
+    // replays the exponentials term for term.
+    NamedQuery("q177_decayed_aggs",
+      (s, d) => graft.operators.Decay.decayedAggs(
+          Tables.events(s, d), col("event_type"), col("ts"), col("value"),
+          refTime = "2024-02-01 00:00:00", tauSeconds = 259200.0)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type").asc),
+      Some("""SELECT event_type,
+             |  round(sum(value * exp(-(epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
+             |    - epoch_ms(ts)) / 1000.0 / 259200.0)), 4) AS decayed_sum,
+             |  round(sum(exp(-(epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
+             |    - epoch_ms(ts)) / 1000.0 / 259200.0)), 6) AS weight_mass,
+             |  round(sum(value * exp(-(epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
+             |    - epoch_ms(ts)) / 1000.0 / 259200.0)) /
+             |    sum(exp(-(epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
+             |    - epoch_ms(ts)) / 1000.0 / 259200.0)), 6) AS decayed_avg
+             |FROM events GROUP BY 1 ORDER BY event_type ASC""".stripMargin)),
+
+    // behavioral-sequence extraction: gap sessions rendered as ordered
+    // action strings — the events table AS a training corpus. The
+    // oracle re-sessionizes (the q43 gap mirror) and string_aggs the
+    // same deterministic (ts, event_id) order.
+    NamedQuery("q178_session_seqs",
+      (s, d) => graft.llm.Sessions.sessionSequences(Tables.events(s, d))
+        .orderBy(col("user_id").asc, col("session_start").asc),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |         > INTERVAL 30 MINUTES OR
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+             |  CAST(count(*) AS INT) AS n_events,
+             |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id ASC, session_start ASC""".stripMargin)),
+
+    // ANALYZE-style per-column statistics in ONE scan: row/null
+    // counts, exact NDV, min/max envelopes — plus the HLL NDV estimate
+    // surfaced through its exact-anchored bound (the q101 pattern).
+    NamedQuery("q179_table_stats",
+      (s, d) => graft.sources.Stats.analyze(
+          Tables.documents(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+        .select(col("column"), col("n_rows"), col("n_nulls"), col("ndv"),
+          // 3 sigma of approx_count_distinct's default rsd=0.05
+          (F.abs(col("ndv_approx") - col("ndv")) <= col("ndv") * 0.15 + 1)
+            .as("approx_ok"),
+          col("min_s"), col("max_s"))
+        .orderBy(col("column").asc),
+      Some("""SELECT * FROM (
+             |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv, true AS approx_ok,
+             |    CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'lang', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT lang) AS BIGINT), true, min(lang), max(lang)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'source', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT source) AS BIGINT), true, min(source), max(source)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT n_chars) AS BIGINT), true,
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+             |  FROM documents
+             |) ORDER BY "column" ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
