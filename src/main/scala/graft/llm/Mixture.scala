@@ -40,6 +40,31 @@ object Mixture {
       .drop("__prio", "__budget")
   }
 
+  /** Temperature-scaled mixing weights (the mT5/XLM-R multilingual
+    * recipe, arXiv:1910.10683 §3.4.2 family): stratum weight ∝ n_s^α
+    * for α ∈ (0, 1] — α = 1 is proportional sampling, α → 0 flattens
+    * toward uniform, lifting low-resource strata without letting any
+    * stratum's epoch count explode. One tiny aggregation (≤ strata
+    * rows); weights and the resulting per-stratum token allocations of
+    * `totalBudget` are emitted together so the allocation can feed
+    * [[tokenBudgetSample]]'s per-stratum budget Column directly.
+    * Rounded to 6dp — deterministic, engine-replayable. */
+  def temperatureAllocations(
+      docs: DataFrame, stratum: Column, nTokens: Column,
+      alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val per = docs.groupBy(stratum.as("stratum"))
+      .agg(F.sum(nTokens.cast("long")).as("n_tokens"))
+    val powed = per.withColumn("__p", F.pow(F.col("n_tokens").cast("double"), alpha))
+    val z = powed.agg(F.sum("__p").as("__z"))
+    powed.crossJoin(z)
+      .select(F.col("stratum"), F.col("n_tokens"),
+        F.round(F.col("__p") / F.col("__z"), 6).as("weight"),
+        F.floor(F.col("__p") / F.col("__z") * totalBudget).cast("long")
+          .as("budget_tokens"))
+  }
+
   /** The token-budget mixture as a PLAN-BACKED cube metric
     * ([[graft.model.Metric]] `planBuild` contract): per slice group,
     * the total tokens KEPT by the greedy budget prefix — each group is

@@ -679,7 +679,70 @@ object CurateQueries {
              |    CAST(count(DISTINCT n_chars) AS BIGINT), true,
              |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
              |  FROM documents
-             |) ORDER BY "column" ASC""".stripMargin))
+             |) ORDER BY "column" ASC""".stripMargin)),
+
+    // temperature-scaled corpus mixing (the mT5/XLM-R multilingual
+    // recipe): per-source weight ∝ tokens^0.5, a 5000-token global
+    // budget allocated by weight, then the greedy per-stratum prefix
+    // under each source's OWN allocation — allocation and mixture
+    // composed end-to-end, every number (pow, floor, window) replayed
+    // by the oracle.
+    NamedQuery("q180_temperature_mix",
+      (s, d) => {
+        import graft.llm.{Mixture, TextAnalysis}
+        val docs = Tables.documents(s, d)
+        val toks = TextAnalysis.tokenCount(col("text"))
+        val alloc = Mixture.temperatureAllocations(
+          docs, col("source"), toks, alpha = 0.5, totalBudget = 5000L)
+        val withB = docs.select(col("doc_id"), col("source"),
+            toks.as("nt"), TextAnalysis.qualityScore(col("text")).as("q"))
+          .join(alloc.select(col("stratum").as("source"),
+            col("budget_tokens")), "source")
+        val mixed = Mixture.tokenBudgetSample(withB, col("source"),
+            col("doc_id"), col("nt"), col("q"), col("budget_tokens"))
+          .groupBy(col("stratum").as("source"))
+          .agg(
+            F.sum(F.when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            F.sum(F.when(col("kept"), col("n_tokens").cast("long"))
+              .otherwise(0L)).as("kept_tokens"))
+        alloc.withColumnRenamed("stratum", "source")
+          .join(mixed, "source")
+          .select(col("source"), col("n_tokens"), col("weight"),
+            col("budget_tokens"), col("n_kept"), col("kept_tokens"))
+          .orderBy(col("source").asc)
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+') AS w, text FROM documents),
+             |per AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+             |  FROM t GROUP BY 1),
+             |z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM per),
+             |alloc AS (SELECT source, n_tokens,
+             |    round(pow(per.n_tokens, 0.5) / z.z, 6) AS weight,
+             |    CAST(floor(pow(per.n_tokens, 0.5) / z.z * 5000) AS BIGINT)
+             |      AS budget_tokens
+             |  FROM per, z),
+             |q AS (SELECT doc_id, source, len(w) AS nt,
+             |    round(least(len(w) / 100.0, 1.0) * 0.5 +
+             |      (1.0 - least(round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+             |        greatest(length(text), 1), 6) * 5.0, 1.0)) * 0.3 +
+             |      least(round(len(list_filter(w,
+             |        x -> list_contains(['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+             |        greatest(len(w), 1), 6) * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM t),
+             |sel AS (SELECT q.doc_id, q.source, q.nt,
+             |    sum(q.nt) OVER (PARTITION BY q.source
+             |      ORDER BY q.quality DESC, q.doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      <= alloc.budget_tokens AS kept
+             |  FROM q JOIN alloc USING (source)),
+             |m AS (SELECT source,
+             |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+             |  FROM sel GROUP BY 1)
+             |SELECT alloc.source, alloc.n_tokens, alloc.weight,
+             |  alloc.budget_tokens, m.n_kept, m.kept_tokens
+             |FROM alloc JOIN m USING (source)
+             |ORDER BY source ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
