@@ -135,6 +135,64 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(u - 10000) < 1500, s"union est $u vs 10000")
   }
 
+  // ---- time-decayed aggregates -------------------------------------
+
+  test("decay: weights and aggregates match the closed form") {
+    import graft.llm
+    import spark.implicits._
+    val ref = "2024-01-02 00:00:00"
+    val day = 86400.0
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00", 10.0), // 1 day old -> e^-1
+      ("a", "2024-01-02 00:00:00", 4.0),  // now       -> 1
+      ("b", "2023-12-31 00:00:00", 6.0)   // 2 days    -> e^-2
+    ).toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.operators.Decay.decayedAggs(ev, col("k"), col("ts"),
+        col("value"), ref, day)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val e1 = math.exp(-1); val e2 = math.exp(-2)
+    def r4(v: Double) = math.rint(v * 1e4) / 1e4
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(got(0)._1 == "a" && got(0)._2 == r4(10 * e1 + 4) &&
+      got(0)._3 == r6(e1 + 1) && got(0)._4 == r6((10 * e1 + 4) / (e1 + 1)))
+    assert(got(1)._1 == "b" && got(1)._2 == r4(6 * e2))
+  }
+
+  // ---- session sequences -------------------------------------------
+
+  test("sessions: gap splits and within-session order are deterministic") {
+    import graft.llm.Sessions
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "view"),
+      (1L, 11L, "2024-01-01 10:10:00", "click"),
+      (1L, 12L, "2024-01-01 11:30:00", "purchase"), // > 30 min gap -> new session
+      (2L, 20L, "2024-01-01 09:00:00", "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Sessions.sessionSequences(ev)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 2, "view>click"), (1L, 1, "purchase"),
+      (2L, 1, "view")))
+  }
+
+  // ---- ANALYZE stats -----------------------------------------------
+
+  test("stats: one-pass analyze reports exact counts, nulls, ndv, envelopes") {
+    import graft.sources.Stats
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")), (3L, Some("x")))
+      .toDF("id", "s")
+    val rows = Stats.analyze(df, Seq("id", "s"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5), r.getString(6)))
+    assert(rows(0) == (("id", 4L, 0L, 3L, "1", "3")))
+    assert(rows(1) == (("s", 4L, 1L, 2L, "x", "y")))
+  }
+
   // ---- domain governance -------------------------------------------
 
   test("domains: host/registered/tld/depth parse, including degenerate urls") {
