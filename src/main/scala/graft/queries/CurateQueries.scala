@@ -742,7 +742,29 @@ object CurateQueries {
              |SELECT alloc.source, alloc.n_tokens, alloc.weight,
              |  alloc.budget_tokens, m.n_kept, m.kept_tokens
              |FROM alloc JOIN m USING (source)
-             |ORDER BY source ASC""".stripMargin))
+             |ORDER BY source ASC""".stripMargin)),
+
+    // quantile binning (histogram equalization): n_chars quartiles by
+    // EXACT interpolated percentile boundaries — both engines define
+    // percentile as a + frac·(b−a) over the sorted values, so the cut
+    // points and every bin assignment replay bit-for-bit. Per
+    // (quartile × source): counts and the n_chars envelope.
+    NamedQuery("q181_quantile_bins",
+      (s, d) => graft.operators.Binning.withQuantileBin(
+          Tables.documents(s, d), "n_chars", n = 4)
+        .groupBy(col("bin"), col("source"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.min(col("n_chars")).as("min_chars"),
+          F.max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bin").asc, col("source").asc),
+      Some("""WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bnd
+             |  FROM documents),
+             |a AS (SELECT d.source, d.n_chars,
+             |    1 + len(list_filter(b.bnd, x -> d.n_chars >= x)) AS bin
+             |  FROM documents d, b)
+             |SELECT bin, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM a GROUP BY 1, 2 ORDER BY bin ASC, source ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
