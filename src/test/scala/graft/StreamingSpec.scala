@@ -460,6 +460,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.length < arrivals.count())
   }
 
+  test("session sequences from a LIVE stream equal the batch extraction") {
+    import graft.llm.Sessions
+    val live = runStream(
+      Sessions.sessionSequences(Streaming.eventsStream(spark, sf)),
+      "session_seqs")
+    val batch = batchRows(Sessions.sessionSequences(Tables.events(spark, sf)))
+    assert(live.nonEmpty && live.sameElements(batch))
+  }
+
   test("live exact-dup screen: bloom verdicts on a stream equal the batch screen") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Dedup
