@@ -597,6 +597,38 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  // ---- banding parameter selection ---------------------------------
+
+  /** LSH S-curve: the probability a pair with Jaccard `s` becomes a
+    * candidate under (bands b × rows r) banding, 1 − (1 − s^r)^b. */
+  def candidateProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Pick the (bands, rows) factorization of `numHashes` whose S-curve
+    * threshold (the similarity where candidate probability crosses
+    * 1/2 — ≈ (1/b)^(1/r)) sits closest to the TARGET similarity, with
+    * recall at the target at least `minRecallAtTarget`. This is the
+    * knob-setting arithmetic every MinHash deployment does by hand;
+    * making it a function keeps the dedup stack's parameters honest
+    * when numHashes or the threshold changes. Deterministic, driver-
+    * side, O(divisors(numHashes)). */
+  def pickBanding(numHashes: Int, targetThreshold: Double,
+      minRecallAtTarget: Double = 0.9): (Int, Int) = {
+    require(numHashes >= 2, s"need numHashes >= 2, got $numHashes")
+    require(targetThreshold > 0 && targetThreshold < 1,
+      s"threshold must be in (0,1), got $targetThreshold")
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .filter { case (b, r) =>
+        candidateProbability(targetThreshold, b, r) >= minRecallAtTarget }
+    require(options.nonEmpty,
+      s"no (bands, rows) split of $numHashes reaches recall " +
+        s"$minRecallAtTarget at s=$targetThreshold — raise numHashes")
+    options.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - targetThreshold) }
+  }
+
   // ---- incremental exact-dup screening (bloom) ---------------------
 
   import org.apache.spark.sql.GraftBridge

@@ -68,6 +68,41 @@ class CurateSpec extends AnyFunSuite {
     assert(scrubKeep == Set(1L, 3L))
   }
 
+  test("pii: redaction is idempotent (placeholders never re-match)") {
+    import spark.implicits._
+    val docs = Seq("mail a@b.co or 1.2.3.4 and +1 555-111-2222 now")
+      .toDF("text")
+    val once = docs.select(Pii.redact(col("text")).as("r"))
+    val twice = once.select(Pii.redact(col("r")).as("r"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
+  // ---- banding auto-tuner ------------------------------------------
+
+  test("banding tuner: S-curve math picks sane splits and respects recall") {
+    import graft.llm.Dedup
+    // at a plain 0.9 recall floor the best threshold fit is 8x4...
+    assert(Dedup.pickBanding(32, 0.8) == ((8, 4)))
+    // ...and the repo's shipped 16x2 default is exactly what falls out
+    // of demanding near-total recall at the threshold (its documented
+    // rationale: ~2e-10 structural miss, verify absorbs the extra
+    // candidates)
+    assert(Dedup.pickBanding(32, 0.8, minRecallAtTarget = 0.9999) == ((16, 2)))
+    // high threshold wants more rows per band (sharper curve)
+    val (bHi, rHi) = Dedup.pickBanding(128, 0.9)
+    val (bLo, rLo) = Dedup.pickBanding(128, 0.4)
+    assert(rHi >= rLo, s"sharper threshold should not lower rows: $rHi vs $rLo")
+    assert(bHi * rHi == 128 && bLo * rLo == 128)
+    // every returned split honors the recall floor at the target
+    assert(Dedup.candidateProbability(0.9, bHi, rHi) >= 0.9)
+    assert(Dedup.candidateProbability(0.4, bLo, rLo) >= 0.9)
+    // no split can reach recall 0.999999 at tiny s with 4 hashes
+    intercept[IllegalArgumentException] {
+      Dedup.pickBanding(4, 0.05, minRecallAtTarget = 0.999999)
+    }
+  }
+
   // ---- KMV / theta sketch ------------------------------------------
 
   test("kmv: sketch is a pure function of the value set (partitioning/dup invariant)") {
