@@ -764,7 +764,27 @@ object CurateQueries {
              |  FROM documents d, b)
              |SELECT bin, source, CAST(count(*) AS BIGINT) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM a GROUP BY 1, 2 ORDER BY bin ASC, source ASC""".stripMargin))
+             |FROM a GROUP BY 1, 2 ORDER BY bin ASC, source ASC""".stripMargin)),
+
+    // PII scrub idempotency as a DRIVER-GATED invariant (the q153
+    // pattern): re-scrubbing redacted text must change nothing —
+    // placeholders never re-match any pattern — per doc over the same
+    // planted-PII corpus as q163. The companion per-doc counts anchor
+    // the oracle.
+    NamedQuery("q182_pii_idempotent",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          plantedPii(col("text")).as("text"))
+        val once = aug.select(col("doc_id"),
+          Pii.redact(col("text")).as("r1"))
+        once.select(col("doc_id"),
+            (Pii.redact(col("r1")) === col("r1")).as("idempotent"),
+            Pii.emailCount(col("r1")).as("n_email_left"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id, true AS idempotent,
+             |  CAST(0 AS INT) AS n_email_left
+             |FROM documents ORDER BY doc_id ASC""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.llm.Classifier.trainLogReg]]: one
