@@ -6,9 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only dump queries whose name contains the filter
-    // (local iteration; the driver always runs the full set)
-    val nameFilter = args.lift(2)
+    // optional 3rd arg: only dump queries whose name contains any of the
+    // comma-separated filters (local iteration; the driver always runs
+    // the full set)
+    val nameFilter = args.lift(2).map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +25,7 @@ object Verify {
     // first-class.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -52,7 +53,7 @@ object Verify {
     writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     writeJson(s"$outDir/failed.json", failed)
     System.err.println(s"[verify] ${failed.size} failed of " +
-      s"${SparkEntry.queries.count { case (n, _) => nameFilter.forall(n.contains) }}")
+      s"${SparkEntry.queries.count { case (n, _) => nameFilter.forall(_.exists(n.contains)) }}")
     spark.stop()
   }
 }

@@ -696,9 +696,12 @@ object Cubes {
         // KMV/theta distinct sketch (functions/KmvSketch) as a front-
         // door metric: deterministic (xxhash64), FILTER-composable —
         // the predicate nulls the hash so non-matching rows skip the
-        // sketch, never pollute it (xxhash64(null) is NOT null).
+        // sketch, never pollute it (xxhash64(null) is NOT null, hence
+        // the explicit null guard: a NULL user_id must skip the sketch
+        // the same way count_distinct skips it, not contribute the
+        // seed hash as a phantom distinct value).
         "uniqueUsersKmv" -> Metric("uniqueUsersKmv", p => {
-          val h = F.xxhash64(col("user_id"))
+          val h = F.when(col("user_id").isNotNull, F.xxhash64(col("user_id")))
           graft.functions.KmvSketch.estimateDistinct(
             graft.functions.KmvSketch(1024)(
               p.map(pp => F.when(pp, h)).getOrElse(h)), 1024)

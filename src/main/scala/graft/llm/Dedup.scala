@@ -648,6 +648,21 @@ object Dedup {
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
     val ln2 = math.log(2)
     val numBits = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    // BloomFilterAggregate silently Math.min-clamps its sizing against
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumBits (64 Mbit
+    // default), maxNumItems (4M default)} — at the documented 1e9-doc
+    // scale a clamped filter saturates, fpp drifts toward 1, and every
+    // arrival falls through to the exact semi-join: still correct, but
+    // the screen's cost model silently collapses. Raise the caps to
+    // what THIS filter needs before building, so the requested sizing
+    // is the actual sizing.
+    val conf = history.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (conf.get(bitsKey, "67108864").toLong < numBits)
+      conf.set(bitsKey, numBits.toString)
+    if (conf.get(itemsKey, "4000000").toLong < expectedItems)
+      conf.set(itemsKey, expectedItems.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     history.agg(GraftBridge.column(

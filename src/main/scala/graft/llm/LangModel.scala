@@ -127,6 +127,114 @@ object LangModel {
         .agg(F.round(F.avg(F.col("logprob")), 6).as(outKey))
     }(_ => F.lit(null).cast("double"))
 
+  // ---- trigram model with stupid backoff ----------------------------
+
+  /** Backoff discount (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" — the 'stupid backoff' α). 0.16 is α² written
+    * as a literal: 0.4*0.4 in binary floating point is
+    * 0.16000000000000003, and the oracle writes 0.16 — both engines
+    * must use the same literal or held-out OOV scores drift 1 ulp. */
+  private val Alpha = 0.4
+  private val Alpha2 = 0.16
+
+  /** The trained trigram model, as distributed tables: trigram counts
+    * (a, b, c, cnt3), raw adjacent-pair bigram counts (a, b, cnt2),
+    * unigram counts (w, cnt1), and the 1-row totals (n_tokens,
+    * n_vocab). Like [[BigramModel]], no driver-side object — every
+    * table scales with distinct n-grams, never the corpus. */
+  final case class TrigramModel(trigrams: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, totals: DataFrame)
+
+  /** (doc_id, a, b, c): one row per adjacent lowercase token triple.
+    * Docs with fewer than three tokens carry no trigram evidence. */
+  private def docTrigrams(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Dedup.tokens(F.lower(text))
+    docs.select(id.as("doc_id"), toks.as("w"))
+      .filter(F.size(F.col("w")) >= 3)
+      .select(F.col("doc_id"),
+        F.explode(F.zip_with(
+          F.slice(F.col("w"), F.lit(1), F.size(F.col("w")) - 2),
+          F.zip_with(
+            F.slice(F.col("w"), F.lit(2), F.size(F.col("w")) - 2),
+            F.slice(F.col("w"), F.lit(3), F.size(F.col("w")) - 2),
+            (b, c) => F.struct(b.as("b"), c.as("c"))),
+          (a, bc) => F.struct(a.as("a"),
+            bc.getField("b").as("b"), bc.getField("c").as("c")))).as("g"))
+      .select(F.col("doc_id"), F.col("g.a").as("a"),
+        F.col("g.b").as("b"), F.col("g.c").as("c"))
+  }
+
+  /** Train the trigram model: three hash aggregations over the SAME
+    * tokenized corpus lineage (trigram, bigram, unigram counts — each
+    * map-side combined, shuffle ∝ its distinct-gram count), plus the
+    * derived 1-row totals. The same one-corpus-pass-per-order shape
+    * that makes [[trainBigramModel]] 100 TB-safe. */
+  def trainTrigramModel(corpus: DataFrame, id: Column, text: Column): TrigramModel = {
+    val c3 = docTrigrams(corpus, id, text)
+      .groupBy("a", "b", "c").agg(F.count(F.lit(1)).as("cnt3"))
+    val c2 = docBigrams(corpus, id, text)
+      .groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
+      .select(F.col("p").as("a"), F.col("c").as("b"), F.col("cnt2"))
+    val u = corpus.select(F.explode(Dedup.tokens(F.lower(text))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("cnt1"))
+    val totals = u.agg(
+      F.sum("cnt1").cast("double").as("n_tokens"),
+      F.count(F.lit(1)).cast("double").as("n_vocab"))
+    TrigramModel(c3, c2, u, totals)
+  }
+
+  /** Score documents against a trained trigram model with STUPID
+    * BACKOFF: per trigram position (a, b, c),
+    *   S = C(a,b,c) / C(a,b)                 if the trigram was seen,
+    *     = 0.4 · C(b,c) / C(b)               else if the bigram was,
+    *     = 0.16 · (C(c) + 1) / (N + |V|)     otherwise (add-one floor
+    *                                          at the base so OOV stays
+    *                                          finite under ln),
+    * and per doc the average ln S. A seen trigram implies its (a,b)
+    * context bigram was seen, and a seen (b,c) bigram implies b was —
+    * so every branch's denominator is positive by construction.
+    * Docs with fewer than three tokens are omitted (mirror len >= 3).
+    *
+    * Plan: the doc trigrams left-join five count tables (trigram key,
+    * both bigram keys, both unigram keys — each join keyed on gram
+    * columns, sized by distinct grams) plus the broadcast 1-row
+    * totals, then one per-doc aggregation. */
+  def trigramScoreAgainst(model: TrigramModel, docs: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val tri = docTrigrams(docs, id, text)
+    val ab = model.bigrams.select(F.col("a"), F.col("b"),
+      F.col("cnt2").as("cnt2_ab"))
+    val bc = model.bigrams.select(F.col("a").as("b"), F.col("b").as("c"),
+      F.col("cnt2").as("cnt2_bc"))
+    val ub = model.unigrams.select(F.col("w").as("b"), F.col("cnt1").as("cnt1_b"))
+    val uc = model.unigrams.select(F.col("w").as("c"), F.col("cnt1").as("cnt1_c"))
+    val s = F.when(F.col("cnt3").isNotNull,
+        F.col("cnt3").cast("double") / F.col("cnt2_ab"))
+      .when(F.col("cnt2_bc").isNotNull,
+        F.lit(Alpha) * F.col("cnt2_bc") / F.col("cnt1_b"))
+      .otherwise(F.lit(Alpha2) *
+        (F.coalesce(F.col("cnt1_c"), F.lit(0L)) + 1.0) /
+        (F.col("n_tokens") + F.col("n_vocab")))
+    tri.join(model.trigrams, Seq("a", "b", "c"), "left")
+      .join(ab, Seq("a", "b"), "left")
+      .join(bc, Seq("b", "c"), "left")
+      .join(ub, Seq("b"), "left")
+      .join(uc, Seq("c"), "left")
+      .crossJoin(model.totals)
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).cast("int").as("n_trigrams"),
+        F.round(F.avg(F.log(s)), 6).as("logprob"))
+  }
+
+  /** Self-scoring convenience (the trigram face of [[bigramScore]]):
+    * train on the corpus, score the same corpus. On the training set
+    * every trigram is in the model, so only the first backoff branch
+    * fires — the held-out split (q186) is what exercises the backoff
+    * chain. */
+  def trigramScore(docs: DataFrame, id: Column, text: Column): DataFrame =
+    trigramScoreAgainst(trainTrigramModel(docs, id, text), docs, id, text)
+
   /** Self-scoring convenience (the q137 gate): train on the corpus and
     * score the same corpus. The shared bigram table is persisted
     * (memory-with-disk-spill) so the lineage — tokenize + explode over

@@ -32,9 +32,31 @@ object Pii {
   val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** NANP-style phone: optional +, then 3-3-4 digit groups separated
-    * by '-' or ' '. The trailing `\b` stops a 5-digit tail from
-    * half-matching. */
-  val PhoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+    * by '-' or ' '. Boundaries on BOTH sides: the trailing `\b` stops a
+    * 5-digit tail from half-matching, and the leading `\b` stops the
+    * match from starting mid-digit-run ('1234567-890-1234' must not
+    * redact its tail). `\b` cannot fire between ' ' and '+' (both
+    * non-word), so on a '+'-prefixed number `\+?` matches empty and the
+    * match anchors at the first digit — the '+' survives redaction, a
+    * cosmetic residue both engines reproduce identically. */
+  val PhoneRe = "\\b\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+  /** International phone: '+' country code (1–3 digits), a separator,
+    * then 7–13 digits with '-'/' ' group separators, ending on a digit
+    * at a word boundary. The trailing `[0-9]\b` keeps the greedy body
+    * from eating into a following word ('… 0958 5pm' backtracks to the
+    * number); a lone digit one space after a number is still absorbed —
+    * the over-redaction side every published scrubber accepts. */
+  val IntlPhoneRe = "\\+[0-9]{1,3}[- ][0-9][0-9 -]{5,11}[0-9]\\b"
+
+  /** US SSN, strict 3-2-4 hyphenated form. Disjoint from both phone
+    * shapes (3-3-4), so chain order does not matter between them. */
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** IBAN: 2 uppercase country letters, 2 check digits, 11–30 BBAN
+    * alphanumerics (15-char minimum = the shortest real IBAN, Norway).
+    * `\b` guards keep it off the tail of longer alphanumeric runs. */
+  val IbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
 
   private def countMatches(text: Column, re: String): Column =
     F.size(F.call_function("regexp_extract_all", text, F.lit(re), F.lit(0)))
@@ -42,6 +64,9 @@ object Pii {
   def emailCount(text: Column): Column = countMatches(text, EmailRe)
   def ipCount(text: Column): Column = countMatches(text, Ipv4Re)
   def phoneCount(text: Column): Column = countMatches(text, PhoneRe)
+  def intlPhoneCount(text: Column): Column = countMatches(text, IntlPhoneRe)
+  def ssnCount(text: Column): Column = countMatches(text, SsnRe)
+  def ibanCount(text: Column): Column = countMatches(text, IbanRe)
 
   /** Redacted text: each PII hit replaced by its typed placeholder.
     * Order matters and is part of the contract — emails first (an
@@ -52,6 +77,25 @@ object Pii {
       F.regexp_replace(
         F.regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Widened redaction chain: emails, then phones (international form
+    * FIRST so a '+'-code number is taken whole before the NANP pass
+    * could take its 3-3-4 tail), then SSNs, IBANs, IPs. Same ordered-
+    * chain contract as [[redact]]; the q183 oracle replays the chain
+    * step for step. Placeholders contain no digits or uppercase
+    * letter+digit runs, so the chain is idempotent by construction. */
+  def redactAll(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(
+          F.regexp_replace(
+            F.regexp_replace(
+              F.regexp_replace(text, EmailRe, "<EMAIL>"),
+              IntlPhoneRe, "<PHONE>"),
+            PhoneRe, "<PHONE>"),
+          SsnRe, "<SSN>"),
+        IbanRe, "<IBAN>"),
       Ipv4Re, "<IP>")
 
   /** Per-document scrub frame: hit counts by type, a `has_pii` gate
@@ -65,4 +109,21 @@ object Pii {
       redact(textCol).as("text_redacted"))
       .withColumn("has_pii",
         F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
+
+  /** [[scrub]] over the widened pattern set — counts for every type in
+    * the [[redactAll]] chain. Still one map-only projection: six regex
+    * counts + the replace chain fuse into the same codegen stage. */
+  def scrubAll(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      emailCount(textCol).as("n_email"),
+      intlPhoneCount(textCol).as("n_phone_intl"),
+      phoneCount(textCol).as("n_phone"),
+      ssnCount(textCol).as("n_ssn"),
+      ibanCount(textCol).as("n_iban"),
+      ipCount(textCol).as("n_ip"),
+      redactAll(textCol).as("text_redacted"))
+      .withColumn("has_pii",
+        F.col("n_email") + F.col("n_phone_intl") + F.col("n_phone") +
+          F.col("n_ssn") + F.col("n_iban") + F.col("n_ip") > 0)
 }

@@ -18,7 +18,14 @@ import org.apache.spark.sql.{functions => F}
 object Sessions {
 
   /** (user_id, session_start ms, n_events, seq) — one row per session,
-    * `seq` = ">"-joined event types in (ts, event_id) order. */
+    * `seq` = ">"-joined event types in (ts, event_id) order.
+    *
+    * Boundary convention (inherited from Spark's session_window, whose
+    * windows are half-open [start, start+gap)): two events merge iff
+    * the gap between them is STRICTLY LESS than `gap` — an event
+    * exactly `gap` after its predecessor starts a NEW session. Any
+    * oracle re-sessionizing with lag() must therefore split on
+    * `gap >= INTERVAL`, not `>` (the q178 oracle does). */
   def sessionSequences(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(F.col("user_id"),

@@ -40,4 +40,38 @@ object Binning {
         F.aggregate(F.col("__bnd"), F.lit(1),
           (acc, b) => acc + F.when(F.col(valueCol) >= b, 1).otherwise(0)))
       .drop("__bnd")
+
+  /** PER-STRATUM boundaries: one (stratum, boundary-array) row per
+    * group — curriculum phases and length-balanced slices computed
+    * per language / per source instead of globally (a global cut on a
+    * mixed corpus puts one stratum's entire mass in one bin). Still a
+    * single grouped exact-percentile aggregation; the result is
+    * #strata rows, broadcastable by construction. */
+  def stratumQuantileBoundaries(df: DataFrame, stratumCol: String,
+      valueCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need at least 2 bins, got $n")
+    val ps = (1 until n).map(i => i.toDouble / n)
+    df.groupBy(F.col(stratumCol))
+      .agg(F.expr(
+        s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")
+        .as("__bnd"))
+  }
+
+  /** Input plus `bin` in [1, n] against the row's OWN stratum's
+    * boundaries — the grouped form of [[withQuantileBin]] (same
+    * higher-bin-on-tie convention). The boundary frame joins back by
+    * stratum as a broadcast (#strata rows); the corpus itself never
+    * shuffles. Degenerate strata behave by the convention alone: a
+    * stratum whose values are all equal puts every row in bin n
+    * (every boundary equals the value, ties go high) — deterministic
+    * and replayed by the oracle, never an error. */
+  def withStratumQuantileBin(df: DataFrame, stratumCol: String,
+      valueCol: String, n: Int): DataFrame =
+    df.join(
+        F.broadcast(stratumQuantileBoundaries(df, stratumCol, valueCol, n)),
+        stratumCol)
+      .withColumn("bin",
+        F.aggregate(F.col("__bnd"), F.lit(1),
+          (acc, b) => acc + F.when(F.col(valueCol) >= b, 1).otherwise(0)))
+      .drop("__bnd")
 }

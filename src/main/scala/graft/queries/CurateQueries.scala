@@ -623,14 +623,16 @@ object CurateQueries {
     // behavioral-sequence extraction: gap sessions rendered as ordered
     // action strings — the events table AS a training corpus. The
     // oracle re-sessionizes (the q43 gap mirror) and string_aggs the
-    // same deterministic (ts, event_id) order.
+    // same deterministic (ts, event_id) order. Split on gap >= 30min:
+    // session_window's half-open windows start a NEW session at a gap
+    // of exactly the threshold (see Sessions.sessionSequences doc).
     NamedQuery("q178_session_seqs",
       (s, d) => graft.llm.Sessions.sessionSequences(Tables.events(s, d))
         .orderBy(col("user_id").asc, col("session_start").asc),
       Some("""WITH marked AS (
              |  SELECT user_id, ts, event_id, event_type,
              |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |         > INTERVAL 30 MINUTES OR
+             |         >= INTERVAL 30 MINUTES OR
              |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              |    THEN 1 ELSE 0 END AS new_sess
              |  FROM events),

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.cubes.Tables
+import graft.llm.Pii
+import org.apache.spark.sql.{functions => F}
+
+/** Round-13 additions: the widened PII pattern set, per-stratum
+  * quantile binning, the trigram backoff language model, and
+  * embedding-space decontamination. Exact DuckDB replays throughout —
+  * every regex constant is interpolated from the Scala definition so
+  * engine and oracle cannot drift, and the LM oracle re-trains the
+  * identical model in SQL (the q137/q174 discipline).
+  */
+object Round13Queries {
+  import org.apache.spark.sql.functions.col
+
+  /** Deterministic plant for the widened scrub: email, IBAN, SSN, IP,
+    * and an international (+code) phone, all derived from doc_id —
+    * identical on the oracle side ([[augmentV2Sql]]). The NANP 3-3-4
+    * shape is deliberately ABSENT so q183 also pins n_phone = 0 (the
+    * new patterns must not claim NANP hits and vice versa). */
+  private def plantedPiiV2(text: org.apache.spark.sql.Column) = F.concat(
+    text,
+    F.lit(" contact user"), col("doc_id").cast("string"),
+    F.lit("@ex-mail.org iban GB29NWBK6016"),
+    F.lpad((col("doc_id") % 100000000).cast("string"), 8, "0"),
+    F.lit(" ssn "), F.lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+    F.lit("-"), F.lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+    F.lit("-"), F.lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    F.lit(" via 10."), (col("doc_id") % 256).cast("string"), F.lit(".0."),
+    ((col("doc_id") * 7) % 256).cast("string"),
+    F.lit(" tel +44 20 "), F.lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    F.lit(" "), F.lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+    F.lit(" now"))
+
+  private val augmentV2Sql =
+    """SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@ex-mail.org iban GB29NWBK6016' ||
+      |  lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+      |  ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' via 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      |  CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |  ' tel +44 20 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' ' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ||
+      |  ' now' AS t
+      |FROM documents""".stripMargin
+
+  /** The [[Pii.redactAll]] chain rendered over a DuckDB column. */
+  private def redactAllSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace($c,
+       |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Pii.IntlPhoneRe}', '<PHONE>', 'g'),
+       |    '${Pii.PhoneRe}', '<PHONE>', 'g'),
+       |    '${Pii.SsnRe}', '<SSN>', 'g'),
+       |    '${Pii.IbanRe}', '<IBAN>', 'g'),
+       |    '${Pii.Ipv4Re}', '<IP>', 'g')""".stripMargin
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // Widened PII scrub: per-type hit counts over the full pattern set
+    // (email, international + NANP phone, SSN, IBAN, IPv4), the gate
+    // flag, the md5 of the fully-redacted text (pinning every
+    // replacement site and the chain order), and the idempotency bit
+    // re-scrubbing must be the identity. Still one map-only codegen'd
+    // projection.
+    NamedQuery("q183_pii_scrub_v2",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          plantedPiiV2(col("text")).as("text"))
+        Pii.scrubAll(aug, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("n_email"), col("n_phone_intl"),
+            col("n_phone"), col("n_ssn"), col("n_iban"), col("n_ip"),
+            col("has_pii"),
+            (Pii.redactAll(col("text_redacted")) === col("text_redacted"))
+              .as("idempotent"),
+            F.md5(col("text_redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some(s"""WITH a AS ($augmentV2Sql),
+             |c AS (SELECT doc_id, t,
+             |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_email,
+             |  len(regexp_extract_all(t, '${Pii.IntlPhoneRe}')) AS n_phone_intl,
+             |  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phone,
+             |  len(regexp_extract_all(t, '${Pii.SsnRe}')) AS n_ssn,
+             |  len(regexp_extract_all(t, '${Pii.IbanRe}')) AS n_iban,
+             |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ip
+             |  FROM a)
+             |SELECT doc_id, n_email, n_phone_intl, n_phone, n_ssn, n_iban,
+             |  n_ip,
+             |  (n_email + n_phone_intl + n_phone + n_ssn + n_iban + n_ip > 0)
+             |    AS has_pii,
+             |  true AS idempotent,
+             |  md5(${redactAllSql("t")}) AS redacted_md5
+             |FROM c ORDER BY doc_id ASC""".stripMargin)),
+
+    // Per-stratum quantile binning: n_chars quartiles computed WITHIN
+    // each source (grouped exact-percentile boundaries, broadcast back)
+    // — curriculum phases that respect each stratum's own length
+    // distribution. Same interpolated-percentile + ties-go-high
+    // convention as the global q181, so every grouped cut point and
+    // assignment replays bit-for-bit.
+    NamedQuery("q184_stratified_bins",
+      (s, d) => graft.operators.Binning.withStratumQuantileBin(
+          Tables.documents(s, d), "source", "n_chars", n = 4)
+        .groupBy(col("source"), col("bin"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.min(col("n_chars")).as("min_chars"),
+          F.max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source").asc, col("bin").asc),
+      Some("""WITH b AS (SELECT source,
+             |    quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bnd
+             |  FROM documents GROUP BY source),
+             |a AS (SELECT d.source, d.n_chars,
+             |    1 + len(list_filter(b.bnd, x -> d.n_chars >= x)) AS bin
+             |  FROM documents d JOIN b USING (source))
+             |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM a GROUP BY 1, 2 ORDER BY source ASC, bin ASC""".stripMargin)),
+
+    // corpus-trained trigram LM with stupid backoff, self-scored: per
+    // doc, avg ln S over its trigram positions. On the training corpus
+    // every trigram is in the model, so S = C(a,b,c)/C(a,b) throughout
+    // — the oracle retrains the identical counts in SQL and replays
+    // each logarithm; q186 is the held-out face that exercises the
+    // backoff chain.
+    NamedQuery("q185_trigram_lm",
+      (s, d) => graft.llm.LangModel.trigramScore(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc),
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |tri AS MATERIALIZED (
+             |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+             |  FROM t, UNNEST(range(1, len(w) - 1)) AS r(i)
+             |  WHERE len(w) >= 3),
+             |c3 AS MATERIALIZED (
+             |  SELECT a, b, c, count(*) AS cnt3 FROM tri GROUP BY 1, 2, 3),
+             |big AS MATERIALIZED (
+             |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cnt2
+             |  FROM t, UNNEST(range(1, len(w))) AS r(i)
+             |  WHERE len(w) >= 2 GROUP BY 1, 2)
+             |SELECT tri.doc_id, CAST(count(*) AS INT) AS n_trigrams,
+             |  round(avg(ln(CAST(c3.cnt3 AS DOUBLE) / ab.cnt2)), 6) AS logprob
+             |FROM tri
+             |JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+             |JOIN big ab ON ab.a = tri.a AND ab.b = tri.b
+             |GROUP BY tri.doc_id ORDER BY doc_id ASC""".stripMargin)),
+
+    // HELD-OUT trigram scoring — the backoff chain under fire: train on
+    // every source except src0, score src0. Unseen trigrams fall to
+    // 0.4·C(b,c)/C(b); unseen bigrams to the add-one unigram floor
+    // 0.16·(C(c)+1)/(N+|V|). The oracle retrains the identical model on
+    // the same split and replays the three-branch CASE logarithm for
+    // logarithm (0.16 is a shared literal on both sides — 0.4² in
+    // binary floating point is NOT 0.16).
+    NamedQuery("q186_trigram_heldout",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.llm.LangModel.trainTrigramModel(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+        graft.llm.LangModel.trigramScoreAgainst(
+            model, docs.filter(col("source") === "src0"),
+            col("doc_id"), col("text"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |tr AS MATERIALIZED (SELECT * FROM t WHERE source <> 'src0'),
+             |te AS MATERIALIZED (SELECT * FROM t WHERE source = 'src0'),
+             |c3 AS MATERIALIZED (
+             |  SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c, count(*) AS cnt3
+             |  FROM tr, UNNEST(range(1, len(w) - 1)) AS r(i)
+             |  WHERE len(w) >= 3 GROUP BY 1, 2, 3),
+             |big AS MATERIALIZED (
+             |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cnt2
+             |  FROM tr, UNNEST(range(1, len(w))) AS r(i)
+             |  WHERE len(w) >= 2 GROUP BY 1, 2),
+             |uni AS MATERIALIZED (
+             |  SELECT wd, count(*) AS cnt1
+             |  FROM (SELECT unnest(w) AS wd FROM tr) GROUP BY 1),
+             |tot AS MATERIALIZED (
+             |  SELECT CAST(sum(cnt1) AS DOUBLE) AS n_tokens,
+             |    CAST(count(*) AS DOUBLE) AS n_vocab FROM uni),
+             |tri AS MATERIALIZED (
+             |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+             |  FROM te, UNNEST(range(1, len(w) - 1)) AS r(i)
+             |  WHERE len(w) >= 3)
+             |SELECT tri.doc_id, CAST(count(*) AS INT) AS n_trigrams,
+             |  round(avg(ln(CASE
+             |    WHEN c3.cnt3 IS NOT NULL THEN CAST(c3.cnt3 AS DOUBLE) / ab.cnt2
+             |    WHEN bc.cnt2 IS NOT NULL THEN 0.4::DOUBLE * bc.cnt2 / ub.cnt1
+             |    ELSE 0.16::DOUBLE * (coalesce(uc.cnt1, 0) + 1.0) /
+             |      (tot.n_tokens + tot.n_vocab)
+             |  END)), 6) AS logprob
+             |FROM tri
+             |LEFT JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+             |LEFT JOIN big ab ON ab.a = tri.a AND ab.b = tri.b
+             |LEFT JOIN big bc ON bc.a = tri.b AND bc.b = tri.c
+             |LEFT JOIN uni ub ON ub.wd = tri.b
+             |LEFT JOIN uni uc ON uc.wd = tri.c
+             |CROSS JOIN tot
+             |GROUP BY tri.doc_id ORDER BY doc_id ASC""".stripMargin))
+  )
+}
