@@ -100,6 +100,49 @@ object Decontaminate {
         F.round(F.col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EMBEDDING-SPACE decontamination — the semantic tier above
+    * [[fuzzyContaminationPairs]]: a benchmark document that was
+    * TRANSLATED or heavily paraphrased into the training set shares no
+    * shingles with its copy (MinHash banding is lexical and misses it)
+    * but keeps a high embedding cosine. Flag every (train, bench) pair
+    * at cosine ≥ `threshold`.
+    *
+    * Scale shape = [[graft.llm.Similarity.bruteForceTopK]]'s: the
+    * benchmark embedding set (eval suites are thousands of rows, MBs)
+    * is BROADCAST against a map-only scan of the training embeddings —
+    * the 100 TB train side never shuffles, cost is scan bandwidth ×
+    * |bench| codegen'd [[CosineSim]] evaluations per row. Exact by
+    * construction (no recall loss — this is the gate where a miss is a
+    * benchmark leak); if |bench| ever outgrows the broadcast budget,
+    * route bench through [[Similarity.ivfBuildIndex]] and probe
+    * train-side cells instead. */
+  def embeddingContaminationPairs(
+      train: DataFrame, trainId: Column, trainEmb: Column,
+      bench: DataFrame, benchId: Column, benchEmb: Column,
+      threshold: Double): DataFrame =
+    train.select(trainId.as("doc_id"), trainEmb.as("t_emb"))
+      .crossJoin(F.broadcast(
+        bench.select(benchId.as("bench_id"), benchEmb.as("b_emb"))))
+      .withColumn("cosine",
+        graft.functions.CosineSim(F.col("t_emb"), F.col("b_emb")))
+      .filter(F.col("cosine") >= threshold)
+      .select(F.col("doc_id"), F.col("bench_id"),
+        F.round(F.col("cosine"), 6).as("cosine"))
+
+  /** The keep-list under the embedding gate: training rows with NO
+    * benchmark neighbor at cosine ≥ `threshold` (flagged ids broadcast
+    * into one anti-join — train side still never shuffles). */
+  def embeddingDecontaminated(
+      train: DataFrame, trainId: Column, trainEmb: Column,
+      bench: DataFrame, benchId: Column, benchEmb: Column,
+      threshold: Double): DataFrame = {
+    val bad = embeddingContaminationPairs(train, trainId, trainEmb,
+      bench, benchId, benchEmb, threshold)
+      .select(F.col("doc_id").as("__contaminated_id")).distinct()
+    train.join(F.broadcast(bad),
+      trainId === F.col("__contaminated_id"), "left_anti")
+  }
+
   /** Keep-list under BOTH gates: exact n-gram overlap AND fuzzy
     * near-match — the production decontamination a pipeline actually
     * wants (Lee/Brown-style exact grams catch verbatim leakage, the

@@ -206,6 +206,34 @@ object Round13Queries {
              |LEFT JOIN uni ub ON ub.wd = tri.b
              |LEFT JOIN uni uc ON uc.wd = tri.c
              |CROSS JOIN tot
-             |GROUP BY tri.doc_id ORDER BY doc_id ASC""".stripMargin))
+             |GROUP BY tri.doc_id ORDER BY doc_id ASC""".stripMargin)),
+
+    // Embedding-space decontamination: benchmark = every 50th vector,
+    // train = the rest; flag train rows with cosine >= 0.35 to any
+    // benchmark vector — the semantic gate that catches translated /
+    // paraphrased leakage MinHash banding (q156) cannot. Bench side
+    // broadcast, train side map-only; the oracle recomputes every
+    // cross-pair cosine in double (the q65 discipline).
+    NamedQuery("q187_embed_decontam",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.llm.Decontaminate.embeddingContaminationPairs(
+            emb.filter(col("vec_id") % 50 =!= 0), col("vec_id"), col("embedding"),
+            emb.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+            threshold = 0.35)
+          .orderBy(col("doc_id").asc, col("bench_id").asc)
+      },
+      Some("""WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |t AS (SELECT vec_id AS doc_id, embedding AS te
+             |  FROM embeddings WHERE vec_id % 50 <> 0),
+             |s AS (SELECT t.doc_id, b.bench_id,
+             |  list_sum([ (te[i]::DOUBLE) * (be[i]::DOUBLE) for i in range(1, 65)]) /
+             |  (sqrt(list_sum([ (te[i]::DOUBLE) * (te[i]::DOUBLE) for i in range(1, 65)])) *
+             |   sqrt(list_sum([ (be[i]::DOUBLE) * (be[i]::DOUBLE) for i in range(1, 65)]))) AS cosine
+             |  FROM t CROSS JOIN b)
+             |SELECT doc_id, bench_id, round(cosine, 6) AS cosine
+             |FROM s WHERE cosine >= 0.35
+             |ORDER BY doc_id ASC, bench_id ASC""".stripMargin))
   )
 }

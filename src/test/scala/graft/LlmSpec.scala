@@ -692,6 +692,33 @@ class LlmSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("embedding decontamination: planted translation (same embedding, no " +
+      "shared shingles) caught by the cosine gate; unrelated docs survive") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    // a TRANSLATED benchmark doc shares no token shingles with its
+    // training copy, but its embedding is the benchmark's plus small
+    // noise (cosine ≈ 0.99); 19 unrelated gaussian vectors sit near
+    // orthogonal (|cos| ~ 1/√64)
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val benchV = vec()
+    val translated = benchV.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val train = ((1L, translated) +: (2L to 20L).map(_ -> vec()))
+      .toDF("id", "embedding")
+    val bench = Seq((100L, benchV)).toDF("id", "embedding")
+    val pairs = Decontaminate.embeddingContaminationPairs(
+      train, col("id"), col("embedding"),
+      bench, col("id"), col("embedding"), threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    assert(pairs.head.getDouble(2) > 0.95)
+    val kept = Decontaminate.embeddingDecontaminated(
+      train, col("id"), col("embedding"),
+      bench, col("id"), col("embedding"), threshold = 0.8)
+    assert(kept.count() == 19)
+    assert(kept.filter(col("id") === 1L).isEmpty)
+  }
+
   test("simhash64 whole-stage codegen does not fall back") {
     val df = Tables.documents(spark, sf)
       .select(graft.functions.SimHash64(Dedup.tokens(col("text"))).as("sig"))
