@@ -108,6 +108,31 @@ class EngineSpec extends AnyFunSuite {
     assert(Compiler.chosenSourceName(uncoveredMetric) == "fact")
   }
 
+  test("stats re-cost the source chooser: measured rows beat stale static costs") {
+    import graft.sources.Stats
+    val cube0 = Cubes.lineitemCubeWithRollup(spark, sf)
+    val real = cube0.altSources.head
+    // a stale registration: its static cost CLAIMS it is the cheaper
+    // covering source, but its measured cardinality is 2x the real
+    // rollup's — exactly the drift ANALYZE exists to correct
+    val stale = real.copy(name = "stale_cheap",
+      df = real.df.unionByName(real.df), cost = real.cost - 1)
+    def covered(c: graft.model.Cube) =
+      CubeQuery(c).slice("y", "shipDate", "year").measure("c", "count")
+    assert(Compiler.chosenSourceName(
+      covered(cube0.copy(altSources = Seq(stale, real)))) == "stale_cheap")
+    // re-cost both from their ANALYZE frames: the chooser (unchanged —
+    // it still sorts by cost) now picks the truly smaller source
+    val recosted = cube0.copy(altSources = Seq(stale, real).map(s =>
+      Stats.costedSource(s, Stats.analyze(s.df, Seq(s.df.columns.head)))))
+    assert(Compiler.chosenSourceName(covered(recosted)) == real.name)
+    // and the measured route still answers exactly like the fact
+    val viaRecosted = covered(recosted).asc("y").toDF.collect().map(_.toString).toSeq
+    val viaFact = covered(cube0.copy(altSources = Nil))
+      .asc("y").toDF.collect().map(_.toString).toSeq
+    assert(viaRecosted == viaFact)
+  }
+
   test("rollup and fact agree") {
     val cube = Cubes.lineitemCubeWithRollup(spark, sf)
     val viaRollup = CubeQuery(cube).slice("y", "shipDate", "year")

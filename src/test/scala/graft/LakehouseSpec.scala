@@ -103,6 +103,40 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("stats-driven bloom-join advice: measured selectivity fires the " +
+      "injection, the wrong direction declines it") {
+    import graft.sources.Stats
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val gate =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val confs = Seq(gate, "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val oStats = Stats.analyze(o, Seq("o_orderkey"))
+      val liStats = Stats.analyze(li, Seq("l_orderkey"))
+      def planOf = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.optimizedPlan.toString
+      // selective direction: the filtered orders' distinct keys are far
+      // fewer than the lineitem probe rows — advice opens the gate and
+      // Catalyst injects the filter (no hand-tuned threshold anywhere)
+      assert(Stats.applyBloomJoinAdvice(spark, oStats, "o_orderkey", liStats))
+      val fired = planOf
+      assert(fired.contains("bloom_filter_agg") && fired.contains("might_contain"),
+        s"advice did not fire the injection:\n$fired")
+      // wrong direction: lineitem keys vs the small filtered-orders probe
+      // — declined, gate restored to default, same join plans bloom-free
+      assert(!Stats.applyBloomJoinAdvice(spark, liStats, "l_orderkey", oStats))
+      assert(!planOf.contains("bloom_filter_agg"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition overwrite: backfilling one day leaves every other day untouched") {
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
