@@ -127,14 +127,19 @@ object Similarity {
     * k-means + cell shuffle; after that every probe is PARTITION PRUNING
     * — the scan reads ~nProbe/nLists of the files (dynamic partition
     * pruning from the broadcast probe side), instead of re-assigning
-    * cells over the full corpus per query batch. */
+    * cells over the full corpus per query batch.
+    *
+    * The corpus is a [[graft.sources.Manifest]]-committed table:
+    * serving reads pin a snapshot, and compaction swaps snapshots with
+    * one atomic manifest commit — safe on object stores, where the
+    * previous directory-rename swap was not. */
   def ivfBuildIndex(
       spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, path: String,
       nLists: Int = 16, seed: Long = 7L): Unit = {
     val centroids = trainCentroids(corpus, nLists, seed)
-    assignCells(corpus, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    graft.sources.Manifest.create(spark, s"$path/corpus",
+      assignCells(corpus, centroids), partitionBy = Seq("cell"))
     val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     spark.createDataFrame(rows).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -157,10 +162,17 @@ object Similarity {
   /** The index corpus = the batch-built base plus any live-appended
     * delta batches (`delta/batch=<id>/cell=<c>/`). Both sides carry
     * `cell` as a partition column, so probe-side pruning keeps skipping
-    * unprobed cells in EVERY delta batch too. */
+    * unprobed cells in EVERY delta batch too. The base reads through
+    * its manifest (pinned snapshot — a compaction landing mid-query
+    * cannot move the files under the scan); pre-manifest indexes fall
+    * back to the plain directory read. */
   private def indexCorpus(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    val base = spark.read.parquet(s"$indexPath/corpus")
+    val corpusTable = s"$indexPath/corpus"
+    val base =
+      if (graft.sources.Manifest.isManifested(spark, corpusTable))
+        graft.sources.Manifest.read(spark, corpusTable)
+      else spark.read.parquet(corpusTable)
     val fs = fsFor(spark, indexPath)
     val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
     if (fs.exists(delta))
@@ -183,44 +195,47 @@ object Similarity {
     probeAndRerank(c, queries, centroids, k, nProbe)
   }
 
-  /** Fold the live delta batches into the base corpus: read base+delta,
-    * rewrite partitioned by cell into a fresh directory, swap it in,
-    * drop the deltas. Run while the maintenance stream is STOPPED (the
-    * natural cadence: compact when deltas approach base size, i.e.
-    * O(log) compactions over the index's life). Centroids are untouched
-    * — cell assignment never changes at compaction, so a served query
-    * reads the same rows before and after (the spec asserts it). */
+  /** Fold the live delta batches into the base corpus: read base+delta
+    * (the base through its pinned snapshot), write the folded corpus as
+    * the NEXT snapshot, and publish it with one atomic
+    * [[graft.sources.Manifest]] commit — then drop the deltas (they are
+    * inside the committed snapshot) and vacuum all but the previous
+    * snapshot (retained for readers that pinned before the commit).
+    * Run while the maintenance stream is STOPPED (the natural cadence:
+    * compact when deltas approach base size, i.e. O(log) compactions
+    * over the index's life). Centroids are untouched — cell assignment
+    * never changes at compaction, so a served query reads the same rows
+    * before and after (the spec asserts it).
+    *
+    * Crash at any point leaves a consistent index: before the commit,
+    * the old snapshot + deltas still serve (the half-written version
+    * directory is invisible and reclaimed next run); after it, the new
+    * snapshot serves and the delta/vacuum deletions re-run
+    * idempotently. No step renames a visible directory, so the
+    * protocol holds on S3-class stores where directory rename is not
+    * atomic. Pre-manifest indexes (built before this protocol) are
+    * adopted on first compaction via the legacy plain-directory read. */
   def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
+    import graft.sources.Manifest
     val fs = fsFor(spark, indexPath)
     val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
     if (!fs.exists(delta)) return
-    val corpus = new org.apache.hadoop.fs.Path(s"$indexPath/corpus")
-    val old = new org.apache.hadoop.fs.Path(s"$indexPath/corpus__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/corpus__compacting")
-    // Leftovers from a crashed compaction mean the swap below could
-    // rename onto an occupied target and silently drop rows — refuse and
-    // make the operator tell the caller which half-finished state exists.
-    if (fs.exists(old)) sys.error(
-      s"ivfCompactIndex: $old exists — a previous compaction did not " +
-      "finish. Recover (restore or delete corpus__old) before compacting.")
-    // A stale tmp dir is safe to discard: nothing serves from it.
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    indexCorpus(spark, indexPath)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    def renameOrDie(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst)) sys.error(
-        s"ivfCompactIndex: rename $src -> $dst failed; index left " +
-        "un-swapped (delta retained, nothing dropped)")
-    renameOrDie(corpus, old)
-    renameOrDie(tmp, corpus)
-    // Only once the new corpus is verifiably in place may the inputs of
-    // the compaction (old corpus, delta batches) be discarded.
-    if (!fs.exists(corpus)) sys.error(
-      s"ivfCompactIndex: $corpus missing after swap; delta retained")
-    fs.delete(old, true)
+    val corpusTable = s"$indexPath/corpus"
+    val folded = indexCorpus(spark, indexPath)
+    if (Manifest.isManifested(spark, corpusTable))
+      Manifest.commitRewrite(spark, corpusTable, folded, Seq("cell"))
+    else {
+      // legacy plain-directory index: fold into a SIBLING manifested
+      // snapshot (the plain files stay untouched until the commit has
+      // succeeded), then remove the now-superseded plain files
+      val legacy = fs.listStatus(new org.apache.hadoop.fs.Path(corpusTable))
+        .map(_.getPath).filterNot(_.getName.startsWith("_"))
+      Manifest.create(spark, corpusTable, folded, partitionBy = Seq("cell"))
+      legacy.foreach(fs.delete(_, true))
+    }
     fs.delete(delta, true)
+    Manifest.vacuum(spark, corpusTable, keep = 2)
   }
 
   /** Filesystem OF the index path (not the default FS) — an index on

@@ -77,16 +77,30 @@ object Layout {
     * per-day backfills) degrades into thousands of KB-scale files
     * whose open/footer costs dominate the scan. Rewrite it into
     * ⌈totalBytes / targetBytes⌉ files, optionally re-sorted so the
-    * per-file min/max envelopes stay tight, and SWAP atomically with
-    * the [[graft.llm.Similarity]]-index discipline: refuse on
+    * per-file min/max envelopes stay tight.
+    *
+    * A [[Manifest]]-committed table routes to [[Manifest.compact]] —
+    * the 100 TB-true protocol: snapshot write + one atomic manifest
+    * commit, valid on object stores, readers pinned throughout.
+    *
+    * A PLAIN directory keeps the legacy rename swap: refuse on
     * leftover state from a crashed run, rename-or-die both hops,
     * delete the old data only once the new directory is verifiably in
-    * place. Readers at any moment see the old or the new layout,
-    * never a mixture.
+    * place. The swap assumes an HDFS/posix-style filesystem with
+    * atomic directory rename; even there, readers see the old or the
+    * new layout, never a mixture — but between the two renames the
+    * table path briefly does not exist, and a concurrent reader can
+    * fail with path-not-found. On S3-class stores directory rename is
+    * copy+delete and the swap is NOT safe — adopt the table into a
+    * manifest ([[Manifest.adopt]]) instead.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long, sortBy: Option[Column] = None): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    if (Manifest.isManifested(spark, path)) {
+      Manifest.compact(spark, path, targetBytes, sortBy)
+      return
+    }
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)

@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Versioned-manifest table commits — the object-store-safe protocol
+  * the directory-rename swap cannot be: directory rename is atomic on
+  * HDFS/posix but COPY+DELETE on S3-class stores, where a concurrent
+  * reader can see a half-moved table or a missing path. Here nothing
+  * visible is ever renamed or mutated; a commit is the appearance of
+  * ONE new manifest file, and data files are immutable once written
+  * (the Delta/Iceberg snapshot discipline, reduced to its core).
+  *
+  * On-disk layout of a manifested table:
+  * {{{
+  *   <table>/_manifest/v00000001.list   one committed snapshot per file
+  *   <table>/_v00000001/...             data of snapshot 1 (files, or
+  *                                      hive-partitioned directories)
+  * }}}
+  * Underscore prefixes keep both invisible to Spark's file index, so a
+  * stray plain `read.parquet(table)` of an adopted table cannot
+  * double-count old and new data.
+  *
+  * A manifest is a newline-separated list of paths relative to the
+  * table root — plain files, or whole directories for partitioned
+  * snapshots (readers hand directories to the parquet source, so
+  * hive-style partition columns keep working). COMMIT protocol: write
+  * the list to `_manifest/.tmp-<uuid>`, then rename onto
+  * `v<N+1>.list`. A file rename is atomic on posix/HDFS; on an
+  * S3-class store the destination appears as one atomic PUT and the
+  * dot-prefixed tmp name is never considered by readers. A rename that
+  * finds the destination occupied FAILS — two racing committers
+  * serialize on the version number, and the loser must re-resolve and
+  * retry (optimistic concurrency).
+  *
+  * READERS PIN a snapshot: [[read]] resolves the current manifest once
+  * (driver-side metadata), then scans exactly its files. A commit that
+  * lands mid-query changes the current version, never the pinned list;
+  * old snapshots remain on disk until [[vacuum]], which keeps the
+  * newest `keep` versions — retention is the reader lease, exactly as
+  * in production table formats.
+  *
+  * CRASH SAFETY between steps: data written but no manifest =
+  * invisible, and the next writer of that version reclaims the
+  * leftover directory before rewriting; manifest present = committed,
+  * regardless of when the writer died; [[vacuum]] is idempotent.
+  */
+object Manifest {
+
+  final case class Snapshot(version: Long, paths: Seq[String])
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(s"$table/_manifest")
+  private def manifestFile(table: String, v: Long) =
+    new Path(s"$table/_manifest/v${"%08d".format(v)}.list")
+  private[graft] def dataDirName(v: Long): String = s"_v${"%08d".format(v)}"
+
+  private val ManifestName = """^v(\d{8})\.list$""".r
+
+  /** All committed versions, ascending (empty for a plain table). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = fsFor(spark, table)
+    val dir = manifestDir(table)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(v) => v.toLong
+    }.sorted
+  }
+
+  def isManifested(spark: SparkSession, table: String): Boolean =
+    versions(spark, table).nonEmpty
+
+  /** The current snapshot: the HIGHEST committed manifest, parsed. */
+  def currentSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
+    versions(spark, table).lastOption.map(v => readSnapshot(spark, table, v))
+
+  def readSnapshot(spark: SparkSession, table: String, v: Long): Snapshot = {
+    val fs = fsFor(spark, table)
+    val in = fs.open(manifestFile(table, v))
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    Snapshot(v, text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** Pinned read of the current snapshot: the file list is resolved
+    * HERE, once, so the returned frame is immune to later commits and
+    * (within the retention window) to vacuum. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.read: $table has no committed snapshot"))
+    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+  }
+
+  /** Commit `paths` (relative to the table root) as version
+    * `expected + 1`. Fails loudly if that version already exists — the
+    * optimistic-concurrency loser must re-resolve and retry. */
+  def commit(spark: SparkSession, table: String,
+      expected: Long, paths: Seq[String]): Snapshot = {
+    require(paths.nonEmpty, "refusing to commit an empty snapshot")
+    val fs = fsFor(spark, table)
+    fs.mkdirs(manifestDir(table))
+    val target = manifestFile(table, expected + 1)
+    if (fs.exists(target)) sys.error(
+      s"Manifest.commit: $target already exists — a concurrent commit won; " +
+        "re-resolve the current snapshot and retry")
+    val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"Manifest.commit: rename to $target failed (lost the race?); " +
+        "nothing committed")
+    }
+    Snapshot(expected + 1, paths)
+  }
+
+  /** Create a manifested table from a frame: write snapshot 1's data
+    * under its version directory, then commit. */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Snapshot = {
+    require(versions(spark, table).isEmpty,
+      s"Manifest.create: $table already has committed snapshots")
+    commit(spark, table, 0L, Seq(writeData(spark, table, 1L, df, partitionBy)))
+  }
+
+  /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
+    * listing its current root files in place (no data movement). From
+    * then on the table must be read through the manifest — the next
+    * rewrite lands in a version directory invisible to plain reads. */
+  def adopt(spark: SparkSession, table: String): Snapshot = {
+    require(versions(spark, table).isEmpty,
+      s"Manifest.adopt: $table already has committed snapshots")
+    val fs = fsFor(spark, table)
+    val files = fs.listStatus(new Path(table)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+    require(files.nonEmpty, s"Manifest.adopt: no parquet files at $table")
+    commit(spark, table, 0L, files)
+  }
+
+  /** Write `df` as version `v`'s data directory, reclaiming any
+    * uncommitted leftover from a crashed writer of the same version
+    * (safe: no manifest references it). Returns the relative name. */
+  private def writeData(spark: SparkSession, table: String, v: Long,
+      df: DataFrame, partitionBy: Seq[String]): String = {
+    val fs = fsFor(spark, table)
+    val rel = dataDirName(v)
+    val dir = new Path(s"$table/$rel")
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir.toString)
+    rel
+  }
+
+  /** Full-rewrite commit: materialize `df` as the next version's data
+    * and commit it as the complete new snapshot (the shape compaction
+    * and index-folding use). */
+  def commitRewrite(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.commitRewrite: $table has no committed snapshot"))
+    val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
+    commit(spark, table, snap.version, Seq(rel))
+  }
+
+  /** Total bytes of a snapshot's data (driver-side metadata listing). */
+  def snapshotBytes(spark: SparkSession, table: String, snap: Snapshot): Long = {
+    val fs = fsFor(spark, table)
+    snap.paths.map(p => fs.getContentSummary(new Path(s"$table/$p")).getLength).sum
+  }
+
+  /** Compact the current snapshot into ⌈bytes / targetBytes⌉ files —
+    * the manifest-protocol replacement for the rename-swap compaction:
+    * write the folded data as the NEXT version, then one atomic
+    * manifest commit. Readers mid-flight keep their pinned snapshot;
+    * new readers see the compacted one; a crash at any point leaves
+    * either the old current (data written, commit missing — reclaimed
+    * next run) or the new one (committed). Old versions stay for
+    * pinned readers until [[vacuum]]. */
+  def compact(spark: SparkSession, table: String, targetBytes: Long,
+      sortBy: Option[Column] = None): Snapshot = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.compact: $table has no committed snapshot"))
+    val totalBytes = snapshotBytes(spark, table, snap)
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val laid = sortBy match {
+      case Some(c) => df.repartitionByRange(nFiles, c).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    val rel = writeData(spark, table, snap.version + 1, laid, Nil)
+    commit(spark, table, snap.version, Seq(rel))
+  }
+
+  /** Retention: drop every snapshot except the newest `keep` — delete
+    * their manifests first (so no reader can newly pin them), then any
+    * version data directory no surviving manifest references. Root
+    * files from an [[adopt]]-ed v1 are removed once v1 is dropped.
+    * Never touches the current version; idempotent. */
+  def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"must keep at least the current snapshot, got $keep")
+    val fs = fsFor(spark, table)
+    val vs = versions(spark, table)
+    val (dead, live) = vs.splitAt(math.max(0, vs.size - keep))
+    if (dead.isEmpty) return
+    val deadSnaps = dead.map(readSnapshot(spark, table, _))
+    dead.foreach(v => fs.delete(manifestFile(table, v), false))
+    val referenced = live.map(readSnapshot(spark, table, _))
+      .flatMap(_.paths).toSet
+    deadSnaps.flatMap(_.paths).distinct
+      .filterNot(referenced.contains)
+      .foreach(p => fs.delete(new Path(s"$table/$p"), true))
+  }
+}

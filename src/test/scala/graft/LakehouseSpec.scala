@@ -103,6 +103,67 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest commits: pinned reader survives compaction, crash " +
+      "leftovers reclaimed, stale commit refused, vacuum retains current") {
+    import graft.sources.{Layout, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "s").repartition(32))
+    val rows = Manifest.read(spark, tbl).collect().map(_.toString).sorted
+    // pin a reader, then compact underneath it: the pinned plan keeps
+    // reading snapshot 1's files — same rows, no path-not-found window,
+    // which is exactly what the rename swap could not promise
+    val pinned = Manifest.read(spark, tbl)
+    val snap2 = Manifest.compact(spark, tbl, targetBytes = 1L << 30,
+      sortBy = Some(col("id")))
+    assert(snap2.version == 2L)
+    assert(pinned.collect().map(_.toString).sorted.sameElements(rows))
+    // new readers see the compacted layout: identical content, fewer files
+    val after = Manifest.read(spark, tbl)
+    assert(after.collect().map(_.toString).sorted.sameElements(rows))
+    assert(after.inputFiles.length < pinned.inputFiles.length &&
+      after.inputFiles.length <= 2)
+    // crash between steps: a half-written NEXT version with no manifest
+    // is invisible to readers and reclaimed by the next writer
+    Seq((0L, "junk")).toDF("id", "s")
+      .write.parquet(s"$tbl/${Manifest.dataDirName(3)}")
+    assert(Manifest.read(spark, tbl)
+      .collect().map(_.toString).sorted.sameElements(rows))
+    val snap3 = Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(snap3.version == 3L)
+    assert(Manifest.read(spark, tbl)
+      .collect().map(_.toString).sorted.sameElements(rows))
+    // optimistic concurrency: committing against a stale expected
+    // version fails loudly instead of clobbering the winner
+    val e = intercept[RuntimeException] {
+      Manifest.commit(spark, tbl, expected = 2L, Seq(Manifest.dataDirName(3)))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // vacuum to the current snapshot only: old manifests and their data
+    // directories go, the current one is untouched
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(3L))
+    assert(Manifest.read(spark, tbl)
+      .collect().map(_.toString).sorted.sameElements(rows))
+    // Layout.compact routes manifested tables through the protocol
+    Layout.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(Manifest.versions(spark, tbl) == Seq(3L, 4L))
+    // adoption: a plain directory joins the protocol with no data move
+    val plain = s"$dir/plain"
+    (1 to 100).map(i => (i.toLong, s"p $i")).toDF("id", "s")
+      .repartition(8).write.parquet(plain)
+    val plainRows = spark.read.parquet(plain).collect().map(_.toString).sorted
+    Manifest.adopt(spark, plain)
+    assert(Manifest.read(spark, plain)
+      .collect().map(_.toString).sorted.sameElements(plainRows))
+    Layout.compact(spark, plain, targetBytes = 1L << 30)
+    Manifest.vacuum(spark, plain, keep = 1)
+    assert(Manifest.read(spark, plain)
+      .collect().map(_.toString).sorted.sameElements(plainRows))
+  }
+
   test("stats-driven bloom-join advice: measured selectivity fires the " +
       "injection, the wrong direction declines it") {
     import graft.sources.Stats

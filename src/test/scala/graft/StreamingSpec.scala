@@ -438,6 +438,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.sameElements(exact))
   }
 
+  test("pre-manifest IVF index: first compaction adopts it into the " +
+      "manifest protocol, serving unchanged") {
+    import graft.llm.Similarity
+    import graft.sources.Manifest
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.ivfBuildIndex(spark, emb.filter(col("id") < 400), dir, nLists = 8)
+    // de-manifest to the pre-protocol layout: hoist the snapshot's
+    // cell= directories to the corpus root, drop the manifest
+    val corpus = java.nio.file.Paths.get(s"$dir/corpus")
+    val v1 = corpus.resolve(Manifest.dataDirName(1))
+    java.nio.file.Files.list(v1).forEach { p =>
+      if (p.getFileName.toString.startsWith("cell="))
+        java.nio.file.Files.move(p, corpus.resolve(p.getFileName))
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree)
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(v1); rmTree(corpus.resolve("_manifest"))
+    assert(!Manifest.isManifested(spark, s"$dir/corpus"))
+    // a delta batch in the maintenance layout, then compaction
+    val centroids = Similarity.readCentroids(spark, dir)
+    Similarity.assignCells(emb.filter(col("id") >= 400), centroids)
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch", "cell").parquet(s"$dir/delta")
+    val queries = emb.filter(col("id") < 10)
+    val before = batchRows(
+      Similarity.ivfTopKIndexed(spark, queries, dir, k = 5, nProbe = 8))
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(Manifest.isManifested(spark, s"$dir/corpus"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
+    val after = batchRows(
+      Similarity.ivfTopKIndexed(spark, queries, dir, k = 5, nProbe = 8))
+    assert(after.nonEmpty && after.sameElements(before))
+  }
+
   test("live decontamination: per-batch keep-lists union to the batch keep-list") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
