@@ -216,6 +216,51 @@ object Dedup {
       .select(F.explode(F.array(bandKeyCols(numHashes, bands): _*)).as("bk"),
         F.col("id"))
 
+  /** Materialize a corpus' SCREENING STORE: its band index
+    * (`<path>/bands`) and shingle sets (`<path>/shingles`) — the two
+    * static sides [[nearDupScreen]] joins, written once per corpus
+    * generation. [[graft.streaming.Streaming.screenAndMaintain]]
+    * appends admitted arrivals beside them as
+    * `bands_delta/batch=<id>` / `shingles_delta/batch=<id>`. */
+  def writeBandIndexStore(corpus: DataFrame, idCol: Column, textCol: Column,
+      path: String, shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      seed: Long = 1234L): Unit = {
+    bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingleDocs(corpus, idCol, textCol, shingleK)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** The store's two sides — (band index, shingles) — base plus every
+    * live-appended delta batch. `excludeBatch` omits one batch id: a
+    * REPLAYED micro-batch must screen against the store as its first
+    * attempt saw it, not against its own crashed half-write (a doc
+    * finding its own bands would flag itself as a jaccard-1 dup). */
+  def readBandIndexStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, excludeBatch: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def side(base: String, delta: String): DataFrame = {
+      val b = spark.read.parquet(s"$path/$base")
+      val d = new org.apache.hadoop.fs.Path(s"$path/$delta")
+      if (!fs.exists(d)) return b
+      // exclusion happens at the DIRECTORY level, not as a filter on the
+      // inferred partition column: a predicate there needs a type cast
+      // (dir names infer int, batch ids are long), the cast defeats
+      // partition pruning, and the scan then lists the excluded batch's
+      // files — which the replaying writer is about to overwrite
+      val kept = fs.listStatus(d).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(p => excludeBatch.forall(id => p.getName != s"batch=$id"))
+      if (kept.isEmpty) b
+      else b.unionByName(
+        spark.read.option("basePath", d.toString)
+          .parquet(kept.map(_.toString): _*).drop("batch"))
+    }
+    (side("bands", "bands_delta"), side("shingles", "shingles_delta"))
+  }
+
   /** Ingestion-time near-dup screening: each arriving document against a
     * fixed historical corpus, returning its BEST corpus match at or above
     * `threshold` — (doc_id, match_id, jaccard), novel docs absent.

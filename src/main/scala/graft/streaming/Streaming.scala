@@ -291,6 +291,56 @@ object Streaming {
       }
       .start()
 
+  /** [[screenArrivals]] WITH live index maintenance — the gate's
+    * feedback loop closed: each micro-batch screens against the base
+    * band index PLUS every previously-admitted arrival's bands
+    * ([[graft.llm.Dedup.readBandIndexStore]]), and the batch's ADMITTED
+    * (novel) docs append their own bands and shingles as delta batches
+    * — the [[maintainIvfIndex]] delta discipline applied to the
+    * near-dup screen, so a duplicate of an admitted arrival is caught
+    * from the next micro-batch on. Verdicts land as
+    * `outDir/batch=<id>`; fold deltas into the base offline by
+    * rebuilding the store over the grown corpus (the spec proves the
+    * grown store serves identically to a rebuild).
+    *
+    * IDEMPOTENT under replay: a batch reads the store EXCLUDING its
+    * own batch id (a crashed attempt's half-written delta must not
+    * make the retry screen docs against themselves) and overwrites its
+    * own verdict and delta dirs. Intra-batch duplicates are screened
+    * against the store as of batch start, not against each other —
+    * the standard bounded staleness of an ingestion gate; both copies
+    * admit, and any LATER copy is caught. */
+  def screenAndMaintain(docs: DataFrame, indexPath: String, outDir: String,
+      checkpoint: String, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 16, threshold: Double = 0.8, seed: Long = 1234L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (bandsDf, shDf) = graft.llm.Dedup.readBandIndexStore(
+          spark, indexPath, excludeBatch = Some(batchId))
+        val verdicts = graft.llm.Dedup.nearDupScreen(
+          batch, F.col("doc_id"), F.col("text"),
+          bandsDf, shDf, shingleK, numHashes, bands, threshold, seed)
+          .persist()
+        try {
+          verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val admitted = batch.join(
+            verdicts.select("doc_id"), Seq("doc_id"), "left_anti")
+          graft.llm.Dedup.bandIndex(admitted, F.col("doc_id"), F.col("text"),
+              shingleK, numHashes, bands, seed)
+            .write.mode("overwrite")
+            .parquet(s"$indexPath/bands_delta/batch=$batchId")
+          graft.llm.Dedup.shingleDocs(admitted, F.col("doc_id"), F.col("text"),
+              shingleK)
+            .write.mode("overwrite")
+            .parquet(s"$indexPath/shingles_delta/batch=$batchId")
+        } finally verdicts.unpersist()
+      }
+      .start()
+  }
+
   /** LIVE benchmark decontamination — the second ingestion gate beside
     * [[screenArrivals]]: arriving docs sharing ≥ `minHits` word n-grams
     * with the (static, broadcast) benchmark set are dropped; survivors

@@ -438,6 +438,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.sameElements(exact))
   }
 
+  test("live band-index maintenance: admitted arrivals join the screen's " +
+      "store; grown store == rebuilt store; replay is idempotent") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_band_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_band_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_band_ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val arrivalsPred = col("doc_id") >= 300 && col("doc_id") < 400
+    val arrivals = docs.filter(arrivalsPred)
+    Dedup.writeBandIndexStore(corpus, col("doc_id"), col("text"), idx)
+    def runStream(): Unit = {
+      val q = screenAndMaintainQuery(idx, out, ckpt, arrivalsPred)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream()
+    // single-file source ⇒ one micro-batch: live verdicts == the batch
+    // screen against the base corpus
+    val live = spark.read.parquet(out)
+      .select("doc_id", "match_id", "jaccard").collect().map(_.toString).sorted
+    val oneShot = batchRows(Dedup.nearDupScreen(
+      arrivals, corpus, col("doc_id"), col("text")))
+    assert(live.nonEmpty && live.sameElements(oneShot))
+    // the GROWN store (base + admitted deltas) screens later probes
+    // exactly like a store rebuilt over corpus ∪ admitted
+    val admitted = arrivals.join(
+      spark.read.parquet(out).select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(admitted.count() > 0)
+    // plant one probe duplicating an admitted arrival, so delta rows are
+    // provably served (not just carried)
+    val aRow = admitted.select("doc_id", "text").orderBy(col("doc_id")).first()
+    val probes = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(Seq((99999L, aRow.getString(1))).toDF("doc_id", "text"))
+    val (bandsDf, shDf) = Dedup.readBandIndexStore(spark, idx)
+    val viaStore = batchRows(Dedup.nearDupScreen(
+      probes, col("doc_id"), col("text"), bandsDf, shDf))
+    val grown = corpus.select("doc_id", "text")
+      .unionByName(admitted.select("doc_id", "text"))
+    val viaRebuild = batchRows(Dedup.nearDupScreen(
+      probes, grown, col("doc_id"), col("text")))
+    assert(viaStore.sameElements(viaRebuild))
+    assert(viaStore.exists(_.startsWith(s"[99999,${aRow.getLong(0)},")),
+      "planted duplicate of an admitted arrival must match it via the store")
+    // materialize the store content NOW — the replay below overwrites
+    // the delta files, so pre-replay frames must not be re-collected
+    val bandsBefore = batchRows(bandsDf)
+    val shCountBefore = shDf.count()
+    // replay idempotency: wipe the checkpoint and re-run — batch 0
+    // re-screens EXCLUDING its own delta, so verdicts and store repeat
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree)
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(ckpt))
+    runStream()
+    val replayed = spark.read.parquet(out)
+      .select("doc_id", "match_id", "jaccard").collect().map(_.toString).sorted
+    assert(replayed.sameElements(live))
+    val (b2, s2) = Dedup.readBandIndexStore(spark, idx)
+    assert(batchRows(b2).sameElements(bandsBefore))
+    assert(s2.count() == shCountBefore)
+  }
+
+  private def screenAndMaintainQuery(idx: String, out: String, ckpt: String,
+      pred: org.apache.spark.sql.Column) =
+    Streaming.screenAndMaintain(
+      Streaming.documentsStream(spark, sf).filter(pred), idx, out, ckpt)
+
   test("pre-manifest IVF index: first compaction adopts it into the " +
       "manifest protocol, serving unchanged") {
     import graft.llm.Similarity
