@@ -238,6 +238,108 @@ object Similarity {
     Manifest.vacuum(spark, corpusTable, keep = 2)
   }
 
+  // ---- IVFADC: IVF cell pruning × PQ compressed scan ----------------
+
+  /** Build an IVFADC index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — the inverted-file +
+    * asymmetric-distance layout that serves 1e9+ vector corpora): the
+    * corpus is coarse-quantized into `nLists` cells AND product-
+    * quantized to `m` small codes per vector, stored as ONE manifested
+    * table partitioned by cell with columns (id, embedding, codes).
+    *
+    * Parquet's columnar layout is what makes one table suffice: the
+    * ADC probe projects only (id, codes) — the scan reads m ints per
+    * row and the raw embedding bytes never leave disk (the 16–32×
+    * bandwidth lever), while the rerank projects (id, embedding) for
+    * only the probed cells. Codes are RAW-vector PQ (the [[pqTopK]]
+    * codebooks, not per-cell residuals): cosine ADC composes directly,
+    * and an exhaustive probe is then IDENTICAL to [[pqTopK]] under the
+    * same codebooks — the spec's equivalence gate; residual encoding
+    * would buy precision at the cost of that oracle-able identity.
+    * Centroids and codebooks land beside the corpus as model metadata
+    * (nLists + m·ksub rows — driver-side reads at probe time). */
+  def ivfadcBuildIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, path: String,
+      nLists: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 7L): Unit = {
+    val centroids = trainCentroids(corpus, nLists, seed)
+    val cbs = pqTrain(corpus, m, ksub, seed)
+    graft.sources.Manifest.create(spark, s"$path/corpus",
+      assignCells(corpus, centroids)
+        .withColumn("codes", PqEncode(F.col("embedding"), cbs)),
+      partitionBy = Seq("cell"))
+    val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+    spark.createDataFrame(rows).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = for {
+      (book, s) <- cbs.zipWithIndex.toSeq
+      (cent, c) <- book.zipWithIndex
+    } yield (s, c, cent.toSeq)
+    spark.createDataFrame(cbRows).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** The index's stored PQ codebooks, [sub][code][subDim]. */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray).toArray
+      }.toArray
+
+  /** ANN over an [[ivfadcBuildIndex]] index — the three-stage probe
+    * that actually serves at 1e9+ vectors:
+    *   1. cells: each query ranks the broadcast centroids and probes
+    *      its `nProbe` best — PARTITION PRUNING on the corpus scan
+    *      (dynamic, from the broadcast probe side);
+    *   2. ADC: within probed cells, asymmetric-distance cosine against
+    *      the (id, codes) projection — COLUMN PRUNING keeps the scan
+    *      at m ints/row, the embedding bytes stay on disk;
+    *   3. rerank: the top `rerank` ADC candidates per query re-scored
+    *      by EXACT cosine — the embedding scan is again cell-pruned
+    *      (the shortlist carries its cell), and only |Q|·rerank full
+    *      vectors are ever touched.
+    * `rerank = 0` returns the raw ADC ranking. With `nProbe = nLists`
+    * the result is row-identical to [[pqTopK]] under the stored
+    * codebooks (LlmSpec pins it). */
+  def ivfadcTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexPath: String, k: Int,
+      nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+    val centroids = readCentroids(spark, indexPath)
+    val cbs = readCodebooks(spark, indexPath)
+    val idx = graft.sources.Manifest.read(spark, s"$indexPath/corpus")
+    val codesSide = idx.select(F.col("cell"),
+      F.col("id").as("neighbor_id"), F.col("codes"))
+    val q = queries.select(F.col("id").as("query_id"),
+      F.col("embedding").as("q_emb"),
+      F.explode(probeCells(centroids, nProbe)(F.col("embedding"))).as("cell"))
+    val scored = codesSide.join(F.broadcast(q), Seq("cell"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("pq_cosine", PqAdcCosine(F.col("q_emb"), F.col("codes"), cbs))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("pq_cosine").desc_nulls_last, F.col("neighbor_id").asc)
+    val ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if (rerank <= 0)
+      ranked.filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rnk")
+    else {
+      val shortlist = ranked.filter(F.col("rnk") <= math.max(k, rerank))
+        .select("query_id", "q_emb", "neighbor_id", "cell")
+      val exact = idx.select(F.col("cell"), F.col("id").as("neighbor_id"),
+          F.col("embedding").as("c_emb"))
+        .join(F.broadcast(shortlist), Seq("cell", "neighbor_id"))
+        .withColumn("cosine", CosineSim(F.col("q_emb"), F.col("c_emb")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc_nulls_last, F.col("neighbor_id").asc)
+      exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    }
+  }
+
   /** Filesystem OF the index path (not the default FS) — an index on
     * s3a:// or abfs:// must have exists/rename/delete evaluated there. */
   private def fsFor(spark: org.apache.spark.sql.SparkSession,

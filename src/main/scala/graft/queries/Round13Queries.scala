@@ -234,6 +234,50 @@ object Round13Queries {
              |  FROM t CROSS JOIN b)
              |SELECT doc_id, bench_id, round(cosine, 6) AS cosine
              |FROM s WHERE cosine >= 0.35
-             |ORDER BY doc_id ASC, bench_id ASC""".stripMargin))
+             |ORDER BY doc_id ASC, bench_id ASC""".stripMargin)),
+
+    // IVFADC (Jégou et al. 2011): the materialized index stores PQ
+    // codes PER IVF CELL; a probe is cell-pruned partitions × a
+    // compressed (codes-only) ADC scan × exact rerank — the
+    // configuration that serves 1e9+ vectors. Invariants (the q79/q160
+    // pattern): recall@5 vs brute force clears the nProbe=6 IVF bar,
+    // and the EXHAUSTIVE probe is row-identical to flat pqTopK under
+    // the stored codebooks — the composition changes the scan, never
+    // the math. Shortlist ∝ corpus (10%, floored at 50), the
+    // scale-invariant contract q160 established.
+    NamedQuery("q188_ivfadc",
+      (s, d) => {
+        import graft.llm.Similarity
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val queries = emb.filter(col("id") < 10)
+        val rerank = math.max(50, (emb.count() / 10).toInt)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivfadc_index").toString
+        Similarity.ivfadcBuildIndex(s, emb, path, nLists = 16, m = 16,
+          ksub = 16, seed = 7L)
+        val keys = Seq("query_id", "neighbor_id")
+        val adc = Similarity.ivfadcTopK(s, queries, path, k = 5,
+          nProbe = 6, rerank = rerank).select(keys.head, keys.tail: _*)
+        val exhaustive = Similarity.ivfadcTopK(s, queries, path, k = 5,
+          nProbe = 16, rerank = rerank).select(keys.head, keys.tail: _*)
+        val flat = Similarity.pqTopK(queries, emb, 5, m = 16, ksub = 16,
+            rerank = rerank, codebooks = Similarity.readCodebooks(s, path))
+          .select(keys.head, keys.tail: _*)
+        val brute = Similarity.bruteForceTopK(queries, emb, 5)
+          .select(keys.head, keys.tail: _*)
+        val nExact = brute.agg(F.count(F.lit(1)).as("n_exact"))
+        val hits = brute.join(adc, keys, "left_semi")
+          .agg(F.count(F.lit(1)).as("__h"))
+        val diff = exhaustive.join(flat, keys, "left_anti")
+          .unionByName(flat.join(exhaustive, keys, "left_anti"))
+          .agg(F.count(F.lit(1)).as("__d"))
+        nExact.crossJoin(hits).crossJoin(diff).select(
+          col("n_exact"),
+          (col("__h") >= col("n_exact") * 0.6).as("recall_ok"),
+          (col("__d") === 0).as("matches_pq"))
+      },
+      Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
+             |true AS recall_ok, true AS matches_pq""".stripMargin))
   )
 }

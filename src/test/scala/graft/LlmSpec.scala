@@ -294,6 +294,50 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: cell-pruned compressed probe + exact rerank; exhaustive " +
+      "probe == pqTopK; recall clears the IVF bar") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivfadc_index").toString
+    try {
+      Similarity.ivfadcBuildIndex(spark, emb, path, nLists = 16, m = 8,
+        ksub = 16, seed = 7L)
+      val adc = Similarity.ivfadcTopK(spark, queries, path, k = 5,
+        nProbe = 6, rerank = 64)
+      val got = adc.collect()
+      assert(got.length == 50)
+      // recall vs brute force at the q76 bar
+      val keys = Seq("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(queries, emb, 5)
+        .select(keys.head, keys.tail: _*)
+      val hits = brute.join(adc.select(keys.head, keys.tail: _*), keys, "left_semi").count()
+      assert(hits >= 30, s"IVFADC recall ${hits / 50.0} below 0.6")
+      // exhaustive probe under the STORED codebooks is row-identical to
+      // the flat pqTopK — the composition changes the scan, not the math
+      val cbs = Similarity.readCodebooks(spark, path)
+      val exhaustive = Similarity.ivfadcTopK(spark, queries, path, k = 5,
+        nProbe = 16, rerank = 64).collect().map(_.toString).sorted
+      val flat = Similarity.pqTopK(queries, emb, k = 5, m = 8, ksub = 16,
+        rerank = 64, codebooks = cbs).collect().map(_.toString).sorted
+      assert(exhaustive.nonEmpty && exhaustive.sameElements(flat))
+      // plan shape: BOTH index scans are dynamically cell-pruned, and the
+      // ADC scan reads codes WITHOUT the embedding column (the compressed
+      // scan — raw vector bytes stay on disk until the rerank)
+      val plan = adc.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator
+        .takeWhile(!_.contains("== Initial Plan =="))
+        .filter(l => l.contains("FileScan") && l.contains("corpus")).toSeq
+      assert(scans.size == 2, s"expected ADC + rerank scans, got:\n$plan")
+      assert(scans.forall(_.contains("dynamicpruning")),
+        s"index scan not cell-pruned:\n${scans.mkString("\n")}")
+      val adcScan = scans.find(_.contains("codes"))
+      assert(adcScan.exists(!_.contains("embedding")),
+        s"ADC scan reads raw embeddings:\n${adcScan.getOrElse(plan)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("brute-force topK is exact, k rows per query, self excluded") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
     val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 5).collect()
