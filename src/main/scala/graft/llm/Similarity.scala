@@ -310,7 +310,7 @@ object Similarity {
       nProbe: Int = 4, rerank: Int = 32): DataFrame = {
     val centroids = readCentroids(spark, indexPath)
     val cbs = readCodebooks(spark, indexPath)
-    val idx = graft.sources.Manifest.read(spark, s"$indexPath/corpus")
+    val idx = indexCorpus(spark, indexPath)
     val codesSide = idx.select(F.col("cell"),
       F.col("id").as("neighbor_id"), F.col("codes"))
     val q = queries.select(F.col("id").as("query_id"),

@@ -278,6 +278,67 @@ object Round13Queries {
           (col("__d") === 0).as("matches_pq"))
       },
       Some("""SELECT CAST(50 AS BIGINT) AS n_exact,
-             |true AS recall_ok, true AS matches_pq""".stripMargin))
+             |true AS recall_ok, true AS matches_pq""".stripMargin)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2019): the
+    // corpus-trained LM score cut into head/middle/tail TERCILES
+    // WITHIN each source — the round-13 trigram LM (q185) composed
+    // with per-stratum quantile binning (q184) as one plan. Low
+    // logprob = high perplexity = tail, exactly CCNet's split. The
+    // oracle chains both proven mirrors: re-train the LM, re-cut the
+    // terciles, re-assign every doc.
+    NamedQuery("q189_ccnet_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = graft.llm.LangModel.trigramScore(
+            docs, col("doc_id"), col("text"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        graft.operators.Binning.withStratumQuantileBin(
+            scored, "source", "logprob", n = 3)
+          .withColumn("bucket", F.element_at(
+            F.array(F.lit("tail"), F.lit("middle"), F.lit("head")),
+            col("bin")))
+          .groupBy(col("source"), col("bucket"))
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.round(F.avg(col("logprob")), 6).as("avg_logprob"))
+          .orderBy(col("source").asc, col("bucket").asc)
+      },
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |tri AS MATERIALIZED (
+             |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+             |  FROM t, UNNEST(range(1, len(w) - 1)) AS r(i)
+             |  WHERE len(w) >= 3),
+             |c3 AS MATERIALIZED (
+             |  SELECT a, b, c, count(*) AS cnt3 FROM tri GROUP BY 1, 2, 3),
+             |big AS MATERIALIZED (
+             |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cnt2
+             |  FROM t, UNNEST(range(1, len(w))) AS r(i)
+             |  WHERE len(w) >= 2 GROUP BY 1, 2),
+             |sc AS MATERIALIZED (
+             |  SELECT tri.doc_id,
+             |    round(avg(ln(CAST(c3.cnt3 AS DOUBLE) / ab.cnt2)), 6) AS logprob
+             |  FROM tri
+             |  JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+             |  JOIN big ab ON ab.a = tri.a AND ab.b = tri.b
+             |  GROUP BY tri.doc_id),
+             |ds AS MATERIALIZED (
+             |  SELECT sc.doc_id, sc.logprob, d.source
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |bnd AS (SELECT source,
+             |    quantile_cont(logprob, [0.3333333333333333, 0.6666666666666666]) AS b
+             |  FROM ds GROUP BY source),
+             |a AS (SELECT ds.source, ds.logprob,
+             |    1 + len(list_filter(bnd.b, x -> ds.logprob >= x)) AS bin
+             |  FROM ds JOIN bnd USING (source)),
+             |lab AS (SELECT source, logprob,
+             |    CASE bin WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+             |      ELSE 'head' END AS bucket
+             |  FROM a)
+             |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(avg(logprob), 6) AS avg_logprob
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY source ASC, bucket ASC""".stripMargin))
   )
 }

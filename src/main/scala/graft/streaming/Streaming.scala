@@ -291,6 +291,35 @@ object Streaming {
       }
       .start()
 
+  /** LIVE IVFADC-index maintenance — [[maintainIvfIndex]] for the
+    * compressed index: arriving (id, embedding) rows are cell-assigned
+    * under the STORED centroids AND PQ-encoded under the STORED
+    * codebooks (both row-local — an arrival gets exactly the cell and
+    * codes a full rebuild would give it), landing as idempotent
+    * `delta/batch=<id>/` overwrites partitioned by cell.
+    * [[graft.llm.Similarity.ivfadcTopK]] serves base+deltas with cell
+    * pruning and the compressed scan intact (deltas carry their codes);
+    * [[graft.llm.Similarity.ivfCompactIndex]] folds deltas into the
+    * next manifest snapshot unchanged — the folded frame simply keeps
+    * its codes column. Codebook drift under a shifting distribution is
+    * the same gradual-recall story as centroid drift: the periodic
+    * batch rebuild is the retrain path. */
+  def maintainIvfAdcIndex(arrivals: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = arrivals.sparkSession
+    val centroids = graft.llm.Similarity.readCentroids(spark, indexPath)
+    val cbs = graft.llm.Similarity.readCodebooks(spark, indexPath)
+    graft.llm.Similarity.assignCells(arrivals, centroids)
+      .withColumn("codes", graft.functions.PqEncode(F.col("embedding"), cbs))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/delta/batch=$batchId")
+      }
+      .start()
+  }
+
   /** [[screenArrivals]] WITH live index maintenance — the gate's
     * feedback loop closed: each micro-batch screens against the base
     * band index PLUS every previously-admitted arrival's bands
@@ -391,12 +420,16 @@ object Streaming {
     * watermark, no join), so the per-batch union trivially EQUALS the
     * one-shot batch scrub (the spec asserts it); idempotent per-batch
     * overwrite like the other gates. */
-  def scrubArrivals(docs: DataFrame, outDir: String, checkpoint: String)
+  def scrubArrivals(docs: DataFrame, outDir: String, checkpoint: String,
+      widened: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Pii.scrub(batch, F.col("doc_id"), F.col("text"))
+        // widened = the full round-13 pattern set (intl phone/SSN/IBAN
+        // beside the v1 trio) — same zero-state row-local contract
+        (if (widened) graft.llm.Pii.scrubAll(batch, F.col("doc_id"), F.col("text"))
+         else graft.llm.Pii.scrub(batch, F.col("doc_id"), F.col("text")))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()

@@ -549,6 +549,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.nonEmpty && after.sameElements(before))
   }
 
+  test("live IVFADC maintenance: arrivals take the stored model's cells and " +
+      "codes; exhaustive serve == flat pqTopK over the grown corpus; " +
+      "compaction preserves the serve") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfadc_ckpt").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.ivfadcBuildIndex(spark, emb.filter(col("id") < 400), dir,
+      nLists = 8, m = 8, ksub = 16)
+    val q = Streaming.maintainIvfAdcIndex(
+      Streaming.embeddingsStream(spark, sf).filter(col("vec_id") >= 400)
+        .select(col("vec_id").as("id"), col("embedding")),
+      dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // every arrival exactly once, with the cell AND codes a rebuild
+    // under the stored centroids + codebooks would assign
+    val centroids = Similarity.readCentroids(spark, dir)
+    val cbs = Similarity.readCodebooks(spark, dir)
+    val delta = spark.read.parquet(s"$dir/delta")
+      .select("id", "cell", "codes").collect().map(_.toString).sorted
+    val expected = Similarity.assignCells(emb.filter(col("id") >= 400), centroids)
+      .withColumn("codes", graft.functions.PqEncode(col("embedding"), cbs))
+      .select("id", "cell", "codes").collect().map(_.toString).sorted
+    assert(delta.nonEmpty && delta.sameElements(expected))
+    // exhaustive probe over the LIVE index == flat pqTopK over the grown
+    // corpus under the stored codebooks — delta rows are first-class in
+    // the compressed scan, not just carried
+    val queries = emb.filter(col("id") < 10)
+    def served = batchRows(Similarity.ivfadcTopK(spark, queries, dir,
+      k = 5, nProbe = 8, rerank = 64))
+    val flat = batchRows(Similarity.pqTopK(queries, emb, 5, m = 8,
+      ksub = 16, rerank = 64, codebooks = cbs))
+    val beforeCompact = served
+    assert(beforeCompact.sameElements(flat))
+    assert(Similarity.ivfadcTopK(spark, queries, dir, 5, nProbe = 8, rerank = 64)
+      .filter(col("neighbor_id") >= 400).count() >= 1)
+    // compaction folds the coded deltas into the next snapshot unchanged
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
+    assert(served.sameElements(flat))
+  }
+
   test("live decontamination: per-batch keep-lists union to the batch keep-list") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
