@@ -59,9 +59,12 @@ object Scale {
     * replicas per sf0.1 vector, noise sized so a replica is NOT a
     * near-dup of its original (cos ≈ 0.34) nor of its siblings (≈ 0.1):
     * the corpus grows without manufacturing near-dup structure the
-    * operator would rightly pay output-linear work for. Documents
-    * queries keep the native ladder (docs already span 100× and none
-    * sits in the review class). */
+    * operator would rightly pay output-linear work for. `docs_40000`
+    * is the same idea for the text family: 8× sf0.1 documents, copies
+    * 1–7 token-salted (`word` → `word_c<copy>`) so no shingle ever
+    * matches across copies — per-copy dup structure mirrors the
+    * original corpus, cross-copy Jaccard is 0, and banded-join
+    * candidate counts grow linearly with the corpus. */
   def main(args: Array[String]): Unit = {
     val filters = args.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
     val repeats = args.drop(1).headOption.map(_.toInt).getOrElse(2)
@@ -86,7 +89,9 @@ object Scale {
             if (scanned.contains(t)) Some(t) else acc
           }.getOrElse("none") // `growing` is ordered smallest-last driver priority
           val points: Seq[(String, String)] = driver match {
-            case "documents" => docSizes.map(n => s"docs_$n" -> s"$synthRoot/docs_$n")
+            case "documents" =>
+              val sizes = if (big) Seq(1581L, 5000L, 40000L) else docSizes
+              sizes.map(n => s"docs_$n" -> s"$synthRoot/docs_$n")
             case "embeddings" =>
               val sizes = if (big) Seq(632L, 2000L, 16000L) else embSizes
               sizes.map(n => s"emb_$n" -> s"$synthRoot/emb_$n")
@@ -250,6 +255,38 @@ object Scale {
         .drop("__copy", "__norm")
       out.write.mode("overwrite").parquet(embDir.resolve("embeddings.parquet").toString)
       Files.createFile(embDir.resolve("_READY"))
+    }
+
+    val docDir = Paths.get(s"$synthRoot/docs_40000")
+    if (!Files.exists(docDir.resolve("_READY"))) {
+      reset(docDir)
+      val src = Paths.get(s"$testRoot/sf0.01")
+      Files.list(src).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, docDir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.deleteIfExists(docDir.resolve("documents.parquet"))
+      val docs = spark.read.parquet(s"$testRoot/sf0.1/documents.parquet")
+      val docShift = docs.agg(F.max("doc_id")).head.getLong(0) + 1
+      // copy 0 stays byte-identical (ladders nest); copies 1-7 salt
+      // EVERY whitespace token with the copy number, so shingles never
+      // match across copies: per-copy near-dup structure mirrors the
+      // original corpus and cross-copy Jaccard is exactly 0 — the
+      // corpus grows 8× without manufacturing pair output
+      val salted = F.when(F.col("__copy") === 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", F.transform(
+          F.split(F.col("text"), "\\s+"),
+          w => F.concat(w, F.lit("_c"), F.col("__copy")))))
+      val outDocs = copies(docs)
+        .withColumn("text", salted)
+        .withColumn("n_chars", F.when(F.col("__copy") === 0,
+          F.col("n_chars")).otherwise(F.length(F.col("text"))))
+        .withColumn("doc_id", shifted("doc_id", docShift))
+        .drop("__copy")
+      outDocs.write.mode("overwrite")
+        .parquet(docDir.resolve("documents.parquet").toString)
+      Files.createFile(docDir.resolve("_READY"))
     }
   }
 }

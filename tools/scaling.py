@@ -42,7 +42,13 @@ ALLOW = {
     "q54_jaccard_pairs":
         "exact all-pairs Jaccard verifier -- documented small-corpus "
         "oracle anchor (llm/Dedup scaladoc); the scale path is the "
-        "banded variant proven by q51/q77/q82",
+        "banded variant proven by q51/q82/q88",
+    "q77_neardup_subset":
+        "LSH-subset-of-exact invariant: recomputes the exact all-pairs "
+        "cosine truth set (q65's verifier) to prove the bucket join "
+        "only prunes, so the quadratic term IS the verifier by "
+        "construction (r13 big ladder: exact side dominates at 16k "
+        "vectors); the shipped LSH path's own ladder is q58/q59/q88",
     "q65_cosine_neardup_exact":
         "exact all-pairs cosine verifier -- documented small-corpus "
         "oracle anchor (llm/Similarity.scala:307-318); the scale path "
@@ -190,7 +196,9 @@ def main():
         "and large points. Queries whose native-ladder fit was "
         "review-class (mid-point delta under the timer noise floor) are "
         "re-measured on the big ladder -- sf0.01 -> sf0.1 -> "
-        "8x-replicated sfbig / emb_16000 (Scale.prepareBigDirs) -- so "
+        "8x-replicated sfbig / emb_16000 / docs_40000 "
+        "(Scale.prepareBigDirs; replicas key-shifted and salted so no "
+        "cross-copy near-dup or join structure is manufactured) -- so "
         "the exponent becomes identifiable; the rows column shows each "
         "query's actual ladder. Class counts: " +
         ", ".join("%s=%d" % kv for kv in sorted(classes.items())) + ".")
