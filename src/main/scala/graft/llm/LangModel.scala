@@ -235,6 +235,106 @@ object LangModel {
   def trigramScore(docs: DataFrame, id: Column, text: Column): DataFrame =
     trigramScoreAgainst(trainTrigramModel(docs, id, text), docs, id, text)
 
+  // ---- interpolated Kneser-Ney trigram scoring ----------------------
+
+  /** Absolute discount (Ney, Essen & Kneser 1994's D; Chen & Goodman
+    * 1998 §3 fixed-discount variant). A shared literal on engine and
+    * oracle sides — the same 1-ulp discipline as [[Alpha2]]. */
+  private val KnD = 0.75
+
+  /** Score documents against a trained trigram model with INTERPOLATED
+    * KNESER-NEY smoothing (Kneser & Ney 1995; the fixed-discount
+    * formulation of Chen & Goodman 1998): per trigram position
+    * (a, b, c),
+    *   P₃ = max(C(a,b,c) − D, 0)/C(a,b·) + D·N₁₊(a,b,·)/C(a,b·) · P₂
+    *   P₂ = max(N₁₊(·,b,c) − D, 0)/N₁₊(·,b,·)
+    *        + D·N₁₊(b,·)/N₁₊(·,b,·) · P₁
+    *   P₁ = (N₁₊(·,·,c) + 1) / (N₁₊(·,·,·) + |V|)
+    * with D = 0.75, every count derived from the TRIGRAM type table
+    * (so the distribution telescopes exactly), an unseen (a,b) or (b)
+    * context falling through to the next order entirely (λ = 1), and
+    * the unigram base add-one-smoothed over continuation types so OOV
+    * tokens stay finite under ln — the same floor move as the stupid-
+    * backoff base. Per doc, the average ln P₃, rounded to 6 dp.
+    *
+    * Unlike stupid backoff — where on the training corpus only the
+    * first branch ever fires — interpolation mixes ALL three orders
+    * into every position, so even the self-score face exercises the
+    * full formula; held-out scoring additionally exercises the
+    * unseen-context fallthroughs.
+    *
+    * Scale shape: the four continuation tables are aggregations over
+    * the DISTINCT-trigram table (rows ∝ distinct grams, never the
+    * corpus); scoring left-joins the doc trigrams to five count tables
+    * on their gram keys plus two broadcast 1-row totals, then one
+    * per-doc aggregation — the [[trigramScoreAgainst]] plan with
+    * continuation counts in place of raw counts. */
+  def kneserNeyScoreAgainst(model: TrigramModel, docs: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val tri = docTrigrams(docs, id, text)
+    // context totals + distinct-successor counts: each c3 row IS a
+    // distinct (a,b,c) type, so count(*) per (a,b) = N1+(a,b,·)
+    val ctx = model.trigrams.groupBy("a", "b").agg(
+      F.sum("cnt3").cast("double").as("ctx2"),
+      F.count(F.lit(1)).cast("double").as("n1p_ab"))
+    // continuation counts: N1+(·,b,c) = distinct predecessors of (b,c)
+    val cbc = model.trigrams.groupBy("b", "c")
+      .agg(F.count(F.lit(1)).cast("double").as("cont_bc"))
+    val cb = cbc.groupBy("b").agg(
+      F.sum("cont_bc").as("cont_b"),
+      F.count(F.lit(1)).cast("double").as("n1p_b"))
+    val cc = cbc.groupBy("c")
+      .agg(F.count(F.lit(1)).cast("double").as("cont_c"))
+    val ctot = cbc.agg(F.count(F.lit(1)).cast("double").as("cont_tot"))
+    val p1 = (F.coalesce(F.col("cont_c"), F.lit(0.0)) + 1.0) /
+      (F.col("cont_tot") + F.col("n_vocab"))
+    val p2 = F.when(F.col("cont_b").isNotNull,
+      F.greatest(F.coalesce(F.col("cont_bc"), F.lit(0.0)) - KnD, F.lit(0.0)) /
+        F.col("cont_b") +
+        F.lit(KnD) * F.col("n1p_b") / F.col("cont_b") * p1).otherwise(p1)
+    val p3 = F.when(F.col("ctx2").isNotNull,
+      F.greatest(F.coalesce(F.col("cnt3"), F.lit(0.0)).cast("double") - KnD,
+        F.lit(0.0)) / F.col("ctx2") +
+        F.lit(KnD) * F.col("n1p_ab") / F.col("ctx2") * p2).otherwise(p2)
+    tri.join(model.trigrams, Seq("a", "b", "c"), "left")
+      .join(ctx, Seq("a", "b"), "left")
+      .join(cbc, Seq("b", "c"), "left")
+      .join(cb, Seq("b"), "left")
+      .join(cc, Seq("c"), "left")
+      .crossJoin(ctot)
+      .crossJoin(model.totals.select(F.col("n_vocab")))
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).cast("int").as("n_trigrams"),
+        F.round(F.avg(F.log(p3)), 6).as("logprob"))
+  }
+
+  /** Self-scoring convenience: train on the corpus, score the same
+    * corpus under interpolated KN. */
+  def kneserNeyScore(docs: DataFrame, id: Column, text: Column): DataFrame =
+    kneserNeyScoreAgainst(trainTrigramModel(docs, id, text), docs, id, text)
+
+  /** Persist a trained trigram model as four parquet tables — the
+    * stored form the live perplexity gate
+    * ([[graft.streaming.Streaming.scoreArrivals]]) serves from. The
+    * model is distributed tables (rows ∝ distinct grams), so the store
+    * is a normal partitioned write, not a driver-side artifact. */
+  def writeTrigramModel(model: TrigramModel, path: String): Unit = {
+    model.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    model.totals.write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Re-open a [[writeTrigramModel]] store. */
+  def readTrigramModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): TrigramModel =
+    TrigramModel(
+      spark.read.parquet(s"$path/trigrams"),
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/totals"))
+
   /** Self-scoring convenience (the q137 gate): train on the corpus and
     * score the same corpus. The shared bigram table is persisted
     * (memory-with-disk-spill) so the lineage — tokenize + explode over

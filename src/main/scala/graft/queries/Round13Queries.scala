@@ -339,6 +339,106 @@ object Round13Queries {
              |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
              |  round(avg(logprob), 6) AS avg_logprob
              |FROM lab GROUP BY 1, 2
-             |ORDER BY source ASC, bucket ASC""".stripMargin))
+             |ORDER BY source ASC, bucket ASC""".stripMargin)),
+
+    // Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1998
+    // fixed-discount) — the continuation-count upgrade of the q185
+    // trigram gate. Unlike stupid backoff, interpolation mixes all
+    // three orders into EVERY position, so even this self-score face
+    // exercises the full formula (discount, λ weights, continuation
+    // unigram). The oracle re-derives every continuation table from
+    // the re-trained trigram type table and replays the three-level
+    // interpolation expression for expression.
+    NamedQuery("q190_kneser_ney",
+      (s, d) => graft.llm.LangModel.kneserNeyScore(
+          Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc),
+      Some(knOracleSql(split = false))),
+
+    // Held-out Kneser-Ney: train on every source except src0, score
+    // src0 — the unseen-trigram discount floor, unseen-context λ = 1
+    // fallthroughs, and the OOV continuation-unigram floor all under
+    // fire. Same re-train oracle over the split corpus.
+    NamedQuery("q191_kn_heldout",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.llm.LangModel.trainTrigramModel(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"))
+        graft.llm.LangModel.kneserNeyScoreAgainst(
+            model, docs.filter(col("source") === "src0"),
+            col("doc_id"), col("text"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some(knOracleSql(split = true)))
   )
+
+  /** The interpolated-KN oracle, shared between the self-score and
+    * held-out faces: re-tokenize, re-train the trigram type table,
+    * re-derive all four continuation tables, replay
+    *   P3 = max(cnt3−D,0)/ctx2 + D·n1p_ab/ctx2 · P2
+    *   P2 = max(cont_bc−D,0)/cont_b + D·n1p_b/cont_b · P1
+    *   P1 = (cont_c+1)/(cont_tot+|V|)
+    * with D = 0.75 and unseen contexts falling through (λ = 1) —
+    * the exact expression shapes of LangModel.kneserNeyScoreAgainst,
+    * stepwise so each level is written once. */
+  private def knOracleSql(split: Boolean): String = {
+    val (trainWhere, scoreWhere) =
+      if (split) (" WHERE source <> 'src0'", " WHERE source = 'src0'")
+      else ("", "")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |tr AS MATERIALIZED (SELECT * FROM t$trainWhere),
+       |te AS MATERIALIZED (SELECT * FROM t$scoreWhere),
+       |c3 AS MATERIALIZED (
+       |  SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c, count(*) AS cnt3
+       |  FROM tr, UNNEST(range(1, len(w) - 1)) AS r(i)
+       |  WHERE len(w) >= 3 GROUP BY 1, 2, 3),
+       |ctx AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(cnt3) AS DOUBLE) AS ctx2,
+       |    CAST(count(*) AS DOUBLE) AS n1p_ab
+       |  FROM c3 GROUP BY 1, 2),
+       |cbc AS MATERIALIZED (
+       |  SELECT b, c, CAST(count(*) AS DOUBLE) AS cont_bc
+       |  FROM c3 GROUP BY 1, 2),
+       |cb AS MATERIALIZED (
+       |  SELECT b, sum(cont_bc) AS cont_b,
+       |    CAST(count(*) AS DOUBLE) AS n1p_b
+       |  FROM cbc GROUP BY 1),
+       |cc AS MATERIALIZED (
+       |  SELECT c, CAST(count(*) AS DOUBLE) AS cont_c FROM cbc GROUP BY 1),
+       |ctot AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS cont_tot FROM cbc),
+       |voc AS MATERIALIZED (
+       |  SELECT CAST(count(DISTINCT wd) AS DOUBLE) AS n_vocab
+       |  FROM (SELECT unnest(w) AS wd FROM tr)),
+       |tri AS MATERIALIZED (
+       |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+       |  FROM te, UNNEST(range(1, len(w) - 1)) AS r(i)
+       |  WHERE len(w) >= 3),
+       |j AS (
+       |  SELECT tri.doc_id, c3.cnt3, ctx.ctx2, ctx.n1p_ab, cbc.cont_bc,
+       |    cb.cont_b, cb.n1p_b, cc.cont_c, ctot.cont_tot, voc.n_vocab
+       |  FROM tri
+       |  LEFT JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+       |  LEFT JOIN ctx ON ctx.a = tri.a AND ctx.b = tri.b
+       |  LEFT JOIN cbc ON cbc.b = tri.b AND cbc.c = tri.c
+       |  LEFT JOIN cb ON cb.b = tri.b
+       |  LEFT JOIN cc ON cc.c = tri.c
+       |  CROSS JOIN ctot CROSS JOIN voc),
+       |s1 AS (SELECT *,
+       |  (coalesce(cont_c, 0.0) + 1.0) / (cont_tot + n_vocab) AS p1 FROM j),
+       |s2 AS (SELECT *, CASE WHEN cont_b IS NOT NULL THEN
+       |    greatest(coalesce(cont_bc, 0.0) - 0.75, 0.0) / cont_b +
+       |    0.75 * n1p_b / cont_b * p1
+       |  ELSE p1 END AS p2 FROM s1),
+       |s3 AS (SELECT *, CASE WHEN ctx2 IS NOT NULL THEN
+       |    greatest(CAST(coalesce(cnt3, 0) AS DOUBLE) - 0.75, 0.0) / ctx2 +
+       |    0.75 * n1p_ab / ctx2 * p2
+       |  ELSE p2 END AS p3 FROM s2)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_trigrams,
+       |  round(avg(ln(p3)), 6) AS logprob
+       |FROM s3 GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
 }

@@ -434,6 +434,35 @@ object Streaming {
       }
       .start()
 
+  /** LIVE perplexity gate — the CCNet-style quality filter at ingest:
+    * every arriving doc is scored under a STORED trigram model
+    * ([[graft.llm.LangModel.readTrigramModel]] — trained offline on the
+    * curated corpus, the production split of q189's train-and-bucket).
+    * Interpolated Kneser-Ney by default, stupid backoff when
+    * `kneserNey = false`. The model tables are plain DataFrames read
+    * once outside the stream and re-joined per batch (count tables ∝
+    * distinct grams — broadcast-or-shuffle is Catalyst's call per
+    * batch); a doc's score depends only on the doc and the FROZEN
+    * model, so there is zero streaming state and the per-batch union
+    * trivially equals the one-shot batch scoring (the spec asserts
+    * it). Retraining under drift is the same periodic-rebuild story as
+    * the index gates. Idempotent per-batch overwrite. */
+  def scoreArrivals(docs: DataFrame, model: graft.llm.LangModel.TrigramModel,
+      outDir: String, checkpoint: String, kneserNey: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        (if (kneserNey)
+          graft.llm.LangModel.kneserNeyScoreAgainst(
+            model, batch, F.col("doc_id"), F.col("text"))
+        else
+          graft.llm.LangModel.trigramScoreAgainst(
+            model, batch, F.col("doc_id"), F.col("text")))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)

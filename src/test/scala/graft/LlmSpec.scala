@@ -484,6 +484,39 @@ class LlmSpec extends AnyFunSuite {
     assert(a == b && a.values.forall(_ < 0))
   }
 
+  test("Kneser-Ney: hand-computed interpolation, unseen-context fallthrough, OOV floor") {
+    import graft.llm.LangModel
+    import spark.implicits._
+    // corpus: "a b c" x2, "a b d", "x y" (vocab only — no trigram)
+    val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    // trigram types: (a,b,c) cnt3=2, (a,b,d) cnt3=1
+    //   ctx(a,b) = 3, N1+(a,b,·) = 2
+    //   cont(b,c) = cont(b,d) = 1;  cont(b) = 2, N1+(b,·) = 2
+    //   cont(c) = cont(d) = 1;  cont_tot = 2;  |V| = 6
+    val p1 = (1.0 + 1.0) / (2.0 + 6.0)                  // seen continuation
+    val p2 = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p1
+    val p3c = math.max(2.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2
+    val p3d = math.max(1.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val self = LangModel.kneserNeyScore(corpus, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(self.keySet == Set(1L, 2L, 3L), "doc 4 has no trigram to score")
+    assert(self(1L) == ((1, r6(math.log(p3c)))) && self(2L) == self(1L))
+    assert(self(3L) == ((1, r6(math.log(p3d)))))
+    assert(self(1L)._2 > self(3L)._2, "the repeated trigram outscores the one-off")
+    // held-out: unseen (q,b) context falls through to P2 entirely;
+    // an all-unseen trigram bottoms out at the OOV continuation floor
+    val model = LangModel.trainTrigramModel(corpus, $"doc_id", $"text")
+    val held = Seq((5L, "q b c"), (6L, "q r s")).toDF("doc_id", "text")
+    val out = LangModel.kneserNeyScoreAgainst(model, held, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(5L) == r6(math.log(p2)), "unseen context = pure backoff to P2")
+    val oovFloor = (0.0 + 1.0) / (2.0 + 6.0)
+    assert(out(6L) == r6(math.log(oovFloor)), "all-unseen bottoms at the P1 floor")
+    assert(out.values.forall(v => v < 0 && !v.isNaN && !v.isInfinite))
+  }
+
   test("chunking: coverage, overlap continuity, short docs, arg validation") {
     import graft.llm.TextAnalysis
     import spark.implicits._

@@ -671,6 +671,66 @@ class StreamingSpec extends AnyFunSuite {
       == spark.read.parquet(out).count())
   }
 
+  test("live perplexity gate: arrivals scored under the stored KN model == batch") {
+    import graft.llm.LangModel
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_store").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lm_ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    // offline: train on the curated corpus (everything but src0), store
+    LangModel.writeTrigramModel(LangModel.trainTrigramModel(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text")), store)
+    val stored = LangModel.readTrigramModel(spark, store)
+    // live: score arriving src0 docs under the FROZEN stored model
+    val q = Streaming.scoreArrivals(
+      Streaming.documentsStream(spark, sf).filter(col("source") === "src0"),
+      stored, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(out)
+      .select("doc_id", "n_trigrams", "logprob")
+      .collect().map(_.toString).sorted
+    val batch = LangModel.kneserNeyScoreAgainst(stored,
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+      .select("doc_id", "n_trigrams", "logprob")
+      .collect().map(_.toString).sorted
+    assert(live.nonEmpty && live.sameElements(batch))
+    // and the stored-model round trip didn't perturb a single score:
+    // the same split scored under the in-memory model is identical
+    val direct = LangModel.kneserNeyScoreAgainst(
+        LangModel.trainTrigramModel(
+          docs.filter(col("source") =!= "src0"), col("doc_id"), col("text")),
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+      .select("doc_id", "n_trigrams", "logprob")
+      .collect().map(_.toString).sorted
+    assert(batch.sameElements(direct))
+  }
+
+  test("widened live scrub runs the full round-13 pattern set") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val out = java.nio.file.Files.createTempDirectory("graft_piiw_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_piiw_ckpt").toString
+    // plant an IBAN — only the widened pattern set catches it
+    def withIban(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", concat(col("text"),
+        lit(" iban GB29NWBK6016"),
+        org.apache.spark.sql.functions.lpad(
+          (col("doc_id") % 100000000).cast("string"), 8, "0")))
+    val q = Streaming.scrubArrivals(
+      withIban(Streaming.documentsStream(spark, sf)), out, ckpt, widened = true)
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.read.parquet(out)
+      .select("doc_id", "n_iban", "has_pii", "text_redacted")
+      .collect().map(_.toString).sorted
+    val batch = graft.llm.Pii.scrubAll(
+        withIban(Tables.documents(spark, sf)), col("doc_id"), col("text"))
+      .select("doc_id", "n_iban", "has_pii", "text_redacted")
+      .collect().map(_.toString).sorted
+    assert(live.nonEmpty && live.sameElements(batch))
+    assert(spark.read.parquet(out).filter(col("n_iban") >= 1).count()
+      == spark.read.parquet(out).count())
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
