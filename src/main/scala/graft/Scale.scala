@@ -43,6 +43,16 @@ object Scale {
   private val growing = Seq("lineitem", "orders", "events", "customer",
     "supplier", "part", "documents", "embeddings")
 
+  /** Queries whose analyzed plan hides the scan from [[scannedTables]]
+    * (localCheckpoint truncation, driver-held GD loops that collect
+    * between lineage segments — the q150/q168 pattern): their driver
+    * table declared by hand so the fitter gets a real ladder instead
+    * of the unfittable driver=none row. */
+  private val driverHints = Map(
+    "q150_neardup_clusters" -> "documents",
+    "q168_bpe_merges" -> "documents",
+    "q174_quality_classifier" -> "documents")
+
   // subsample sizes for the constant-at-small-sf tables; smallest ≈ the
   // overhead floor, mid/full a √10 ratio for the exponent fit
   private val docSizes = Seq(50L, 1581L, 5000L)
@@ -85,9 +95,10 @@ object Scale {
       .foreach { case (name, fn) =>
         try {
           val scanned = scannedTables(fn(spark, s"$testRoot/sf0.01"))
-          val driver = growing.reverse.foldLeft(Option.empty[String]) { (acc, t) =>
-            if (scanned.contains(t)) Some(t) else acc
-          }.getOrElse("none") // `growing` is ordered smallest-last driver priority
+          val driver = driverHints.getOrElse(name,
+            growing.reverse.foldLeft(Option.empty[String]) { (acc, t) =>
+              if (scanned.contains(t)) Some(t) else acc
+            }.getOrElse("none")) // `growing` is ordered smallest-last driver priority
           val points: Seq[(String, String)] = driver match {
             case "documents" =>
               val sizes = if (big) Seq(1581L, 5000L, 40000L) else docSizes

@@ -198,6 +198,68 @@ object TextAnalysis {
   def md5Fingerprint(text: Column): Column =
     F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
 
+  // ---- C4 line-level cleanup (Raffel et al. 2020, arXiv 1910.10683 §2.2)
+
+  /** The C4 line-keep predicate: a line survives iff it ends in
+    * terminal punctuation, has at least five whitespace words, and
+    * does not mention javascript (case-insensitive). Row-local — a
+    * higher-order `filter` over the split lines, map-only at any SF. */
+  def c4LineKeep(line: Column): Column =
+    F.trim(line).rlike("[.!?]$") &&
+      F.size(F.split(F.trim(line), "\\s+")) >= 5 &&
+      !F.lower(line).contains("javascript")
+
+  /** C4-style cleanup as one map-only projection: per document, the
+    * line counts before/after the line filter, the page-level keep
+    * verdict (≥3 surviving lines, no "lorem ipsum", no curly brace —
+    * the C4 page rules), and the cleaned text (surviving lines
+    * re-joined). Zero shuffles: every rule is a function of the one
+    * row. */
+  def c4Clean(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val lines = F.split(textCol, "\n")
+    val kept = F.filter(lines, l => c4LineKeep(l))
+    docs.select(
+      idCol.as("doc_id"),
+      F.size(lines).as("n_lines"),
+      F.size(kept).as("n_kept"),
+      (F.size(kept) >= 3 &&
+        !F.lower(textCol).contains("lorem ipsum") &&
+        !textCol.contains("{")).as("kept_doc"),
+      F.array_join(kept, "\n").as("text_clean"))
+  }
+
+  // ---- tf-idf term weighting ---------------------------------------
+
+  /** Per-document top-k terms by tf-idf (the smooth-idf formulation:
+    * idf = ln((1+N)/(1+df)) + 1, so corpus-universal terms still get
+    * weight 1·tf and nothing divides by zero). Scale shape: one hash
+    * aggregation to (doc, term) counts — shuffle ∝ distinct doc-term
+    * pairs, map-side combined — then document frequency DERIVED from
+    * those rows (never a second corpus scan), a join back on `term`,
+    * the broadcast 1-row corpus size, and a per-doc top-k window.
+    * Ties break on the ROUNDED score then term, so the ranking is
+    * identical across engines. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"tfIdfTopTerms needs k >= 1, got $k")
+    val tf = docs.select(idCol.as("doc_id"),
+        F.explode(Dedup.tokens(F.lower(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    // each tf row IS a distinct (doc, term) pair: count per term = df
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val n = docs.agg(F.count(F.lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(F.col("score").desc, F.col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(n)
+      .withColumn("score", F.round(F.col("tf") *
+        (F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) +
+          1.0), 6))
+      .withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
   /** One-stop profile projection for a documents table. */
   def profile(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(

@@ -369,7 +369,94 @@ object Round13Queries {
             col("doc_id"), col("text"))
           .orderBy(col("doc_id").asc)
       },
-      Some(knOracleSql(split = true)))
+      Some(knOracleSql(split = true))),
+
+    // tf-idf (smooth-idf: ln((1+N)/(1+df))+1): per doc the top-3 terms.
+    // DF is derived from the distinct (doc, term) rows — never a second
+    // corpus scan — and the ranking ties break on (rounded score, term)
+    // so both engines produce the identical top-k.
+    NamedQuery("q192_tfidf_terms",
+      (s, d) => graft.llm.TextAnalysis.tfIdfTopTerms(
+          Tables.documents(s, d), col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id").asc, col("rnk").asc),
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dfreq AS MATERIALIZED (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0),
+             |      6) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+             |  FROM s)
+             |SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id ASC, rnk ASC""".stripMargin)),
+
+    // C4 cleanup (Raffel et al. 2020 §2.2): line rules (terminal
+    // punctuation, ≥5 words, no javascript) + page rules (≥3 kept
+    // lines, no lorem ipsum, no curly brace). The fixture text is
+    // single-line word soup, so the query PLANTS a deterministic
+    // 5-line page per doc (the q183 discipline) that exercises every
+    // rule: docs ≡0 mod 3 lose their middle line to the javascript
+    // rule (→ 2 kept → page dropped), ≡0 mod 7 carry lorem ipsum,
+    // ≡0 mod 11 a brace line. The md5 of the cleaned text pins every
+    // kept line and the join order.
+    NamedQuery("q193_c4_clean",
+      (s, d) => {
+        val planted = F.concat(
+          F.lit("This document number "), col("doc_id").cast("string"),
+          F.lit(" begins with a proper sentence.\n"),
+          F.lit("too short.\n"),
+          F.when(col("doc_id") % 3 === 0,
+              F.lit("this line mentions javascript and still ends properly.\n"))
+            .otherwise(F.lit("a perfectly ordinary middle sentence appears here.\n")),
+          F.lit("no terminal punctuation on this line\n"),
+          F.lit("the closing sentence of document "), col("doc_id").cast("string"),
+          F.when(col("doc_id") % 7 === 0,
+              F.lit(" wraps things up with lorem ipsum."))
+            .otherwise(F.lit(" wraps things up.")),
+          F.when(col("doc_id") % 11 === 0,
+            F.lit("\nbrace { inside.")).otherwise(F.lit("")))
+        graft.llm.TextAnalysis.c4Clean(
+            Tables.documents(s, d).withColumn("text", planted),
+            col("doc_id"), col("text"))
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("kept_doc"), F.md5(col("text_clean")).as("clean_md5"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""WITH aug AS MATERIALIZED (SELECT doc_id,
+             |  'This document number ' || CAST(doc_id AS VARCHAR) ||
+             |  ' begins with a proper sentence.' || chr(10) ||
+             |  'too short.' || chr(10) ||
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN 'this line mentions javascript and still ends properly.'
+             |    ELSE 'a perfectly ordinary middle sentence appears here.'
+             |  END || chr(10) ||
+             |  'no terminal punctuation on this line' || chr(10) ||
+             |  'the closing sentence of document ' || CAST(doc_id AS VARCHAR) ||
+             |  CASE WHEN doc_id % 7 = 0 THEN ' wraps things up with lorem ipsum.'
+             |    ELSE ' wraps things up.' END ||
+             |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'brace { inside.'
+             |    ELSE '' END AS t
+             |  FROM documents),
+             |k AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+             |    list_filter(string_split(t, chr(10)), x ->
+             |      regexp_matches(trim(x), '[.!?]$')
+             |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+             |      AND NOT contains(lower(x), 'javascript')) AS kept
+             |  FROM aug)
+             |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+             |  CAST(len(kept) AS INT) AS n_kept,
+             |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             |    AND NOT contains(t, '{')) AS kept_doc,
+             |  md5(array_to_string(kept, chr(10))) AS clean_md5
+             |FROM k ORDER BY doc_id ASC""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

@@ -517,6 +517,59 @@ class LlmSpec extends AnyFunSuite {
     assert(out.values.forall(v => v < 0 && !v.isNaN && !v.isInfinite))
   }
 
+  test("C4 clean: every line and page rule on a hand-built fixture") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good lines + 2 bad (short; no punct) → kept page
+      (1L, "a proper sentence with enough words.\nshort one.\n" +
+        "another qualifying sentence sits right here!\nno punct on this longer line here\n" +
+        "a third and final proper sentence?"),
+      // javascript line dies → only 2 kept → page dropped
+      (2L, "a proper sentence with enough words.\n" +
+        "this one mentions JavaScript and still ends fine.\n" +
+        "a second proper sentence is not enough."),
+      // 3 kept lines but lorem ipsum → page dropped
+      (3L, "a proper sentence with enough words.\nlorem ipsum dolor sit amet here.\n" +
+        "a third and final proper sentence?"),
+      // 3 kept lines but a brace → page dropped
+      (4L, "a proper sentence with enough words.\nbraces like { are code markers okay.\n" +
+        "a third and final proper sentence?")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 5 && out(1L)._2 == 3 && out(1L)._3)
+    assert(out(1L)._4 == "a proper sentence with enough words.\n" +
+      "another qualifying sentence sits right here!\na third and final proper sentence?")
+    assert(out(2L) == ((3, 2, false, "a proper sentence with enough words.\n" +
+      "a second proper sentence is not enough.")))
+    assert(out(3L)._2 == 3 && !out(3L)._3, "lorem ipsum drops the page, not the line")
+    assert(out(4L)._2 == 3 && !out(4L)._3, "a brace anywhere drops the page")
+  }
+
+  test("tf-idf: hand-computed smooth-idf scores and deterministic top-k") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    // "x" only in doc 1 (tf 2); "a" in all 3 docs; "b" in docs 1+2
+    val docs = Seq((1L, "a x b x"), (2L, "a b b"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, $"doc_id", $"text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def score(tf: Long, df: Long) =
+      math.rint(tf * (math.log((1.0 + 3.0) / (1.0 + df)) + 1.0) * 1e6) / 1e6
+    // doc 1: x scores 2·(ln(4/2)+1), the rare term wins over a/b
+    assert(out((1L, 1)) == (("x", 2L, 1L, score(2, 1))))
+    // doc 2: b (tf 2, df 2) beats a (tf 1, df 3)
+    assert(out((2L, 1)) == (("b", 2L, 2L, score(2, 2))))
+    assert(out((2L, 2)) == (("a", 1L, 3L, score(1, 3))))
+    // doc 3 has only one distinct term: no phantom rank-2 row
+    assert(out.contains((3L, 1)) && !out.contains((3L, 2)))
+    // corpus-universal "a" still gets weight tf·1 (smooth idf floor)
+    assert(out((3L, 1)) == (("a", 2L, 3L, score(2, 3))))
+  }
+
   test("chunking: coverage, overlap continuity, short docs, arg validation") {
     import graft.llm.TextAnalysis
     import spark.implicits._
