@@ -228,6 +228,77 @@ object TextAnalysis {
       F.array_join(kept, "\n").as("text_clean"))
   }
 
+  // ---- Gopher quality rules (Rae et al. 2021, arXiv 2112.11446 §A1.1)
+
+  /** The Gopher "stop words" — presence of ≥2 is rule G7. (Distinct
+    * from [[StopwordsEn]], which feeds the ratio heuristic: this is the
+    * published 8-word containment list.) */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule set as ONE map-only projection:
+    * per document every published signal, each rule's verdict computed
+    * on the ROUNDED signal (so the gate replays bit-for-bit in SQL),
+    * and `kept` = the conjunction. Signals/thresholds (defaults = the
+    * published values; the ellipsis test is ASCII `...`, and the two
+    * repetition axes are the token-fraction adaptations already proven
+    * by q114/q121):
+    *   G1 n_words ∈ [minWords, maxWords]
+    *   G2 mean word length ∈ [3, 10]
+    *   G3 symbol-to-word ratio (# and ...) ≤ 0.1
+    *   G4 fraction of lines starting with a bullet ≤ 0.1
+    *   G5 fraction of lines ending in ... ≤ 0.3
+    *   G6 fraction of words with an alphabetic char ≥ 0.8
+    *   G7 ≥ 2 distinct Gopher stop words present
+    *   G8 top 2-gram coverage ≤ 0.2
+    *   G9 duplicate 3-gram fraction ≤ 0.3
+    * Row-local like [[c4Clean]] — zero shuffles at any SF. */
+  def gopherRules(docs: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.1,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2, maxTop2Cov: Double = 0.2,
+      maxDup3Frac: Double = 0.3): DataFrame = {
+    val toks = tokens(textCol)
+    val lowToks = tokens(F.lower(textCol))
+    val lines = F.split(textCol, "\n")
+    val nWords = F.size(toks)
+    val nLines = F.size(lines)
+    val nHash = F.length(textCol) -
+      F.length(F.regexp_replace(textCol, "#", ""))
+    val nEllipsis = (F.length(textCol) -
+      F.length(F.regexp_replace(textCol, "\\.\\.\\.", ""))) / 3
+    val stopHits = F.size(F.filter(F.array_distinct(lowToks),
+      t => t.isin(GopherStopwords: _*)))
+    docs.select(
+      idCol.as("doc_id"),
+      nWords.as("n_words"),
+      avgTokenLen(textCol).as("mean_word_len"),
+      F.round((nHash + nEllipsis).cast("double") /
+        F.greatest(nWords, F.lit(1)), 6).as("symbol_ratio"),
+      F.round(F.size(F.filter(lines, l => F.trim(l).rlike("^[-*•]")))
+        .cast("double") / F.greatest(nLines, F.lit(1)), 6).as("bullet_frac"),
+      F.round(F.size(F.filter(lines, l => F.trim(l).rlike("\\.\\.\\.$")))
+        .cast("double") / F.greatest(nLines, F.lit(1)), 6).as("ellipsis_frac"),
+      F.round(F.size(F.filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("double") / F.greatest(nWords, F.lit(1)), 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      topNgramCoverage(textCol, 2).as("top2_cov"),
+      dupNgramFraction(textCol, 3).as("dup3_frac"))
+    .withColumn("kept",
+      F.col("n_words") >= minWords && F.col("n_words") <= maxWords &&
+        F.col("mean_word_len") >= minMeanLen &&
+        F.col("mean_word_len") <= maxMeanLen &&
+        F.col("symbol_ratio") <= maxSymbolRatio &&
+        F.col("bullet_frac") <= maxBulletFrac &&
+        F.col("ellipsis_frac") <= maxEllipsisFrac &&
+        F.col("alpha_frac") >= minAlphaFrac &&
+        F.col("stop_hits") >= minStopHits &&
+        F.col("top2_cov") <= maxTop2Cov &&
+        F.col("dup3_frac") <= maxDup3Frac)
+  }
+
   // ---- tf-idf term weighting ---------------------------------------
 
   /** Per-document top-k terms by tf-idf (the smooth-idf formulation:

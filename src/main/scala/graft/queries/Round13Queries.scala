@@ -456,7 +456,247 @@ object Round13Queries {
              |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
              |    AND NOT contains(t, '{')) AS kept_doc,
              |  md5(array_to_string(kept, chr(10))) AS clean_md5
-             |FROM k ORDER BY doc_id ASC""".stripMargin))
+             |FROM k ORDER BY doc_id ASC""".stripMargin)),
+
+    // The Gopher quality rule set (Rae et al. 2021 §A1.1) — all nine
+    // signals and the conjunctive gate in one map-only projection.
+    // minWords (20) and minStopHits (1) are scaled to the fixture (the
+    // library defaults stay the published 50 / 2 — the soup docs run
+    // 10–99 words and their vocabulary contains exactly one Gopher
+    // stop word); every other threshold is the published value. With
+    // that scaling the gate splits the corpus ~367/133, so every rule
+    // is live. Rules compare on the ROUNDED signals, so the oracle
+    // replays the gate bit for bit.
+    NamedQuery("q194_gopher_rules",
+      (s, d) => graft.llm.TextAnalysis.gopherRules(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          minWords = 20, minStopHits = 1)
+        .orderBy(col("doc_id").asc),
+      Some("""WITH t AS MATERIALIZED (SELECT doc_id, text,
+             |    string_split_regex(trim(text), '\s+') AS w,
+             |    string_split_regex(trim(lower(text)), '\s+') AS lw,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |  CASE WHEN len(w) >= 2
+             |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+             |    ELSE [] END AS g2,
+             |  CASE WHEN len(w) >= 3
+             |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             |    ELSE [] END AS g3
+             |  FROM t),
+             |m AS (SELECT t.doc_id,
+             |  CAST(len(w) AS INT) AS n_words,
+             |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
+             |    greatest(len(w), 1), 6) AS mean_word_len,
+             |  round(((len(text) - len(replace(text, '#', ''))) +
+             |    (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE /
+             |    greatest(len(w), 1), 6) AS symbol_ratio,
+             |  round(len(list_filter(lines, x ->
+             |      regexp_matches(trim(x), '^[-*•]')))::DOUBLE /
+             |    greatest(len(lines), 1), 6) AS bullet_frac,
+             |  round(len(list_filter(lines, x ->
+             |      regexp_matches(trim(x), '\.\.\.$')))::DOUBLE /
+             |    greatest(len(lines), 1), 6) AS ellipsis_frac,
+             |  round(len(list_filter(w, x ->
+             |      regexp_matches(x, '[A-Za-z]')))::DOUBLE /
+             |    greatest(len(w), 1), 6) AS alpha_frac,
+             |  CAST(len(list_filter(list_distinct(lw), x -> list_contains(
+             |    ['the','be','to','of','and','that','have','with'], x)))
+             |    AS INT) AS stop_hits,
+             |  CASE WHEN len(g2) > 0
+             |    THEN round(list_max([len(list_filter(g2, x -> x = y))
+             |                         for y in list_distinct(g2)])::DOUBLE
+             |               / len(g2), 6)
+             |    ELSE 0.0 END AS top2_cov,
+             |  CASE WHEN len(g3) > 0
+             |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+             |    ELSE 0.0 END AS dup3_frac
+             |  FROM t JOIN g USING (doc_id))
+             |SELECT *,
+             |  (n_words >= 20 AND n_words <= 100000 AND
+             |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+             |   symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND
+             |   ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
+             |   stop_hits >= 1 AND top2_cov <= 0.2 AND dup3_frac <= 0.3)
+             |  AS kept
+             |FROM m ORDER BY doc_id ASC""".stripMargin)),
+
+    // CAPSTONE v4 — the round-13 operators composed into one curation
+    // pass as ONE declarative plan: Gopher quality gate (q194) →
+    // widened PII scrub (q183, scrub-not-drop) → interpolated-KN
+    // perplexity terciles per source, tail dropped (q190 × q184, the
+    // CCNet split of q189 with the better LM) → token-budget mixture
+    // (q122) over the redacted text. PII is planted deterministically
+    // (the q183 discipline) so the scrub stage does real work and the
+    // LM trains on genuinely redacted text. The oracle chains each
+    // stage's already-proven mirror over the same intermediate corpora
+    // — Gopher conjunction, redactAll chain, KN continuation-table
+    // replay, per-source tercile cut, budget window — end to end.
+    NamedQuery("q195_curation_v4",
+      (s, d) => {
+        import graft.llm.{LangModel, Pii, TextAnalysis}
+        val docs = Tables.documents(s, d)
+        val planted = docs.withColumn("text", plantedPiiV2(col("text")))
+        val gate = TextAnalysis.gopherRules(planted, col("doc_id"),
+            col("text"), minWords = 20, minStopHits = 1)
+          .filter(col("kept")).select("doc_id")
+        val survivors = planted.join(gate, Seq("doc_id"), "left_semi")
+        val scrubbed = Pii.scrubAll(survivors, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("text_redacted"))
+          .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        val scored = LangModel.kneserNeyScore(
+            scrubbed, col("doc_id"), col("text_redacted"))
+          .join(scrubbed, "doc_id")
+        val surv = graft.operators.Binning.withStratumQuantileBin(
+            scored, "source", "logprob", n = 3)
+          .filter(col("bin") >= 2)
+        graft.llm.Mixture.tokenBudgetSample(surv, col("source"),
+            col("doc_id"), TextAnalysis.tokenCount(col("text_redacted")),
+            TextAnalysis.qualityScore(col("text_redacted")), F.lit(300L))
+          .filter(col("kept"))
+          .select(col("doc_id"), col("stratum").as("source"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source").asc, col("cum_tokens").asc)
+      },
+      Some(s"""WITH aug AS MATERIALIZED ($augmentV2Sql),
+              |gw AS MATERIALIZED (SELECT aug.doc_id, d.source, aug.t,
+              |    string_split_regex(trim(aug.t), '\\s+') AS w,
+              |    string_split_regex(trim(lower(aug.t)), '\\s+') AS lw,
+              |    string_split(aug.t, chr(10)) AS lines
+              |  FROM aug JOIN documents d USING (doc_id)),
+              |gg AS (SELECT doc_id,
+              |  CASE WHEN len(w) >= 2
+              |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+              |    ELSE [] END AS g2,
+              |  CASE WHEN len(w) >= 3
+              |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+              |    ELSE [] END AS g3
+              |  FROM gw),
+              |gm AS (SELECT gw.doc_id,
+              |  len(w) AS n_words,
+              |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
+              |    greatest(len(w), 1), 6) AS mean_word_len,
+              |  round(((len(t) - len(replace(t, '#', ''))) +
+              |    (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE /
+              |    greatest(len(w), 1), 6) AS symbol_ratio,
+              |  round(len(list_filter(lines, x ->
+              |      regexp_matches(trim(x), '^[-*•]')))::DOUBLE /
+              |    greatest(len(lines), 1), 6) AS bullet_frac,
+              |  round(len(list_filter(lines, x ->
+              |      regexp_matches(trim(x), '\\.\\.\\.$$')))::DOUBLE /
+              |    greatest(len(lines), 1), 6) AS ellipsis_frac,
+              |  round(len(list_filter(w, x ->
+              |      regexp_matches(x, '[A-Za-z]')))::DOUBLE /
+              |    greatest(len(w), 1), 6) AS alpha_frac,
+              |  len(list_filter(list_distinct(lw), x -> list_contains(
+              |    ['the','be','to','of','and','that','have','with'], x)))
+              |    AS stop_hits,
+              |  CASE WHEN len(g2) > 0
+              |    THEN round(list_max([len(list_filter(g2, x -> x = y))
+              |                         for y in list_distinct(g2)])::DOUBLE
+              |               / len(g2), 6)
+              |    ELSE 0.0 END AS top2_cov,
+              |  CASE WHEN len(g3) > 0
+              |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+              |    ELSE 0.0 END AS dup3_frac
+              |  FROM gw JOIN gg USING (doc_id)),
+              |red AS MATERIALIZED (SELECT gw.doc_id, gw.source,
+              |    ${redactAllSql("gw.t")} AS rt
+              |  FROM gw JOIN gm USING (doc_id)
+              |  WHERE gm.n_words >= 20 AND gm.n_words <= 100000 AND
+              |    gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0 AND
+              |    gm.symbol_ratio <= 0.1 AND gm.bullet_frac <= 0.1 AND
+              |    gm.ellipsis_frac <= 0.3 AND gm.alpha_frac >= 0.8 AND
+              |    gm.stop_hits >= 1 AND gm.top2_cov <= 0.2 AND
+              |    gm.dup3_frac <= 0.3),
+              |tw AS MATERIALIZED (SELECT doc_id, source,
+              |    string_split_regex(trim(lower(rt)), '\\s+') AS w
+              |  FROM red),
+              |c3 AS MATERIALIZED (
+              |  SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c, count(*) AS cnt3
+              |  FROM tw, UNNEST(range(1, len(w) - 1)) AS r(i)
+              |  WHERE len(w) >= 3 GROUP BY 1, 2, 3),
+              |ctx AS MATERIALIZED (
+              |  SELECT a, b, CAST(sum(cnt3) AS DOUBLE) AS ctx2,
+              |    CAST(count(*) AS DOUBLE) AS n1p_ab
+              |  FROM c3 GROUP BY 1, 2),
+              |cbc AS MATERIALIZED (
+              |  SELECT b, c, CAST(count(*) AS DOUBLE) AS cont_bc
+              |  FROM c3 GROUP BY 1, 2),
+              |cb AS MATERIALIZED (
+              |  SELECT b, sum(cont_bc) AS cont_b,
+              |    CAST(count(*) AS DOUBLE) AS n1p_b
+              |  FROM cbc GROUP BY 1),
+              |cc AS MATERIALIZED (
+              |  SELECT c, CAST(count(*) AS DOUBLE) AS cont_c FROM cbc GROUP BY 1),
+              |ctot AS MATERIALIZED (
+              |  SELECT CAST(count(*) AS DOUBLE) AS cont_tot FROM cbc),
+              |voc AS MATERIALIZED (
+              |  SELECT CAST(count(DISTINCT wd) AS DOUBLE) AS n_vocab
+              |  FROM (SELECT unnest(w) AS wd FROM tw)),
+              |tri AS MATERIALIZED (
+              |  SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+              |  FROM tw, UNNEST(range(1, len(w) - 1)) AS r(i)
+              |  WHERE len(w) >= 3),
+              |j AS (
+              |  SELECT tri.doc_id, c3.cnt3, ctx.ctx2, ctx.n1p_ab, cbc.cont_bc,
+              |    cb.cont_b, cb.n1p_b, cc.cont_c, ctot.cont_tot, voc.n_vocab
+              |  FROM tri
+              |  LEFT JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+              |  LEFT JOIN ctx ON ctx.a = tri.a AND ctx.b = tri.b
+              |  LEFT JOIN cbc ON cbc.b = tri.b AND cbc.c = tri.c
+              |  LEFT JOIN cb ON cb.b = tri.b
+              |  LEFT JOIN cc ON cc.c = tri.c
+              |  CROSS JOIN ctot CROSS JOIN voc),
+              |s1 AS (SELECT *,
+              |  (coalesce(cont_c, 0.0) + 1.0) / (cont_tot + n_vocab) AS p1 FROM j),
+              |s2 AS (SELECT *, CASE WHEN cont_b IS NOT NULL THEN
+              |    greatest(coalesce(cont_bc, 0.0) - 0.75, 0.0) / cont_b +
+              |    0.75 * n1p_b / cont_b * p1
+              |  ELSE p1 END AS p2 FROM s1),
+              |s3 AS (SELECT *, CASE WHEN ctx2 IS NOT NULL THEN
+              |    greatest(CAST(coalesce(cnt3, 0) AS DOUBLE) - 0.75, 0.0) / ctx2 +
+              |    0.75 * n1p_ab / ctx2 * p2
+              |  ELSE p2 END AS p3 FROM s2),
+              |kn AS (SELECT doc_id, round(avg(ln(p3)), 6) AS logprob
+              |  FROM s3 GROUP BY doc_id),
+              |ds AS MATERIALIZED (SELECT kn.doc_id, kn.logprob, red.source, red.rt
+              |  FROM kn JOIN red USING (doc_id)),
+              |bnd AS (SELECT source,
+              |    quantile_cont(logprob,
+              |      [0.3333333333333333, 0.6666666666666666]) AS b
+              |  FROM ds GROUP BY source),
+              |surv AS (SELECT ds.doc_id, ds.source, ds.rt
+              |  FROM ds JOIN bnd USING (source)
+              |  WHERE 1 + len(list_filter(bnd.b, x -> ds.logprob >= x)) >= 2),
+              |mt AS (SELECT doc_id, source, rt AS text,
+              |    string_split_regex(trim(rt), '\\s+') AS toks
+              |  FROM surv),
+              |msc AS (
+              |  SELECT doc_id, source, len(toks) AS n_tokens,
+              |    round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+              |          greatest(length(text), 1), 6) AS punct_ratio,
+              |    round(len(list_filter(toks, x -> list_contains(
+              |      ['the','a','an','and','of','to','is','in','it','that'], x)))::DOUBLE /
+              |          greatest(len(toks), 1), 6) AS stopword_ratio
+              |  FROM mt),
+              |mq AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+              |          (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+              |          least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+              |  FROM msc),
+              |sel AS (
+              |  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY quality DESC, doc_id ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      AS cum_tokens
+              |  FROM mq)
+              |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
+              |WHERE cum_tokens <= 300
+              |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

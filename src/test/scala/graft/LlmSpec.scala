@@ -548,6 +548,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4L)._2 == 3 && !out(4L)._3, "a brace anywhere drops the page")
   }
 
+  test("Gopher rules: each rule flips the gate at the published thresholds") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val good = ((1 to 58).map(i => f"word$i%02d") ++ Seq("the", "of")).mkString(" ")
+    val bullets = (1 to 3).map(k =>
+      s"- bullet line number $k " +
+        (1 to 10).map(i => s"item$k$i").mkString(" ") + ".").mkString("\n") +
+      "\nthe closing line of this doc has plain words here."
+    val docs = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "the of short doc here."),                   // G1: too few words
+      (3L, good + (" #" * 10)),                         // G3: symbol ratio
+      (4L, bullets),                                    // G4: bullet lines
+      (5L, Seq.fill(30)("spark data").mkString(" ")),   // G8/G9: repetition
+      (6L, (1 to 60).map(i => s"$i$i").mkString(" "))   // G6: no letters
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("kept"))
+    assert(out(1L).getAs[Int]("stop_hits") == 2)
+    assert(!out(2L).getAs[Boolean]("kept") && out(2L).getAs[Int]("n_words") == 5)
+    assert(!out(3L).getAs[Boolean]("kept") &&
+      out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(4L).getAs[Boolean]("kept") &&
+      out(4L).getAs[Double]("bullet_frac") == 0.75)
+    assert(!out(5L).getAs[Boolean]("kept") &&
+      out(5L).getAs[Double]("top2_cov") > 0.2)
+    assert(!out(6L).getAs[Boolean]("kept") &&
+      out(6L).getAs[Double]("alpha_frac") == 0.0)
+  }
+
   test("tf-idf: hand-computed smooth-idf scores and deterministic top-k") {
     import graft.llm.TextAnalysis
     import spark.implicits._
