@@ -696,7 +696,52 @@ object Round13Queries {
               |  FROM mq)
               |SELECT doc_id, source, n_tokens, cum_tokens FROM sel
               |WHERE cum_tokens <= 300
-              |ORDER BY source ASC, cum_tokens ASC""".stripMargin))
+              |ORDER BY source ASC, cum_tokens ASC""".stripMargin)),
+
+    // Lakehouse time travel: build a manifested table from the docs
+    // (v1 = 80%), APPEND the rest (v2 — incremental commit, no history
+    // rewrite), compact (v3), then read every version AS OF. The
+    // oracle recomputes each snapshot's count/sum from the documents
+    // table alone; the protocol invariants (append-only file diff,
+    // compaction content-identity, version chain) ride as pinned
+    // booleans.
+    NamedQuery("q196_lakehouse_timetravel",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_tt").toString + "/docs"
+        Manifest.create(s, table, docs.filter(col("doc_id") % 5 =!= 0))
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 5 === 0))
+        Manifest.compact(s, table, targetBytes = 1L << 30)
+        val (added, removed) = Manifest.diffSnapshots(s, table, 1L, 2L)
+        val v1 = Manifest.readVersion(s, table, 1L).agg(
+          F.count(F.lit(1)).as("n_v1"),
+          F.sum("doc_id").cast("long").as("sum_v1"))
+        val v2 = Manifest.readVersion(s, table, 2L).agg(
+          F.count(F.lit(1)).as("n_v2"),
+          F.sum("doc_id").cast("long").as("sum_v2"))
+        val cur = Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("__nc"), F.sum("doc_id").cast("long").as("__sc"))
+        v1.crossJoin(v2).crossJoin(cur).select(
+          col("n_v1"), col("sum_v1"), col("n_v2"), col("sum_v2"),
+          (col("__nc") === col("n_v2") && col("__sc") === col("sum_v2"))
+            .as("compact_identical"),
+          F.lit(added == Seq(Manifest.dataDirName(2L)) && removed.isEmpty)
+            .as("append_only_diff"),
+          F.lit(Manifest.versions(s, table) == Seq(1L, 2L, 3L))
+            .as("three_versions"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS n_v1,
+             |  CAST(sum(doc_id) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS sum_v1,
+             |  CAST(count(*) AS BIGINT) AS n_v2,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_v2,
+             |  true AS compact_identical,
+             |  true AS append_only_diff,
+             |  true AS three_versions
+             |FROM documents""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

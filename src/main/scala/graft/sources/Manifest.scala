@@ -170,6 +170,46 @@ object Manifest {
     commit(spark, table, snap.version, Seq(rel))
   }
 
+  /** APPEND commit: write `df` as version N+1's data directory and
+    * commit the old snapshot's paths PLUS the new one — the
+    * incremental-ingest path (landed micro-batches, daily loads)
+    * without rewriting history. Every data dir stays immutable; the
+    * new dir is version-scoped, so a crashed appender's uncommitted
+    * leftover is reclaimed by the next writer of that version exactly
+    * like a rewrite's. Appended snapshots SHARE their predecessors'
+    * data dirs, which [[vacuum]]'s referenced-set check already
+    * honors: dropping old versions never deletes a dir a surviving
+    * snapshot still lists. */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
+    val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
+    commit(spark, table, snap.version, snap.paths :+ rel)
+  }
+
+  /** TIME TRAVEL: pinned read of any still-retained version — the
+    * manifest list IS the version history, so reading `AS OF v` is
+    * just resolving that manifest instead of the newest. Fails loudly
+    * on a vacuumed (or never-committed) version. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    require(versions(spark, table).contains(v),
+      s"Manifest.readVersion: $table has no retained version $v")
+    val snap = readSnapshot(spark, table, v)
+    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+  }
+
+  /** File-level diff between two retained versions: (added, removed)
+    * relative paths, v1 → v2. Driver-side manifest metadata only —
+    * nothing scans data. The row-level diff, when needed, is the
+    * anti-join of the two [[readVersion]] frames. */
+  def diffSnapshots(spark: SparkSession, table: String,
+      v1: Long, v2: Long): (Seq[String], Seq[String]) = {
+    val a = readSnapshot(spark, table, v1).paths.toSet
+    val b = readSnapshot(spark, table, v2).paths.toSet
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
   def snapshotBytes(spark: SparkSession, table: String, snap: Snapshot): Long = {
     val fs = fsFor(spark, table)

@@ -164,6 +164,46 @@ class LakehouseSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.sameElements(plainRows))
   }
 
+  test("manifest appends: incremental commits share history, time travel " +
+      "reads any retained version, vacuum honors shared data dirs") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_append").toString
+    val tbl = s"$dir/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    def mk(r: Range) = r.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    Manifest.create(spark, tbl, mk(1 to 100).repartition(4))
+    val v1Rows = rows(Manifest.read(spark, tbl))
+    // a crashed appender's uncommitted _v2 leftover is invisible now
+    // and reclaimed by the real append
+    Seq((999L, "junk")).toDF("id", "s")
+      .write.parquet(s"$tbl/${Manifest.dataDirName(2)}")
+    // pin a reader BEFORE the append: it keeps v1's file list
+    val pinned = Manifest.read(spark, tbl)
+    val s2 = Manifest.commitAppend(spark, tbl, mk(101 to 150))
+    assert(s2.version == 2L && s2.paths.size == 2)
+    assert(rows(pinned).sameElements(v1Rows))
+    val v2 = Manifest.read(spark, tbl)
+    assert(v2.count() == 150 && v2.filter($"id" === 999L).count() == 0)
+    Manifest.commitAppend(spark, tbl, mk(151 to 160))
+    // time travel: every retained version reads exactly its snapshot
+    assert(rows(Manifest.readVersion(spark, tbl, 1L)).sameElements(v1Rows))
+    assert(Manifest.readVersion(spark, tbl, 2L).count() == 150)
+    assert(Manifest.readVersion(spark, tbl, 3L).count() == 160)
+    // file-level diff is append-only: one added dir, nothing removed
+    val (added, removed) = Manifest.diffSnapshots(spark, tbl, 1L, 2L)
+    assert(added == Seq(Manifest.dataDirName(2)) && removed.isEmpty)
+    // vacuum to the current version: v1/v2 manifests go, but every
+    // data dir v3 still references survives (appends SHARE dirs)
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(3L))
+    assert(Manifest.read(spark, tbl).count() == 160)
+    intercept[IllegalArgumentException] {
+      Manifest.readVersion(spark, tbl, 1L)
+    }
+  }
+
   test("stats-driven bloom-join advice: measured selectivity fires the " +
       "injection, the wrong direction declines it") {
     import graft.sources.Stats
