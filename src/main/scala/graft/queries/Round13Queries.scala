@@ -741,7 +741,64 @@ object Round13Queries {
              |  true AS compact_identical,
              |  true AS append_only_diff,
              |  true AS three_versions
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Incremental ANALYZE: four per-batch sketch-stat frames merged
+    // WITHOUT rescanning data, hash-checked against SQL ground truth
+    // (counts, typed envelopes) with the KMV bound riding as the q164
+    // pattern — and `merge_identical` pinning the core contract: the
+    // merged frame equals the full-scan frame bit for bit, sketch
+    // included (null-safe field compare after a join on column).
+    NamedQuery("q197_incremental_stats",
+      (s, d) => {
+        import graft.sources.Stats
+        val k = 512
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val cols = Seq("doc_id", "source", "n_chars")
+        val batches = (0 to 3).map(i =>
+          Stats.analyzeSketch(docs.filter(col("doc_id") % 4 === i), cols, k))
+        val merged = Stats.mergeSketchStats(batches, k)
+        val full = Stats.analyzeSketch(docs, cols, k)
+          .select(col("column"), col("n_rows").as("__fn"),
+            col("n_nulls").as("__fz"), col("kmv").as("__fk"),
+            col("min_d").as("__fmind"), col("max_d").as("__fmaxd"),
+            col("min_s").as("__fmins"), col("max_s").as("__fmaxs"))
+        val exact = docs.agg(
+          F.count_distinct(col("doc_id")).as("__x_doc_id"),
+          F.count_distinct(col("source")).as("__x_source"),
+          F.count_distinct(col("n_chars")).as("__x_n_chars"))
+        val est = graft.functions.KmvSketch.estimateDistinct(col("kmv"), k)
+        val ex = F.when(col("column") === "doc_id", col("__x_doc_id"))
+          .when(col("column") === "source", col("__x_source"))
+          .otherwise(col("__x_n_chars")).cast("double")
+        merged.join(full, "column").crossJoin(exact)
+          .select(col("column"), col("n_rows"), col("n_nulls"),
+            col("min_d"), col("max_d"), col("min_s"), col("max_s"),
+            (F.abs(est - ex) <= ex * 0.15 + 1).as("ndv_ok"),
+            (col("n_rows") === col("__fn") && col("n_nulls") === col("__fz") &&
+              col("kmv") === col("__fk") && col("min_d") <=> col("__fmind") &&
+              col("max_d") <=> col("__fmaxd") && col("min_s") <=> col("__fmins") &&
+              col("max_s") <=> col("__fmaxs")).as("merge_identical"))
+          .orderBy(col("column").asc)
+      },
+      Some("""SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(0 AS BIGINT) AS n_nulls,
+             |  CAST(min(doc_id) AS DOUBLE) AS min_d,
+             |  CAST(max(doc_id) AS DOUBLE) AS max_d,
+             |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+             |  true AS ndv_ok, true AS merge_identical
+             |FROM documents
+             |UNION ALL
+             |SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+             |  NULL, NULL, true, true
+             |FROM documents
+             |UNION ALL
+             |SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             |  NULL, NULL, min(source), max(source), true, true
+             |FROM documents
+             |ORDER BY "column" ASC""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

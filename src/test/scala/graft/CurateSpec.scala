@@ -228,6 +228,47 @@ class CurateSpec extends AnyFunSuite {
     assert(rows(1) == (("s", 4L, 1L, 2L, "x", "y")))
   }
 
+  test("sketch stats: per-batch merge is bit-identical to the full scan, " +
+      "nulls never phantom the sketch, planning adapters read it") {
+    import graft.sources.Stats
+    import spark.implicits._
+    val docs = graft.cubes.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"),
+        // a null-bearing column: every 7th doc loses its lang
+        F.when(col("doc_id") % 7 =!= 0, col("lang")).as("lang"))
+    val cols = Seq("doc_id", "source", "lang")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("column", "n_rows", "n_nulls", "kmv", "min_d", "max_d",
+        "min_s", "max_s")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList,
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          Option(r.get(7)))))
+      .sortBy(_._1)
+    // THE contract: three per-batch stats merge to EXACTLY the full
+    // scan's — counts, envelopes, and the sketch bit for bit
+    val batches = (0 to 2).map(i =>
+      Stats.analyzeSketch(docs.filter(col("doc_id") % 3 === i), cols))
+    val merged = canon(Stats.mergeSketchStats(batches))
+    val full = canon(Stats.analyzeSketch(docs, cols))
+    assert(merged.sameElements(full))
+    // nulls counted, never sketched: lang's NDV estimate is exact at
+    // this cardinality and excludes the null
+    val langRow = full.find(_._1 == "lang").get._2
+    assert(langRow._2 > 0, "null lang rows counted")
+    val stats = Stats.mergeSketchStats(batches)
+    val exactLang = docs.agg(F.count_distinct(col("lang"))).first().getLong(0)
+    assert(Stats.ndvEstimate(stats, "lang") == exactLang.toDouble)
+    // numeric envelope is native-ordered (a string merge would say
+    // min "10" > "9"); string envelope lexicographic
+    val idRow = full.find(_._1 == "doc_id").get._2
+    assert(idRow._4.contains(docs.agg(F.min("doc_id")).first().getLong(0).toDouble))
+    // the analyze-contract adapter feeds the existing planning
+    // consumers: measured row count flows into source costing
+    val view = Stats.sketchStatsAsAnalyze(stats)
+    assert(Stats.rowCount(view) == docs.count())
+  }
+
   // ---- domain governance -------------------------------------------
 
   test("domains: host/registered/tld/depth parse, including degenerate urls") {
