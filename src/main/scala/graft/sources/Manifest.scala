@@ -47,7 +47,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Manifest {
 
-  final case class Snapshot(version: Long, paths: Seq[String])
+  /** `meta` carries commit annotations as `#key=value` comment lines
+    * in the manifest file (readers of any vintage skip them — a path
+    * never starts with '#'): the streaming sink records its micro-batch
+    * id here, which is what makes replay-after-crash exactly-once. */
+  final case class Snapshot(version: Long, paths: Seq[String],
+      meta: Map[String, String] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,7 +89,14 @@ object Manifest {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       out.toString("UTF-8")
     } finally in.close()
-    Snapshot(v, text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+    val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val meta = lines.filter(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    Snapshot(v, lines.filterNot(_.startsWith("#")), meta)
   }
 
   /** Pinned read of the current snapshot: the file list is resolved
@@ -100,8 +112,13 @@ object Manifest {
     * `expected + 1`. Fails loudly if that version already exists — the
     * optimistic-concurrency loser must re-resolve and retry. */
   def commit(spark: SparkSession, table: String,
-      expected: Long, paths: Seq[String]): Snapshot = {
+      expected: Long, paths: Seq[String],
+      meta: Map[String, String] = Map.empty): Snapshot = {
     require(paths.nonEmpty, "refusing to commit an empty snapshot")
+    require(paths.forall(!_.startsWith("#")), "paths cannot start with '#'")
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
+      "meta keys cannot contain '='; keys and values cannot contain newlines")
     val fs = fsFor(spark, table)
     fs.mkdirs(manifestDir(table))
     val target = manifestFile(table, expected + 1)
@@ -110,23 +127,26 @@ object Manifest {
         "re-resolve the current snapshot and retry")
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    try out.write(((metaLines ++ paths).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       sys.error(s"Manifest.commit: rename to $target failed (lost the race?); " +
         "nothing committed")
     }
-    Snapshot(expected + 1, paths)
+    Snapshot(expected + 1, paths, meta)
   }
 
   /** Create a manifested table from a frame: write snapshot 1's data
     * under its version directory, then commit. */
   def create(spark: SparkSession, table: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Snapshot = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Snapshot = {
     require(versions(spark, table).isEmpty,
       s"Manifest.create: $table already has committed snapshots")
-    commit(spark, table, 0L, Seq(writeData(spark, table, 1L, df, partitionBy)))
+    commit(spark, table, 0L,
+      Seq(writeData(spark, table, 1L, df, partitionBy)), meta)
   }
 
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
@@ -181,11 +201,12 @@ object Manifest {
     * honors: dropping old versions never deletes a dir a surviving
     * snapshot still lists. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Snapshot = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
-    commit(spark, table, snap.version, snap.paths :+ rel)
+    commit(spark, table, snap.version, snap.paths :+ rel, meta)
   }
 
   /** TIME TRAVEL: pinned read of any still-retained version — the

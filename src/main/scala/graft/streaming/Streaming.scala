@@ -463,6 +463,44 @@ object Streaming {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming ingest into a manifested lakehouse table —
+    * the piece that connects the live gates to the snapshot protocol:
+    * each micro-batch lands as one [[graft.sources.Manifest]] APPEND
+    * commit carrying its batch id as commit metadata (`#stream_batch=N`
+    * in the manifest file). Structured Streaming's checkpoint replays a
+    * batch with the same id and content after a crash; the sink checks
+    * the retained manifests' recorded batch ids first and SKIPS an
+    * already-landed batch — so a crash between commit and checkpoint
+    * ack (the classic at-least-once window of plain `parquet` sinks)
+    * appends nothing twice, and a crash before commit leaves only an
+    * uncommitted version-scoped data dir that the next writer reclaims.
+    * Readers pin snapshots throughout; a concurrent compaction is just
+    * another committer in the optimistic-concurrency protocol.
+    * Retention contract: [[graft.sources.Manifest.vacuum]]'s `keep`
+    * must cover the replay horizon (one batch), which any keep ≥ 2
+    * does. */
+  def sinkToManifest(docs: DataFrame, table: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val batchKey = "stream_batch"
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sources.Manifest
+        val s = batch.sparkSession
+        val landed = Manifest.versions(s, table)
+          .flatMap(v => Manifest.readSnapshot(s, table, v).meta.get(batchKey))
+          .map(_.toLong)
+        if (!landed.exists(_ >= batchId)) {
+          val meta = Map(batchKey -> batchId.toString)
+          if (Manifest.isManifested(s, table))
+            Manifest.commitAppend(s, table, batch, meta = meta)
+          else Manifest.create(s, table, batch, meta = meta)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- custom state (mapGroupsWithState) ---------------------------
 
   final case class UserEvent(user_id: Long, value: Double)
