@@ -798,7 +798,38 @@ object Round13Queries {
              |SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
              |  NULL, NULL, min(source), max(source), true, true
              |FROM documents
-             |ORDER BY "column" ASC""".stripMargin))
+             |ORDER BY "column" ASC""".stripMargin)),
+
+    // Manifest-backed file skipping: a range-clustered snapshot (8
+    // range-partitioned files by doc_id) + the per-file envelope
+    // sidecar; a narrow doc_id range then reads a strict subset of the
+    // files — decided at the DRIVER from the sidecar alone, before any
+    // footer opens. The oracle recomputes the pruned read's aggregate
+    // from the documents table; the files-actually-pruned verdict rides
+    // as a pinned boolean.
+    NamedQuery("q198_file_skipping",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_skip").toString + "/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))
+        Manifest.analyzeFiles(s, table, Seq("doc_id"))
+        val nAll = Manifest.read(s, table).inputFiles.length
+        val pruned = Manifest.readPruned(s, table, "doc_id", 0.0, 100.0)
+        val nPruned = pruned.inputFiles.length
+        pruned.filter(col("doc_id") <= 100)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            F.lit(nPruned < nAll).as("pruned_files"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS pruned_files
+             |FROM documents WHERE doc_id <= 100""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

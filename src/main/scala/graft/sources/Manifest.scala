@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** Versioned-manifest table commits — the object-store-safe protocol
   * the directory-rename swap cannot be: directory rename is atomic on
@@ -231,6 +232,78 @@ object Manifest {
     ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
   }
 
+  // ---- file skipping (per-file envelopes as a snapshot sidecar) ----
+
+  private def statsDir(table: String, v: Long) =
+    new Path(s"$table/_manifest/stats_v${"%08d".format(v)}")
+
+  /** Record per-FILE min/max envelopes of `cols` for the current
+    * snapshot, as a sidecar parquet under `_manifest/` (invisible to
+    * data readers; version-scoped, so immutable-file semantics carry
+    * over). One aggregation pass grouped by `input_file_name` —
+    * the same single-scan discipline as [[Stats.analyze]]. Numeric
+    * columns record a double envelope (exact below 2⁵³); others are
+    * skipped (string pruning can be added the same way — the
+    * [[Stats.analyzeSketch]] type-split). The sidecar is an OPTIONAL
+    * accelerator: [[readPruned]] falls back to the full file list for
+    * versions without one, and files the stats frame does not mention
+    * are always read. */
+  def analyzeFiles(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "analyzeFiles needs at least one column")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.analyzeFiles: $table has no committed snapshot"))
+    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val numCols = cols.filter(c => df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(numCols.nonEmpty,
+      s"analyzeFiles: no numeric columns among ${cols.mkString(",")}")
+    val aggs = numCols.flatMap { c =>
+      Seq(F.min(F.col(c)).cast("double").as(s"${c}__min"),
+        F.max(F.col(c)).cast("double").as(s"${c}__max"))
+    }
+    df.groupBy(F.input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(statsDir(table, snap.version).toString)
+  }
+
+  /** Pinned read of the current snapshot restricted — at the DRIVER,
+    * from sidecar metadata alone, before any footer is opened — to the
+    * files whose recorded `[min, max]` envelope of `column` intersects
+    * `[lo, hi]`. The 100 TB point: after a range-clustering compaction
+    * ([[compact]] with `sortBy`, or a Z-order layout), a narrow
+    * predicate reads a handful of files out of thousands, and the
+    * skipping decision costs one tiny sidecar scan instead of a
+    * listing + footer pass over the data. Files without stats rows are
+    * conservatively read; no sidecar at all = plain [[read]]. The
+    * caller still applies its own row-level filter — envelopes prune
+    * files, not rows. */
+  def readPruned(spark: SparkSession, table: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPruned: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val sd = statsDir(table, snap.version)
+    if (!fs.exists(sd))
+      return spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val stats = spark.read.parquet(sd.toString)
+    val known = stats.select("file").collect().map(_.getString(0)).toSet
+    val keep = stats
+      .filter(!(F.col(s"${column}__max") < lo || F.col(s"${column}__min") > hi))
+      .select("file").collect().map(_.getString(0))
+    // every file of the pinned snapshot the sidecar does not cover
+    // stays in (stats are an accelerator, never a correctness gate)
+    val all = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+      .inputFiles
+    val unknown = all.filterNot(f => known.contains(f))
+    val paths = (keep ++ unknown).distinct
+    if (paths.isEmpty) spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+      .limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
   def snapshotBytes(spark: SparkSession, table: String, snap: Snapshot): Long = {
     val fs = fsFor(spark, table)
@@ -273,7 +346,10 @@ object Manifest {
     val (dead, live) = vs.splitAt(math.max(0, vs.size - keep))
     if (dead.isEmpty) return
     val deadSnaps = dead.map(readSnapshot(spark, table, _))
-    dead.foreach(v => fs.delete(manifestFile(table, v), false))
+    dead.foreach { v =>
+      fs.delete(manifestFile(table, v), false)
+      fs.delete(statsDir(table, v), true) // file-skipping sidecar, if any
+    }
     val referenced = live.map(readSnapshot(spark, table, _))
       .flatMap(_.paths).toSet
     deadSnaps.flatMap(_.paths).distinct

@@ -204,6 +204,43 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("file skipping: sidecar envelopes prune files at the driver, " +
+      "uncovered files stay in, fallback without a sidecar is the full read") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_skip").toString
+    val tbl = s"$dir/t"
+    def mk(r: Range) = r.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    Manifest.create(spark, tbl,
+      mk(1 to 800).repartitionByRange(8, col("id")).sortWithinPartitions(col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val full = Manifest.read(spark, tbl)
+    val pruned = Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"id".between(100, 150)).collect().map(_.toString).sorted
+    assert(rows(pruned).sameElements(rows(full)) && rows(pruned).length == 51)
+    // disjoint range: every file skipped, still a well-formed empty frame
+    assert(Manifest.readPruned(spark, tbl, "id", 5000.0, 6000.0).count() == 0)
+    // an append the sidecar has not seen yet: version-scoped stats are
+    // gone for v2, so the read conservatively falls back to every file
+    Manifest.commitAppend(spark, tbl, mk(801 to 820))
+    val fallback = Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
+    assert(fallback.inputFiles.length == Manifest.read(spark, tbl).inputFiles.length)
+    // re-analyze: pruning resumes over all nine files, appended rows served
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val pr2 = Manifest.readPruned(spark, tbl, "id", 790.0, 820.0)
+    assert(pr2.inputFiles.length < Manifest.read(spark, tbl).inputFiles.length)
+    assert(pr2.filter($"id" >= 790).count() == 31)
+    // vacuum drops dead sidecars with their versions; the current one
+    // keeps serving
+    Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
+      .filter($"id".between(100, 150)).count() == 51)
+  }
+
   test("stats-driven bloom-join advice: measured selectivity fires the " +
       "injection, the wrong direction declines it") {
     import graft.sources.Stats
