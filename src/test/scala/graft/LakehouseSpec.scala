@@ -241,6 +241,37 @@ class LakehouseSpec extends AnyFunSuite {
       .filter($"id".between(100, 150)).count() == 51)
   }
 
+  test("z-order + file skipping: after a z-clustered compaction EITHER " +
+      "axis prunes files — the multi-dimensional payoff a single-column " +
+      "sort cannot give") {
+    import graft.sources.{Layout, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_z").toString
+    val tbl = s"$dir/t"
+    // a 64×64 grid: x and y are independent axes over [0, 256)
+    val df = (0 until 4096).map(i =>
+      (i.toLong, (i % 64).toLong * 4, (i / 64).toLong * 4)).toDF("id", "x", "y")
+    Manifest.create(spark, tbl, df.repartition(16))
+    val z = Layout.zValue(
+      Layout.axisBucket(col("x"), 0, 256, 5),
+      Layout.axisBucket(col("y"), 0, 256, 5), 5)
+    val bytes = Manifest.snapshotBytes(spark, tbl,
+      Manifest.currentSnapshot(spark, tbl).get)
+    Manifest.compact(spark, tbl, targetBytes = math.max(1L, bytes / 16),
+      sortBy = Some(z))
+    Manifest.analyzeFiles(spark, tbl, Seq("x", "y"))
+    val all = Manifest.read(spark, tbl).inputFiles.length
+    assert(all >= 8, s"want a multi-file layout, got $all")
+    val px = Manifest.readPruned(spark, tbl, "x", 0.0, 31.0)
+    val py = Manifest.readPruned(spark, tbl, "y", 0.0, 31.0)
+    assert(px.inputFiles.length < all && py.inputFiles.length < all,
+      s"x:${px.inputFiles.length} y:${py.inputFiles.length} of $all")
+    // pruning never loses rows: the filtered pruned read equals the
+    // filtered full read on both axes
+    assert(px.filter($"x" <= 31).count() == 4096 / 8)
+    assert(py.filter($"y" <= 31).count() == 4096 / 8)
+  }
+
   test("stats-driven bloom-join advice: measured selectivity fires the " +
       "injection, the wrong direction declines it") {
     import graft.sources.Stats
