@@ -188,7 +188,8 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitRewrite: $table has no committed snapshot"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
-    commit(spark, table, snap.version, Seq(rel))
+    // carry the metadata forward — see commitAppend
+    commit(spark, table, snap.version, Seq(rel), snap.meta)
   }
 
   /** APPEND commit: write `df` as version N+1's data directory and
@@ -207,7 +208,11 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
-    commit(spark, table, snap.version, snap.paths :+ rel, meta)
+    // metadata INHERITS across commits (new keys win): table-state
+    // annotations like the streaming sink's batch high-water mark must
+    // survive interleaved compactions + vacuum, or a crash replay after
+    // retention could double-append
+    commit(spark, table, snap.version, snap.paths :+ rel, snap.meta ++ meta)
   }
 
   /** TIME TRAVEL: pinned read of any still-retained version — the
@@ -331,7 +336,8 @@ object Manifest {
       case None => df.coalesce(nFiles)
     }
     val rel = writeData(spark, table, snap.version + 1, laid, Nil)
-    commit(spark, table, snap.version, Seq(rel))
+    // carry the metadata forward — see commitAppend
+    commit(spark, table, snap.version, Seq(rel), snap.meta)
   }
 
   /** Retention: drop every snapshot except the newest `keep` — delete

@@ -475,10 +475,11 @@ object Streaming {
     * appends nothing twice, and a crash before commit leaves only an
     * uncommitted version-scoped data dir that the next writer reclaims.
     * Readers pin snapshots throughout; a concurrent compaction is just
-    * another committer in the optimistic-concurrency protocol.
-    * Retention contract: [[graft.sources.Manifest.vacuum]]'s `keep`
-    * must cover the replay horizon (one batch), which any keep ≥ 2
-    * does. */
+    * another committer in the optimistic-concurrency protocol — and
+    * because commit metadata INHERITS across appends, rewrites, and
+    * compactions, the batch high-water mark survives any interleaving
+    * and any vacuum: the CURRENT snapshot always carries it, so the
+    * replay check needs no retention window at all. */
   def sinkToManifest(docs: DataFrame, table: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val batchKey = "stream_batch"

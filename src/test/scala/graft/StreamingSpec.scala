@@ -759,8 +759,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Manifest.read(spark, tbl).collect().map(_.toString).sorted
       .sameElements(expected))
     // the commit protocol stays fully composable after streaming:
-    // compaction is just the next version, content identical
+    // compaction is just the next version, content identical — and the
+    // batch high-water mark INHERITS through it
     Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(Manifest.read(spark, tbl).collect().map(_.toString).sorted
+      .sameElements(expected))
+    assert(Manifest.currentSnapshot(spark, tbl).get.meta
+      .get("stream_batch").contains("0"))
+    // the hard case: compaction + vacuum erase every manifest the sink
+    // itself wrote; a wiped-checkpoint replay must STILL append nothing,
+    // which only metadata inheritance guarantees
+    Manifest.vacuum(spark, tbl, keep = 1)
+    run(java.nio.file.Files.createTempDirectory("graft_msink_c3").toString)
     assert(Manifest.read(spark, tbl).collect().map(_.toString).sorted
       .sameElements(expected))
   }
