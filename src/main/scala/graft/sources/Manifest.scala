@@ -286,7 +286,15 @@ object Manifest {
     * caller still applies its own row-level filter — envelopes prune
     * files, not rows. */
   def readPruned(spark: SparkSession, table: String,
-      column: String, lo: Double, hi: Double): DataFrame = {
+      column: String, lo: Double, hi: Double): DataFrame =
+    readPrunedAll(spark, table, Seq((column, lo, hi)))
+
+  /** [[readPruned]] for a CONJUNCTION of ranges — a file survives only
+    * if EVERY predicate's envelope intersects, which is where a
+    * z-clustered layout pays twice (LakehouseSpec's grid test). */
+  def readPrunedAll(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedAll needs at least one range")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPruned: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
@@ -295,8 +303,10 @@ object Manifest {
       return spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
     val stats = spark.read.parquet(sd.toString)
     val known = stats.select("file").collect().map(_.getString(0)).toSet
-    val keep = stats
-      .filter(!(F.col(s"${column}__max") < lo || F.col(s"${column}__min") > hi))
+    val survives = ranges.map { case (c, lo, hi) =>
+      !(F.col(s"${c}__max") < lo || F.col(s"${c}__min") > hi)
+    }.reduce(_ && _)
+    val keep = stats.filter(survives)
       .select("file").collect().map(_.getString(0))
     // every file of the pinned snapshot the sidecar does not cover
     // stays in (stats are an accelerator, never a correctness gate)

@@ -270,6 +270,13 @@ class LakehouseSpec extends AnyFunSuite {
     // filtered full read on both axes
     assert(px.filter($"x" <= 31).count() == 4096 / 8)
     assert(py.filter($"y" <= 31).count() == 4096 / 8)
+    // the conjunction prunes hardest: an x AND y box keeps at most the
+    // files either single axis kept, and the filtered count is exact
+    val pxy = Manifest.readPrunedAll(spark, tbl,
+      Seq(("x", 0.0, 31.0), ("y", 0.0, 31.0)))
+    assert(pxy.inputFiles.length <=
+      math.min(px.inputFiles.length, py.inputFiles.length))
+    assert(pxy.filter($"x" <= 31 && $"y" <= 31).count() == 4096 / 64)
   }
 
   test("stats-driven bloom-join advice: measured selectivity fires the " +

@@ -579,6 +579,20 @@ class LlmSpec extends AnyFunSuite {
       out(6L).getAs[Double]("alpha_frac") == 0.0)
   }
 
+  test("C4 and Gopher gates are plan-certified map-only: no exchange anywhere") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    for (gate <- Seq(
+        TextAnalysis.c4Clean(docs, col("doc_id"), col("text")),
+        TextAnalysis.gopherRules(docs, col("doc_id"), col("text")))) {
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"row-local gate must not shuffle:\n${plan.take(800)}")
+      assert(plan.contains("Scan parquet"), "reads straight off the scan")
+    }
+  }
+
   test("tf-idf: hand-computed smooth-idf scores and deterministic top-k") {
     import graft.llm.TextAnalysis
     import spark.implicits._
