@@ -245,33 +245,82 @@ object Manifest {
   /** Record per-FILE min/max envelopes of `cols` for the current
     * snapshot, as a sidecar parquet under `_manifest/` (invisible to
     * data readers; version-scoped, so immutable-file semantics carry
-    * over). One aggregation pass grouped by `input_file_name` —
-    * the same single-scan discipline as [[Stats.analyze]]. Numeric
-    * columns record a double envelope (exact below 2⁵³); others are
-    * skipped (string pruning can be added the same way — the
-    * [[Stats.analyzeSketch]] type-split). The sidecar is an OPTIONAL
-    * accelerator: [[readPruned]] falls back to the full file list for
-    * versions without one, and files the stats frame does not mention
-    * are always read. */
+    * over). Numeric columns record a double envelope (exact below
+    * 2⁵³); others are skipped (string pruning can be added the same
+    * way — the [[Stats.analyzeSketch]] type-split). The sidecar is an
+    * OPTIONAL accelerator: [[readPruned]] falls back to the full file
+    * list for versions without one, and files the stats frame does
+    * not mention are always read.
+    *
+    * INCREMENTAL: data files are immutable, so any retained prior
+    * sidecar's rows (same column set) are reused for the files still
+    * in the snapshot, and only uncovered files — the appended ones —
+    * are scanned. Per-append maintenance cost is therefore ∝ new
+    * data, never the table (the [[Stats.mergeSketchStats]] argument
+    * at file grain); a fully-covered snapshot is a no-op. Returns the
+    * number of files actually scanned. */
   def analyzeFiles(spark: SparkSession, table: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Int = {
     require(cols.nonEmpty, "analyzeFiles needs at least one column")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.analyzeFiles: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
     val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
     val numCols = cols.filter(c => df.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
     require(numCols.nonEmpty,
       s"analyzeFiles: no numeric columns among ${cols.mkString(",")}")
+    val statCols = "file" +: numCols.flatMap(c =>
+      Seq(s"${c}__min", s"${c}__max"))
+    val allFiles = df.inputFiles.toSet
+    // newest retained sidecar with a compatible column set: its rows
+    // for still-present files carry over verbatim (immutability)
+    val reuse: Seq[org.apache.spark.sql.Row] = versions(spark, table)
+      .filter(v => fs.exists(statsDir(table, v))).lastOption.toSeq
+      .flatMap { pv =>
+        val old = spark.read.parquet(statsDir(table, pv).toString)
+        if (statCols.forall(old.columns.contains))
+          // collect = driver metadata at #files grain, and it detaches
+          // the rows from the old sidecar files before the overwrite
+          old.select(statCols.head, statCols.tail: _*).collect().toSeq
+            .filter(r => allFiles.contains(r.getString(0)))
+        else Nil
+      }
+    val covered = reuse.map(_.getString(0)).toSet
+    val newFiles = (allFiles -- covered).toSeq.sorted
+    val target = statsDir(table, snap.version)
+    if (newFiles.isEmpty && fs.exists(target) && reuse.size == allFiles.size)
+      return 0 // fully covered at this version already
     val aggs = numCols.flatMap { c =>
       Seq(F.min(F.col(c)).cast("double").as(s"${c}__min"),
         F.max(F.col(c)).cast("double").as(s"${c}__max"))
     }
-    df.groupBy(F.input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(statsDir(table, snap.version).toString)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType) +:
+        numCols.flatMap(c => Seq(
+          org.apache.spark.sql.types.StructField(s"${c}__min",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField(s"${c}__max",
+            org.apache.spark.sql.types.DoubleType))))
+    val reused = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(reuse).asJava), schema)
+    val fresh =
+      if (newFiles.isEmpty) reused.limit(0)
+      else {
+        val nf = spark.read.parquet(newFiles: _*)
+        // hive-partitioned snapshots carry partition columns only when
+        // read through their directories — a leaf-file read loses
+        // them, so analyze such a column from the full snapshot scan
+        val src = if (numCols.forall(c => nf.columns.contains(c))) nf
+          else df.filter(F.input_file_name().isInCollection(newFiles))
+        src.groupBy(F.input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    reused.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(target.toString)
+    newFiles.size
   }
 
   /** Pinned read of the current snapshot restricted — at the DRIVER,

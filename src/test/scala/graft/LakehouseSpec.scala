@@ -213,7 +213,10 @@ class LakehouseSpec extends AnyFunSuite {
     def mk(r: Range) = r.map(i => (i.toLong, s"r$i")).toDF("id", "s")
     Manifest.create(spark, tbl,
       mk(1 to 800).repartitionByRange(8, col("id")).sortWithinPartitions(col("id")))
-    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val scanned0 = Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    assert(scanned0 == Manifest.read(spark, tbl).inputFiles.length)
+    // idempotent re-run at the same version: fully covered, scans nothing
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("id")) == 0)
     val full = Manifest.read(spark, tbl)
     val pruned = Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
     assert(pruned.inputFiles.length < full.inputFiles.length,
@@ -228,8 +231,11 @@ class LakehouseSpec extends AnyFunSuite {
     Manifest.commitAppend(spark, tbl, mk(801 to 820))
     val fallback = Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
     assert(fallback.inputFiles.length == Manifest.read(spark, tbl).inputFiles.length)
-    // re-analyze: pruning resumes over all nine files, appended rows served
-    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    // re-analyze INCREMENTALLY: the eight covered files' rows carry
+    // over from the v1 sidecar, only the appended files are scanned
+    val appended = Manifest.read(spark, tbl).inputFiles.length - scanned0
+    assert(appended >= 1 &&
+      Manifest.analyzeFiles(spark, tbl, Seq("id")) == appended)
     val pr2 = Manifest.readPruned(spark, tbl, "id", 790.0, 820.0)
     assert(pr2.inputFiles.length < Manifest.read(spark, tbl).inputFiles.length)
     assert(pr2.filter($"id" >= 790).count() == 31)
