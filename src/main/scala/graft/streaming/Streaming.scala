@@ -481,23 +481,81 @@ object Streaming {
     * and any vacuum: the CURRENT snapshot always carries it, so the
     * replay check needs no retention window at all. */
   def sinkToManifest(docs: DataFrame, table: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val batchKey = "stream_batch"
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.sources.Manifest
-        val s = batch.sparkSession
-        val landed = Manifest.versions(s, table)
-          .flatMap(v => Manifest.readSnapshot(s, table, v).meta.get(batchKey))
-          .map(_.toLong)
-        if (!landed.exists(_ >= batchId)) {
-          val meta = Map(batchKey -> batchId.toString)
-          if (Manifest.isManifested(s, table))
-            Manifest.commitAppend(s, table, batch, meta = meta)
-          else Manifest.create(s, table, batch, meta = meta)
-        }
-        ()
+        landBatchExactlyOnce(table, batch, batchId)
+      }
+      .start()
+
+  /** The exactly-once landing shared by [[sinkToManifest]] and
+    * [[curateArrivals]]: append-commit the batch with its id as
+    * inherited metadata, unless a retained manifest already records
+    * this batch (or a later one) as landed. */
+  private def landBatchExactlyOnce(table: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import graft.sources.Manifest
+    val batchKey = "stream_batch"
+    val s = batch.sparkSession
+    val landed = Manifest.versions(s, table)
+      .flatMap(v => Manifest.readSnapshot(s, table, v).meta.get(batchKey))
+      .map(_.toLong)
+    if (!landed.exists(_ >= batchId)) {
+      val meta = Map(batchKey -> batchId.toString)
+      if (Manifest.isManifested(s, table))
+        Manifest.commitAppend(s, table, batch, meta = meta)
+      else Manifest.create(s, table, batch, meta = meta)
+    }
+    ()
+  }
+
+  /** THE live curation pipeline — the q195 batch capstone at ingest,
+    * one operator: every arriving micro-batch runs the Gopher quality
+    * gate, the widened PII scrub, the near-dup screen against a STORED
+    * band index, and the perplexity gate under a STORED Kneser-Ney
+    * model, and the survivors land in a manifested table as ONE
+    * exactly-once append commit. All reference state is frozen
+    * offline artifacts (band-index store over the curated corpus'
+    * REDACTED text, LM store trained on the same) — zero streaming
+    * state, so per-batch results trivially union to the batch
+    * pipeline over the same arrivals (the spec asserts it), and a
+    * replayed batch re-screens against the same frozen stores and is
+    * then skipped at the commit. A doc with fewer than three tokens
+    * after redaction carries no trigram evidence and fails the LM
+    * gate (no score row — semi-join drops it), the conservative
+    * default for a quality filter. */
+  def curateArrivals(docs: DataFrame, bandStorePath: String,
+      lmStorePath: String, table: String, checkpoint: String,
+      minWords: Int = 50, minStopHits: Int = 2,
+      dupThreshold: Double = 0.8,
+      logprobMin: Double = Double.NegativeInfinity)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.{Dedup, LangModel, Pii, TextAnalysis}
+    val spark = docs.sparkSession
+    val (bands, shingles) = Dedup.readBandIndexStore(spark, bandStorePath)
+    val lm = LangModel.readTrigramModel(spark, lmStorePath)
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep = TextAnalysis.gopherRules(batch, F.col("doc_id"),
+            F.col("text"), minWords = minWords, minStopHits = minStopHits)
+          .filter(F.col("kept")).select("doc_id")
+        val gated = batch.join(keep, Seq("doc_id"), "left_semi")
+        val redacted = gated.drop("text").join(
+          Pii.scrubAll(gated, F.col("doc_id"), F.col("text"))
+            .select(F.col("doc_id"), F.col("text_redacted").as("text")),
+          "doc_id")
+        // the screen returns a row per FLAGGED arrival; admitted = the rest
+        val admitted = redacted.join(
+          Dedup.nearDupScreen(redacted, F.col("doc_id"), F.col("text"),
+            bands, shingles, threshold = dupThreshold).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val passIds = LangModel.kneserNeyScoreAgainst(lm, admitted,
+            F.col("doc_id"), F.col("text"))
+          .filter(F.col("logprob") >= logprobMin).select("doc_id")
+        landBatchExactlyOnce(table,
+          admitted.join(passIds, Seq("doc_id"), "left_semi"), batchId)
       }
       .start()
   }

@@ -775,6 +775,61 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(expected))
   }
 
+  test("live curation pipeline: all four gates + frozen stores + " +
+      "exactly-once landing == the batch pipeline over the same arrivals") {
+    import graft.llm.{Dedup, LangModel, Pii, TextAnalysis}
+    import graft.sources.Manifest
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val (bandPath, lmPath, tbl) = (s"$dir/bands", s"$dir/lm", s"$dir/t")
+    val docs = Tables.documents(spark, sf)
+    // offline artifacts over the curated corpus' REDACTED text
+    def redact(df: org.apache.spark.sql.DataFrame) =
+      df.drop("text").join(
+        Pii.scrubAll(df, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("text_redacted").as("text")), "doc_id")
+    val corpus = redact(docs.filter(col("source") =!= "src0"))
+    Dedup.writeBandIndexStore(corpus, col("doc_id"), col("text"), bandPath)
+    LangModel.writeTrigramModel(LangModel.trainTrigramModel(
+      corpus, col("doc_id"), col("text")), lmPath)
+    def run(ckpt: String): Unit = {
+      val q = Streaming.curateArrivals(
+        Streaming.documentsStream(spark, sf).filter(col("source") === "src0"),
+        bandPath, lmPath, tbl, ckpt,
+        minWords = 20, minStopHits = 1, logprobMin = -20.0)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(java.nio.file.Files.createTempDirectory("graft_curate_c1").toString)
+    // the batch mirror: same stages, same frozen stores
+    val arrivals = docs.filter(col("source") === "src0")
+    val gated = arrivals.join(
+      TextAnalysis.gopherRules(arrivals, col("doc_id"), col("text"),
+          minWords = 20, minStopHits = 1)
+        .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val red = redact(gated)
+    val (bands, shingles) = Dedup.readBandIndexStore(spark, bandPath)
+    val admitted = red.join(
+      Dedup.nearDupScreen(red, col("doc_id"), col("text"), bands, shingles)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    val expected = admitted.join(
+      LangModel.kneserNeyScoreAgainst(
+          LangModel.readTrigramModel(spark, lmPath), admitted,
+          col("doc_id"), col("text"))
+        .filter(col("logprob") >= -20.0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text").collect().map(_.toString).sorted
+    val landed = Manifest.read(spark, tbl)
+      .select("doc_id", "text").collect().map(_.toString).sorted
+    assert(landed.nonEmpty && landed.sameElements(expected))
+    assert(landed.length < arrivals.count(), "some arrivals were gated out")
+    // wiped-checkpoint replay: re-screens against the same frozen
+    // stores, then skips at the commit — nothing lands twice
+    run(java.nio.file.Files.createTempDirectory("graft_curate_c2").toString)
+    assert(Manifest.read(spark, tbl)
+      .select("doc_id", "text").collect().map(_.toString).sorted
+      .sameElements(expected))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val deduped = Streaming.dedupedEvents(Streaming.eventsStream(spark, sf))
       .groupBy("event_type").count()
