@@ -207,6 +207,19 @@ object Manifest {
       meta: Map[String, String] = Map.empty): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
+    // fail loudly on drift: parquet's per-file schemas would otherwise
+    // surface as missing-column reads long after the bad commit landed.
+    // Types compare only outside partitionBy columns (hive partition
+    // inference narrows their types on read).
+    val curS = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*).schema
+    def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
+      if (partitionBy.contains(f.name)) (f.name, "partition")
+      else (f.name, f.dataType.sql)).toSet
+    val (cur, nxt) = (key(curS), key(df.schema))
+    require(cur == nxt,
+      s"Manifest.commitAppend: schema mismatch vs current snapshot — " +
+        s"only in table: ${(cur -- nxt).map(_._1).toSeq.sorted.mkString(",")}; " +
+        s"only in batch: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}")
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     // metadata INHERITS across commits (new keys win): table-state
     // annotations like the streaming sink's batch high-water mark must
@@ -350,6 +363,12 @@ object Manifest {
     val sd = statsDir(table, snap.version)
     if (!fs.exists(sd))
       return spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    // hive-partitioned snapshots: leaf-file reads would silently drop
+    // the partition columns, and their pruning is already partition
+    // pruning's job — serve the plain pinned read instead
+    val full = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+      return full
     val stats = spark.read.parquet(sd.toString)
     val known = stats.select("file").collect().map(_.getString(0)).toSet
     val survives = ranges.map { case (c, lo, hi) =>
@@ -359,12 +378,9 @@ object Manifest {
       .select("file").collect().map(_.getString(0))
     // every file of the pinned snapshot the sidecar does not cover
     // stays in (stats are an accelerator, never a correctness gate)
-    val all = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
-      .inputFiles
-    val unknown = all.filterNot(f => known.contains(f))
+    val unknown = full.inputFiles.filterNot(f => known.contains(f))
     val paths = (keep ++ unknown).distinct
-    if (paths.isEmpty) spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
-      .limit(0)
+    if (paths.isEmpty) full.limit(0)
     else spark.read.parquet(paths: _*)
   }
 

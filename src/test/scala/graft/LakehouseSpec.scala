@@ -202,6 +202,14 @@ class LakehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Manifest.readVersion(spark, tbl, 1L)
     }
+    // schema drift fails LOUDLY at commit, not as a missing-column
+    // read three snapshots later
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tbl,
+        Seq((161L, "x", 1.0)).toDF("id", "s", "extra"))
+    }
+    assert(e.getMessage.contains("schema mismatch") &&
+      e.getMessage.contains("extra"))
   }
 
   test("file skipping: sidecar envelopes prune files at the driver, " +
