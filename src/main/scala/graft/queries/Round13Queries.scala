@@ -829,7 +829,44 @@ object Round13Queries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  true AS pruned_files
-             |FROM documents WHERE doc_id <= 100""".stripMargin))
+             |FROM documents WHERE doc_id <= 100""".stripMargin)),
+
+    // Multi-touch attribution: linear / first-touch / last-touch credit
+    // per channel for every purchase, over a 24-hour lookback. One
+    // user-keyed equi-join (the window predicate is a residual filter,
+    // not a second exchange), two conversion-keyed window passes, one
+    // channel aggregation; ties on touch time break by event id so the
+    // report is engine-identical.
+    NamedQuery("q199_attribution",
+      (s, d) => graft.operators.Attribution.report(
+        Tables.events(s, d), col("event_id"), col("user_id"),
+        col("ts"), col("event_type"), "purchase", lookbackHours = 24),
+      Some("""WITH conv AS (
+             |  SELECT event_id AS conv_id, user_id AS u, ts AS conv_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |tch AS (
+             |  SELECT event_id AS touch_id, user_id AS u, ts AS touch_ts,
+             |    event_type AS touch_type
+             |  FROM events WHERE event_type <> 'purchase'),
+             |j AS (
+             |  SELECT * FROM conv JOIN tch USING (u)
+             |  WHERE touch_ts <= conv_ts
+             |    AND touch_ts >= conv_ts - INTERVAL 24 HOURS),
+             |c AS (SELECT *,
+             |    count(*) OVER (PARTITION BY conv_id) AS n,
+             |    row_number() OVER (PARTITION BY conv_id
+             |      ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+             |    row_number() OVER (PARTITION BY conv_id
+             |      ORDER BY touch_ts DESC, touch_id DESC) AS rl
+             |  FROM j)
+             |SELECT touch_type AS event_type,
+             |  round(sum(1.0 / n), 6) AS credit_linear,
+             |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS credit_first,
+             |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS credit_last,
+             |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+             |FROM c GROUP BY 1 ORDER BY 1 ASC""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

@@ -382,4 +382,38 @@ class FunnelSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("flat grouping"))
   }
+
+  test("attribution: linear splits, first/last pick the right touch, " +
+      "lookback excludes, tie breaks by id") {
+    import graft.operators.Attribution
+    import spark.implicits._
+    // user 1: click(t1) → view(t2) → purchase(t3): linear ½/½,
+    //   first = click, last = view
+    // user 2: view 25h before purchase (outside 24h lookback) and a
+    //   click inside: click gets everything, the view nothing
+    // user 3: two clicks at the SAME ts: earliest id is first, latest
+    //   id is last, each ½ linear
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 11:00:00", "view"),
+      (3L, 1L, "2024-01-01 12:00:00", "purchase"),
+      (4L, 2L, "2024-01-01 09:00:00", "view"),
+      (5L, 2L, "2024-01-02 09:30:00", "click"),
+      (6L, 2L, "2024-01-02 10:00:00", "purchase"),
+      (7L, 3L, "2024-01-03 08:00:00", "click"),
+      (8L, 3L, "2024-01-03 08:00:00", "click"),
+      (9L, 3L, "2024-01-03 09:00:00", "purchase")
+    ).toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("t").cast("timestamp").as("ts"), col("event_type"))
+    val out = Attribution.report(rows, col("event_id"), col("user_id"),
+        col("ts"), col("event_type"), "purchase", lookbackHours = 24)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // click: ½ (u1) + 1 (u2) + ½+½ (u3) = 2.5 linear; first for u1,
+    // u2, u3; last for u2 and u3 — 25h-old views never appear
+    assert(out("click") == ((2.5, 3L, 2L, 3L)))
+    assert(out("view") == ((0.5, 0L, 1L, 1L)))
+    assert(out.size == 2, "the out-of-window view credits nothing extra")
+  }
 }
