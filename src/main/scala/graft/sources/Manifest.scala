@@ -128,7 +128,10 @@ object Manifest {
         "re-resolve the current snapshot and retry")
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    // every commit stamps its wall time (ms) — the AS OF timestamp
+    // resolution key for [[readAsOf]]; an inherited stamp is replaced
+    val stamped = meta + ("committed_at" -> System.currentTimeMillis().toString)
+    val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     try out.write(((metaLines ++ paths).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target)) {
@@ -136,7 +139,7 @@ object Manifest {
       sys.error(s"Manifest.commit: rename to $target failed (lost the race?); " +
         "nothing committed")
     }
-    Snapshot(expected + 1, paths, meta)
+    Snapshot(expected + 1, paths, stamped)
   }
 
   /** Create a manifested table from a frame: write snapshot 1's data
@@ -236,6 +239,20 @@ object Manifest {
     require(versions(spark, table).contains(v),
       s"Manifest.readVersion: $table has no retained version $v")
     val snap = readSnapshot(spark, table, v)
+    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+  }
+
+  /** TIME TRAVEL by wall clock: the newest retained version whose
+    * commit stamp is at or before `tsMillis` (commits made before the
+    * stamp existed count as time 0). The stamp is commit METADATA, so
+    * it rides the same atomic manifest appearance as everything else —
+    * no file-mtime archaeology. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, table).map(v => readSnapshot(spark, table, v))
+      .filter(_.meta.get("committed_at").map(_.toLong).getOrElse(0L) <= tsMillis)
+    require(vs.nonEmpty,
+      s"Manifest.readAsOf: no retained version of $table at or before $tsMillis")
+    val snap = vs.last
     spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
   }
 

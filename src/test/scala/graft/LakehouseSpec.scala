@@ -194,6 +194,10 @@ class LakehouseSpec extends AnyFunSuite {
     // file-level diff is append-only: one added dir, nothing removed
     val (added, removed) = Manifest.diffSnapshots(spark, tbl, 1L, 2L)
     assert(added == Seq(Manifest.dataDirName(2)) && removed.isEmpty)
+    // AS OF wall clock: version 2's own stamp resolves to version 2,
+    // not the newer version 3
+    val t2 = Manifest.readSnapshot(spark, tbl, 2L).meta("committed_at").toLong
+    assert(Manifest.readAsOf(spark, tbl, t2).count() == 150)
     // vacuum to the current version: v1/v2 manifests go, but every
     // data dir v3 still references survives (appends SHARE dirs)
     Manifest.vacuum(spark, tbl, keep = 1)
@@ -201,6 +205,10 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Manifest.read(spark, tbl).count() == 160)
     intercept[IllegalArgumentException] {
       Manifest.readVersion(spark, tbl, 1L)
+    }
+    // AS OF before every retained commit refuses loudly
+    intercept[IllegalArgumentException] {
+      Manifest.readAsOf(spark, tbl, 0L)
     }
     // schema drift fails LOUDLY at commit, not as a missing-column
     // read three snapshots later
