@@ -866,7 +866,39 @@ object Round13Queries {
              |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS credit_last,
              |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
-             |FROM c GROUP BY 1 ORDER BY 1 ASC""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1 ASC""".stripMargin)),
+
+    // Bloom point-lookup skipping on a layout range envelopes cannot
+    // prune: a round-robin 8-file snapshot (every file spans the whole
+    // id range) + the per-file Bloom sidecar; the equality probe reads
+    // a strict subset of files and exactly the right row. Envelope
+    // impotence on this layout rides as a pinned boolean beside the
+    // bloom's strict subset.
+    NamedQuery("q200_bloom_skipping",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_bloom").toString + "/docs"
+        Manifest.create(s, table, docs.repartition(8))
+        Manifest.analyzeFiles(s, table, Seq("doc_id"))
+        Manifest.analyzeFilesBloom(s, table, Seq("doc_id"),
+          expectedItemsPerFile = 100000)
+        val nAll = Manifest.read(s, table).inputFiles.length
+        val nRange = Manifest.readPruned(s, table, "doc_id", 42.0, 42.0)
+          .inputFiles.length
+        val pt = Manifest.readPoint(s, table, "doc_id", 42L)
+        pt.filter(col("doc_id") === 42L)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            F.lit(pt.inputFiles.length < nAll).as("bloom_pruned"),
+            F.lit(nRange == nAll).as("envelopes_impotent"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS bloom_pruned, true AS envelopes_impotent
+             |FROM documents WHERE doc_id = 42""".stripMargin))
   )
 
   /** The interpolated-KN oracle, shared between the self-score and

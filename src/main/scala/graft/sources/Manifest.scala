@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 /** Versioned-manifest table commits — the object-store-safe protocol
@@ -353,6 +353,113 @@ object Manifest {
     newFiles.size
   }
 
+  private def bloomDir(table: String, v: Long) =
+    new Path(s"$table/_manifest/bloom_v${"%08d".format(v)}")
+
+  /** Per-file BLOOM sidecar — the point-lookup complement of
+    * [[analyzeFiles]]: min/max envelopes prune RANGE predicates on
+    * clustered columns, but an equality probe on an unclustered
+    * high-cardinality column (a doc id, a user id) intersects every
+    * envelope; a per-file Bloom filter of the column's xxhash64 values
+    * answers "might this file contain v?" instead. Built with the same
+    * internal `BloomFilterAggregate` the runtime bloom-join uses, one
+    * grouped pass, INCREMENTAL exactly like [[analyzeFiles]] (prior
+    * sidecar rows reused for still-present files; returns the number
+    * of files scanned). False positives only cost an extra file read;
+    * false negatives cannot happen, so pruning is always sound. */
+  def analyzeFilesBloom(spark: SparkSession, table: String,
+      cols: Seq[String], expectedItemsPerFile: Long = 1000000L,
+      fpp: Double = 0.01): Int = {
+    require(cols.nonEmpty, "analyzeFilesBloom needs at least one column")
+    require(expectedItemsPerFile > 0 && fpp > 0 && fpp < 1,
+      s"bad sizing: $expectedItemsPerFile items, fpp $fpp")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.analyzeFilesBloom: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val statCols = "file" +: cols.map(c => s"${c}__bloom")
+    val allFiles = df.inputFiles.toSet
+    val reuse: Seq[org.apache.spark.sql.Row] = versions(spark, table)
+      .filter(v => fs.exists(bloomDir(table, v))).lastOption.toSeq
+      .flatMap { pv =>
+        val old = spark.read.parquet(bloomDir(table, pv).toString)
+        if (statCols.forall(old.columns.contains))
+          old.select(statCols.head, statCols.tail: _*).collect().toSeq
+            .filter(r => allFiles.contains(r.getString(0)))
+        else Nil
+      }
+    val covered = reuse.map(_.getString(0)).toSet
+    val newFiles = (allFiles -- covered).toSeq.sorted
+    val target = bloomDir(table, snap.version)
+    if (newFiles.isEmpty && fs.exists(target) && reuse.size == allFiles.size)
+      return 0
+    val ln2 = math.log(2)
+    val numBits = math.ceil(
+      -expectedItemsPerFile * math.log(fpp) / (ln2 * ln2)).toLong
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val aggs = cols.map { c =>
+      GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression(F.xxhash64(F.col(c))),
+        Literal(expectedItemsPerFile), Literal(numBits))
+        .toAggregateExpression()).as(s"${c}__bloom")
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(s"${c}__bloom",
+          org.apache.spark.sql.types.BinaryType)))
+    val reused = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(reuse).asJava), schema)
+    val fresh =
+      if (newFiles.isEmpty) reused.limit(0)
+      else {
+        val nf = spark.read.parquet(newFiles: _*)
+        val src = if (cols.forall(c => nf.columns.contains(c))) nf
+          else df.filter(F.input_file_name().isInCollection(newFiles))
+        src.groupBy(F.input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    reused.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(target.toString)
+    newFiles.size
+  }
+
+  /** Point-lookup read: the current snapshot restricted to the files
+    * whose Bloom sidecar says MIGHT contain `value` in `column` — the
+    * [[readPruned]] decision shape (driver-side, sidecar only,
+    * uncovered files conservatively read, no sidecar or a partitioned
+    * snapshot = plain read). The probe hashes through a 1-row Spark
+    * query with the value cast to the column's own type, so the bits
+    * agree with the aggregate's xxhash64 exactly. */
+  def readPoint(spark: SparkSession, table: String,
+      column: String, value: Any): DataFrame = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPoint: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val bd = bloomDir(table, snap.version)
+    val full = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    if (!fs.exists(bd) ||
+        full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+      return full
+    val dt = full.schema(column).dataType
+    val probe = spark.range(1)
+      .select(F.xxhash64(F.lit(value).cast(dt))).first().getLong(0)
+    val rows = spark.read.parquet(bd.toString)
+      .select(F.col("file"), F.col(s"${column}__bloom")).collect()
+    val known = rows.map(_.getString(0)).toSet
+    val keep = rows.filter { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(probe)
+    }.map(_.getString(0))
+    val unknown = full.inputFiles.filterNot(known.contains)
+    val paths = (keep ++ unknown).distinct
+    if (paths.isEmpty) full.limit(0) else spark.read.parquet(paths: _*)
+  }
+
   /** Pinned read of the current snapshot restricted — at the DRIVER,
     * from sidecar metadata alone, before any footer is opened — to the
     * files whose recorded `[min, max]` envelope of `column` intersects
@@ -446,7 +553,8 @@ object Manifest {
     val deadSnaps = dead.map(readSnapshot(spark, table, _))
     dead.foreach { v =>
       fs.delete(manifestFile(table, v), false)
-      fs.delete(statsDir(table, v), true) // file-skipping sidecar, if any
+      fs.delete(statsDir(table, v), true) // file-skipping sidecars, if any
+      fs.delete(bloomDir(table, v), true)
     }
     val referenced = live.map(readSnapshot(spark, table, _))
       .flatMap(_.paths).toSet

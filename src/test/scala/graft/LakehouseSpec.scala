@@ -263,6 +263,36 @@ class LakehouseSpec extends AnyFunSuite {
       .filter($"id".between(100, 150)).count() == 51)
   }
 
+  test("bloom point-lookup skipping: prunes where envelopes cannot, " +
+      "sound on absent values, incremental like the envelope sidecar") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_bloom").toString
+    val tbl = s"$dir/t"
+    // ROUND-ROBIN layout: every file spans ~the whole id range, so
+    // min/max envelopes prune nothing — the bloom's home turf
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(8))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val scanned = Manifest.analyzeFilesBloom(spark, tbl, Seq("id"),
+      expectedItemsPerFile = 1000)
+    val all = Manifest.read(spark, tbl).inputFiles.length
+    assert(scanned == all && all == 8)
+    assert(Manifest.readPruned(spark, tbl, "id", 42.0, 42.0)
+      .inputFiles.length == all, "round-robin defeats envelopes")
+    val pt = Manifest.readPoint(spark, tbl, "id", 42L)
+    assert(pt.inputFiles.length <= 3,
+      s"bloom should prune to ~1 file, got ${pt.inputFiles.length}")
+    assert(pt.filter($"id" === 42L).count() == 1)
+    // soundness on an absent value: no row survives whatever files the
+    // fpp lets through
+    assert(Manifest.readPoint(spark, tbl, "id", 99999L)
+      .filter($"id" === 99999L).count() == 0)
+    // incremental: fully covered snapshot is a no-op
+    assert(Manifest.analyzeFilesBloom(spark, tbl, Seq("id"),
+      expectedItemsPerFile = 1000) == 0)
+  }
+
   test("z-order + file skipping: after a z-clustered compaction EITHER " +
       "axis prunes files — the multi-dimensional payoff a single-column " +
       "sort cannot give") {
