@@ -396,6 +396,17 @@ object Manifest {
     val ln2 = math.log(2)
     val numBits = math.ceil(
       -expectedItemsPerFile * math.log(fpp) / (ln2 * ln2)).toLong
+    // BloomFilterAggregate silently Math.min-clamps against the
+    // runtime bloom-join caps (the historyBloom lesson — a clamped
+    // filter saturates and the skip rate silently collapses): raise
+    // them to what this sizing asks for
+    val conf = spark.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (conf.get(bitsKey, "67108864").toLong < numBits)
+      conf.set(bitsKey, numBits.toString)
+    if (conf.get(itemsKey, "4000000").toLong < expectedItemsPerFile)
+      conf.set(itemsKey, expectedItemsPerFile.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val aggs = cols.map { c =>

@@ -281,4 +281,33 @@ class PropertySpec extends AnyFunSuite {
     assert(labeled.groupBy("split").count().agg(F.sum("count")).collect()(0).getLong(0)
       == docs.count())
   }
+
+  test("sketch stats merge under RANDOM batch splits == the full scan, bit for bit") {
+    import graft.sources.Stats
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{functions => F}
+    val docs = graft.cubes.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val cols = Seq("doc_id", "source")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("column", "n_rows", "n_nulls", "kmv", "min_d", "max_d",
+        "min_s", "max_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList, Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)))).sortBy(_._1)
+    val full = canon(Stats.analyzeSketch(docs, cols))
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      // a random number of batches with a random disjoint assignment —
+      // the merge contract must hold for ANY partitioning
+      val k = 2 + rnd.nextInt(4)
+      val salt = rnd.nextInt(1000)
+      val batches = (0 until k).map(i =>
+        Stats.analyzeSketch(
+          docs.filter(F.pmod(F.xxhash64(col("doc_id") + salt), F.lit(k)) === i),
+          cols))
+      assert(canon(Stats.mergeSketchStats(batches)).sameElements(full),
+        s"merge mismatch at k=$k salt=$salt")
+    }
+  }
 }
