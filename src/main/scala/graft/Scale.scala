@@ -94,11 +94,16 @@ object Scale {
       .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
       .foreach { case (name, fn) =>
         try {
-          val scanned = scannedTables(fn(spark, s"$testRoot/sf0.01"))
-          val driver = driverHints.getOrElse(name,
+          // the hint short-circuits BEFORE the plan probe: the hinted
+          // queries are exactly the ones whose frame CONSTRUCTION runs
+          // driver-side jobs, so probing them would pay a full sf0.01
+          // execution just to discard the answer
+          val driver = driverHints.getOrElse(name, {
+            val scanned = scannedTables(fn(spark, s"$testRoot/sf0.01"))
             growing.reverse.foldLeft(Option.empty[String]) { (acc, t) =>
               if (scanned.contains(t)) Some(t) else acc
-            }.getOrElse("none")) // `growing` is ordered smallest-last driver priority
+            }.getOrElse("none") // `growing` is ordered smallest-last driver priority
+          })
           val points: Seq[(String, String)] = driver match {
             case "documents" =>
               val sizes = if (big) Seq(1581L, 5000L, 40000L) else docSizes

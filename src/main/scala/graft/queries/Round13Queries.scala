@@ -48,6 +48,60 @@ object Round13Queries {
       |  ' now' AS t
       |FROM documents""".stripMargin
 
+  /** The g2/g3 word-gram lists over a relation exposing `doc_id` and
+    * `w` — shared by the q194 and q195 oracles. */
+  private def gopherGramsSql(rel: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(w) >= 2
+       |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+       |    ELSE [] END AS g2,
+       |  CASE WHEN len(w) >= 3
+       |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+       |    ELSE [] END AS g3
+       |  FROM $rel""".stripMargin
+
+  /** The nine Gopher signal expressions over pre-split columns (`w`,
+    * `lw`, `lines`, the raw text `txt`) joined with the gram lists —
+    * SELECT items shared VERBATIM by the q194 and q195 oracles so a
+    * threshold or signal fix can never make the two gates drift. */
+  private def gopherSignalsSql(txt: String): String =
+    s"""  CAST(len(w) AS INT) AS n_words,
+       |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
+       |    greatest(len(w), 1), 6) AS mean_word_len,
+       |  round(((len($txt) - len(replace($txt, '#', ''))) +
+       |    (len($txt) - len(replace($txt, '...', ''))) / 3)::DOUBLE /
+       |    greatest(len(w), 1), 6) AS symbol_ratio,
+       |  round(len(list_filter(lines, x ->
+       |      regexp_matches(trim(x), '^[-*•]')))::DOUBLE /
+       |    greatest(len(lines), 1), 6) AS bullet_frac,
+       |  round(len(list_filter(lines, x ->
+       |      regexp_matches(trim(x), '\\.\\.\\.$$')))::DOUBLE /
+       |    greatest(len(lines), 1), 6) AS ellipsis_frac,
+       |  round(len(list_filter(w, x ->
+       |      regexp_matches(x, '[A-Za-z]')))::DOUBLE /
+       |    greatest(len(w), 1), 6) AS alpha_frac,
+       |  CAST(len(list_filter(list_distinct(lw), x -> list_contains(
+       |    ['the','be','to','of','and','that','have','with'], x)))
+       |    AS INT) AS stop_hits,
+       |  CASE WHEN len(g2) > 0
+       |    THEN round(list_max([len(list_filter(g2, x -> x = y))
+       |                         for y in list_distinct(g2)])::DOUBLE
+       |               / len(g2), 6)
+       |    ELSE 0.0 END AS top2_cov,
+       |  CASE WHEN len(g3) > 0
+       |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+       |    ELSE 0.0 END AS dup3_frac""".stripMargin
+
+  /** The fixture-scaled Gopher gate conjunction over the signal
+    * aliases (minWords 20, minStopHits 1 — see q194's registration
+    * comment). */
+  private val gopherKeptSql: String =
+    """n_words >= 20 AND n_words <= 100000 AND
+      |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+      |   symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND
+      |   ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
+      |   stop_hits >= 1 AND top2_cov <= 0.2 AND dup3_frac <= 0.3""".stripMargin
+
   /** The [[Pii.redactAll]] chain rendered over a DuckDB column. */
   private def redactAllSql(c: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -472,55 +526,17 @@ object Round13Queries {
           Tables.documents(s, d), col("doc_id"), col("text"),
           minWords = 20, minStopHits = 1)
         .orderBy(col("doc_id").asc),
-      Some("""WITH t AS MATERIALIZED (SELECT doc_id, text,
-             |    string_split_regex(trim(text), '\s+') AS w,
-             |    string_split_regex(trim(lower(text)), '\s+') AS lw,
-             |    string_split(text, chr(10)) AS lines
-             |  FROM documents),
-             |g AS (SELECT doc_id,
-             |  CASE WHEN len(w) >= 2
-             |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
-             |    ELSE [] END AS g2,
-             |  CASE WHEN len(w) >= 3
-             |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
-             |    ELSE [] END AS g3
-             |  FROM t),
-             |m AS (SELECT t.doc_id,
-             |  CAST(len(w) AS INT) AS n_words,
-             |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
-             |    greatest(len(w), 1), 6) AS mean_word_len,
-             |  round(((len(text) - len(replace(text, '#', ''))) +
-             |    (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE /
-             |    greatest(len(w), 1), 6) AS symbol_ratio,
-             |  round(len(list_filter(lines, x ->
-             |      regexp_matches(trim(x), '^[-*•]')))::DOUBLE /
-             |    greatest(len(lines), 1), 6) AS bullet_frac,
-             |  round(len(list_filter(lines, x ->
-             |      regexp_matches(trim(x), '\.\.\.$')))::DOUBLE /
-             |    greatest(len(lines), 1), 6) AS ellipsis_frac,
-             |  round(len(list_filter(w, x ->
-             |      regexp_matches(x, '[A-Za-z]')))::DOUBLE /
-             |    greatest(len(w), 1), 6) AS alpha_frac,
-             |  CAST(len(list_filter(list_distinct(lw), x -> list_contains(
-             |    ['the','be','to','of','and','that','have','with'], x)))
-             |    AS INT) AS stop_hits,
-             |  CASE WHEN len(g2) > 0
-             |    THEN round(list_max([len(list_filter(g2, x -> x = y))
-             |                         for y in list_distinct(g2)])::DOUBLE
-             |               / len(g2), 6)
-             |    ELSE 0.0 END AS top2_cov,
-             |  CASE WHEN len(g3) > 0
-             |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
-             |    ELSE 0.0 END AS dup3_frac
-             |  FROM t JOIN g USING (doc_id))
-             |SELECT *,
-             |  (n_words >= 20 AND n_words <= 100000 AND
-             |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
-             |   symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND
-             |   ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
-             |   stop_hits >= 1 AND top2_cov <= 0.2 AND dup3_frac <= 0.3)
-             |  AS kept
-             |FROM m ORDER BY doc_id ASC""".stripMargin)),
+      Some(s"""WITH t AS MATERIALIZED (SELECT doc_id, text,
+              |    string_split_regex(trim(text), '\\s+') AS w,
+              |    string_split_regex(trim(lower(text)), '\\s+') AS lw,
+              |    string_split(text, chr(10)) AS lines
+              |  FROM documents),
+              |g AS (${gopherGramsSql("t")}),
+              |m AS (SELECT t.doc_id,
+              |${gopherSignalsSql("text")}
+              |  FROM t JOIN g USING (doc_id))
+              |SELECT *, ($gopherKeptSql) AS kept
+              |FROM m ORDER BY doc_id ASC""".stripMargin)),
 
     // CAPSTONE v4 — the round-13 operators composed into one curation
     // pass as ONE declarative plan: Gopher quality gate (q194) →
@@ -565,51 +581,14 @@ object Round13Queries {
               |    string_split_regex(trim(lower(aug.t)), '\\s+') AS lw,
               |    string_split(aug.t, chr(10)) AS lines
               |  FROM aug JOIN documents d USING (doc_id)),
-              |gg AS (SELECT doc_id,
-              |  CASE WHEN len(w) >= 2
-              |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
-              |    ELSE [] END AS g2,
-              |  CASE WHEN len(w) >= 3
-              |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
-              |    ELSE [] END AS g3
-              |  FROM gw),
+              |gg AS (${gopherGramsSql("gw")}),
               |gm AS (SELECT gw.doc_id,
-              |  len(w) AS n_words,
-              |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
-              |    greatest(len(w), 1), 6) AS mean_word_len,
-              |  round(((len(t) - len(replace(t, '#', ''))) +
-              |    (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE /
-              |    greatest(len(w), 1), 6) AS symbol_ratio,
-              |  round(len(list_filter(lines, x ->
-              |      regexp_matches(trim(x), '^[-*•]')))::DOUBLE /
-              |    greatest(len(lines), 1), 6) AS bullet_frac,
-              |  round(len(list_filter(lines, x ->
-              |      regexp_matches(trim(x), '\\.\\.\\.$$')))::DOUBLE /
-              |    greatest(len(lines), 1), 6) AS ellipsis_frac,
-              |  round(len(list_filter(w, x ->
-              |      regexp_matches(x, '[A-Za-z]')))::DOUBLE /
-              |    greatest(len(w), 1), 6) AS alpha_frac,
-              |  len(list_filter(list_distinct(lw), x -> list_contains(
-              |    ['the','be','to','of','and','that','have','with'], x)))
-              |    AS stop_hits,
-              |  CASE WHEN len(g2) > 0
-              |    THEN round(list_max([len(list_filter(g2, x -> x = y))
-              |                         for y in list_distinct(g2)])::DOUBLE
-              |               / len(g2), 6)
-              |    ELSE 0.0 END AS top2_cov,
-              |  CASE WHEN len(g3) > 0
-              |    THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
-              |    ELSE 0.0 END AS dup3_frac
+              |${gopherSignalsSql("t")}
               |  FROM gw JOIN gg USING (doc_id)),
               |red AS MATERIALIZED (SELECT gw.doc_id, gw.source,
               |    ${redactAllSql("gw.t")} AS rt
               |  FROM gw JOIN gm USING (doc_id)
-              |  WHERE gm.n_words >= 20 AND gm.n_words <= 100000 AND
-              |    gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0 AND
-              |    gm.symbol_ratio <= 0.1 AND gm.bullet_frac <= 0.1 AND
-              |    gm.ellipsis_frac <= 0.3 AND gm.alpha_frac >= 0.8 AND
-              |    gm.stop_hits >= 1 AND gm.top2_cov <= 0.2 AND
-              |    gm.dup3_frac <= 0.3),
+              |  WHERE $gopherKeptSql),
               |tw AS MATERIALIZED (SELECT doc_id, source,
               |    string_split_regex(trim(lower(rt)), '\\s+') AS w
               |  FROM red),

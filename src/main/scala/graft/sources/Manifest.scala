@@ -292,50 +292,74 @@ object Manifest {
   def analyzeFiles(spark: SparkSession, table: String,
       cols: Seq[String]): Int = {
     require(cols.nonEmpty, "analyzeFiles needs at least one column")
+    buildSidecar(spark, table, statsDir,
+      keepCol = (df, c) => df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      statNames = c => Seq(s"${c}__min", s"${c}__max"),
+      fieldType = org.apache.spark.sql.types.DoubleType,
+      aggsFor = cs => cs.flatMap(c =>
+        Seq(F.min(F.col(c)).cast("double").as(s"${c}__min"),
+          F.max(F.col(c)).cast("double").as(s"${c}__max"))),
+      cols, "analyzeFiles")
+  }
+
+  /** The incremental-sidecar engine shared by [[analyzeFiles]] and
+    * [[analyzeFilesBloom]]. Column evolution is NON-DESTRUCTIVE: the
+    * effective column set is the UNION of the request and whatever the
+    * newest retained sidecar already covers (recovered from its stat
+    * column names), so a narrower re-run never drops a column a reader
+    * may still be pruning on; rows carry over verbatim only when the
+    * prior sidecar covers the full effective set, otherwise every file
+    * rescans for the union. Returns the number of files scanned. */
+  private def buildSidecar(spark: SparkSession, table: String,
+      dirFor: (String, Long) => Path,
+      keepCol: (DataFrame, String) => Boolean,
+      statNames: String => Seq[String],
+      fieldType: org.apache.spark.sql.types.DataType,
+      aggsFor: Seq[String] => Seq[Column],
+      cols: Seq[String], what: String): Int = {
     val snap = currentSnapshot(spark, table).getOrElse(
-      sys.error(s"Manifest.analyzeFiles: $table has no committed snapshot"))
+      sys.error(s"Manifest.$what: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
     val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
-    val numCols = cols.filter(c => df.schema(c).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    require(numCols.nonEmpty,
-      s"analyzeFiles: no numeric columns among ${cols.mkString(",")}")
-    val statCols = "file" +: numCols.flatMap(c =>
-      Seq(s"${c}__min", s"${c}__max"))
+    val prior = versions(spark, table)
+      .filter(v => fs.exists(dirFor(table, v))).lastOption
+      .map(v => spark.read.parquet(dirFor(table, v).toString))
+    // data columns the prior sidecar covers, recovered from its stat
+    // names (everything before the last "__" marker)
+    val priorCols = prior.toSeq.flatMap(_.columns.toSeq)
+      .filter(_ != "file").map(n => n.substring(0, n.lastIndexOf("__")))
+      .distinct
+    val effCols = (cols ++ priorCols).distinct
+      .filter(c => df.columns.contains(c) && keepCol(df, c))
+    require(effCols.nonEmpty,
+      s"$what: no eligible columns among ${cols.mkString(",")}")
+    val statCols = "file" +: effCols.flatMap(statNames)
     val allFiles = df.inputFiles.toSet
-    // newest retained sidecar with a compatible column set: its rows
-    // for still-present files carry over verbatim (immutability)
-    val reuse: Seq[org.apache.spark.sql.Row] = versions(spark, table)
-      .filter(v => fs.exists(statsDir(table, v))).lastOption.toSeq
-      .flatMap { pv =>
-        val old = spark.read.parquet(statsDir(table, pv).toString)
-        if (statCols.forall(old.columns.contains))
-          // collect = driver metadata at #files grain, and it detaches
-          // the rows from the old sidecar files before the overwrite
-          old.select(statCols.head, statCols.tail: _*).collect().toSeq
-            .filter(r => allFiles.contains(r.getString(0)))
-        else Nil
-      }
+    // rows carry over verbatim (files are immutable) when the prior
+    // sidecar covers the FULL effective column set
+    val reuse: Seq[org.apache.spark.sql.Row] = prior.toSeq.flatMap { old =>
+      if (statCols.forall(old.columns.contains))
+        // collect = driver metadata at #files grain, and it detaches
+        // the rows from the old sidecar files before the overwrite
+        old.select(statCols.head, statCols.tail: _*).collect().toSeq
+          .filter(r => allFiles.contains(r.getString(0)))
+      else Nil
+    }
     val covered = reuse.map(_.getString(0)).toSet
     val newFiles = (allFiles -- covered).toSeq.sorted
-    val target = statsDir(table, snap.version)
+    val target = dirFor(table, snap.version)
     if (newFiles.isEmpty && fs.exists(target) && reuse.size == allFiles.size)
       return 0 // fully covered at this version already
-    val aggs = numCols.flatMap { c =>
-      Seq(F.min(F.col(c)).cast("double").as(s"${c}__min"),
-        F.max(F.col(c)).cast("double").as(s"${c}__max"))
-    }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("file",
         org.apache.spark.sql.types.StringType) +:
-        numCols.flatMap(c => Seq(
-          org.apache.spark.sql.types.StructField(s"${c}__min",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField(s"${c}__max",
-            org.apache.spark.sql.types.DoubleType))))
+        effCols.flatMap(statNames).map(n =>
+          org.apache.spark.sql.types.StructField(n, fieldType)))
     val reused = spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(reuse).asJava), schema)
+    val aggs = aggsFor(effCols)
     val fresh =
       if (newFiles.isEmpty) reused.limit(0)
       else {
@@ -343,7 +367,7 @@ object Manifest {
         // hive-partitioned snapshots carry partition columns only when
         // read through their directories — a leaf-file read loses
         // them, so analyze such a column from the full snapshot scan
-        val src = if (numCols.forall(c => nf.columns.contains(c))) nf
+        val src = if (effCols.forall(c => nf.columns.contains(c))) nf
           else df.filter(F.input_file_name().isInCollection(newFiles))
         src.groupBy(F.input_file_name().as("file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -371,28 +395,9 @@ object Manifest {
       cols: Seq[String], expectedItemsPerFile: Long = 1000000L,
       fpp: Double = 0.01): Int = {
     require(cols.nonEmpty, "analyzeFilesBloom needs at least one column")
+    require(cols.nonEmpty, "analyzeFilesBloom needs at least one column")
     require(expectedItemsPerFile > 0 && fpp > 0 && fpp < 1,
       s"bad sizing: $expectedItemsPerFile items, fpp $fpp")
-    val snap = currentSnapshot(spark, table).getOrElse(
-      sys.error(s"Manifest.analyzeFilesBloom: $table has no committed snapshot"))
-    val fs = fsFor(spark, table)
-    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
-    val statCols = "file" +: cols.map(c => s"${c}__bloom")
-    val allFiles = df.inputFiles.toSet
-    val reuse: Seq[org.apache.spark.sql.Row] = versions(spark, table)
-      .filter(v => fs.exists(bloomDir(table, v))).lastOption.toSeq
-      .flatMap { pv =>
-        val old = spark.read.parquet(bloomDir(table, pv).toString)
-        if (statCols.forall(old.columns.contains))
-          old.select(statCols.head, statCols.tail: _*).collect().toSeq
-            .filter(r => allFiles.contains(r.getString(0)))
-        else Nil
-      }
-    val covered = reuse.map(_.getString(0)).toSet
-    val newFiles = (allFiles -- covered).toSeq.sorted
-    val target = bloomDir(table, snap.version)
-    if (newFiles.isEmpty && fs.exists(target) && reuse.size == allFiles.size)
-      return 0
     val ln2 = math.log(2)
     val numBits = math.ceil(
       -expectedItemsPerFile * math.log(fpp) / (ln2 * ln2)).toLong
@@ -409,32 +414,17 @@ object Manifest {
       conf.set(itemsKey, expectedItemsPerFile.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val aggs = cols.map { c =>
-      GraftBridge.column(new BloomFilterAggregate(
-        GraftBridge.expression(F.xxhash64(F.col(c))),
-        Literal(expectedItemsPerFile), Literal(numBits))
-        .toAggregateExpression()).as(s"${c}__bloom")
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("file",
-        org.apache.spark.sql.types.StringType) +:
-        cols.map(c => org.apache.spark.sql.types.StructField(s"${c}__bloom",
-          org.apache.spark.sql.types.BinaryType)))
-    val reused = spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(reuse).asJava), schema)
-    val fresh =
-      if (newFiles.isEmpty) reused.limit(0)
-      else {
-        val nf = spark.read.parquet(newFiles: _*)
-        val src = if (cols.forall(c => nf.columns.contains(c))) nf
-          else df.filter(F.input_file_name().isInCollection(newFiles))
-        src.groupBy(F.input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-      }
-    reused.unionByName(fresh).coalesce(1)
-      .write.mode("overwrite").parquet(target.toString)
-    newFiles.size
+    buildSidecar(spark, table, bloomDir,
+      keepCol = (_, _) => true,
+      statNames = c => Seq(s"${c}__bloom"),
+      fieldType = org.apache.spark.sql.types.BinaryType,
+      aggsFor = cs => cs.map { c =>
+        GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(F.xxhash64(F.col(c))),
+          Literal(expectedItemsPerFile), Literal(numBits))
+          .toAggregateExpression()).as(s"${c}__bloom")
+      },
+      cols, "analyzeFilesBloom")
   }
 
   /** Point-lookup read: the current snapshot restricted to the files
@@ -454,10 +444,14 @@ object Manifest {
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
+    val stats = spark.read.parquet(bd.toString)
+    // sidecar predates this column: conservative full read, never a
+    // resolution error
+    if (!stats.columns.contains(s"${column}__bloom")) return full
     val dt = full.schema(column).dataType
     val probe = spark.range(1)
       .select(F.xxhash64(F.lit(value).cast(dt))).first().getLong(0)
-    val rows = spark.read.parquet(bd.toString)
+    val rows = stats
       .select(F.col("file"), F.col(s"${column}__bloom")).collect()
     val known = rows.map(_.getString(0)).toSet
     val keep = rows.filter { r =>
@@ -505,6 +499,12 @@ object Manifest {
     if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
     val stats = spark.read.parquet(sd.toString)
+    // sidecar predates one of the probed columns: conservative full
+    // read, never a resolution error
+    if (!ranges.forall { case (c, _, _) =>
+        stats.columns.contains(s"${c}__min") &&
+          stats.columns.contains(s"${c}__max") })
+      return full
     val known = stats.select("file").collect().map(_.getString(0)).toSet
     val survives = ranges.map { case (c, lo, hi) =>
       !(F.col(s"${c}__max") < lo || F.col(s"${c}__min") > hi)

@@ -466,14 +466,18 @@ object Streaming {
   /** EXACTLY-ONCE streaming ingest into a manifested lakehouse table —
     * the piece that connects the live gates to the snapshot protocol:
     * each micro-batch lands as one [[graft.sources.Manifest]] APPEND
-    * commit carrying its batch id as commit metadata (`#stream_batch=N`
-    * in the manifest file). Structured Streaming's checkpoint replays a
-    * batch with the same id and content after a crash; the sink checks
-    * the retained manifests' recorded batch ids first and SKIPS an
-    * already-landed batch — so a crash between commit and checkpoint
-    * ack (the classic at-least-once window of plain `parquet` sinks)
-    * appends nothing twice, and a crash before commit leaves only an
-    * uncommitted version-scoped data dir that the next writer reclaims.
+    * commit carrying its batch id AND a content fingerprint as commit
+    * metadata (`#stream_batch=N` / `#stream_batch_fp=…`). Structured
+    * Streaming's checkpoint replays a batch with the same id and
+    * content after a crash; the sink compares the current snapshot's
+    * recorded (id, fingerprint) and SKIPS only an IDENTICAL replay —
+    * so a crash between commit and checkpoint ack (the classic
+    * at-least-once window of plain `parquet` sinks) appends nothing
+    * twice, a crash before commit leaves only an uncommitted
+    * version-scoped data dir the next writer reclaims, and a colliding
+    * batch id from a DIFFERENT lineage (fresh checkpoint over a
+    * changed source, a second writer) fails loudly instead of
+    * silently dropping data ([[landBatchExactlyOnce]]).
     * Readers pin snapshots throughout; a concurrent compaction is just
     * another committer in the optimistic-concurrency protocol — and
     * because commit metadata INHERITS across appends, rewrites, and
@@ -490,22 +494,52 @@ object Streaming {
       .start()
 
   /** The exactly-once landing shared by [[sinkToManifest]] and
-    * [[curateArrivals]]: append-commit the batch with its id as
-    * inherited metadata, unless a retained manifest already records
-    * this batch (or a later one) as landed. */
-  private def landBatchExactlyOnce(table: String, batch: DataFrame,
+    * [[curateArrivals]]. Batch ids are only meaningful WITHIN one
+    * checkpoint lineage, so id ordering alone cannot distinguish "the
+    * crash replay of the batch I already landed" from "a fresh
+    * checkpoint replaying a GROWN source under the same id" — the
+    * latter silently dropped data under a pure high-water check. Every
+    * landing therefore also records an order-independent content
+    * fingerprint (bit_xor of row hashes + count, one cheap
+    * aggregation), and the skip path DEMANDS it match: an identical
+    * replay of the landed batch skips (exactly-once); the same id with
+    * different content, or an id below the recorded high-water, fails
+    * loudly and tells the operator to resume the original checkpoint
+    * or start a new table. Metadata inheritance keeps both keys on the
+    * CURRENT snapshot across compactions and vacuum, so one manifest
+    * read decides. */
+  private[graft] def landBatchExactlyOnce(table: String, batch: DataFrame,
       batchId: Long): Unit = {
     import graft.sources.Manifest
-    val batchKey = "stream_batch"
     val s = batch.sparkSession
-    val landed = Manifest.versions(s, table)
-      .flatMap(v => Manifest.readSnapshot(s, table, v).meta.get(batchKey))
-      .map(_.toLong)
-    if (!landed.exists(_ >= batchId)) {
-      val meta = Map(batchKey -> batchId.toString)
-      if (Manifest.isManifested(s, table))
-        Manifest.commitAppend(s, table, batch, meta = meta)
-      else Manifest.create(s, table, batch, meta = meta)
+    val fpRow = batch.agg(
+      F.coalesce(F.expr("bit_xor(" + "xxhash64(struct(" +
+        batch.columns.map(c => s"`$c`").mkString(",") + "))" + ")"),
+        F.lit(0L)).as("__x"),
+      F.count(F.lit(1)).as("__n")).first()
+    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val cur = Manifest.currentSnapshot(s, table)
+    cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
+      case Some(n) if batchId < n => sys.error(
+        s"manifest sink: batch id $batchId is below $table's recorded " +
+          s"high-water $n — a different stream lineage (fresh checkpoint " +
+          "over a changed source, or a second writer) is feeding this " +
+          "table; refusing to guess. Resume the original checkpoint or " +
+          "start a new table.")
+      case Some(n) if batchId == n =>
+        val recorded = cur.flatMap(_.meta.get("stream_batch_fp"))
+        if (!recorded.contains(fp)) sys.error(
+          s"manifest sink: batch $batchId replayed with DIFFERENT content " +
+            s"than the landed one (recorded ${recorded.getOrElse("?")}, " +
+            s"got $fp) — batch ids are only stable within one checkpoint " +
+            "lineage; refusing the silent skip.")
+      // identical replay of the landed batch: the exactly-once skip
+      case _ =>
+        val meta = Map("stream_batch" -> batchId.toString,
+          "stream_batch_fp" -> fp)
+        if (Manifest.isManifested(s, table))
+          Manifest.commitAppend(s, table, batch, meta = meta)
+        else Manifest.create(s, table, batch, meta = meta)
     }
     ()
   }

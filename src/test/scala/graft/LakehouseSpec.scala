@@ -263,6 +263,34 @@ class LakehouseSpec extends AnyFunSuite {
       .filter($"id".between(100, 150)).count() == 51)
   }
 
+  test("sidecar column evolution is non-destructive: a narrower re-run " +
+      "unions with the covered set; unknown columns fall back, never fail") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_evo").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i.toLong * 2, s"r$i")).toDF("x", "y", "s")
+        .repartitionByRange(4, col("x")).sortWithinPartitions(col("x")))
+    Manifest.analyzeFiles(spark, tbl, Seq("x"))
+    val all = Manifest.read(spark, tbl).inputFiles.length
+    assert(Manifest.readPruned(spark, tbl, "x", 0.0, 50.0)
+      .inputFiles.length < all)
+    // probing a never-analyzed column: conservative full read, not an
+    // unresolved-column failure
+    assert(Manifest.readPruned(spark, tbl, "y", 0.0, 50.0)
+      .inputFiles.length == all)
+    // analyzing y alone must NOT destroy x's envelopes — the effective
+    // set is the union (every file rescans for it)
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("y")) == all)
+    assert(Manifest.readPruned(spark, tbl, "x", 0.0, 50.0)
+      .inputFiles.length < all, "x stats survived the y-only re-run")
+    assert(Manifest.readPruned(spark, tbl, "y", 0.0, 100.0)
+      .inputFiles.length < all)
+    // and now both are covered: the no-op fast path
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("x")) == 0)
+  }
+
   test("bloom point-lookup skipping: prunes where envelopes cannot, " +
       "sound on absent values, incremental like the envelope sidecar") {
     import graft.sources.Manifest

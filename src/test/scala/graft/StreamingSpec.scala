@@ -775,6 +775,33 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(expected))
   }
 
+  test("manifest sink lineage protection: same id with different content " +
+      "or a below-high-water id fails loudly instead of silently dropping") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_msink_lin").toString
+    val tbl = s"$dir/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Streaming.landBatchExactlyOnce(tbl, b0, 2L)
+    assert(Manifest.read(spark, tbl).count() == 2)
+    // identical replay of the landed batch: the exactly-once skip
+    Streaming.landBatchExactlyOnce(tbl, b0, 2L)
+    assert(Manifest.versions(spark, tbl) == Seq(1L))
+    // same id, DIFFERENT content — a fresh checkpoint over a grown
+    // source; the old high-water check silently dropped the new rows
+    val grown = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val e1 = intercept[RuntimeException] {
+      Streaming.landBatchExactlyOnce(tbl, grown, 2L)
+    }
+    assert(e1.getMessage.contains("DIFFERENT content"))
+    // an id below the recorded high-water: a restarted lineage
+    val e2 = intercept[RuntimeException] {
+      Streaming.landBatchExactlyOnce(tbl, b0, 1L)
+    }
+    assert(e2.getMessage.contains("below"))
+    assert(Manifest.read(spark, tbl).count() == 2, "nothing landed twice")
+  }
+
   test("live curation pipeline: all four gates + frozen stores + " +
       "exactly-once landing == the batch pipeline over the same arrivals") {
     import graft.llm.{Dedup, LangModel, Pii, TextAnalysis}
