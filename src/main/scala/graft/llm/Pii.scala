@@ -38,7 +38,14 @@ object Pii {
     * redact its tail). `\b` cannot fire between ' ' and '+' (both
     * non-word), so on a '+'-prefixed number `\+?` matches empty and the
     * match anchors at the first digit — the '+' survives redaction, a
-    * cosmetic residue both engines reproduce identically. */
+    * cosmetic residue both engines reproduce identically.
+    *
+    * KNOWN TRADEOFF of the leading `\b` inside the Java∩RE2 dialect
+    * (no lookbehind): a number glued to a preceding LETTER
+    * ('tel555-123-4567') has no word boundary before its first digit
+    * and is not matched. Blocking the mid-digit-run false positive was
+    * judged worth that rare under-redaction; a `(?<![0-9-])` lookbehind
+    * would thread the needle but RE2 — the oracle's engine — has none. */
   val PhoneRe = "\\b\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
 
   /** International phone: '+' country code (1–3 digits), a separator,
@@ -111,19 +118,31 @@ object Pii {
         F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
 
   /** [[scrub]] over the widened pattern set — counts for every type in
-    * the [[redactAll]] chain. Still one map-only projection: six regex
-    * counts + the replace chain fuse into the same codegen stage. */
-  def scrubAll(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    * the [[redactAll]] chain. Each count is taken on the text AS THAT
+    * STAGE SEES IT (after the earlier stages' replacements), so a US
+    * number written with its country code counts ONCE as international
+    * instead of once per overlapping pattern, and Σcounts equals the
+    * number of placeholders actually inserted. Still one map-only
+    * projection: the staged strings are shared subexpressions of the
+    * same codegen stage. */
+  def scrubAll(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val t1 = F.regexp_replace(textCol, EmailRe, "<EMAIL>")
+    val t2 = F.regexp_replace(t1, IntlPhoneRe, "<PHONE>")
+    val t3 = F.regexp_replace(t2, PhoneRe, "<PHONE>")
+    val t4 = F.regexp_replace(t3, SsnRe, "<SSN>")
+    val t5 = F.regexp_replace(t4, IbanRe, "<IBAN>")
+    val t6 = F.regexp_replace(t5, Ipv4Re, "<IP>")
     df.select(
       idCol.as("doc_id"),
       emailCount(textCol).as("n_email"),
-      intlPhoneCount(textCol).as("n_phone_intl"),
-      phoneCount(textCol).as("n_phone"),
-      ssnCount(textCol).as("n_ssn"),
-      ibanCount(textCol).as("n_iban"),
-      ipCount(textCol).as("n_ip"),
-      redactAll(textCol).as("text_redacted"))
+      intlPhoneCount(t1).as("n_phone_intl"),
+      phoneCount(t2).as("n_phone"),
+      ssnCount(t3).as("n_ssn"),
+      ibanCount(t4).as("n_iban"),
+      ipCount(t5).as("n_ip"),
+      t6.as("text_redacted"))
       .withColumn("has_pii",
         F.col("n_email") + F.col("n_phone_intl") + F.col("n_phone") +
           F.col("n_ssn") + F.col("n_iban") + F.col("n_ip") > 0)
+  }
 }

@@ -138,11 +138,40 @@ object Similarity {
       corpus: DataFrame, path: String,
       nLists: Int = 16, seed: Long = 7L): Unit = {
     val centroids = trainCentroids(corpus, nLists, seed)
-    graft.sources.Manifest.create(spark, s"$path/corpus",
-      assignCells(corpus, centroids), partitionBy = Seq("cell"))
+    commitCorpusSnapshot(spark, s"$path/corpus",
+      assignCells(corpus, centroids))
     val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     spark.createDataFrame(rows).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Land a (re)built corpus snapshot: first build = CREATE, periodic
+    * retrain over an existing index = the next REWRITE commit (pinned
+    * readers keep serving the old snapshot), a pre-manifest plain
+    * directory = create beside the legacy files then drop them once
+    * the commit has succeeded — the documented retrain path works in
+    * all three states instead of refusing a second build. */
+  private def commitCorpusSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusTable: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
+    import graft.sources.Manifest
+    val fs = fsFor(spark, corpusTable)
+    val root = new org.apache.hadoop.fs.Path(corpusTable)
+    if (Manifest.isManifested(spark, corpusTable)) {
+      Manifest.commitRewrite(spark, corpusTable, df, Seq("cell"), meta)
+      ()
+    } else if (fs.exists(root)) {
+      val legacy = fs.listStatus(root)
+        .map(_.getPath).filterNot(_.getName.startsWith("_"))
+      Manifest.create(spark, corpusTable, df, partitionBy = Seq("cell"),
+        meta = meta)
+      legacy.foreach(fs.delete(_, true))
+    } else {
+      Manifest.create(spark, corpusTable, df, partitionBy = Seq("cell"),
+        meta = meta)
+      ()
+    }
   }
 
   /** (id, embedding, cell) under FIXED centroids — the row-local
@@ -169,15 +198,41 @@ object Similarity {
   private def indexCorpus(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
     val corpusTable = s"$indexPath/corpus"
+    val manifested = graft.sources.Manifest.isManifested(spark, corpusTable)
     val base =
-      if (graft.sources.Manifest.isManifested(spark, corpusTable))
-        graft.sources.Manifest.read(spark, corpusTable)
+      if (manifested) graft.sources.Manifest.read(spark, corpusTable)
       else spark.read.parquet(corpusTable)
+    // delta batches at or below the snapshot's folded high-water are
+    // ALREADY in the base (a compaction that crashed between its commit
+    // and its delta deletion leaves them on disk) — excluding them here
+    // is what makes that crash window serve without duplicates
+    val foldedThrough =
+      if (manifested)
+        graft.sources.Manifest.currentSnapshot(spark, corpusTable)
+          .flatMap(_.meta.get("folded_through_batch")).map(_.toLong)
+          .getOrElse(-1L)
+      else -1L
+    val live = deltaBatchDirs(spark, indexPath)
+      .filter { case (id, _) => id > foldedThrough }
+    if (live.isEmpty) base
+    else base.unionByName(
+      spark.read.option("basePath", s"$indexPath/delta")
+        .parquet(live.map(_._2): _*).drop("batch"))
+  }
+
+  /** The live delta batch directories as (batch id, path), ascending. */
+  private def deltaBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[(Long, String)] = {
     val fs = fsFor(spark, indexPath)
     val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
-    if (fs.exists(delta))
-      base.unionByName(spark.read.parquet(s"$indexPath/delta").drop("batch"))
-    else base
+    if (!fs.exists(delta)) return Nil
+    fs.listStatus(delta).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        p.getName.split("=", 2) match {
+          case Array("batch", id) => Some(id.toLong -> p.toString)
+          case _ => None
+        }
+      }.sortBy(_._1)
   }
 
   /** ANN over a materialized [[ivfBuildIndex]] index (including any live
@@ -219,22 +274,40 @@ object Similarity {
       indexPath: String): Unit = {
     import graft.sources.Manifest
     val fs = fsFor(spark, indexPath)
-    val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
-    if (!fs.exists(delta)) return
     val corpusTable = s"$indexPath/corpus"
-    val folded = indexCorpus(spark, indexPath)
-    if (Manifest.isManifested(spark, corpusTable))
-      Manifest.commitRewrite(spark, corpusTable, folded, Seq("cell"))
-    else {
-      // legacy plain-directory index: fold into a SIBLING manifested
-      // snapshot (the plain files stay untouched until the commit has
-      // succeeded), then remove the now-superseded plain files
-      val legacy = fs.listStatus(new org.apache.hadoop.fs.Path(corpusTable))
-        .map(_.getPath).filterNot(_.getName.startsWith("_"))
-      Manifest.create(spark, corpusTable, folded, partitionBy = Seq("cell"))
-      legacy.foreach(fs.delete(_, true))
+    // already-folded leftovers (a crash between the previous run's
+    // commit and its deletions) go first — their rows are in the base,
+    // and indexCorpus has been excluding them by the recorded
+    // high-water all along
+    val foldedThrough =
+      if (Manifest.isManifested(spark, corpusTable))
+        Manifest.currentSnapshot(spark, corpusTable)
+          .flatMap(_.meta.get("folded_through_batch")).map(_.toLong)
+          .getOrElse(-1L)
+      else -1L
+    deltaBatchDirs(spark, indexPath)
+      .filter { case (id, _) => id <= foldedThrough }
+      .foreach { case (_, p) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+    def dropEmptyDelta(): Unit = {
+      // "empty" = no batch= children left; writer markers (_SUCCESS)
+      // may remain and must not keep the dir alive
+      val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+      if (fs.exists(delta) && deltaBatchDirs(spark, indexPath).isEmpty)
+        fs.delete(delta, true)
+      ()
     }
-    fs.delete(delta, true)
+    val live = deltaBatchDirs(spark, indexPath)
+    if (live.isEmpty) { dropEmptyDelta(); return }
+    // fold exactly the listed batches; record their high-water in the
+    // COMMIT metadata, so a crash between this commit and the
+    // deletions below still serves without duplicates
+    val folded = indexCorpus(spark, indexPath)
+    commitCorpusSnapshot(spark, corpusTable, folded,
+      meta = Map("folded_through_batch" -> live.map(_._1).max.toString))
+    live.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+    dropEmptyDelta()
     Manifest.vacuum(spark, corpusTable, keep = 2)
   }
 

@@ -66,12 +66,18 @@ object Binning {
     * (every boundary equals the value, ties go high) — deterministic
     * and replayed by the oracle, never an error. */
   def withStratumQuantileBin(df: DataFrame, stratumCol: String,
-      valueCol: String, n: Int): DataFrame =
-    df.join(
-        F.broadcast(stratumQuantileBoundaries(df, stratumCol, valueCol, n)),
-        stratumCol)
+      valueCol: String, n: Int): DataFrame = {
+    // NULL-SAFE stratum match: groupBy makes NULL its own stratum with
+    // its own boundaries, and the join must honor that — a plain
+    // equi-join never matches NULL keys and would silently DROP every
+    // null-stratum row (the global withQuantileBin keeps them)
+    val b = stratumQuantileBoundaries(df, stratumCol, valueCol, n)
+      .withColumnRenamed(stratumCol, "__stratum")
+    df.join(F.broadcast(b), F.col(stratumCol) <=> F.col("__stratum"))
+      .drop("__stratum")
       .withColumn("bin",
         F.aggregate(F.col("__bnd"), F.lit(1),
-          (acc, b) => acc + F.when(F.col(valueCol) >= b, 1).otherwise(0)))
+          (acc, bd) => acc + F.when(F.col(valueCol) >= bd, 1).otherwise(0)))
       .drop("__bnd")
+  }
 }

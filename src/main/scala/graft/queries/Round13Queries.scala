@@ -48,6 +48,22 @@ object Round13Queries {
       |  ' now' AS t
       |FROM documents""".stripMargin
 
+  /** A STABLE scratch dir for queries that materialize an index or a
+    * manifested table (q188/q196/q198/q200): one fixed path per query
+    * name, wiped before each rebuild — repeated Verify/bench runs reuse
+    * the same footprint instead of leaking a fresh createTempDirectory
+    * tree per invocation. */
+  private def freshQueryDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_q_$name")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** The g2/g3 word-gram lists over a relation exposing `doc_id` and
     * `w` — shared by the q194 and q195 oracles. */
   private def gopherGramsSql(rel: String): String =
@@ -135,14 +151,32 @@ object Round13Queries {
           .orderBy(col("doc_id").asc)
       },
       Some(s"""WITH a AS ($augmentV2Sql),
+             |st AS (SELECT doc_id, t,
+             |  regexp_replace(t, '${Pii.EmailRe}', '<EMAIL>', 'g') AS t1
+             |  FROM a),
+             |st2 AS (SELECT *,
+             |  regexp_replace(t1, '${Pii.IntlPhoneRe}', '<PHONE>', 'g') AS t2
+             |  FROM st),
+             |st3 AS (SELECT *,
+             |  regexp_replace(t2, '${Pii.PhoneRe}', '<PHONE>', 'g') AS t3
+             |  FROM st2),
+             |st4 AS (SELECT *,
+             |  regexp_replace(t3, '${Pii.SsnRe}', '<SSN>', 'g') AS t4
+             |  FROM st3),
+             |st5 AS (SELECT *,
+             |  regexp_replace(t4, '${Pii.IbanRe}', '<IBAN>', 'g') AS t5
+             |  FROM st4),
+             |-- counts are STAGED like the engine's: each pattern counts
+             |-- on the text as its chain stage sees it, so overlapping
+             |-- shapes never double-count
              |c AS (SELECT doc_id, t,
              |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_email,
-             |  len(regexp_extract_all(t, '${Pii.IntlPhoneRe}')) AS n_phone_intl,
-             |  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phone,
-             |  len(regexp_extract_all(t, '${Pii.SsnRe}')) AS n_ssn,
-             |  len(regexp_extract_all(t, '${Pii.IbanRe}')) AS n_iban,
-             |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ip
-             |  FROM a)
+             |  len(regexp_extract_all(t1, '${Pii.IntlPhoneRe}')) AS n_phone_intl,
+             |  len(regexp_extract_all(t2, '${Pii.PhoneRe}')) AS n_phone,
+             |  len(regexp_extract_all(t3, '${Pii.SsnRe}')) AS n_ssn,
+             |  len(regexp_extract_all(t4, '${Pii.IbanRe}')) AS n_iban,
+             |  len(regexp_extract_all(t5, '${Pii.Ipv4Re}')) AS n_ip
+             |  FROM st5)
              |SELECT doc_id, n_email, n_phone_intl, n_phone, n_ssn, n_iban,
              |  n_ip,
              |  (n_email + n_phone_intl + n_phone + n_ssn + n_iban + n_ip > 0)
@@ -170,7 +204,8 @@ object Round13Queries {
              |  FROM documents GROUP BY source),
              |a AS (SELECT d.source, d.n_chars,
              |    1 + len(list_filter(b.bnd, x -> d.n_chars >= x)) AS bin
-             |  FROM documents d JOIN b USING (source))
+             |  FROM documents d JOIN b
+             |    ON d.source IS NOT DISTINCT FROM b.source)
              |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM a GROUP BY 1, 2 ORDER BY source ASC, bin ASC""".stripMargin)),
@@ -306,8 +341,7 @@ object Round13Queries {
           .select(col("vec_id").as("id"), col("embedding"))
         val queries = emb.filter(col("id") < 10)
         val rerank = math.max(50, (emb.count() / 10).toInt)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivfadc_index").toString
+        val path = freshQueryDir("ivfadc")
         Similarity.ivfadcBuildIndex(s, emb, path, nLists = 16, m = 16,
           ksub = 16, seed = 7L)
         val keys = Seq("query_id", "neighbor_id")
@@ -354,7 +388,13 @@ object Round13Queries {
             col("bin")))
           .groupBy(col("source"), col("bucket"))
           .agg(F.count(F.lit(1)).as("n_docs"),
-            F.round(F.avg(col("logprob")), 6).as("avg_logprob"))
+            // per-doc logprob is 6dp-rounded, so its micro-units are
+            // exact longs: summing THOSE makes the bucket mean
+            // independent of partitioning/join order — a plain
+            // avg(double) straddles the 6th decimal when an engine
+            // reorders the sum (the round-13 q189 1-ulp flake)
+            F.round(F.sum(F.round(col("logprob") * 1e6).cast("long"))
+              .cast("double") / F.count(F.lit(1)) / 1e6, 6).as("avg_logprob"))
           .orderBy(col("source").asc, col("bucket").asc)
       },
       Some("""WITH t AS MATERIALIZED (
@@ -385,13 +425,15 @@ object Round13Queries {
              |  FROM ds GROUP BY source),
              |a AS (SELECT ds.source, ds.logprob,
              |    1 + len(list_filter(bnd.b, x -> ds.logprob >= x)) AS bin
-             |  FROM ds JOIN bnd USING (source)),
+             |  FROM ds JOIN bnd
+             |    ON ds.source IS NOT DISTINCT FROM bnd.source),
              |lab AS (SELECT source, logprob,
              |    CASE bin WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
              |      ELSE 'head' END AS bucket
              |  FROM a)
              |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-             |  round(avg(logprob), 6) AS avg_logprob
+             |  round(sum(CAST(round(logprob * 1e6) AS BIGINT))::DOUBLE /
+             |    count(*) / 1e6, 6) AS avg_logprob
              |FROM lab GROUP BY 1, 2
              |ORDER BY source ASC, bucket ASC""".stripMargin)),
 
@@ -647,7 +689,8 @@ object Round13Queries {
               |      [0.3333333333333333, 0.6666666666666666]) AS b
               |  FROM ds GROUP BY source),
               |surv AS (SELECT ds.doc_id, ds.source, ds.rt
-              |  FROM ds JOIN bnd USING (source)
+              |  FROM ds JOIN bnd
+              |    ON ds.source IS NOT DISTINCT FROM bnd.source
               |  WHERE 1 + len(list_filter(bnd.b, x -> ds.logprob >= x)) >= 2),
               |mt AS (SELECT doc_id, source, rt AS text,
               |    string_split_regex(trim(rt), '\\s+') AS toks
@@ -689,8 +732,7 @@ object Round13Queries {
         import graft.sources.Manifest
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_tt").toString + "/docs"
+        val table = freshQueryDir("timetravel") + "/docs"
         Manifest.create(s, table, docs.filter(col("doc_id") % 5 =!= 0))
         Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 5 === 0))
         Manifest.compact(s, table, targetBytes = 1L << 30)
@@ -707,7 +749,8 @@ object Round13Queries {
           col("n_v1"), col("sum_v1"), col("n_v2"), col("sum_v2"),
           (col("__nc") === col("n_v2") && col("__sc") === col("sum_v2"))
             .as("compact_identical"),
-          F.lit(added == Seq(Manifest.dataDirName(2L)) && removed.isEmpty)
+          F.lit(added.size == 1 &&
+            added.head.startsWith(Manifest.dataDirName(2L)) && removed.isEmpty)
             .as("append_only_diff"),
           F.lit(Manifest.versions(s, table) == Seq(1L, 2L, 3L))
             .as("three_versions"))
@@ -790,8 +833,7 @@ object Round13Queries {
       (s, d) => {
         import graft.sources.Manifest
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_skip").toString + "/docs"
+        val table = freshQueryDir("skip") + "/docs"
         Manifest.create(s, table, docs
           .repartitionByRange(8, col("doc_id"))
           .sortWithinPartitions(col("doc_id")))
@@ -857,8 +899,7 @@ object Round13Queries {
       (s, d) => {
         import graft.sources.Manifest
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_bloom").toString + "/docs"
+        val table = freshQueryDir("bloom") + "/docs"
         Manifest.create(s, table, docs.repartition(8))
         Manifest.analyzeFiles(s, table, Seq("doc_id"))
         Manifest.analyzeFilesBloom(s, table, Seq("doc_id"),

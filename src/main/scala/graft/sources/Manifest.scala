@@ -42,8 +42,10 @@ import org.apache.spark.sql.{functions => F}
   * in production table formats.
   *
   * CRASH SAFETY between steps: data written but no manifest =
-  * invisible, and the next writer of that version reclaims the
-  * leftover directory before rewriting; manifest present = committed,
+  * invisible (every writer lands in its own uniquely-suffixed version
+  * directory, so nothing ever overwrites or deletes another writer's
+  * data), and [[vacuum]] reclaims orphaned directories once the
+  * version number has passed them; manifest present = committed,
   * regardless of when the writer died; [[vacuum]] is idempotent.
   */
 object Manifest {
@@ -64,6 +66,12 @@ object Manifest {
   private[graft] def dataDirName(v: Long): String = s"_v${"%08d".format(v)}"
 
   private val ManifestName = """^v(\d{8})\.list$""".r
+  /** Commit-metadata key recording a table's hive partitioning so
+    * compaction can preserve it. */
+  private val PartitionKey = "partition_by"
+  /** A version data dir: the version prefix plus the writer's unique
+    * suffix ([[writeData]]). */
+  private val DataDirName = """^_v(\d{8})(-[0-9a-f]{8})?$""".r
 
   /** All committed versions, ascending (empty for a plain table). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
@@ -150,7 +158,8 @@ object Manifest {
     require(versions(spark, table).isEmpty,
       s"Manifest.create: $table already has committed snapshots")
     commit(spark, table, 0L,
-      Seq(writeData(spark, table, 1L, df, partitionBy)), meta)
+      Seq(writeData(spark, table, 1L, df, partitionBy)),
+      withPartitionMeta(meta, partitionBy))
   }
 
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
@@ -171,12 +180,20 @@ object Manifest {
   /** Write `df` as version `v`'s data directory, reclaiming any
     * uncommitted leftover from a crashed writer of the same version
     * (safe: no manifest references it). Returns the relative name. */
+  /** Write `df` as a version-prefixed data directory with a UNIQUE
+    * writer suffix, so two racing committers of the same version can
+    * NEVER touch each other's data — the loser's commit fails on the
+    * manifest rename and its orphaned directory (like any crashed
+    * writer's) is reclaimed by [[vacuum]] once the version number has
+    * passed it. (An earlier design reused the bare version name and
+    * deleted leftovers before writing, which let a losing racer delete
+    * data the winner had already COMMITTED.) Returns the relative
+    * name. */
   private def writeData(spark: SparkSession, table: String, v: Long,
       df: DataFrame, partitionBy: Seq[String]): String = {
-    val fs = fsFor(spark, table)
-    val rel = dataDirName(v)
+    val rel = dataDirName(v) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(s"$table/$rel")
-    if (fs.exists(dir)) fs.delete(dir, true)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir.toString)
@@ -187,21 +204,23 @@ object Manifest {
     * and commit it as the complete new snapshot (the shape compaction
     * and index-folding use). */
   def commitRewrite(spark: SparkSession, table: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Snapshot = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitRewrite: $table has no committed snapshot"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
-    // carry the metadata forward — see commitAppend
-    commit(spark, table, snap.version, Seq(rel), snap.meta)
+    // carry the metadata forward (new keys win) — see commitAppend
+    commit(spark, table, snap.version, Seq(rel),
+      withPartitionMeta(snap.meta ++ meta, partitionBy))
   }
 
   /** APPEND commit: write `df` as version N+1's data directory and
     * commit the old snapshot's paths PLUS the new one — the
     * incremental-ingest path (landed micro-batches, daily loads)
-    * without rewriting history. Every data dir stays immutable; the
-    * new dir is version-scoped, so a crashed appender's uncommitted
-    * leftover is reclaimed by the next writer of that version exactly
-    * like a rewrite's. Appended snapshots SHARE their predecessors'
+    * without rewriting history. Every data dir stays immutable and
+    * uniquely named, so a crashed appender's uncommitted leftover is
+    * invisible until [[vacuum]] reclaims it. Appended snapshots SHARE
+    * their predecessors'
     * data dirs, which [[vacuum]]'s referenced-set check already
     * honors: dropping old versions never deletes a dir a surviving
     * snapshot still lists. */
@@ -228,8 +247,14 @@ object Manifest {
     // annotations like the streaming sink's batch high-water mark must
     // survive interleaved compactions + vacuum, or a crash replay after
     // retention could double-append
-    commit(spark, table, snap.version, snap.paths :+ rel, snap.meta ++ meta)
+    commit(spark, table, snap.version, snap.paths :+ rel,
+      withPartitionMeta(snap.meta ++ meta, partitionBy))
   }
+
+  private def withPartitionMeta(meta: Map[String, String],
+      partitionBy: Seq[String]): Map[String, String] =
+    if (partitionBy.isEmpty) meta
+    else meta + (PartitionKey -> partitionBy.mkString(","))
 
   /** TIME TRAVEL: pinned read of any still-retained version — the
     * manifest list IS the version history, so reading `AS OF v` is
@@ -395,7 +420,6 @@ object Manifest {
       cols: Seq[String], expectedItemsPerFile: Long = 1000000L,
       fpp: Double = 0.01): Int = {
     require(cols.nonEmpty, "analyzeFilesBloom needs at least one column")
-    require(cols.nonEmpty, "analyzeFilesBloom needs at least one column")
     require(expectedItemsPerFile > 0 && fpp > 0 && fpp < 1,
       s"bad sizing: $expectedItemsPerFile items, fpp $fpp")
     val ln2 = math.log(2)
@@ -404,17 +428,21 @@ object Manifest {
     // BloomFilterAggregate silently Math.min-clamps against the
     // runtime bloom-join caps (the historyBloom lesson — a clamped
     // filter saturates and the skip rate silently collapses): raise
-    // them to what this sizing asks for
+    // them to what this sizing asks for. The build below executes
+    // EAGERLY (the sidecar write), so the caps are saved first and
+    // restored before returning — the raise never leaks into
+    // Catalyst's own runtime bloom-join decisions.
     val conf = spark.conf
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = Seq(bitsKey, itemsKey).map(k => k -> conf.getOption(k))
     if (conf.get(bitsKey, "67108864").toLong < numBits)
       conf.set(bitsKey, numBits.toString)
     if (conf.get(itemsKey, "4000000").toLong < expectedItemsPerFile)
       conf.set(itemsKey, expectedItemsPerFile.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    buildSidecar(spark, table, bloomDir,
+    try buildSidecar(spark, table, bloomDir,
       keepCol = (_, _) => true,
       statNames = c => Seq(s"${c}__bloom"),
       fieldType = org.apache.spark.sql.types.BinaryType,
@@ -425,6 +453,10 @@ object Manifest {
           .toAggregateExpression()).as(s"${c}__bloom")
       },
       cols, "analyzeFilesBloom")
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   /** Point-lookup read: the current snapshot restricted to the files
@@ -545,7 +577,13 @@ object Manifest {
       case Some(c) => df.repartitionByRange(nFiles, c).sortWithinPartitions(c)
       case None => df.coalesce(nFiles)
     }
-    val rel = writeData(spark, table, snap.version + 1, laid, Nil)
+    // a hive-partitioned table stays partitioned through compaction —
+    // the layout is recorded as commit metadata at create/append time,
+    // since nothing else remembers it and silently flattening would
+    // destroy partition pruning for every later reader
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val rel = writeData(spark, table, snap.version + 1, laid, parts)
     // carry the metadata forward — see commitAppend
     commit(spark, table, snap.version, Seq(rel), snap.meta)
   }
@@ -559,8 +597,8 @@ object Manifest {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
     val fs = fsFor(spark, table)
     val vs = versions(spark, table)
+    val current = vs.last
     val (dead, live) = vs.splitAt(math.max(0, vs.size - keep))
-    if (dead.isEmpty) return
     val deadSnaps = dead.map(readSnapshot(spark, table, _))
     dead.foreach { v =>
       fs.delete(manifestFile(table, v), false)
@@ -572,5 +610,17 @@ object Manifest {
     deadSnaps.flatMap(_.paths).distinct
       .filterNot(referenced.contains)
       .foreach(p => fs.delete(new Path(s"$table/$p"), true))
+    // reclaim ORPHANED data dirs — crashed or race-losing writers'
+    // uncommitted uniquely-suffixed directories. Only versions at or
+    // below the current one: an in-flight writer is building
+    // version current+1, which this predicate can never touch.
+    fs.listStatus(new Path(table)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .foreach {
+        case n @ DataDirName(v, _) if v.toLong <= current &&
+            !referenced.contains(n) =>
+          fs.delete(new Path(s"$table/$n"), true)
+        case _ => ()
+      }
   }
 }

@@ -250,11 +250,26 @@ object Streaming {
     * shifting embedding distribution degrades recall gradually, not
     * correctness — the periodic batch rebuild is the retrain path. */
   def maintainIvfIndex(arrivals: DataFrame, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainIndexDeltas(arrivals, indexPath, checkpoint, pqEncode = false)
+
+  /** The shared delta-maintenance stream behind [[maintainIvfIndex]]
+    * and [[maintainIvfAdcIndex]]: cell-assign under the stored
+    * centroids, optionally PQ-encode under the stored codebooks, land
+    * each micro-batch as an idempotent `delta/batch=<id>/` overwrite
+    * partitioned by cell — ONE place owns the delta layout the serve
+    * and compaction paths depend on. */
+  private def maintainIndexDeltas(arrivals: DataFrame, indexPath: String,
+      checkpoint: String, pqEncode: Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = arrivals.sparkSession
     val centroids = graft.llm.Similarity.readCentroids(spark, indexPath)
-    graft.llm.Similarity.assignCells(arrivals, centroids)
-      .writeStream.outputMode("append")
+    val assigned = graft.llm.Similarity.assignCells(arrivals, centroids)
+    val encoded =
+      if (pqEncode) assigned.withColumn("codes", graft.functions.PqEncode(
+        F.col("embedding"), graft.llm.Similarity.readCodebooks(spark, indexPath)))
+      else assigned
+    encoded.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").partitionBy("cell")
@@ -305,20 +320,8 @@ object Streaming {
     * the same gradual-recall story as centroid drift: the periodic
     * batch rebuild is the retrain path. */
   def maintainIvfAdcIndex(arrivals: DataFrame, indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = arrivals.sparkSession
-    val centroids = graft.llm.Similarity.readCentroids(spark, indexPath)
-    val cbs = graft.llm.Similarity.readCodebooks(spark, indexPath)
-    graft.llm.Similarity.assignCells(arrivals, centroids)
-      .withColumn("codes", graft.functions.PqEncode(F.col("embedding"), cbs))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexPath/delta/batch=$batchId")
-      }
-      .start()
-  }
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainIndexDeltas(arrivals, indexPath, checkpoint, pqEncode = true)
 
   /** [[screenArrivals]] WITH live index maintenance — the gate's
     * feedback loop closed: each micro-batch screens against the base

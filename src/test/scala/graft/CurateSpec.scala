@@ -49,6 +49,31 @@ class CurateSpec extends AnyFunSuite {
       "edge: not-an-ip 1.2.3.4000 but <IP> is one")))
   }
 
+  test("pii: scrubAll counts are chain-staged — one number, one count, " +
+      "one placeholder") {
+    import spark.implicits._
+    // a US number WITH country code: the intl pattern takes it whole;
+    // the NANP pattern must not also claim its 3-3-4 tail
+    val docs = Seq(
+      (1L, "call +1 555-123-4567 today"),
+      (2L, "or plain 555-123-4567 works"),
+      (3L, "iban GB29NWBK60161331926819 and ssn 078-05-1120")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrubAll(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_phone_intl"), r.getAs[Int]("n_phone"),
+        r.getAs[Int]("n_ssn"), r.getAs[Int]("n_iban"),
+        r.getAs[String]("text_redacted")))
+    assert(out(0) == ((1, 0, 0, 0, "call <PHONE> today")))
+    assert(out(1) == ((0, 1, 0, 0, "or plain <PHONE> works")))
+    assert(out(2) == ((0, 0, 1, 1, "iban <IBAN> and ssn <SSN>")))
+    // Σcounts == #placeholders for every doc, the staged-count contract
+    out.foreach { case (a, b, c, d, red) =>
+      assert(a + b + c + d == "<PHONE>|<SSN>|<IBAN>".r
+        .findAllIn(red).length)
+    }
+  }
+
   test("pii: scrub-before-dedup collapses docs that differ only in PII (the v3 ordering)") {
     import graft.llm.Dedup
     import spark.implicits._
@@ -267,6 +292,30 @@ class CurateSpec extends AnyFunSuite {
     // consumers: measured row count flows into source costing
     val view = Stats.sketchStatsAsAnalyze(stats)
     assert(Stats.rowCount(view) == docs.count())
+  }
+
+  test("stratum binning keeps NULL and degenerate strata: no silent row drops") {
+    import graft.operators.Binning
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0), (Some("a"), 4.0),
+      (None, 10.0), (None, 20.0),          // NULL stratum: its own bins
+      (Some("b"), 7.0), (Some("b"), 7.0)   // degenerate: all-equal values
+    ).toDF("source", "v")
+    val out = Binning.withStratumQuantileBin(df, "source", "v", n = 2)
+    // EVERY input row survives — a plain equi-join would silently drop
+    // the null-stratum rows
+    assert(out.count() == df.count())
+    val byStratum = out.collect()
+      .groupBy(r => Option(r.getString(0)))
+      .view.mapValues(_.map(r => (r.getDouble(1), r.getInt(2))).sorted.toList)
+      .toMap
+    // exact median of {1,2,3,4} is 2.5: values below it take bin 1
+    assert(byStratum(Some("a")) == List((1.0, 1), (2.0, 1), (3.0, 2), (4.0, 2)))
+    // null stratum bins against its OWN boundaries
+    assert(byStratum(None) == List((10.0, 1), (20.0, 2)))
+    // degenerate stratum: ties go to the HIGH bin by convention
+    assert(byStratum(Some("b")) == List((7.0, 2), (7.0, 2)))
   }
 
   // ---- domain governance -------------------------------------------

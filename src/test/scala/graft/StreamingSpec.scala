@@ -436,6 +436,21 @@ class StreamingSpec extends AnyFunSuite {
     Similarity.ivfCompactIndex(spark, dir)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
     assert(served.sameElements(exact))
+    // CRASH WINDOW between the compaction's commit and its delta
+    // deletion: resurrect an already-folded batch dir — the recorded
+    // folded-through high-water must keep serving WITHOUT duplicates,
+    // and the next compaction just deletes the leftover
+    val leftover = Similarity.assignCells(
+      emb.filter(col("id") >= 400), centroids)
+    leftover.write.partitionBy("cell").parquet(s"$dir/delta/batch=0")
+    assert(served.sameElements(exact), "folded leftovers must be excluded")
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
+    assert(served.sameElements(exact))
+    // periodic RETRAIN over the existing index: a second full build is
+    // the next snapshot, not a refusal
+    Similarity.ivfBuildIndex(spark, emb, dir, nLists = 8)
+    assert(served.sameElements(exact))
   }
 
   test("live band-index maintenance: admitted arrivals join the screen's " +
@@ -521,7 +536,9 @@ class StreamingSpec extends AnyFunSuite {
     // de-manifest to the pre-protocol layout: hoist the snapshot's
     // cell= directories to the corpus root, drop the manifest
     val corpus = java.nio.file.Paths.get(s"$dir/corpus")
-    val v1 = corpus.resolve(Manifest.dataDirName(1))
+    val v1 = java.nio.file.Files.list(corpus).filter(p =>
+        p.getFileName.toString.startsWith(Manifest.dataDirName(1)))
+      .findFirst().get()
     java.nio.file.Files.list(v1).forEach { p =>
       if (p.getFileName.toString.startsWith("cell="))
         java.nio.file.Files.move(p, corpus.resolve(p.getFileName))
