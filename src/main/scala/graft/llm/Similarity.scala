@@ -138,11 +138,42 @@ object Similarity {
       corpus: DataFrame, path: String,
       nLists: Int = 16, seed: Long = 7L): Unit = {
     val centroids = trainCentroids(corpus, nLists, seed)
+    val (fence, superseded) = rebuildDeltaFence(spark, path)
     commitCorpusSnapshot(spark, s"$path/corpus",
-      assignCells(corpus, centroids))
+      assignCells(corpus, centroids), meta = fence)
+    dropSupersededDeltas(spark, path, superseded)
     val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     spark.createDataFrame(rows).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** A full (re)build SUPERSEDES every live delta: the retrain corpus
+    * is the caller's current truth, and old deltas were cell-assigned
+    * under the OLD centroids — kept live they would serve duplicate or
+    * wrongly-celled rows. The fence rides the rebuild's own commit
+    * (high-water + fingerprints, exactly like a compaction fold), so
+    * the crash window between commit and deletion serves clean and the
+    * next compaction can verify the leftovers. */
+  private def rebuildDeltaFence(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Map[String, String], Seq[String]) = {
+    val dirs = deltaBatchDirs(spark, indexPath)
+    if (dirs.isEmpty) return (Map.empty, Nil)
+    val fps = dirs.map { case (id, p) =>
+      s"batch=$id:" + graft.streaming.Streaming.contentFingerprint(
+        spark.read.parquet(p))
+    }
+    (Map("folded_through_batch" -> dirs.map(_._1).max.toString,
+      "folded_fps" -> fps.mkString(",")), dirs.map(_._2))
+  }
+
+  private def dropSupersededDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, dirs: Seq[String]): Unit = {
+    val fs = fsFor(spark, indexPath)
+    dirs.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val delta = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    if (fs.exists(delta) && deltaBatchDirs(spark, indexPath).isEmpty)
+      fs.delete(delta, true)
+    ()
   }
 
   /** Land a (re)built corpus snapshot: first build = CREATE, periodic
@@ -205,19 +236,36 @@ object Similarity {
     // delta batches at or below the snapshot's folded high-water are
     // ALREADY in the base (a compaction that crashed between its commit
     // and its delta deletion leaves them on disk) — excluding them here
-    // is what makes that crash window serve without duplicates
-    val foldedThrough =
-      if (manifested)
-        graft.sources.Manifest.currentSnapshot(spark, corpusTable)
-          .flatMap(_.meta.get("folded_through_batch")).map(_.toLong)
-          .getOrElse(-1L)
-      else -1L
+    // is what makes that crash window serve without duplicates. A
+    // RECYCLED id from a wiped-checkpoint lineage cannot normally land
+    // here (the maintenance stream refuses it at write time); if one
+    // does, the next compaction's fingerprint check fails loudly.
+    val (foldedThrough, _) = foldedState(spark, corpusTable)
     val live = deltaBatchDirs(spark, indexPath)
       .filter { case (id, _) => id > foldedThrough }
     if (live.isEmpty) base
     else base.unionByName(
       spark.read.option("basePath", s"$indexPath/delta")
         .parquet(live.map(_._2): _*).drop("batch"))
+  }
+
+  /** The compaction fence: the highest delta batch id already folded
+    * into the base snapshot, plus the folded dirs' content
+    * fingerprints — both recorded as commit metadata at fold time.
+    * (-1, empty) for unfenced / pre-manifest indexes. */
+  private[graft] def foldedState(spark: org.apache.spark.sql.SparkSession,
+      corpusTable: String): (Long, Map[String, String]) = {
+    import graft.sources.Manifest
+    if (!Manifest.isManifested(spark, corpusTable)) return (-1L, Map.empty)
+    val meta = Manifest.currentSnapshot(spark, corpusTable)
+      .map(_.meta).getOrElse(Map.empty)
+    val f = meta.get("folded_through_batch").map(_.toLong).getOrElse(-1L)
+    val fps = meta.get("folded_fps").map(_.split(',').toSeq
+      .filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toMap).getOrElse(Map.empty)
+    (f, fps)
   }
 
   /** The live delta batch directories as (batch id, path), ascending. */
@@ -275,20 +323,29 @@ object Similarity {
     import graft.sources.Manifest
     val fs = fsFor(spark, indexPath)
     val corpusTable = s"$indexPath/corpus"
-    // already-folded leftovers (a crash between the previous run's
-    // commit and its deletions) go first — their rows are in the base,
-    // and indexCorpus has been excluding them by the recorded
-    // high-water all along
-    val foldedThrough =
-      if (Manifest.isManifested(spark, corpusTable))
-        Manifest.currentSnapshot(spark, corpusTable)
-          .flatMap(_.meta.get("folded_through_batch")).map(_.toLong)
-          .getOrElse(-1L)
-      else -1L
+    // leftovers at or below the fence (a crash between the previous
+    // run's commit and its deletions) go first — but ONLY after their
+    // content matches the fingerprint recorded at fold time. Batch ids
+    // are lineage-local, so an id alone cannot distinguish crash
+    // residue (rows already in the base — safe to delete) from a
+    // wiped-checkpoint lineage recycling low ids (NEW data — deleting
+    // it would be silent loss); the fingerprint can.
+    val (foldedThrough, foldedFps) = foldedState(spark, corpusTable)
     deltaBatchDirs(spark, indexPath)
       .filter { case (id, _) => id <= foldedThrough }
-      .foreach { case (_, p) =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+      .foreach { case (id, p) =>
+        val fp = graft.streaming.Streaming.contentFingerprint(
+          spark.read.parquet(p))
+        if (foldedFps.get(s"batch=$id").contains(fp))
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        else sys.error(
+          s"ivfCompactIndex: $p sits at or below the folded high-water " +
+            s"($foldedThrough) but its content does not match the folded " +
+            "fingerprint — a maintenance stream with a wiped checkpoint " +
+            "has recycled batch ids into this index. Rebuild the index " +
+            "(or remove the directory manually if it is known residue) " +
+            "before compacting.")
+      }
     def dropEmptyDelta(): Unit = {
       // "empty" = no batch= children left; writer markers (_SUCCESS)
       // may remain and must not keep the dir alive
@@ -299,12 +356,18 @@ object Similarity {
     }
     val live = deltaBatchDirs(spark, indexPath)
     if (live.isEmpty) { dropEmptyDelta(); return }
-    // fold exactly the listed batches; record their high-water in the
-    // COMMIT metadata, so a crash between this commit and the
-    // deletions below still serves without duplicates
+    // fold exactly the listed batches; record their high-water AND
+    // per-dir fingerprints in the COMMIT metadata, so a crash between
+    // this commit and the deletions below still serves without
+    // duplicates and the next run can verify its leftovers
+    val fps = live.map { case (id, p) =>
+      s"batch=$id:" + graft.streaming.Streaming.contentFingerprint(
+        spark.read.parquet(p))
+    }
     val folded = indexCorpus(spark, indexPath)
     commitCorpusSnapshot(spark, corpusTable, folded,
-      meta = Map("folded_through_batch" -> live.map(_._1).max.toString))
+      meta = Map("folded_through_batch" -> live.map(_._1).max.toString,
+        "folded_fps" -> fps.mkString(",")))
     live.foreach { case (_, p) =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true) }
     dropEmptyDelta()
@@ -337,10 +400,12 @@ object Similarity {
       nLists: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 7L): Unit = {
     val centroids = trainCentroids(corpus, nLists, seed)
     val cbs = pqTrain(corpus, m, ksub, seed)
-    graft.sources.Manifest.create(spark, s"$path/corpus",
+    val (fence, superseded) = rebuildDeltaFence(spark, path)
+    commitCorpusSnapshot(spark, s"$path/corpus",
       assignCells(corpus, centroids)
         .withColumn("codes", PqEncode(F.col("embedding"), cbs)),
-      partitionBy = Seq("cell"))
+      meta = fence)
+    dropSupersededDeltas(spark, path, superseded)
     val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     spark.createDataFrame(rows).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -48,20 +48,26 @@ object Round13Queries {
       |  ' now' AS t
       |FROM documents""".stripMargin
 
-  /** A STABLE scratch dir for queries that materialize an index or a
-    * manifested table (q188/q196/q198/q200): one fixed path per query
-    * name, wiped before each rebuild — repeated Verify/bench runs reuse
-    * the same footprint instead of leaking a fresh createTempDirectory
-    * tree per invocation. */
+  /** A scratch dir for queries that materialize an index or a
+    * manifested table (q188/q196/q198/q200): unique per invocation (a
+    * FIXED path would let two concurrent runs — verify beside bench —
+    * wipe each other's live tables mid-query), with stale siblings
+    * from PRIOR runs reaped by age so repeated local loops stay at a
+    * bounded footprint instead of leaking a tree per invocation. */
   private def freshQueryDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_q_$name")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-    java.nio.file.Files.createDirectories(p)
-    p.toString
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val siblings = java.nio.file.Files.list(tmp)
+    try siblings.forEach { p =>
+      if (p.getFileName.toString.startsWith(s"graft_q_${name}_") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally w.close()
+      }
+    } finally siblings.close()
+    java.nio.file.Files.createTempDirectory(s"graft_q_${name}_").toString
   }
 
   /** The g2/g3 word-gram lists over a relation exposing `doc_id` and

@@ -209,9 +209,11 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitRewrite: $table has no committed snapshot"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
-    // carry the metadata forward (new keys win) — see commitAppend
+    // carry the metadata forward (new keys win) — but a REWRITE defines
+    // the new layout, so a stale partition_by from the old layout is
+    // dropped rather than resurrected by a later compact()
     commit(spark, table, snap.version, Seq(rel),
-      withPartitionMeta(snap.meta ++ meta, partitionBy))
+      withPartitionMeta((snap.meta - PartitionKey) ++ meta, partitionBy))
   }
 
   /** APPEND commit: write `df` as version N+1's data directory and
@@ -597,6 +599,7 @@ object Manifest {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
     val fs = fsFor(spark, table)
     val vs = versions(spark, table)
+    if (vs.isEmpty) return // plain / never-committed table: documented no-op
     val current = vs.last
     val (dead, live) = vs.splitAt(math.max(0, vs.size - keep))
     val deadSnaps = dead.map(readSnapshot(spark, table, _))

@@ -272,6 +272,23 @@ object Streaming {
     encoded.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // lineage guard: batch ids are only meaningful within one
+        // checkpoint lineage. An id BELOW the compaction fence can only
+        // come from a wiped checkpoint recycling ids — landing it would
+        // leave the rows invisible (the serve path excludes folded ids)
+        // and the next compaction would refuse; fail here, at the
+        // source. An id EQUAL to the fence is the legitimate
+        // crash-replay of the last folded batch — its idempotent
+        // overwrite recreates a leftover the next compaction
+        // fingerprint-verifies and reclaims.
+        val (fence, _) = graft.llm.Similarity.foldedState(
+          batch.sparkSession, s"$indexPath/corpus")
+        if (batchId < fence) sys.error(
+          s"index maintenance: batch id $batchId is below the index's " +
+            s"folded high-water $fence — this stream's checkpoint was " +
+            "wiped (or a second stream is feeding the index). Resume the " +
+            "original checkpoint, or rebuild the index before attaching " +
+            "a new stream.")
         batch.write.mode("overwrite").partitionBy("cell")
           .parquet(s"$indexPath/delta/batch=$batchId")
       }
@@ -503,7 +520,7 @@ object Streaming {
     * checkpoint replaying a GROWN source under the same id" — the
     * latter silently dropped data under a pure high-water check. Every
     * landing therefore also records an order-independent content
-    * fingerprint (bit_xor of row hashes + count, one cheap
+    * fingerprint (exact decimal sum of row hashes + count, one cheap
     * aggregation), and the skip path DEMANDS it match: an identical
     * replay of the landed batch skips (exactly-once); the same id with
     * different content, or an id below the recorded high-water, fails
@@ -511,16 +528,17 @@ object Streaming {
     * or start a new table. Metadata inheritance keeps both keys on the
     * CURRENT snapshot across compactions and vacuum, so one manifest
     * read decides. */
-  private[graft] def landBatchExactlyOnce(table: String, batch: DataFrame,
+  private[graft] def landBatchExactlyOnce(table: String, batch0: DataFrame,
       batchId: Long): Unit = {
     import graft.sources.Manifest
-    val s = batch.sparkSession
-    val fpRow = batch.agg(
-      F.coalesce(F.expr("bit_xor(" + "xxhash64(struct(" +
-        batch.columns.map(c => s"`$c`").mkString(",") + "))" + ")"),
-        F.lit(0L)).as("__x"),
-      F.count(F.lit(1)).as("__n")).first()
-    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val s = batch0.sparkSession
+    // the batch is computed twice (fingerprint agg + commit write) —
+    // persist so a heavy upstream pipeline (curateArrivals' four
+    // gates) runs once, and so both consumers see the SAME rows even
+    // if the pipeline has any nondeterminism
+    val batch = batch0.persist()
+    try {
+    val fp = contentFingerprint(batch)
     val cur = Manifest.currentSnapshot(s, table)
     cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
       case Some(n) if batchId < n => sys.error(
@@ -544,7 +562,23 @@ object Streaming {
           Manifest.commitAppend(s, table, batch, meta = meta)
         else Manifest.create(s, table, batch, meta = meta)
     }
+    } finally batch.unpersist()
     ()
+  }
+
+  /** Order-independent content fingerprint of a frame: the EXACT
+    * decimal sum of per-row hashes plus the row count. A decimal(38,0)
+    * sum neither overflows (ANSI would throw on a long sum of 64-bit
+    * hashes) nor cancels — bit_xor would erase duplicate-row PAIRS,
+    * letting {A,B,B} collide with {A,C,C}, exactly the different-
+    * content case the sink's guard exists to catch. */
+  private[graft] def contentFingerprint(df: DataFrame): String = {
+    val r = df.agg(
+      F.coalesce(F.sum(F.expr("xxhash64(struct(" +
+        df.columns.map(c => s"`$c`").mkString(",") + "))")
+        .cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).as("__s"),
+      F.count(F.lit(1)).as("__n")).first()
+    s"${r.getDecimal(0).toBigInteger.toString}:${r.getLong(1)}"
   }
 
   /** THE live curation pipeline — the q195 batch capstone at ingest,

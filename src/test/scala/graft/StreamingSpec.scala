@@ -447,9 +447,18 @@ class StreamingSpec extends AnyFunSuite {
     Similarity.ivfCompactIndex(spark, dir)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
     assert(served.sameElements(exact))
-    // periodic RETRAIN over the existing index: a second full build is
-    // the next snapshot, not a refusal
+    // a RECYCLED batch id with DIFFERENT content (a wiped-checkpoint
+    // lineage) must not be silently destroyed: compaction refuses
+    Similarity.assignCells(emb.filter(col("id") < 50), centroids)
+      .write.partitionBy("cell").parquet(s"$dir/delta/batch=0")
+    val e = intercept[RuntimeException] {
+      Similarity.ivfCompactIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("recycled batch ids"))
+    // the operator-documented recovery: rebuild the index — which
+    // fences and supersedes every delta in its own commit
     Similarity.ivfBuildIndex(spark, emb, dir, nLists = 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta")))
     assert(served.sameElements(exact))
   }
 
