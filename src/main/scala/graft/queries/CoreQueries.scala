@@ -317,16 +317,35 @@ object CoreQueries {
              |ORDER BY return_flag ASC NULLS FIRST, uniq_orders ASC, uniq_parts ASC"""
         .stripMargin)),
 
-    // approx distinct — the 100 TB default; no-oracle by design (HLL
-    // estimates aren't DuckDB-matchable), anchored by companion error-bound
-    // invariant q75
+    // approx distinct — the 100 TB default. HLL estimates aren't
+    // DuckDB-matchable, so the entry folds its own invariant oracle (the
+    // q75 discipline): the cube front-door computes BOTH the sketch and
+    // the exact count, and the decidable contract — estimate within
+    // 3×rsd (±15%) of exact — is the output. A drifting sketch goes red
+    // at the driver instead of hiding behind no_oracle.
     NamedQuery("q21_uniq_approx",
-      (s, d) => li(s, d)
-        .slice("return_flag", "returnFlag")
-        .measure("approx_orders", "uniqueOrdersApprox")
-        .asc("return_flag")
-        .toDF,
-      None),
+      (s, d) => {
+        import org.apache.spark.sql.{functions => F}
+        import org.apache.spark.sql.functions.col
+        val approx = li(s, d)
+          .slice("return_flag", "returnFlag")
+          .measure("approx_orders", "uniqueOrdersApprox")
+          .toDF
+        val exact = li(s, d)
+          .slice("return_flag", "returnFlag")
+          .measure("uniq_orders", "uniqueOrders")
+          .toDF
+        approx.join(exact, "return_flag")
+          .select(col("return_flag"), col("uniq_orders"),
+            (F.abs(col("approx_orders") - col("uniq_orders")) <=
+              col("uniq_orders") * 0.15).as("approx_ok"))
+          .orderBy(col("return_flag").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag AS return_flag,
+             |count(DISTINCT l_orderkey) AS uniq_orders,
+             |true AS approx_ok
+             |FROM lineitem GROUP BY 1
+             |ORDER BY return_flag ASC NULLS FIRST""".stripMargin)),
 
     // O16: option order is semantic — A: desc → limitBy → limit
     NamedQuery("q24_option_order_a",
