@@ -699,22 +699,36 @@ object Dedup {
     // scale a clamped filter saturates, fpp drifts toward 1, and every
     // arrival falls through to the exact semi-join: still correct, but
     // the screen's cost model silently collapses. Raise the caps to
-    // what THIS filter needs before building, so the requested sizing
-    // is the actual sizing.
-    val conf = history.sparkSession.conf
+    // what THIS filter needs, build EAGERLY (one collect of the 1-row
+    // aggregate) inside a save/restore of both caps — mirroring
+    // Manifest.analyzeFilesBloom — and return the bytes as a local
+    // 1-row relation: a lazy return could never restore, leaking the
+    // raise into Catalyst's own runtime bloom-join sizing for every
+    // later query in the session. Eager is also the documented
+    // production shape (materialize once, screen many batches).
+    val spark = history.sparkSession
+    val conf = spark.conf
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = Seq(bitsKey, itemsKey).map(k => k -> conf.getOption(k))
     if (conf.get(bitsKey, "67108864").toLong < numBits)
       conf.set(bitsKey, numBits.toString)
     if (conf.get(itemsKey, "4000000").toLong < expectedItems)
       conf.set(itemsKey, expectedItems.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    history.agg(GraftBridge.column(
-      new BloomFilterAggregate(
-        GraftBridge.expression(F.xxhash64(textCol)),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-      .as("__bf"))
+    val bytes =
+      try history.agg(GraftBridge.column(
+          new BloomFilterAggregate(
+            GraftBridge.expression(F.xxhash64(textCol)),
+            Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+          .as("__bf")).head().getAs[Array[Byte]]("__bf")
+      finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("__bf")
   }
 
   /** Incremental EXACT-dup screen of an arriving batch against a huge

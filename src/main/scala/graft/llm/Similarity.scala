@@ -153,11 +153,19 @@ object Similarity {
     * wrongly-celled rows. The fence rides the rebuild's own commit
     * (high-water + fingerprints, exactly like a compaction fold), so
     * the crash window between commit and deletion serves clean and the
-    * next compaction can verify the leftovers. */
+    * next compaction can verify the leftovers.
+    *
+    * ALWAYS stamps both fence keys — with no live deltas it stamps the
+    * reset values (-1, empty) rather than returning an empty map:
+    * [[commitCorpusSnapshot]]'s rewrite path merges `snap.meta ++ meta`,
+    * so an empty map would let a PREVIOUS fold's fence survive the
+    * rebuild and refuse the fresh lineage's batches 0..fence-1 after a
+    * compact-all-then-rebuild sequence (StreamingSpec pins this). */
   private def rebuildDeltaFence(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Map[String, String], Seq[String]) = {
     val dirs = deltaBatchDirs(spark, indexPath)
-    if (dirs.isEmpty) return (Map.empty, Nil)
+    if (dirs.isEmpty)
+      return (Map("folded_through_batch" -> "-1", "folded_fps" -> ""), Nil)
     val fps = dirs.map { case (id, p) =>
       s"batch=$id:" + graft.streaming.Streaming.contentFingerprint(
         spark.read.parquet(p))

@@ -48,7 +48,12 @@ object Attribution {
         w.orderBy(F.col("touch_ts").desc, F.col("touch_id").desc)))
       .groupBy(F.col("touch_type").as("event_type"))
       .agg(
-        F.round(F.sum(F.lit(1.0) / F.col("n")), 6).as("credit_linear"),
+        // per-touch linear credit summed as 6dp micro-units in LONGs
+        // (the q189 pattern): a double sum's value depends on
+        // partition order, and a total within 1 ulp of a 6th-decimal
+        // boundary would flip against any fixed-order re-computation
+        F.round(F.sum(F.round(F.lit(1e6) / F.col("n")).cast("long"))
+          .cast("double") / 1e6, 6).as("credit_linear"),
         F.sum(F.when(F.col("rf") === 1, 1L).otherwise(0L)).as("credit_first"),
         F.sum(F.when(F.col("rl") === 1, 1L).otherwise(0L)).as("credit_last"),
         F.count_distinct(F.col("conv_id")).as("n_conversions"))

@@ -887,7 +887,8 @@ object Round13Queries {
              |      ORDER BY touch_ts DESC, touch_id DESC) AS rl
              |  FROM j)
              |SELECT touch_type AS event_type,
-             |  round(sum(1.0 / n), 6) AS credit_linear,
+             |  round(sum(CAST(round(1e6 / n) AS BIGINT))::DOUBLE / 1e6, 6)
+             |    AS credit_linear,
              |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS credit_first,
              |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)

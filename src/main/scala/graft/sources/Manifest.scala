@@ -299,6 +299,23 @@ object Manifest {
   private def statsDir(table: String, v: Long) =
     new Path(s"$table/_manifest/stats_v${"%08d".format(v)}")
 
+  /** Sidecar read, degraded-not-failed: sidecars are an OPTIONAL
+    * accelerator, so any read race — a concurrent [[buildSidecar]]
+    * swap, a [[vacuum]] reclaiming the version — must collapse to
+    * "no sidecar" (conservative full read), never a reader error.
+    * The rows are pulled to the driver ONCE (#files grain, the same
+    * size every pruning decision already collects) and re-wrapped as
+    * a local relation, so downstream filters can't hit files deleted
+    * mid-scan either. */
+  private def sidecarLocal(spark: SparkSession, dir: Path): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(dir.toString)
+      val rows = df.collect()
+      Some(spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows.toSeq).asJava), df.schema))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Record per-FILE min/max envelopes of `cols` for the current
     * snapshot, as a sidecar parquet under `_manifest/` (invisible to
     * data readers; version-scoped, so immutable-file semantics carry
@@ -351,7 +368,7 @@ object Manifest {
     val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
     val prior = versions(spark, table)
       .filter(v => fs.exists(dirFor(table, v))).lastOption
-      .map(v => spark.read.parquet(dirFor(table, v).toString))
+      .flatMap(v => sidecarLocal(spark, dirFor(table, v)))
     // data columns the prior sidecar covers, recovered from its stat
     // names (everything before the last "__" marker)
     val priorCols = prior.toSeq.flatMap(_.columns.toSeq)
@@ -399,8 +416,25 @@ object Manifest {
         src.groupBy(F.input_file_name().as("file"))
           .agg(aggs.head, aggs.tail: _*)
       }
+    // tmp-write + rename-in: the visible swap is two metadata ops
+    // (delete + atomic rename) instead of a whole overwrite job, so a
+    // racing reader resolves either the complete old sidecar or —
+    // inside the tiny delete→rename window — nothing, and
+    // [[sidecarLocal]] degrades that (and any other race) to the
+    // conservative full read. Dot-prefixed tmp dirs are invisible to
+    // every listing; leftovers from a crashed build are reclaimed on
+    // the next run.
+    val parent = target.getParent
+    if (fs.exists(parent)) fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(s".${target.getName}.tmp-"))
+      .foreach(fs.delete(_, true))
+    val tmp = new Path(parent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
     reused.unionByName(fresh).coalesce(1)
-      .write.mode("overwrite").parquet(target.toString)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      sys.error(s"Manifest.$what: failed to swap sidecar into $target")
     newFiles.size
   }
 
@@ -478,7 +512,7 @@ object Manifest {
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
-    val stats = spark.read.parquet(bd.toString)
+    val stats = sidecarLocal(spark, bd).getOrElse(return full)
     // sidecar predates this column: conservative full read, never a
     // resolution error
     if (!stats.columns.contains(s"${column}__bloom")) return full
@@ -532,7 +566,7 @@ object Manifest {
     val full = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
     if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
-    val stats = spark.read.parquet(sd.toString)
+    val stats = sidecarLocal(spark, sd).getOrElse(return full)
     // sidecar predates one of the probed columns: conservative full
     // read, never a resolution error
     if (!ranges.forall { case (c, _, _) =>

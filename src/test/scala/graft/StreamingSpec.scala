@@ -462,6 +462,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.sameElements(exact))
   }
 
+  test("rebuild after a fold-all compaction RESETS the delta fence: a " +
+      "fresh-lineage stream's batch 0 is accepted, not refused") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fence").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_ivf_fck1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ivf_fck2").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.ivfBuildIndex(spark, emb.filter(col("id") < 400), dir, nLists = 8)
+    val q1 = Streaming.maintainIvfIndex(
+      Streaming.embeddingsStream(spark, sf)
+        .filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select(col("vec_id").as("id"), col("embedding")), dir, ckpt1)
+    try q1.processAllAvailable() finally q1.stop()
+    // compaction folds every live delta and stamps the fence high-water
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(Similarity.foldedState(spark, s"$dir/corpus")._1 >= 0L)
+    // rebuild with NO live deltas: commitRewrite merges snap.meta ++
+    // meta, so the rebuild must stamp the RESET fence explicitly — an
+    // empty fence map would inherit the stale fold and permanently
+    // refuse the fresh lineage's batches 0..fence-1
+    Similarity.ivfBuildIndex(spark, emb.filter(col("id") < 450), dir, nLists = 8)
+    assert(Similarity.foldedState(spark, s"$dir/corpus") == ((-1L, Map.empty)))
+    // ...so a NEW stream lineage (fresh checkpoint, batch ids from 0)
+    // attaches cleanly where the stale fence would have sys.error'd
+    val q2 = Streaming.maintainIvfIndex(
+      Streaming.embeddingsStream(spark, sf).filter(col("vec_id") >= 450)
+        .select(col("vec_id").as("id"), col("embedding")), dir, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.exception.isEmpty, s"fresh lineage refused: ${q2.exception}")
+    val queries = emb.filter(col("id") < 10)
+    val served = batchRows(
+      Similarity.ivfTopKIndexed(spark, queries, dir, k = 5, nProbe = 8))
+    val exact = batchRows(Similarity.bruteForceTopK(queries, emb, 5))
+    assert(served.sameElements(exact))
+  }
+
   test("live band-index maintenance: admitted arrivals join the screen's " +
       "store; grown store == rebuilt store; replay is idempotent") {
     import graft.llm.Dedup
