@@ -15,7 +15,8 @@ object Registry {
   def all: Seq[NamedQuery] =
     CoreQueries.qs ++ StarQueries.qs ++ EventQueries.qs ++ LlmQueries.qs ++
       ParsedQueries.qs ++ ExtraQueries.qs ++ InvariantQueries.qs ++
-      TrainQueries.qs ++ CurateQueries.qs ++ Round13Queries.qs
+      TrainQueries.qs ++ CurateQueries.qs ++ Round13Queries.qs ++
+      Round14Queries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

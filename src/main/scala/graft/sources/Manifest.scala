@@ -60,6 +60,23 @@ object Manifest {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a snapshot's entries as one frame. A hive-partitioned
+    * snapshot with MULTIPLE entries (appends, CoW deletes) reads per
+    * entry and unions by name: a single multi-root relation would make
+    * partition inference see the non-partition `_v*` level between the
+    * common base and the `col=` dirs and refuse
+    * (CONFLICTING_DIRECTORY_STRUCTURES). Filters still push into every
+    * union branch, so partition pruning survives. Single-entry or
+    * unpartitioned snapshots keep the one-relation fast path (one file
+    * index, one pushdown). */
+  private def readSnapshotData(spark: SparkSession, table: String,
+      snap: Snapshot): DataFrame = {
+    val paths = snap.paths.map(p => s"$table/$p")
+    if (snap.paths.size <= 1 || !snap.meta.contains(PartitionKey))
+      spark.read.parquet(paths: _*)
+    else paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   private def manifestDir(table: String) = new Path(s"$table/_manifest")
   private def manifestFile(table: String, v: Long) =
     new Path(s"$table/_manifest/v${"%08d".format(v)}.list")
@@ -114,7 +131,7 @@ object Manifest {
   def read(spark: SparkSession, table: String): DataFrame = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.read: $table has no committed snapshot"))
-    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    readSnapshotData(spark, table, snap)
   }
 
   /** Commit `paths` (relative to the table root) as version
@@ -235,7 +252,7 @@ object Manifest {
     // surface as missing-column reads long after the bad commit landed.
     // Types compare only outside partitionBy columns (hive partition
     // inference narrows their types on read).
-    val curS = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*).schema
+    val curS = readSnapshotData(spark, table, snap).schema
     def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
       if (partitionBy.contains(f.name)) (f.name, "partition")
       else (f.name, f.dataType.sql)).toSet
@@ -266,7 +283,7 @@ object Manifest {
     require(versions(spark, table).contains(v),
       s"Manifest.readVersion: $table has no retained version $v")
     val snap = readSnapshot(spark, table, v)
-    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    readSnapshotData(spark, table, snap)
   }
 
   /** TIME TRAVEL by wall clock: the newest retained version whose
@@ -280,18 +297,147 @@ object Manifest {
     require(vs.nonEmpty,
       s"Manifest.readAsOf: no retained version of $table at or before $tsMillis")
     val snap = vs.last
-    spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    readSnapshotData(spark, table, snap)
   }
 
   /** File-level diff between two retained versions: (added, removed)
     * relative paths, v1 → v2. Driver-side manifest metadata only —
-    * nothing scans data. The row-level diff, when needed, is the
-    * anti-join of the two [[readVersion]] frames. */
+    * nothing scans data. The row-level diff is [[readChanges]]. */
   def diffSnapshots(spark: SparkSession, table: String,
       v1: Long, v2: Long): (Seq[String], Seq[String]) = {
     val a = readSnapshot(spark, table, v1).paths.toSet
     val b = readSnapshot(spark, table, v2).paths.toSet
     ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** Row-level change feed between two retained versions — the CDC
+    * complement of [[diffSnapshots]], costed by what CHANGED, never by
+    * the table: only the added/removed manifest entries are read
+    * (carried-forward entries appear in both snapshots and drop out of
+    * the diff), and the multiset difference each way cancels the
+    * rewrite churn a compaction or a [[deleteWhere]] copy-on-write
+    * introduces — a compacted-but-identical row set yields ZERO
+    * changes, a delete yields exactly the deleted rows. Output: the
+    * table's columns plus `_change_type` ('insert' | 'delete').
+    * The exceptAll shuffles hash by full row across the changed
+    * entries only — at 100 TB the feed costs ∝ the commit being
+    * explained, which is what lets the incremental sidecar/stats path
+    * and downstream consumers avoid full-snapshot anti-joins. */
+  def readChanges(spark: SparkSession, table: String,
+      v1: Long, v2: Long): DataFrame = {
+    val (added, removed) = diffSnapshots(spark, table, v1, v2)
+    val template = readVersion(spark, table, v2).limit(0)
+    def readSide(rels: Seq[String], v: Long): DataFrame =
+      if (rels.isEmpty) template
+      // ride the snapshot reader so multi-entry hive sides union
+      // per entry instead of tripping partition inference
+      else readSnapshotData(spark, table,
+        readSnapshot(spark, table, v).copy(paths = rels))
+    // column order can differ across layouts (hive partition columns
+    // trail); align by name before the multiset difference
+    val cols = template.columns.toSeq
+    val a = readSide(added, v2).select(cols.head, cols.tail: _*)
+    val r = readSide(removed, v1).select(cols.head, cols.tail: _*)
+    a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
+  }
+
+  /** COPY-ON-WRITE row delete — the takedown / right-to-be-forgotten
+    * path every training corpus needs: rewrite ONLY the files that
+    * actually contain matching rows, carry everything else forward
+    * verbatim into one atomic snapshot commit.
+    *
+    * Phase 1 finds the touched files EXACTLY — a scan of the predicate
+    * columns only (columnar projection + parquet row-group pushdown)
+    * grouped by `input_file_name()`; when `pruneRanges` mirrors the
+    * predicate's range form and an [[analyzeFiles]] sidecar exists,
+    * the scan itself is first pruned to the envelope-intersecting
+    * files (the [[readPrunedAll]] decision), so at 100 TB a clustered
+    * takedown touches a handful of files and phase 1 reads little
+    * more. Phase 2 rewrites the touched files' survivors into the new
+    * version directory; untouched entries are CARRIED: whole
+    * directories when clean, per-file entries when a directory is
+    * partially touched (file-grain CoW). Hive-partitioned snapshots
+    * rewrite at version-DIRECTORY grain instead (a carried entry must
+    * stay a whole hive directory or the partition columns would drop
+    * on read), preserving the partitioned layout.
+    *
+    * Sidecar upkeep stays incremental: data files are immutable, so
+    * the next [[analyzeFiles]]/[[analyzeFilesBloom]] reuses every
+    * carried file's rows and scans only the rewritten files
+    * (LakehouseSpec pins the count). Returns the new snapshot, or the
+    * CURRENT one untouched when nothing matches (no empty commit).
+    * Deleting every row of an unpartitioned single-entry table is
+    * refused (a snapshot cannot be empty) — takedowns are selective
+    * by nature; drop the table instead. */
+  def deleteWhere(spark: SparkSession, table: String, pred: Column,
+      pruneRanges: Seq[(String, Double, Double)] = Nil): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.deleteWhere: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val full = readSnapshotData(spark, table, snap)
+    val partitioned =
+      full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+    val scanned =
+      if (pruneRanges.nonEmpty) readPrunedAll(spark, table, pruneRanges)
+      else full
+    def norm(f: String) = new Path(f).toUri.getPath
+    val touched = scanned.filter(pred)
+      .select(F.input_file_name().as("f")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (touched.isEmpty) return snap
+    val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
+    val allFiles = full.inputFiles.map(norm)
+    val filesUnder = allFiles.groupBy { f =>
+      val rel = f.stripPrefix(tableAbs).stripPrefix("/")
+      snap.paths.find(p => rel == p || rel.startsWith(p + "/")).getOrElse(
+        sys.error(s"Manifest.deleteWhere: $f outside the pinned snapshot"))
+    }
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (!partitioned) {
+      val (dirty, clean) = snap.paths.partition(p =>
+        filesUnder.getOrElse(p, Array.empty[String]).exists(touched))
+      // file-grain carry inside partially-touched entries: every
+      // untouched file survives as its own manifest entry (readers
+      // accept file entries on unpartitioned layouts)
+      val carriedFiles = dirty.flatMap(p =>
+        filesUnder(p).filterNot(touched)
+          .map(_.stripPrefix(tableAbs).stripPrefix("/")))
+      val survivors = spark.read.parquet(touched.toSeq.sorted: _*)
+        .filter(!pred)
+      val keepPaths = clean ++ carriedFiles
+      val noSurvivors = survivors.isEmpty
+      if (noSurvivors && keepPaths.isEmpty) sys.error(
+        s"Manifest.deleteWhere: predicate deletes every row of $table — " +
+          "a snapshot cannot be empty; drop the table instead")
+      val rels =
+        if (noSurvivors) Nil
+        else Seq(writeData(spark, table, snap.version + 1, survivors, Nil))
+      commit(spark, table, snap.version, keepPaths ++ rels, snap.meta)
+    } else {
+      // hive layout: version-DIRECTORY-grain CoW — a carried entry
+      // must remain a whole hive directory (a leaf-file or
+      // partition-subdir entry would drop the partition columns on
+      // read), so the rewrite unit is the version directory: dirty
+      // ones re-read whole (partition columns intact), their
+      // survivors land partitioned in the new version, clean ones
+      // carry verbatim. Partition-predicate deletes still prune
+      // phase 1 via partition pruning.
+      val (dirtyEntries, cleanEntries) = snap.paths.partition(p =>
+        filesUnder.getOrElse(p, Array.empty[String]).exists(touched))
+      val survivors = dirtyEntries
+        .map(p => spark.read.parquet(s"$table/$p"))
+        .reduce(_ unionByName _).filter(!pred)
+      val noSurvivors = survivors.isEmpty
+      if (noSurvivors && cleanEntries.isEmpty) sys.error(
+        s"Manifest.deleteWhere: predicate deletes every row of $table — " +
+          "a snapshot cannot be empty; drop the table instead")
+      val rels =
+        if (noSurvivors) Nil
+        else Seq(writeData(spark, table, snap.version + 1, survivors, parts))
+      commit(spark, table, snap.version, cleanEntries ++ rels, snap.meta)
+    }
   }
 
   // ---- file skipping (per-file envelopes as a snapshot sidecar) ----
@@ -365,7 +511,7 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.$what: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
-    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val df = readSnapshotData(spark, table, snap)
     val prior = versions(spark, table)
       .filter(v => fs.exists(dirFor(table, v))).lastOption
       .flatMap(v => sidecarLocal(spark, dirFor(table, v)))
@@ -508,7 +654,7 @@ object Manifest {
       sys.error(s"Manifest.readPoint: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
     val bd = bloomDir(table, snap.version)
-    val full = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val full = readSnapshotData(spark, table, snap)
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
@@ -559,11 +705,11 @@ object Manifest {
     val fs = fsFor(spark, table)
     val sd = statsDir(table, snap.version)
     if (!fs.exists(sd))
-      return spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+      return readSnapshotData(spark, table, snap)
     // hive-partitioned snapshots: leaf-file reads would silently drop
     // the partition columns, and their pruning is already partition
     // pruning's job — serve the plain pinned read instead
-    val full = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val full = readSnapshotData(spark, table, snap)
     if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
     val stats = sidecarLocal(spark, sd).getOrElse(return full)
@@ -608,7 +754,7 @@ object Manifest {
       sys.error(s"Manifest.compact: $table has no committed snapshot"))
     val totalBytes = snapshotBytes(spark, table, snap)
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(snap.paths.map(p => s"$table/$p"): _*)
+    val df = readSnapshotData(spark, table, snap)
     val laid = sortBy match {
       case Some(c) => df.repartitionByRange(nFiles, c).sortWithinPartitions(c)
       case None => df.coalesce(nFiles)
@@ -644,9 +790,31 @@ object Manifest {
     }
     val referenced = live.map(readSnapshot(spark, table, _))
       .flatMap(_.paths).toSet
-    deadSnaps.flatMap(_.paths).distinct
-      .filterNot(referenced.contains)
-      .foreach(p => fs.delete(new Path(s"$table/$p"), true))
+    // an entry is live if a surviving snapshot lists it — or, since
+    // [[deleteWhere]] carries per-FILE entries out of older dirs,
+    // lists a file INSIDE it: deleting the whole dir would take the
+    // CURRENT snapshot's carried files with it. Partially-referenced
+    // dirs reclaim only their unreferenced parquet files.
+    def liveUnder(p: String): Set[String] =
+      referenced.filter(r => r == p || r.startsWith(p + "/"))
+    deadSnaps.flatMap(_.paths).distinct.foreach { p =>
+      val keep = liveUnder(p)
+      if (keep.isEmpty) fs.delete(new Path(s"$table/$p"), true)
+      else if (!keep.contains(p)) {
+        val root = new Path(s"$table/$p")
+        if (fs.exists(root)) {
+          val keepAbs = keep.map(k =>
+            fs.makeQualified(new Path(s"$table/$k")).toString)
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet") &&
+                !keepAbs.contains(fs.makeQualified(f).toString))
+              fs.delete(f, false)
+          }
+        }
+      }
+    }
     // reclaim ORPHANED data dirs — crashed or race-losing writers'
     // uncommitted uniquely-suffixed directories. Only versions at or
     // below the current one: an in-flight writer is building
@@ -655,7 +823,7 @@ object Manifest {
       .filter(_.isDirectory).map(_.getPath.getName)
       .foreach {
         case n @ DataDirName(v, _) if v.toLong <= current &&
-            !referenced.contains(n) =>
+            liveUnder(n).isEmpty =>
           fs.delete(new Path(s"$table/$n"), true)
         case _ => ()
       }

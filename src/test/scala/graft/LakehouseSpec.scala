@@ -426,4 +426,102 @@ class LakehouseSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("deleteWhere: copy-on-write rewrites ONLY touched files, pinned " +
+      "readers and untouched bytes survive, sidecar upkeep stays " +
+      "incremental, change feed shows exactly the deleted rows") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_del").toString
+    val tbl = s"$dir/t"
+    def mk(r: Range) = r.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // 4 range-clustered files, so a narrow id delete touches exactly one
+    Manifest.create(spark, tbl, mk(1 to 100)
+      .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("id")) == 4)
+    val before = Manifest.read(spark, tbl)
+    val beforeFiles = before.inputFiles.toSet
+    assert(beforeFiles.size == 4)
+    val pinned = Manifest.read(spark, tbl)
+    val doomed = $"id" >= 10L && $"id" <= 15L
+    val s2 = Manifest.deleteWhere(spark, tbl, doomed,
+      pruneRanges = Seq(("id", 10.0, 15.0)))
+    assert(s2.version == 2L)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 94 && after.filter(doomed).count() == 0)
+    assert(rows(after) == rows(before.filter(!doomed)))
+    // untouched files are literally the SAME files (copy-on-write at
+    // file grain: 3 of 4 carried by path, only the matching one rewritten)
+    val afterFiles = after.inputFiles.toSet
+    assert((afterFiles intersect beforeFiles).size == 3,
+      s"expected 3 carried files, got ${(afterFiles intersect beforeFiles).size}")
+    val rewritten = afterFiles -- beforeFiles
+    assert(rewritten.nonEmpty)
+    // a reader pinned before the delete still serves the old snapshot
+    assert(pinned.count() == 100)
+    // sidecar upkeep after the delete scans ONLY the rewritten files
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("id")) == rewritten.size)
+    // ...and pruning over the new sidecar still answers correctly
+    // (envelopes prune files, the caller filters rows)
+    assert(Manifest.readPruned(spark, tbl, "id", 10.0, 15.0)
+      .filter($"id" >= 10L && $"id" <= 15L).count() == 0)
+    assert(Manifest.readPruned(spark, tbl, "id", 90.0, 95.0)
+      .filter($"id" >= 90L && $"id" <= 95L).count() == 6)
+    // a no-match delete commits NOTHING (no empty churn)
+    val s3 = Manifest.deleteWhere(spark, tbl, $"id" === 99999L)
+    assert(s3.version == 2L && Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    // row-level change feed of the delete: zero inserts, exactly 10..15
+    val ch = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(ch.filter($"_change_type" === "insert").count() == 0)
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (10L to 15L))
+    // vacuum with carried per-file entries: v1's manifest dies, the
+    // carried files SURVIVE (prefix-aware reference check), and only
+    // the superseded file is reclaimed from the old dir. (The v1-pinned
+    // frames' lease ends here — capture expectations first.)
+    val expectedAfter = rows(after)
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(2L))
+    assert(Manifest.read(spark, tbl).count() == 94)
+    assert(rows(Manifest.read(spark, tbl)) == expectedAfter)
+    val survivingOld = Manifest.read(spark, tbl).inputFiles.toSet
+      .intersect(beforeFiles)
+    assert(survivingOld.size == 3, "carried files must survive vacuum")
+  }
+
+  test("deleteWhere on a hive-partitioned table preserves the layout; " +
+      "readChanges cancels compaction churn and reports append inserts") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_del_p").toString
+    val tbl = s"$dir/t"
+    def mk(r: Range) = r.map(i => (i.toLong, i % 4, s"r$i")).toDF("id", "cell", "s")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    Manifest.create(spark, tbl, mk(1 to 80), partitionBy = Seq("cell"))
+    // append commit: the change feed reports exactly the appended rows
+    Manifest.commitAppend(spark, tbl, mk(81 to 100), partitionBy = Seq("cell"))
+    val chApp = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(chApp.filter($"_change_type" === "delete").count() == 0)
+    assert(chApp.filter($"_change_type" === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (81L to 100L))
+    // compaction rewrites every file but no rows: the feed is EMPTY
+    Manifest.compact(spark, tbl, targetBytes = Long.MaxValue)
+    assert(Manifest.readChanges(spark, tbl, 2L, 3L).count() == 0)
+    // partitioned delete: layout survives, partition columns intact
+    val beforeDel = rows(Manifest.read(spark, tbl).filter($"cell" =!= 2))
+    Manifest.deleteWhere(spark, tbl, $"cell" === 2)
+    val after = Manifest.read(spark, tbl)
+    assert(after.columns.contains("cell"), "partition column must survive")
+    assert(after.filter($"cell" === 2).count() == 0)
+    assert(rows(after) == beforeDel)
+    assert(after.inputFiles.exists(_.contains("cell=")),
+      "rewrite must keep the hive layout")
+    // the delete's change feed: exactly the cell-2 rows, no inserts
+    val chDel = Manifest.readChanges(spark, tbl, 3L, 4L)
+    assert(chDel.filter($"_change_type" === "insert").count() == 0)
+    assert(chDel.filter($"_change_type" === "delete").count() == 25)
+  }
 }
