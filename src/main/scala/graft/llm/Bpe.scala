@@ -105,6 +105,75 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Batched trainer — the wall-clock fix for [[trainMerges]]'s
+    * one-driver-round-per-merge shape (a production 32k-merge
+    * vocabulary is 32k sequential Spark jobs there; data-scale is
+    * fine, latency is not). Each round ranks pairs by the SAME total
+    * order (count DESC, a ASC, b ASC), collects the top `batchK`, and
+    * applies — in rank order — the greedy prefix of MUTUALLY
+    * NON-INTERACTING pairs: no symbol shared with an already-selected
+    * pair, nor with a symbol an already-selected merge creates. This
+    * is the standard fast-BPE batching trick. Disjointness makes every
+    * selected pair's count invariant under the batch's earlier merges,
+    * so the batched schedule EQUALS the sequential one whenever no
+    * newly-created pair would have outranked the batch mid-way
+    * (CurateSpec's property test pins the equality on non-interacting
+    * corpora and on the interacting 'abab' fixture); where one would,
+    * the batched table is the documented approximation fast BPE
+    * trainers ship. Rounds shrink to ≈ nMerges/batchK with per-round
+    * cost unchanged (one pair aggregation + one k-row collect + one
+    * chained row-local rewrite).
+    * Returns (ranked merge table, rounds executed). */
+  def trainMergesBatched(corpus: DataFrame, text: Column, nMerges: Int,
+      minCount: Long = 2, batchK: Int = 16, checkpointEvery: Int = 4)
+      : (Seq[(String, String)], Int) = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    require(batchK >= 1, s"batchK must be positive, got $batchK")
+    var wf = wordFrequencies(corpus, text)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val top = wf.select(F.col("cnt"),
+          F.explode(F.zip_with(
+            F.slice(F.col("sym"), F.lit(1), F.size(F.col("sym")) - 1),
+            F.slice(F.col("sym"), F.lit(2), F.size(F.col("sym")) - 1),
+            (x, y) => F.struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
+        .agg(F.sum(F.col("cnt")).as("c"))
+        .orderBy(F.col("c").desc, F.col("a").asc, F.col("b").asc)
+        .limit(batchK).collect()
+        .filter(_.getLong(2) >= minCount)
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        for (r <- top if merges.size + batch.size < nMerges) {
+          val (a, b) = (r.getString(0), r.getString(1))
+          // interaction check includes the CREATED symbol: a+b may
+          // collide with a symbol an earlier round already minted
+          if (!used(a) && !used(b)) {
+            batch += ((a, b))
+            used ++= Seq(a, b, a + b)
+          }
+        }
+        merges ++= batch
+        val next = batch.foldLeft(wf)((df, m) =>
+          df.withColumn("sym", applyMerge(F.col("sym"), m._1, m._2)))
+        val cut =
+          if ((round + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+          else next.persist(StorageLevel.MEMORY_AND_DISK)
+        cut.count()
+        wf.unpersist()
+        wf = cut
+        round += 1
+      }
+    }
+    wf.unpersist()
+    (merges.toSeq, round)
+  }
+
   /** Encode text with a learned merge table: characters of each
     * lowercase word, merges applied in rank order (the standard BPE
     * inference simplification: rank order, one greedy pass each — and

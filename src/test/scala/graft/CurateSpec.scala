@@ -459,6 +459,43 @@ class CurateSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("bpe: batched trainer ≡ sequential when merges don't interact, " +
+      "and on the interacting fixture; rounds shrink ~k×") {
+    import spark.implicits._
+    // property over generated NON-INTERACTING corpora: two-letter
+    // words over disjoint alphabet chunks with strictly decreasing
+    // frequencies — no pair shares a symbol with another, and a merge
+    // collapses its whole word, so no new pair ever appears. The
+    // sequential schedule is then provably the ranked pair list, and
+    // batched must reproduce it exactly — in ONE round.
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val letters = rnd.shuffle(('a' to 'z').toList).take(12)
+      val words = letters.grouped(2).map(p => s"${p(0)}${p(1)}").toSeq
+      val text = words.zipWithIndex
+        .flatMap { case (w, i) => Seq.fill(20 - 2 * i)(w) }
+        .mkString(" ")
+      val docs = Seq(text).toDF("text")
+      val seqM = Bpe.trainMerges(docs, col("text"), nMerges = 6)
+      val (batM, rounds) = Bpe.trainMergesBatched(
+        docs, col("text"), nMerges = 6, batchK = 8)
+      assert(batM == seqM, s"trial $trial: $batM != $seqM")
+      assert(rounds == 1, s"trial $trial: expected 1 round, got $rounds")
+    }
+    // interacting fixture: (a,b) and (b,a) share symbols, so the
+    // greedy prefix takes only (a,b) in round 1 and the created
+    // (ab,ab) in round 2 — identical to the sequential table
+    val abab = Seq("abab abab", "abab").toDF("text")
+    val (batAb, r2) = Bpe.trainMergesBatched(
+      abab, col("text"), nMerges = 8, batchK = 8)
+    assert(batAb == Seq(("a", "b"), ("ab", "ab")) && r2 == 2)
+    // nMerges truncation inside a batch is honored
+    val (cut, _) = Bpe.trainMergesBatched(
+      Seq("ab ab cd cd cd ef ef ef ef").toDF("text"),
+      col("text"), nMerges = 2, batchK = 8)
+    assert(cut.size == 2)
+  }
+
   test("bpe: encoding the training corpus reproduces the trained symbols") {
     import spark.implicits._
     val docs = Seq("abab abab", "abab").toDF("text")
