@@ -33,6 +33,83 @@ object Round14Queries {
     java.nio.file.Files.createTempDirectory(s"graft_q_${name}_").toString
   }
 
+  /** Language → planted marker tokens for q203, language-ascending.
+    * The markers are the heuristic's OWN stopwords for the four
+    * languages it knows (so the heuristic is confident on them) plus a
+    * disjoint zh set the heuristic is blind to (coverage the trained
+    * model adds; en uses the stopwords ABSENT from the fixture's
+    * natural vocabulary — 'the'/'a' occur in every doc and would hand
+    * the en model a corpus-wide score floor). The fixture's text
+    * carries no real language signal —
+    * its lang column is label-only — so the signal is planted
+    * deterministically from the label, the same discipline as the PII
+    * and domain queries (both engines plant identically). */
+  private val langMarkers = Seq(
+    "de" -> "der die das", "en" -> "and of is", "es" -> "el la que",
+    "fr" -> "le les et", "zh" -> "shi zai bu")
+
+  /** Shared featurization CTEs of the lang-id replay: the planted
+    * relation d, tokens, grams, hashed buckets, per-doc totals, the
+    * normalized feature frame, and the train-set size — one copy for
+    * all five one-vs-rest models (the q174 CTEs, planted + lang kept). */
+  private def langIdCtes(buckets: Int): String = {
+    val markerCase = langMarkers.map { case (l, m) =>
+      s"WHEN '$l' THEN '$m '" }.mkString(" ")
+    s"""d AS MATERIALIZED (SELECT doc_id, lang,
+       |    text || ' ' || repeat(CASE lang $markerCase END,
+       |      CAST(doc_id % 3 + 5 AS INT)) AS text
+       |  FROM documents),
+       |t AS MATERIALIZED (SELECT doc_id, lang,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM d),
+       |g AS MATERIALIZED (SELECT doc_id, unnest(list_concat(w,
+       |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS gram
+       |  FROM t),
+       |bk AS MATERIALIZED (SELECT doc_id,
+       |    CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) % $buckets AS BIGINT) AS bucket
+       |  FROM g),
+       |fc AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |tt AS MATERIALIZED (SELECT doc_id, sum(cnt) AS tot FROM fc GROUP BY 1),
+       |feats AS MATERIALIZED (SELECT fc.doc_id, fc.bucket, fc.cnt::DOUBLE / tt.tot AS x
+       |  FROM fc JOIN tt USING (doc_id)),
+       |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM
+       |  (SELECT DISTINCT doc_id FROM fc))""".stripMargin
+  }
+
+  /** One language's full replay: label, grid-snapped GD rounds (the
+    * q174 chain, suffixed), then the 1e-9 integer weights and the
+    * per-doc integer score — exact LONG arithmetic, so the argmax
+    * cannot flake across engines. */
+  private def langIdModel(l: String, buckets: Int, iters: Int,
+      lr: Double): String = {
+    val init =
+      s"""y_$l AS MATERIALIZED (SELECT t.doc_id,
+         |    CASE WHEN t.lang = '$l' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM t JOIN tt ON tt.doc_id = t.doc_id),
+         |w0_$l AS MATERIALIZED (SELECT unnest(range(-1, $buckets)) AS b, 0.0 AS w)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""s${i}_$l AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
+         |  FROM feats f JOIN w${i}_$l w ON w.b = f.bucket GROUP BY 1),
+         |r${i}_$l AS MATERIALIZED (SELECT y.doc_id,
+         |    1.0 / (1.0 + exp(-(s.z + (SELECT w FROM w${i}_$l WHERE b = -1)))) - y.y AS r
+         |  FROM y_$l y JOIN s${i}_$l s USING (doc_id)),
+         |g${i}_$l AS MATERIALIZED (SELECT f.bucket AS b, sum(f.x * r.r) AS g
+         |  FROM feats f JOIN r${i}_$l r USING (doc_id) GROUP BY 1),
+         |w${i + 1}_$l AS MATERIALIZED (SELECT wp.b,
+         |    round(wp.w - $lr * (CASE WHEN wp.b = -1
+         |        THEN (SELECT sum(r) FROM r${i}_$l)
+         |        ELSE coalesce((SELECT g FROM g${i}_$l gg WHERE gg.b = wp.b), 0.0)
+         |      END) / (SELECT n FROM nn), 9) AS w
+         |  FROM w${i}_$l wp)""".stripMargin
+    }
+    val score =
+      s"""wi_$l AS MATERIALIZED (SELECT b,
+         |    CAST(round(w * 1e9) AS BIGINT) AS wi FROM w${iters}_$l),
+         |z_$l AS MATERIALIZED (SELECT fc.doc_id,
+         |    CAST(sum(fc.cnt * wi.wi) AS BIGINT) AS z
+         |  FROM fc JOIN wi_$l wi ON wi.b = fc.bucket GROUP BY 1)""".stripMargin
+    (init +: rounds :+ score).mkString(",\n")
+  }
+
   val qs: Seq[NamedQuery] = Seq(
 
     // Copy-on-write delete: a range takedown on a range-clustered
@@ -131,5 +208,87 @@ object Round14Queries {
              |  CAST(sum(doc_id) FILTER (WHERE doc_id % 7 = 1) AS BIGINT)
              |    AS sum_delete,
              |  true AS delete_no_inserts
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // TRAINED language ID: one-vs-rest logreg over hashed n-grams
+    // (the fastText recipe on the engine's SQL-replayable trainer),
+    // signal planted from the lang label (see langMarkers — the
+    // fixture's text is label-blind). The oracle re-trains ALL FIVE
+    // models round by round and replays the integer-micro-unit,
+    // prior-corrected (bias-free) argmax exactly; per-language counts, accuracy vs the label, and
+    // agreement with the stopword heuristic on its confident cases
+    // all land as exact numbers.
+    NamedQuery("q203_langid_trained",
+      (s, d) => {
+        import graft.llm.{LangId, TextAnalysis}
+        val langs = langMarkers.map(_._1)
+        val markerCol = langMarkers.foldRight(F.lit(""): org.apache.spark.sql.Column) {
+          case ((l, m), els) =>
+            F.when(col("lang") === l, F.lit(m + " ")).otherwise(els)
+        }
+        val planted = Tables.documents(s, d).withColumn("text2",
+          F.concat(col("text"), F.lit(" "),
+            F.call_function("repeat", markerCol,
+              (col("doc_id") % 3 + 5).cast("int"))))
+        val models = LangId.train(planted, col("doc_id"), col("text2"),
+          col("lang"), langs, buckets = 256, iters = 10, lr = 2.0)
+        val pred = LangId.predict(planted, col("doc_id"), col("text2"), models)
+        pred
+          .join(planted.select(col("doc_id").as("id"), col("lang"),
+            TextAnalysis.langId(col("text2")).as("__h")), "id")
+          .groupBy(col("lang_pred"))
+          .agg(
+            F.count(F.lit(1)).as("n_docs"),
+            F.count(F.when(col("lang_pred") === col("lang"), 1)).as("n_correct"),
+            F.count(F.when(col("__h") =!= "und", 1)).as("n_heur_confident"),
+            F.count(F.when(col("__h") === col("lang_pred"), 1)).as("n_heur_agree"))
+          .orderBy(col("lang_pred").asc_nulls_first)
+      },
+      Some {
+        val langs = langMarkers.map(_._1)
+        val models = langs.map(langIdModel(_, 256, 10, 2.0)).mkString(",\n")
+        val scCols = langs.map(l =>
+          s"coalesce(z_$l.z, 0) AS s_$l")
+          .mkString(",\n    ")
+        val scJoins = langs.map(l =>
+          s"LEFT JOIN z_$l ON z_$l.doc_id = tt.doc_id").mkString("\n  ")
+        val predCase = langs.init.map(l =>
+          s"WHEN scm.s_$l = scm.m THEN '$l'").mkString("\n      ") +
+          s"\n      ELSE '${langs.last}'"
+        s"""WITH ${langIdCtes(256)},
+           |$models,
+           |sc AS MATERIALIZED (SELECT tt.doc_id,
+           |    $scCols
+           |  FROM tt
+           |  $scJoins),
+           |scm AS MATERIALIZED (SELECT *,
+           |    greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM sc),
+           |hcnt AS MATERIALIZED (SELECT doc_id,
+           |    len(list_filter(w, x -> x IN ('the','a','and','of','to','is'))) AS c_en,
+           |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en'))) AS c_es,
+           |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+           |    len(list_filter(w, x -> x IN ('le','les','et','une','dans'))) AS c_fr
+           |  FROM t),
+           |h AS MATERIALIZED (SELECT doc_id,
+           |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+           |      WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+           |      WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+           |      WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+           |      ELSE 'fr' END AS h
+           |  FROM hcnt),
+           |p AS (SELECT d.doc_id, d.lang, coalesce(h.h, 'und') AS h,
+           |    CASE WHEN scm.doc_id IS NULL THEN '${langs.head}'
+           |      $predCase END AS pred
+           |  FROM d
+           |  LEFT JOIN scm ON scm.doc_id = d.doc_id
+           |  LEFT JOIN h ON h.doc_id = d.doc_id)
+           |SELECT pred AS lang_pred,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE pred = lang) AS BIGINT) AS n_correct,
+           |  CAST(count(*) FILTER (WHERE h <> 'und') AS BIGINT)
+           |    AS n_heur_confident,
+           |  CAST(count(*) FILTER (WHERE h = pred) AS BIGINT) AS n_heur_agree
+           |FROM p GROUP BY 1
+           |ORDER BY lang_pred ASC NULLS FIRST""".stripMargin
+      }))
 }

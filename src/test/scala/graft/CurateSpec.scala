@@ -390,6 +390,46 @@ class CurateSpec extends AnyFunSuite {
       "1e-9 grid snap must make the model a pure function of the corpus")
   }
 
+  // ---- trained language ID -----------------------------------------
+
+  test("lang-id: one-vs-rest trained model recovers planted language " +
+      "signal; integer argmax is partitioning-independent; agrees with " +
+      "the heuristic on its confident cases") {
+    import graft.llm.LangId
+    import spark.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val markers = Map(
+      "en" -> "the a and", "es" -> "el la que", "de" -> "der die das",
+      "fr" -> "le les et", "zh" -> "shi zai bu")
+    val docs = (1 to 150).map { i =>
+      val l = langs(i % 5)
+      (i.toLong, s"shared filler words item $i plus ${markers(l)} ${markers(l)}", l)
+    }.toDF("doc_id", "text", "lang")
+    val models = LangId.train(docs, col("doc_id"), col("text"), col("lang"),
+      langs, buckets = 64, iters = 8, lr = 1.0)
+    val pred = LangId.predict(docs, col("doc_id"), col("text"), models)
+    val joined = pred.join(docs, pred("id") === docs("doc_id"))
+    val acc = joined.filter(col("lang_pred") === col("lang")).count().toDouble /
+      joined.count()
+    assert(acc >= 0.95, s"trained lang-id accuracy $acc")
+    // the integer-micro-unit argmax cannot flake across partitionings
+    val pred2 = LangId.predict(
+      docs.repartition(13), col("doc_id"), col("text"), models)
+    assert(pred.collect().map(_.toString).sorted
+      .sameElements(pred2.collect().map(_.toString).sorted))
+    // agreement with the stopword heuristic where IT is confident (the
+    // planted markers are the heuristic's own stopwords for the four
+    // languages it knows; zh is heuristic-blind and tests coverage)
+    val heur = docs.select(col("doc_id").as("id"),
+      graft.llm.TextAnalysis.langId(col("text")).as("h"))
+    val conf = heur.filter(col("h") =!= "und")
+    assert(conf.count() >= 100, "markers must make the heuristic confident")
+    val agree = conf.join(pred, "id")
+      .filter(col("h") === col("lang_pred")).count()
+    assert(agree >= conf.count() * 0.9,
+      s"trained/heuristic agreement $agree of ${conf.count()}")
+  }
+
   // ---- bloom incremental exact-dup screen --------------------------
 
   test("bloom screen: exact dups flagged, uniques pass, no false negatives") {
