@@ -32,6 +32,29 @@ object Compiler {
   def compile(q: CubeQuery): DataFrame = {
     val cube = q.cube
 
+    // ---- time travel (asOf): rebind the fact to a pinned snapshot ---
+    // before any source selection. Rollup alt-sources materialize
+    // CURRENT data, so they are disabled for the pinned epoch; the
+    // remaining options fold unchanged (AsOf is scan-binding, not
+    // result-shaping, so it is position-independent — first one wins).
+    q.options.collectFirst { case a: QueryOpt.AsOf => a } match {
+      case Some(a) =>
+        import graft.sources.Manifest
+        val tbl = cube.manifestTable.getOrElse(throw new CubeQueryException(
+          s"cube '${cube.name}': option 'asOf' needs a manifested source " +
+            "(this cube reads a plain table with no snapshot history)"))
+        val spark = cube.fact.sparkSession
+        val fact = (a.version, a.tsMillis) match {
+          case (Some(v), _) => Manifest.readVersion(spark, tbl, v)
+          case (_, Some(ts)) => Manifest.readAsOf(spark, tbl, ts)
+          case _ => Manifest.read(spark, tbl)
+        }
+        return compile(q.copy(
+          cube = cube.copy(fact = fact, altSources = Nil),
+          options = q.options.filterNot(_.isInstanceOf[QueryOpt.AsOf])))
+      case None => ()
+    }
+
     // ---- multi-fact merge: metrics split across sources -------------
     compileMerged(q) match {
       case Some(df) => return foldOptions(df, q.options, q.slices.map(_._1).toSet)

@@ -174,7 +174,11 @@ final case class Cube(
     metrics: Map[String, Metric],
     selectors: Map[String, Selector],
     joins: Map[String, JoinSpec] = Map.empty,
-    altSources: Seq[CubeSource] = Nil) {
+    altSources: Seq[CubeSource] = Nil,
+    /** Path of the [[graft.sources.Manifest]] table backing `fact`,
+      * when there is one — what makes the `asOf` time-travel query
+      * option resolvable (absent ⇒ asOf fails loudly, V4-style). */
+    manifestTable: Option[String] = None) {
 
   def dimension(n: String): Dimension =
     dimensions.getOrElse(n, throw new CubeQueryException(

@@ -210,6 +210,53 @@ object Round14Queries {
              |  true AS delete_no_inserts
              |FROM documents""".stripMargin)),
 
+    // TIME TRAVEL through the parsed front door: the documents cube
+    // bound to a manifested table (v1 = full corpus, v2 = after a
+    // copy-on-write takedown of doc_id % 7 = 3 — the modulus must not
+    // align with the fixture's per-source doc_id blocks, or whole
+    // sources vanish from v2 and the join drops them), queried with the
+    // `asOf` option — the q196 operators (readVersion/readAsOf) now
+    // reachable from a parsed query. asOf 1 counts the full corpus,
+    // asOf 2 equals the current read AND the epoch-millis asOfTimestamp
+    // resolution; per-source counts anchor the oracle.
+    NamedQuery("q204_parsed_asof",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+        val table = freshQueryDir("asof") + "/docs"
+        Manifest.create(s, table, docs)
+        Manifest.deleteWhere(s, table, col("doc_id") % 7 === 3)
+        val cube = graft.cubes.Cubes.documentsCube(s, d)
+          .copy(fact = Manifest.read(s, table), manifestTable = Some(table))
+        def run(opts: String) = QueryParser.parse(cube,
+          s"""{ "cube": "documents",
+             |  "args": { "options": { $opts "asc": "source" } },
+             |  "fields": [
+             |    {"name": "source"},
+             |    {"name": "count", "alias": "n_docs"} ] }""".stripMargin)
+          .query.toDF
+        val t2 = Manifest.readSnapshot(s, table, 2L)
+          .meta("committed_at").toLong
+        val v1 = run("\"asOf\": 1,")
+          .withColumnRenamed("n_docs", "n_v1")
+        val v2 = run("\"asOf\": 2,").withColumnRenamed("n_docs", "n_v2")
+        val byTs = run(s""""asOfTimestamp": $t2,""")
+          .withColumnRenamed("n_docs", "__n_ts")
+        val cur = run("").withColumnRenamed("n_docs", "__n_cur")
+        v1.join(v2, "source").join(byTs, "source").join(cur, "source")
+          .select(col("source"), col("n_v1"), col("n_v2"),
+            (col("__n_cur") === col("n_v2")).as("current_is_v2"),
+            (col("__n_ts") === col("n_v2")).as("ts_resolves_v2"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_v1,
+             |  CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT) AS n_v2,
+             |  true AS current_is_v2, true AS ts_resolves_v2
+             |FROM documents GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
     // TRAINED language ID: one-vs-rest logreg over hashed n-grams
     // (the fastText recipe on the engine's SQL-replayable trainer),
     // signal planted from the lang label (see langMarkers — the

@@ -79,6 +79,15 @@ object QueryOpt {
       each: Seq[String] = Nil, from: Option[String] = None,
       to: Option[String] = None,
       interpolate: Seq[String] = Nil) extends QueryOpt
+  /** TIME TRAVEL on a manifested cube source: pin the fact scan to a
+    * committed snapshot — by version, or (`tsMillis`) the newest
+    * snapshot at/before a wall-clock instant. The parsed front door
+    * for [[graft.sources.Manifest.readVersion]]/[[graft.sources.Manifest.readAsOf]];
+    * compilation rebinds the fact and disables rollup alt-sources
+    * (they materialize CURRENT data and would serve the wrong epoch).
+    * Position-independent: the first AsOf in the option list wins. */
+  final case class AsOf(version: Option[Long],
+      tsMillis: Option[Long]) extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -144,6 +153,10 @@ final case class CubeQuery(
     copy(options = options :+ QueryOpt.DescByInteger(keys))
   def ascByInteger(keys: String*): CubeQuery =
     copy(options = options :+ QueryOpt.AscByInteger(keys))
+  def asOfVersion(v: Long): CubeQuery =
+    copy(options = options :+ QueryOpt.AsOf(Some(v), None))
+  def asOfTimestamp(tsMillis: Long): CubeQuery =
+    copy(options = options :+ QueryOpt.AsOf(None, Some(tsMillis)))
   def limit(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Limit(n))
   def offset(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Offset(n))
   def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
@@ -182,7 +195,18 @@ final case class CubeQuery(
           mm.get("interpolate").map(asStrings).getOrElse(Nil))
       case other => throw new CubeQueryException(s"fill needs a key or map, got $other")
     }
+    case "asOf" | "as_of" => asOfVersion(asLong("asOf", arg))
+    case "asOfTimestamp" | "as_of_timestamp" =>
+      asOfTimestamp(asLong("asOfTimestamp", arg))
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
+  }
+
+  /** Long option values (snapshot versions, epoch millis): Int or Long. */
+  private def asLong(name: String, a: Any): Long = a match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new CubeQueryException(
+      s"option '$name' needs an integer, got $other")
   }
 
   /** Integer option values: reject anything that doesn't fit an Int

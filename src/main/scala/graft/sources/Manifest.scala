@@ -77,6 +77,25 @@ object Manifest {
     else paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
+  /** rel-path → owning manifest entry. Entries within one snapshot are
+    * disjoint (none nests inside another), so the owner is either the
+    * path itself or its truncation at some '/' boundary — O(path
+    * depth) hash lookups per file, independent of the entry count. */
+  private def prefixResolver(entries: Seq[String]): String => Option[String] = {
+    val set = entries.toSet
+    (rel: String) =>
+      if (set.contains(rel)) Some(rel)
+      else {
+        var i = rel.length
+        var found: Option[String] = None
+        while (found.isEmpty && { i = rel.lastIndexOf('/', i - 1); i > 0 }) {
+          val p = rel.substring(0, i)
+          if (set.contains(p)) found = Some(p)
+        }
+        found
+      }
+  }
+
   private def manifestDir(table: String) = new Path(s"$table/_manifest")
   private def manifestFile(table: String, v: Long) =
     new Path(s"$table/_manifest/v${"%08d".format(v)}.list")
@@ -388,9 +407,14 @@ object Manifest {
     if (touched.isEmpty) return snap
     val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
     val allFiles = full.inputFiles.map(norm)
+    // file → owning manifest entry by longest-prefix lookup over the
+    // SORTED entry list (O(F log E)); a per-file linear scan of the
+    // entries is O(F·E) — quadratic at the 100k-file manifests
+    // ManifestScale measures
+    val entryFor = prefixResolver(snap.paths)
     val filesUnder = allFiles.groupBy { f =>
       val rel = f.stripPrefix(tableAbs).stripPrefix("/")
-      snap.paths.find(p => rel == p || rel.startsWith(p + "/")).getOrElse(
+      entryFor(rel).getOrElse(
         sys.error(s"Manifest.deleteWhere: $f outside the pinned snapshot"))
     }
     val parts = snap.meta.get(PartitionKey)
@@ -794,9 +818,24 @@ object Manifest {
     // [[deleteWhere]] carries per-FILE entries out of older dirs,
     // lists a file INSIDE it: deleting the whole dir would take the
     // CURRENT snapshot's carried files with it. Partially-referenced
-    // dirs reclaim only their unreferenced parquet files.
-    def liveUnder(p: String): Set[String] =
-      referenced.filter(r => r == p || r.startsWith(p + "/"))
+    // dirs reclaim only their unreferenced parquet files. Lookup is a
+    // sorted-range scan (O(log R) to locate, output-sized to read) —
+    // a filter over the referenced set per dead entry is O(D·R),
+    // quadratic at the 100k-file manifests ManifestScale measures.
+    val refSorted = referenced.toArray.sorted
+    def liveUnder(p: String): Set[String] = {
+      val pref = p + "/"
+      var lo = java.util.Arrays.binarySearch(
+        refSorted.asInstanceOf[Array[AnyRef]], pref)
+      if (lo < 0) lo = -lo - 1
+      val out = Set.newBuilder[String]
+      if (referenced.contains(p)) out += p
+      var i = lo
+      while (i < refSorted.length && refSorted(i).startsWith(pref)) {
+        out += refSorted(i); i += 1
+      }
+      out.result()
+    }
     deadSnaps.flatMap(_.paths).distinct.foreach { p =>
       val keep = liveUnder(p)
       if (keep.isEmpty) fs.delete(new Path(s"$table/$p"), true)

@@ -427,6 +427,32 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest metadata stays driver-feasible at 100k file entries: " +
+      "commit, parse, diff, and the prefix-aware vacuum check are " +
+      "correct and fast (metadata only, no data files)") {
+    import graft.sources.Manifest
+    val dir = java.nio.file.Files.createTempDirectory("manifest_100k").toString
+    val tbl = s"$dir/t"
+    val n = 100000
+    val t0 = System.nanoTime()
+    val v1 = (0 until n).map(i => f"_v00000001-aa000000/part-$i%07d.parquet")
+    val v2 = v1.drop(n / 100) ++
+      (0 until n / 100 + 1000).map(i => f"_v00000002-bb000000/part-$i%07d.parquet")
+    Manifest.commit(spark, tbl, 0L, v1)
+    Manifest.commit(spark, tbl, 1L, v2)
+    assert(Manifest.currentSnapshot(spark, tbl).get.paths.size == v2.size)
+    val (added, removed) = Manifest.diffSnapshots(spark, tbl, 1L, 2L)
+    assert(added.size == n / 100 + 1000 && removed.size == n / 100)
+    // vacuum's reference walk over 100k dead × 100k live entries must
+    // be the sorted-range lookup, not a quadratic filter
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(2L))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"100k-entry metadata ops took $secs%.1f s " +
+      "(ManifestScale measures ~1 s total — a regression here means a " +
+      "quadratic driver path crept back in)")
+  }
+
   test("deleteWhere: copy-on-write rewrites ONLY touched files, pinned " +
       "readers and untouched bytes survive, sidecar upkeep stays " +
       "incremental, change feed shows exactly the deleted rows") {
