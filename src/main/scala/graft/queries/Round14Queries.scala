@@ -210,6 +210,44 @@ object Round14Queries {
              |  true AS delete_no_inserts
              |FROM documents""".stripMargin)),
 
+    // Incremental materialized-aggregate maintenance — the change
+    // feed's first row-level consumer (the Gupta–Mumick counting
+    // algorithm): a per-source (count, sum n_chars) aggregate taken at
+    // v1 is maintained to the current snapshot purely from
+    // readChanges across an append, a compaction, and a CoW delete —
+    // cost ∝ changed rows, never a rescan — and must equal the direct
+    // recompute row for row. The oracle recomputes the final
+    // aggregate; `matches_recompute` pins the identity in-plan.
+    NamedQuery("q205_incremental_agg",
+      (s, d) => {
+        import graft.sources.{Incremental, Manifest}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("incragg") + "/docs"
+        Manifest.create(s, table, docs.filter(col("doc_id") % 3 =!= 0))
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 3 === 0))
+        Manifest.compact(s, table, targetBytes = 1L << 30)
+        Manifest.deleteWhere(s, table, col("doc_id") % 7 === 1)
+        val maintained = Incremental.refreshAggregate(
+          s, table, 1L, 4L, Seq("source"), Seq("n_chars"))
+        val recomputed = Incremental.aggregate(
+            Manifest.read(s, table), Seq("source"), Seq("n_chars"))
+          .withColumnRenamed("n_rows", "__rn")
+          .withColumnRenamed("sum_n_chars", "__rs")
+        maintained.join(recomputed, Seq("source"), "full_outer")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_chars"),
+            (col("n_rows") === col("__rn") &&
+              col("sum_n_chars") === col("__rs")).as("matches_recompute"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS matches_recompute
+             |FROM documents WHERE doc_id % 7 <> 1
+             |GROUP BY 1 ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
     // TIME TRAVEL through the parsed front door: the documents cube
     // bound to a manifested table (v1 = full corpus, v2 = after a
     // copy-on-write takedown of doc_id % 7 = 3 — the modulus must not

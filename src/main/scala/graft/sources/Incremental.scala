@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Incremental materialized-aggregate maintenance over a manifested
+  * table — the first row-level consumer of [[Manifest.readChanges]],
+  * and the classic counting algorithm for materialized views (Gupta &
+  * Mumick, "Maintenance of Materialized Views: Problems, Techniques,
+  * and Applications", IEEE Data Eng. Bull. 1995): additive aggregates
+  * (count + sums) update from the change feed with +1/−1 signs.
+  *
+  * The 100 TB point: refreshing a dashboard aggregate after a commit
+  * costs ∝ that commit's changed rows (the feed reads only
+  * added/removed files, the delta aggregation shuffles only changed
+  * rows, the merge join is aggregate-sized) — never a table rescan.
+  * Groups whose maintained count reaches zero disappear, exactly as a
+  * recompute would produce; non-additive views (avg, ratios) derive
+  * at read time from the maintained count/sums.
+  */
+object Incremental {
+
+  /** The maintainable aggregate shape: per-`keys` group, `n_rows`
+    * plus `sum_<c>` for each of `sumCols` (numeric columns; sums use
+    * the column's own type, so long columns stay exact). */
+  def aggregate(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "aggregate needs at least one key")
+    val aggs = F.count(F.lit(1)).as("n_rows") +:
+      sumCols.map(c => F.sum(F.col(c)).as(s"sum_$c"))
+    df.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `agg` (the [[aggregate]] of some snapshot) + a
+    * [[Manifest.readChanges]] feed → the aggregate of the later
+    * snapshot: inserts contribute +1/+x, deletes −1/−x, zero-count
+    * groups drop. Cost ∝ |changes| + |agg|, never the table. */
+  def applyChanges(agg: DataFrame, changes: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs at least one key")
+    val sign = F.when(F.col("_change_type") === "insert", 1L)
+      .otherwise(-1L)
+    val deltaAggs = F.sum(sign).as("n_rows") +:
+      // sum skips nulls on both sides: a changed row with a null
+      // measure moves the count but not the sum, matching recompute
+      sumCols.map(c => F.sum(sign * F.col(c)).as(s"sum_$c"))
+    val delta = changes.groupBy(keys.map(F.col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val cols = "n_rows" +: sumCols.map(c => s"sum_$c")
+    val merged = agg.select((keys ++ cols).map(F.col): _*)
+      .unionByName(delta.select((keys ++ cols).map(F.col): _*))
+    val mergeAggs = F.sum(F.col("n_rows")).as("n_rows") +:
+      sumCols.map(c => F.sum(F.col(s"sum_$c")).as(s"sum_$c"))
+    merged.groupBy(keys.map(F.col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .filter(F.col("n_rows") > 0)
+  }
+
+  /** Convenience refresh: maintain version `v1`'s aggregate up to
+    * `v2` purely from the change feed. Equals
+    * `aggregate(readVersion(v2), …)` row for row. */
+  def refreshAggregate(spark: org.apache.spark.sql.SparkSession,
+      table: String, v1: Long, v2: Long, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    applyChanges(
+      aggregate(Manifest.readVersion(spark, table, v1), keys, sumCols),
+      Manifest.readChanges(spark, table, v1, v2), keys, sumCols)
+}

@@ -428,8 +428,11 @@ object Manifest {
       val carriedFiles = dirty.flatMap(p =>
         filesUnder(p).filterNot(touched)
           .map(_.stripPrefix(tableAbs).stripPrefix("/")))
+      // survivors = rows where pred is NOT TRUE — `!pred` alone would
+      // silently drop NULL-evaluating rows from rewritten files (they
+      // don't match the delete, but three-valued NOT(NULL) is NULL)
       val survivors = spark.read.parquet(touched.toSeq.sorted: _*)
-        .filter(!pred)
+        .filter(!F.coalesce(pred, F.lit(false)))
       val keepPaths = clean ++ carriedFiles
       val noSurvivors = survivors.isEmpty
       if (noSurvivors && keepPaths.isEmpty) sys.error(
@@ -452,7 +455,8 @@ object Manifest {
         filesUnder.getOrElse(p, Array.empty[String]).exists(touched))
       val survivors = dirtyEntries
         .map(p => spark.read.parquet(s"$table/$p"))
-        .reduce(_ unionByName _).filter(!pred)
+        .reduce(_ unionByName _)
+        .filter(!F.coalesce(pred, F.lit(false))) // keep NULL-evaluating rows
       val noSurvivors = survivors.isEmpty
       if (noSurvivors && cleanEntries.isEmpty) sys.error(
         s"Manifest.deleteWhere: predicate deletes every row of $table — " +

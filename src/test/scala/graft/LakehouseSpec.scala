@@ -517,6 +517,52 @@ class LakehouseSpec extends AnyFunSuite {
     assert(survivingOld.size == 3, "carried files must survive vacuum")
   }
 
+  test("incremental aggregate maintenance equals recompute across " +
+      "append + delete; zero-count groups drop; null measures move " +
+      "the count but not the sum") {
+    import graft.sources.{Incremental, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_mv").toString
+    val tbl = s"$dir/t"
+    val rows = Seq((1L, "a", Some(10L)), (2L, "a", None),
+      (3L, "b", Some(5L)), (4L, "c", Some(7L))).toDF("id", "k", "v")
+    Manifest.create(spark, tbl, rows.coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((5L, "b", Some(3L)), (6L, "d", None: Option[Long])).toDF("id", "k", "v"))
+    Manifest.deleteWhere(spark, tbl, col("k") === "c" || col("id") === 2L)
+    val maintained = Incremental.refreshAggregate(
+      spark, tbl, 1L, 3L, Seq("k"), Seq("v"))
+    val recomputed = Incremental.aggregate(
+      Manifest.read(spark, tbl), Seq("k"), Seq("v"))
+    assert(maintained.collect().map(_.toString).sorted.toSeq ==
+      recomputed.collect().map(_.toString).sorted.toSeq)
+    // the fully-deleted group is GONE, not a zero row
+    assert(maintained.filter(col("k") === "c").count() == 0)
+    // a: null-v row deleted — count fell to 1, sum stayed 10
+    val a = maintained.filter(col("k") === "a").collect()(0)
+    assert(a.getLong(1) == 1L && a.getLong(2) == 10L)
+    // d: appended null-v group — count 1, sum null
+    val dRow = maintained.filter(col("k") === "d").collect()(0)
+    assert(dRow.getLong(1) == 1L && dRow.isNullAt(2))
+  }
+
+  test("deleteWhere keeps rows where the predicate evaluates NULL " +
+      "(three-valued logic must not silently widen the takedown)") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_del_n").toString
+    val tbl = s"$dir/t"
+    val docs = Seq((1L, Some("keep")), (2L, Some("drop")), (3L, None),
+      (4L, Some("keep")), (5L, None))
+      .toDF("id", "tag")
+    Manifest.create(spark, tbl, docs.coalesce(1))
+    Manifest.deleteWhere(spark, tbl, col("tag") === "drop")
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 4, "NULL-tag rows must survive the rewrite")
+    assert(after.filter(col("tag").isNull).count() == 2)
+    assert(after.filter(col("tag") === "drop").count() == 0)
+  }
+
   test("deleteWhere on a hive-partitioned table preserves the layout; " +
       "readChanges cancels compaction churn and reports append inserts") {
     import graft.sources.Manifest
