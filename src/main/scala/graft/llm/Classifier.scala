@@ -30,7 +30,7 @@ object Classifier {
   /** bias + per-bucket weights after training. */
   final case class LinearModel(bias: Double, w: Array[Double])
 
-  private def round9(v: Double): Double =
+  private[llm] def round9(v: Double): Double =
     BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Train logistic regression by `iters` batch-GD steps on hashed

@@ -417,6 +417,18 @@ class CurateSpec extends AnyFunSuite {
       docs.repartition(13), col("doc_id"), col("text"), models)
     assert(pred.collect().map(_.toString).sorted
       .sameElements(pred2.collect().map(_.toString).sorted))
+    // the fused multi-model GD loop must produce EXACTLY the weights
+    // the one-at-a-time trainer does (same arithmetic + 1e-9 grid
+    // snap per step absorbs float-sum order)
+    val oneAtATime = langs.sorted.map { l =>
+      l -> graft.llm.Classifier.trainLogReg(docs, col("doc_id"),
+        col("text"), (col("lang") === l).cast("int"),
+        buckets = 64, iters = 8, lr = 1.0)
+    }
+    models.zip(oneAtATime).foreach { case ((lf, mf), (ls, msep)) =>
+      assert(lf == ls && mf.bias == msep.bias && mf.w.sameElements(msep.w),
+        s"fused trainer diverged from trainLogReg for $lf")
+    }
     // agreement with the stopword heuristic where IT is confident (the
     // planted markers are the heuristic's own stopwords for the four
     // languages it knows; zh is heuristic-blind and tests coverage)
