@@ -390,16 +390,64 @@ object Manifest {
     * refused (a snapshot cannot be empty) — takedowns are selective
     * by nature; drop the table instead. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
-      pruneRanges: Seq[(String, Double, Double)] = Nil): Snapshot = {
+      pruneRanges: Seq[(String, Double, Double)] = Nil): Snapshot =
+    deleteCore(spark, table, pred,
+      scanFor = (snap, full) =>
+        if (pruneRanges.nonEmpty) readPrunedAll(spark, table, pruneRanges)
+        else full)
+
+  /** POINT takedown: delete the rows whose `column` is one of
+    * `values` — the literal right-to-be-forgotten shape ("remove
+    * these 37 opted-out ids"). Phase 1's candidate files come from
+    * the BLOOM sidecar when one covers the column ([[readPoint]]'s
+    * per-value decision, OR'd across the values; Bloom false
+    * negatives are impossible, so the restriction is sound and false
+    * positives only cost scanning an extra candidate) — at 100 TB a
+    * handful-of-ids takedown opens a handful of files, decided at
+    * the driver before any footer. No sidecar / partitioned layout /
+    * uncovered files degrade to the exact full phase-1 scan. */
+  def deleteKeys(spark: SparkSession, table: String, column: String,
+      values: Seq[Any]): Snapshot = {
+    require(values.nonEmpty, "Manifest.deleteKeys: no values to delete")
+    deleteCore(spark, table, F.col(column).isin(values: _*),
+      scanFor = (snap, full) => {
+        val fs = fsFor(spark, table)
+        val bd = bloomDir(table, snap.version)
+        val hive =
+          full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+        if (!fs.exists(bd) || hive) full
+        else sidecarLocal(spark, bd) match {
+          case Some(stats) if stats.columns.contains(s"${column}__bloom") =>
+            val dt = full.schema(column).dataType
+            val probes = spark.range(1).select(
+                F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
+              .first().getSeq[Long](0)
+            val rows = stats
+              .select(F.col("file"), F.col(s"${column}__bloom")).collect()
+            val known = rows.map(_.getString(0)).toSet
+            val keep = rows.filter { r =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              probes.exists(bf.mightContainLong)
+            }.map(_.getString(0))
+            val unknown = full.inputFiles.filterNot(known.contains)
+            val paths = (keep ++ unknown).distinct
+            if (paths.isEmpty) full.limit(0)
+            else spark.read.parquet(paths.toIndexedSeq: _*)
+          case _ => full
+        }
+      })
+  }
+
+  private def deleteCore(spark: SparkSession, table: String, pred: Column,
+      scanFor: (Snapshot, DataFrame) => DataFrame): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.deleteWhere: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
     val full = readSnapshotData(spark, table, snap)
     val partitioned =
       full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
-    val scanned =
-      if (pruneRanges.nonEmpty) readPrunedAll(spark, table, pruneRanges)
-      else full
+    val scanned = scanFor(snap, full)
     def norm(f: String) = new Path(f).toUri.getPath
     val touched = scanned.filter(pred)
       .select(F.input_file_name().as("f")).distinct()

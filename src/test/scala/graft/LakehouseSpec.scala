@@ -324,6 +324,58 @@ class LakehouseSpec extends AnyFunSuite {
       expectedItemsPerFile = 1000) == 0)
   }
 
+  test("deleteKeys: a point takedown on a round-robin layout scans only " +
+      "the bloom candidates, deletes exactly the keys, carries the rest") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_delk").toString
+    val tbl = s"$dir/t"
+    // round-robin: envelopes can't restrict phase 1, the bloom can
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(8))
+    Manifest.analyzeFilesBloom(spark, tbl, Seq("id"),
+      expectedItemsPerFile = 1000)
+    val beforeFiles = Manifest.read(spark, tbl).inputFiles.toSet
+    val doomed = Seq(42L, 317L, 613L)
+    Manifest.deleteKeys(spark, tbl, "id", doomed)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 797)
+    assert(after.filter($"id".isin(doomed: _*)).count() == 0)
+    // only the bloom-candidate files were rewritten: ≥ (8 − 3) of the
+    // 8 round-robin files carried by path (each key lives in 1 file;
+    // fpp may add a candidate or two, never all)
+    val carried = after.inputFiles.toSet intersect beforeFiles
+    assert(carried.size >= 4,
+      s"expected most files carried via bloom pruning, got ${carried.size}")
+    // absent keys: no-op, no new commit
+    val v = Manifest.versions(spark, tbl)
+    assert(Manifest.deleteKeys(spark, tbl, "id", Seq(99999L)).version ==
+      v.last && Manifest.versions(spark, tbl) == v)
+    // no bloom sidecar: still exact (full phase-1 fallback)
+    val tbl2 = s"$dir/t2"
+    Manifest.create(spark, tbl2,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(4))
+    Manifest.deleteKeys(spark, tbl2, "id", Seq(7L, 8L))
+    assert(Manifest.read(spark, tbl2).count() == 98)
+  }
+
+  test("asOf through the front door refuses a non-manifested cube and " +
+      "an unretained version, loudly") {
+    import graft.query.CubeQuery
+    val cube = graft.cubes.Cubes.documentsCube(spark, sf)
+    val e = intercept[graft.model.CubeQueryException] {
+      graft.compile.Compiler.compile(
+        CubeQuery(cube).measure("n", "count").asOfVersion(1L))
+    }
+    assert(e.getMessage.contains("asOf") &&
+      e.getMessage.contains("manifested"))
+    // unknown option spelling still V4s
+    val e2 = intercept[graft.model.CubeQueryException] {
+      CubeQuery(cube).option("asof", 1)
+    }
+    assert(e2.getMessage.contains("unknown option"))
+  }
+
   test("z-order + file skipping: after a z-clustered compaction EITHER " +
       "axis prunes files — the multi-dimensional payoff a single-column " +
       "sort cannot give") {
