@@ -67,6 +67,21 @@ object Bpe {
     F.when(n >= 2, folded).otherwise(sym)
   }
 
+  /** The ranked adjacent-pair count frame over a symbolized
+    * word-frequency table — ONE definition shared by the sequential
+    * and batched trainers, because its total order (count DESC, a ASC,
+    * b ASC) IS the cross-engine determinism contract q168 replays:
+    * forking it would silently fork the two schedules. */
+  private def rankedPairs(wf: DataFrame): DataFrame =
+    wf.select(F.col("cnt"),
+        F.explode(F.zip_with(
+          F.slice(F.col("sym"), F.lit(1), F.size(F.col("sym")) - 1),
+          F.slice(F.col("sym"), F.lit(2), F.size(F.col("sym")) - 1),
+          (x, y) => F.struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .agg(F.sum(F.col("cnt")).as("c"))
+      .orderBy(F.col("c").desc, F.col("a").asc, F.col("b").asc)
+
   /** Learn `nMerges` merge rules from the corpus. Returns the ranked
     * merge table; stops early when no pair reaches `minCount`. */
   def trainMerges(corpus: DataFrame, text: Column, nMerges: Int,
@@ -78,15 +93,7 @@ object Bpe {
     var round = 0
     var done = false
     while (round < nMerges && !done) {
-      val pairs = wf.select(F.col("cnt"),
-          F.explode(F.zip_with(
-            F.slice(F.col("sym"), F.lit(1), F.size(F.col("sym")) - 1),
-            F.slice(F.col("sym"), F.lit(2), F.size(F.col("sym")) - 1),
-            (x, y) => F.struct(x.as("a"), y.as("b")))).as("p"))
-        .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
-        .agg(F.sum(F.col("cnt")).as("c"))
-        .orderBy(F.col("c").desc, F.col("a").asc, F.col("b").asc)
-        .limit(1).collect()
+      val pairs = rankedPairs(wf).limit(1).collect()
       if (pairs.isEmpty || pairs(0).getLong(2) < minCount) done = true
       else {
         val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
@@ -135,15 +142,7 @@ object Bpe {
     var round = 0
     var done = false
     while (merges.size < nMerges && !done) {
-      val top = wf.select(F.col("cnt"),
-          F.explode(F.zip_with(
-            F.slice(F.col("sym"), F.lit(1), F.size(F.col("sym")) - 1),
-            F.slice(F.col("sym"), F.lit(2), F.size(F.col("sym")) - 1),
-            (x, y) => F.struct(x.as("a"), y.as("b")))).as("p"))
-        .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
-        .agg(F.sum(F.col("cnt")).as("c"))
-        .orderBy(F.col("c").desc, F.col("a").asc, F.col("b").asc)
-        .limit(batchK).collect()
+      val top = rankedPairs(wf).limit(batchK).collect()
         .filter(_.getLong(2) >= minCount)
       if (top.isEmpty) done = true
       else {

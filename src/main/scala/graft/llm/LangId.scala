@@ -124,7 +124,10 @@ object LangId {
     }
     val wide = feats.groupBy("id").agg(zAggs.head, zAggs.tail: _*)
     val scores = ms.map { case (lang, _) => lang -> F.col(s"__z_$lang") }
-    val maxS = F.greatest(scores.map(_._2): _*)
+    // greatest() demands ≥2 args; one language degenerates to itself
+    val maxS =
+      if (scores.size == 1) scores.head._2
+      else F.greatest(scores.map(_._2): _*)
     // first language in ascending order whose score is maximal
     val pred = scores.foldRight(F.lit(ms.head._1): Column) {
       case ((lang, s), els) => F.when(s === maxS, F.lit(lang)).otherwise(els)

@@ -56,7 +56,7 @@ object Round14Queries {
     val markerCase = langMarkers.map { case (l, m) =>
       s"WHEN '$l' THEN '$m '" }.mkString(" ")
     s"""d AS MATERIALIZED (SELECT doc_id, lang,
-       |    text || ' ' || repeat(CASE lang $markerCase END,
+       |    text || ' ' || repeat(CASE lang $markerCase ELSE '' END,
        |      CAST(doc_id % 3 + 5 AS INT)) AS text
        |  FROM documents),
        |t AS MATERIALIZED (SELECT doc_id, lang,
@@ -116,9 +116,10 @@ object Round14Queries {
     // 4-file snapshot rewrites ONLY the intersecting files (≥2 of 4
     // carried by path — file-grain CoW, the claim `cow_carried` pins),
     // a pre-delete pinned reader keeps serving the old snapshot, and
-    // the next sidecar ANALYZE scans only the rewritten files. Counts
-    // and sums over the survivors anchor the oracle; the cut is the
-    // same integer quarter of max(doc_id) on both sides.
+    // the next sidecar ANALYZE scans only the rewritten files. Phase-1
+    // pruning bounds are derived from the predicate itself (sound by
+    // construction). Counts and sums over the survivors anchor the
+    // oracle; the cut is the same integer quarter of max(doc_id).
     NamedQuery("q201_delete_where",
       (s, d) => {
         import graft.sources.Manifest
@@ -133,8 +134,7 @@ object Round14Queries {
         val beforeFiles = Manifest.read(s, table).inputFiles.toSet
         val pinned = Manifest.read(s, table)
         val doomed = col("doc_id") <= cut
-        Manifest.deleteWhere(s, table, doomed,
-          pruneRanges = Seq(("doc_id", 0.0, cut.toDouble)))
+        Manifest.deleteWhere(s, table, doomed) // bounds derived from pred
         val afterFiles = Manifest.read(s, table).inputFiles.toSet
         val rewritten = afterFiles -- beforeFiles
         val scanned = Manifest.analyzeFiles(s, table, Seq("doc_id"))
@@ -349,10 +349,10 @@ object Round14Queries {
            |scm AS MATERIALIZED (SELECT *,
            |    greatest(${langs.map("s_" + _).mkString(", ")}) AS m FROM sc),
            |hcnt AS MATERIALIZED (SELECT doc_id,
-           |    len(list_filter(w, x -> x IN ('the','a','and','of','to','is'))) AS c_en,
-           |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en'))) AS c_es,
-           |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS c_de,
-           |    len(list_filter(w, x -> x IN ('le','les','et','une','dans'))) AS c_fr
+           |    len(list_filter(w, x -> lower(x) IN ('the','a','and','of','to','is'))) AS c_en,
+           |    len(list_filter(w, x -> lower(x) IN ('el','la','de','que','y','en'))) AS c_es,
+           |    len(list_filter(w, x -> lower(x) IN ('der','die','das','und','ist'))) AS c_de,
+           |    len(list_filter(w, x -> lower(x) IN ('le','les','et','une','dans'))) AS c_fr
            |  FROM t),
            |h AS MATERIALIZED (SELECT doc_id,
            |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'

@@ -21,20 +21,28 @@ import org.apache.spark.sql.{functions => F}
 object Incremental {
 
   /** The maintainable aggregate shape: per-`keys` group, `n_rows`
-    * plus `sum_<c>` for each of `sumCols` (numeric columns; sums use
-    * the column's own type, so long columns stay exact). */
+    * plus `cnt_<c>` (non-null count) and `sum_<c>` for each of
+    * `sumCols` (numeric columns; sums use the column's own type, so
+    * long columns stay exact). The non-null count is what lets
+    * [[applyChanges]] return a sum to NULL when every contributing
+    * row has been deleted — a bare maintained sum would read 0 where
+    * a recompute reads NULL (SQL `sum` over no non-null inputs). */
   def aggregate(df: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "aggregate needs at least one key")
     val aggs = F.count(F.lit(1)).as("n_rows") +:
-      sumCols.map(c => F.sum(F.col(c)).as(s"sum_$c"))
+      sumCols.flatMap(c => Seq(
+        F.count(F.col(c)).as(s"cnt_$c"),
+        F.sum(F.col(c)).as(s"sum_$c")))
     df.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** `agg` (the [[aggregate]] of some snapshot) + a
     * [[Manifest.readChanges]] feed → the aggregate of the later
     * snapshot: inserts contribute +1/+x, deletes −1/−x, zero-count
-    * groups drop. Cost ∝ |changes| + |agg|, never the table. */
+    * groups drop, and a sum whose non-null count reaches zero returns
+    * to NULL (exactly what a recompute produces). Cost ∝ |changes| +
+    * |agg|, never the table. */
   def applyChanges(agg: DataFrame, changes: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "applyChanges needs at least one key")
@@ -42,17 +50,29 @@ object Incremental {
       .otherwise(-1L)
     val deltaAggs = F.sum(sign).as("n_rows") +:
       // sum skips nulls on both sides: a changed row with a null
-      // measure moves the count but not the sum, matching recompute
-      sumCols.map(c => F.sum(sign * F.col(c)).as(s"sum_$c"))
+      // measure moves n_rows but neither cnt nor sum, matching
+      // recompute
+      sumCols.flatMap(c => Seq(
+        F.sum(F.when(F.col(c).isNotNull, sign)).as(s"cnt_$c"),
+        F.sum(sign * F.col(c)).as(s"sum_$c")))
     val delta = changes.groupBy(keys.map(F.col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    val cols = "n_rows" +: sumCols.map(c => s"sum_$c")
+    val cols = "n_rows" +: sumCols.flatMap(c => Seq(s"cnt_$c", s"sum_$c"))
     val merged = agg.select((keys ++ cols).map(F.col): _*)
       .unionByName(delta.select((keys ++ cols).map(F.col): _*))
     val mergeAggs = F.sum(F.col("n_rows")).as("n_rows") +:
-      sumCols.map(c => F.sum(F.col(s"sum_$c")).as(s"sum_$c"))
+      sumCols.flatMap(c => Seq(
+        F.sum(F.col(s"cnt_$c")).as(s"cnt_$c"),
+        F.sum(F.col(s"sum_$c")).as(s"__rawsum_$c")))
     merged.groupBy(keys.map(F.col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select((keys.map(F.col) ++ (F.col("n_rows") +:
+        sumCols.flatMap(c => Seq(
+          // delta-only groups whose changes carried no non-null
+          // measure sum to NULL, where recompute's count gives 0
+          F.coalesce(F.col(s"cnt_$c"), F.lit(0L)).as(s"cnt_$c"),
+          F.when(F.coalesce(F.col(s"cnt_$c"), F.lit(0L)) > 0,
+            F.col(s"__rawsum_$c")).as(s"sum_$c"))))): _*)
       .filter(F.col("n_rows") > 0)
   }
 

@@ -236,6 +236,28 @@ object Manifest {
     rel
   }
 
+  /** [[writeData]] plus the exact written-row count, in ONE pass over
+    * the input: the count comes from the WRITTEN files afterwards (a
+    * column-less parquet count() is footer metadata, not a data scan),
+    * instead of probing the input with isEmpty first — which re-reads
+    * the touched inputs precisely when a takedown deleted everything.
+    * An empty write's directory is deleted immediately (it was never
+    * visible — no manifest references it). */
+  private def writeDataCounted(spark: SparkSession, table: String, v: Long,
+      df: DataFrame, partitionBy: Seq[String]): (String, Long) = {
+    val rel = writeData(spark, table, v, df, partitionBy)
+    val fs = fsFor(spark, table)
+    val dir = new Path(s"$table/$rel")
+    val it = fs.listFiles(dir, true)
+    var hasParquet = false
+    while (!hasParquet && it.hasNext)
+      hasParquet = it.next().getPath.getName.endsWith(".parquet")
+    val n = if (!hasParquet) 0L
+      else spark.read.parquet(dir.toString).count()
+    if (n == 0) { fs.delete(dir, true); () }
+    (rel, n)
+  }
+
   /** Full-rewrite commit: materialize `df` as the next version's data
     * and commit it as the complete new snapshot (the shape compaction
     * and index-folding use). */
@@ -389,12 +411,73 @@ object Manifest {
     * Deleting every row of an unpartitioned single-entry table is
     * refused (a snapshot cannot be empty) — takedowns are selective
     * by nature; drop the table instead. */
-  def deleteWhere(spark: SparkSession, table: String, pred: Column,
-      pruneRanges: Seq[(String, Double, Double)] = Nil): Snapshot =
+  def deleteWhere(spark: SparkSession, table: String, pred: Column): Snapshot =
     deleteCore(spark, table, pred,
-      scanFor = (snap, full) =>
-        if (pruneRanges.nonEmpty) readPrunedAll(spark, table, pruneRanges)
-        else full)
+      scanFor = (snap, full) => {
+        // envelope pruning is derived from the PREDICATE ITSELF, so it
+        // cannot be unsound: only conjunctive numeric range/equality
+        // shapes yield bounds, everything else scans fully. (An earlier
+        // design took caller-supplied ranges on trust — a hint narrower
+        // than the predicate would have silently left matching rows
+        // alive in pruned files, in the takedown path of all places.)
+        val ranges = boundsFromPred(pred)
+        if (ranges.nonEmpty) readPrunedAll(spark, table, ranges) else full
+      })
+
+  /** Per-column [lo, hi] bounds IMPLIED by a predicate — sound for
+    * file pruning: a file whose envelope misses the bounds cannot hold
+    * a matching row. Conjunctions intersect; bare numeric
+    * comparisons/equality/between bound one side; any other shape
+    * (OR, UDFs, strings, IN) contributes nothing — the caller of the
+    * pruned scan then reads everything, conservatively. */
+  private[graft] def boundsFromPred(pred: Column): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def num(l: Any): Option[Double] = l match {
+      case n: Number => Some(n.doubleValue())
+      case d: java.math.BigDecimal => Some(d.doubleValue())
+      case d: scala.math.BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      // deliberately NO Cast unwrapping: a narrowing cast can wrap
+      // values, so a bound on cast(col) does not bound col
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lower(a: Expression, v: Any) = (attr(a), num(v)) match {
+      case (Some(c), Some(x)) => Seq((c, x, Double.PositiveInfinity))
+      case _ => Nil
+    }
+    def upper(a: Expression, v: Any) = (attr(a), num(v)) match {
+      case (Some(c), Some(x)) => Seq((c, Double.NegativeInfinity, x))
+      case _ => Nil
+    }
+    def point(a: Expression, v: Any) = (attr(a), num(v)) match {
+      case (Some(c), Some(x)) => Seq((c, x, x))
+      case _ => Nil
+    }
+    def walk(e: Expression): Seq[(String, Double, Double)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case GreaterThan(a, Literal(v, _)) => lower(a, v)
+      case GreaterThan(Literal(v, _), a) => upper(a, v)
+      case GreaterThanOrEqual(a, Literal(v, _)) => lower(a, v)
+      case GreaterThanOrEqual(Literal(v, _), a) => upper(a, v)
+      case LessThan(a, Literal(v, _)) => upper(a, v)
+      case LessThan(Literal(v, _), a) => lower(a, v)
+      case LessThanOrEqual(a, Literal(v, _)) => upper(a, v)
+      case LessThanOrEqual(Literal(v, _), a) => lower(a, v)
+      case EqualTo(a, Literal(v, _)) => point(a, v)
+      case EqualTo(Literal(v, _), a) => point(a, v)
+      case _ => Nil
+    }
+    // intersect multiple bounds on the same column
+    walk(GraftBridge.expression(pred))
+      .groupBy(_._1).toSeq.map { case (c, bs) =>
+        (c, bs.map(_._2).max, bs.map(_._3).min)
+      }.filter { case (_, lo, hi) => lo <= hi }.sortBy(_._1)
+  }
 
   /** POINT takedown: delete the rows whose `column` is one of
     * `values` — the literal right-to-be-forgotten shape ("remove
@@ -416,20 +499,21 @@ object Manifest {
         val hive =
           full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
         if (!fs.exists(bd) || hive) full
-        else sidecarLocal(spark, bd) match {
-          case Some(stats) if stats.columns.contains(s"${column}__bloom") =>
+        else sidecarRows(spark, bd) match {
+          case Some((sch, rows))
+              if sch.fieldNames.contains(s"${column}__bloom") =>
             val dt = full.schema(column).dataType
             val probes = spark.range(1).select(
                 F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
               .first().getSeq[Long](0)
-            val rows = stats
-              .select(F.col("file"), F.col(s"${column}__bloom")).collect()
-            val known = rows.map(_.getString(0)).toSet
+            val fi = sch.fieldIndex("file")
+            val bi = sch.fieldIndex(s"${column}__bloom")
+            val known = rows.map(_.getString(fi)).toSet
             val keep = rows.filter { r =>
               val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
               probes.exists(bf.mightContainLong)
-            }.map(_.getString(0))
+            }.map(_.getString(fi))
             val unknown = full.inputFiles.filterNot(known.contains)
             val paths = (keep ++ unknown).distinct
             if (paths.isEmpty) full.limit(0)
@@ -455,9 +539,9 @@ object Manifest {
     if (touched.isEmpty) return snap
     val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
     val allFiles = full.inputFiles.map(norm)
-    // file → owning manifest entry by longest-prefix lookup over the
-    // SORTED entry list (O(F log E)); a per-file linear scan of the
-    // entries is O(F·E) — quadratic at the 100k-file manifests
+    // file → owning manifest entry via prefixResolver's '/'-boundary
+    // hash lookups (O(F·depth)); a per-file linear scan of the entry
+    // list is O(F·E) — quadratic at the 100k-file manifests
     // ManifestScale measures
     val entryFor = prefixResolver(snap.paths)
     val filesUnder = allFiles.groupBy { f =>
@@ -482,13 +566,12 @@ object Manifest {
       val survivors = spark.read.parquet(touched.toSeq.sorted: _*)
         .filter(!F.coalesce(pred, F.lit(false)))
       val keepPaths = clean ++ carriedFiles
-      val noSurvivors = survivors.isEmpty
-      if (noSurvivors && keepPaths.isEmpty) sys.error(
+      val (rel, written) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, Nil)
+      if (written == 0 && keepPaths.isEmpty) sys.error(
         s"Manifest.deleteWhere: predicate deletes every row of $table — " +
           "a snapshot cannot be empty; drop the table instead")
-      val rels =
-        if (noSurvivors) Nil
-        else Seq(writeData(spark, table, snap.version + 1, survivors, Nil))
+      val rels = if (written == 0) Nil else Seq(rel)
       commit(spark, table, snap.version, keepPaths ++ rels, snap.meta)
     } else {
       // hive layout: version-DIRECTORY-grain CoW — a carried entry
@@ -505,13 +588,12 @@ object Manifest {
         .map(p => spark.read.parquet(s"$table/$p"))
         .reduce(_ unionByName _)
         .filter(!F.coalesce(pred, F.lit(false))) // keep NULL-evaluating rows
-      val noSurvivors = survivors.isEmpty
-      if (noSurvivors && cleanEntries.isEmpty) sys.error(
+      val (rel, written) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, parts)
+      if (written == 0 && cleanEntries.isEmpty) sys.error(
         s"Manifest.deleteWhere: predicate deletes every row of $table — " +
           "a snapshot cannot be empty; drop the table instead")
-      val rels =
-        if (noSurvivors) Nil
-        else Seq(writeData(spark, table, snap.version + 1, survivors, parts))
+      val rels = if (written == 0) Nil else Seq(rel)
       commit(spark, table, snap.version, cleanEntries ++ rels, snap.meta)
     }
   }
@@ -525,17 +607,16 @@ object Manifest {
     * accelerator, so any read race — a concurrent [[buildSidecar]]
     * swap, a [[vacuum]] reclaiming the version — must collapse to
     * "no sidecar" (conservative full read), never a reader error.
-    * The rows are pulled to the driver ONCE (#files grain, the same
-    * size every pruning decision already collects) and re-wrapped as
-    * a local relation, so downstream filters can't hit files deleted
-    * mid-scan either. */
-  private def sidecarLocal(spark: SparkSession, dir: Path): Option[DataFrame] =
+    * The rows are pulled to the driver ONCE and handed to the pruning
+    * decision as raw rows (#files grain — the size every decision
+    * already collects); no re-wrapped relation, so a snapshot with
+    * large per-file Bloom sidecars holds ONE driver copy, not two. */
+  private def sidecarRows(spark: SparkSession, dir: Path)
+      : Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] =
     try {
       val df = spark.read.parquet(dir.toString)
-      val rows = df.collect()
-      Some(spark.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters
-          .SeqHasAsJava(rows.toSeq).asJava), df.schema))
+      Some((df.schema, df.collect()))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Record per-FILE min/max envelopes of `cols` for the current
@@ -590,10 +671,10 @@ object Manifest {
     val df = readSnapshotData(spark, table, snap)
     val prior = versions(spark, table)
       .filter(v => fs.exists(dirFor(table, v))).lastOption
-      .flatMap(v => sidecarLocal(spark, dirFor(table, v)))
+      .flatMap(v => sidecarRows(spark, dirFor(table, v)))
     // data columns the prior sidecar covers, recovered from its stat
     // names (everything before the last "__" marker)
-    val priorCols = prior.toSeq.flatMap(_.columns.toSeq)
+    val priorCols = prior.toSeq.flatMap(_._1.fieldNames.toSeq)
       .filter(_ != "file").map(n => n.substring(0, n.lastIndexOf("__")))
       .distinct
     val effCols = (cols ++ priorCols).distinct
@@ -604,13 +685,16 @@ object Manifest {
     val allFiles = df.inputFiles.toSet
     // rows carry over verbatim (files are immutable) when the prior
     // sidecar covers the FULL effective column set
-    val reuse: Seq[org.apache.spark.sql.Row] = prior.toSeq.flatMap { old =>
-      if (statCols.forall(old.columns.contains))
-        // collect = driver metadata at #files grain, and it detaches
-        // the rows from the old sidecar files before the overwrite
-        old.select(statCols.head, statCols.tail: _*).collect().toSeq
-          .filter(r => allFiles.contains(r.getString(0)))
-      else Nil
+    val reuse: Seq[org.apache.spark.sql.Row] = prior.toSeq.flatMap {
+      case (sch, rows) =>
+        if (statCols.forall(sch.fieldNames.contains)) {
+          // rows are already driver metadata at #files grain, detached
+          // from the old sidecar files before the swap
+          val idx = statCols.map(sch.fieldIndex)
+          rows.toSeq.map(r =>
+              org.apache.spark.sql.Row.fromSeq(idx.map(r.get)))
+            .filter(r => allFiles.contains(r.getString(0)))
+        } else Nil
     }
     val covered = reuse.map(_.getString(0)).toSet
     val newFiles = (allFiles -- covered).toSeq.sorted
@@ -734,22 +818,21 @@ object Manifest {
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
-    val stats = sidecarLocal(spark, bd).getOrElse(return full)
+    val (sch, rows) = sidecarRows(spark, bd).getOrElse(return full)
     // sidecar predates this column: conservative full read, never a
     // resolution error
-    if (!stats.columns.contains(s"${column}__bloom")) return full
+    if (!sch.fieldNames.contains(s"${column}__bloom")) return full
     val dt = full.schema(column).dataType
     val probe = spark.range(1)
       .select(F.xxhash64(F.lit(value).cast(dt))).first().getLong(0)
-    val rows = stats
-      .select(F.col("file"), F.col(s"${column}__bloom")).collect()
-    val known = rows.map(_.getString(0)).toSet
+    val fi = sch.fieldIndex("file")
+    val bi = sch.fieldIndex(s"${column}__bloom")
+    val known = rows.map(_.getString(fi)).toSet
     val keep = rows.filter { r =>
-      val bytes = r.getAs[Array[Byte]](1)
       org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
         .mightContainLong(probe)
-    }.map(_.getString(0))
+    }.map(_.getString(fi))
     val unknown = full.inputFiles.filterNot(known.contains)
     val paths = (keep ++ unknown).distinct
     if (paths.isEmpty) full.limit(0) else spark.read.parquet(paths: _*)
@@ -788,19 +871,26 @@ object Manifest {
     val full = readSnapshotData(spark, table, snap)
     if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return full
-    val stats = sidecarLocal(spark, sd).getOrElse(return full)
+    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return full)
     // sidecar predates one of the probed columns: conservative full
     // read, never a resolution error
     if (!ranges.forall { case (c, _, _) =>
-        stats.columns.contains(s"${c}__min") &&
-          stats.columns.contains(s"${c}__max") })
+        sch.fieldNames.contains(s"${c}__min") &&
+          sch.fieldNames.contains(s"${c}__max") })
       return full
-    val known = stats.select("file").collect().map(_.getString(0)).toSet
-    val survives = ranges.map { case (c, lo, hi) =>
-      !(F.col(s"${c}__max") < lo || F.col(s"${c}__min") > hi)
-    }.reduce(_ && _)
-    val keep = stats.filter(survives)
-      .select("file").collect().map(_.getString(0))
+    val fi = sch.fieldIndex("file")
+    val known = rows.map(_.getString(fi)).toSet
+    val keep = rows.filter { r =>
+      ranges.forall { case (c, lo, hi) =>
+        val mi = sch.fieldIndex(s"${c}__min")
+        val ma = sch.fieldIndex(s"${c}__max")
+        // mirrors the SQL semantics of !(max < lo OR min > hi): NULL
+        // stats (an all-NULL column in that file) are never kept — a
+        // range predicate cannot match a NULL row anyway
+        !r.isNullAt(mi) && !r.isNullAt(ma) &&
+          !(r.getDouble(ma) < lo || r.getDouble(mi) > hi)
+      }
+    }.map(_.getString(fi))
     // every file of the pinned snapshot the sidecar does not cover
     // stays in (stats are an accelerator, never a correctness gate)
     val unknown = full.inputFiles.filterNot(f => known.contains(f))

@@ -524,8 +524,7 @@ class LakehouseSpec extends AnyFunSuite {
     assert(beforeFiles.size == 4)
     val pinned = Manifest.read(spark, tbl)
     val doomed = $"id" >= 10L && $"id" <= 15L
-    val s2 = Manifest.deleteWhere(spark, tbl, doomed,
-      pruneRanges = Seq(("id", 10.0, 15.0)))
+    val s2 = Manifest.deleteWhere(spark, tbl, doomed)
     assert(s2.version == 2L)
     val after = Manifest.read(spark, tbl)
     assert(after.count() == 94 && after.filter(doomed).count() == 0)
@@ -577,11 +576,13 @@ class LakehouseSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("manifest_mv").toString
     val tbl = s"$dir/t"
     val rows = Seq((1L, "a", Some(10L)), (2L, "a", None),
-      (3L, "b", Some(5L)), (4L, "c", Some(7L))).toDF("id", "k", "v")
+      (3L, "b", Some(5L)), (4L, "c", Some(7L)),
+      (7L, "e", Some(10L)), (8L, "e", None)).toDF("id", "k", "v")
     Manifest.create(spark, tbl, rows.coalesce(1))
     Manifest.commitAppend(spark, tbl,
       Seq((5L, "b", Some(3L)), (6L, "d", None: Option[Long])).toDF("id", "k", "v"))
-    Manifest.deleteWhere(spark, tbl, col("k") === "c" || col("id") === 2L)
+    Manifest.deleteWhere(spark, tbl,
+      col("k") === "c" || col("id") === 2L || col("id") === 7L)
     val maintained = Incremental.refreshAggregate(
       spark, tbl, 1L, 3L, Seq("k"), Seq("v"))
     val recomputed = Incremental.aggregate(
@@ -590,12 +591,20 @@ class LakehouseSpec extends AnyFunSuite {
       recomputed.collect().map(_.toString).sorted.toSeq)
     // the fully-deleted group is GONE, not a zero row
     assert(maintained.filter(col("k") === "c").count() == 0)
+    def row(k: String) = maintained.filter(col("k") === k).collect()(0)
     // a: null-v row deleted — count fell to 1, sum stayed 10
-    val a = maintained.filter(col("k") === "a").collect()(0)
-    assert(a.getLong(1) == 1L && a.getLong(2) == 10L)
-    // d: appended null-v group — count 1, sum null
-    val dRow = maintained.filter(col("k") === "d").collect()(0)
-    assert(dRow.getLong(1) == 1L && dRow.isNullAt(2))
+    assert(row("a").getAs[Long]("n_rows") == 1L &&
+      row("a").getAs[Long]("sum_v") == 10L)
+    // d: appended null-v group — count 1, non-null count 0, sum null
+    assert(row("d").getAs[Long]("n_rows") == 1L &&
+      row("d").getAs[Long]("cnt_v") == 0L &&
+      row("d").isNullAt(row("d").fieldIndex("sum_v")))
+    // e: the ONLY non-null measure row deleted — the maintained sum
+    // must return to NULL (a bare sum would read 0; recompute reads
+    // NULL over no non-null inputs)
+    assert(row("e").getAs[Long]("n_rows") == 1L &&
+      row("e").getAs[Long]("cnt_v") == 0L &&
+      row("e").isNullAt(row("e").fieldIndex("sum_v")))
   }
 
   test("deleteWhere keeps rows where the predicate evaluates NULL " +
