@@ -210,6 +210,44 @@ object Round14Queries {
              |  true AS delete_no_inserts
              |FROM documents""".stripMargin)),
 
+    // ADDITIVE SCHEMA EVOLUTION: a table created without n_chars gains
+    // it through a mergeSchema append — pre-evolution rows serve NULL
+    // for the new column (the committed schema is the read truth; no
+    // footer merging), the post-compaction change feed crossing the
+    // evolution is empty, and every count/sum is recomputed by the
+    // oracle from the fixture.
+    NamedQuery("q206_schema_evolution",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+        val table = freshQueryDir("evolve") + "/docs"
+        Manifest.create(s, table, docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("source")))
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          mergeSchema = true)
+        Manifest.compact(s, table, targetBytes = 1L << 30)
+        val feedEmpty = Manifest.readChanges(s, table, 2L, 3L).isEmpty
+        Manifest.read(s, table)
+          .groupBy(col("source"))
+          .agg(
+            F.count(F.lit(1)).as("n_rows"),
+            F.count(col("n_chars")).as("n_evolved"),
+            F.sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(col("source"), col("n_rows"), col("n_evolved"),
+            col("sum_chars"), F.lit(feedEmpty).as("evolution_feed_empty"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+             |    AS n_evolved,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+             |    AS sum_chars,
+             |  true AS evolution_feed_empty
+             |FROM documents GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
     // Incremental materialized-aggregate maintenance — the change
     // feed's first row-level consumer (the Gupta–Mumick counting
     // algorithm): a per-source (count, sum n_chars) aggregate taken at

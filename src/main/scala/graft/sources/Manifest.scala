@@ -72,9 +72,19 @@ object Manifest {
   private def readSnapshotData(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame = {
     val paths = snap.paths.map(p => s"$table/$p")
+    // an evolved snapshot reads under its COMMITTED schema: parquet
+    // serves the columns a pre-evolution file lacks as NULL, and no
+    // footer-merge pass is needed (the manifest is the schema truth)
+    val reader = snap.meta.get(SchemaKey) match {
+      case Some(json) if !snap.meta.contains(PartitionKey) =>
+        spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => spark.read
+    }
     if (snap.paths.size <= 1 || !snap.meta.contains(PartitionKey))
-      spark.read.parquet(paths: _*)
-    else paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      reader.parquet(paths: _*)
+    else paths.map(reader.parquet(_)).reduce(_ unionByName _)
   }
 
   /** rel-path → owning manifest entry. Entries within one snapshot are
@@ -105,6 +115,11 @@ object Manifest {
   /** Commit-metadata key recording a table's hive partitioning so
     * compaction can preserve it. */
   private val PartitionKey = "partition_by"
+  /** Commit-metadata key recording the snapshot's EVOLVED schema (as
+    * StructType json) after an additive-evolution append — what lets
+    * readers serve pre-evolution files with NULL new columns, without
+    * a per-footer merge pass. Inherits until the next evolution. */
+  private val SchemaKey = "table_schema"
   /** A version data dir: the version prefix plus the writer's unique
     * suffix ([[writeData]]). */
   private val DataDirName = """^_v(\d{8})(-[0-9a-f]{8})?$""".r
@@ -269,9 +284,18 @@ object Manifest {
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     // carry the metadata forward (new keys win) — but a REWRITE defines
     // the new layout, so a stale partition_by from the old layout is
-    // dropped rather than resurrected by a later compact()
+    // dropped rather than resurrected by a later compact(), and an
+    // inherited evolved-schema stamp is RE-STAMPED to the rewritten
+    // frame's own schema (the rewrite may reshape columns entirely —
+    // an index fold — and a stale stamp would force the old shape
+    // onto the new files)
+    val restamped =
+      if (snap.meta.contains(SchemaKey))
+        Map(SchemaKey -> df.schema.json)
+      else Map.empty[String, String]
     commit(spark, table, snap.version, Seq(rel),
-      withPartitionMeta((snap.meta - PartitionKey) ++ meta, partitionBy))
+      withPartitionMeta((snap.meta - PartitionKey) ++ restamped ++ meta,
+        partitionBy))
   }
 
   /** APPEND commit: write `df` as version N+1's data directory and
@@ -284,9 +308,19 @@ object Manifest {
     * data dirs, which [[vacuum]]'s referenced-set check already
     * honors: dropping old versions never deletes a dir a surviving
     * snapshot still lists. */
+  /** APPEND with `mergeSchema = true` = ADDITIVE SCHEMA EVOLUTION (the
+    * Delta `mergeSchema` story): the batch may carry NEW columns —
+    * overlapping columns must still type-match, and every current
+    * column must be present (dropping or retyping is never silent).
+    * The widened schema rides the commit as metadata
+    * ([[SchemaKey]]), and [[readSnapshotData]] reads the snapshot
+    * under that EXPLICIT schema, so pre-evolution files serve the new
+    * columns as NULL — consistent reads with no per-footer
+    * schema-merge pass over the table. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Snapshot = {
+      meta: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
     // fail loudly on drift: parquet's per-file schemas would otherwise
@@ -298,17 +332,26 @@ object Manifest {
       if (partitionBy.contains(f.name)) (f.name, "partition")
       else (f.name, f.dataType.sql)).toSet
     val (cur, nxt) = (key(curS), key(df.schema))
-    require(cur == nxt,
+    val ok = if (mergeSchema) cur.subsetOf(nxt) else cur == nxt
+    require(ok,
       s"Manifest.commitAppend: schema mismatch vs current snapshot — " +
         s"only in table: ${(cur -- nxt).map(_._1).toSeq.sorted.mkString(",")}; " +
-        s"only in batch: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}")
+        s"only in batch: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}" +
+        (if (mergeSchema) "" else " (additive evolution needs mergeSchema=true)"))
+    if (mergeSchema && cur != nxt) require(partitionBy.isEmpty,
+      "Manifest.commitAppend: additive schema evolution is not " +
+        "supported on hive-partitioned tables (explicit-schema reads " +
+        "would fight partition inference)")
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
+    val evolved =
+      if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
+      else Map.empty[String, String]
     // metadata INHERITS across commits (new keys win): table-state
     // annotations like the streaming sink's batch high-water mark must
     // survive interleaved compactions + vacuum, or a crash replay after
     // retention could double-append
     commit(spark, table, snap.version, snap.paths :+ rel,
-      withPartitionMeta(snap.meta ++ meta, partitionBy))
+      withPartitionMeta(snap.meta ++ meta ++ evolved, partitionBy))
   }
 
   private def withPartitionMeta(meta: Map[String, String],
@@ -375,10 +418,18 @@ object Manifest {
       else readSnapshotData(spark, table,
         readSnapshot(spark, table, v).copy(paths = rels))
     // column order can differ across layouts (hive partition columns
-    // trail); align by name before the multiset difference
+    // trail) and column SETS across an additive schema evolution (a
+    // pre-evolution side lacks the new columns — fill NULL, exactly
+    // how v2 itself reads those files, so rewrite churn still cancels)
     val cols = template.columns.toSeq
-    val a = readSide(added, v2).select(cols.head, cols.tail: _*)
-    val r = readSide(removed, v1).select(cols.head, cols.tail: _*)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(cols.map(c =>
+        if (have(c)) F.col(c)
+        else F.lit(null).cast(template.schema(c).dataType).as(c)): _*)
+    }
+    val a = align(readSide(added, v2))
+    val r = align(readSide(removed, v1))
     a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
   }

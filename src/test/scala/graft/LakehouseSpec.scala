@@ -568,6 +568,55 @@ class LakehouseSpec extends AnyFunSuite {
     assert(survivingOld.size == 3, "carried files must survive vacuum")
   }
 
+  test("additive schema evolution: a mergeSchema append widens the " +
+      "table, pre-evolution files serve NULL new columns, history keeps " +
+      "its own schema, the change feed crosses the evolution, guards " +
+      "stay loud") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_evo").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // widened batch refused WITHOUT the explicit opt-in
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tbl,
+        Seq((51L, "r51", 7L)).toDF("id", "s", "extra"))
+    }
+    Manifest.commitAppend(spark, tbl,
+      (51 to 80).map(i => (i.toLong, s"r$i", i * 10L)).toDF("id", "s", "extra"),
+      mergeSchema = true)
+    val cur = Manifest.read(spark, tbl)
+    assert(cur.columns.toSeq == Seq("id", "s", "extra"))
+    assert(cur.count() == 80)
+    assert(cur.filter(col("extra").isNull).count() == 50,
+      "pre-evolution rows must serve NULL for the new column")
+    assert(cur.filter(col("extra") === col("id") * 10L).count() == 30)
+    // history keeps its OWN shape: v1 still reads two columns
+    assert(Manifest.readVersion(spark, tbl, 1L).columns.toSeq == Seq("id", "s"))
+    // dropping or retyping is never silent, even with mergeSchema
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tbl,
+        Seq((81L, "r81")).toDF("id", "s"), mergeSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tbl,
+        Seq((81L, "r81", "not-a-long")).toDF("id", "s", "extra"),
+        mergeSchema = true)
+    }
+    // the change feed crosses the evolution: a compaction (which
+    // rewrites pre-evolution files into full-schema ones) still feeds
+    // ZERO changes — the NULL fill on the removed side cancels
+    Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(Manifest.readChanges(spark, tbl, 2L, 3L).count() == 0)
+    assert(Manifest.read(spark, tbl).count() == 80)
+    // CoW delete on the evolved table keeps the widened schema
+    Manifest.deleteWhere(spark, tbl, col("id") <= 10L)
+    val afterDel = Manifest.read(spark, tbl)
+    assert(afterDel.columns.toSeq == Seq("id", "s", "extra") &&
+      afterDel.count() == 70)
+  }
+
   test("incremental aggregate maintenance equals recompute across " +
       "append + delete; zero-count groups drop; null measures move " +
       "the count but not the sum") {
