@@ -72,20 +72,29 @@ object Manifest {
   private def readSnapshotData(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame = {
     val paths = snap.paths.map(p => s"$table/$p")
-    // an evolved snapshot reads under its COMMITTED schema: parquet
-    // serves the columns a pre-evolution file lacks as NULL, and no
-    // footer-merge pass is needed (the manifest is the schema truth)
-    val reader = snap.meta.get(SchemaKey) match {
+    val reader = snapshotReader(spark, snap)
+    if (snap.paths.size <= 1 || !snap.meta.contains(PartitionKey))
+      reader.parquet(paths: _*)
+    else paths.map(reader.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** The reader EVERY path that opens a snapshot's files — or any
+    * SUBSET of them — must use: an evolved snapshot reads under its
+    * COMMITTED schema ([[SchemaKey]]), so parquet serves the columns a
+    * pre-evolution file lacks as NULL. A raw spark.read.parquet over a
+    * mixed pre-/post-evolution file set would infer from ONE footer
+    * and nondeterministically drop the evolved columns — in the CoW
+    * rewrite that is silent data loss, in a pruned read a resolution
+    * error. */
+  private def snapshotReader(spark: SparkSession, snap: Snapshot)
+      : org.apache.spark.sql.DataFrameReader =
+    snap.meta.get(SchemaKey) match {
       case Some(json) if !snap.meta.contains(PartitionKey) =>
         spark.read.schema(
           org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
       case _ => spark.read
     }
-    if (snap.paths.size <= 1 || !snap.meta.contains(PartitionKey))
-      reader.parquet(paths: _*)
-    else paths.map(reader.parquet(_)).reduce(_ unionByName _)
-  }
 
   /** rel-path → owning manifest entry. Entries within one snapshot are
     * disjoint (none nests inside another), so the owner is either the
@@ -338,10 +347,19 @@ object Manifest {
         s"only in table: ${(cur -- nxt).map(_._1).toSeq.sorted.mkString(",")}; " +
         s"only in batch: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}" +
         (if (mergeSchema) "" else " (additive evolution needs mergeSchema=true)"))
-    if (mergeSchema && cur != nxt) require(partitionBy.isEmpty,
-      "Manifest.commitAppend: additive schema evolution is not " +
-        "supported on hive-partitioned tables (explicit-schema reads " +
-        "would fight partition inference)")
+    if (mergeSchema && cur != nxt) {
+      // the TABLE's persisted layout decides, not this call's
+      // partitionBy argument — a partitioned table evolved through a
+      // partitionBy=Nil call would land SchemaKey beside PartitionKey
+      // and brick every later read on the strict unionByName
+      val hiveLayout = snap.meta.contains(PartitionKey) ||
+        readSnapshotData(spark, table, snap).inputFiles
+          .exists(f => f.split('/').exists(_.contains("=")))
+      require(partitionBy.isEmpty && !hiveLayout,
+        "Manifest.commitAppend: additive schema evolution is not " +
+          "supported on hive-partitioned tables (explicit-schema reads " +
+          "would fight partition inference)")
+    }
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     val evolved =
       if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
@@ -441,10 +459,10 @@ object Manifest {
     *
     * Phase 1 finds the touched files EXACTLY — a scan of the predicate
     * columns only (columnar projection + parquet row-group pushdown)
-    * grouped by `input_file_name()`; when `pruneRanges` mirrors the
-    * predicate's range form and an [[analyzeFiles]] sidecar exists,
-    * the scan itself is first pruned to the envelope-intersecting
-    * files (the [[readPrunedAll]] decision), so at 100 TB a clustered
+    * grouped by `input_file_name()`; range/equality bounds DERIVED
+    * FROM THE PREDICATE ([[boundsFromPred]] — sound by construction)
+    * first prune the scan to the envelope-intersecting files when an
+    * [[analyzeFiles]] sidecar exists, so at 100 TB a clustered
     * takedown touches a handful of files and phase 1 reads little
     * more. Phase 2 rewrites the touched files' survivors into the new
     * version directory; untouched entries are CARRIED: whole
@@ -544,34 +562,9 @@ object Manifest {
       values: Seq[Any]): Snapshot = {
     require(values.nonEmpty, "Manifest.deleteKeys: no values to delete")
     deleteCore(spark, table, F.col(column).isin(values: _*),
-      scanFor = (snap, full) => {
-        val fs = fsFor(spark, table)
-        val bd = bloomDir(table, snap.version)
-        val hive =
-          full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
-        if (!fs.exists(bd) || hive) full
-        else sidecarRows(spark, bd) match {
-          case Some((sch, rows))
-              if sch.fieldNames.contains(s"${column}__bloom") =>
-            val dt = full.schema(column).dataType
-            val probes = spark.range(1).select(
-                F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
-              .first().getSeq[Long](0)
-            val fi = sch.fieldIndex("file")
-            val bi = sch.fieldIndex(s"${column}__bloom")
-            val known = rows.map(_.getString(fi)).toSet
-            val keep = rows.filter { r =>
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
-              probes.exists(bf.mightContainLong)
-            }.map(_.getString(fi))
-            val unknown = full.inputFiles.filterNot(known.contains)
-            val paths = (keep ++ unknown).distinct
-            if (paths.isEmpty) full.limit(0)
-            else spark.read.parquet(paths.toIndexedSeq: _*)
-          case _ => full
-        }
-      })
+      scanFor = (snap, full) =>
+        pointCandidates(spark, table, snap, full, column, values)
+          .getOrElse(full))
   }
 
   private def deleteCore(spark: SparkSession, table: String, pred: Column,
@@ -613,8 +606,12 @@ object Manifest {
           .map(_.stripPrefix(tableAbs).stripPrefix("/")))
       // survivors = rows where pred is NOT TRUE — `!pred` alone would
       // silently drop NULL-evaluating rows from rewritten files (they
-      // don't match the delete, but three-valued NOT(NULL) is NULL)
-      val survivors = spark.read.parquet(touched.toSeq.sorted: _*)
+      // don't match the delete, but three-valued NOT(NULL) is NULL).
+      // Read under the COMMITTED schema: a mixed pre-/post-evolution
+      // touched set read raw would drop evolved columns from the
+      // rewrite (silent data loss)
+      val survivors = snapshotReader(spark, snap)
+        .parquet(touched.toSeq.sorted: _*)
         .filter(!F.coalesce(pred, F.lit(false)))
       val keepPaths = clean ++ carriedFiles
       val (rel, written) =
@@ -860,33 +857,57 @@ object Manifest {
     * query with the value cast to the column's own type, so the bits
     * agree with the aggregate's xxhash64 exactly. */
   def readPoint(spark: SparkSession, table: String,
-      column: String, value: Any): DataFrame = {
+      column: String, value: Any): DataFrame =
+    readPointAny(spark, table, column, Seq(value))
+
+  /** [[readPoint]] for a SET of probe values (OR semantics): the
+    * current snapshot restricted to the files whose Bloom sidecar says
+    * MIGHT contain ANY of them — one sidecar pass however many values
+    * (the multi-id takedown's phase-1 restriction, and a point-read in
+    * its own right). Same conservatism: no sidecar / hive layout /
+    * uncovered column ⇒ the plain pinned read. */
+  def readPointAny(spark: SparkSession, table: String, column: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "Manifest.readPointAny: no probe values")
     val snap = currentSnapshot(spark, table).getOrElse(
-      sys.error(s"Manifest.readPoint: $table has no committed snapshot"))
+      sys.error(s"Manifest.readPointAny: $table has no committed snapshot"))
+    val full = readSnapshotData(spark, table, snap)
+    pointCandidates(spark, table, snap, full, column, values).getOrElse(full)
+  }
+
+  /** The bloom-sidecar pruning decision shared by [[readPointAny]]
+    * and [[deleteKeys]]: Some(pruned frame) when a sidecar covers the
+    * column on an unpartitioned layout, None ⇒ caller serves the full
+    * read. The pruned subset reads under the snapshot's committed
+    * schema like every other partial read. */
+  private def pointCandidates(spark: SparkSession, table: String,
+      snap: Snapshot, full: DataFrame, column: String,
+      values: Seq[Any]): Option[DataFrame] = {
     val fs = fsFor(spark, table)
     val bd = bloomDir(table, snap.version)
-    val full = readSnapshotData(spark, table, snap)
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
-      return full
-    val (sch, rows) = sidecarRows(spark, bd).getOrElse(return full)
+      return None
+    val (sch, rows) = sidecarRows(spark, bd).getOrElse(return None)
     // sidecar predates this column: conservative full read, never a
     // resolution error
-    if (!sch.fieldNames.contains(s"${column}__bloom")) return full
+    if (!sch.fieldNames.contains(s"${column}__bloom")) return None
     val dt = full.schema(column).dataType
-    val probe = spark.range(1)
-      .select(F.xxhash64(F.lit(value).cast(dt))).first().getLong(0)
+    val probes = spark.range(1).select(
+        F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
+      .first().getSeq[Long](0)
     val fi = sch.fieldIndex("file")
     val bi = sch.fieldIndex(s"${column}__bloom")
     val known = rows.map(_.getString(fi)).toSet
     val keep = rows.filter { r =>
-      org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
-        .mightContainLong(probe)
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
+      probes.exists(bf.mightContainLong)
     }.map(_.getString(fi))
     val unknown = full.inputFiles.filterNot(known.contains)
     val paths = (keep ++ unknown).distinct
-    if (paths.isEmpty) full.limit(0) else spark.read.parquet(paths: _*)
+    Some(if (paths.isEmpty) full.limit(0)
+      else snapshotReader(spark, snap).parquet(paths.toIndexedSeq: _*))
   }
 
   /** Pinned read of the current snapshot restricted — at the DRIVER,
@@ -947,7 +968,7 @@ object Manifest {
     val unknown = full.inputFiles.filterNot(f => known.contains(f))
     val paths = (keep ++ unknown).distinct
     if (paths.isEmpty) full.limit(0)
-    else spark.read.parquet(paths: _*)
+    else snapshotReader(spark, snap).parquet(paths.toIndexedSeq: _*)
   }
 
   /** Total bytes of a snapshot's data (driver-side metadata listing). */

@@ -337,6 +337,14 @@ class LakehouseSpec extends AnyFunSuite {
       expectedItemsPerFile = 1000)
     val beforeFiles = Manifest.read(spark, tbl).inputFiles.toSet
     val doomed = Seq(42L, 317L, 613L)
+    // the phase-1 restriction is OBSERVABLE through readPointAny (the
+    // same decision deleteKeys consumes): 3 probes over 8 round-robin
+    // files open a strict subset, not the table
+    val candidates = Manifest.readPointAny(spark, tbl, "id", doomed)
+    assert(candidates.inputFiles.length <= 5 &&
+      candidates.inputFiles.length < beforeFiles.size,
+      s"bloom restriction opened ${candidates.inputFiles.length} of 8")
+    assert(candidates.filter($"id".isin(doomed: _*)).count() == 3)
     Manifest.deleteKeys(spark, tbl, "id", doomed)
     val after = Manifest.read(spark, tbl)
     assert(after.count() == 797)
@@ -615,6 +623,37 @@ class LakehouseSpec extends AnyFunSuite {
     val afterDel = Manifest.read(spark, tbl)
     assert(afterDel.columns.toSeq == Seq("id", "s", "extra") &&
       afterDel.count() == 70)
+    // delete BEFORE any compaction, touching pre- AND post-evolution
+    // files at once: the rewrite must read under the committed schema
+    // or the single-footer inference could silently drop the evolved
+    // values from rewritten survivors
+    val tbl2 = s"$dir/t2"
+    Manifest.create(spark, tbl2,
+      (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
+    Manifest.commitAppend(spark, tbl2,
+      (51 to 80).map(i => (i.toLong, s"r$i", i * 10L)).toDF("id", "s", "extra")
+        .coalesce(1), mergeSchema = true)
+    Manifest.deleteWhere(spark, tbl2, col("id") % 10L === 0L)
+    val mixed = Manifest.read(spark, tbl2)
+    assert(mixed.count() == 72)
+    assert(mixed.filter(col("extra") === col("id") * 10L).count() == 27,
+      "evolved values must survive a pre-compaction CoW rewrite")
+    // ...and the envelope/bloom pruned reads serve the evolved column
+    Manifest.analyzeFiles(spark, tbl2, Seq("id"))
+    assert(Manifest.readPruned(spark, tbl2, "id", 60.0, 70.0)
+      .columns.contains("extra"))
+    // evolution on a hive-partitioned table is refused by the TABLE's
+    // persisted layout even when the call omits partitionBy
+    val tblP = s"$dir/tp"
+    Manifest.create(spark, tblP,
+      (1 to 40).map(i => (i.toLong, i % 4, s"r$i")).toDF("id", "cell", "s"),
+      partitionBy = Seq("cell"))
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tblP,
+        (41 to 50).map(i => (i.toLong, i % 4, s"r$i", i * 2L))
+          .toDF("id", "cell", "s", "extra"), mergeSchema = true)
+    }
+    assert(Manifest.read(spark, tblP).count() == 40, "table must stay readable")
   }
 
   test("incremental aggregate maintenance equals recompute across " +
