@@ -286,6 +286,45 @@ object Round14Queries {
              |FROM documents WHERE doc_id % 7 <> 1
              |GROUP BY 1 ORDER BY source ASC NULLS FIRST""".stripMargin)),
 
+    // MATERIALIZED-VIEW REFRESH as a durable job: the aggregate lives
+    // as its own manifested table with a refresh watermark in its
+    // commit metadata; two refreshes bracket an append + compaction +
+    // CoW delete, each catching up from the change feed only, and the
+    // final view must equal the oracle's direct recompute. The no-op
+    // guarantee (refresh-when-current lands no new version) rides as
+    // a pinned boolean.
+    NamedQuery("q207_mv_refresh",
+      (s, d) => {
+        import graft.sources.{Incremental, Manifest}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val base = freshQueryDir("mvrefresh")
+        val (src, agg) = (s"$base/src", s"$base/agg")
+        Manifest.create(s, src, docs.filter(col("doc_id") % 3 =!= 0))
+        Incremental.refreshMaterialized(s, src, agg,
+          Seq("source"), Seq("n_chars"))
+        Manifest.commitAppend(s, src, docs.filter(col("doc_id") % 3 === 0))
+        Manifest.compact(s, src, targetBytes = 1L << 30)
+        Manifest.deleteWhere(s, src, col("doc_id") % 7 === 1)
+        Incremental.refreshMaterialized(s, src, agg,
+          Seq("source"), Seq("n_chars"))
+        val vBefore = Manifest.versions(s, agg)
+        Incremental.refreshMaterialized(s, src, agg,
+          Seq("source"), Seq("n_chars")) // current ⇒ must be a no-op
+        val noop = Manifest.versions(s, agg) == vBefore
+        Manifest.read(s, agg)
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_chars"),
+            F.lit(noop).as("refresh_idempotent"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS refresh_idempotent
+             |FROM documents WHERE doc_id % 7 <> 1
+             |GROUP BY 1 ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
     // TIME TRAVEL through the parsed front door: the documents cube
     // bound to a manifested table (v1 = full corpus, v2 = after a
     // copy-on-write takedown of doc_id % 7 = 3 — the modulus must not

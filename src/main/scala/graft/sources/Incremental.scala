@@ -85,4 +85,55 @@ object Incremental {
     applyChanges(
       aggregate(Manifest.readVersion(spark, table, v1), keys, sumCols),
       Manifest.readChanges(spark, table, v1, v2), keys, sumCols)
+
+  /** Commit-metadata key on the AGGREGATE table recording the source
+    * version its content reflects — the refresh watermark. */
+  private val RefreshedKey = "refreshed_src_version"
+
+  /** MATERIALIZED-VIEW refresh as a durable, idempotent job: keep a
+    * manifested aggregate TABLE of `srcTable` up to date from the
+    * change feed. First call materializes the full aggregate; later
+    * calls read the watermark ([[RefreshedKey]]) from the aggregate's
+    * own commit metadata, apply only the changes since, and land the
+    * result as one atomic rewrite carrying the new watermark — so a
+    * crash between refreshes loses nothing (the old snapshot + old
+    * watermark still agree), re-running is a no-op when current, and
+    * each refresh costs ∝ the commits being caught up, never the
+    * source table. The scheduled-dashboard shape of [[applyChanges]].
+    * Requires the watermark version to still be retained on the
+    * source (vacuum within the refresh cadence ⇒ fails loudly, then
+    * `fullRefresh = true` rematerializes). Returns the source version
+    * now reflected. */
+  def refreshMaterialized(spark: org.apache.spark.sql.SparkSession,
+      srcTable: String, aggTable: String, keys: Seq[String],
+      sumCols: Seq[String], fullRefresh: Boolean = false): Long = {
+    val cur = Manifest.currentSnapshot(spark, srcTable).getOrElse(
+      sys.error(s"Incremental.refreshMaterialized: $srcTable has no " +
+        "committed snapshot")).version
+    val existing =
+      if (fullRefresh) None
+      else Manifest.currentSnapshot(spark, aggTable)
+    existing.flatMap(_.meta.get(RefreshedKey).map(_.toLong)) match {
+      case Some(v0) if v0 == cur => cur // already current: no-op
+      case Some(v0) =>
+        require(Manifest.versions(spark, srcTable).contains(v0),
+          s"Incremental.refreshMaterialized: watermark v$v0 of " +
+            s"$srcTable is no longer retained (vacuumed inside the " +
+            "refresh cadence) — rematerialize with fullRefresh = true")
+        val next = applyChanges(Manifest.read(spark, aggTable),
+          Manifest.readChanges(spark, srcTable, v0, cur), keys, sumCols)
+        Manifest.commitRewrite(spark, aggTable, next,
+          meta = Map(RefreshedKey -> cur.toString))
+        cur
+      case None =>
+        val full = aggregate(Manifest.read(spark, srcTable), keys, sumCols)
+        if (Manifest.isManifested(spark, aggTable))
+          Manifest.commitRewrite(spark, aggTable, full,
+            meta = Map(RefreshedKey -> cur.toString))
+        else
+          Manifest.create(spark, aggTable, full,
+            meta = Map(RefreshedKey -> cur.toString))
+        cur
+    }
+  }
 }

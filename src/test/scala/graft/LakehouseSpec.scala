@@ -695,6 +695,49 @@ class LakehouseSpec extends AnyFunSuite {
       row("e").isNullAt(row("e").fieldIndex("sum_v")))
   }
 
+  test("materialized-view refresh: idempotent watermark catch-up equals " +
+      "recompute after every commit shape; vacuumed watermark fails " +
+      "loudly and fullRefresh recovers") {
+    import graft.sources.{Incremental, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_mvr").toString
+    val (src, agg) = (s"$dir/src", s"$dir/agg")
+    def mk(r: Range) = r.map(i => (i.toLong, s"k${i % 3}", i * 2L))
+      .toDF("id", "k", "v")
+    def recompute() = Incremental.aggregate(
+      Manifest.read(spark, src), Seq("k"), Seq("v"))
+      .collect().map(_.toString).sorted.toSeq
+    def materialized() =
+      Manifest.read(spark, agg).collect().map(_.toString).sorted.toSeq
+    Manifest.create(spark, src, mk(1 to 60))
+    // first refresh materializes
+    assert(Incremental.refreshMaterialized(spark, src, agg,
+      Seq("k"), Seq("v")) == 1L)
+    assert(materialized() == recompute())
+    // no-op when current (no new version landed on the agg table)
+    val aggV = Manifest.versions(spark, agg)
+    assert(Incremental.refreshMaterialized(spark, src, agg,
+      Seq("k"), Seq("v")) == 1L)
+    assert(Manifest.versions(spark, agg) == aggV)
+    // catch up across append + compact + CoW delete in ONE refresh
+    Manifest.commitAppend(spark, src, mk(61 to 90))
+    Manifest.compact(spark, src, targetBytes = 1L << 30)
+    Manifest.deleteWhere(spark, src, col("id") % 4L === 0L)
+    assert(Incremental.refreshMaterialized(spark, src, agg,
+      Seq("k"), Seq("v")) == 4L)
+    assert(materialized() == recompute())
+    // vacuumed watermark: the incremental path refuses loudly...
+    Manifest.commitAppend(spark, src, mk(91 to 95))
+    Manifest.vacuum(spark, src, keep = 1)
+    intercept[IllegalArgumentException] {
+      Incremental.refreshMaterialized(spark, src, agg, Seq("k"), Seq("v"))
+    }
+    // ...and fullRefresh rematerializes from the current snapshot
+    assert(Incremental.refreshMaterialized(spark, src, agg,
+      Seq("k"), Seq("v"), fullRefresh = true) == 5L)
+    assert(materialized() == recompute())
+  }
+
   test("deleteWhere keeps rows where the predicate evaluates NULL " +
       "(three-valued logic must not silently widen the takedown)") {
     import graft.sources.Manifest
