@@ -107,32 +107,44 @@ object Incremental {
   def refreshMaterialized(spark: org.apache.spark.sql.SparkSession,
       srcTable: String, aggTable: String, keys: Seq[String],
       sumCols: Seq[String], fullRefresh: Boolean = false): Long = {
+    // every read below is PINNED to the versions resolved here, and
+    // the rewrite commits against the resolved aggregate version: a
+    // concurrent refresher (or a src commit mid-refresh) then fails
+    // loudly or lands as a later catch-up — never a silent
+    // double-application of the same delta
     val cur = Manifest.currentSnapshot(spark, srcTable).getOrElse(
       sys.error(s"Incremental.refreshMaterialized: $srcTable has no " +
         "committed snapshot")).version
-    val existing =
+    val aggSnap = Manifest.currentSnapshot(spark, aggTable)
+    val watermark =
       if (fullRefresh) None
-      else Manifest.currentSnapshot(spark, aggTable)
-    existing.flatMap(_.meta.get(RefreshedKey).map(_.toLong)) match {
+      else aggSnap.flatMap(_.meta.get(RefreshedKey).map(_.toLong))
+    watermark match {
       case Some(v0) if v0 == cur => cur // already current: no-op
       case Some(v0) =>
         require(Manifest.versions(spark, srcTable).contains(v0),
           s"Incremental.refreshMaterialized: watermark v$v0 of " +
             s"$srcTable is no longer retained (vacuumed inside the " +
             "refresh cadence) — rematerialize with fullRefresh = true")
-        val next = applyChanges(Manifest.read(spark, aggTable),
+        val next = applyChanges(
+          Manifest.readVersion(spark, aggTable, aggSnap.get.version),
           Manifest.readChanges(spark, srcTable, v0, cur), keys, sumCols)
         Manifest.commitRewrite(spark, aggTable, next,
-          meta = Map(RefreshedKey -> cur.toString))
+          meta = Map(RefreshedKey -> cur.toString),
+          expected = aggSnap.map(_.version))
         cur
       case None =>
-        val full = aggregate(Manifest.read(spark, srcTable), keys, sumCols)
-        if (Manifest.isManifested(spark, aggTable))
-          Manifest.commitRewrite(spark, aggTable, full,
-            meta = Map(RefreshedKey -> cur.toString))
-        else
-          Manifest.create(spark, aggTable, full,
-            meta = Map(RefreshedKey -> cur.toString))
+        val full = aggregate(
+          Manifest.readVersion(spark, srcTable, cur), keys, sumCols)
+        aggSnap match {
+          case Some(a) =>
+            Manifest.commitRewrite(spark, aggTable, full,
+              meta = Map(RefreshedKey -> cur.toString),
+              expected = Some(a.version))
+          case None =>
+            Manifest.create(spark, aggTable, full,
+              meta = Map(RefreshedKey -> cur.toString))
+        }
         cur
     }
   }

@@ -287,9 +287,17 @@ object Manifest {
     * and index-folding use). */
   def commitRewrite(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Snapshot = {
+      meta: Map[String, String] = Map.empty,
+      expected: Option[Long] = None): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitRewrite: $table has no committed snapshot"))
+    // callers whose REWRITE content derives from an earlier resolve
+    // (the MV refresh) pass that version: a concurrent rewrite then
+    // fails loudly here or on the commit rename, never lands stale
+    // content over the winner's
+    expected.foreach(e => require(snap.version == e,
+      s"Manifest.commitRewrite: $table moved to v${snap.version} " +
+        s"(expected v$e) — re-resolve and retry"))
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     // carry the metadata forward (new keys win) — but a REWRITE defines
     // the new layout, so a stale partition_by from the old layout is
@@ -313,19 +321,23 @@ object Manifest {
     * without rewriting history. Every data dir stays immutable and
     * uniquely named, so a crashed appender's uncommitted leftover is
     * invisible until [[vacuum]] reclaims it. Appended snapshots SHARE
-    * their predecessors'
-    * data dirs, which [[vacuum]]'s referenced-set check already
-    * honors: dropping old versions never deletes a dir a surviving
-    * snapshot still lists. */
-  /** APPEND with `mergeSchema = true` = ADDITIVE SCHEMA EVOLUTION (the
+    * their predecessors' data dirs, which [[vacuum]]'s referenced-set
+    * check already honors: dropping old versions never deletes a dir
+    * a surviving snapshot still lists.
+    *
+    * With `mergeSchema = true` this is ADDITIVE SCHEMA EVOLUTION (the
     * Delta `mergeSchema` story): the batch may carry NEW columns —
     * overlapping columns must still type-match, and every current
     * column must be present (dropping or retyping is never silent).
-    * The widened schema rides the commit as metadata
-    * ([[SchemaKey]]), and [[readSnapshotData]] reads the snapshot
-    * under that EXPLICIT schema, so pre-evolution files serve the new
-    * columns as NULL — consistent reads with no per-footer
-    * schema-merge pass over the table. */
+    * The widened schema rides the commit as metadata ([[SchemaKey]]),
+    * and [[readSnapshotData]] reads the snapshot under that EXPLICIT
+    * schema, so pre-evolution files serve the new columns as NULL —
+    * consistent reads with no per-footer schema-merge pass over the
+    * table. Evolution and hive partitioning are mutually exclusive in
+    * BOTH directions: a partitioned table refuses evolution, and an
+    * evolved table refuses partitioned appends — either combination
+    * would put SchemaKey beside PartitionKey and break the
+    * multi-entry union read. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty,
@@ -336,7 +348,8 @@ object Manifest {
     // surface as missing-column reads long after the bad commit landed.
     // Types compare only outside partitionBy columns (hive partition
     // inference narrows their types on read).
-    val curS = readSnapshotData(spark, table, snap).schema
+    val curDf = readSnapshotData(spark, table, snap)
+    val curS = curDf.schema
     def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
       if (partitionBy.contains(f.name)) (f.name, "partition")
       else (f.name, f.dataType.sql)).toSet
@@ -353,13 +366,19 @@ object Manifest {
       // partitionBy=Nil call would land SchemaKey beside PartitionKey
       // and brick every later read on the strict unionByName
       val hiveLayout = snap.meta.contains(PartitionKey) ||
-        readSnapshotData(spark, table, snap).inputFiles
-          .exists(f => f.split('/').exists(_.contains("=")))
+        curDf.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
       require(partitionBy.isEmpty && !hiveLayout,
         "Manifest.commitAppend: additive schema evolution is not " +
           "supported on hive-partitioned tables (explicit-schema reads " +
           "would fight partition inference)")
     }
+    // ...and the converse: once evolved, a partitioned APPEND would
+    // land PartitionKey beside the inherited SchemaKey — the union
+    // read would then drop the explicit schema and fail on the
+    // pre-evolution entries
+    require(!(snap.meta.contains(SchemaKey) && partitionBy.nonEmpty),
+      "Manifest.commitAppend: cannot add hive-partitioned entries to " +
+        "a schema-evolved table")
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     val evolved =
       if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
