@@ -642,6 +642,16 @@ class LakehouseSpec extends AnyFunSuite {
     Manifest.analyzeFiles(spark, tbl2, Seq("id"))
     assert(Manifest.readPruned(spark, tbl2, "id", 60.0, 70.0)
       .columns.contains("extra"))
+    // the CONVERSE guard: a partitioned append onto the (evolved) t2
+    // is refused — it would land the partition key beside the schema
+    // stamp and break every later read on the strict union
+    val e3 = intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, tbl2,
+        Seq((100L, "r100", 5L)).toDF("id", "s", "extra"),
+        partitionBy = Seq("s"))
+    }
+    assert(e3.getMessage.contains("schema-evolved"))
+    assert(Manifest.read(spark, tbl2).count() == 72, "t2 stays readable")
     // evolution on a hive-partitioned table is refused by the TABLE's
     // persisted layout even when the call omits partitionBy
     val tblP = s"$dir/tp"
