@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.cubes.Tables
+import org.apache.spark.sql.{functions => F}
+
+/** Round-15 additions: copy-on-write MERGE (upsert) on manifested
+  * tables — the remaining lakehouse CRUD verb after round 14's delete
+  * and change feed. Verified the q201 way: the manifest machinery runs
+  * for real against a scratch table built from the fixture, every
+  * decidable claim lands in the output, and the exact counts/sums are
+  * recomputed independently by the DuckDB oracle from the fixture.
+  */
+object Round15Queries {
+  import org.apache.spark.sql.functions.col
+
+  /** Scratch dir per invocation with age-reaped siblings — the
+    * Round13Queries.freshQueryDir discipline. */
+  private def freshQueryDir(name: String): String = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val siblings = java.nio.file.Files.list(tmp)
+    try siblings.forEach { p =>
+      if (p.getFileName.toString.startsWith(s"graft_q_${name}_") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally w.close()
+      }
+    } finally siblings.close()
+    java.nio.file.Files.createTempDirectory(s"graft_q_${name}_").toString
+  }
+
+  val qs: Seq[NamedQuery] = Seq(
+
+    // Copy-on-write MERGE: updates confined to the first quarter of a
+    // range-clustered 4-file snapshot rewrite ≤2 of 4 files (≥2 carry
+    // by path — the `cow_carried` claim), inserts key above max(doc_id)
+    // land appended, a pre-merge pinned reader keeps serving the old
+    // snapshot, and the merge's change feed is exactly the upsert
+    // (inserts = updated + new rows, deletes = the replaced originals).
+    // Phase 1 runs bloom-restricted (analyzeFilesBloom on doc_id).
+    // Final-state counts and sums are recomputed by the oracle.
+    NamedQuery("q208_merge_upsert",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("merge") + "/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))
+        Manifest.analyzeFilesBloom(s, table, Seq("doc_id"))
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val cut = maxId / 4
+        val beforeFiles = Manifest.read(s, table).inputFiles.toSet
+        val pinned = Manifest.read(s, table)
+        val updates = docs.filter(col("doc_id") <= cut)
+          .select(col("doc_id"), F.lit("upd").as("source"),
+            (col("n_chars") + 1000L).as("n_chars"))
+        val inserts = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + maxId + 1L).as("doc_id"),
+            F.lit("new").as("source"), col("n_chars"))
+        Manifest.merge(s, table, updates.unionByName(inserts), Seq("doc_id"))
+        val afterFiles = Manifest.read(s, table).inputFiles.toSet
+        val pinnedN = pinned.count()
+        val ch = graft.sources.Manifest.readChanges(s, table, 1L, 2L)
+        val feed = ch.agg(
+          F.count(F.when(col("_change_type") === "insert", 1))
+            .as("feed_inserts"),
+          F.count(F.when(col("_change_type") === "delete", 1))
+            .as("feed_deletes"))
+        val after = Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count(F.when(col("source") === "upd", 1)).as("n_upd"),
+          F.count(F.when(col("source") === "new", 1)).as("n_new"),
+          F.sum(F.when(col("source") === "new", col("doc_id")))
+            .cast("long").as("sum_new_ids"))
+        after.crossJoin(feed).select(
+          col("n_rows"), col("sum_chars"), col("n_upd"), col("n_new"),
+          col("sum_new_ids"), col("feed_inserts"), col("feed_deletes"),
+          F.lit((afterFiles intersect beforeFiles).size >= 2)
+            .as("cow_carried"),
+          F.lit(pinnedN == Manifest.readVersion(s, table, 1L).count())
+            .as("pinned_ok"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+             |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars
+             |  FROM documents, m WHERE doc_id <= max_id // 4),
+             |ins AS (SELECT doc_id + max_id + 1 AS doc_id, n_chars
+             |  FROM documents, m WHERE doc_id % 7 = 0),
+             |kept AS (SELECT doc_id, n_chars FROM documents, m
+             |  WHERE doc_id > max_id // 4),
+             |fin AS (
+             |  SELECT doc_id, n_chars, 'upd' AS src FROM upd
+             |  UNION ALL SELECT doc_id, n_chars, 'new' FROM ins
+             |  UNION ALL SELECT doc_id, n_chars, 'kept' FROM kept)
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE src = 'upd') AS BIGINT) AS n_upd,
+             |  CAST(count(*) FILTER (WHERE src = 'new') AS BIGINT) AS n_new,
+             |  CAST(sum(doc_id) FILTER (WHERE src = 'new') AS BIGINT)
+             |    AS sum_new_ids,
+             |  CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM ins)
+             |    AS BIGINT) AS feed_inserts,
+             |  CAST((SELECT count(*) FROM upd) AS BIGINT) AS feed_deletes,
+             |  true AS cow_carried, true AS pinned_ok
+             |FROM fin""".stripMargin)),
+
+    // MERGE-ON-READ delete vectors: a range takedown on a 4-file
+    // snapshot moves ZERO data files (`files_still` pins the identical
+    // path set), reads serve the masked survivors, the change feed of
+    // the pure-mask commit is exactly the deleted rows, and folding
+    // the vectors rewrites only the masked files while preserving
+    // every row. All counts/sums recomputed by the oracle.
+    NamedQuery("q209_delete_vectors",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("dv") + "/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))
+        Manifest.analyzeFiles(s, table, Seq("doc_id"))
+        val cut = docs.agg(F.max("doc_id")).head().getLong(0) / 4
+        val v1Paths = Manifest.currentSnapshot(s, table).get.paths.toSet
+        val pinned = Manifest.read(s, table)
+        val s2 = Manifest.deleteWhereMoR(s, table, col("doc_id") <= cut)
+        val filesStill = s2.paths.toSet == v1Paths
+        val pinnedN = pinned.count()
+        val ch = Manifest.readChanges(s, table, 1L, 2L)
+        val feed = ch.agg(
+          (F.count(F.when(col("_change_type") === "insert", 1)) === 0)
+            .as("feed_no_inserts"),
+          F.count(F.when(col("_change_type") === "delete", 1))
+            .as("feed_deletes"),
+          F.sum(F.when(col("_change_type") === "delete", col("doc_id")))
+            .cast("long").as("feed_del_sum"))
+        val s3 = Manifest.foldDeletes(s, table)
+        val folded = Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("doc_id").cast("long").as("sum_id"),
+          (F.count(F.when(col("doc_id") <= cut, 1)) === 0)
+            .as("deleted_gone"))
+        folded.crossJoin(feed).select(
+          col("n_rows"), col("sum_id"), col("deleted_gone"),
+          col("feed_no_inserts"), col("feed_deletes"), col("feed_del_sum"),
+          F.lit(filesStill).as("files_still"),
+          F.lit(pinnedN == Manifest.readVersion(s, table, 1L).count())
+            .as("pinned_ok"),
+          F.lit(!s3.meta.contains("delete_vectors")).as("mask_cleared"),
+          F.lit(Manifest.readChanges(s, table, 2L, 3L).count() == 0)
+            .as("fold_feed_empty"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id > max_id // 4) AS BIGINT)
+             |    AS n_rows,
+             |  CAST(sum(doc_id) FILTER (WHERE doc_id > max_id // 4) AS BIGINT)
+             |    AS sum_id,
+             |  true AS deleted_gone, true AS feed_no_inserts,
+             |  CAST(count(*) FILTER (WHERE doc_id <= max_id // 4) AS BIGINT)
+             |    AS feed_deletes,
+             |  CAST(sum(doc_id) FILTER (WHERE doc_id <= max_id // 4) AS BIGINT)
+             |    AS feed_del_sum,
+             |  true AS files_still, true AS pinned_ok,
+             |  true AS mask_cleared, true AS fold_feed_empty
+             |FROM documents, (SELECT max(doc_id) AS max_id FROM documents)
+             |""".stripMargin)),
+
+    // WRITE-AUDIT-PUBLISH: two staged batches stay invisible to every
+    // reader; the audit (a source-tag gate on the staged bytes)
+    // rejects one, the other publishes as ONE atomic commit adopting
+    // the staged files in place (`adopted_in_place` pins it — no
+    // second write), re-publish refuses. Final counts/sums recomputed
+    // by the oracle from the fixture.
+    NamedQuery("q210_wap_publish",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("wap") + "/docs"
+        Manifest.create(s, table, docs)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val good = Manifest.stageAppend(s, table,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              F.lit("wap").as("source"), col("n_chars")))
+        val bad = Manifest.stageAppend(s, table,
+          docs.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 2L * maxId + 2L).as("doc_id"),
+              F.lit("junk").as("source"), col("n_chars")))
+        val invisible = Manifest.read(s, table).count() == docs.count() &&
+          Manifest.versions(s, table) == Seq(1L)
+        // the audit: a staged batch carrying any junk-tagged row drops
+        val verdicts = Seq(good, bad).map { id =>
+          id -> (Manifest.readStage(s, table, id)
+            .filter(col("source") === "junk").count() == 0)
+        }
+        verdicts.foreach { case (id, ok) =>
+          if (ok) Manifest.publishStage(s, table, id)
+          else Manifest.dropStage(s, table, id)
+        }
+        val adopted = Manifest.read(s, table).inputFiles
+          .exists(_.contains(s"/_staged/$good/"))
+        val rePublishRefused =
+          try { Manifest.publishStage(s, table, good); false }
+          catch { case _: IllegalArgumentException => true }
+        Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count(F.when(col("source") === "wap", 1)).as("n_wap"),
+          (F.count(F.when(col("source") === "junk", 1)) === 0)
+            .as("junk_gone"))
+          .select(col("n_rows"), col("sum_chars"), col("n_wap"),
+            col("junk_gone"),
+            F.lit(invisible).as("staged_invisible"),
+            F.lit(adopted).as("adopted_in_place"),
+            F.lit(rePublishRefused).as("republish_refused"))
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM documents) +
+             |    count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT) AS n_rows,
+             |  CAST((SELECT sum(n_chars) FROM documents) +
+             |    sum(n_chars) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
+             |    AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT) AS n_wap,
+             |  true AS junk_gone, true AS staged_invisible,
+             |  true AS adopted_in_place, true AS republish_refused
+             |FROM documents""".stripMargin)),
+
+    // INCREMENTAL JOIN-VIEW MAINTENANCE (delta-join, Blakeley 1986):
+    // fact table A churns (append + CoW delete), dim table B churns
+    // (merge update), and the netted feed between the two version
+    // pairs carries exactly the multiset difference of the join view —
+    // the oracle recomputes both views in SQL and diffs them with
+    // EXCEPT ALL, aggregating the same counts/sums.
+    NamedQuery("q211_join_feed",
+      (s, d) => {
+        import graft.sources.{Incremental, Manifest}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val dir = freshQueryDir("jfeed")
+        val (ta, tb) = (s"$dir/a", s"$dir/b")
+        Manifest.create(s, ta, docs.filter(col("doc_id") % 2 === 0))
+        Manifest.commitAppend(s, ta, docs.filter(col("doc_id") % 2 === 1))
+        Manifest.deleteWhere(s, ta, col("doc_id") % 7 === 0)  // A v3
+        val dim = docs.select(col("source")).distinct()
+          .select(col("source"),
+            F.length(col("source")).cast("long").as("src_rank"))
+        Manifest.create(s, tb, dim)
+        val minSrc = dim.agg(F.min("source")).head().getString(0)
+        Manifest.merge(s, tb, dim.filter(col("source") === minSrc)
+          .select(col("source"), (col("src_rank") + 100L).as("src_rank")),
+          Seq("source"))                                      // B v2
+        val feed = Incremental.joinChanges(s, ta, tb, 1L, 3L, 1L, 2L,
+          Seq("source"))
+        feed.agg(
+          F.count(F.when(col("_change_type") === "insert", 1))
+            .as("n_insert"),
+          F.count(F.when(col("_change_type") === "delete", 1))
+            .as("n_delete"),
+          F.sum(F.when(col("_change_type") === "insert", col("doc_id")))
+            .cast("long").as("ins_id_sum"),
+          F.sum(F.when(col("_change_type") === "insert", col("src_rank")))
+            .cast("long").as("ins_rank_sum"),
+          F.sum(F.when(col("_change_type") === "delete", col("doc_id")))
+            .cast("long").as("del_id_sum"))
+      },
+      Some("""WITH dim AS (SELECT source, length(source) AS src_rank
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |mn AS (SELECT min(source) AS m FROM dim),
+             |b1 AS (SELECT * FROM dim),
+             |b2 AS (SELECT source,
+             |    CASE WHEN source = (SELECT m FROM mn)
+             |      THEN src_rank + 100 ELSE src_rank END AS src_rank
+             |  FROM dim),
+             |a1 AS (SELECT doc_id, source, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |a3 AS (SELECT doc_id, source, n_chars FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |v11 AS (SELECT a1.source, a1.doc_id, a1.n_chars, b1.src_rank
+             |  FROM a1 JOIN b1 USING (source)),
+             |v32 AS (SELECT a3.source, a3.doc_id, a3.n_chars, b2.src_rank
+             |  FROM a3 JOIN b2 USING (source)),
+             |ins AS (SELECT * FROM v32 EXCEPT ALL SELECT * FROM v11),
+             |del AS (SELECT * FROM v11 EXCEPT ALL SELECT * FROM v32)
+             |SELECT
+             |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_insert,
+             |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_delete,
+             |  CAST((SELECT sum(doc_id) FROM ins) AS BIGINT) AS ins_id_sum,
+             |  CAST((SELECT sum(src_rank) FROM ins) AS BIGINT)
+             |    AS ins_rank_sum,
+             |  CAST((SELECT sum(doc_id) FROM del) AS BIGINT) AS del_id_sum
+             |""".stripMargin))
+  )
+}

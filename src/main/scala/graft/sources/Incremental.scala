@@ -148,4 +148,91 @@ object Incremental {
         cur
     }
   }
+
+  /** Incremental JOIN-view maintenance — the delta-join rule
+    * (Blakeley, Larson & Tompa, "Efficiently Updating Materialized
+    * Views", SIGMOD 1986). For the inner-join view V = A ⋈ B, the
+    * row-level change feed of V between (aV1, bV1) and (aV2, bV2)
+    * decomposes as
+    *
+    *   ΔV  =  ΔA ⋈ B₂  ∪  A₁ ⋈ ΔB        (signs multiply through)
+    *
+    * — the first term joins A's feed against the NEW B, the second
+    * joins the OLD A against B's feed, so every term is sized by a
+    * DELTA, never by |A ⋈ B|. The old-side probe is the expensive
+    * factor at 100 TB and is restricted to the delta's join keys:
+    * a runtime-filterable semi-join shape by default, and — when the
+    * probed version is the table's CURRENT snapshot, the key is one
+    * column, and the delta's key set is driver-feasible — the Bloom
+    * sidecar's file-level candidate restriction
+    * ([[Manifest.readPointAny]]), which opens a handful of files
+    * before any footer. Joins on NULL keys never match (SQL inner
+    * join), matching the recompute.
+    *
+    * Output: the join's columns (`keys`, then A's non-key columns,
+    * then B's) + `_change_type` ('insert' | 'delete'), NETTED — a row
+    * rewritten to the same values cancels — and replicated to its
+    * multiset multiplicity, so applying the feed to the old view
+    * equals the new view as multisets (the LakehouseSpec property).
+    * Cost: both terms shuffle on `keys` sized by the deltas; the
+    * netting aggregate is feed-sized. */
+  def joinChanges(spark: org.apache.spark.sql.SparkSession,
+      tableA: String, tableB: String,
+      aV1: Long, aV2: Long, bV1: Long, bV2: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinChanges needs at least one key column")
+    val dA = Manifest.readChanges(spark, tableA, aV1, aV2)
+    val dB = Manifest.readChanges(spark, tableB, bV1, bV2)
+    val clash = (dA.columns.toSet & dB.columns.toSet) --
+      keys.toSet - "_change_type"
+    require(clash.isEmpty,
+      s"Incremental.joinChanges: non-key columns shared by both " +
+        s"tables (${clash.toSeq.sorted.mkString(",")}) — rename them " +
+        "apart; the view's columns must be unambiguous")
+    val b2 = restrictToKeys(spark, tableB, bV2, dA, keys)
+    val a1 = restrictToKeys(spark, tableA, aV1, dB, keys)
+    def signed(df: DataFrame, tag: String) = df.withColumn(s"__s_$tag",
+      F.when(F.col("_change_type") === "insert", 1L).otherwise(-1L))
+      .drop("_change_type")
+    // ΔA ⋈ B₂ (B₂ rows carry sign +1) ∪ A₁ ⋈ ΔB
+    val t1 = signed(dA, "a").join(b2, keys)
+      .withColumn("__sign", F.col("__s_a")).drop("__s_a")
+    val t2 = a1.join(signed(dB, "b"), keys)
+      .withColumn("__sign", F.col("__s_b")).drop("__s_b")
+    val cols = t1.columns.filter(_ != "__sign").toSeq
+    val both = t1.select((cols :+ "__sign").map(F.col): _*)
+      .unionByName(t2.select((cols :+ "__sign").map(F.col): _*))
+    // net per distinct row value, then replicate to |net| copies
+    both.groupBy(cols.map(F.col): _*)
+      .agg(F.sum(F.col("__sign")).as("__net"))
+      .filter(F.col("__net") =!= 0L)
+      .select((cols.map(F.col) :+
+        F.explode(F.expr("sequence(1, abs(__net))")).as("__i") :+
+        F.when(F.col("__net") > 0, "insert").otherwise("delete")
+          .as("_change_type")): _*)
+      .drop("__i")
+  }
+
+  /** The old-side probe of [[joinChanges]], restricted to the delta's
+    * join keys. Single-column keys with a driver-feasible delta key
+    * set probe the CURRENT snapshot through the Bloom sidecar's
+    * file-level restriction when the requested version IS current
+    * (time-travel probes and wide keys take the semi-join; both are
+    * exact — the semi-join re-filters rows either way). */
+  private def restrictToKeys(spark: org.apache.spark.sql.SparkSession,
+      table: String, v: Long, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val keyRows = delta.select(keys.map(F.col): _*).distinct()
+    val base: DataFrame =
+      if (keys.size == 1 &&
+          Manifest.currentSnapshot(spark, table).exists(_.version == v)) {
+        val cap = 10000
+        val vals = keyRows.limit(cap + 1).collect()
+          .map(_.get(0)).filter(_ != null).toSeq
+        if (vals.nonEmpty && vals.size <= cap)
+          Manifest.readPointAny(spark, table, keys.head, vals)
+        else Manifest.readVersion(spark, table, v)
+      } else Manifest.readVersion(spark, table, v)
+    base.join(keyRows, keys, "left_semi")
+  }
 }

@@ -60,7 +60,10 @@ object Manifest {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read a snapshot's entries as one frame. A hive-partitioned
+  /** Read a snapshot's entries as one frame, WITHOUT applying delete
+    * vectors — the internal form whose `.inputFiles` is exactly the
+    * snapshot's file list (the DV anti-join of [[readSnapshotData]]
+    * would pollute it with the DV parquet). A hive-partitioned
     * snapshot with MULTIPLE entries (appends, CoW deletes) reads per
     * entry and unions by name: a single multi-root relation would make
     * partition inference see the non-partition `_v*` level between the
@@ -69,7 +72,7 @@ object Manifest {
     * union branch, so partition pruning survives. Single-entry or
     * unpartitioned snapshots keep the one-relation fast path (one file
     * index, one pushdown). */
-  private def readSnapshotData(spark: SparkSession, table: String,
+  private def readSnapshotRaw(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame = {
     val paths = snap.paths.map(p => s"$table/$p")
     val reader = snapshotReader(spark, snap)
@@ -77,6 +80,76 @@ object Manifest {
       reader.parquet(paths: _*)
     else paths.map(reader.parquet(_)).reduce(_ unionByName _)
   }
+
+  /** [[readSnapshotRaw]] with the snapshot's delete vectors applied —
+    * what every row-serving path returns. DV-less snapshots (the
+    * common case) pass through untouched; a hive multi-entry snapshot
+    * applies DVs per entry (the `_metadata` column resolves per file
+    * relation, not across a union). */
+  private def readSnapshotData(spark: SparkSession, table: String,
+      snap: Snapshot): DataFrame =
+    if (!snap.meta.contains(DvKey))
+      readSnapshotRaw(spark, table, snap)
+    else if (snap.paths.size <= 1 || !snap.meta.contains(PartitionKey))
+      applyDv(spark, table, snap, readSnapshotRaw(spark, table, snap))
+    else {
+      val reader = snapshotReader(spark, snap)
+      snap.paths.map(p => applyDv(spark, table, snap,
+        reader.parquet(s"$table/$p"))).reduce(_ unionByName _)
+    }
+
+  /** The snapshot's delete-vector frame — `(file, pos)` rows naming
+    * MoR-deleted positions by the data file's MANIFEST-RELATIVE path
+    * (unique within a snapshot by construction; basenames are NOT —
+    * one hive write task reuses its part name in every partition dir)
+    * and parquet row index — or None when the snapshot carries none. */
+  private def dvFrame(spark: SparkSession, table: String,
+      snap: Snapshot): Option[DataFrame] =
+    snap.meta.get(DvKey).map(_.split(',').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .map(dirs => spark.read.parquet(dirs.map(d => s"$table/$d"): _*))
+
+  /** Manifest-relative file path + row index of every row, from the
+    * parquet `_metadata` hidden column — resolvable only directly
+    * over a file relation, which is why DV application happens per
+    * relation. The relative path is anchored at the VERSION-DIR name
+    * ([[DataDirName]] is self-delimiting), so writer and readers
+    * compute the identical key whatever the FS renders before it;
+    * [[adopt]]-ed root files (no version dir) key by basename, which
+    * is unique among a directory's own files. */
+  private def selectWithPos(df: DataFrame): DataFrame = {
+    val fp = F.col("_metadata.file_path")
+    val rel = F.regexp_extract(fp,
+      "(_v[0-9]{8}-[0-9a-f]{8}/.+)$", 1)
+    df.select(F.col("*"),
+      F.coalesce(F.nullif(rel, F.lit("")),
+        F.element_at(F.split(fp, "/"), -1)).as("__file"),
+      F.col("_metadata.row_index").as("__pos"))
+  }
+
+  /** Anti-join `raw` (a single parquet relation of `snap`'s files)
+    * against the snapshot's delete vectors. No DVs ⇒ `raw` unchanged —
+    * DV-less tables pay nothing. The DV side is takedown-sized;
+    * AQE broadcasts it from its parquet size statistics. */
+  private def applyDv(spark: SparkSession, table: String,
+      snap: Snapshot, raw: DataFrame): DataFrame =
+    dvFrame(spark, table, snap) match {
+      case None => raw
+      case Some(dv) =>
+        selectWithPos(raw)
+          .join(dv.select(F.col("file").as("__file"),
+            F.col("pos").as("__pos")), Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+    }
+
+  /** Live rows of a SUBSET of the snapshot's files — the partial-read
+    * shape every CoW rewrite and pruned read must use on a DV-carrying
+    * snapshot (a raw subset read would resurrect MoR-deleted rows).
+    * Reads under the committed schema like every partial read. */
+  private def readFilesLive(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): DataFrame =
+    applyDv(spark, table, snap,
+      snapshotReader(spark, snap).parquet(files: _*))
 
   /** The reader EVERY path that opens a snapshot's files — or any
     * SUBSET of them — must use: an evolved snapshot reads under its
@@ -129,6 +202,15 @@ object Manifest {
     * readers serve pre-evolution files with NULL new columns, without
     * a per-footer merge pass. Inherits until the next evolution. */
   private val SchemaKey = "table_schema"
+  /** Commit-metadata key listing the snapshot's delete-vector dirs
+    * (comma-separated, relative, under `_dv/`) — merge-on-read row
+    * deletes ([[deleteWhereMoR]]): positions masked at read time, no
+    * data file rewritten. Inherits across appends and CoW commits;
+    * dropped by any full rewrite (compaction folds the DVs in). */
+  private val DvKey = "delete_vectors"
+  /** A delete-vector dir name: version prefix + writer suffix, under
+    * `_dv/` — same orphan-reclaim story as [[DataDirName]]. */
+  private val DvDirName = """^v(\d{8})-[0-9a-f]{8}$""".r
   /** A version data dir: the version prefix plus the writer's unique
     * suffix ([[writeData]]). */
   private val DataDirName = """^_v(\d{8})(-[0-9a-f]{8})?$""".r
@@ -311,7 +393,8 @@ object Manifest {
         Map(SchemaKey -> df.schema.json)
       else Map.empty[String, String]
     commit(spark, table, snap.version, Seq(rel),
-      withPartitionMeta((snap.meta - PartitionKey) ++ restamped ++ meta,
+      withPartitionMeta(
+        (snap.meta - PartitionKey - DvKey) ++ restamped ++ meta,
         partitionBy))
   }
 
@@ -348,7 +431,7 @@ object Manifest {
     // surface as missing-column reads long after the bad commit landed.
     // Types compare only outside partitionBy columns (hive partition
     // inference narrows their types on read).
-    val curDf = readSnapshotData(spark, table, snap)
+    val curDf = readSnapshotRaw(spark, table, snap) // schema + file list
     val curS = curDf.schema
     def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
       if (partitionBy.contains(f.name)) (f.name, "partition")
@@ -447,13 +530,47 @@ object Manifest {
   def readChanges(spark: SparkSession, table: String,
       v1: Long, v2: Long): DataFrame = {
     val (added, removed) = diffSnapshots(spark, table, v1, v2)
+    val s1 = readSnapshot(spark, table, v1)
+    val s2 = readSnapshot(spark, table, v2)
     val template = readVersion(spark, table, v2).limit(0)
     def readSide(rels: Seq[String], v: Long): DataFrame =
       if (rels.isEmpty) template
       // ride the snapshot reader so multi-entry hive sides union
-      // per entry instead of tripping partition inference
+      // per entry instead of tripping partition inference — each
+      // side's OWN delete vectors mask its rows (the copied snapshot
+      // keeps its meta), so a CoW rewrite of already-MoR-deleted rows
+      // still cancels
       else readSnapshotData(spark, table,
         readSnapshot(spark, table, v).copy(paths = rels))
+    // a MoR delete changes NO entry — the mask grew while the file
+    // list stood still, so the entry diff alone would miss it. Pull
+    // the entries whose files a CHANGED vector names (restricted to
+    // entries carried in BOTH snapshots; changed entries' rows ride
+    // the entry diff) into both sides: each side masks with its own
+    // vectors, the multiset diff yields exactly the newly-masked rows.
+    def dvDirs(s: Snapshot) = s.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil).toSet
+    val delta = (dvDirs(s1) | dvDirs(s2)) -- (dvDirs(s1) & dvDirs(s2))
+    val dvTouched: Seq[String] =
+      if (delta.isEmpty) Nil
+      else {
+        val names = spark.read
+          .parquet(delta.toSeq.sorted.map(d => s"$table/$d"): _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val common = (s1.paths.toSet & s2.paths.toSet).toSeq
+        if (common.isEmpty) Nil
+        else {
+          val fs = fsFor(spark, table)
+          def norm(f: String) = new Path(f).toUri.getPath
+          val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
+          val entryFor = prefixResolver(common)
+          readSnapshotRaw(spark, table, s2.copy(paths = common)).inputFiles
+            .map(f => norm(f).stripPrefix(tableAbs).stripPrefix("/"))
+            .filter(names.contains)
+            .flatMap(entryFor(_))
+            .distinct.toSeq.sorted
+        }
+      }
     // column order can differ across layouts (hive partition columns
     // trail) and column SETS across an additive schema evolution (a
     // pre-evolution side lacks the new columns — fill NULL, exactly
@@ -465,8 +582,8 @@ object Manifest {
         if (have(c)) F.col(c)
         else F.lit(null).cast(template.schema(c).dataType).as(c)): _*)
     }
-    val a = align(readSide(added, v2))
-    val r = align(readSide(removed, v1))
+    val a = align(readSide((added ++ dvTouched).distinct, v2))
+    val r = align(readSide((removed ++ dvTouched).distinct, v1))
     a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
   }
@@ -501,7 +618,7 @@ object Manifest {
     * by nature; drop the table instead. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column): Snapshot =
     deleteCore(spark, table, pred,
-      scanFor = (snap, full) => {
+      scanFor = (snap, rawFull) => {
         // envelope pruning is derived from the PREDICATE ITSELF, so it
         // cannot be unsound: only conjunctive numeric range/equality
         // shapes yield bounds, everything else scans fully. (An earlier
@@ -509,7 +626,12 @@ object Manifest {
         // than the predicate would have silently left matching rows
         // alive in pruned files, in the takedown path of all places.)
         val ranges = boundsFromPred(pred)
-        if (ranges.nonEmpty) readPrunedAll(spark, table, ranges) else full
+        if (ranges.isEmpty) rawFull
+        else prunedFilesFor(spark, table, snap, ranges) match {
+          case None => rawFull
+          case Some(fl) if fl.isEmpty => rawFull.limit(0)
+          case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
+        }
       })
 
   /** Per-column [lo, hi] bounds IMPLIED by a predicate — sound for
@@ -581,9 +703,12 @@ object Manifest {
       values: Seq[Any]): Snapshot = {
     require(values.nonEmpty, "Manifest.deleteKeys: no values to delete")
     deleteCore(spark, table, F.col(column).isin(values: _*),
-      scanFor = (snap, full) =>
-        pointCandidates(spark, table, snap, full, column, values)
-          .getOrElse(full))
+      scanFor = (snap, rawFull) =>
+        pointCandidateFiles(spark, table, snap, column, values) match {
+          case None => rawFull
+          case Some(fl) if fl.isEmpty => rawFull.limit(0)
+          case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
+        })
   }
 
   private def deleteCore(spark: SparkSession, table: String, pred: Column,
@@ -591,17 +716,22 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.deleteWhere: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
-    val full = readSnapshotData(spark, table, snap)
+    val raw = readSnapshotRaw(spark, table, snap)
     val partitioned =
-      full.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
-    val scanned = scanFor(snap, full)
+      raw.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+    // phase 1 scans RAW (input_file_name() cannot ride the DV
+    // anti-join's multi-source plan): an already-MoR-masked row
+    // matching the predicate marks its file touched — a harmless
+    // over-approximation; the rewrite reads the file LIVE, so the
+    // mask still holds and the vector folds for free
+    val scanned = scanFor(snap, raw)
     def norm(f: String) = new Path(f).toUri.getPath
     val touched = scanned.filter(pred)
       .select(F.input_file_name().as("f")).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
     if (touched.isEmpty) return snap
     val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
-    val allFiles = full.inputFiles.map(norm)
+    val allFiles = raw.inputFiles.map(norm)
     // file → owning manifest entry via prefixResolver's '/'-boundary
     // hash lookups (O(F·depth)); a per-file linear scan of the entry
     // list is O(F·E) — quadratic at the 100k-file manifests
@@ -629,8 +759,8 @@ object Manifest {
       // Read under the COMMITTED schema: a mixed pre-/post-evolution
       // touched set read raw would drop evolved columns from the
       // rewrite (silent data loss)
-      val survivors = snapshotReader(spark, snap)
-        .parquet(touched.toSeq.sorted: _*)
+      val survivors = readFilesLive(spark, table, snap,
+          touched.toSeq.sorted)
         .filter(!F.coalesce(pred, F.lit(false)))
       val keepPaths = clean ++ carriedFiles
       val (rel, written) =
@@ -652,7 +782,8 @@ object Manifest {
       val (dirtyEntries, cleanEntries) = snap.paths.partition(p =>
         filesUnder.getOrElse(p, Array.empty[String]).exists(touched))
       val survivors = dirtyEntries
-        .map(p => spark.read.parquet(s"$table/$p"))
+        .map(p => applyDv(spark, table, snap,
+          spark.read.parquet(s"$table/$p")))
         .reduce(_ unionByName _)
         .filter(!F.coalesce(pred, F.lit(false))) // keep NULL-evaluating rows
       val (rel, written) =
@@ -663,6 +794,413 @@ object Manifest {
       val rels = if (written == 0) Nil else Seq(rel)
       commit(spark, table, snap.version, cleanEntries ++ rels, snap.meta)
     }
+  }
+
+  /** COPY-ON-WRITE MERGE — the whole-row upsert every ingest pipeline
+    * needs (Delta's `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
+    * THEN INSERT *`): source rows REPLACE target rows sharing their
+    * `keys`, unmatched source rows insert, and only the target files
+    * that actually hold a matched key are rewritten — everything else
+    * carries forward verbatim into one atomic snapshot commit.
+    *
+    * The source is MATERIALIZED FIRST into the next version's data
+    * directory and every later pass (key hygiene, phase-1 probe, the
+    * final union) reads that frozen copy — so a nondeterministic or
+    * expensive source is evaluated exactly once, and the written
+    * bytes are the bytes that were probed (no recompute skew between
+    * the matched set and the committed rows). A source with NULL or
+    * duplicate keys is refused (ambiguous upsert — which of two source
+    * rows wins is undefined in every engine; Delta throws the same
+    * way) and the orphaned directory is reclaimed immediately.
+    *
+    * Phase 1 finds the touched files EXACTLY: a key-columns-only scan
+    * of the pinned snapshot, semi-joined against the source key set,
+    * grouped by `input_file_name()`. On a single-column key with a
+    * Bloom sidecar ([[analyzeFilesBloom]]) and a driver-feasible key
+    * set, the scan is first restricted to the sidecar's candidate
+    * files ([[pointCandidates]] — false negatives impossible, so the
+    * restriction is sound); at 100 TB a thousand-row upsert opens a
+    * handful of files, decided at the driver. Phase 2 rewrites the
+    * touched files' unmatched survivors; untouched entries carry
+    * whole when clean, per-file when their directory is partially
+    * touched (the [[deleteWhere]] file-grain CoW). Hive-partitioned
+    * snapshots rewrite at version-directory grain and the source
+    * lands hive-partitioned, preserving the layout. A merge that
+    * matches nothing degrades to a pure append of the materialized
+    * source — same commit shape as [[commitAppend]].
+    *
+    * Data files stay immutable, so the next [[analyzeFiles]] /
+    * [[analyzeFilesBloom]] scans only the new directories; pinned
+    * readers keep serving the pre-merge snapshot; a racing committer
+    * loses loudly on the manifest rename ([[commit]]'s optimistic
+    * concurrency). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Snapshot = {
+    require(keys.nonEmpty, "Manifest.merge: needs at least one key column")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.merge: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val raw = readSnapshotRaw(spark, table, snap)
+    // full = the LIVE rows — the schema/type contract source; the
+    // phase-1 scan below reads RAW (input_file_name() cannot ride the
+    // DV anti-join), which can only over-approximate the touched set
+    val full = readSnapshotData(spark, table, snap)
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    require(keys.forall(full.columns.contains),
+      s"Manifest.merge: key columns ${keys.filterNot(full.columns.contains)
+        .mkString(",")} not in $table")
+    // the commitAppend schema contract: same columns, same types —
+    // partition columns compare by name only (hive inference narrows
+    // their read types)
+    def skey(s: org.apache.spark.sql.types.StructType) = s.map(f =>
+      if (parts.contains(f.name)) (f.name, "partition")
+      else (f.name, f.dataType.sql)).toSet
+    val (cur, nxt) = (skey(full.schema), skey(source.schema))
+    require(cur == nxt,
+      s"Manifest.merge: source schema mismatch vs current snapshot — " +
+        s"only in table: ${(cur -- nxt).map(_._1).toSeq.sorted.mkString(",")}; " +
+        s"only in source: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}")
+    // 1. materialize the source ONCE as (part of) version N+1's data
+    val (srcRel, nSrc) = writeDataCounted(spark, table, snap.version + 1,
+      source.select(full.columns.map(F.col).toIndexedSeq: _*), parts)
+    if (nSrc == 0) return snap // empty source: no-op, nothing committed
+    val src = spark.read.parquet(s"$table/$srcRel")
+    // key hygiene on the frozen copy: NULL or duplicate keys = ambiguous
+    val bad = src.groupBy(keys.map(F.col).toIndexedSeq: _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") > 1 ||
+        keys.map(k => F.col(k).isNull).reduce(_ || _))
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      fs.delete(new Path(s"$table/$srcRel"), true)
+      sys.error("Manifest.merge: source carries NULL or duplicate key " +
+        "rows — an upsert with two writers of one key is ambiguous; " +
+        "dedupe the source first")
+    }
+    val srcKeys = src.select(keys.map(F.col).toIndexedSeq: _*).distinct()
+    // 2. phase 1 — EXACT touched-file set, bloom-restricted when possible
+    val scanned =
+      if (keys.size == 1 && parts.isEmpty) {
+        val cap = 10000
+        val vals = srcKeys.limit(cap + 1).collect().map(_.get(0)).toSeq
+        if (vals.size <= cap)
+          pointCandidateFiles(spark, table, snap, keys.head, vals) match {
+            case None => raw
+            case Some(fl) if fl.isEmpty => raw.limit(0)
+            case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
+          }
+        else raw
+      } else raw
+    def norm(f: String) = new Path(f).toUri.getPath
+    val touched = scanned
+      .select((keys.map(F.col) :+ F.input_file_name().as("__f")).toIndexedSeq: _*)
+      .join(srcKeys, keys, "left_semi")
+      .select("__f").distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (touched.isEmpty) // nothing matched: the upsert is a pure append
+      return commit(spark, table, snap.version, snap.paths :+ srcRel,
+        snap.meta)
+    val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
+    val allFiles = raw.inputFiles.map(norm)
+    val entryFor = prefixResolver(snap.paths)
+    val filesUnder = allFiles.groupBy { f =>
+      val rel = f.stripPrefix(tableAbs).stripPrefix("/")
+      entryFor(rel).getOrElse(
+        sys.error(s"Manifest.merge: $f outside the pinned snapshot"))
+    }
+    val (dirty, clean) = snap.paths.partition(p =>
+      filesUnder.getOrElse(p, Array.empty[String]).exists(touched))
+    if (parts.isEmpty) {
+      // file-grain CoW: untouched files of dirty entries carry as
+      // their own entries; touched files' UNMATCHED rows rewrite
+      val carriedFiles = dirty.flatMap(p =>
+        filesUnder(p).filterNot(touched)
+          .map(_.stripPrefix(tableAbs).stripPrefix("/")))
+      // read under the COMMITTED schema (evolved tables serve NULL
+      // for pre-evolution files — same rule as deleteWhere's rewrite)
+      val survivors = readFilesLive(spark, table, snap,
+          touched.toSeq.sorted)
+        .join(srcKeys, keys, "left_anti")
+      val (survRel, nSurv) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, Nil)
+      val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
+      commit(spark, table, snap.version,
+        clean ++ carriedFiles ++ rels, snap.meta)
+    } else {
+      // hive layout: version-directory-grain CoW (a carried entry must
+      // stay a whole hive directory or partition columns drop on read)
+      val survivors = dirty
+        .map(p => applyDv(spark, table, snap,
+          spark.read.parquet(s"$table/$p")))
+        .reduce(_ unionByName _)
+        .join(srcKeys, keys, "left_anti")
+      val (survRel, nSurv) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, parts)
+      val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
+      commit(spark, table, snap.version, clean ++ rels, snap.meta)
+    }
+  }
+
+  // ---- merge-on-read delete vectors ----
+
+  /** MERGE-ON-READ row delete — the takedown WITHOUT rewrite
+    * amplification. [[deleteWhere]] rewrites every touched file; at
+    * 100 TB with 1 GB files, deleting one row from each of 10k files
+    * rewrites 10 TB. This instead records the doomed positions —
+    * `(data-file basename, parquet row index)` — in a DELETE VECTOR
+    * sidecar under `_dv/` and commits the SAME file list with the DV
+    * riding the commit metadata ([[DvKey]]): the write cost is the
+    * positions themselves (the Delta deletion-vector / Iceberg
+    * positional-delete trade). Every read path masks the positions
+    * with one takedown-sized anti-join (AQE broadcasts it); DV-less
+    * tables pay nothing.
+    *
+    * Phase 1 prunes the positional scan with the same
+    * predicate-derived envelope bounds as [[deleteWhere]]
+    * ([[boundsFromPred]] + [[prunedFilesFor]] — sound by
+    * construction). Positions already masked by earlier DVs are
+    * excluded, so repeated MoR deletes never grow the vector with
+    * duplicates. A no-match delete commits nothing.
+    *
+    * The debt is repaid by [[foldDeletes]] (rewrite ONLY the masked
+    * files, clear the vectors) or any full rewrite ([[compact]]).
+    * Positions name bytes, not values; files are keyed by their
+    * manifest-relative path, unique within a snapshot. */
+  def deleteWhereMoR(spark: SparkSession, table: String,
+      pred: Column): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.deleteWhereMoR: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val raw = readSnapshotRaw(spark, table, snap)
+    val partitioned =
+      raw.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+    val posed: DataFrame =
+      if (partitioned)
+        // per entry: the _metadata column resolves per file relation
+        snap.paths.map(p => selectWithPos(
+          spark.read.parquet(s"$table/$p"))).reduce(_ unionByName _)
+      else {
+        val ranges = boundsFromPred(pred)
+        val files =
+          if (ranges.nonEmpty)
+            prunedFilesFor(spark, table, snap, ranges)
+              .getOrElse(raw.inputFiles.toIndexedSeq)
+          else raw.inputFiles.toIndexedSeq
+        if (files.isEmpty) return snap
+        selectWithPos(snapshotReader(spark, snap).parquet(files: _*))
+      }
+    // exclude positions earlier DVs already mask
+    val live = dvFrame(spark, table, snap) match {
+      case None => posed
+      case Some(dv) => posed.join(
+        dv.select(F.col("file").as("__file"), F.col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    val doomed = live.filter(F.coalesce(pred, F.lit(false)))
+      .select(F.col("__file").as("file"), F.col("__pos").as("pos"))
+    val rel = s"_dv/v${"%08d".format(snap.version + 1)}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val dir = new Path(s"$table/$rel")
+    // a takedown's vector is small by nature: one file
+    doomed.coalesce(1).write.parquet(dir.toString)
+    val n = spark.read.parquet(dir.toString).count()
+    if (n == 0) { fs.delete(dir, true); return snap }
+    val dvs = snap.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    commit(spark, table, snap.version, snap.paths,
+      snap.meta + (DvKey -> (dvs :+ rel).mkString(",")))
+  }
+
+  /** [[deleteWhereMoR]] for a key set — the multi-id takedown. The
+    * positional scan restricts to the Bloom sidecar's candidate files
+    * when one covers the column (decided at the driver, sound —
+    * Bloom false negatives are impossible). */
+  def deleteKeysMoR(spark: SparkSession, table: String, column: String,
+      values: Seq[Any]): Snapshot = {
+    require(values.nonEmpty, "Manifest.deleteKeysMoR: no values to delete")
+    deleteWhereMoR(spark, table, F.col(column).isin(values: _*))
+  }
+
+  /** Fold the delete vectors into the data: rewrite ONLY the files
+    * with masked positions (file-grain copy-on-write, like
+    * [[deleteWhere]]), carry everything else verbatim, and clear the
+    * vectors — the scheduled-maintenance counterpart of the read-time
+    * mask. Hive-partitioned snapshots fold at version-directory grain.
+    * A DV-less table is a no-op. */
+  def foldDeletes(spark: SparkSession, table: String): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.foldDeletes: $table has no committed snapshot"))
+    val dv = dvFrame(spark, table, snap).getOrElse(return snap)
+    val fs = fsFor(spark, table)
+    val raw = readSnapshotRaw(spark, table, snap)
+    val dvRels = dv.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    def norm(f: String) = new Path(f).toUri.getPath
+    val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
+    val allFiles = raw.inputFiles.map(norm)
+    val touched = allFiles.filter(f =>
+      dvRels.contains(f.stripPrefix(tableAbs).stripPrefix("/")))
+    if (touched.isEmpty)
+      // stale vectors only (their files already rewritten away):
+      // drop the key with a metadata-only commit
+      return commit(spark, table, snap.version, snap.paths,
+        snap.meta - DvKey)
+    val entryFor = prefixResolver(snap.paths)
+    val filesUnder = allFiles.groupBy { f =>
+      val rel = f.stripPrefix(tableAbs).stripPrefix("/")
+      entryFor(rel).getOrElse(
+        sys.error(s"Manifest.foldDeletes: $f outside the pinned snapshot"))
+    }
+    val touchedSet = touched.toSet
+    val (dirty, clean) = snap.paths.partition(p =>
+      filesUnder.getOrElse(p, Array.empty[String]).exists(touchedSet))
+    val partitioned =
+      raw.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+    if (!partitioned) {
+      val carriedFiles = dirty.flatMap(p =>
+        filesUnder(p).filterNot(touchedSet)
+          .map(_.stripPrefix(tableAbs).stripPrefix("/")))
+      val survivors = readFilesLive(spark, table, snap, touched.toIndexedSeq)
+      val (rel, written) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, Nil)
+      val keepPaths = clean ++ carriedFiles
+      if (written == 0 && keepPaths.isEmpty) sys.error(
+        s"Manifest.foldDeletes: the vectors mask every row of $table — " +
+          "a snapshot cannot be empty; drop the table instead")
+      val rels = if (written == 0) Nil else Seq(rel)
+      commit(spark, table, snap.version, keepPaths ++ rels,
+        snap.meta - DvKey)
+    } else {
+      val parts = snap.meta.get(PartitionKey)
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val survivors = dirty
+        .map(p => applyDv(spark, table, snap,
+          spark.read.parquet(s"$table/$p")))
+        .reduce(_ unionByName _)
+      val (rel, written) =
+        writeDataCounted(spark, table, snap.version + 1, survivors, parts)
+      if (written == 0 && clean.isEmpty) sys.error(
+        s"Manifest.foldDeletes: the vectors mask every row of $table — " +
+          "a snapshot cannot be empty; drop the table instead")
+      val rels = if (written == 0) Nil else Seq(rel)
+      commit(spark, table, snap.version, clean ++ rels, snap.meta - DvKey)
+    }
+  }
+
+  // ---- write-audit-publish staging ----
+
+  private def stageDir(table: String, id: String) = s"_staged/$id"
+  private def stageMarker(table: String, id: String) =
+    new Path(s"$table/_manifest/staged-$id.marker")
+  private val StageMarkerName = """^staged-([0-9a-f]{8})\.marker$""".r
+
+  /** WRITE-AUDIT-PUBLISH, step 1: write `df` as an UNCOMMITTED staged
+    * batch — a data directory under `_staged/` plus a marker under
+    * `_manifest/` — invisible to every reader and every snapshot.
+    * Audit the exact bytes with [[readStage]] (quality gates, PII
+    * verdicts, contamination screens), then [[publishStage]] — one
+    * atomic commit, no second write: the bytes audited ARE the bytes
+    * published — or [[dropStage]]. The Iceberg WAP pattern: bad data
+    * never becomes part of any snapshot, and at 100 TB the audit
+    * costs one read of the batch, never a table scan or a rewrite.
+    *
+    * The batch is written under the TABLE'S OWN layout (hive
+    * partitioning from the commit metadata), and the table's schema
+    * contract is checked at stage time — fail before the write, not
+    * at publish — and AGAIN at publish (the table may have evolved in
+    * between). An empty batch refuses to stage. Returns the stage id. */
+  def stageAppend(spark: SparkSession, table: String,
+      df: DataFrame): String = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.stageAppend: $table has no committed snapshot"))
+    checkStageSchema(spark, table, snap, df, "stageAppend")
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val fs = fsFor(spark, table)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val rel = stageDir(table, id)
+    val dir = new Path(s"$table/$rel")
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(dir.toString)
+    val n = spark.read.parquet(dir.toString).count()
+    if (n == 0) {
+      fs.delete(dir, true)
+      sys.error(s"Manifest.stageAppend: refusing to stage an empty batch")
+    }
+    val out = fs.create(stageMarker(table, id), false)
+    try out.write(s"$rel\n".getBytes("UTF-8")) finally out.close()
+    id
+  }
+
+  /** The schema contract shared by stage and publish: the batch must
+    * carry exactly the table's columns (types compared outside the
+    * hive partition columns, which inference narrows on read). */
+  private def checkStageSchema(spark: SparkSession, table: String,
+      snap: Snapshot, df: DataFrame, what: String): Unit = {
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val cur = readSnapshotRaw(spark, table, snap).schema
+    def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
+      if (parts.contains(f.name)) (f.name, "partition")
+      else (f.name, f.dataType.sql)).toSet
+    require(key(cur) == key(df.schema),
+      s"Manifest.$what: batch schema mismatch vs current snapshot — " +
+        s"only in table: ${(key(cur) -- key(df.schema)).map(_._1).toSeq
+          .sorted.mkString(",")}; " +
+        s"only in batch: ${(key(df.schema) -- key(cur)).map(_._1).toSeq
+          .sorted.mkString(",")}")
+  }
+
+  /** Staged-but-unpublished batch ids, oldest marker first. */
+  def listStages(spark: SparkSession, table: String): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val dir = manifestDir(table)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.sortBy(_.getModificationTime)
+      .map(_.getPath.getName).collect { case StageMarkerName(id) => id }
+  }
+
+  /** The staged batch, exactly as a reader will see it post-publish
+    * (hive partition columns included) — the audit surface. */
+  def readStage(spark: SparkSession, table: String, id: String): DataFrame = {
+    val fs = fsFor(spark, table)
+    require(fs.exists(stageMarker(table, id)),
+      s"Manifest.readStage: no staged batch $id on $table")
+    spark.read.parquet(s"$table/${stageDir(table, id)}")
+  }
+
+  /** WRITE-AUDIT-PUBLISH, step 3: one atomic commit of the staged
+    * directory as an append to the CURRENT snapshot (whatever has
+    * landed since staging — appends compose; the schema contract is
+    * re-checked against it). The staged data is adopted in place:
+    * no copy, no second write. The marker is consumed, so a publish
+    * is exactly-once — a re-publish of the same id fails loudly. */
+  def publishStage(spark: SparkSession, table: String, id: String,
+      meta: Map[String, String] = Map.empty): Snapshot = {
+    val fs = fsFor(spark, table)
+    val marker = stageMarker(table, id)
+    require(fs.exists(marker),
+      s"Manifest.publishStage: no staged batch $id on $table " +
+        "(already published or dropped?)")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.publishStage: $table has no committed snapshot"))
+    val rel = stageDir(table, id)
+    checkStageSchema(spark, table, snap,
+      spark.read.parquet(s"$table/$rel"), "publishStage")
+    val out = commit(spark, table, snap.version, snap.paths :+ rel,
+      snap.meta ++ meta)
+    fs.delete(marker, false)
+    out
+  }
+
+  /** WRITE-AUDIT-PUBLISH, the reject path: remove the staged batch
+    * and its marker. Nothing was ever visible. */
+  def dropStage(spark: SparkSession, table: String, id: String): Unit = {
+    val fs = fsFor(spark, table)
+    fs.delete(new Path(s"$table/${stageDir(table, id)}"), true)
+    fs.delete(stageMarker(table, id), false)
   }
 
   // ---- file skipping (per-file envelopes as a snapshot sidecar) ----
@@ -735,7 +1273,11 @@ object Manifest {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.$what: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
-    val df = readSnapshotData(spark, table, snap)
+    // RAW read: per-file stats cover every stored row, including
+    // MoR-deleted positions — envelopes/blooms stay SUPERSETS of the
+    // live content, which is the sound direction for pruning, and the
+    // incremental file-list bookkeeping stays exact
+    val df = readSnapshotRaw(spark, table, snap)
     val prior = versions(spark, table)
       .filter(v => fs.exists(dirFor(table, v))).lastOption
       .flatMap(v => sidecarRows(spark, dirFor(table, v)))
@@ -890,8 +1432,8 @@ object Manifest {
     require(values.nonEmpty, "Manifest.readPointAny: no probe values")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPointAny: $table has no committed snapshot"))
-    val full = readSnapshotData(spark, table, snap)
-    pointCandidates(spark, table, snap, full, column, values).getOrElse(full)
+    pointCandidates(spark, table, snap, column, values)
+      .getOrElse(readSnapshotData(spark, table, snap))
   }
 
   /** The bloom-sidecar pruning decision shared by [[readPointAny]]
@@ -900,10 +1442,26 @@ object Manifest {
     * read. The pruned subset reads under the snapshot's committed
     * schema like every other partial read. */
   private def pointCandidates(spark: SparkSession, table: String,
-      snap: Snapshot, full: DataFrame, column: String,
-      values: Seq[Any]): Option[DataFrame] = {
+      snap: Snapshot, column: String,
+      values: Seq[Any]): Option[DataFrame] =
+    pointCandidateFiles(spark, table, snap, column, values).map { paths =>
+      if (paths.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
+      else readFilesLive(spark, table, snap, paths)
+    }
+
+  /** The bloom-sidecar DECISION alone — Some(candidate absolute file
+    * paths, sidecar-unknown files conservatively included) or None ⇒
+    * no pruning applies. Separated from the live read so phase-1
+    * scans that need `input_file_name()` (unsupported over the DV
+    * anti-join's multi-source plan) can read the candidates RAW. */
+  private def pointCandidateFiles(spark: SparkSession, table: String,
+      snap: Snapshot, column: String,
+      values: Seq[Any]): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val bd = bloomDir(table, snap.version)
+    // RAW read: the decision needs the snapshot's own file list (a DV
+    // anti-join would pollute inputFiles with the DV parquet)
+    val full = readSnapshotRaw(spark, table, snap)
     if (!fs.exists(bd) ||
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return None
@@ -924,9 +1482,7 @@ object Manifest {
       probes.exists(bf.mightContainLong)
     }.map(_.getString(fi))
     val unknown = full.inputFiles.filterNot(known.contains)
-    val paths = (keep ++ unknown).distinct
-    Some(if (paths.isEmpty) full.limit(0)
-      else snapshotReader(spark, snap).parquet(paths.toIndexedSeq: _*))
+    Some((keep ++ unknown).distinct.toIndexedSeq)
   }
 
   /** Pinned read of the current snapshot restricted — at the DRIVER,
@@ -952,23 +1508,40 @@ object Manifest {
     require(ranges.nonEmpty, "readPrunedAll needs at least one range")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPruned: $table has no committed snapshot"))
+    prunedFilesFor(spark, table, snap, ranges) match {
+      case None => readSnapshotData(spark, table, snap)
+      case Some(paths) if paths.isEmpty =>
+        readSnapshotRaw(spark, table, snap).limit(0)
+      case Some(paths) => readFilesLive(spark, table, snap, paths)
+    }
+  }
+
+  /** The envelope-sidecar file-skipping DECISION, separated from the
+    * read so positional scans ([[deleteWhereMoR]]) can reuse it:
+    * Some(absolute file paths surviving every range's envelope test),
+    * or None when pruning cannot apply (no sidecar, hive layout, or a
+    * probed column the sidecar predates — the caller serves the full
+    * read, conservatively). Driver-side metadata only. */
+  private def prunedFilesFor(spark: SparkSession, table: String,
+      snap: Snapshot,
+      ranges: Seq[(String, Double, Double)]): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val sd = statsDir(table, snap.version)
-    if (!fs.exists(sd))
-      return readSnapshotData(spark, table, snap)
+    if (!fs.exists(sd)) return None
     // hive-partitioned snapshots: leaf-file reads would silently drop
     // the partition columns, and their pruning is already partition
-    // pruning's job — serve the plain pinned read instead
-    val full = readSnapshotData(spark, table, snap)
+    // pruning's job. The file listing comes from the RAW read (DV
+    // joins pollute inputFiles); served frames are always LIVE.
+    val full = readSnapshotRaw(spark, table, snap)
     if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
-      return full
-    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return full)
+      return None
+    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
     // sidecar predates one of the probed columns: conservative full
     // read, never a resolution error
     if (!ranges.forall { case (c, _, _) =>
         sch.fieldNames.contains(s"${c}__min") &&
           sch.fieldNames.contains(s"${c}__max") })
-      return full
+      return None
     val fi = sch.fieldIndex("file")
     val known = rows.map(_.getString(fi)).toSet
     val keep = rows.filter { r =>
@@ -985,9 +1558,7 @@ object Manifest {
     // every file of the pinned snapshot the sidecar does not cover
     // stays in (stats are an accelerator, never a correctness gate)
     val unknown = full.inputFiles.filterNot(f => known.contains(f))
-    val paths = (keep ++ unknown).distinct
-    if (paths.isEmpty) full.limit(0)
-    else snapshotReader(spark, snap).parquet(paths.toIndexedSeq: _*)
+    Some((keep ++ unknown).distinct.toIndexedSeq)
   }
 
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
@@ -1023,8 +1594,9 @@ object Manifest {
     val parts = snap.meta.get(PartitionKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val rel = writeData(spark, table, snap.version + 1, laid, parts)
-    // carry the metadata forward — see commitAppend
-    commit(spark, table, snap.version, Seq(rel), snap.meta)
+    // carry the metadata forward (see commitAppend) — minus the delete
+    // vectors, which this rewrite just folded into the data
+    commit(spark, table, snap.version, Seq(rel), snap.meta - DvKey)
   }
 
   /** Retention: drop every snapshot except the newest `keep` — delete
@@ -1045,8 +1617,24 @@ object Manifest {
       fs.delete(statsDir(table, v), true) // file-skipping sidecars, if any
       fs.delete(bloomDir(table, v), true)
     }
-    val referenced = live.map(readSnapshot(spark, table, _))
-      .flatMap(_.paths).toSet
+    val liveSnaps = live.map(readSnapshot(spark, table, _))
+    val referenced = liveSnaps.flatMap(_.paths).toSet
+    // delete-vector dirs: live-referenced vectors must survive (their
+    // masks are load-bearing for every retained snapshot); everything
+    // else under _dv — dead snapshots' vectors, crashed writers'
+    // orphans at or below the current version — is reclaimed
+    def dvRefs(ss: Seq[Snapshot]) = ss.flatMap(_.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)).toSet
+    val liveDv = dvRefs(liveSnaps)
+    val dvBase = new Path(s"$table/_dv")
+    if (fs.exists(dvBase))
+      fs.listStatus(dvBase).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).foreach {
+          case n @ DvDirName(v) if v.toLong <= current &&
+              !liveDv.contains(s"_dv/$n") =>
+            fs.delete(new Path(s"$table/_dv/$n"), true)
+          case _ => ()
+        }
     // an entry is live if a surviving snapshot lists it — or, since
     // [[deleteWhere]] carries per-FILE entries out of older dirs,
     // lists a file INSIDE it: deleting the whole dir would take the

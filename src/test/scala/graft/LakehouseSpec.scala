@@ -798,4 +798,344 @@ class LakehouseSpec extends AnyFunSuite {
     assert(chDel.filter($"_change_type" === "insert").count() == 0)
     assert(chDel.filter($"_change_type" === "delete").count() == 25)
   }
+
+  test("merge: copy-on-write upsert rewrites ONLY touched files, " +
+      "matched rows update, unmatched insert, pinned readers survive, " +
+      "the change feed shows exactly the upsert") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_merge").toString
+    val tbl = s"$dir/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // 4 range-clustered files over ids 1..100
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    val before = Manifest.read(spark, tbl)
+    val beforeFiles = before.inputFiles.toSet
+    assert(beforeFiles.size == 4)
+    val pinned = Manifest.read(spark, tbl)
+    // updates land in ONE file's range (10..15), inserts are new keys
+    val source = ((10 to 15).map(i => (i.toLong, s"UPD$i")) ++
+      Seq((201L, "NEW201"), (202L, "NEW202"))).toDF("id", "s")
+    val s2 = Manifest.merge(spark, tbl, source, Seq("id"))
+    assert(s2.version == 2L)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 102)
+    assert(after.filter($"id".between(10, 15))
+      .select("s").collect().map(_.getString(0)).sorted.toSeq ==
+      (10 to 15).map(i => s"UPD$i"))
+    assert(after.filter($"id" > 200).count() == 2)
+    // expected state, computed independently
+    val expected = before.filter(!$"id".between(10, 15))
+      .unionByName(source)
+    assert(rows(after) == rows(expected))
+    // file-grain CoW: 3 of 4 original files carried by path
+    val afterFiles = after.inputFiles.toSet
+    assert((afterFiles intersect beforeFiles).size == 3,
+      s"expected 3 carried files, got ${(afterFiles intersect beforeFiles).size}")
+    // pinned pre-merge reader still serves the old snapshot
+    assert(pinned.count() == 100 &&
+      pinned.filter($"s".startsWith("UPD")).count() == 0)
+    // the change feed of the merge: inserts = updated + new rows,
+    // deletes = the six replaced originals
+    val ch = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(ch.filter($"_change_type" === "insert").count() == 8)
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (10L to 15L))
+    // a merge matching NOTHING degrades to a pure append: every
+    // current file carries, one new directory appears
+    val filesBefore3 = Manifest.read(spark, tbl).inputFiles.toSet
+    val s3 = Manifest.merge(spark, tbl,
+      Seq((301L, "NEW301")).toDF("id", "s"), Seq("id"))
+    assert(s3.version == 3L)
+    val files3 = Manifest.read(spark, tbl).inputFiles.toSet
+    assert(filesBefore3.subsetOf(files3) && Manifest.read(spark, tbl).count() == 103)
+    // an EMPTY source is a no-op: nothing committed
+    assert(Manifest.merge(spark, tbl,
+      Seq.empty[(Long, String)].toDF("id", "s"), Seq("id")).version == 3L)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+  }
+
+  test("merge-on-read delete vectors: a takedown masks rows without " +
+      "rewriting any file, composes with point reads, CoW deletes and " +
+      "merge, folds on demand, and the change feed sees every mask") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_dv").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    assert(Manifest.analyzeFiles(spark, tbl, Seq("id")) == 4)
+    assert(Manifest.analyzeFilesBloom(spark, tbl, Seq("id")) == 4)
+    val v1Files = Manifest.read(spark, tbl).inputFiles.toSet
+    val pinned = Manifest.read(spark, tbl)
+    // MoR delete: the file list does NOT change
+    val s2 = Manifest.deleteWhereMoR(spark, tbl,
+      $"id" >= 10L && $"id" <= 15L)
+    assert(s2.version == 2L && s2.paths.toSet ==
+      Manifest.readSnapshot(spark, tbl, 1L).paths.toSet)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 94 && after.filter($"id".between(10, 15)).count() == 0)
+    assert(pinned.count() == 100, "pinned pre-delete reader unaffected")
+    // the change feed of a pure-mask commit: zero inserts, exactly the
+    // masked rows (the entry diff is empty — the DV delta carries it)
+    val ch12 = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(ch12.filter($"_change_type" === "insert").count() == 0)
+    assert(ch12.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (10L to 15L))
+    // point + pruned reads serve LIVE rows (the caller filters rows —
+    // the candidate restriction is file-grain)
+    assert(Manifest.readPoint(spark, tbl, "id", 12L)
+      .filter($"id" === 12L).count() == 0)
+    assert(Manifest.readPoint(spark, tbl, "id", 50L)
+      .filter($"id" === 50L).count() == 1)
+    assert(Manifest.readPruned(spark, tbl, "id", 10.0, 15.0)
+      .filter($"id".between(10, 15)).count() == 0)
+    // a second MoR delete masks incrementally (no duplicate positions)
+    Manifest.deleteWhereMoR(spark, tbl, $"id" === 20L)
+    assert(Manifest.read(spark, tbl).count() == 93)
+    val ch23 = Manifest.readChanges(spark, tbl, 2L, 3L)
+    assert(ch23.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(20L))
+    assert(ch23.filter($"_change_type" === "insert").count() == 0)
+    // no-match MoR delete commits nothing
+    assert(Manifest.deleteWhereMoR(spark, tbl, $"id" === 99999L).version == 3L)
+    // CoW delete ON TOP of live vectors: rewrite honors the mask
+    Manifest.deleteWhere(spark, tbl, $"id" === 50L)
+    val v4 = Manifest.read(spark, tbl)
+    assert(v4.count() == 92 && v4.filter($"id" === 50L).count() == 0)
+    assert(v4.filter($"id".between(10, 15) || $"id" === 20L).count() == 0,
+      "CoW rewrite must not resurrect MoR-deleted rows")
+    val ch34 = Manifest.readChanges(spark, tbl, 3L, 4L)
+    assert(ch34.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // merge ON TOP of live vectors
+    Manifest.merge(spark, tbl,
+      Seq((60L, "UPD60"), (200L, "NEW200")).toDF("id", "s"), Seq("id"))
+    val v5 = Manifest.read(spark, tbl)
+    assert(v5.count() == 93)
+    assert(v5.filter($"s" === "UPD60").count() == 1)
+    assert(v5.filter($"id".between(10, 15) || $"id" === 20L).count() == 0)
+    // fold: ONLY the masked file rewrites, the mask clears, rows hold
+    val beforeFold = Manifest.read(spark, tbl).inputFiles
+      .filterNot(_.contains("/_dv/")).toSet
+    val expect = v5.collect().map(_.toString).sorted.toSeq
+    val s6 = Manifest.foldDeletes(spark, tbl)
+    assert(!s6.meta.contains("delete_vectors"))
+    val v6 = Manifest.read(spark, tbl)
+    assert(v6.count() == 93)
+    assert(v6.collect().map(_.toString).sorted.toSeq == expect)
+    val afterFold = v6.inputFiles.filterNot(_.contains("/_dv/")).toSet
+    assert((beforeFold intersect afterFold).size == beforeFold.size - 1,
+      s"fold must rewrite exactly the one masked file; carried " +
+        s"${(beforeFold intersect afterFold).size} of ${beforeFold.size}")
+    // fold feed is EMPTY (mask folded, no row changed)
+    assert(Manifest.readChanges(spark, tbl, 5L, 6L).count() == 0)
+    // idempotent fold: DV-less table is a no-op
+    assert(Manifest.foldDeletes(spark, tbl).version == 6L)
+    // vacuum reclaims every dead vector dir; the table still serves
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.read(spark, tbl).count() == 93)
+    val dvDir = new java.io.File(s"$tbl/_dv")
+    assert(!dvDir.exists() ||
+      dvDir.listFiles().count(_.isDirectory) == 0,
+      "no live snapshot references a vector — _dv must be empty")
+    assert(v1Files.nonEmpty) // silence unused warnings
+  }
+
+  test("merge-on-read delete vectors on a hive-partitioned table: the " +
+      "layout stands still, the mask serves, the fold keeps the layout") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_dv2").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, (i % 4), s"r$i")).toDF("id", "cell", "s"),
+      partitionBy = Seq("cell"))
+    val v1Files = Manifest.read(spark, tbl).inputFiles.toSet
+    val s2 = Manifest.deleteWhereMoR(spark, tbl, $"id" <= 10L)
+    assert(s2.version == 2L)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 90 && after.filter($"id" <= 10L).count() == 0)
+    assert(after.columns.contains("cell"), "partition column intact")
+    // the DATA files stand still (the read's plan also lists the DV
+    // parquet it anti-joins — filter it out)
+    assert(Manifest.read(spark, tbl).inputFiles
+      .filterNot(_.contains("/_dv/")).toSet == v1Files,
+      "a MoR delete must not move a single file")
+    val ch = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(ch.filter($"_change_type" === "insert").count() == 0)
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    val s3 = Manifest.foldDeletes(spark, tbl)
+    assert(!s3.meta.contains("delete_vectors"))
+    val v3 = Manifest.read(spark, tbl)
+    assert(v3.count() == 90 && v3.inputFiles.exists(_.contains("cell=")),
+      "fold must keep the hive layout")
+    assert(Manifest.readChanges(spark, tbl, 2L, 3L).count() == 0)
+  }
+
+  test("write-audit-publish: a staged batch is invisible until its " +
+      "atomic publish, the audited bytes are the published bytes, " +
+      "rejects leave no residue, publishes are exactly-once") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_wap").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // stage two batches: one clean, one the audit will reject
+    val good = Manifest.stageAppend(spark, tbl,
+      (51 to 60).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val bad = Manifest.stageAppend(spark, tbl,
+      Seq((999L, "JUNKJUNK")).toDF("id", "s"))
+    assert(Manifest.listStages(spark, tbl).toSet == Set(good, bad))
+    // nothing staged is visible to any reader
+    assert(Manifest.read(spark, tbl).count() == 50)
+    assert(Manifest.versions(spark, tbl) == Seq(1L))
+    // audit reads the exact staged bytes
+    assert(Manifest.readStage(spark, tbl, good).count() == 10)
+    assert(Manifest.readStage(spark, tbl, bad)
+      .filter($"s".contains("JUNK")).count() == 1)
+    // reject the bad batch: no residue, no version
+    Manifest.dropStage(spark, tbl, bad)
+    assert(Manifest.listStages(spark, tbl) == Seq(good))
+    assert(!new java.io.File(s"$tbl/_staged/$bad").exists())
+    // an append landing BETWEEN stage and publish composes
+    Manifest.commitAppend(spark, tbl,
+      Seq((100L, "r100")).toDF("id", "s"))
+    val s3 = Manifest.publishStage(spark, tbl, good)
+    assert(s3.version == 3L)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 61)
+    assert(after.filter($"id".between(51, 60)).count() == 10)
+    // and the published files ARE the staged files (no second write)
+    assert(after.inputFiles.exists(_.contains(s"/_staged/$good/")))
+    // publish is exactly-once
+    val e = intercept[IllegalArgumentException](
+      Manifest.publishStage(spark, tbl, good))
+    assert(e.getMessage.contains("already published or dropped"))
+    // a schema-drifting batch refuses at STAGE time
+    val e2 = intercept[IllegalArgumentException](
+      Manifest.stageAppend(spark, tbl, Seq((1L, 2L)).toDF("id", "n")))
+    assert(e2.getMessage.contains("schema mismatch"))
+    // an empty batch refuses to stage
+    val e3 = intercept[RuntimeException](Manifest.stageAppend(spark, tbl,
+      Seq.empty[(Long, String)].toDF("id", "s")))
+    assert(e3.getMessage.contains("empty batch"))
+    // vacuum after later commits never touches the published entry
+    Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.read(spark, tbl).count() == 61)
+  }
+
+  test("incremental join-view maintenance: the delta-join feed applied " +
+      "to the old view equals the new view, for appends, deletes, " +
+      "updates and MoR masks on either side") {
+    import graft.sources.{Incremental, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_jv").toString
+    val (ta, tb) = (s"$dir/a", s"$dir/b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // A: facts keyed by k (multiset: k=3 appears twice); B: a dim
+    Manifest.create(spark, ta,
+      Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (3L, "a3bis"), (4L, "a4"))
+        .toDF("k", "av"))
+    Manifest.create(spark, tb,
+      Seq((1L, "b1"), (2L, "b2"), (3L, "b3"), (5L, "b5")).toDF("k", "bv"))
+    def view(va: Long, vb: Long) =
+      Manifest.readVersion(spark, ta, va)
+        .join(Manifest.readVersion(spark, tb, vb), Seq("k"))
+    val v11 = view(1L, 1L)
+    // churn both sides: append + CoW delete on A, merge + MoR on B
+    Manifest.commitAppend(spark, ta, Seq((5L, "a5"), (6L, "a6")).toDF("k", "av"))
+    Manifest.deleteWhere(spark, ta, $"k" === 2L)                    // A v3
+    Manifest.merge(spark, tb,
+      Seq((3L, "B3NEW"), (6L, "b6")).toDF("k", "bv"), Seq("k"))     // B v2
+    Manifest.deleteWhereMoR(spark, tb, $"k" === 1L)                 // B v3
+    val feed = Incremental.joinChanges(spark, ta, tb, 1L, 3L, 1L, 3L,
+      Seq("k"))
+    // applying the feed to the old view must equal the new view as
+    // multisets: old ∪ inserts ∖ deletes (exceptAll = multiset minus)
+    val applied = v11
+      .unionByName(feed.filter($"_change_type" === "insert")
+        .drop("_change_type"))
+      .exceptAll(feed.filter($"_change_type" === "delete")
+        .drop("_change_type"))
+    assert(rows(applied) == rows(view(3L, 3L)))
+    // the feed is netted: no row appears as both insert and delete
+    val dup = feed.groupBy("k", "av", "bv")
+      .agg(F.countDistinct($"_change_type").as("n"))
+      .filter($"n" > 1).count()
+    assert(dup == 0, "netting must cancel rewrite churn")
+    // and it carries the expected signals: k=3 rewrites (2 facts × dim
+    // update ⇒ 2 deletes + 2 inserts), k=1 dies (MoR), k=5/6 appear
+    assert(feed.filter($"k" === 3L && $"_change_type" === "insert").count() == 2)
+    assert(feed.filter($"k" === 1L && $"_change_type" === "delete").count() == 1)
+    assert(feed.filter($"k" === 1L && $"_change_type" === "insert").count() == 0)
+    assert(feed.filter($"k" === 5L && $"_change_type" === "insert").count() == 1)
+    // no-change window ⇒ empty feed
+    assert(Incremental.joinChanges(spark, ta, tb, 3L, 3L, 3L, 3L,
+      Seq("k")).count() == 0)
+  }
+
+  test("merge refuses ambiguous sources (NULL or duplicate keys) and " +
+      "schema drift; a refused merge leaves no committed residue") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_merge2").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    val e1 = intercept[RuntimeException](
+      Manifest.merge(spark, tbl, dup, Seq("id")))
+    assert(e1.getMessage.contains("ambiguous"))
+    val withNull = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "s").select($"id".cast("long").as("id"), $"s")
+    val e2 = intercept[RuntimeException](
+      Manifest.merge(spark, tbl, withNull, Seq("id")))
+    assert(e2.getMessage.contains("ambiguous"))
+    val drift = Seq((1L, 2L)).toDF("id", "n")
+    val e3 = intercept[IllegalArgumentException](
+      Manifest.merge(spark, tbl, drift, Seq("id")))
+    assert(e3.getMessage.contains("schema mismatch"))
+    // no version landed; vacuum reclaims the refused merges' orphans
+    assert(Manifest.versions(spark, tbl) == Seq(1L))
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.read(spark, tbl).count() == 10)
+  }
+
+  test("merge on a hive-partitioned table preserves the layout and " +
+      "rewrites at directory grain") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_merge3").toString
+    val tbl = s"$dir/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = (1 to 100).map(i => (i.toLong, i % 4, s"r$i"))
+      .toDF("id", "cell", "s")
+    Manifest.create(spark, tbl, base, partitionBy = Seq("cell"))
+    val before = Manifest.read(spark, tbl)
+    val source = Seq((4L, 0, "UPD4"), (8L, 0, "UPD8"), (501L, 1, "NEW501"))
+      .toDF("id", "cell", "s")
+    Manifest.merge(spark, tbl, source, Seq("id"))
+    val after = Manifest.read(spark, tbl)
+    assert(after.columns.toSet == Set("id", "cell", "s"))
+    assert(after.count() == 101)
+    assert(after.inputFiles.exists(_.contains("cell=")),
+      "merge must keep the hive layout")
+    val expected = before.filter(!$"id".isin(4L, 8L)).unionByName(
+      source.select(before.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*))
+    assert(rows(after) == rows(expected))
+    // partition pruning still works over the merged snapshot
+    val q = after.filter($"cell" === 1)
+    assert(q.count() == 26)
+  }
 }
