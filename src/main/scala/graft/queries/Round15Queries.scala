@@ -294,6 +294,130 @@ object Round15Queries {
              |  CAST((SELECT sum(src_rank) FROM ins) AS BIGINT)
              |    AS ins_rank_sum,
              |  CAST((SELECT sum(doc_id) FROM del) AS BIGINT) AS del_id_sum
-             |""".stripMargin))
+             |""".stripMargin)),
+
+    // MERGE-ON-READ upsert: same upsert as q208 but through mergeMoR —
+    // matched rows masked by ONE delta-sized vector, the source
+    // appended, both in one atomic commit with every base data file
+    // carried (`files_carried`); foldDeletes then repays the mask and
+    // the folded table still matches the oracle's recomputed state.
+    NamedQuery("q212_merge_mor",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("mmor") + "/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))
+        Manifest.analyzeFilesBloom(s, table, Seq("doc_id"))
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val cut = maxId / 4
+        val v1Paths = Manifest.currentSnapshot(s, table).get.paths.toSet
+        val updates = docs.filter(col("doc_id") <= cut)
+          .select(col("doc_id"), F.lit("upd").as("source"),
+            (col("n_chars") + 1000L).as("n_chars"))
+        val inserts = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + maxId + 1L).as("doc_id"),
+            F.lit("new").as("source"), col("n_chars"))
+        val s2 = Manifest.mergeMoR(s, table,
+          updates.unionByName(inserts), Seq("doc_id"))
+        val oneCommit = s2.version == 2L &&
+          v1Paths.subsetOf(s2.paths.toSet) &&
+          s2.paths.size == v1Paths.size + 1 &&
+          s2.meta.contains("delete_vectors")
+        val s3 = Manifest.foldDeletes(s, table)
+        Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count(F.when(col("source") === "upd", 1)).as("n_upd"),
+          F.count(F.when(col("source") === "new", 1)).as("n_new"))
+          .select(col("n_rows"), col("sum_chars"), col("n_upd"),
+            col("n_new"),
+            F.lit(oneCommit).as("files_carried"),
+            F.lit(!s3.meta.contains("delete_vectors")).as("mask_folded"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+             |fin AS (
+             |  SELECT n_chars + 1000 AS n_chars, 'upd' AS src
+             |    FROM documents, m WHERE doc_id <= max_id // 4
+             |  UNION ALL SELECT n_chars, 'new' FROM documents
+             |    WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT n_chars, 'kept' FROM documents, m
+             |    WHERE doc_id > max_id // 4)
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE src = 'upd') AS BIGINT) AS n_upd,
+             |  CAST(count(*) FILTER (WHERE src = 'new') AS BIGINT) AS n_new,
+             |  true AS files_carried, true AS mask_folded
+             |FROM fin""".stripMargin)),
+
+    // DURABLE incremental join-view maintenance: materialize
+    // documents ⋈ source-dim, churn both sides (append + CoW delete on
+    // the fact, merge on the dim), catch up through the watermarked
+    // refresh — the delta lands as ONE append + ONE vector on the view
+    // (`delta_applied`), a re-run no-ops (`idempotent`), and the
+    // refreshed view's aggregates equal the oracle's recomputed join.
+    NamedQuery("q213_mv_join_refresh",
+      (s, d) => {
+        import graft.sources.{Incremental, Manifest}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val dir = freshQueryDir("rmj")
+        val (ta, tb, tv) = (s"$dir/a", s"$dir/b", s"$dir/v")
+        Manifest.create(s, ta, docs.filter(col("doc_id") % 2 === 0))
+        val dim = docs.select(col("source")).distinct()
+          .select(col("source"),
+            F.length(col("source")).cast("long").as("src_rank"))
+        Manifest.create(s, tb, dim)
+        Incremental.refreshMaterializedJoin(s, ta, tb, tv,
+          Seq("source"), Seq("doc_id"))
+        Manifest.commitAppend(s, ta, docs.filter(col("doc_id") % 2 === 1))
+        Manifest.deleteWhere(s, ta, col("doc_id") % 7 === 0)
+        val minSrc = dim.agg(F.min("source")).head().getString(0)
+        Manifest.merge(s, tb, dim.filter(col("source") === minSrc)
+          .select(col("source"), (col("src_rank") + 100L).as("src_rank")),
+          Seq("source"))
+        val before = Manifest.currentSnapshot(s, tv).get
+        val marks = Incremental.refreshMaterializedJoin(s, ta, tb, tv,
+          Seq("source"), Seq("doc_id"))
+        val after = Manifest.currentSnapshot(s, tv).get
+        val deltaApplied = marks == (3L, 2L) &&
+          before.paths.toSet.subsetOf(after.paths.toSet) &&
+          after.paths.size == before.paths.size + 1 &&
+          after.meta.contains("delete_vectors")
+        val again = Incremental.refreshMaterializedJoin(s, ta, tb, tv,
+          Seq("source"), Seq("doc_id"))
+        val idempotent = again == marks &&
+          Manifest.currentSnapshot(s, tv).get.version == after.version
+        Manifest.read(s, tv).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("doc_id").cast("long").as("sum_id"),
+          F.sum("src_rank").cast("long").as("sum_rank"),
+          F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_id"), col("sum_rank"),
+            col("sum_chars"),
+            F.lit(deltaApplied).as("delta_applied"),
+            F.lit(idempotent).as("idempotent"))
+      },
+      Some("""WITH dim AS (SELECT source, length(source) AS src_rank
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |mn AS (SELECT min(source) AS m FROM dim),
+             |b2 AS (SELECT source,
+             |    CASE WHEN source = (SELECT m FROM mn)
+             |      THEN src_rank + 100 ELSE src_rank END AS src_rank
+             |  FROM dim),
+             |a3 AS (SELECT doc_id, source, n_chars FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |v AS (SELECT a3.doc_id, b2.src_rank, a3.n_chars
+             |  FROM a3 JOIN b2 USING (source))
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(src_rank) AS BIGINT) AS sum_rank,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS delta_applied, true AS idempotent
+             |FROM v""".stripMargin))
   )
 }

@@ -213,6 +213,90 @@ object Incremental {
       .drop("__i")
   }
 
+  /** Commit-metadata keys on the JOIN-view table recording the two
+    * source versions its content reflects. */
+  private val RefreshedAKey = "refreshed_a_version"
+  private val RefreshedBKey = "refreshed_b_version"
+
+  /** Durable incremental JOIN-view maintenance: keep a manifested
+    * materialization of `A ⋈ B` current from the two tables' change
+    * feeds. First call materializes the full join; later calls compute
+    * the delta-join feed ([[joinChanges]]) since the view's own
+    * watermarks and apply it with [[Manifest.applyDeltaMoR]] — deletes
+    * become one delta-sized delete vector, inserts one appended
+    * directory, BOTH in a single atomic commit carrying the new
+    * watermarks. So each refresh costs ∝ the churn being caught up
+    * (never |A|, |B|, or the view), a crash loses nothing (old
+    * snapshot + old watermarks still agree), and re-running when
+    * current is a no-op.
+    *
+    * `rowKeys` must uniquely identify VIEW rows (typically the fact
+    * table's primary key): the feed's deletes are applied by masking
+    * those keys, and masking a non-unique key would kill innocent
+    * copies. Uniqueness of the incoming inserts is checked on the
+    * frozen feed; the fold debt ([[Manifest.foldDeletes]]) is the
+    * caller's maintenance schedule. Returns the (aVersion, bVersion)
+    * now reflected. */
+  def refreshMaterializedJoin(spark: org.apache.spark.sql.SparkSession,
+      tableA: String, tableB: String, viewTable: String,
+      keys: Seq[String], rowKeys: Seq[String],
+      fullRefresh: Boolean = false): (Long, Long) = {
+    require(rowKeys.nonEmpty,
+      "refreshMaterializedJoin: rowKeys must identify view rows")
+    val aCur = Manifest.currentSnapshot(spark, tableA).getOrElse(
+      sys.error(s"refreshMaterializedJoin: $tableA has no snapshot")).version
+    val bCur = Manifest.currentSnapshot(spark, tableB).getOrElse(
+      sys.error(s"refreshMaterializedJoin: $tableB has no snapshot")).version
+    val viewSnap = Manifest.currentSnapshot(spark, viewTable)
+    val marks =
+      if (fullRefresh) None
+      else viewSnap.flatMap(s => for {
+        a <- s.meta.get(RefreshedAKey); b <- s.meta.get(RefreshedBKey)
+      } yield (a.toLong, b.toLong))
+    marks match {
+      case Some((a0, b0)) if a0 == aCur && b0 == bCur => (aCur, bCur)
+      case Some((a0, b0)) =>
+        require(Manifest.versions(spark, tableA).contains(a0) &&
+          Manifest.versions(spark, tableB).contains(b0),
+          s"refreshMaterializedJoin: watermark (v$a0, v$b0) no longer " +
+            "retained (vacuumed inside the refresh cadence) — " +
+            "rematerialize with fullRefresh = true")
+        val wm = Map(RefreshedAKey -> aCur.toString,
+          RefreshedBKey -> bCur.toString)
+        val feed = joinChanges(spark, tableA, tableB,
+          a0, aCur, b0, bCur, keys).cache()
+        try {
+          if (feed.limit(1).count() == 0) {
+            // churn cancelled out (compactions, rewrites): advance the
+            // watermarks with a metadata-only commit so the next
+            // refresh is the cheap no-op
+            val s = viewSnap.get
+            Manifest.commit(spark, viewTable, s.version, s.paths,
+              s.meta ++ wm)
+          } else {
+            val dels = feed.filter(F.col("_change_type") === "delete")
+              .select(rowKeys.map(F.col): _*)
+            val ins = feed.filter(F.col("_change_type") === "insert")
+              .drop("_change_type")
+            Manifest.applyDeltaMoR(spark, viewTable, dels, ins, rowKeys,
+              meta = wm)
+          }
+        } finally { feed.unpersist(); () }
+        (aCur, bCur)
+      case None =>
+        val full = Manifest.readVersion(spark, tableA, aCur)
+          .join(Manifest.readVersion(spark, tableB, bCur), keys)
+        val meta = Map(RefreshedAKey -> aCur.toString,
+          RefreshedBKey -> bCur.toString)
+        viewSnap match {
+          case Some(s) => Manifest.commitRewrite(spark, viewTable, full,
+            meta = meta, expected = Some(s.version))
+          case None => Manifest.create(spark, viewTable, full, meta = meta)
+        }
+        (aCur, bCur)
+    }
+  }
+
   /** The old-side probe of [[joinChanges]], restricted to the delta's
     * join keys. Single-column keys with a driver-feasible delta key
     * set probe the CURRENT snapshot through the Bloom sidecar's

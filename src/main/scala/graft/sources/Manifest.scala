@@ -1088,6 +1088,129 @@ object Manifest {
     }
   }
 
+  /** MERGE-ON-READ delta application — mask + append in ONE atomic
+    * commit, each side sized by the delta: rows whose `keys` appear in
+    * `deletes` are masked with a delete vector (no file rewritten),
+    * `inserts` lands as an appended directory, and both ride a single
+    * manifest commit — a reader sees the old snapshot or the fully
+    * applied one, never the masked-but-not-inserted middle. This is
+    * the write shape of incremental view maintenance
+    * ([[Incremental.refreshMaterializedJoin]]) and the MoR
+    * counterpart of [[merge]]'s copy-on-write.
+    *
+    * `deletes` carries exactly the key columns (NULL keys match
+    * nothing, duplicates are collapsed); `inserts` must match the
+    * table's schema. The caller asserts `keys` identify rows uniquely
+    * where that matters — masking a key masks EVERY row carrying it.
+    * The positional scan restricts to the Bloom sidecar's candidate
+    * files when one covers a single-column key with a driver-feasible
+    * key set. An all-empty delta is a no-op. The mask debt is repaid
+    * by [[foldDeletes]] / [[compact]] like any vector. */
+  def applyDeltaMoR(spark: SparkSession, table: String,
+      deletes: DataFrame, inserts: DataFrame, keys: Seq[String],
+      meta: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.nonEmpty, "Manifest.applyDeltaMoR: needs key columns")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.applyDeltaMoR: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val raw = readSnapshotRaw(spark, table, snap)
+    require(deletes.columns.toSeq.sorted == keys.sorted,
+      s"Manifest.applyDeltaMoR: deletes must carry exactly the key " +
+        s"columns ${keys.sorted.mkString(",")}, got " +
+        deletes.columns.sorted.mkString(","))
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    checkStageSchema(spark, table, snap, inserts, "applyDeltaMoR")
+    // materialize BOTH legs before deciding anything (the delta may be
+    // derived from this very table — freeze it first)
+    val (insRel, nIns) = writeDataCounted(spark, table, snap.version + 1,
+      inserts.select(raw.columns.map(F.col).toIndexedSeq: _*), parts)
+    val delKeys = deletes.na.drop("any").distinct().cache()
+    val nDel = delKeys.count()
+    if (nIns == 0 && nDel == 0) { delKeys.unpersist(); return snap }
+    // positions to mask: LIVE rows whose keys match — bloom-restricted
+    // when possible, prior masks excluded (no duplicate positions)
+    val dvRelOpt: Option[String] =
+      if (nDel == 0) None
+      else {
+        val partitioned =
+          raw.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+        val posed: DataFrame =
+          if (partitioned)
+            snap.paths.map(p => selectWithPos(
+              spark.read.parquet(s"$table/$p"))).reduce(_ unionByName _)
+          else {
+            val files =
+              if (keys.size == 1) {
+                val cap = 10000
+                val vals = delKeys.limit(cap + 1).collect()
+                  .map(_.get(0)).toSeq
+                if (vals.size <= cap)
+                  pointCandidateFiles(spark, table, snap, keys.head, vals)
+                    .getOrElse(raw.inputFiles.toIndexedSeq)
+                else raw.inputFiles.toIndexedSeq
+              } else raw.inputFiles.toIndexedSeq
+            if (files.isEmpty)
+              // bloom excluded every file: nothing can match
+              selectWithPos(snapshotReader(spark, snap)
+                .parquet(raw.inputFiles.head)).limit(0)
+            else selectWithPos(snapshotReader(spark, snap).parquet(files: _*))
+          }
+        val live = dvFrame(spark, table, snap) match {
+          case None => posed
+          case Some(dv) => posed.join(
+            dv.select(F.col("file").as("__file"), F.col("pos").as("__pos")),
+            Seq("__file", "__pos"), "left_anti")
+        }
+        val doomed = live.join(delKeys, keys, "left_semi")
+          .select(F.col("__file").as("file"), F.col("__pos").as("pos"))
+        val rel = s"_dv/v${"%08d".format(snap.version + 1)}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val dir = new Path(s"$table/$rel")
+        doomed.coalesce(1).write.parquet(dir.toString)
+        if (spark.read.parquet(dir.toString).count() == 0) {
+          fs.delete(dir, true); None
+        } else Some(rel)
+      }
+    delKeys.unpersist()
+    if (nIns == 0 && dvRelOpt.isEmpty) return snap
+    val dvs = snap.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val newMeta = dvRelOpt match {
+      case Some(r) => snap.meta ++ meta + (DvKey -> (dvs :+ r).mkString(","))
+      case None => snap.meta ++ meta
+    }
+    val newPaths = if (nIns == 0) snap.paths else snap.paths :+ insRel
+    commit(spark, table, snap.version, newPaths, newMeta)
+  }
+
+  /** [[merge]]'s MERGE-ON-READ sibling: matched rows are MASKED (one
+    * delta-sized vector, no file rewritten), the whole source appends,
+    * one atomic commit — the upsert shape for hot tables where CoW
+    * write amplification hurts. Same source contract as [[merge]]
+    * (NULL/duplicate keys refused — the frozen copy is checked). */
+  def mergeMoR(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Snapshot = {
+    require(keys.nonEmpty, "Manifest.mergeMoR: needs at least one key column")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.mergeMoR: $table has no committed snapshot"))
+    checkStageSchema(spark, table, snap, source, "mergeMoR")
+    val src = source.cache()
+    try {
+      val bad = src.groupBy(keys.map(F.col).toIndexedSeq: _*)
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") > 1 ||
+          keys.map(k => F.col(k).isNull).reduce(_ || _))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        "Manifest.mergeMoR: source carries NULL or duplicate key rows " +
+          "— an upsert with two writers of one key is ambiguous; " +
+          "dedupe the source first")
+      applyDeltaMoR(spark, table,
+        src.select(keys.map(F.col).toIndexedSeq: _*), src, keys)
+    } finally { src.unpersist(); () }
+  }
+
   // ---- write-audit-publish staging ----
 
   private def stageDir(table: String, id: String) = s"_staged/$id"

@@ -1083,6 +1083,101 @@ class LakehouseSpec extends AnyFunSuite {
       Seq("k")).count() == 0)
   }
 
+  test("mergeMoR: the upsert masks matched rows and appends the source " +
+      "in ONE commit — no data file rewritten; equals the CoW merge " +
+      "row for row; fold repays the mask") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_mmor").toString
+    def mk(t: String) = {
+      val tbl = s"$dir/$t"
+      Manifest.create(spark, tbl,
+        (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+          .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+      tbl
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val (mor, cow) = (mk("mor"), mk("cow"))
+    val source = ((10 to 15).map(i => (i.toLong, s"UPD$i")) ++
+      Seq((201L, "NEW201"))).toDF("id", "s")
+    val v1Paths = Manifest.currentSnapshot(spark, mor).get.paths
+    val s2 = Manifest.mergeMoR(spark, mor, source, Seq("id"))
+    Manifest.merge(spark, cow, source, Seq("id"))
+    // identical result through both write paths
+    assert(rows(Manifest.read(spark, mor)) == rows(Manifest.read(spark, cow)))
+    assert(Manifest.read(spark, mor).count() == 101)
+    // MoR: every v1 data file carried, one append, one vector — and
+    // it all landed in ONE commit
+    assert(s2.version == 2L)
+    assert(v1Paths.toSet.subsetOf(s2.paths.toSet))
+    assert(s2.paths.size == v1Paths.size + 1)
+    assert(s2.meta.contains("delete_vectors"))
+    // ambiguous source refused
+    val e = intercept[IllegalArgumentException](Manifest.mergeMoR(spark,
+      mor, Seq((1L, "a"), (1L, "b")).toDF("id", "s"), Seq("id")))
+    assert(e.getMessage.contains("ambiguous"))
+    // fold repays the mask; rows unchanged
+    val expect = rows(Manifest.read(spark, mor))
+    val s3 = Manifest.foldDeletes(spark, mor)
+    assert(!s3.meta.contains("delete_vectors"))
+    assert(rows(Manifest.read(spark, mor)) == expect)
+  }
+
+  test("refreshMaterializedJoin: watermarked catch-up equals the " +
+      "recomputed join, costs one vector + one append per refresh, " +
+      "no-ops when current, refuses a vacuumed watermark") {
+    import graft.sources.{Incremental, Manifest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_rmj").toString
+    val (ta, tb, tv) = (s"$dir/a", s"$dir/b", s"$dir/v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    Manifest.create(spark, ta,
+      (1 to 40).map(i => (i.toLong, i % 5, s"a$i")).toDF("fid", "k", "av"))
+    Manifest.create(spark, tb,
+      (0 until 5).map(k => (k, s"b$k")).toDF("k", "bv"))
+    def recompute = Manifest.read(spark, ta).join(Manifest.read(spark, tb), Seq("k"))
+    // first refresh materializes
+    assert(Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+      Seq("k"), Seq("fid")) == (1L, 1L))
+    assert(rows(Manifest.read(spark, tv)) == rows(recompute))
+    // churn both sides, catch up: the view equals the recompute and
+    // the catch-up commit is ONE append + ONE vector on the view
+    Manifest.commitAppend(spark, ta,
+      Seq((41L, 0, "a41"), (42L, 1, "a42")).toDF("fid", "k", "av"))
+    Manifest.deleteWhere(spark, ta, $"fid" <= 5L)
+    Manifest.merge(spark, tb, Seq((2, "B2NEW")).toDF("k", "bv"), Seq("k"))
+    val vBefore = Manifest.currentSnapshot(spark, tv).get
+    assert(Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+      Seq("k"), Seq("fid")) == (3L, 2L))
+    val vAfter = Manifest.currentSnapshot(spark, tv).get
+    assert(rows(Manifest.read(spark, tv)) == rows(recompute))
+    assert(vBefore.paths.toSet.subsetOf(vAfter.paths.toSet) &&
+      vAfter.paths.size == vBefore.paths.size + 1,
+      "catch-up must append, not rewrite")
+    assert(vAfter.meta.contains("delete_vectors"))
+    // re-run when current: version does not move
+    assert(Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+      Seq("k"), Seq("fid")) == (3L, 2L))
+    assert(Manifest.currentSnapshot(spark, tv).get.version == vAfter.version)
+    // compaction-only churn: feed is empty, watermark still advances
+    Manifest.compact(spark, ta, targetBytes = 1L << 30)
+    assert(Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+      Seq("k"), Seq("fid")) == (4L, 2L))
+    assert(rows(Manifest.read(spark, tv)) == rows(recompute))
+    // a vacuumed watermark refuses; fullRefresh recovers
+    Manifest.commitAppend(spark, ta, Seq((50L, 3, "a50")).toDF("fid", "k", "av"))
+    Manifest.vacuum(spark, ta, keep = 1)
+    val e = intercept[IllegalArgumentException](
+      Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+        Seq("k"), Seq("fid")))
+    assert(e.getMessage.contains("no longer retained"))
+    assert(Incremental.refreshMaterializedJoin(spark, ta, tb, tv,
+      Seq("k"), Seq("fid"), fullRefresh = true) == (5L, 2L))
+    assert(rows(Manifest.read(spark, tv)) == rows(recompute))
+  }
+
   test("merge refuses ambiguous sources (NULL or duplicate keys) and " +
       "schema drift; a refused merge leaves no committed residue") {
     import graft.sources.Manifest
