@@ -418,6 +418,63 @@ object Round15Queries {
              |  CAST(sum(src_rank) AS BIGINT) AS sum_rank,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  true AS delta_applied, true AS idempotent
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // RESTORE (rollback as a forward commit): take down a third of the
+    // table, append foreign rows, then restore v1 — the content comes
+    // back EXACTLY (oracle = the untouched fixture), history keeps all
+    // four versions inspectable, and the restore's own change feed is
+    // precisely the take-down rows returning and the appended rows
+    // leaving.
+    NamedQuery("q214_restore",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("restore") + "/docs"
+        Manifest.create(s, table, docs)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.deleteWhere(s, table, col("doc_id") % 3 === 0)   // v2
+        Manifest.commitAppend(s, table,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              F.lit("alien").as("source"), col("n_chars")))       // v3
+        val s4 = Manifest.restore(s, table, 1L)
+        val ch = Manifest.readChanges(s, table, 3L, 4L)
+        val feed = ch.agg(
+          F.count(F.when(col("_change_type") === "insert", 1))
+            .as("back_rows"),
+          F.sum(F.when(col("_change_type") === "insert", col("doc_id")))
+            .cast("long").as("back_sum"),
+          F.count(F.when(col("_change_type") === "delete", 1))
+            .as("gone_rows"))
+        val history = s4.version == 4L &&
+          Manifest.versions(s, table) == Seq(1L, 2L, 3L, 4L) &&
+          Manifest.readVersion(s, table, 2L)
+            .filter(col("doc_id") % 3 === 0).count() == 0
+        Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("doc_id").cast("long").as("sum_id"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          (F.count(F.when(col("source") === "alien", 1)) === 0)
+            .as("aliens_gone"))
+          .crossJoin(feed)
+          .select(col("n_rows"), col("sum_id"), col("sum_chars"),
+            col("aliens_gone"), col("back_rows"), col("back_sum"),
+            col("gone_rows"), F.lit(history).as("history_intact"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS aliens_gone,
+             |  CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+             |    AS back_rows,
+             |  CAST(sum(doc_id) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+             |    AS back_sum,
+             |  CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
+             |    AS gone_rows,
+             |  true AS history_intact
+             |FROM documents""".stripMargin))
   )
 }

@@ -504,6 +504,30 @@ object Manifest {
     readSnapshotData(spark, table, snap)
   }
 
+  /** ROLLBACK as a FORWARD commit (the Delta RESTORE shape): re-commit
+    * a retained version's file list and metadata as version N+1.
+    * History stays immutable and append-only — nothing is deleted,
+    * pinned readers are unaffected, the bad versions remain
+    * inspectable, and the restore itself shows in the change feed as
+    * exactly the rows it brings back / removes. The restored state is
+    * the WHOLE of version `v`'s state: data entries, layout, evolved
+    * schema, delete vectors, and every metadata annotation (a
+    * streaming sink's high-water mark included — a replayed batch
+    * after a restore behaves as it did at `v`). All of `v`'s
+    * directories are still referenced by its retained manifest, so
+    * nothing has been vacuumed from under it. Restoring the current
+    * version is a no-op. */
+  def restore(spark: SparkSession, table: String, v: Long): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.restore: $table has no committed snapshot"))
+    if (v == snap.version) return snap
+    require(versions(spark, table).contains(v),
+      s"Manifest.restore: $table has no retained version $v " +
+        "(vacuumed?) — a restore needs the target's manifest")
+    val old = readSnapshot(spark, table, v)
+    commit(spark, table, snap.version, old.paths, old.meta)
+  }
+
   /** File-level diff between two retained versions: (added, removed)
     * relative paths, v1 → v2. Driver-side manifest metadata only —
     * nothing scans data. The row-level diff is [[readChanges]]. */

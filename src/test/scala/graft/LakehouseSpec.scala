@@ -1083,6 +1083,88 @@ class LakehouseSpec extends AnyFunSuite {
       Seq("k")).count() == 0)
   }
 
+  test("delete vectors on a schema-evolved table: the mask crosses " +
+      "pre- and post-evolution files, NULL serving holds, fold keeps " +
+      "the committed schema") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_dvevo").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl,
+      (41 to 60).map(i => (i.toLong, s"r$i", i * 10L)).toDF("id", "s", "n"),
+      mergeSchema = true)
+    // mask rows on BOTH sides of the evolution in one MoR delete
+    Manifest.deleteWhereMoR(spark, tbl, $"id" === 10L || $"id" === 50L)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 58)
+    assert(after.filter($"id".isin(10L, 50L)).count() == 0)
+    // pre-evolution rows still serve NULL for the evolved column
+    assert(after.filter($"id" === 5L).select("n").head().isNullAt(0))
+    assert(after.filter($"id" === 45L).select("n").head().getLong(0) == 450L)
+    // the feed of the mask commit crosses the evolution cleanly
+    val ch = Manifest.readChanges(spark, tbl, 2L, 3L)
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 50L))
+    // fold: mask clears, committed schema survives, rows hold
+    val expect = after.collect().map(_.toString).sorted.toSeq
+    val s4 = Manifest.foldDeletes(spark, tbl)
+    assert(!s4.meta.contains("delete_vectors") &&
+      s4.meta.contains("table_schema"))
+    assert(Manifest.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+      == expect)
+  }
+
+  test("restore: rollback is a forward commit — content returns " +
+      "exactly, history and pinned readers stand, the change feed " +
+      "shows the rows coming back, vacuumed targets refuse") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_restore").toString
+    val tbl = s"$dir/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    Manifest.create(spark, tbl,
+      (1 to 60).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val v1Rows = rows(Manifest.read(spark, tbl))
+    Manifest.commitAppend(spark, tbl,
+      (61 to 70).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Manifest.deleteWhere(spark, tbl, $"id" % 3 === 0)        // v3
+    val pinned = Manifest.read(spark, tbl)
+    val pinnedRows = rows(pinned)
+    val s4 = Manifest.restore(spark, tbl, 1L)
+    assert(s4.version == 4L)
+    assert(rows(Manifest.read(spark, tbl)) == v1Rows)
+    // the bad versions stay inspectable; the pinned reader stands
+    assert(rows(Manifest.readVersion(spark, tbl, 3L)) == pinnedRows)
+    assert(rows(pinned) == pinnedRows)
+    // the restore's feed: exactly the deleted rows return, the
+    // appended rows leave
+    val ch = Manifest.readChanges(spark, tbl, 3L, 4L)
+    assert(ch.filter($"_change_type" === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 60L).filter(_ % 3 == 0))
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (61L to 70L).filterNot(_ % 3 == 0))
+    // restoring the current version commits nothing
+    assert(Manifest.restore(spark, tbl, 4L).version == 4L)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L, 4L))
+    // a restore composes with MoR state: mask, restore past it, the
+    // mask belongs to the restored version's meta (none here)
+    Manifest.deleteWhereMoR(spark, tbl, $"id" === 5L)         // v5
+    assert(Manifest.read(spark, tbl).count() == 59)
+    Manifest.restore(spark, tbl, 4L)                          // v6
+    assert(Manifest.read(spark, tbl).count() == 60,
+      "restoring to a pre-mask version must clear the mask")
+    // vacuumed target refuses loudly
+    Manifest.vacuum(spark, tbl, keep = 2)
+    val e = intercept[IllegalArgumentException](
+      Manifest.restore(spark, tbl, 1L))
+    assert(e.getMessage.contains("no retained version"))
+  }
+
   test("mergeMoR: the upsert masks matched rows and appends the source " +
       "in ONE commit — no data file rewritten; equals the CoW merge " +
       "row for row; fold repays the mask") {
