@@ -1026,7 +1026,10 @@ object Manifest {
     val rel = s"_dv/v${"%08d".format(snap.version + 1)}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(s"$table/$rel")
-    // a takedown's vector is small by nature: one file
+    // a takedown's vector is small by nature: one file. (A mask past
+    // ~10^8 positions would make this single writer the bottleneck —
+    // but at that selectivity the right tool is the CoW delete or a
+    // compaction, not a vector.)
     doomed.coalesce(1).write.parquet(dir.toString)
     val n = spark.read.parquet(dir.toString).count()
     if (n == 0) { fs.delete(dir, true); return snap }
@@ -1233,6 +1236,42 @@ object Manifest {
       applyDeltaMoR(spark, table,
         src.select(keys.map(F.col).toIndexedSeq: _*), src, keys)
     } finally { src.unpersist(); () }
+  }
+
+  /** Export the CURRENT snapshot as a symlink-format manifest — one
+    * text file of absolute file URIs under
+    * `_symlink_format_manifest/manifest.txt` (the Delta/Athena
+    * interchange shape): an external engine that can read a file list
+    * gets a CONSISTENT snapshot without speaking this table's
+    * protocol. Written tmp-then-rename so a concurrent external
+    * reader never sees a half list. REFUSED while delete vectors are
+    * live — an external reader cannot apply the mask, so exporting
+    * would resurrect deleted rows; [[foldDeletes]] first. The export
+    * names the snapshot version in a trailing comment line readers
+    * skip. Returns the file list it wrote. */
+  def writeSymlinkManifest(spark: SparkSession, table: String): Seq[String] = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.writeSymlinkManifest: $table has no " +
+        "committed snapshot"))
+    require(!snap.meta.contains(DvKey),
+      s"Manifest.writeSymlinkManifest: $table carries live delete " +
+        "vectors an external reader cannot apply — foldDeletes first")
+    val fs = fsFor(spark, table)
+    val files = readSnapshotRaw(spark, table, snap).inputFiles.toSeq.sorted
+    val dir = new Path(s"$table/_symlink_format_manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") +
+      s"\n# snapshot_version=${snap.version}\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(dir, "manifest.txt")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error("Manifest.writeSymlinkManifest: rename failed")
+    }
+    files
   }
 
   // ---- write-audit-publish staging ----

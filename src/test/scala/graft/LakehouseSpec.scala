@@ -1116,6 +1116,37 @@ class LakehouseSpec extends AnyFunSuite {
       == expect)
   }
 
+  test("symlink-format manifest export: a consistent absolute file " +
+      "list for external engines, refused while a mask is live") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_sym").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(3))
+    Manifest.commitAppend(spark, tbl,
+      (41 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val files = Manifest.writeSymlinkManifest(spark, tbl)
+    // the export IS the snapshot's file list, and reading exactly
+    // those files reproduces the table
+    assert(files.toSet ==
+      Manifest.read(spark, tbl).inputFiles.toSet)
+    val listed = scala.io.Source.fromFile(
+      s"$tbl/_symlink_format_manifest/manifest.txt").getLines().toSeq
+    assert(listed.filterNot(_.startsWith("#")) == files)
+    assert(listed.last == "# snapshot_version=2")
+    assert(spark.read.parquet(files: _*).count() == 50)
+    // a live mask refuses (an external reader cannot apply it);
+    // folding re-enables
+    Manifest.deleteWhereMoR(spark, tbl, $"id" === 7L)
+    val e = intercept[IllegalArgumentException](
+      Manifest.writeSymlinkManifest(spark, tbl))
+    assert(e.getMessage.contains("delete vectors"))
+    Manifest.foldDeletes(spark, tbl)
+    val files2 = Manifest.writeSymlinkManifest(spark, tbl)
+    assert(spark.read.parquet(files2: _*).count() == 49)
+  }
+
   test("restore: rollback is a forward commit — content returns " +
       "exactly, history and pinned readers stand, the change feed " +
       "shows the rows coming back, vacuumed targets refuse") {
