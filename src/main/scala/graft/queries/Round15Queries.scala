@@ -475,6 +475,63 @@ object Round15Queries {
              |  CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
              |    AS gone_rows,
              |  true AS history_intact
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // EXACTLY-ONCE STREAMING UPSERT (the foreachBatch MERGE shape,
+    // driven at the batch handler for determinism): batch 0 creates,
+    // batch 1 upserts (updates masked + inserts appended in ONE
+    // commit, every base file carried), an identical replay of batch 1
+    // SKIPS (version chain unchanged), and the final table matches the
+    // oracle's recomputed upsert state.
+    NamedQuery("q215_stream_upsert",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("musink") + "/docs"
+        graft.streaming.Streaming.upsertBatchExactlyOnce(
+          table, docs, 0L, Seq("doc_id"), None)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val v1Paths = Manifest.currentSnapshot(s, table).get.paths.toSet
+        val b1 = docs.filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id"), F.lit("upd").as("source"),
+            (col("n_chars") + 500L).as("n_chars"))
+          .unionByName(docs.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              F.lit("new").as("source"), col("n_chars")))
+        graft.streaming.Streaming.upsertBatchExactlyOnce(
+          table, b1, 1L, Seq("doc_id"), None)
+        val s2 = Manifest.currentSnapshot(s, table).get
+        val oneCommit = s2.version == 2L &&
+          v1Paths.subsetOf(s2.paths.toSet) &&
+          s2.meta.contains("delete_vectors")
+        // identical replay: the exactly-once skip
+        graft.streaming.Streaming.upsertBatchExactlyOnce(
+          table, b1, 1L, Seq("doc_id"), None)
+        val replaySkipped =
+          Manifest.currentSnapshot(s, table).get.version == 2L
+        Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count(F.when(col("source") === "upd", 1)).as("n_upd"),
+          F.count(F.when(col("source") === "new", 1)).as("n_new"))
+          .select(col("n_rows"), col("sum_chars"), col("n_upd"),
+            col("n_new"), F.lit(oneCommit).as("one_commit"),
+            F.lit(replaySkipped).as("replay_skipped"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT n_chars + 500 AS n_chars, 'upd' AS src
+             |    FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL SELECT n_chars, 'new' FROM documents
+             |    WHERE doc_id % 9 = 0
+             |  UNION ALL SELECT n_chars, 'kept' FROM documents
+             |    WHERE doc_id % 4 <> 1)
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE src = 'upd') AS BIGINT) AS n_upd,
+             |  CAST(count(*) FILTER (WHERE src = 'new') AS BIGINT) AS n_new,
+             |  true AS one_commit, true AS replay_skipped
+             |FROM fin""".stripMargin))
   )
 }

@@ -513,6 +513,106 @@ object Streaming {
       }
       .start()
 
+  /** Exactly-once streaming UPSERT into a manifested table — the
+    * foreachBatch MERGE pattern: each micro-batch lands through
+    * [[graft.sources.Manifest.applyDeltaMoR]] (matched keys masked by
+    * one delta-sized vector, the batch appended, ONE atomic commit),
+    * under the SAME lineage protection as [[sinkToManifest]] (batch
+    * high-water + content fingerprint in the same commit's metadata —
+    * identical replays skip, divergent lineages fail loudly). The CDC
+    * consumer shape: a stream of keyed upserts maintains a hot
+    * dimension table with no rewrite amplification; schedule
+    * [[graft.sources.Manifest.foldDeletes]] as maintenance.
+    *
+    * A batch carrying several versions of one key is AMBIGUOUS unless
+    * `orderCol` names a column whose per-key maximum picks the winner
+    * (ties refuse — silently keeping either row is the bug); without
+    * `orderCol`, duplicate keys refuse outright. */
+  def upsertToManifest(docs: DataFrame, table: String, checkpoint: String,
+      keys: Seq[String], orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatchExactlyOnce(table, batch, batchId, keys, orderCol)
+      }
+      .start()
+
+  /** The exactly-once upsert landing behind [[upsertToManifest]] —
+    * [[landBatchExactlyOnce]]'s discipline with applyDeltaMoR as the
+    * commit. The fingerprint is taken over the PRE-dedup batch (the
+    * bytes the source replays), so an identical replay skips even
+    * when dedup would also have made the merge idempotent. */
+  private[graft] def upsertBatchExactlyOnce(table: String,
+      batch0: DataFrame, batchId: Long, keys: Seq[String],
+      orderCol: Option[String]): Unit = {
+    import graft.sources.Manifest
+    val s = batch0.sparkSession
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      val fp = contentFingerprint(batch)
+      val cur = Manifest.currentSnapshot(s, table)
+      cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
+        case Some(n) if batchId < n => sys.error(
+          s"manifest upsert sink: batch id $batchId is below $table's " +
+            s"recorded high-water $n — a different stream lineage is " +
+            "feeding this table; refusing to guess. Resume the original " +
+            "checkpoint or start a new table.")
+        case Some(n) if batchId == n =>
+          val recorded = cur.flatMap(_.meta.get("stream_batch_fp"))
+          if (!recorded.contains(fp)) sys.error(
+            s"manifest upsert sink: batch $batchId replayed with " +
+              s"DIFFERENT content than the landed one (recorded " +
+              s"${recorded.getOrElse("?")}, got $fp) — refusing the " +
+              "silent skip.")
+        // identical replay: the exactly-once skip
+        case _ =>
+          val deduped = orderCol match {
+            case None => batch
+            case Some(oc) =>
+              // per-key winner by max(orderCol); an exact tie between
+              // DIFFERENT rows refuses — picking one silently is the bug
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(F.col): _*)
+                .orderBy(F.col(oc).desc)
+              val ranked = batch.withColumn("__rk", F.rank().over(w))
+              val ties = ranked.filter(F.col("__rk") === 1)
+                .groupBy(keys.map(F.col): _*)
+                .agg(F.countDistinct(F.struct(
+                  batch.columns.map(F.col).toIndexedSeq: _*)).as("__n"))
+                .filter(F.col("__n") > 1).limit(1).count()
+              if (ties > 0) sys.error(
+                s"manifest upsert sink: batch $batchId carries tied " +
+                  s"$oc versions of one key with different rows — " +
+                  "no deterministic winner; refuse rather than guess")
+              ranked.filter(F.col("__rk") === 1).drop("__rk").distinct()
+          }
+          val meta = Map("stream_batch" -> batchId.toString,
+            "stream_batch_fp" -> fp)
+          if (!Manifest.isManifested(s, table))
+            Manifest.create(s, table, deduped, meta = meta)
+          else {
+            // post-dedup ambiguity (no orderCol, duplicate keys) still
+            // refuses — applyDeltaMoR itself doesn't check
+            val dup = deduped.groupBy(keys.map(F.col): _*)
+              .agg(F.count(F.lit(1)).as("__n"))
+              .filter(F.col("__n") > 1 ||
+                keys.map(k => F.col(k).isNull).reduce(_ || _))
+              .limit(1).count()
+            if (dup > 0) sys.error(
+              s"manifest upsert sink: batch $batchId carries NULL or " +
+                "duplicate keys — pass orderCol to pick per-key " +
+                "winners, or dedupe upstream")
+            Manifest.applyDeltaMoR(s, table,
+              deduped.select(keys.map(F.col): _*), deduped, keys,
+              meta = meta)
+          }
+          ()
+      }
+    } finally { batch.unpersist(); () }
+  }
+
   /** The exactly-once landing shared by [[sinkToManifest]] and
     * [[curateArrivals]]. Batch ids are only meaningful WITHIN one
     * checkpoint lineage, so id ordering alone cannot distinguish "the

@@ -928,4 +928,60 @@ class StreamingSpec extends AnyFunSuite {
     val batch = batchRows(Tables.events(spark, sf).groupBy("event_type").count())
     assert(stream.sameElements(batch)) // fixture ids unique -> no-op dedup
   }
+
+  test("exactly-once streaming upsert sink: keyed micro-batches merge " +
+      "on read, replays skip, lineage divergence and ambiguity refuse") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_musink").toString
+    val tbl = s"$dir/t"
+    def rows = Manifest.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    // batch 0 creates the table
+    val b0 = Seq((1L, "a1", 10L), (2L, "a2", 10L), (3L, "a3", 10L))
+      .toDF("id", "s", "seq")
+    Streaming.upsertBatchExactlyOnce(tbl, b0, 0L, Seq("id"), Some("seq"))
+    assert(Manifest.read(spark, tbl).count() == 3)
+    // batch 1: update 2 (two versions — seq winner), insert 4; ONE
+    // commit: every base file carried, mask + append together
+    val v1Paths = Manifest.currentSnapshot(spark, tbl).get.paths.toSet
+    val b1 = Seq((2L, "a2v1", 11L), (2L, "a2v2", 12L), (4L, "a4", 11L))
+      .toDF("id", "s", "seq")
+    Streaming.upsertBatchExactlyOnce(tbl, b1, 1L, Seq("id"), Some("seq"))
+    val s2 = Manifest.currentSnapshot(spark, tbl).get
+    assert(s2.version == 2L && v1Paths.subsetOf(s2.paths.toSet))
+    assert(s2.meta.contains("delete_vectors"))
+    val expected = Seq((1L, "a1", 10L), (2L, "a2v2", 12L),
+      (3L, "a3", 10L), (4L, "a4", 11L))
+      .toDF("id", "s", "seq").collect().map(_.toString).sorted.toSeq
+    assert(rows == expected)
+    // identical replay of batch 1 (fresh-checkpoint crash shape): skip
+    Streaming.upsertBatchExactlyOnce(tbl, b1, 1L, Seq("id"), Some("seq"))
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L) && rows == expected)
+    // same id, different content: loud refusal
+    val e1 = intercept[RuntimeException](Streaming.upsertBatchExactlyOnce(
+      tbl, b1.limit(1), 1L, Seq("id"), Some("seq")))
+    assert(e1.getMessage.contains("DIFFERENT content"))
+    // a tied order column with different rows: loud refusal
+    val tied = Seq((5L, "x", 7L), (5L, "y", 7L)).toDF("id", "s", "seq")
+    val e2 = intercept[RuntimeException](Streaming.upsertBatchExactlyOnce(
+      tbl, tied, 2L, Seq("id"), Some("seq")))
+    assert(e2.getMessage.contains("tied"))
+    // duplicate keys without an order column: loud refusal
+    val e3 = intercept[RuntimeException](Streaming.upsertBatchExactlyOnce(
+      tbl, tied, 2L, Seq("id"), None))
+    assert(e3.getMessage.contains("duplicate keys"))
+    // the real stream driver end-to-end: upsert the documents stream
+    // into a fresh table keyed by doc_id (single batch ⇒ pure create)
+    val tbl2 = s"$dir/t2"
+    val q = Streaming.upsertToManifest(
+      Streaming.documentsStream(spark, sf).select("doc_id", "source"),
+      tbl2, java.nio.file.Files.createTempDirectory("graft_musink_c").toString,
+      Seq("doc_id"))
+    try q.processAllAvailable() finally q.stop()
+    assert(Manifest.read(spark, tbl2).count() ==
+      graft.cubes.Tables.documents(spark, sf).count())
+    // fold maintenance composes
+    Manifest.foldDeletes(spark, tbl)
+    assert(rows == expected)
+  }
 }
