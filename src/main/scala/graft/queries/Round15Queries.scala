@@ -532,6 +532,58 @@ object Round15Queries {
              |  CAST(count(*) FILTER (WHERE src = 'upd') AS BIGINT) AS n_upd,
              |  CAST(count(*) FILTER (WHERE src = 'new') AS BIGINT) AS n_new,
              |  true AS one_commit, true AS replay_skipped
-             |FROM fin""".stripMargin))
+             |FROM fin""".stripMargin)),
+
+    // CHECK CONSTRAINTS: a contract the fixture satisfies lands after
+    // a full-scan validation; one the fixture breaks refuses with the
+    // oracle-recomputed violation count in the error; a violating
+    // append refuses with NOTHING committed (version chain pinned); a
+    // conforming append lands; finals recomputed by the oracle.
+    NamedQuery("q216_check_constraints",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("check") + "/docs"
+        Manifest.create(s, table, docs)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.addCheck(s, table, "chars_nonneg", "n_chars >= 0")
+        // a contract the data breaks: doc_id % 2 = 0 rows violate
+        val refusedMsg =
+          try { Manifest.addCheck(s, table, "odd_only", "doc_id % 2 = 1"); "" }
+          catch { case e: Throwable => e.getMessage }
+        val evens = docs.filter(col("doc_id") % 2 === 0).count()
+        val addRefused = refusedMsg.contains(s"$evens row(s)")
+        val badAppendRefused =
+          try {
+            Manifest.commitAppend(s, table,
+              docs.limit(1).select((col("doc_id") + maxId + 1L).as("doc_id"),
+                col("source"), F.lit(-5L).as("n_chars")))
+            false
+          } catch { case e: Throwable =>
+            e.getMessage.contains("CHECK chars_nonneg") &&
+              Manifest.versions(s, table) == Seq(1L, 2L)
+          }
+        Manifest.commitAppend(s, table,
+          docs.filter(col("doc_id") % 6 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              F.lit("ok").as("source"), col("n_chars")))
+        Manifest.read(s, table).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count(F.when(col("source") === "ok", 1)).as("n_ok"))
+          .select(col("n_rows"), col("sum_chars"), col("n_ok"),
+            F.lit(addRefused).as("add_refused"),
+            F.lit(badAppendRefused).as("bad_append_refused"))
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM documents) +
+             |    count(*) FILTER (WHERE doc_id % 6 = 0) AS BIGINT) AS n_rows,
+             |  CAST((SELECT sum(n_chars) FROM documents) +
+             |    sum(n_chars) FILTER (WHERE doc_id % 6 = 0) AS BIGINT)
+             |    AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE doc_id % 6 = 0) AS BIGINT) AS n_ok,
+             |  true AS add_refused, true AS bad_append_refused
+             |FROM documents""".stripMargin))
   )
 }

@@ -380,6 +380,7 @@ object Manifest {
     expected.foreach(e => require(snap.version == e,
       s"Manifest.commitRewrite: $table moved to v${snap.version} " +
         s"(expected v$e) — re-resolve and retry"))
+    enforceChecks(spark, snap, df, "commitRewrite")
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     // carry the metadata forward (new keys win) — but a REWRITE defines
     // the new layout, so a stale partition_by from the old layout is
@@ -462,6 +463,7 @@ object Manifest {
     require(!(snap.meta.contains(SchemaKey) && partitionBy.nonEmpty),
       "Manifest.commitAppend: cannot add hive-partitioned entries to " +
         "a schema-evolved table")
+    enforceChecks(spark, snap, df, "commitAppend")
     val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
     val evolved =
       if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
@@ -902,6 +904,9 @@ object Manifest {
         "rows — an upsert with two writers of one key is ambiguous; " +
         "dedupe the source first")
     }
+    try enforceChecks(spark, snap, src, "merge") catch { case e: Throwable =>
+      fs.delete(new Path(s"$table/$srcRel"), true); throw e
+    }
     val srcKeys = src.select(keys.map(F.col).toIndexedSeq: _*).distinct()
     // 2. phase 1 — EXACT touched-file set, bloom-restricted when possible
     val scanned =
@@ -1152,6 +1157,12 @@ object Manifest {
     // derived from this very table — freeze it first)
     val (insRel, nIns) = writeDataCounted(spark, table, snap.version + 1,
       inserts.select(raw.columns.map(F.col).toIndexedSeq: _*), parts)
+    if (nIns > 0)
+      try enforceChecks(spark, snap,
+        spark.read.parquet(s"$table/$insRel"), "applyDeltaMoR")
+      catch { case e: Throwable =>
+        fs.delete(new Path(s"$table/$insRel"), true); throw e
+      }
     val delKeys = deletes.na.drop("any").distinct().cache()
     val nDel = delKeys.count()
     if (nIns == 0 && nDel == 0) { delKeys.unpersist(); return snap }
@@ -1238,6 +1249,83 @@ object Manifest {
     } finally { src.unpersist(); () }
   }
 
+  // ---- CHECK constraints (data-quality contracts on the table) ----
+
+  private val CheckPrefix = "check_"
+
+  /** The table's CHECK constraints: name → boolean SQL expression over
+    * a row, from the snapshot's commit metadata. */
+  def checks(snap: Snapshot): Map[String, String] =
+    snap.meta.collect { case (k, v) if k.startsWith(CheckPrefix) =>
+      k.stripPrefix(CheckPrefix) -> v }
+
+  /** ADD a CHECK constraint (the Delta `ADD CONSTRAINT` shape): a
+    * boolean SQL expression every row must not falsify — SQL
+    * three-valued semantics, so NULL passes and only FALSE violates.
+    * The EXISTING data is validated first (one full scan — adding a
+    * contract to 100 TB costs one read, exactly as in Delta)
+    * and the constraint lands as a metadata-only commit. From then on
+    * every write path that introduces NEW rows — appends, merges (CoW
+    * and MoR), staged publishes, streaming batches — enforces it
+    * batch-sized before anything commits; rewrites of existing rows
+    * (compaction, CoW deletes, folds) conform by induction and pay
+    * nothing. Constraints inherit across commits and ride [[restore]]
+    * like all table state. */
+  def addCheck(spark: SparkSession, table: String, name: String,
+      expr: String): Snapshot = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"Manifest.addCheck: constraint names are [A-Za-z0-9_]+, got '$name'")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.addCheck: $table has no committed snapshot"))
+    violations(readSnapshotData(spark, table, snap),
+      Map(name -> expr)) match {
+      case Some((n, cnt)) => sys.error(
+        s"Manifest.addCheck: existing rows of $table violate CHECK " +
+          s"$n ($expr) — $cnt row(s); a contract cannot be added " +
+          "over data that breaks it")
+      case None =>
+        commit(spark, table, snap.version, snap.paths,
+          snap.meta + (CheckPrefix + name -> expr))
+    }
+  }
+
+  /** DROP a CHECK constraint — metadata-only commit; unknown names
+    * refuse (a silently-missing contract is the quiet failure). */
+  def dropCheck(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.dropCheck: $table has no committed snapshot"))
+    require(snap.meta.contains(CheckPrefix + name),
+      s"Manifest.dropCheck: $table has no CHECK named '$name'")
+    commit(spark, table, snap.version, snap.paths,
+      snap.meta - (CheckPrefix + name))
+  }
+
+  /** First violated (name, count) across all `cs`, in ONE pass over
+    * `df` — or None. Violation = the expression evaluates FALSE (SQL
+    * CHECK semantics: NULL is unknown, unknown passes). */
+  private def violations(df: DataFrame,
+      cs: Map[String, String]): Option[(String, Long)] = {
+    if (cs.isEmpty) return None
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map(n => F.count(F.when(
+      !F.coalesce(F.expr(cs(n)), F.lit(true)), 1)).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    names.zipWithIndex.collectFirst {
+      case (n, i) if row.getLong(i) > 0 => (n, row.getLong(i))
+    }
+  }
+
+  /** The write-path gate: refuse `df` if it falsifies any of the
+    * snapshot's CHECK constraints. One batch-sized aggregation. */
+  private def enforceChecks(spark: SparkSession, snap: Snapshot,
+      df: DataFrame, what: String): Unit =
+    violations(df, checks(snap)).foreach { case (n, cnt) =>
+      sys.error(s"Manifest.$what: batch violates CHECK $n " +
+        s"(${snap.meta(CheckPrefix + n)}) — $cnt row(s); nothing " +
+        "committed")
+    }
+
   /** Export the CURRENT snapshot as a symlink-format manifest — one
     * text file of absolute file URIs under
     * `_symlink_format_manifest/manifest.txt` (the Delta/Athena
@@ -1315,6 +1403,9 @@ object Manifest {
       fs.delete(dir, true)
       sys.error(s"Manifest.stageAppend: refusing to stage an empty batch")
     }
+    try enforceChecks(spark, snap, spark.read.parquet(dir.toString),
+      "stageAppend")
+    catch { case e: Throwable => fs.delete(dir, true); throw e }
     val out = fs.create(stageMarker(table, id), false)
     try out.write(s"$rel\n".getBytes("UTF-8")) finally out.close()
     id
@@ -1375,6 +1466,10 @@ object Manifest {
     val rel = stageDir(table, id)
     checkStageSchema(spark, table, snap,
       spark.read.parquet(s"$table/$rel"), "publishStage")
+    // constraints may have been added since staging: re-check, so a
+    // publish can never smuggle rows past a newer contract
+    enforceChecks(spark, snap, spark.read.parquet(s"$table/$rel"),
+      "publishStage")
     val out = commit(spark, table, snap.version, snap.paths :+ rel,
       snap.meta ++ meta)
     fs.delete(marker, false)

@@ -1116,6 +1116,67 @@ class LakehouseSpec extends AnyFunSuite {
       == expect)
   }
 
+  test("CHECK constraints: contracts validate existing data at add " +
+      "time, gate every new-row write path, pass NULL (SQL " +
+      "three-valued), inherit across commits, and drop loudly") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_check").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 30).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // adding a contract existing data breaks refuses
+    val e0 = intercept[RuntimeException](
+      Manifest.addCheck(spark, tbl, "small", "id < 10"))
+    assert(e0.getMessage.contains("existing rows") &&
+      e0.getMessage.contains("21 row(s)"))
+    val s2 = Manifest.addCheck(spark, tbl, "positive", "id > 0")
+    assert(Manifest.checks(s2) == Map("positive" -> "id > 0"))
+    // appends: violating batch refuses with nothing committed
+    val e1 = intercept[RuntimeException](Manifest.commitAppend(spark, tbl,
+      Seq((-1L, "bad")).toDF("id", "s")))
+    assert(e1.getMessage.contains("CHECK positive"))
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    Manifest.commitAppend(spark, tbl, Seq((31L, "ok")).toDF("id", "s"))
+    // CoW merge and MoR merge both gate their frozen source
+    val e2 = intercept[RuntimeException](Manifest.merge(spark, tbl,
+      Seq((5L, "x"), (-2L, "y")).toDF("id", "s"), Seq("id")))
+    assert(e2.getMessage.contains("CHECK positive"))
+    val e3 = intercept[RuntimeException](Manifest.mergeMoR(spark, tbl,
+      Seq((-3L, "z")).toDF("id", "s"), Seq("id")))
+    assert(e3.getMessage.contains("CHECK positive"))
+    Manifest.merge(spark, tbl, Seq((5L, "UPD5")).toDF("id", "s"), Seq("id"))
+    // staged batches gate at stage time; a contract added AFTER
+    // staging still gates the publish
+    val e4 = intercept[RuntimeException](Manifest.stageAppend(spark, tbl,
+      Seq((-4L, "w")).toDF("id", "s")))
+    assert(e4.getMessage.contains("CHECK positive"))
+    val staged = Manifest.stageAppend(spark, tbl,
+      Seq((200L, "big")).toDF("id", "s"))
+    Manifest.addCheck(spark, tbl, "under100", "id <= 100 or s = 'r31'")
+    val e5 = intercept[RuntimeException](
+      Manifest.publishStage(spark, tbl, staged))
+    assert(e5.getMessage.contains("CHECK under100"))
+    Manifest.dropStage(spark, tbl, staged)
+    // NULL passes (SQL CHECK semantics): a null id violates 'positive'?
+    // no — NULL > 0 is unknown, unknown passes
+    Manifest.commitAppend(spark, tbl,
+      Seq((Some(99L), "ok2"), (None, "nullrow")).toDF("id", "s")
+        .select($"id".cast("long").as("id"), $"s"))
+    assert(Manifest.read(spark, tbl).filter($"id".isNull).count() == 1)
+    // contracts inherit across compaction and ride the change feed era
+    Manifest.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(Manifest.checks(Manifest.currentSnapshot(spark, tbl).get)
+      .keySet == Set("positive", "under100"))
+    // drop: unknown names refuse, known ones go
+    intercept[IllegalArgumentException](
+      Manifest.dropCheck(spark, tbl, "nope"))
+    val sD = Manifest.dropCheck(spark, tbl, "under100")
+    assert(Manifest.checks(sD).keySet == Set("positive"))
+    Manifest.commitAppend(spark, tbl, Seq((200L, "big")).toDF("id", "s"))
+    assert(Manifest.read(spark, tbl).filter($"id" === 200L).count() == 1)
+  }
+
   test("symlink-format manifest export: a consistent absolute file " +
       "list for external engines, refused while a mask is live") {
     import graft.sources.Manifest
