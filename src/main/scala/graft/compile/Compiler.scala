@@ -44,9 +44,10 @@ object Compiler {
           s"cube '${cube.name}': option 'asOf' needs a manifested source " +
             "(this cube reads a plain table with no snapshot history)"))
         val spark = cube.fact.sparkSession
-        val fact = (a.version, a.tsMillis) match {
-          case (Some(v), _) => Manifest.readVersion(spark, tbl, v)
-          case (_, Some(ts)) => Manifest.readAsOf(spark, tbl, ts)
+        val fact = (a.version, a.tsMillis, a.tag) match {
+          case (Some(v), _, _) => Manifest.readVersion(spark, tbl, v)
+          case (_, Some(ts), _) => Manifest.readAsOf(spark, tbl, ts)
+          case (_, _, Some(t)) => Manifest.readTag(spark, tbl, t)
           case _ => Manifest.read(spark, tbl)
         }
         return compile(q.copy(

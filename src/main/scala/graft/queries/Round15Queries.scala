@@ -584,6 +584,162 @@ object Round15Queries {
              |    AS sum_chars,
              |  CAST(count(*) FILTER (WHERE doc_id % 6 = 0) AS BIGINT) AS n_ok,
              |  true AS add_refused, true AS bad_append_refused
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // VERSIONED TABLE STREAM (append tail): a manifested table tailed
+    // as a Structured Streaming source — initial snapshot, then two
+    // appended commits, one landing while the stream is DOWN and
+    // picked up on restart from the checkpointed version offset. The
+    // parquet sink's content proves exactly-once end to end:
+    // n_ids == n_rows (no replay), totals recomputed by the oracle,
+    // and the pre-restart sink count pins that the restart served
+    // EXACTLY the missed commit.
+    NamedQuery("q217_table_stream",
+      (s, d) => {
+        import graft.sources.{Manifest, ManifestStream}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val dir = freshQueryDir("tstream")
+        val table = s"$dir/docs"
+        val out = s"$dir/out"
+        val ckpt = s"$dir/ckpt"
+        Manifest.create(s, table, docs.filter(col("doc_id") % 3 === 0))
+        def start() = ManifestStream.read(s, table).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).start()
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 3 === 1))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val nBeforeRestart = s.read.parquet(out).count()
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 3 === 2))
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        s.read.parquet(out).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
+          F.count_distinct(col("doc_id")).as("n_ids"))
+          .select(col("n_rows"), col("sum_chars"), col("n_ids"),
+            F.lit(nBeforeRestart).as("n_before_restart"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+             |  CAST(count(*) FILTER (WHERE doc_id % 3 <= 1) AS BIGINT)
+             |    AS n_before_restart
+             |FROM documents""".stripMargin)),
+
+    // VERSIONED TABLE STREAM (change feed): the same source in
+    // changeFeed mode serves the full row-level feed — the initial
+    // snapshot as inserts, a CoW delete's rows as deletes, an append's
+    // rows as inserts, each attributed to its commit version — and the
+    // collected feed REPLAYS the table exactly (inserts minus deletes
+    // reproduces the final snapshot as a multiset).
+    NamedQuery("q218_stream_feed",
+      (s, d) => {
+        import graft.sources.{Manifest, ManifestStream}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val dir = freshQueryDir("cdcstream")
+        val table = s"$dir/docs"
+        val out = s"$dir/out"
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.create(s, table, docs)
+        val q = ManifestStream.read(s, table, changeFeed = true).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", s"$dir/ckpt").start()
+        try {
+          q.processAllAvailable()
+          Manifest.deleteWhere(s, table, col("doc_id") % 7 === 0)     // v2
+          Manifest.commitAppend(s, table,                             // v3
+            docs.filter(col("doc_id") % 9 === 0)
+              .select((col("doc_id") + maxId + 1L).as("doc_id"),
+                F.lit("new").as("source"), col("n_chars")))
+          q.processAllAvailable()
+        } finally q.stop()
+        val feed = s.read.parquet(out)
+        val dataCols = Seq("doc_id", "source", "n_chars").map(col)
+        val ins = feed.filter(col("_change_type") === "insert").select(dataCols: _*)
+        val del = feed.filter(col("_change_type") === "delete").select(dataCols: _*)
+        val fin = Manifest.read(s, table).select(dataCols: _*)
+        val net = ins.exceptAll(del)
+        val replays = net.exceptAll(fin).isEmpty && fin.exceptAll(net).isEmpty
+        feed.agg(
+          F.count(F.when(col("_change_type") === "insert", 1)).as("n_insert"),
+          F.count(F.when(col("_change_type") === "delete", 1)).as("n_delete"),
+          F.count_distinct(col("_commit_version")).as("n_commits"))
+          .select(col("n_insert"), col("n_delete"), col("n_commits"),
+            F.lit(replays).as("feed_replays"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) + count(*) FILTER (WHERE doc_id % 9 = 0)
+             |    AS BIGINT) AS n_insert,
+             |  CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT)
+             |    AS n_delete,
+             |  CAST(3 AS BIGINT) AS n_commits,
+             |  true AS feed_replays
+             |FROM documents""".stripMargin)),
+
+    // TAGGED RELEASE: "corpus-v1.0" pins snapshot 1 by NAME; two CoW
+    // takedowns later, a keep-1 vacuum reclaims the untagged middle
+    // version but the tagged one survives with all its data — and is
+    // queryable through the parsed front door's asOfTag option. A
+    // duplicate tag refuses (tags are immutable); after deleteTag the
+    // next vacuum reclaims the release. Per-source counts at the tag
+    // and at current are recomputed by the oracle.
+    NamedQuery("q219_tagged_release",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+        val table = freshQueryDir("tag") + "/docs"
+        Manifest.create(s, table, docs)                               // v1
+        Manifest.tag(s, table, "corpus-v1.0",
+          note = Some("frozen training release"))
+        Manifest.deleteWhere(s, table, col("doc_id") % 7 === 3)       // v2
+        Manifest.deleteWhere(s, table, col("doc_id") % 11 === 5)      // v3
+        Manifest.vacuum(s, table, keep = 1)
+        val tagRetained = Manifest.versions(s, table) == Seq(1L, 3L)
+        val cube = graft.cubes.Cubes.documentsCube(s, d)
+          .copy(fact = Manifest.read(s, table), manifestTable = Some(table))
+        def run(opts: String) = QueryParser.parse(cube,
+          s"""{ "cube": "documents",
+             |  "args": { "options": { $opts "asc": "source" } },
+             |  "fields": [
+             |    {"name": "source"},
+             |    {"name": "count", "alias": "n_docs"} ] }""".stripMargin)
+          .query.toDF
+        val atTag = run("\"asOfTag\": \"corpus-v1.0\",")
+          .withColumnRenamed("n_docs", "n_tag")
+        val cur = run("").withColumnRenamed("n_docs", "n_cur")
+        val dupRefused =
+          try { Manifest.tag(s, table, "corpus-v1.0"); false }
+          catch { case e: Throwable => e.getMessage.contains("immutable") }
+        val joined = atTag.join(cur, "source")
+        // force the tagged read BEFORE untagging (the frames are lazy)
+        val snap = joined.collect()
+        Manifest.deleteTag(s, table, "corpus-v1.0")
+        Manifest.vacuum(s, table, keep = 1)
+        val reclaimed = Manifest.versions(s, table) == Seq(3L)
+        import s.implicits._
+        s.createDataFrame(
+          s.sparkContext.parallelize(snap.toSeq, 1), joined.schema)
+          .select(col("source"), col("n_tag"), col("n_cur"),
+            F.lit(tagRetained).as("tag_retained"),
+            F.lit(dupRefused).as("dup_refused"),
+            F.lit(reclaimed).as("reclaimed_after_untag"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_tag,
+             |  CAST(count(*) FILTER (WHERE doc_id % 7 <> 3
+             |    AND doc_id % 11 <> 5) AS BIGINT) AS n_cur,
+             |  true AS tag_retained, true AS dup_refused,
+             |  true AS reclaimed_after_untag
+             |FROM documents GROUP BY 1
+             |ORDER BY source ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -87,7 +87,7 @@ object QueryOpt {
     * (they materialize CURRENT data and would serve the wrong epoch).
     * Position-independent: the first AsOf in the option list wins. */
   final case class AsOf(version: Option[Long],
-      tsMillis: Option[Long]) extends QueryOpt
+      tsMillis: Option[Long], tag: Option[String] = None) extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -157,6 +157,8 @@ final case class CubeQuery(
     copy(options = options :+ QueryOpt.AsOf(Some(v), None))
   def asOfTimestamp(tsMillis: Long): CubeQuery =
     copy(options = options :+ QueryOpt.AsOf(None, Some(tsMillis)))
+  def asOfTag(name: String): CubeQuery =
+    copy(options = options :+ QueryOpt.AsOf(None, None, Some(name)))
   def limit(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Limit(n))
   def offset(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Offset(n))
   def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
@@ -198,6 +200,11 @@ final case class CubeQuery(
     case "asOf" | "as_of" => asOfVersion(asLong("asOf", arg))
     case "asOfTimestamp" | "as_of_timestamp" =>
       asOfTimestamp(asLong("asOfTimestamp", arg))
+    case "asOfTag" | "as_of_tag" => arg match {
+      case s: String => asOfTag(s)
+      case other => throw new CubeQueryException(
+        s"option 'asOfTag' needs a tag name string, got $other")
+    }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
   }
 

@@ -86,7 +86,7 @@ object Manifest {
     * common case) pass through untouched; a hive multi-entry snapshot
     * applies DVs per entry (the `_metadata` column resolves per file
     * relation, not across a union). */
-  private def readSnapshotData(spark: SparkSession, table: String,
+  private[sources] def readSnapshotData(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame =
     if (!snap.meta.contains(DvKey))
       readSnapshotRaw(spark, table, snap)
@@ -201,13 +201,13 @@ object Manifest {
     * StructType json) after an additive-evolution append — what lets
     * readers serve pre-evolution files with NULL new columns, without
     * a per-footer merge pass. Inherits until the next evolution. */
-  private val SchemaKey = "table_schema"
+  private[graft] val SchemaKey = "table_schema"
   /** Commit-metadata key listing the snapshot's delete-vector dirs
     * (comma-separated, relative, under `_dv/`) — merge-on-read row
     * deletes ([[deleteWhereMoR]]): positions masked at read time, no
     * data file rewritten. Inherits across appends and CoW commits;
     * dropped by any full rewrite (compaction folds the DVs in). */
-  private val DvKey = "delete_vectors"
+  private[sources] val DvKey = "delete_vectors"
   /** A delete-vector dir name: version prefix + writer suffix, under
     * `_dv/` — same orphan-reclaim story as [[DataDirName]]. */
   private val DvDirName = """^v(\d{8})-[0-9a-f]{8}$""".r
@@ -1843,6 +1843,93 @@ object Manifest {
   }
 
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
+  // ---- tags: named immutable snapshot refs --------------------------
+
+  private def tagsDir(table: String) = new Path(s"$table/_manifest/tags")
+  private def tagFile(table: String, name: String) =
+    new Path(s"$table/_manifest/tags/$name.tag")
+  private val TagFileName = """^(.+)\.tag$""".r
+  private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}"
+
+  /** Pin a retained snapshot under an immutable NAME — the release
+    * face every training corpus needs ("corpus-v1.0" is a tag, not a
+    * version number someone wrote on a wiki). A tag is one
+    * create-exclusive file under `_manifest/tags/` (tmp + rename, so
+    * racing taggers serialize and the loser fails loudly); it never
+    * moves — re-pointing a release is a [[deleteTag]] + retag, visible
+    * in the filesystem's mtimes rather than silent. [[vacuum]] RETAINS
+    * tagged versions — manifest, data, sidecars and delete vectors —
+    * however far past the keep-N window they fall, so a pinned
+    * training run can always re-read its exact corpus. Returns the
+    * pinned version. */
+  def tag(spark: SparkSession, table: String, name: String,
+      version: Long = -1L, note: Option[String] = None): Long = {
+    require(name.matches(TagNamePattern),
+      s"Manifest.tag: '$name' — tag names are [A-Za-z0-9][A-Za-z0-9._-]*, " +
+        "max 128 chars")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"Manifest.tag: $table has no committed snapshot")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v),
+      s"Manifest.tag: $table has no retained version $v (vacuumed?)")
+    val fs = fsFor(spark, table)
+    fs.mkdirs(tagsDir(table))
+    val target = tagFile(table, name)
+    if (fs.exists(target)) sys.error(
+      s"Manifest.tag: tag '$name' already exists on $table — tags are " +
+        "immutable; deleteTag first to re-point a release")
+    val tmp = new Path(s"$table/_manifest/tags/.tmp-${java.util.UUID.randomUUID()}")
+    val lines = Seq(s"#created_at=${System.currentTimeMillis()}") ++
+      note.map(n => s"#note=${n.replaceAll("[\\n\\r]", " ")}") ++ Seq(v.toString)
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"Manifest.tag: rename to $target failed — a concurrent " +
+        s"tag '$name' won; nothing written")
+    }
+    v
+  }
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val fs = fsFor(spark, table)
+    val dir = tagsDir(table)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case TagFileName(name) if !name.startsWith(".") =>
+        name -> tagVersion(spark, table, name)
+    }.toMap
+  }
+
+  def tagVersion(spark: SparkSession, table: String, name: String): Long = {
+    val fs = fsFor(spark, table)
+    val f = tagFile(table, name)
+    require(fs.exists(f), s"Manifest.tagVersion: no tag '$name' on $table")
+    val in = fs.open(f)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    text.split('\n').map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .headOption.map(_.toLong).getOrElse(
+        sys.error(s"Manifest.tagVersion: tag file $f carries no version"))
+  }
+
+  /** Read the snapshot a tag pins — [[readVersion]] by name. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readVersion(spark, table, tagVersion(spark, table, name))
+
+  /** Drop a tag — the pinned version becomes vacuum-eligible again
+    * (it is NOT reclaimed here; the next [[vacuum]] decides). */
+  def deleteTag(spark: SparkSession, table: String, name: String): Unit = {
+    val fs = fsFor(spark, table)
+    require(fs.delete(tagFile(table, name), false),
+      s"Manifest.deleteTag: no tag '$name' on $table")
+  }
+
   def snapshotBytes(spark: SparkSession, table: String, snap: Snapshot): Long = {
     val fs = fsFor(spark, table)
     snap.paths.map(p => fs.getContentSummary(new Path(s"$table/$p")).getLength).sum
@@ -1880,18 +1967,31 @@ object Manifest {
     commit(spark, table, snap.version, Seq(rel), snap.meta - DvKey)
   }
 
-  /** Retention: drop every snapshot except the newest `keep` — delete
-    * their manifests first (so no reader can newly pin them), then any
-    * version data directory no surviving manifest references. Root
-    * files from an [[adopt]]-ed v1 are removed once v1 is dropped.
-    * Never touches the current version; idempotent. */
-  def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
+  /** Retention: drop every snapshot except the newest `keep`, any
+    * version [[tag]]ged by name, and (when `retainMs > 0`) any version
+    * committed within the last `retainMs` — delete their manifests
+    * first (so no reader can newly pin them), then any version data
+    * directory no surviving manifest references. Root files from an
+    * [[adopt]]-ed v1 are removed once v1 is dropped. Never touches the
+    * current version; idempotent. The age window is the
+    * expire-snapshots discipline: a reader lease of `retainMs` means
+    * no pinned read outlives its snapshot whatever the commit rate,
+    * where a bare keep-N is only safe if commits are slower than
+    * reads. */
+  def vacuum(spark: SparkSession, table: String, keep: Int = 2,
+      retainMs: Long = 0L): Unit = {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
     val fs = fsFor(spark, table)
     val vs = versions(spark, table)
     if (vs.isEmpty) return // plain / never-committed table: documented no-op
     val current = vs.last
-    val (dead, live) = vs.splitAt(math.max(0, vs.size - keep))
+    val cutoff = System.currentTimeMillis() - retainMs
+    val tagged = tags(spark, table).values.toSet
+    def fresh(v: Long): Boolean = retainMs > 0 &&
+      readSnapshot(spark, table, v).meta.get("committed_at")
+        .exists(_.toLong >= cutoff)
+    val keepSet = vs.takeRight(keep).toSet ++ tagged
+    val (live, dead) = vs.partition(v => keepSet.contains(v) || fresh(v))
     val deadSnaps = dead.map(readSnapshot(spark, table, _))
     dead.foreach { v =>
       fs.delete(manifestFile(table, v), false)

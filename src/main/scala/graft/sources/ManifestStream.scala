@@ -1,0 +1,277 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{functions => F}
+
+/** Structured Streaming SOURCE over a manifested table — the read-side
+  * complement of the exactly-once sinks: a manifested table becomes a
+  * tailable stream whose offsets are SNAPSHOT VERSIONS, so a restarted
+  * stream resumes from its checkpointed version with no rows lost or
+  * repeated (snapshots are immutable within the retention window, so a
+  * replayed `(v1, v2]` batch is bit-identical — the property the
+  * engine's offset log turns into exactly-once). This is the
+  * Delta-style "stream from a table" face (reference behavior scope:
+  * activecube serves only batch queries; streaming tails are this
+  * engine's extension), and it completes the incremental story:
+  * manifest table → versioned stream → [[graft.streaming.Streaming]]
+  * sinks lands table-to-table pipelines where BOTH ends are
+  * exactly-once.
+  *
+  * Modes (options on `spark.readStream.format("graft-table")`):
+  *   - default (append): the initial batch serves the FULL snapshot
+  *     current at first trigger, then each batch serves the rows
+  *     appended by `(v1, v2]`. A commit that removed or masked rows
+  *     FAILS the stream loudly — an append-only consumer cannot
+  *     represent it.
+  *   - `ignoreDeletes=true`: delete-carrying spans serve their NET
+  *     inserted rows and drop the deletes (the consumer owns the
+  *     divergence — same contract as Delta's ignoreDeletes).
+  *   - `changeFeed=true`: the full row-level feed — table columns plus
+  *     `_change_type` ('insert'|'delete') and `_commit_version`,
+  *     attributed per commit.
+  *   - `startingVersion=latest`: skip the initial snapshot and tail
+  *     only commits after stream start (the "new data only" shape).
+  *
+  * Scale: every batch is costed by WHAT CHANGED, never by the table —
+  * a pure-append span is detected STRUCTURALLY from the manifest diff
+  * (no removed entries, delete-vector and schema metadata unchanged)
+  * and reads exactly the appended entries; only genuinely
+  * delete-carrying spans pay [[Manifest.readChanges]]'s
+  * changed-entries multiset diff. At 100 TB the per-trigger driver
+  * work is one directory listing plus two manifest parses.
+  *
+  * Guards: a vacuumed start version or a schema evolution inside the
+  * span fails loudly with the recovery path (fresh checkpoint /
+  * restart to adopt the new schema — the restarted source freezes the
+  * WIDENED schema and serves pre-evolution rows NULL-filled, exactly
+  * like the batch reader).
+  */
+object ManifestStream {
+
+  private[graft] final case class Opts(table: String, changeFeed: Boolean,
+      ignoreDeletes: Boolean, startLatest: Boolean)
+
+  private[graft] def opts(parameters: Map[String, String]): Opts = {
+    val table = parameters.getOrElse("path", sys.error(
+      "graft-table stream: option 'path' (the manifested table root) is required"))
+    def bool(k: String) = parameters.get(k).exists(_.trim.equalsIgnoreCase("true"))
+    val cf = bool("changefeed")
+    val ign = bool("ignoredeletes")
+    require(!(cf && ign),
+      "graft-table stream: changeFeed and ignoreDeletes are mutually exclusive")
+    val latest = parameters.get("startingversion") match {
+      case None => false
+      case Some(v) if v.trim.equalsIgnoreCase("latest") => true
+      case Some(v) => sys.error(
+        s"graft-table stream: startingVersion='$v' unsupported — only 'latest' " +
+          "(or omit it to serve the full current snapshot first)")
+    }
+    Opts(table, cf, ign, latest)
+  }
+
+  /** The frozen source schema: the table's committed read schema (all
+    * nullable — a NULL-filled pre-evolution row must fit), plus the
+    * CDC columns in changeFeed mode. */
+  private[graft] def sourceSchema(spark: SparkSession, o: Opts): StructType = {
+    val base = StructType(Manifest.read(spark, o.table).schema.fields
+      .map(_.copy(nullable = true)))
+    if (!o.changeFeed) base
+    else StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  /** Sugar: `Manifest` table → streaming frame. */
+  def read(spark: SparkSession, table: String, changeFeed: Boolean = false,
+      ignoreDeletes: Boolean = false, startLatest: Boolean = false): DataFrame = {
+    var r = spark.readStream.format(classOf[ManifestStreamProvider].getName)
+      .option("path", table)
+    if (changeFeed) r = r.option("changeFeed", "true")
+    if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
+    if (startLatest) r = r.option("startingVersion", "latest")
+    r.load()
+  }
+
+  /** The rows a batch `(v1, v2]` must serve, as a BATCH frame aligned
+    * to `schema` — the whole source semantics, factored out of the
+    * Source so specs can pin it version-pair by version-pair. */
+  private[graft] def batchFrame(spark: SparkSession, o: Opts,
+      schema: StructType, frozenSchemaJson: Option[String],
+      v1: Option[Long], v2: Long): DataFrame = {
+    val table = o.table
+    val retained = Manifest.versions(spark, table)
+    require(retained.contains(v2),
+      s"graft-table stream: version $v2 of $table is not retained (vacuumed?)")
+    val s2 = Manifest.readSnapshot(spark, table, v2)
+    if (s2.meta.get(Manifest.SchemaKey) != frozenSchemaJson) sys.error(
+      s"graft-table stream: $table's schema evolved at or before version $v2 " +
+        "mid-stream — restart the stream (same checkpoint) to adopt the new " +
+        "schema; pre-evolution rows will serve NULL for the added columns")
+    val df = v1 match {
+      case None if !o.startLatest =>
+        // initial batch: the whole snapshot at v2, as inserts
+        withCdc(Manifest.readVersion(spark, table, v2), o, "insert", v2)
+      case None => changes(spark, o, s2, retained, v1 = retainedStart(o, retained), v2)
+      case Some(a) => changes(spark, o, s2, retained, a, v2)
+    }
+    align(df, schema)
+  }
+
+  /** `startingVersion=latest` anchors the first span at the version
+    * current when the SOURCE was created — carried through the Opts
+    * closure via [[ManifestSource]]; this fallback (used only when
+    * batchFrame is driven directly in specs) anchors at the newest
+    * retained version below v2. */
+  private def retainedStart(o: Opts, retained: Seq[Long]): Long = retained.last
+
+  private def changes(spark: SparkSession, o: Opts, s2: Manifest.Snapshot,
+      retained: Seq[Long], v1: Long, v2: Long): DataFrame = {
+    val table = o.table
+    if (v1 == v2)
+      return Manifest.readSnapshotData(spark, table, s2).limit(0)
+    require(retained.contains(v1),
+      s"graft-table stream: checkpointed version $v1 of $table is no longer " +
+        "retained (vacuumed beneath the stream) — the span's rows are " +
+        "unrecoverable; restart from a fresh checkpoint")
+    if (!o.changeFeed) spanNet(spark, o, v1, v2)
+    else {
+      // per-commit attribution: one netted feed per retained pair
+      val span = retained.filter(v => v > v1 && v <= v2)
+      span.zip(v1 +: span.dropRight(1)).map { case (v, p) =>
+        withCdcFeed(pairNet(spark, o, p, v), v)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Net rows over a whole span for the append-shaped modes: the
+    * structural pure-append fast path, else readChanges with the
+    * delete rows either refused or dropped. */
+  private def spanNet(spark: SparkSession, o: Opts, v1: Long, v2: Long): DataFrame =
+    pureAppend(spark, o.table, v1, v2) match {
+      case Some(df) => df
+      case None if o.ignoreDeletes =>
+        Manifest.readChanges(spark, o.table, v1, v2)
+          .filter(F.col("_change_type") === "insert").drop("_change_type")
+      case None => sys.error(
+        s"graft-table stream: commits in ($v1,$v2] of ${o.table} removed or " +
+          "masked rows; an append-only stream cannot represent deletes — set " +
+          "changeFeed=true for the full feed, or ignoreDeletes=true to serve " +
+          "net inserts only")
+    }
+
+  /** One version pair's netted feed (with `_change_type`), riding the
+    * pure-append fast path when the pair qualifies. */
+  private def pairNet(spark: SparkSession, o: Opts, v1: Long, v2: Long): DataFrame =
+    pureAppend(spark, o.table, v1, v2) match {
+      case Some(df) => df.withColumn("_change_type", F.lit("insert"))
+      case None => Manifest.readChanges(spark, o.table, v1, v2)
+    }
+
+  /** The structural fast path: a span that removed no manifest entry
+    * and changed neither the delete-vector nor the schema metadata can
+    * only have APPENDED rows — serve exactly the added entries (under
+    * the snapshot's reader, so committed-schema and mask discipline
+    * hold) with no multiset diff. Returns None when the span needs the
+    * full readChanges treatment. */
+  private def pureAppend(spark: SparkSession, table: String,
+      v1: Long, v2: Long): Option[DataFrame] = {
+    val (added, removed) = Manifest.diffSnapshots(spark, table, v1, v2)
+    val s1 = Manifest.readSnapshot(spark, table, v1)
+    val s2 = Manifest.readSnapshot(spark, table, v2)
+    val dvSame = s1.meta.get(Manifest.DvKey) == s2.meta.get(Manifest.DvKey)
+    if (removed.nonEmpty || !dvSame) None
+    else if (added.isEmpty)
+      Some(Manifest.readSnapshotData(spark, table, s2).limit(0))
+    else Some(Manifest.readSnapshotData(spark, table, s2.copy(paths = added)))
+  }
+
+  private def withCdc(df: DataFrame, o: Opts, tpe: String, v: Long): DataFrame =
+    if (!o.changeFeed) df
+    else df.withColumn("_change_type", F.lit(tpe))
+      .withColumn("_commit_version", F.lit(v))
+
+  private def withCdcFeed(feed: DataFrame, v: Long): DataFrame =
+    feed.withColumn("_commit_version", F.lit(v))
+
+  /** Reorder (and NULL-fill, defensively) to the frozen schema. */
+  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) F.col(f.name).cast(f.dataType).as(f.name)
+      else F.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+}
+
+/** `spark.readStream.format("graft-table").option("path", table)` —
+  * registered via META-INF/services; the fully-qualified class name
+  * works as the format string too. */
+class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val o = ManifestStream.opts(parameters)
+    (shortName(), ManifestStream.sourceSchema(sqlContext.sparkSession, o))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ManifestSource(sqlContext.sparkSession, ManifestStream.opts(parameters))
+}
+
+/** The v1 Source: offsets are manifest versions ([[LongOffset]]);
+  * `getBatch` plans the span's rows as a batch frame (pinning the
+  * snapshots on the driver) and re-wraps it as a streaming frame. */
+class ManifestSource(spark: SparkSession, o: ManifestStream.Opts)
+    extends Source {
+
+  /** Version current at source creation — the anchor for
+    * `startingVersion=latest`, and the floor getOffset never goes
+    * below. */
+  private val startVersion: Long =
+    Manifest.currentSnapshot(spark, o.table).getOrElse(sys.error(
+      s"graft-table stream: ${o.table} has no committed snapshot")).version
+
+  /** Schema AND the schema-evolution fingerprint are frozen here; a
+    * mid-stream evolution fails the batch loudly (restart adopts). */
+  private val frozenSchemaJson: Option[String] =
+    Manifest.readSnapshot(spark, o.table, startVersion)
+      .meta.get(Manifest.SchemaKey)
+
+  override val schema: StructType = ManifestStream.sourceSchema(spark, o)
+
+  override def getOffset: Option[Offset] = {
+    val vs = Manifest.versions(spark, o.table)
+    Some(LongOffset(math.max(vs.lastOption.getOrElse(startVersion), startVersion)))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val v2 = ver(end)
+    val v1 = start.map(ver)
+    val batch = (v1, o.startLatest) match {
+      case (None, true) =>
+        // anchor the first span at the source's creation version
+        ManifestStream.batchFrame(spark, o, schema, frozenSchemaJson,
+          Some(startVersion), v2)
+      case _ =>
+        ManifestStream.batchFrame(spark, o, schema, frozenSchemaJson, v1, v2)
+    }
+    GraftBridge.streamingFrame(batch)
+  }
+
+  private def ver(off: Offset): Long = off match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1407,4 +1407,56 @@ class LakehouseSpec extends AnyFunSuite {
     val q = after.filter($"cell" === 1)
     assert(q.count() == 26)
   }
+
+  test("tags pin a release through vacuum; untag makes it reclaimable again") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_tags").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl, (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl,
+      (51 to 60).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl,
+      (61 to 70).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    assert(Manifest.tag(spark, tbl, "rel-1.0", version = 1L,
+      note = Some("first release")) == 1L)
+
+    // immutability + validation
+    val dup = intercept[Exception] { Manifest.tag(spark, tbl, "rel-1.0") }
+    assert(dup.getMessage.contains("immutable"))
+    intercept[Exception] { Manifest.tag(spark, tbl, "bad/name") }
+    intercept[Exception] { Manifest.tag(spark, tbl, "rel-2.0", version = 99L) }
+    assert(Manifest.tags(spark, tbl) == Map("rel-1.0" -> 1L))
+
+    // keep-1 vacuum: v2 dies, tagged v1 survives WITH its data
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 3L))
+    assert(Manifest.readTag(spark, tbl, "rel-1.0").count() == 50)
+    assert(Manifest.read(spark, tbl).count() == 70)
+
+    // untag → next vacuum reclaims the release
+    Manifest.deleteTag(spark, tbl, "rel-1.0")
+    intercept[Exception] { Manifest.deleteTag(spark, tbl, "rel-1.0") }
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(3L))
+    intercept[Exception] { Manifest.readTag(spark, tbl, "rel-1.0") }
+  }
+
+  test("vacuum retainMs keeps every snapshot inside the reader-lease window") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_lease").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl, Seq((1L, "a")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl, Seq((2L, "b")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl, Seq((3L, "c")).toDF("id", "s"))
+    // every snapshot was committed seconds ago — a one-hour lease
+    // protects all of them from a keep-1 vacuum
+    Manifest.vacuum(spark, tbl, keep = 1, retainMs = 3600L * 1000)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    // without the lease, keep-1 prunes to the current snapshot
+    Manifest.vacuum(spark, tbl, keep = 1)
+    assert(Manifest.versions(spark, tbl) == Seq(3L))
+    assert(Manifest.read(spark, tbl).count() == 3)
+  }
 }

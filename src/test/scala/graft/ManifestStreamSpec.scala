@@ -1,0 +1,222 @@
+package graft
+
+import graft.cubes.Tables
+import graft.sources.{Manifest, ManifestStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned-stream contract: a manifested table tailed as a
+  * Structured Streaming source serves exactly the table's committed
+  * history — initial snapshot then per-commit increments, replayable
+  * bit-identically from checkpointed version offsets (which is what
+  * makes a restart exactly-once), refusing loudly anything an
+  * append-only consumer cannot represent.
+  */
+class ManifestStreamSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions.col
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+
+  private def slice(k: Int): DataFrame = docs.filter(col("doc_id") % 5 === k)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mstream_$name").toString
+
+  private def rows(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  test("initial snapshot + appends land exactly-once in a file sink, across a restart") {
+    val dir = tmp("restart")
+    val table = s"$dir/t"
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    Manifest.create(spark, table, slice(0))
+
+    def start() = ManifestStream.read(spark, table).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // a commit landing while the stream is DOWN must be picked up on
+    // restart from the checkpointed version — no loss, no replay
+    Manifest.commitAppend(spark, table, slice(2))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = rows(spark.read.parquet(out))
+    val want = rows(docs.filter(col("doc_id") % 5 <= 3))
+    assert(got.length == want.length && got.sameElements(want),
+      s"sink has ${got.length} rows, expected ${want.length}")
+  }
+
+  test("a pure-append span reads only the appended entries — no multiset diff in the plan") {
+    val table = tmp("fastpath") + "/t"
+    Manifest.create(spark, table, slice(0))
+    Manifest.commitAppend(spark, table, slice(1))
+    val o = ManifestStream.Opts(table, changeFeed = false,
+      ignoreDeletes = false, startLatest = false)
+    val schema = ManifestStream.sourceSchema(spark, o)
+    val batch = ManifestStream.batchFrame(spark, o, schema, None, Some(1L), 2L)
+    // the optimizer rewrites exceptAll to replicaterows-over-Union —
+    // that marker's absence is the fast path's signature
+    val plan = batch.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("replicaterows") && !plan.contains("Aggregate"),
+      s"pure append paid a multiset diff:\n$plan")
+    assert(rows(batch).sameElements(rows(slice(1))))
+
+    // and a delete-carrying span DOES take the netted-diff path
+    Manifest.deleteWhere(spark, table, col("doc_id") % 10 === 0)
+    val o2 = o.copy(changeFeed = true)
+    val feed = ManifestStream.batchFrame(spark, o2,
+      ManifestStream.sourceSchema(spark, o2), None, Some(2L), 3L)
+    assert(feed.queryExecution.optimizedPlan.toString.contains("replicaterows"))
+  }
+
+  test("append mode refuses a delete-carrying commit loudly") {
+    val dir = tmp("refuse")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table).writeStream
+      .format("memory").queryName("mstream_refuse")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      Manifest.deleteWhere(spark, table, col("doc_id") % 10 === 0)
+      intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(q.exception.orNull).map(_.toString).getOrElse("")
+      assert(msg.contains("cannot represent deletes"), s"wrong failure: $msg")
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes serves the net inserts and drops the deletes") {
+    val dir = tmp("ignore")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table, ignoreDeletes = true).writeStream
+      .format("memory").queryName("mstream_ignore")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      Manifest.deleteWhere(spark, table, col("doc_id") % 10 === 0)
+      Manifest.commitAppend(spark, table, slice(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows(spark.table("mstream_ignore"))
+    val want = rows(slice(0).unionByName(slice(1)))
+    assert(got.sameElements(want),
+      s"got ${got.length} rows, want ${want.length} (snapshot + net inserts)")
+  }
+
+  test("changeFeed mode serves the full feed with per-commit attribution") {
+    val dir = tmp("cdc")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))
+    Manifest.commitAppend(spark, table, slice(1)) // v2, before stream start
+    val q = ManifestStream.read(spark, table, changeFeed = true).writeStream
+      .format("memory").queryName("mstream_cdc")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(2))                 // v3
+      Manifest.deleteKeysMoR(spark, table, "doc_id",
+        slice(0).select("doc_id").limit(3)
+          .collect().map(_.getLong(0)).toSeq)                       // v4
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = rows(spark.table("mstream_cdc"))
+    // expectation: the v2 snapshot as inserts@2, then each commit's
+    // netted feed attributed to its version
+    val initial = Manifest.readVersion(spark, table, 2L)
+      .withColumn("_change_type", F.lit("insert"))
+      .withColumn("_commit_version", F.lit(2L))
+    val feeds = Seq(3L, 4L).map(v =>
+      Manifest.readChanges(spark, table, v - 1, v)
+        .withColumn("_commit_version", F.lit(v)))
+    val want = rows(feeds.foldLeft(initial)(_ unionByName _)
+      .select(initial.columns.toSeq.map(F.col): _*))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"feed mismatch: got ${got.length}, want ${want.length}")
+  }
+
+  test("startingVersion=latest skips history and tails new commits only") {
+    val dir = tmp("latest")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table, startLatest = true).writeStream
+      .format("memory").queryName("mstream_latest")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mstream_latest").isEmpty,
+        "latest mode must not serve the initial snapshot")
+      Manifest.commitAppend(spark, table, slice(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.table("mstream_latest")).sameElements(rows(slice(1))))
+  }
+
+  test("schema evolution mid-stream fails loudly; a restarted source adopts the widened schema") {
+    val dir = tmp("evolve")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table).writeStream
+      .format("memory").queryName("mstream_evolve")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      Manifest.commitAppend(spark, table,
+        slice(1).withColumn("lang", F.lit("en")), mergeSchema = true)
+      intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(q.exception.orNull).map(_.toString).getOrElse("")
+      assert(msg.contains("schema evolved"), s"wrong failure: $msg")
+    } finally q.stop()
+
+    // a fresh source freezes the WIDENED schema and serves the span
+    val o = ManifestStream.Opts(table, changeFeed = false,
+      ignoreDeletes = false, startLatest = false)
+    val schema = ManifestStream.sourceSchema(spark, o)
+    assert(schema.fieldNames.contains("lang"))
+    val frozen = Manifest.currentSnapshot(spark, table).get
+      .meta.get(graft.sources.Manifest.SchemaKey)
+    val batch = ManifestStream.batchFrame(spark, o, schema, frozen, Some(1L), 2L)
+    assert(rows(batch).sameElements(
+      rows(slice(1).withColumn("lang", F.lit("en")))))
+  }
+
+  test("a vacuumed checkpoint version refuses loudly instead of serving a hole") {
+    val table = tmp("vac") + "/t"
+    Manifest.create(spark, table, slice(0))
+    Manifest.commitAppend(spark, table, slice(1))
+    Manifest.commitAppend(spark, table, slice(2))
+    Manifest.vacuum(spark, table, keep = 1)
+    val o = ManifestStream.Opts(table, changeFeed = false,
+      ignoreDeletes = false, startLatest = false)
+    val schema = ManifestStream.sourceSchema(spark, o)
+    val e = intercept[Exception] {
+      ManifestStream.batchFrame(spark, o, schema, None, Some(1L), 3L).collect()
+    }
+    assert(e.getMessage.contains("no longer retained"))
+  }
+}
