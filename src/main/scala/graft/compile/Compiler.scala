@@ -32,6 +32,13 @@ object Compiler {
   def compile(q: CubeQuery): DataFrame = {
     val cube = q.cube
 
+    // ---- statsOnly: metadata-served aggregates -----------------------
+    // Handled BEFORE asOf on purpose: statsAggregate serves the CURRENT
+    // snapshot's sidecar, so the combination must refuse loudly rather
+    // than let the stripped-AsOf recursion serve the wrong epoch.
+    if (q.options.contains(QueryOpt.StatsOnly))
+      return compileStatsOnly(q)
+
     // ---- time travel (asOf): rebind the fact to a pinned snapshot ---
     // before any source selection. Rollup alt-sources materialize
     // CURRENT data, so they are disabled for the pinned epoch; the
@@ -198,6 +205,84 @@ object Compiler {
     * metric object; unknown args raise at compile time). */
   private def boundMetric(r: Resolved, m: MeasureRef): Metric =
     m.args.foldLeft(r.met(m.metric)) { case (met, (k, v)) => met.applyArg(k, v) }
+
+  /** The `statsOnly` route: table-level count/min/max/sum served from
+    * the manifested fact's ANALYZE sidecar at the driver
+    * ([[graft.sources.Manifest.statsAggregate]]) — zero data-file opens
+    * on a covered snapshot, a LocalRelation plan instead of a scan. An
+    * EXPLICIT opt-in, so every unservable shape refuses loudly
+    * (V4-style) instead of silently degrading: dimensions or filters
+    * (file stats are table-level), non-flat grouping, asOf (stats
+    * describe the CURRENT snapshot), metric-level filters, plan-backed
+    * or expression-valued metrics (recognition is
+    * [[org.apache.spark.sql.GraftBridge.statsServableAgg]]'s strict
+    * count/min/max/sum-of-a-bare-attribute match), joined columns, and
+    * non-numeric or decimal columns (the sidecar's double scalars are
+    * exact below 2⁵³ — decimals would silently lose precision).
+    * Sum/min/max re-cast to the type the normal plan would produce, so
+    * a statsOnly result is indistinguishable from the scan's. */
+  private def compileStatsOnly(q: CubeQuery): DataFrame = {
+    import graft.sources.Manifest
+    import org.apache.spark.sql.types._
+    val cube = q.cube
+    def refuse(msg: String): Nothing = throw new CubeQueryException(
+      s"cube '${cube.name}': statsOnly $msg")
+    val tbl = cube.manifestTable.getOrElse(refuse(
+      "needs a manifested source (no snapshot stats to serve from)"))
+    if (q.options.exists(_.isInstanceOf[QueryOpt.AsOf]))
+      refuse("serves the CURRENT snapshot only — drop asOf or run the full query")
+    if (q.slices.nonEmpty)
+      refuse("serves table-level aggregates only (drop the dimensions)")
+    if (q.wheres.nonEmpty)
+      refuse("cannot apply filters (file stats are table-level)")
+    if (q.grouping != GroupingMode.Flat) refuse("requires flat grouping")
+    if (q.measures.isEmpty) refuse("needs at least one measure")
+    val factSchema = cube.fact.schema
+    val forms: Seq[(String, String, Option[String])] =
+      q.measures.map { case (key, m) =>
+        checkKey(key)
+        if (m.filter.nonEmpty)
+          refuse(s"measure '$key' has a filter — file stats cannot apply predicates")
+        val met = m.args.foldLeft(cube.metric(m.metric)) {
+          case (mm, (k, v)) => mm.applyArg(k, v) }
+        if (met.planBuild.isDefined)
+          refuse(s"measure '$key' ('${m.metric}') is plan-backed")
+        val (form, c) = org.apache.spark.sql.GraftBridge
+          .statsServableAgg(met.build(None)).getOrElse(refuse(
+            s"measure '$key' ('${m.metric}') is not a servable " +
+              "count/min/max/sum of a bare fact column"))
+        c.foreach { cn =>
+          val f = factSchema.fields.find(_.name == cn).getOrElse(refuse(
+            s"measure '$key' references '$cn', which is not a fact " +
+              "column (joined columns are not in file stats)"))
+          if (!f.dataType.isInstanceOf[NumericType])
+            refuse(s"measure '$key': file stats cover numeric columns, " +
+              s"'$cn' is ${f.dataType.simpleString}")
+          if (f.dataType.isInstanceOf[DecimalType])
+            refuse(s"measure '$key': '$cn' is ${f.dataType.simpleString} — " +
+              "the sidecar's double scalars cannot serve decimals exactly")
+        }
+        (key, form, c)
+      }
+    val served = Manifest.statsAggregate(cube.fact.sparkSession, tbl,
+      forms.flatMap(_._3).distinct)
+    val outCols: Seq[Column] = forms.map { case (key, form, cOpt) =>
+      (form, cOpt) match {
+        case ("cnt", _) => F.col("cnt").as(key)
+        case ("nn", Some(c)) => F.col(s"${c}_nn").as(key)
+        case ("min" | "max", Some(c)) =>
+          F.col(s"${c}_$form").cast(factSchema(c).dataType).as(key)
+        case ("sum", Some(c)) => factSchema(c).dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            F.col(s"${c}_sum").cast(LongType).as(key)
+          case _ => F.col(s"${c}_sum").as(key)
+        }
+        case other => refuse(s"unrecognized form $other") // unreachable
+      }
+    }
+    foldOptions(served.select(outCols: _*),
+      q.options.filterNot(_ == QueryOpt.StatsOnly), Set.empty)
+  }
 
   /** `_aq.`-prefix injection guard analogue (parse_tree.rb:113-114): output
     * keys must be plain identifiers so result addressing is unambiguous. */

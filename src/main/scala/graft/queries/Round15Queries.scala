@@ -740,6 +740,209 @@ object Round15Queries {
              |  true AS tag_retained, true AS dup_refused,
              |  true AS reclaimed_after_untag
              |FROM documents GROUP BY 1
-             |ORDER BY source ASC NULLS FIRST""".stripMargin))
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
+    // METADATA-SERVED AGGREGATES: count/min/max/sum answered from the
+    // analyzeFiles sidecar at the DRIVER (zero data-file opens — at
+    // 100 TB a count(*) becomes one #files-row sidecar read). The
+    // serving-mode ladder is pinned in the output: fully-covered ⇒
+    // 'stats' with files_scanned=0; an un-analyzed append ⇒
+    // 'stats_delta' scanning EXACTLY the one appended file; the
+    // incremental re-analyze also scans exactly that file; a MoR
+    // delete vector forces the honest 'scan' fallback (raw-file stats
+    // count masked rows); fold + re-analyze restores 'stats'. Every
+    // served value is recomputed independently by the oracle.
+    NamedQuery("q220_stats_agg",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+        val table = freshQueryDir("statsagg") + "/docs"
+        Manifest.create(s, table, docs.repartition(4))              // v1
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        def probe() = Manifest.statsAggregate(s, table, Seq("n_chars")).head()
+        def lng(r: org.apache.spark.sql.Row, n: String) =
+          math.round(r.getAs[Double](n))
+        val s1 = probe()
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.commitAppend(s, table,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              col("n_chars")).coalesce(1))                          // v2
+        val s2 = probe()
+        val analyzeScanned = Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val s3 = probe()
+        Manifest.deleteWhereMoR(s, table, col("n_chars") % 10 === 7) // v3
+        val s4 = probe()
+        Manifest.foldDeletes(s, table)                               // v4
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val s5 = probe()
+        import s.implicits._
+        Seq((s1.getAs[Long]("cnt"), s1.getAs[Long]("n_chars_nn"),
+            lng(s1, "n_chars_min"), lng(s1, "n_chars_max"),
+            lng(s1, "n_chars_sum"),
+            s1.getAs[String]("served_from"), s1.getAs[Long]("files_scanned"),
+            s2.getAs[Long]("cnt"), lng(s2, "n_chars_sum"),
+            s2.getAs[String]("served_from"), s2.getAs[Long]("files_scanned"),
+            s3.getAs[String]("served_from"), analyzeScanned == 1,
+            s3.getAs[Long]("cnt") == s2.getAs[Long]("cnt"),
+            s4.getAs[Long]("cnt"), s4.getAs[String]("served_from"),
+            s5.getAs[Long]("cnt"), lng(s5, "n_chars_sum"),
+            s5.getAs[String]("served_from"), s5.getAs[Long]("files_scanned")))
+          .toDF("cnt1", "nn1", "min1", "max1", "sum1", "from1", "scanned1",
+            "cnt2", "sum2", "from2", "scanned2",
+            "from3", "analyze_incr", "cnt3_eq",
+            "cnt4", "from4", "cnt5", "sum5", "from5", "scanned5")
+      },
+      Some("""WITH app AS (SELECT n_chars FROM documents WHERE doc_id % 5 = 0)
+             |SELECT
+             |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS cnt1,
+             |  CAST((SELECT count(n_chars) FROM documents) AS BIGINT) AS nn1,
+             |  CAST((SELECT min(n_chars) FROM documents) AS BIGINT) AS min1,
+             |  CAST((SELECT max(n_chars) FROM documents) AS BIGINT) AS max1,
+             |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS sum1,
+             |  'stats' AS from1, CAST(0 AS BIGINT) AS scanned1,
+             |  CAST((SELECT count(*) FROM documents)
+             |    + (SELECT count(*) FROM app) AS BIGINT) AS cnt2,
+             |  CAST((SELECT sum(n_chars) FROM documents)
+             |    + (SELECT sum(n_chars) FROM app) AS BIGINT) AS sum2,
+             |  'stats_delta' AS from2, CAST(1 AS BIGINT) AS scanned2,
+             |  'stats' AS from3, true AS analyze_incr, true AS cnt3_eq,
+             |  CAST((SELECT count(*) FROM documents
+             |      WHERE n_chars % 10 <> 7 OR n_chars IS NULL)
+             |    + (SELECT count(*) FROM app
+             |      WHERE n_chars % 10 <> 7 OR n_chars IS NULL) AS BIGINT)
+             |    AS cnt4,
+             |  'scan' AS from4,
+             |  CAST((SELECT count(*) FROM documents
+             |      WHERE n_chars % 10 <> 7 OR n_chars IS NULL)
+             |    + (SELECT count(*) FROM app
+             |      WHERE n_chars % 10 <> 7 OR n_chars IS NULL) AS BIGINT)
+             |    AS cnt5,
+             |  CAST((SELECT sum(n_chars) FROM documents
+             |      WHERE n_chars % 10 <> 7)
+             |    + (SELECT sum(n_chars) FROM app
+             |      WHERE n_chars % 10 <> 7) AS BIGINT) AS sum5,
+             |  'stats' AS from5, CAST(0 AS BIGINT) AS scanned5""".stripMargin)),
+
+    // STATS-ONLY THROUGH THE PARSED FRONT DOOR: "options":
+    // {"statsOnly": true} routes an eligible measure-only cube query to
+    // the metadata-served aggregate — the plan is a LocalRelation, so
+    // inputFiles is EMPTY (zero data-file opens; pinned). Unservable
+    // shapes refuse loudly, V4-style: dimensions, an expression-valued
+    // metric (sumTokens aggregates tokenCount(text), not a bare
+    // column), and the asOf combination (stats describe the CURRENT
+    // snapshot). Values recomputed by the oracle.
+    NamedQuery("q221_stats_only",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        import graft.model.Metric
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("statsonly") + "/docs"
+        Manifest.create(s, table, docs.repartition(4))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val cube0 = graft.cubes.Cubes.documentsCube(s, d)
+        val cube = cube0.copy(
+          fact = Manifest.read(s, table), manifestTable = Some(table),
+          metrics = cube0.metrics ++ Map(
+            "sumChars" -> Metric.sumOf("sumChars", col("n_chars")),
+            "minChars" -> Metric.minOf("minChars", col("n_chars")),
+            "maxChars" -> Metric.maxOf("maxChars", col("n_chars"))))
+        def parse(fields: String, opts: String) = QueryParser.parse(cube,
+          s"""{ "cube": "documents",
+             |  "args": { "options": { $opts } },
+             |  "fields": [ $fields ] }""".stripMargin).query.toDF
+        val out = parse(
+          """{"name": "count", "alias": "n_docs"},
+            |{"name": "sumChars", "alias": "sum_chars"},
+            |{"name": "minChars", "alias": "min_chars"},
+            |{"name": "maxChars", "alias": "max_chars"}""".stripMargin,
+          "\"statsOnly\": true")
+        val servedLocal = out.inputFiles.isEmpty
+        def refused(fields: String, opts: String, needle: String) =
+          try { parse(fields, opts); false }
+          catch { case e: Throwable => e.getMessage.contains(needle) }
+        val dimRefused = refused(
+          """{"name": "source"}, {"name": "count", "alias": "n"}""",
+          "\"statsOnly\": true", "table-level")
+        val exoticRefused = refused(
+          """{"name": "sumTokens", "alias": "t"}""",
+          "\"statsOnly\": true", "not a servable")
+        val asOfRefused = refused(
+          """{"name": "count", "alias": "n"}""",
+          "\"statsOnly\": true, \"asOf\": 1", "CURRENT snapshot")
+        out.select(col("n_docs"), col("sum_chars"),
+          col("min_chars"), col("max_chars"),
+          F.lit(servedLocal).as("served_local"),
+          F.lit(dimRefused).as("dim_refused"),
+          F.lit(exoticRefused).as("exotic_refused"),
+          F.lit(asOfRefused).as("asof_refused"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |  true AS served_local, true AS dim_refused,
+             |  true AS exotic_refused, true AS asof_refused
+             |FROM documents""".stripMargin)),
+
+    // STRING-ENVELOPE FILE SKIPPING: lexicographic per-file min/max
+    // (the analyzeFiles type-split for strings, its own strstats
+    // sidecar) prune a URL-prefix probe on a string-range-clustered
+    // layout to a STRICT subset of files — the LIKE-'prefix%'
+    // accelerator numeric envelopes can't express. Values recomputed
+    // by the oracle over the same synthesized urls; pruning is an
+    // accelerator, so the explicit prefix filter on top keeps the
+    // served rows exact whatever the envelopes admitted.
+    NamedQuery("q222_string_skipping",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            F.concat(F.lit("https://"), col("source"), F.lit("/doc-"),
+              F.format_string("%06d", col("doc_id"))).as("url"),
+            col("n_chars"))
+        val table = freshQueryDir("strskip") + "/docs"
+        Manifest.create(s, table,
+          docs.repartitionByRange(4, col("url")).sortWithinPartitions("url"))
+        Manifest.analyzeFilesString(s, table, Seq("url"))
+        val all = Manifest.read(s, table).inputFiles.length
+        val minSrc = Tables.documents(s, d)
+          .agg(F.min("source")).head().getString(0)
+        val prefix = s"https://$minSrc/"
+        val pruned = Manifest.readPrefix(s, table, "url", prefix)
+        val prunedFiles = pruned.inputFiles.length
+        // a range probe too: doc-id urls for the min source between
+        // two fixed suffixes, inclusive — the BETWEEN shape
+        val ranged = Manifest.readPrunedString(s, table, "url",
+          Some(prefix + "doc-"), Some(prefix + "doc-999999"))
+        val rangedFiles = ranged.inputFiles.length
+        pruned.filter(col("url").startsWith(prefix))
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.sum("n_chars").cast("long").as("sum_chars"),
+            F.min("url").as("min_url"))
+          .select(col("n_docs"), col("sum_chars"), col("min_url"),
+            F.lit(all >= 4).as("multi_file_layout"),
+            F.lit(prunedFiles < all).as("prefix_pruned_strict"),
+            F.lit(rangedFiles < all).as("range_pruned_strict"),
+            F.lit(ranged.filter(col("url").startsWith(prefix)).count())
+              .as("n_ranged"))
+      },
+      Some("""WITH u AS (SELECT
+             |    'https://' || source || '/doc-' || printf('%06d', doc_id)
+             |      AS url, n_chars
+             |  FROM documents),
+             |p AS (SELECT 'https://' ||
+             |    (SELECT min(source) FROM documents) || '/' AS pre)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(url) AS min_url,
+             |  true AS multi_file_layout, true AS prefix_pruned_strict,
+             |  true AS range_pruned_strict,
+             |  CAST(count(*) AS BIGINT) AS n_ranged
+             |FROM u, p WHERE starts_with(url, pre)""".stripMargin))
   )
 }

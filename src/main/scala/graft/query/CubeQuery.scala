@@ -88,6 +88,13 @@ object QueryOpt {
     * Position-independent: the first AsOf in the option list wins. */
   final case class AsOf(version: Option[Long],
       tsMillis: Option[Long], tag: Option[String] = None) extends QueryOpt
+  /** METADATA-SERVED table-level aggregates: route the query to
+    * [[graft.sources.Manifest.statsAggregate]] — count/min/max/sum
+    * folded at the driver from the ANALYZE sidecar, zero data-file
+    * opens on a covered snapshot. Explicit opt-in with V4-style loud
+    * refusal when the query shape is not servable (dimensions,
+    * filters, non-flat grouping, an exotic metric, asOf). */
+  case object StatsOnly extends QueryOpt
 }
 
 /** A slice: dimension plus optional chained sub-field path
@@ -159,6 +166,8 @@ final case class CubeQuery(
     copy(options = options :+ QueryOpt.AsOf(None, Some(tsMillis)))
   def asOfTag(name: String): CubeQuery =
     copy(options = options :+ QueryOpt.AsOf(None, None, Some(name)))
+  def statsOnly: CubeQuery =
+    copy(options = options :+ QueryOpt.StatsOnly)
   def limit(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Limit(n))
   def offset(n: Int): CubeQuery = copy(options = options :+ QueryOpt.Offset(n))
   def limitBy(each: Seq[String], limit: Int, offset: Int = 0): CubeQuery =
@@ -204,6 +213,11 @@ final case class CubeQuery(
       case s: String => asOfTag(s)
       case other => throw new CubeQueryException(
         s"option 'asOfTag' needs a tag name string, got $other")
+    }
+    case "statsOnly" | "stats_only" => arg match {
+      case true => statsOnly
+      case other => throw new CubeQueryException(
+        s"option 'statsOnly' takes only true, got $other")
     }
     case other => throw new CubeQueryException(s"unknown option '$other'") // V4
   }

@@ -1521,18 +1521,31 @@ object Manifest {
     * are scanned. Per-append maintenance cost is therefore ∝ new
     * data, never the table (the [[Stats.mergeSketchStats]] argument
     * at file grain); a fully-covered snapshot is a no-op. Returns the
-    * number of files actually scanned. */
+    * number of files actually scanned.
+    *
+    * Besides the envelope, the same single pass records per-file
+    * `cnt` (rows), `nn` (non-null) and `sum` per column — the
+    * mergeable scalars [[statsAggregate]] needs to answer whole-table
+    * count/min/max/sum from driver metadata. All doubles: counts and
+    * integral-valued sums are exact below 2⁵³, the envelope
+    * discipline already in force. A pre-widening sidecar (min/max
+    * only) simply fails the full-coverage reuse test and rebuilds —
+    * one rescan, never a wrong answer. */
   def analyzeFiles(spark: SparkSession, table: String,
       cols: Seq[String]): Int = {
     require(cols.nonEmpty, "analyzeFiles needs at least one column")
     buildSidecar(spark, table, statsDir,
       keepCol = (df, c) => df.schema(c).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      statNames = c => Seq(s"${c}__min", s"${c}__max"),
+      statNames = c => Seq(s"${c}__min", s"${c}__max", s"${c}__cnt",
+        s"${c}__nn", s"${c}__sum"),
       fieldType = org.apache.spark.sql.types.DoubleType,
       aggsFor = cs => cs.flatMap(c =>
         Seq(F.min(F.col(c)).cast("double").as(s"${c}__min"),
-          F.max(F.col(c)).cast("double").as(s"${c}__max"))),
+          F.max(F.col(c)).cast("double").as(s"${c}__max"),
+          F.count(F.lit(1)).cast("double").as(s"${c}__cnt"),
+          F.count(F.col(c)).cast("double").as(s"${c}__nn"),
+          F.sum(F.col(c).cast("double")).as(s"${c}__sum"))),
       cols, "analyzeFiles")
   }
 
@@ -1842,6 +1855,283 @@ object Manifest {
     Some((keep ++ unknown).distinct.toIndexedSeq)
   }
 
+  // ---- string envelopes: lexicographic file skipping ----------------
+
+  private def strStatsDir(table: String, v: Long) =
+    new Path(s"$table/_manifest/strstats_v${"%08d".format(v)}")
+
+  /** The [[analyzeFiles]] type-split for STRING columns: per-file
+    * lexicographic min/max envelopes as their own sidecar family
+    * (`strstats_v<N>` — string-typed stat columns can't share the
+    * numeric sidecar's double schema). Same incremental engine, same
+    * optional-accelerator contract. What this buys at 100 TB: URL /
+    * path / date-string predicates — `url LIKE 'https://host/%'`,
+    * `day BETWEEN '2024-01-01' AND '2024-01-07'` — prune at the
+    * driver on a string-clustered layout, the other big column class
+    * numeric envelopes can't touch. Returns files scanned. */
+  def analyzeFilesString(spark: SparkSession, table: String,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "analyzeFilesString needs at least one column")
+    buildSidecar(spark, table, strStatsDir,
+      keepCol = (df, c) => df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+      statNames = c => Seq(s"${c}__smin", s"${c}__smax"),
+      fieldType = org.apache.spark.sql.types.StringType,
+      aggsFor = cs => cs.flatMap(c =>
+        Seq(F.min(F.col(c)).as(s"${c}__smin"),
+          F.max(F.col(c)).as(s"${c}__smax"))),
+      cols, "analyzeFilesString")
+  }
+
+  /** UTF-8 BYTE comparison — the order Spark's string min/max actually
+    * uses (UTF8String is byte-wise): driver decisions must compare in
+    * the same order or a supplementary-plane code point could prune a
+    * file unsoundly (Java String.compareTo orders by UTF-16 units,
+    * which disagrees above U+FFFF). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Smallest string strictly greater than every string with this
+    * prefix, under UTF-8 byte order: rightmost non-0xFF-leading char
+    * incremented (code-point-wise), suffix dropped. None when no such
+    * bound exists (prefix is all U+10FFFF-class maxima — unbounded
+    * above). */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      // skip the surrogate block — not valid standalone code points
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      Some(new String(cps, 0, i) + new String(Character.toChars(next)))
+    }
+  }
+
+  /** Live rows whose string-envelope sidecar admits `column` ∈
+    * [lo, hi] (inclusive; None = unbounded on that side) — the
+    * lexicographic counterpart of [[readPruned]], same soundness
+    * ladder: uncovered files always read, no sidecar ⇒ full read,
+    * NULL envelopes (all-NULL column in a file) never match a range,
+    * and the served frame is always LIVE (delete vectors applied). */
+  def readPrunedString(spark: SparkSession, table: String,
+      column: String, lo: Option[String], hi: Option[String]): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "readPrunedString needs at least one bound")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPrunedString: $table has no committed snapshot"))
+    strPrunedFilesFor(spark, table, snap, column, lo, hi) match {
+      case None => readSnapshotData(spark, table, snap)
+      case Some(paths) if paths.isEmpty =>
+        readSnapshotRaw(spark, table, snap).limit(0)
+      case Some(paths) => readFilesLive(spark, table, snap, paths)
+    }
+  }
+
+  /** Prefix file skipping: live rows whose files may contain a value
+    * starting with `prefix` — the `LIKE 'prefix%'` accelerator. The
+    * admission range is [prefix, successor(prefix)) in UTF-8 byte
+    * order, so it is SOUND for every string with that prefix (all of
+    * them are ≥ the prefix and < its successor). */
+  def readPrefix(spark: SparkSession, table: String,
+      column: String, prefix: String): DataFrame = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPrefix: $table has no committed snapshot"))
+    val succ = prefixSuccessor(prefix)
+    val decision = strPrunedFilesFor(spark, table, snap, column,
+      Some(prefix), None).map(_.toSet)
+    // tighten with the exclusive upper bound when one exists: a file
+    // admitted by [prefix, ∞) but whose smin ≥ successor cannot hold
+    // a prefix match
+    (decision, succ) match {
+      case (None, _) => readSnapshotData(spark, table, snap)
+      case (Some(byLo), Some(up)) =>
+        strPrunedFilesFor(spark, table, snap, column, None,
+          Some(up)) match {
+          // the hi-side test is inclusive ≤ up; combined with the
+          // lo-side it over-admits only files whose smin == up exactly
+          // — one extra file read at most, never a miss
+          case Some(byHi) =>
+            val keep = (byLo intersect byHi.toSet).toSeq.sorted
+            if (keep.isEmpty)
+              readSnapshotRaw(spark, table, snap).limit(0)
+            else readFilesLive(spark, table, snap, keep)
+          case None => readSnapshotData(spark, table, snap)
+        }
+      case (Some(byLo), None) =>
+        if (byLo.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
+        else readFilesLive(spark, table, snap, byLo.toSeq.sorted)
+    }
+  }
+
+  /** The string-envelope skipping decision — [[prunedFilesFor]]'s
+    * shape over the `strstats_v` sidecar with UTF-8-byte-order
+    * comparisons. Some(surviving absolute paths) or None when pruning
+    * cannot apply. */
+  private def strPrunedFilesFor(spark: SparkSession, table: String,
+      snap: Snapshot, column: String,
+      lo: Option[String], hi: Option[String]): Option[Seq[String]] = {
+    val fs = fsFor(spark, table)
+    val sd = strStatsDir(table, snap.version)
+    if (!fs.exists(sd)) return None
+    val full = readSnapshotRaw(spark, table, snap)
+    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+      return None
+    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
+    if (!sch.fieldNames.contains(s"${column}__smin") ||
+        !sch.fieldNames.contains(s"${column}__smax")) return None
+    val fi = sch.fieldIndex("file")
+    val mi = sch.fieldIndex(s"${column}__smin")
+    val ma = sch.fieldIndex(s"${column}__smax")
+    val known = rows.map(_.getString(fi)).toSet
+    val keep = rows.filter { r =>
+      !r.isNullAt(mi) && !r.isNullAt(ma) &&
+        lo.forall(l => utf8Cmp(r.getString(ma), l) >= 0) &&
+        hi.forall(h => utf8Cmp(r.getString(mi), h) <= 0)
+    }.map(_.getString(fi))
+    val unknown = full.inputFiles.filterNot(known.contains)
+    Some((keep ++ unknown).distinct.toIndexedSeq)
+  }
+
+  /** Whole-table `count(*)` / `count(c)` / `min` / `max` / `sum`
+    * answered from DRIVER METADATA — the [[analyzeFiles]] sidecar's
+    * per-file scalars folded at the driver — instead of a table scan:
+    * at 100 TB a `count(*)` becomes one sidecar parquet read (#files
+    * rows) and zero data-file opens. The Iceberg/Delta
+    * scan-planning-answers-aggregates trade, with the same soundness
+    * ladder as every sidecar consumer:
+    *
+    *  - files the sidecar does not cover (appended since the last
+    *    ANALYZE) are scanned — ALONE — and merged, so serving cost is
+    *    ∝ unanalyzed data, never the table (`served_from =
+    *    "stats_delta"`, `files_scanned` = that count);
+    *  - a snapshot carrying MoR delete vectors falls back to the live
+    *    scan (raw-file stats count masked rows; correcting min/max
+    *    from a positional mask is impossible without reading) — fold
+    *    the vectors and re-analyze to restore metadata serving;
+    *  - no sidecar / a sidecar predating a requested column or this
+    *    stat vintage / a hive layout with uncovered files (leaf-file
+    *    reads would drop partition columns) — full scan, never a
+    *    wrong answer.
+    *
+    * Returns ONE row: `cnt`, then per column `<c>_nn/_min/_max/_sum`
+    * (SQL semantics — all-NULL ⇒ NULL min/max/sum), then the
+    * `served_from` ∈ {stats, stats_delta, scan} and `files_scanned`
+    * pins that make the serving mode itself verifiable. Metadata-served
+    * results materialize as a LocalRelation — no data-file IO in the
+    * plan at all. Doubles are exact below 2⁵³ (counts, integral-valued
+    * sums) — the envelope discipline. */
+  def statsAggregate(spark: SparkSession, table: String,
+      cols: Seq[String]): DataFrame = {
+    // empty cols is the count(*)-only shape: any covered column's
+    // per-file cnt anchors the row count
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.statsAggregate: $table has no committed snapshot"))
+    import org.apache.spark.sql.{types => T}
+    val outSchema = T.StructType(
+      T.StructField("cnt", T.LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          T.StructField(s"${c}_nn", T.LongType, nullable = false),
+          T.StructField(s"${c}_min", T.DoubleType),
+          T.StructField(s"${c}_max", T.DoubleType),
+          T.StructField(s"${c}_sum", T.DoubleType))) :+
+        T.StructField("served_from", T.StringType, nullable = false) :+
+        T.StructField("files_scanned", T.LongType, nullable = false))
+    // the scan shape every fallback (and the uncovered-delta probe)
+    // uses: same names/types as the metadata-served row
+    def scanAgg(df: DataFrame): (Long, Seq[(Long, Option[Double],
+        Option[Double], Option[Double])]) = {
+      val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
+        cols.flatMap(c => Seq(
+          F.count(F.col(c)).cast("long").as(s"${c}_nn"),
+          F.min(F.col(c)).cast("double").as(s"${c}_min"),
+          F.max(F.col(c)).cast("double").as(s"${c}_max"),
+          F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), cols.indices.map { k =>
+        val b = 1 + 4 * k
+        (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
+      })
+    }
+    def emit(cnt: Long, per: Seq[(Long, Option[Double], Option[Double],
+        Option[Double])], from: String, scanned: Long): DataFrame = {
+      val vals: Seq[Any] = cnt +: per.flatMap { case (nn, mi, ma, su) =>
+        Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) } :+ from :+ scanned
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(vals)), outSchema)
+    }
+    def fallback(): DataFrame = {
+      val (cnt, per) = scanAgg(readSnapshotData(spark, table, snap))
+      emit(cnt, per, "scan",
+        readSnapshotRaw(spark, table, snap).inputFiles.length.toLong)
+    }
+    if (snap.meta.contains(DvKey)) return fallback()
+    // newest RETAINED sidecar, any version (the buildSidecar reuse
+    // rule): rows are per immutable file, filtered below to the
+    // files the CURRENT snapshot actually lists, so a pre-append
+    // sidecar serves its covered files and the append becomes the
+    // scanned delta
+    val fs = fsFor(spark, table)
+    val (sch, rows) = versions(spark, table)
+      .filter(v => fs.exists(statsDir(table, v))).lastOption
+      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+      .getOrElse(return fallback())
+    val statN = cols.flatMap(c => Seq(s"${c}__min", s"${c}__max",
+      s"${c}__cnt", s"${c}__nn", s"${c}__sum"))
+    if (!statN.forall(sch.fieldNames.contains)) return fallback()
+    val fi = sch.fieldIndex("file")
+    val allFiles = readSnapshotRaw(spark, table, snap).inputFiles.toSeq
+    val covered = rows.filter(r => allFiles.contains(r.getString(fi)))
+    val uncovered = {
+      val known = covered.map(_.getString(fi)).toSet
+      allFiles.filterNot(known.contains)
+    }
+    if (uncovered.nonEmpty && snap.meta.contains(PartitionKey))
+      return fallback()
+    val (dCnt, dPer) =
+      if (uncovered.isEmpty)
+        (0L, cols.map(_ => (0L, Option.empty[Double],
+          Option.empty[Double], Option.empty[Double])))
+      else scanAgg(readFilesLive(spark, table, snap, uncovered))
+    def fold(name: String, delta: Option[Double],
+        combine: (Double, Double) => Double): Option[Double] = {
+      val i = sch.fieldIndex(name)
+      val xs = covered.iterator.filter(!_.isNullAt(i))
+        .map(_.getDouble(i)) ++ delta.iterator
+      xs.reduceOption(combine)
+    }
+    val cntField = cols.headOption.map(c => s"${c}__cnt")
+      .orElse(sch.fieldNames.find(_.endsWith("__cnt")))
+      .getOrElse(return fallback())
+    val cnt = dCnt + {
+      val i = sch.fieldIndex(cntField)
+      covered.iterator.map(_.getDouble(i).toLong).sum
+    }
+    val per = cols.zip(dPer).map { case (c, (dnn, dmi, dma, dsu)) =>
+      val i = sch.fieldIndex(s"${c}__nn")
+      (dnn + covered.iterator.map(_.getDouble(i).toLong).sum,
+        fold(s"${c}__min", dmi, math.min),
+        fold(s"${c}__max", dma, math.max),
+        fold(s"${c}__sum", dsu, _ + _))
+    }
+    emit(cnt, per,
+      if (uncovered.isEmpty) "stats" else "stats_delta",
+      uncovered.size.toLong)
+  }
+
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
   // ---- tags: named immutable snapshot refs --------------------------
 
@@ -1997,6 +2287,7 @@ object Manifest {
       fs.delete(manifestFile(table, v), false)
       fs.delete(statsDir(table, v), true) // file-skipping sidecars, if any
       fs.delete(bloomDir(table, v), true)
+      fs.delete(strStatsDir(table, v), true)
     }
     val liveSnaps = live.map(readSnapshot(spark, table, _))
     val referenced = liveSnaps.flatMap(_.paths).toSet

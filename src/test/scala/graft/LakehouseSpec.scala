@@ -1459,4 +1459,181 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Manifest.versions(spark, tbl) == Seq(3L))
     assert(Manifest.read(spark, tbl).count() == 3)
   }
+
+  test("metadata-served aggregates: the stats / stats_delta / scan " +
+      "ladder is sound — every serving mode's values equal the live scan") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_statsagg").toString
+    val tbl = s"$dir/t"
+    // two files: one NULL-bearing, one with the column ALL-NULL (its
+    // sidecar min/max/sum rows are NULL and must not poison the fold)
+    Manifest.create(spark, tbl,
+      Seq((1L, Option(10L)), (2L, None), (3L, Option(30L)))
+        .toDF("id", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((4L, Option.empty[Long]), (5L, None)).toDF("id", "v").coalesce(1))
+    def probe(cols: String*) =
+      Manifest.statsAggregate(spark, tbl, cols).head()
+    // no sidecar yet: honest scan fallback, correct values
+    val s0 = probe("v")
+    assert(s0.getAs[String]("served_from") == "scan")
+    assert(s0.getAs[Long]("cnt") == 5 && s0.getAs[Long]("v_nn") == 2)
+    assert(s0.getAs[Double]("v_sum") == 40.0)
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    // fully covered: served from driver metadata, zero files opened
+    val s1 = probe("v")
+    assert(s1.getAs[String]("served_from") == "stats")
+    assert(s1.getAs[Long]("files_scanned") == 0)
+    assert(s1.getAs[Long]("cnt") == 5 && s1.getAs[Long]("v_nn") == 2)
+    assert(s1.getAs[Double]("v_min") == 10.0 &&
+      s1.getAs[Double]("v_max") == 30.0 && s1.getAs[Double]("v_sum") == 40.0)
+    // a column the sidecar predates: conservative scan, never wrong
+    val sc = probe("id")
+    assert(sc.getAs[String]("served_from") == "scan")
+    assert(sc.getAs[Long]("id_nn") == 5 && sc.getAs[Double]("id_sum") == 15.0)
+    // un-analyzed append: EXACTLY the new file scans, merged with stats
+    Manifest.commitAppend(spark, tbl,
+      Seq((6L, Option(60L))).toDF("id", "v").coalesce(1))
+    val s2 = probe("v")
+    assert(s2.getAs[String]("served_from") == "stats_delta")
+    assert(s2.getAs[Long]("files_scanned") == 1)
+    assert(s2.getAs[Long]("cnt") == 6 && s2.getAs[Double]("v_sum") == 100.0 &&
+      s2.getAs[Double]("v_max") == 60.0)
+    // a MoR mask makes raw-file stats overcount: honest scan fallback
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    Manifest.deleteKeysMoR(spark, tbl, "id", Seq(3L))
+    val s3 = probe("v")
+    assert(s3.getAs[String]("served_from") == "scan")
+    assert(s3.getAs[Long]("cnt") == 5 && s3.getAs[Double]("v_sum") == 70.0 &&
+      s3.getAs[Double]("v_max") == 60.0)
+    // fold + re-analyze restores metadata serving over the new truth
+    Manifest.foldDeletes(spark, tbl)
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val s4 = probe("v")
+    assert(s4.getAs[String]("served_from") == "stats")
+    assert(s4.getAs[Long]("files_scanned") == 0)
+    assert(s4.getAs[Long]("cnt") == 5 && s4.getAs[Double]("v_sum") == 70.0)
+  }
+
+  test("string-envelope skipping: prefix and range probes prune a " +
+      "string-clustered layout to the matching files and never lose rows") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_strskip").toString
+    val tbl = s"$dir/t"
+    // three hand-clustered files; the c-file carries a NULL (a NULL
+    // never matches a range, and must not poison the envelope)
+    Manifest.create(spark, tbl,
+      Seq(("apple", 1L), ("apricot", 2L)).toDF("w", "id").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("banana", 3L), ("blueberry", 4L)).toDF("w", "id").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("cherry", 5L), ("citrus", 6L), (null, 7L))
+        .toDF("w", "id").coalesce(1))
+    // no sidecar yet: conservative full read
+    assert(Manifest.readPrefix(spark, tbl, "w", "a").count() == 7)
+    Manifest.analyzeFilesString(spark, tbl, Seq("w"))
+    val all = Manifest.read(spark, tbl).inputFiles.length
+    assert(all == 3)
+    val pa = Manifest.readPrefix(spark, tbl, "w", "a")
+    assert(pa.inputFiles.length == 1 && pa.count() == 2)
+    val pb = Manifest.readPrefix(spark, tbl, "w", "blue")
+    assert(pb.inputFiles.length == 1 &&
+      pb.filter(col("w").startsWith("blue")).count() == 1)
+    val rg = Manifest.readPrunedString(spark, tbl, "w",
+      Some("banana"), Some("blueberry"))
+    assert(rg.inputFiles.length == 1 && rg.count() == 2)
+    // a disjoint range admits nothing (the NULL row never matches)
+    assert(Manifest.readPrunedString(spark, tbl, "w",
+      Some("x"), Some("z")).count() == 0)
+    // an un-analyzed append falls back to the FULL read (the numeric
+    // readPruned discipline) — never a lost row
+    Manifest.commitAppend(spark, tbl,
+      Seq(("dragonfruit", 8L)).toDF("w", "id").coalesce(1))
+    assert(Manifest.readPrefix(spark, tbl, "w", "a").count() == 8)
+    // incremental re-analyze scans ONLY the appended file; pruning resumes
+    assert(Manifest.analyzeFilesString(spark, tbl, Seq("w")) == 1)
+    val pd = Manifest.readPrefix(spark, tbl, "w", "dragon")
+    assert(pd.inputFiles.length == 1 && pd.count() == 1)
+    assert(Manifest.readPrefix(spark, tbl, "w", "a").count() == 2)
+  }
+
+  test("statsOnly front door: the metadata-served result is " +
+      "indistinguishable from the scan — same schema, same values — " +
+      "and its plan reads zero data files") {
+    import graft.sources.Manifest
+    import graft.model.{Cube, Dimension, Metric}
+    import graft.query.CubeQuery
+    import graft.compile.Compiler
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_statsonly").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, Option(10L)), (2L, None), (3L, Option(30L)))
+        .toDF("id", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val cube = Cube("t", Manifest.read(spark, tbl),
+      dimensions = Map("id" -> Dimension("id", col("id"))),
+      metrics = Map(
+        "n" -> Metric.countAll("n"),
+        "nn" -> Metric("nn", p =>
+          F.count(p.map(pr => F.when(pr, col("v"))).getOrElse(col("v")))),
+        "sv" -> Metric.sumOf("sv", col("v")),
+        "mn" -> Metric.minOf("mn", col("v")),
+        "mx" -> Metric.maxOf("mx", col("v"))),
+      selectors = Map.empty,
+      manifestTable = Some(tbl))
+    val base = CubeQuery(cube).measure("n", "n").measure("nn", "nn")
+      .measure("sv", "sv").measure("mn", "mn").measure("mx", "mx")
+    val scan = Compiler.compile(base)
+    val meta = Compiler.compile(base.statsOnly)
+    assert(meta.schema == scan.schema,
+      s"statsOnly must be type-indistinguishable:\n${meta.schema}\nvs\n${scan.schema}")
+    assert(meta.collect().toSeq == scan.collect().toSeq)
+    assert(meta.inputFiles.isEmpty, "statsOnly plan must read no data files")
+    assert(scan.inputFiles.nonEmpty)
+    // options still fold on the served row (a 1-row sort is a no-op,
+    // but the fold path must not break)
+    assert(Compiler.compile(base.statsOnly.asc("n")).count() == 1)
+    // refusals: filter, non-flat grouping, measure filter, joined/
+    // unknown column, non-manifested cube
+    def refusal(q: CubeQuery, needle: String): Unit = {
+      val e = intercept[graft.model.CubeQueryException](Compiler.compile(q))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    refusal(base.statsOnly.when(
+      graft.query.Pred.Op("id", "gt", Some(1))), "filters")
+    refusal(CubeQuery(cube).measure("n", "n").withRollup.statsOnly,
+      "flat grouping")
+    refusal(CubeQuery(cube).measureWhen("n", "n",
+      graft.query.Pred.Op("id", "gt", Some(1))).statsOnly, "has a filter")
+    refusal(CubeQuery(cube.copy(manifestTable = None))
+      .measure("n", "n").statsOnly, "manifested source")
+  }
+
+  test("metadata-served aggregates on a hive layout: covered serves " +
+      "from stats; an uncovered append falls back to the full scan " +
+      "(leaf-file reads would drop partition columns)") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_statsagg_hive").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+        .toDF("id", "p", "v"), partitionBy = Seq("p"))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val s1 = Manifest.statsAggregate(spark, tbl, Seq("v")).head()
+    assert(s1.getAs[String]("served_from") == "stats")
+    assert(s1.getAs[Long]("cnt") == 3 && s1.getAs[Double]("v_sum") == 60.0)
+    Manifest.commitAppend(spark, tbl,
+      Seq((4L, "c", 40L)).toDF("id", "p", "v"), partitionBy = Seq("p"))
+    val s2 = Manifest.statsAggregate(spark, tbl, Seq("v")).head()
+    assert(s2.getAs[String]("served_from") == "scan")
+    assert(s2.getAs[Long]("cnt") == 4 && s2.getAs[Double]("v_sum") == 100.0)
+  }
 }
