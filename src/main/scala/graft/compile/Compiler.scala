@@ -212,15 +212,20 @@ object Compiler {
     * on a covered snapshot, a LocalRelation plan instead of a scan. An
     * EXPLICIT opt-in, so every unservable shape refuses loudly
     * (V4-style) instead of silently degrading: dimensions or filters
-    * (file stats are table-level), non-flat grouping, asOf (stats
-    * describe the CURRENT snapshot), metric-level filters, plan-backed
+    * (file stats are table-level), non-flat grouping, metric-level filters, plan-backed
     * or expression-valued metrics (recognition is
     * [[org.apache.spark.sql.GraftBridge.statsServableAgg]]'s strict
     * count/min/max/sum-of-a-bare-attribute match), joined columns, and
     * non-numeric or decimal columns (the sidecar's double scalars are
     * exact below 2⁵³ — decimals would silently lose precision).
     * Sum/min/max re-cast to the type the normal plan would produce, so
-    * a statsOnly result is indistinguishable from the scan's. */
+    * a statsOnly result is indistinguishable from the scan's.
+    *
+    * COMPOSES with asOf: data files are immutable, so any retained
+    * sidecar's rows filtered to the pinned snapshot's file list
+    * describe that snapshot exactly — "how big was release
+    * corpus-v1.0" stays a metadata read years later
+    * ([[graft.sources.Manifest.statsAggregate]]'s `version` pin). */
   private def compileStatsOnly(q: CubeQuery): DataFrame = {
     import graft.sources.Manifest
     import org.apache.spark.sql.types._
@@ -229,8 +234,16 @@ object Compiler {
       s"cube '${cube.name}': statsOnly $msg")
     val tbl = cube.manifestTable.getOrElse(refuse(
       "needs a manifested source (no snapshot stats to serve from)"))
-    if (q.options.exists(_.isInstanceOf[QueryOpt.AsOf]))
-      refuse("serves the CURRENT snapshot only — drop asOf or run the full query")
+    val spark = cube.fact.sparkSession
+    val pinned: Option[Long] =
+      q.options.collectFirst { case a: QueryOpt.AsOf => a }.map { a =>
+        (a.version, a.tsMillis, a.tag) match {
+          case (Some(v), _, _) => v
+          case (_, Some(ts), _) => Manifest.versionAt(spark, tbl, ts)
+          case (_, _, Some(t)) => Manifest.tagVersion(spark, tbl, t)
+          case _ => refuse("asOf carries no version, timestamp, or tag")
+        }
+      }
     if (q.slices.nonEmpty)
       refuse("serves table-level aggregates only (drop the dimensions)")
     if (q.wheres.nonEmpty)
@@ -264,8 +277,8 @@ object Compiler {
         }
         (key, form, c)
       }
-    val served = Manifest.statsAggregate(cube.fact.sparkSession, tbl,
-      forms.flatMap(_._3).distinct)
+    val served = Manifest.statsAggregate(spark, tbl,
+      forms.flatMap(_._3).distinct, pinned)
     val outCols: Seq[Column] = forms.map { case (key, form, cOpt) =>
       (form, cOpt) match {
         case ("cnt", _) => F.col("cnt").as(key)
@@ -281,7 +294,8 @@ object Compiler {
       }
     }
     foldOptions(served.select(outCols: _*),
-      q.options.filterNot(_ == QueryOpt.StatsOnly), Set.empty)
+      q.options.filterNot(o => o == QueryOpt.StatsOnly ||
+        o.isInstanceOf[QueryOpt.AsOf]), Set.empty)
   }
 
   /** `_aq.`-prefix injection guard analogue (parse_tree.rb:113-114): output

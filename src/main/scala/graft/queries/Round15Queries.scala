@@ -831,8 +831,10 @@ object Round15Queries {
     // inputFiles is EMPTY (zero data-file opens; pinned). Unservable
     // shapes refuse loudly, V4-style: dimensions, an expression-valued
     // metric (sumTokens aggregates tokenCount(text), not a bare
-    // column), and the asOf combination (stats describe the CURRENT
-    // snapshot). Values recomputed by the oracle.
+    // column). COMPOSES with asOf: after a CoW takedown, the pinned
+    // epoch's count still serves from metadata (files are immutable,
+    // so any retained sidecar filtered to the pinned snapshot's file
+    // list is exact). Values recomputed by the oracle.
     NamedQuery("q221_stats_only",
       (s, d) => {
         import graft.parse.QueryParser
@@ -870,15 +872,22 @@ object Round15Queries {
         val exoticRefused = refused(
           """{"name": "sumTokens", "alias": "t"}""",
           "\"statsOnly\": true", "not a servable")
-        val asOfRefused = refused(
-          """{"name": "count", "alias": "n"}""",
-          "\"statsOnly\": true, \"asOf\": 1", "CURRENT snapshot")
+        // CoW takedown churn, then both epochs from metadata
+        Manifest.deleteWhere(s, table, col("doc_id") % 3 === 0)     // v2
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val cur = parse("""{"name": "count", "alias": "n"}""",
+          "\"statsOnly\": true")
+        val old = parse("""{"name": "count", "alias": "n"}""",
+          "\"statsOnly\": true, \"asOf\": 1")
         out.select(col("n_docs"), col("sum_chars"),
           col("min_chars"), col("max_chars"),
           F.lit(servedLocal).as("served_local"),
           F.lit(dimRefused).as("dim_refused"),
           F.lit(exoticRefused).as("exotic_refused"),
-          F.lit(asOfRefused).as("asof_refused"))
+          F.lit(cur.head().getLong(0)).as("cur_docs"),
+          F.lit(old.head().getLong(0)).as("asof_docs"),
+          F.lit(cur.inputFiles.isEmpty && old.inputFiles.isEmpty)
+            .as("epochs_served_local"))
       },
       Some("""SELECT
              |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -886,7 +895,11 @@ object Round15Queries {
              |  CAST(min(n_chars) AS BIGINT) AS min_chars,
              |  CAST(max(n_chars) AS BIGINT) AS max_chars,
              |  true AS served_local, true AS dim_refused,
-             |  true AS exotic_refused, true AS asof_refused
+             |  true AS exotic_refused,
+             |  CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT)
+             |    AS cur_docs,
+             |  CAST(count(*) AS BIGINT) AS asof_docs,
+             |  true AS epochs_served_local
              |FROM documents""".stripMargin)),
 
     // STRING-ENVELOPE FILE SKIPPING: lexicographic per-file min/max

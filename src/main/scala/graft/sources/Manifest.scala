@@ -497,13 +497,18 @@ object Manifest {
     * stamp existed count as time 0). The stamp is commit METADATA, so
     * it rides the same atomic manifest appearance as everything else —
     * no file-mtime archaeology. */
-  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readSnapshotData(spark, table,
+      readSnapshot(spark, table, versionAt(spark, table, tsMillis)))
+
+  /** The wall-clock → version resolution [[readAsOf]] serves: newest
+    * retained version committed at or before `tsMillis`. */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val vs = versions(spark, table).map(v => readSnapshot(spark, table, v))
       .filter(_.meta.get("committed_at").map(_.toLong).getOrElse(0L) <= tsMillis)
     require(vs.nonEmpty,
-      s"Manifest.readAsOf: no retained version of $table at or before $tsMillis")
-    val snap = vs.last
-    readSnapshotData(spark, table, snap)
+      s"Manifest.versionAt: no retained version of $table at or before $tsMillis")
+    vs.last.version
   }
 
   /** ROLLBACK as a FORWARD commit (the Delta RESTORE shape): re-commit
@@ -1948,40 +1953,24 @@ object Manifest {
       column: String, prefix: String): DataFrame = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPrefix: $table has no committed snapshot"))
-    val succ = prefixSuccessor(prefix)
-    val decision = strPrunedFilesFor(spark, table, snap, column,
-      Some(prefix), None).map(_.toSet)
-    // tighten with the exclusive upper bound when one exists: a file
-    // admitted by [prefix, ∞) but whose smin ≥ successor cannot hold
-    // a prefix match
-    (decision, succ) match {
-      case (None, _) => readSnapshotData(spark, table, snap)
-      case (Some(byLo), Some(up)) =>
-        strPrunedFilesFor(spark, table, snap, column, None,
-          Some(up)) match {
-          // the hi-side test is inclusive ≤ up; combined with the
-          // lo-side it over-admits only files whose smin == up exactly
-          // — one extra file read at most, never a miss
-          case Some(byHi) =>
-            val keep = (byLo intersect byHi.toSet).toSeq.sorted
-            if (keep.isEmpty)
-              readSnapshotRaw(spark, table, snap).limit(0)
-            else readFilesLive(spark, table, snap, keep)
-          case None => readSnapshotData(spark, table, snap)
-        }
-      case (Some(byLo), None) =>
-        if (byLo.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
-        else readFilesLive(spark, table, snap, byLo.toSeq.sorted)
+    strPrunedFilesFor(spark, table, snap, column,
+      Some(prefix), prefixSuccessor(prefix), hiExclusive = true) match {
+      case None => readSnapshotData(spark, table, snap)
+      case Some(paths) if paths.isEmpty =>
+        readSnapshotRaw(spark, table, snap).limit(0)
+      case Some(paths) => readFilesLive(spark, table, snap, paths)
     }
   }
 
   /** The string-envelope skipping decision — [[prunedFilesFor]]'s
     * shape over the `strstats_v` sidecar with UTF-8-byte-order
-    * comparisons. Some(surviving absolute paths) or None when pruning
-    * cannot apply. */
+    * comparisons (hi inclusive by default; exclusive for the prefix
+    * admission range). Some(surviving absolute paths) or None when
+    * pruning cannot apply. */
   private def strPrunedFilesFor(spark: SparkSession, table: String,
       snap: Snapshot, column: String,
-      lo: Option[String], hi: Option[String]): Option[Seq[String]] = {
+      lo: Option[String], hi: Option[String],
+      hiExclusive: Boolean = false): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val sd = strStatsDir(table, snap.version)
     if (!fs.exists(sd)) return None
@@ -1998,7 +1987,8 @@ object Manifest {
     val keep = rows.filter { r =>
       !r.isNullAt(mi) && !r.isNullAt(ma) &&
         lo.forall(l => utf8Cmp(r.getString(ma), l) >= 0) &&
-        hi.forall(h => utf8Cmp(r.getString(mi), h) <= 0)
+        hi.forall(h => if (hiExclusive) utf8Cmp(r.getString(mi), h) < 0
+          else utf8Cmp(r.getString(mi), h) <= 0)
     }.map(_.getString(fi))
     val unknown = full.inputFiles.filterNot(known.contains)
     Some((keep ++ unknown).distinct.toIndexedSeq)
@@ -2031,13 +2021,24 @@ object Manifest {
     * pins that make the serving mode itself verifiable. Metadata-served
     * results materialize as a LocalRelation — no data-file IO in the
     * plan at all. Doubles are exact below 2⁵³ (counts, integral-valued
-    * sums) — the envelope discipline. */
+    * sums) — the envelope discipline.
+    *
+    * `version` pins the serve to a RETAINED snapshot: data files are
+    * immutable, so ANY retained sidecar's rows, filtered to the files
+    * that snapshot actually lists, describe it exactly — "how big was
+    * release v3" is a metadata read years later. */
   def statsAggregate(spark: SparkSession, table: String,
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], version: Option[Long] = None): DataFrame = {
     // empty cols is the count(*)-only shape: any covered column's
     // per-file cnt anchors the row count
-    val snap = currentSnapshot(spark, table).getOrElse(
-      sys.error(s"Manifest.statsAggregate: $table has no committed snapshot"))
+    val snap = version match {
+      case Some(v) =>
+        require(versions(spark, table).contains(v),
+          s"Manifest.statsAggregate: $table has no retained version $v")
+        readSnapshot(spark, table, v)
+      case None => currentSnapshot(spark, table).getOrElse(
+        sys.error(s"Manifest.statsAggregate: $table has no committed snapshot"))
+    }
     import org.apache.spark.sql.{types => T}
     val outSchema = T.StructType(
       T.StructField("cnt", T.LongType, nullable = false) +:
@@ -2079,14 +2080,17 @@ object Manifest {
         readSnapshotRaw(spark, table, snap).inputFiles.length.toLong)
     }
     if (snap.meta.contains(DvKey)) return fallback()
-    // newest RETAINED sidecar, any version (the buildSidecar reuse
-    // rule): rows are per immutable file, filtered below to the
-    // files the CURRENT snapshot actually lists, so a pre-append
+    // sidecar choice: the probed version's own sidecar when one was
+    // built, else the newest RETAINED one (the buildSidecar reuse
+    // rule) — rows are per immutable file, filtered below to the
+    // files the probed snapshot actually lists, so a pre-append
     // sidecar serves its covered files and the append becomes the
     // scanned delta
     val fs = fsFor(spark, table)
-    val (sch, rows) = versions(spark, table)
-      .filter(v => fs.exists(statsDir(table, v))).lastOption
+    val (sch, rows) = Some(snap.version)
+      .filter(v => fs.exists(statsDir(table, v)))
+      .orElse(versions(spark, table)
+        .filter(v => fs.exists(statsDir(table, v))).lastOption)
       .flatMap(v => sidecarRows(spark, statsDir(table, v)))
       .getOrElse(return fallback())
     val statN = cols.flatMap(c => Seq(s"${c}__min", s"${c}__max",
@@ -2094,7 +2098,10 @@ object Manifest {
     if (!statN.forall(sch.fieldNames.contains)) return fallback()
     val fi = sch.fieldIndex("file")
     val allFiles = readSnapshotRaw(spark, table, snap).inputFiles.toSeq
-    val covered = rows.filter(r => allFiles.contains(r.getString(fi)))
+    // set lookups: the row filter is per sidecar row — a Seq.contains
+    // would be O(F²) at the 100k-file manifests ManifestScale measures
+    val allSet = allFiles.toSet
+    val covered = rows.filter(r => allSet.contains(r.getString(fi)))
     val uncovered = {
       val known = covered.map(_.getString(fi)).toSet
       allFiles.filterNot(known.contains)

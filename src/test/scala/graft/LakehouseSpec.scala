@@ -1599,6 +1599,19 @@ class LakehouseSpec extends AnyFunSuite {
     // options still fold on the served row (a 1-row sort is a no-op,
     // but the fold path must not break)
     assert(Compiler.compile(base.statsOnly.asc("n")).count() == 1)
+    // asOf composes: after a CoW takedown + re-analyze, BOTH epochs
+    // serve from metadata — the pinned snapshot from its retained
+    // sidecar, the current one from the fresh analyze
+    Manifest.deleteWhere(spark, tbl, col("id") === 3L)
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val oldQ = Compiler.compile(base.asOfVersion(1).statsOnly).head()
+    val curQ = Compiler.compile(base.statsOnly).head()
+    assert(Compiler.compile(base.asOfVersion(1).statsOnly).inputFiles.isEmpty)
+    assert(Compiler.compile(base.statsOnly).inputFiles.isEmpty)
+    assert(oldQ.getAs[Long]("n") == 3 && oldQ.getAs[Long]("nn") == 2 &&
+      oldQ.getAs[Long]("sv") == 40L && oldQ.getAs[Long]("mx") == 30L)
+    assert(curQ.getAs[Long]("n") == 2 && curQ.getAs[Long]("nn") == 1 &&
+      curQ.getAs[Long]("sv") == 10L && curQ.getAs[Long]("mx") == 10L)
     // refusals: filter, non-flat grouping, measure filter, joined/
     // unknown column, non-manifested cube
     def refusal(q: CubeQuery, needle: String): Unit = {
