@@ -69,6 +69,22 @@ object MoRScale {
     val got = Manifest.read(spark, tbl).count()
     assert(got == total + 10 - 200, s"expected ${total + 10 - 200}, got $got")
     println(s"[morscale] final rows ok: $got")
+    // the round-15 metadata serves at the same fragmentation: ANALYZE
+    // once (one grouped scan over n files), then the aggregate serve
+    // and the history ledger must be driver-fold fast — ∝ n sidecar
+    // rows, zero data-file opens
+    time(s"analyzeFiles ($n files, one grouped scan)") {
+      Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    }
+    val sa = time(s"statsAggregate (driver fold over $n sidecar rows)") {
+      Manifest.statsAggregate(spark, tbl, Seq("v")).head()
+    }
+    assert(sa.getAs[String]("served_from") == "stats" &&
+      sa.getAs[Long]("cnt") == got, sa.toString)
+    println(s"[morscale] statsAggregate served_from=stats cnt=$got ok")
+    time("history (driver metadata ledger)") {
+      assert(Manifest.history(spark, tbl).count() >= 1)
+    }
     spark.stop()
   }
 }

@@ -956,6 +956,60 @@ object Round15Queries {
              |  true AS multi_file_layout, true AS prefix_pruned_strict,
              |  true AS range_pruned_strict,
              |  CAST(count(*) AS BIGINT) AS n_ranged
-             |FROM u, p WHERE starts_with(url, pre)""".stripMargin))
+             |FROM u, p WHERE starts_with(url, pre)""".stripMargin)),
+
+    // DESCRIBE HISTORY: every write verb stamps its name into commit
+    // metadata, so the table's whole lifecycle reads back as one
+    // driver-side frame — version, verb, monotone commit stamps, zero
+    // data-file IO. A seven-verb churn (create → append → CoW delete →
+    // MoR delete → fold → compact → restore) pins the exact ledger;
+    // the surviving row count is recomputed independently by the
+    // oracle (restore(5) must equal the post-fold state).
+    NamedQuery("q223_history",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("history") + "/docs"
+        Manifest.create(s, table, docs)                               // v1
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.commitAppend(s, table,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + maxId + 1L).as("doc_id"),
+              col("source"), col("n_chars")))                        // v2
+        Manifest.deleteWhere(s, table, col("doc_id") % 7 === 3)      // v3
+        Manifest.deleteWhereMoR(s, table, col("n_chars") % 10 === 7) // v4
+        Manifest.foldDeletes(s, table)                               // v5
+        val bytes = Manifest.snapshotBytes(s, table,
+          Manifest.currentSnapshot(s, table).get)
+        Manifest.compact(s, table, targetBytes = bytes * 2)          // v6
+        Manifest.restore(s, table, 5L)                               // v7
+        val h = Manifest.history(s, table)
+        val times = h.orderBy(col("version"))
+          .select("committed_at").collect().map(_.getLong(0))
+        val monotone = times.zip(times.tail).forall { case (a, b) => a <= b }
+        val finalRows = Manifest.read(s, table).count()
+        h.select(col("version"), col("operation"),
+            F.lit(monotone).as("ts_monotone"),
+            F.lit(h.inputFiles.isEmpty).as("metadata_only"),
+            F.lit(finalRows).as("final_rows"))
+          .orderBy(col("version").asc)
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + (SELECT mx FROM m) + 1, n_chars
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |fin AS (SELECT count(*) AS n FROM v2
+             |  WHERE doc_id % 7 <> 3
+             |    AND (n_chars % 10 <> 7 OR n_chars IS NULL))
+             |SELECT CAST(t.v AS BIGINT) AS version, t.op AS operation,
+             |  true AS ts_monotone, true AS metadata_only,
+             |  CAST((SELECT n FROM fin) AS BIGINT) AS final_rows
+             |FROM (VALUES (1, 'create'), (2, 'append'), (3, 'delete'),
+             |  (4, 'delete'), (5, 'fold'), (6, 'compact'),
+             |  (7, 'restore')) AS t(v, op)
+             |ORDER BY version ASC""".stripMargin))
   )
 }

@@ -208,6 +208,14 @@ object Manifest {
     * data file rewritten. Inherits across appends and CoW commits;
     * dropped by any full rewrite (compaction folds the DVs in). */
   private[sources] val DvKey = "delete_vectors"
+
+  /** Commit-metadata key naming the verb that produced each version —
+    * what makes [[history]] a DESCRIBE-HISTORY. Every public write
+    * path stamps its own verb, so an inherited label can never
+    * describe the wrong commit; absent on pre-stamp history. */
+  private[sources] val OpKey = "operation"
+  private def withOp(meta: Map[String, String], op: String) =
+    meta + (OpKey -> op)
   /** A delete-vector dir name: version prefix + writer suffix, under
     * `_dv/` — same orphan-reclaim story as [[DataDirName]]. */
   private val DvDirName = """^v(\d{8})-[0-9a-f]{8}$""".r
@@ -292,6 +300,29 @@ object Manifest {
     Snapshot(expected + 1, paths, stamped)
   }
 
+  /** DESCRIBE HISTORY: one row per RETAINED version — version number,
+    * commit wall time, the write verb that produced it ([[OpKey]];
+    * NULL on history committed before verbs were stamped), and the
+    * manifest's entry count. Driver metadata only — no data-file IO —
+    * and the rows are exactly what a reader can still pin with
+    * `asOf`. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("version", T.LongType, nullable = false),
+      T.StructField("committed_at", T.LongType),
+      T.StructField("operation", T.StringType),
+      T.StructField("n_entries", T.IntegerType, nullable = false)))
+    val rows = versions(spark, table).map { v =>
+      val s = readSnapshot(spark, table, v)
+      org.apache.spark.sql.Row(v,
+        s.meta.get("committed_at").map(_.toLong).orNull,
+        s.meta.get(OpKey).orNull, s.paths.size)
+    }
+    spark.createDataFrame(scala.jdk.CollectionConverters
+      .SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Create a manifested table from a frame: write snapshot 1's data
     * under its version directory, then commit. */
   def create(spark: SparkSession, table: String, df: DataFrame,
@@ -301,7 +332,7 @@ object Manifest {
       s"Manifest.create: $table already has committed snapshots")
     commit(spark, table, 0L,
       Seq(writeData(spark, table, 1L, df, partitionBy)),
-      withPartitionMeta(meta, partitionBy))
+      withOp(withPartitionMeta(meta, partitionBy), "create"))
   }
 
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
@@ -316,7 +347,7 @@ object Manifest {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName)
     require(files.nonEmpty, s"Manifest.adopt: no parquet files at $table")
-    commit(spark, table, 0L, files)
+    commit(spark, table, 0L, files, withOp(Map.empty, "adopt"))
   }
 
   /** Write `df` as version `v`'s data directory, reclaiming any
@@ -395,7 +426,8 @@ object Manifest {
       else Map.empty[String, String]
     commit(spark, table, snap.version, Seq(rel),
       withPartitionMeta(
-        (snap.meta - PartitionKey - DvKey) ++ restamped ++ meta,
+        withOp(snap.meta - PartitionKey - DvKey, "rewrite") ++
+          restamped ++ meta,
         partitionBy))
   }
 
@@ -473,7 +505,8 @@ object Manifest {
     // survive interleaved compactions + vacuum, or a crash replay after
     // retention could double-append
     commit(spark, table, snap.version, snap.paths :+ rel,
-      withPartitionMeta(snap.meta ++ meta ++ evolved, partitionBy))
+      withPartitionMeta(
+        withOp(snap.meta, "append") ++ meta ++ evolved, partitionBy))
   }
 
   private def withPartitionMeta(meta: Map[String, String],
@@ -532,7 +565,8 @@ object Manifest {
       s"Manifest.restore: $table has no retained version $v " +
         "(vacuumed?) — a restore needs the target's manifest")
     val old = readSnapshot(spark, table, v)
-    commit(spark, table, snap.version, old.paths, old.meta)
+    commit(spark, table, snap.version, old.paths,
+      withOp(old.meta, "restore"))
   }
 
   /** File-level diff between two retained versions: (added, removed)
@@ -800,7 +834,8 @@ object Manifest {
         s"Manifest.deleteWhere: predicate deletes every row of $table — " +
           "a snapshot cannot be empty; drop the table instead")
       val rels = if (written == 0) Nil else Seq(rel)
-      commit(spark, table, snap.version, keepPaths ++ rels, snap.meta)
+      commit(spark, table, snap.version, keepPaths ++ rels,
+        withOp(snap.meta, "delete"))
     } else {
       // hive layout: version-DIRECTORY-grain CoW — a carried entry
       // must remain a whole hive directory (a leaf-file or
@@ -823,7 +858,8 @@ object Manifest {
         s"Manifest.deleteWhere: predicate deletes every row of $table — " +
           "a snapshot cannot be empty; drop the table instead")
       val rels = if (written == 0) Nil else Seq(rel)
-      commit(spark, table, snap.version, cleanEntries ++ rels, snap.meta)
+      commit(spark, table, snap.version, cleanEntries ++ rels,
+        withOp(snap.meta, "delete"))
     }
   }
 
@@ -934,7 +970,7 @@ object Manifest {
       .collect().map(r => norm(r.getString(0))).toSet
     if (touched.isEmpty) // nothing matched: the upsert is a pure append
       return commit(spark, table, snap.version, snap.paths :+ srcRel,
-        snap.meta)
+        withOp(snap.meta, "merge"))
     val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
     val allFiles = raw.inputFiles.map(norm)
     val entryFor = prefixResolver(snap.paths)
@@ -960,7 +996,7 @@ object Manifest {
         writeDataCounted(spark, table, snap.version + 1, survivors, Nil)
       val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
       commit(spark, table, snap.version,
-        clean ++ carriedFiles ++ rels, snap.meta)
+        clean ++ carriedFiles ++ rels, withOp(snap.meta, "merge"))
     } else {
       // hive layout: version-directory-grain CoW (a carried entry must
       // stay a whole hive directory or partition columns drop on read)
@@ -972,7 +1008,8 @@ object Manifest {
       val (survRel, nSurv) =
         writeDataCounted(spark, table, snap.version + 1, survivors, parts)
       val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
-      commit(spark, table, snap.version, clean ++ rels, snap.meta)
+      commit(spark, table, snap.version, clean ++ rels,
+        withOp(snap.meta, "merge"))
     }
   }
 
@@ -1046,7 +1083,7 @@ object Manifest {
     val dvs = snap.meta.get(DvKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     commit(spark, table, snap.version, snap.paths,
-      snap.meta + (DvKey -> (dvs :+ rel).mkString(",")))
+      withOp(snap.meta, "delete") + (DvKey -> (dvs :+ rel).mkString(",")))
   }
 
   /** [[deleteWhereMoR]] for a key set — the multi-id takedown. The
@@ -1082,7 +1119,7 @@ object Manifest {
       // stale vectors only (their files already rewritten away):
       // drop the key with a metadata-only commit
       return commit(spark, table, snap.version, snap.paths,
-        snap.meta - DvKey)
+        withOp(snap.meta, "fold") - DvKey)
     val entryFor = prefixResolver(snap.paths)
     val filesUnder = allFiles.groupBy { f =>
       val rel = f.stripPrefix(tableAbs).stripPrefix("/")
@@ -1107,7 +1144,7 @@ object Manifest {
           "a snapshot cannot be empty; drop the table instead")
       val rels = if (written == 0) Nil else Seq(rel)
       commit(spark, table, snap.version, keepPaths ++ rels,
-        snap.meta - DvKey)
+        withOp(snap.meta, "fold") - DvKey)
     } else {
       val parts = snap.meta.get(PartitionKey)
         .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -1121,7 +1158,8 @@ object Manifest {
         s"Manifest.foldDeletes: the vectors mask every row of $table — " +
           "a snapshot cannot be empty; drop the table instead")
       val rels = if (written == 0) Nil else Seq(rel)
-      commit(spark, table, snap.version, clean ++ rels, snap.meta - DvKey)
+      commit(spark, table, snap.version, clean ++ rels,
+        withOp(snap.meta, "fold") - DvKey)
     }
   }
 
@@ -1224,7 +1262,8 @@ object Manifest {
       case None => snap.meta ++ meta
     }
     val newPaths = if (nIns == 0) snap.paths else snap.paths :+ insRel
-    commit(spark, table, snap.version, newPaths, newMeta)
+    commit(spark, table, snap.version, newPaths,
+      withOp(newMeta, "upsert"))
   }
 
   /** [[merge]]'s MERGE-ON-READ sibling: matched rows are MASKED (one
@@ -1290,7 +1329,7 @@ object Manifest {
           "over data that breaks it")
       case None =>
         commit(spark, table, snap.version, snap.paths,
-          snap.meta + (CheckPrefix + name -> expr))
+          withOp(snap.meta, "add_check") + (CheckPrefix + name -> expr))
     }
   }
 
@@ -1303,7 +1342,7 @@ object Manifest {
     require(snap.meta.contains(CheckPrefix + name),
       s"Manifest.dropCheck: $table has no CHECK named '$name'")
     commit(spark, table, snap.version, snap.paths,
-      snap.meta - (CheckPrefix + name))
+      withOp(snap.meta, "drop_check") - (CheckPrefix + name))
   }
 
   /** First violated (name, count) across all `cs`, in ONE pass over
@@ -1476,7 +1515,7 @@ object Manifest {
     enforceChecks(spark, snap, spark.read.parquet(s"$table/$rel"),
       "publishStage")
     val out = commit(spark, table, snap.version, snap.paths :+ rel,
-      snap.meta ++ meta)
+      withOp(snap.meta, "publish") ++ meta)
     fs.delete(marker, false)
     out
   }
@@ -2261,7 +2300,8 @@ object Manifest {
     val rel = writeData(spark, table, snap.version + 1, laid, parts)
     // carry the metadata forward (see commitAppend) — minus the delete
     // vectors, which this rewrite just folded into the data
-    commit(spark, table, snap.version, Seq(rel), snap.meta - DvKey)
+    commit(spark, table, snap.version, Seq(rel),
+      withOp(snap.meta, "compact") - DvKey)
   }
 
   /** Retention: drop every snapshot except the newest `keep`, any

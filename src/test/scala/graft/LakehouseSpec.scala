@@ -1517,6 +1517,27 @@ class LakehouseSpec extends AnyFunSuite {
     assert(s4.getAs[Long]("cnt") == 5 && s4.getAs[Double]("v_sum") == 70.0)
   }
 
+  test("history: every verb stamps its own operation, so inherited " +
+      "metadata can never mislabel a commit") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_history").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl, Seq((1L, 5L)).toDF("id", "v"))
+    Manifest.addCheck(spark, tbl, "pos", "v >= 0")
+    Manifest.commitAppend(spark, tbl, Seq((2L, 6L)).toDF("id", "v"))
+    Manifest.dropCheck(spark, tbl, "pos")
+    val h = Manifest.history(spark, tbl).orderBy(col("version")).collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "add_check", "append", "drop_check"))
+    assert(h.map(_.getAs[Int]("n_entries")).toSeq == Seq(1, 1, 2, 2))
+    // a restore is labeled restore, not the restored version's verb
+    Manifest.restore(spark, tbl, 1L)
+    assert(Manifest.history(spark, tbl).orderBy(col("version"))
+      .collect().last.getAs[String]("operation") == "restore")
+  }
+
   test("string-envelope skipping: prefix and range probes prune a " +
       "string-clustered layout to the matching files and never lose rows") {
     import graft.sources.Manifest
