@@ -1010,6 +1010,53 @@ object Round15Queries {
              |FROM (VALUES (1, 'create'), (2, 'append'), (3, 'delete'),
              |  (4, 'delete'), (5, 'fold'), (6, 'compact'),
              |  (7, 'restore')) AS t(v, op)
-             |ORDER BY version ASC""".stripMargin))
+             |ORDER BY version ASC""".stripMargin)),
+
+    // MIXED-FAMILY PRUNING: one conjunctive decision across BOTH
+    // envelope families — a string range (source equality as
+    // [src, src]) against the strstats sidecar AND a numeric range
+    // against the stats sidecar. On a (source, n_chars)-clustered
+    // layout the conjunction admits at most what either family admits
+    // alone and strictly less than the full file list; the explicit
+    // filter on top keeps the served rows exact, recomputed by the
+    // oracle.
+    NamedQuery("q224_mixed_pruning",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("mixskip") + "/docs"
+        Manifest.create(s, table,
+          docs.repartitionByRange(4, col("source"), col("n_chars"))
+            .sortWithinPartitions("source", "n_chars"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        Manifest.analyzeFilesString(s, table, Seq("source"))
+        val all = Manifest.read(s, table).inputFiles.length
+        val minSrc = Tables.documents(s, d)
+          .agg(F.min("source")).head().getString(0)
+        val nStr = Manifest.readPrunedString(s, table, "source",
+          Some(minSrc), Some(minSrc)).inputFiles.length
+        val nNum = Manifest.readPruned(s, table, "n_chars", 100.0, 300.0)
+          .inputFiles.length
+        val conj = Manifest.readPrunedMixed(s, table,
+          Seq(("n_chars", 100.0, 300.0)),
+          Seq(("source", minSrc, minSrc)))
+        val nConj = conj.inputFiles.length
+        conj.filter(col("source") === minSrc &&
+            col("n_chars").between(100, 300))
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_docs"), col("sum_chars"),
+            F.lit(all >= 4).as("multi_file_layout"),
+            F.lit(nConj <= nStr && nConj <= nNum).as("conj_tightest"),
+            F.lit(nConj < all).as("conj_strict_subset"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS multi_file_layout, true AS conj_tightest,
+             |  true AS conj_strict_subset
+             |FROM documents
+             |WHERE source = (SELECT min(source) FROM documents)
+             |  AND n_chars BETWEEN 100 AND 300""".stripMargin))
   )
 }

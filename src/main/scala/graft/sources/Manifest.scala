@@ -2033,6 +2033,75 @@ object Manifest {
     Some((keep ++ unknown).distinct.toIndexedSeq)
   }
 
+  /** The snapshot's data files straight from the FILESYSTEM — the
+    * same set a raw-relation init would list, without paying relation
+    * construction (schema resolution, footer reads) when the caller
+    * only needs NAMES. Matching against sidecar rows (written from
+    * `input_file_name()`) must key by [[normPath]] — the two sources
+    * render the scheme differently (`file:///x` vs `file:/x`). */
+  private def listSnapshotFiles(spark: SparkSession, table: String,
+      snap: Snapshot): Seq[String] = {
+    val fs = fsFor(spark, table)
+    snap.paths.flatMap { p =>
+      val root = new Path(s"$table/$p")
+      if (!fs.exists(root)) Nil
+      else if (fs.getFileStatus(root).isFile) Seq(root.toString)
+      else {
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) out += f.toString
+        }
+        out.result()
+      }
+    }
+  }
+
+  private def normPath(f: String): String = new Path(f).toUri.getPath
+
+  /** Conjunctive file skipping across BOTH envelope families in ONE
+    * decision: numeric ranges against the `stats_v` sidecar, string
+    * ranges (inclusive) against `strstats_v` — a file survives only
+    * if EVERY predicate's envelope admits it. Each family's decision
+    * degrades independently (missing sidecar / predated column ⇒ that
+    * family admits everything), so the combined read is always sound
+    * and at least as tight as either side alone — the
+    * `day BETWEEN '2024-01-01' AND '2024-01-07' AND value > x` shape
+    * a time-series lakehouse probes constantly. */
+  def readPrunedMixed(spark: SparkSession, table: String,
+      numRanges: Seq[(String, Double, Double)],
+      strRanges: Seq[(String, String, String)]): DataFrame = {
+    require(numRanges.nonEmpty || strRanges.nonEmpty,
+      "readPrunedMixed needs at least one range")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPrunedMixed: $table has no committed snapshot"))
+    val numD = if (numRanges.isEmpty) None
+      else prunedFilesFor(spark, table, snap, numRanges)
+    val strD = strRanges.foldLeft(Option.empty[Set[String]]) {
+      case (acc, (c, lo, hi)) =>
+        strPrunedFilesFor(spark, table, snap, c, Some(lo), Some(hi)) match {
+          case None => acc
+          case Some(files) => Some(acc match {
+            case None => files.toSet
+            case Some(prev) => prev intersect files.toSet
+          })
+        }
+    }
+    (numD.map(_.toSet), strD) match {
+      case (None, None) => readSnapshotData(spark, table, snap)
+      case (a, b) =>
+        val keep = (a, b) match {
+          case (Some(x), Some(y)) => (x intersect y).toSeq.sorted
+          case (Some(x), None) => x.toSeq.sorted
+          case (None, Some(y)) => y.toSeq.sorted
+          case _ => Nil // unreachable
+        }
+        if (keep.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
+        else readFilesLive(spark, table, snap, keep)
+    }
+  }
+
   /** Whole-table `count(*)` / `count(c)` / `min` / `max` / `sum`
     * answered from DRIVER METADATA — the [[analyzeFiles]] sidecar's
     * per-file scalars folded at the driver — instead of a table scan:
@@ -2116,7 +2185,7 @@ object Manifest {
     def fallback(): DataFrame = {
       val (cnt, per) = scanAgg(readSnapshotData(spark, table, snap))
       emit(cnt, per, "scan",
-        readSnapshotRaw(spark, table, snap).inputFiles.length.toLong)
+        listSnapshotFiles(spark, table, snap).size.toLong)
     }
     if (snap.meta.contains(DvKey)) return fallback()
     // sidecar choice: the probed version's own sidecar when one was
@@ -2136,14 +2205,17 @@ object Manifest {
       s"${c}__cnt", s"${c}__nn", s"${c}__sum"))
     if (!statN.forall(sch.fieldNames.contains)) return fallback()
     val fi = sch.fieldIndex("file")
-    val allFiles = readSnapshotRaw(spark, table, snap).inputFiles.toSeq
-    // set lookups: the row filter is per sidecar row — a Seq.contains
-    // would be O(F²) at the 100k-file manifests ManifestScale measures
-    val allSet = allFiles.toSet
-    val covered = rows.filter(r => allSet.contains(r.getString(fi)))
+    // a DRIVER filesystem listing, not a relation init — the serve
+    // must stay a metadata read even at 100k files. Set lookups keyed
+    // by normalized URI path (the listing and input_file_name render
+    // the scheme differently); the row filter is per sidecar row — a
+    // Seq.contains would be O(F²)
+    val allFiles = listSnapshotFiles(spark, table, snap)
+    val allSet = allFiles.map(normPath).toSet
+    val covered = rows.filter(r => allSet.contains(normPath(r.getString(fi))))
     val uncovered = {
-      val known = covered.map(_.getString(fi)).toSet
-      allFiles.filterNot(known.contains)
+      val known = covered.map(r => normPath(r.getString(fi))).toSet
+      allFiles.filterNot(f => known.contains(normPath(f)))
     }
     if (uncovered.nonEmpty && snap.meta.contains(PartitionKey))
       return fallback()

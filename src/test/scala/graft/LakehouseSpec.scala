@@ -1582,6 +1582,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Manifest.readPrefix(spark, tbl, "w", "a").count() == 2)
   }
 
+  test("mixed-family pruning: numeric AND string envelopes intersect — " +
+      "the conjunction is at least as tight as either family alone and " +
+      "never loses rows") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_mixskip").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq(("a", 1L), ("a", 10L)).toDF("w", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("b", 11L), ("b", 20L)).toDF("w", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("c", 21L), ("c", 30L)).toDF("w", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    Manifest.analyzeFilesString(spark, tbl, Seq("w"))
+    // both families admit exactly the middle file
+    val conj = Manifest.readPrunedMixed(spark, tbl,
+      Seq(("v", 12.0, 18.0)), Seq(("w", "b", "b")))
+    assert(conj.inputFiles.length == 1 && conj.count() == 2)
+    // families disagree: the numeric range admits file 1, the string
+    // range file 2 — the conjunction is empty
+    assert(Manifest.readPrunedMixed(spark, tbl,
+      Seq(("v", 1.0, 10.0)), Seq(("w", "b", "b"))).count() == 0)
+    // a family that cannot decide (un-analyzed column) admits all:
+    // the conjunction degrades to the other family alone
+    val half = Manifest.readPrunedMixed(spark, tbl,
+      Seq(("v", 12.0, 18.0)), Seq(("w2_missing", "b", "b")))
+    assert(half.inputFiles.length == 1 && half.count() == 2)
+  }
+
   test("statsOnly front door: the metadata-served result is " +
       "indistinguishable from the scan — same schema, same values — " +
       "and its plan reads zero data files") {
