@@ -87,10 +87,14 @@ object CubeRunner {
     // compile fresh every time.
     // checked against EVERY registry that could resolve the name — the
     // Compiler binds metrics through optimal-source selection, so an
-    // alt-source metricOverride that snapshots must also bypass
+    // alt-source metricOverride that snapshots must also bypass.
+    // statsOnly plans are the same hazard in option form: the served
+    // LocalRelation freezes the sidecar fold at compile time, so a
+    // cached one would replay stale stats after the table moved.
     val cacheable = q.measures.forall { case (_, m) =>
       !cube.metrics.get(m.metric).exists(_.snapshotsData) &&
-        !cube.altSources.exists(_.metricOverrides.get(m.metric).exists(_.snapshotsData)) }
+        !cube.altSources.exists(_.metricOverrides.get(m.metric).exists(_.snapshotsData)) } &&
+      !q.options.contains(graft.query.QueryOpt.StatsOnly)
     val df = cache match {
       case Some(c) if cacheable =>
         c.getOrCompile(PlanCache.key(spark, cat.id, cube.name, nested, q, parsed.root))(build)

@@ -78,6 +78,35 @@ class ExecSpec extends AnyFunSuite {
     assert(hooked.rows.head.getLong(0) > 0)
   }
 
+  test("plan cache: statsOnly plans are never memoized — a cached " +
+      "serve would replay a frozen LocalRelation after the table moved") {
+    import graft.sources.Manifest
+    import graft.model.{Cube, Metric}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("exec_statsonly").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val cubeFor = (s: SparkSession, _: graft.sources.Catalog) =>
+      Cube("t", Manifest.read(s, tbl),
+        dimensions = Map.empty, metrics = Map("n" -> Metric.countAll("n")),
+        selectors = Map.empty, manifestTable = Some(tbl))
+    val cache = new graft.exec.PlanCache()
+    val sdoc = """{"fields": [{"name": "n", "alias": "n"}],
+                   "args": {"options": {"statsOnly": true}}}"""
+    val r1 = CubeRunner.execute(spark, registry, cubeFor, sdoc,
+      cache = Some(cache))
+    Manifest.commitAppend(spark, tbl, Seq((3L, 30L)).toDF("id", "v"))
+    val r2 = CubeRunner.execute(spark, registry, cubeFor, sdoc,
+      cache = Some(cache))
+    assert(r1.rows.head.getLong(0) == 2)
+    assert(r2.rows.head.getLong(0) == 3,
+      "second execution must re-serve the moved table, not a cached row")
+    assert(cache.hits == 0 && cache.misses == 0,
+      s"statsOnly must bypass the cache: hits=${cache.hits} misses=${cache.misses}")
+  }
+
   test("plan cache: repeated query compiles once, results identical, keys scope by database") {
     val cache = new graft.exec.PlanCache()
     val doc2 =
