@@ -39,28 +39,64 @@ object Compiler {
     if (q.options.contains(QueryOpt.StatsOnly))
       return compileStatsOnly(q)
 
-    // ---- time travel (asOf): rebind the fact to a pinned snapshot ---
-    // before any source selection. Rollup alt-sources materialize
-    // CURRENT data, so they are disabled for the pinned epoch; the
-    // remaining options fold unchanged (AsOf is scan-binding, not
-    // result-shaping, so it is position-independent — first one wins).
-    q.options.collectFirst { case a: QueryOpt.AsOf => a } match {
-      case Some(a) =>
+    // ---- manifest fact binding: time travel + driver file skipping --
+    // ONE rebind before source selection. asOf pins the scan to a
+    // snapshot (rollup alt-sources materialize CURRENT data, so they
+    // are disabled for a pinned epoch); independently, any numeric
+    // bounds / string equality points recoverable from the WHERE's
+    // conjuncts prune the fact's FILES at the driver through the
+    // ANALYZE sidecars (readPrunedMixed) — pruning only ever drops
+    // files whose envelope cannot match, and the WHERE still applies
+    // in full, so the rebind is invisible except in files opened.
+    // manifestTable's contract makes this sound: fact ≡
+    // Manifest.read(manifestTable) (the asOf path has always rebound
+    // on that assumption). The recursion drops manifestTable so the
+    // block runs once.
+    val asOfOpt = q.options.collectFirst { case a: QueryOpt.AsOf => a }
+    if (asOfOpt.nonEmpty && cube.manifestTable.isEmpty)
+      throw new CubeQueryException(
+        s"cube '${cube.name}': option 'asOf' needs a manifested source " +
+          "(this cube reads a plain table with no snapshot history)")
+    cube.manifestTable match {
+      case Some(tbl) if asOfOpt.nonEmpty || q.wheres.nonEmpty =>
         import graft.sources.Manifest
-        val tbl = cube.manifestTable.getOrElse(throw new CubeQueryException(
-          s"cube '${cube.name}': option 'asOf' needs a manifested source " +
-            "(this cube reads a plain table with no snapshot history)"))
         val spark = cube.fact.sparkSession
-        val fact = (a.version, a.tsMillis, a.tag) match {
-          case (Some(v), _, _) => Manifest.readVersion(spark, tbl, v)
-          case (_, Some(ts), _) => Manifest.readAsOf(spark, tbl, ts)
-          case (_, _, Some(t)) => Manifest.readTag(spark, tbl, t)
-          case _ => Manifest.read(spark, tbl)
+        val pinned: Option[Long] = asOfOpt.flatMap { a =>
+          (a.version, a.tsMillis, a.tag) match {
+            case (Some(v), _, _) => Some(v)
+            case (_, Some(ts), _) => Some(Manifest.versionAt(spark, tbl, ts))
+            case (_, _, Some(t)) => Some(Manifest.tagVersion(spark, tbl, t))
+            case _ => None // AsOf with no ref: current snapshot
+          }
         }
-        return compile(q.copy(
-          cube = cube.copy(fact = fact, altSources = Nil),
-          options = q.options.filterNot(_.isInstanceOf[QueryOpt.AsOf])))
-      case None => ()
+        // best-effort bounds: a selector only an alt-source defines (or
+        // any other resolution failure) just means no pruning — the
+        // main flow still validates the query for real
+        val pred =
+          try q.wheres.flatMap(p => compilePred(cube.selector _, p))
+            .reduceOption(_ && _)
+          catch { case _: CubeQueryException => None }
+        val num = pred.map(Manifest.boundsFromPred).getOrElse(Nil)
+        val str = pred.map(Manifest.strPointsFromPred).getOrElse(Nil)
+        val fact: Option[DataFrame] =
+          if (num.nonEmpty || str.nonEmpty)
+            Some(Manifest.readPrunedMixed(spark, tbl, num, str, pinned))
+          else pinned match {
+            case Some(v) => Some(Manifest.readVersion(spark, tbl, v))
+            case None if asOfOpt.nonEmpty => Some(Manifest.read(spark, tbl))
+            case None => None // no asOf, no recoverable bounds: untouched
+          }
+        fact match {
+          case Some(f) =>
+            return compile(q.copy(
+              cube = cube.copy(fact = f,
+                altSources =
+                  if (asOfOpt.nonEmpty) Nil else cube.altSources,
+                manifestTable = None),
+              options = q.options.filterNot(_.isInstanceOf[QueryOpt.AsOf])))
+          case None => ()
+        }
+      case _ => ()
     }
 
     // ---- multi-fact merge: metrics split across sources -------------

@@ -1057,6 +1057,46 @@ object Round15Queries {
              |  true AS conj_strict_subset
              |FROM documents
              |WHERE source = (SELECT min(source) FROM documents)
-             |  AND n_chars BETWEEN 100 AND 300""".stripMargin))
+             |  AND n_chars BETWEEN 100 AND 300""".stripMargin)),
+
+    // FRONT-DOOR FILE SKIPPING: a parsed cube query's plain `when`
+    // range on a manifested fact prunes the scan's FILES at the driver
+    // — no query change, no option, just ANALYZE once and every
+    // eligible front-door filter stops opening files its envelopes
+    // exclude. Pinned by comparing the compiled plan's inputFiles
+    // against the table's file count; values recomputed by the oracle
+    // (the WHERE still applies in full — pruning is invisible except
+    // in files opened).
+    NamedQuery("q225_frontdoor_skipping",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+        val table = freshQueryDir("fdskip") + "/docs"
+        Manifest.create(s, table,
+          docs.repartitionByRange(4, col("n_chars"))
+            .sortWithinPartitions("n_chars"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val all = Manifest.read(s, table).inputFiles.length
+        val cube = graft.cubes.Cubes.documentsCube(s, d)
+          .copy(fact = Manifest.read(s, table), manifestTable = Some(table))
+        val out = QueryParser.parse(cube,
+          """{ "cube": "documents",
+            |  "args": {
+            |    "nChars": { "between": [100, 300] },
+            |    "options": { "asc": "source" } },
+            |  "fields": [
+            |    {"name": "source"},
+            |    {"name": "count", "alias": "n_docs"} ] }""".stripMargin)
+          .query.toDF
+        val pruned = out.inputFiles.length
+        out.select(col("source"), col("n_docs"),
+          F.lit(all >= 4).as("multi_file_layout"),
+          F.lit(pruned < all).as("scan_pruned_strict"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  true AS multi_file_layout, true AS scan_pruned_strict
+             |FROM documents WHERE n_chars BETWEEN 100 AND 300
+             |GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin))
   )
 }

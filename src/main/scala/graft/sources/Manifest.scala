@@ -745,13 +745,71 @@ object Manifest {
       case LessThanOrEqual(Literal(v, _), a) => lower(a, v)
       case EqualTo(a, Literal(v, _)) => point(a, v)
       case EqualTo(Literal(v, _), a) => point(a, v)
+      // a Column-built predicate converts to UNRESOLVED function calls
+      // (the analyzer is what turns `>=` into GreaterThanOrEqual); the
+      // driver decision must read them by name
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.lengthCompare(1) == 0 =>
+        (u.nameParts.head.toLowerCase, u.arguments) match {
+          case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+          case (">", Seq(a, Literal(v, _))) => lower(a, v)
+          case (">", Seq(Literal(v, _), a)) => upper(a, v)
+          case (">=", Seq(a, Literal(v, _))) => lower(a, v)
+          case (">=", Seq(Literal(v, _), a)) => upper(a, v)
+          case ("<", Seq(a, Literal(v, _))) => upper(a, v)
+          case ("<", Seq(Literal(v, _), a)) => lower(a, v)
+          case ("<=", Seq(a, Literal(v, _))) => upper(a, v)
+          case ("<=", Seq(Literal(v, _), a)) => lower(a, v)
+          case ("=" | "==", Seq(a, Literal(v, _))) => point(a, v)
+          case ("=" | "==", Seq(Literal(v, _), a)) => point(a, v)
+          case _ => Nil
+        }
       case _ => Nil
     }
     // intersect multiple bounds on the same column
-    walk(GraftBridge.expression(pred))
+    walk(GraftBridge.convertedExpression(pred))
       .groupBy(_._1).toSeq.map { case (c, bs) =>
         (c, bs.map(_._2).max, bs.map(_._3).min)
       }.filter { case (_, lo, hi) => lo <= hi }.sortBy(_._1)
+  }
+
+  /** STRING equality points recoverable from a predicate's top-level
+    * conjuncts — `source = 'x'`, `day = '2024-01-01'` — as inclusive
+    * [v, v] ranges for [[readPrunedMixed]]'s string family. The same
+    * conservative discipline as [[boundsFromPred]]: only bare
+    * attributes, only literal strings, OR subtrees contribute
+    * nothing. */
+  private[graft] def strPointsFromPred(pred: Column)
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.StringType
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def point(a: Expression, v: Any): Seq[(String, String, String)] =
+      (attr(a), Option(v)) match {
+        case (Some(c), Some(s)) => Seq((c, s.toString, s.toString))
+        case _ => Nil
+      }
+    def walk(e: Expression): Seq[(String, String, String)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, Literal(v, StringType)) => point(a, v)
+      case EqualTo(Literal(v, StringType), a) => point(a, v)
+      // Column-built predicates convert to unresolved calls by name
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.lengthCompare(1) == 0 =>
+        (u.nameParts.head.toLowerCase, u.arguments) match {
+          case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+          case ("=" | "==", Seq(a, Literal(v, StringType))) => point(a, v)
+          case ("=" | "==", Seq(Literal(v, StringType), a)) => point(a, v)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    walk(GraftBridge.convertedExpression(pred)).distinct
   }
 
   /** POINT takedown: delete the rows whose `column` is one of
@@ -2071,11 +2129,18 @@ object Manifest {
     * a time-series lakehouse probes constantly. */
   def readPrunedMixed(spark: SparkSession, table: String,
       numRanges: Seq[(String, Double, Double)],
-      strRanges: Seq[(String, String, String)]): DataFrame = {
+      strRanges: Seq[(String, String, String)],
+      version: Option[Long] = None): DataFrame = {
     require(numRanges.nonEmpty || strRanges.nonEmpty,
       "readPrunedMixed needs at least one range")
-    val snap = currentSnapshot(spark, table).getOrElse(
-      sys.error(s"Manifest.readPrunedMixed: $table has no committed snapshot"))
+    val snap = version match {
+      case Some(v) =>
+        require(versions(spark, table).contains(v),
+          s"Manifest.readPrunedMixed: $table has no retained version $v")
+        readSnapshot(spark, table, v)
+      case None => currentSnapshot(spark, table).getOrElse(
+        sys.error(s"Manifest.readPrunedMixed: $table has no committed snapshot"))
+    }
     val numD = if (numRanges.isEmpty) None
       else prunedFilesFor(spark, table, snap, numRanges)
     val strD = strRanges.foldLeft(Option.empty[Set[String]]) {

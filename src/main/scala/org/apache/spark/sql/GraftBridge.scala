@@ -11,6 +11,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The FULLY-CONVERTED catalyst tree behind a Column. [[expression]]
+    * returns a lazy `ColumnNodeExpression` wrapper whose catalyst
+    * shape only materializes during analysis — a tree-walking caller
+    * (bounds extraction for file skipping) that pattern-matches
+    * catalyst nodes sees nothing through it. This applies the same
+    * converter analysis would. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a hand-built LogicalPlan as a DataFrame (classic Dataset.ofRows
     * is sql-private). */
   def ofRows(spark: SparkSession,

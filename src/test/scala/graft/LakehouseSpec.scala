@@ -1613,6 +1613,68 @@ class LakehouseSpec extends AnyFunSuite {
     assert(half.inputFiles.length == 1 && half.count() == 2)
   }
 
+  test("front-door file skipping: a cube WHERE with recoverable bounds " +
+      "prunes the manifested fact's files at the driver — same results, " +
+      "fewer files, composing with asOf") {
+    import graft.sources.Manifest
+    import graft.model.{Cube, Dimension, Metric, Selector}
+    import graft.query.{CubeQuery, Pred}
+    import graft.compile.Compiler
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_fdskip").toString
+    val tbl = s"$dir/t"
+    // three hand-clustered files: (word, value) per file
+    Manifest.create(spark, tbl,
+      Seq(("a", 1L), ("a", 10L)).toDF("w", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("b", 11L), ("b", 20L)).toDF("w", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq(("c", 21L), ("c", 30L)).toDF("w", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    Manifest.analyzeFilesString(spark, tbl, Seq("w"))
+    def cube = Cube("t", Manifest.read(spark, tbl),
+      dimensions = Map("w" -> Dimension("w", col("w"))),
+      metrics = Map("n" -> Metric.countAll("n"),
+        "sv" -> Metric.sumOf("sv", col("v"))),
+      selectors = Map("v" -> Selector("v", col("v")),
+        "w" -> Selector("w", col("w"))),
+      manifestTable = Some(tbl))
+    val all = Manifest.read(spark, tbl).inputFiles.length
+    assert(all == 3)
+    // numeric range: only the middle file opens
+    val q1 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .measure("sv", "sv").when(Pred.Op("v", "between", Some(Seq(11, 20)))))
+    assert(q1.inputFiles.length == 1, q1.inputFiles.mkString(","))
+    assert(q1.head() == org.apache.spark.sql.Row(2L, 31L))
+    // string equality point: only the matching file opens
+    val q2 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Op("w", "eq", Some("c"))))
+    assert(q2.inputFiles.length == 1 && q2.head().getLong(0) == 2)
+    // both families conjoin; contradictory families open nothing
+    val q3 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.And(Seq(Pred.Op("w", "eq", Some("b")),
+        Pred.Op("v", "gteq", Some(21))))))
+    assert(q3.inputFiles.isEmpty && q3.head().getLong(0) == 0)
+    // unboundable predicates (OR trees) leave the scan untouched but
+    // still compute correctly
+    val q4 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Or(Seq(Pred.Op("w", "eq", Some("a")),
+        Pred.Op("w", "eq", Some("c"))))))
+    assert(q4.inputFiles.length == all && q4.head().getLong(0) == 4)
+    // composes with asOf: pin v1+where — the exact-version sidecar
+    // would be needed, so the pinned scan serves the FULL pinned
+    // snapshot (conservative) and the values are the pinned epoch's
+    Manifest.deleteWhere(spark, tbl, col("v") === 30L)
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    val q5 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Op("v", "gteq", Some(21))).asOfVersion(3))
+    assert(q5.head().getLong(0) == 2, "pinned epoch still has v=30")
+    val q6 = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Op("v", "gteq", Some(21))))
+    assert(q6.head().getLong(0) == 1)
+  }
+
   test("statsOnly front door: the metadata-served result is " +
       "indistinguishable from the scan — same schema, same values — " +
       "and its plan reads zero data files") {
