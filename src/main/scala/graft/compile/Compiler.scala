@@ -43,7 +43,7 @@ object Compiler {
     // ONE rebind before source selection. asOf pins the scan to a
     // snapshot (rollup alt-sources materialize CURRENT data, so they
     // are disabled for a pinned epoch); independently, any numeric
-    // bounds / string equality points recoverable from the WHERE's
+    // bounds / string bounds (incl. day-BETWEEN ranges) recoverable from the WHERE's
     // conjuncts prune the fact's FILES at the driver through the
     // ANALYZE sidecars (readPrunedMixed) — pruning only ever drops
     // files whose envelope cannot match, and the WHERE still applies
@@ -77,7 +77,7 @@ object Compiler {
             .reduceOption(_ && _)
           catch { case _: CubeQueryException => None }
         val num = pred.map(Manifest.boundsFromPred).getOrElse(Nil)
-        val str = pred.map(Manifest.strPointsFromPred).getOrElse(Nil)
+        val str = pred.map(Manifest.strBoundsFromPred).getOrElse(Nil)
         val fact: Option[DataFrame] =
           if (num.nonEmpty || str.nonEmpty)
             Some(Manifest.readPrunedMixed(spark, tbl, num, str, pinned))

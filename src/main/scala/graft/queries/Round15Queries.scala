@@ -1040,7 +1040,7 @@ object Round15Queries {
           .inputFiles.length
         val conj = Manifest.readPrunedMixed(s, table,
           Seq(("n_chars", 100.0, 300.0)),
-          Seq(("source", minSrc, minSrc)))
+          Seq(("source", Some(minSrc), Some(minSrc))))
         val nConj = conj.inputFiles.length
         conj.filter(col("source") === minSrc &&
             col("n_chars").between(100, 300))

@@ -773,14 +773,17 @@ object Manifest {
       }.filter { case (_, lo, hi) => lo <= hi }.sortBy(_._1)
   }
 
-  /** STRING equality points recoverable from a predicate's top-level
-    * conjuncts — `source = 'x'`, `day = '2024-01-01'` — as inclusive
-    * [v, v] ranges for [[readPrunedMixed]]'s string family. The same
-    * conservative discipline as [[boundsFromPred]]: only bare
+  /** STRING bounds recoverable from a predicate's top-level conjuncts
+    * — `source = 'x'`, `day BETWEEN '2024-01-01' AND '2024-01-07'`,
+    * `url >= 'https://a/'` — as optional-sided inclusive ranges for
+    * [[readPrunedMixed]]'s string family. Strict comparisons relax to
+    * inclusive (the admitted file set only ever grows — sound); the
+    * same conservative discipline as [[boundsFromPred]]: only bare
     * attributes, only literal strings, OR subtrees contribute
-    * nothing. */
-  private[graft] def strPointsFromPred(pred: Column)
-      : Seq[(String, String, String)] = {
+    * nothing. Multiple conjuncts on one column intersect in UTF-8
+    * byte order (the order the envelopes were computed in). */
+  private[graft] def strBoundsFromPred(pred: Column)
+      : Seq[(String, Option[String], Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.StringType
@@ -789,27 +792,54 @@ object Manifest {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    def point(a: Expression, v: Any): Seq[(String, String, String)] =
+    type B = (String, Option[String], Option[String])
+    def mk(a: Expression, v: Any, lo: Boolean, hi: Boolean): Seq[B] =
       (attr(a), Option(v)) match {
-        case (Some(c), Some(s)) => Seq((c, s.toString, s.toString))
+        case (Some(c), Some(s)) =>
+          val t = s.toString
+          Seq((c, if (lo) Some(t) else None, if (hi) Some(t) else None))
         case _ => Nil
       }
-    def walk(e: Expression): Seq[(String, String, String)] = e match {
+    def walk(e: Expression): Seq[B] = e match {
       case And(l, r) => walk(l) ++ walk(r)
-      case EqualTo(a, Literal(v, StringType)) => point(a, v)
-      case EqualTo(Literal(v, StringType), a) => point(a, v)
+      case EqualTo(a, Literal(v, StringType)) => mk(a, v, lo = true, hi = true)
+      case EqualTo(Literal(v, StringType), a) => mk(a, v, lo = true, hi = true)
+      case GreaterThan(a, Literal(v, StringType)) => mk(a, v, true, false)
+      case GreaterThanOrEqual(a, Literal(v, StringType)) => mk(a, v, true, false)
+      case LessThan(a, Literal(v, StringType)) => mk(a, v, false, true)
+      case LessThanOrEqual(a, Literal(v, StringType)) => mk(a, v, false, true)
+      case GreaterThan(Literal(v, StringType), a) => mk(a, v, false, true)
+      case GreaterThanOrEqual(Literal(v, StringType), a) => mk(a, v, false, true)
+      case LessThan(Literal(v, StringType), a) => mk(a, v, true, false)
+      case LessThanOrEqual(Literal(v, StringType), a) => mk(a, v, true, false)
       // Column-built predicates convert to unresolved calls by name
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if u.nameParts.lengthCompare(1) == 0 =>
         (u.nameParts.head.toLowerCase, u.arguments) match {
           case ("and", Seq(l, r)) => walk(l) ++ walk(r)
-          case ("=" | "==", Seq(a, Literal(v, StringType))) => point(a, v)
-          case ("=" | "==", Seq(Literal(v, StringType), a)) => point(a, v)
+          case ("=" | "==", Seq(a, Literal(v, StringType))) =>
+            mk(a, v, lo = true, hi = true)
+          case ("=" | "==", Seq(Literal(v, StringType), a)) =>
+            mk(a, v, lo = true, hi = true)
+          case (">" | ">=", Seq(a, Literal(v, StringType))) => mk(a, v, true, false)
+          case (">" | ">=", Seq(Literal(v, StringType), a)) => mk(a, v, false, true)
+          case ("<" | "<=", Seq(a, Literal(v, StringType))) => mk(a, v, false, true)
+          case ("<" | "<=", Seq(Literal(v, StringType), a)) => mk(a, v, true, false)
           case _ => Nil
         }
       case _ => Nil
     }
-    walk(GraftBridge.convertedExpression(pred)).distinct
+    // intersect per column: max of lows, min of highs, UTF-8 order
+    walk(GraftBridge.convertedExpression(pred))
+      .groupBy(_._1).toSeq.map { case (c, bs) =>
+        val los = bs.flatMap(_._2)
+        val his = bs.flatMap(_._3)
+        (c,
+          if (los.isEmpty) None else Some(los.reduce((a, b) =>
+            if (utf8Cmp(a, b) >= 0) a else b)),
+          if (his.isEmpty) None else Some(his.reduce((a, b) =>
+            if (utf8Cmp(a, b) <= 0) a else b)))
+      }.sortBy(_._1)
   }
 
   /** POINT takedown: delete the rows whose `column` is one of
@@ -2129,10 +2159,12 @@ object Manifest {
     * a time-series lakehouse probes constantly. */
   def readPrunedMixed(spark: SparkSession, table: String,
       numRanges: Seq[(String, Double, Double)],
-      strRanges: Seq[(String, String, String)],
+      strRanges: Seq[(String, Option[String], Option[String])],
       version: Option[Long] = None): DataFrame = {
     require(numRanges.nonEmpty || strRanges.nonEmpty,
       "readPrunedMixed needs at least one range")
+    require(strRanges.forall(r => r._2.nonEmpty || r._3.nonEmpty),
+      "readPrunedMixed: a string range needs at least one bound")
     val snap = version match {
       case Some(v) =>
         require(versions(spark, table).contains(v),
@@ -2145,7 +2177,7 @@ object Manifest {
       else prunedFilesFor(spark, table, snap, numRanges)
     val strD = strRanges.foldLeft(Option.empty[Set[String]]) {
       case (acc, (c, lo, hi)) =>
-        strPrunedFilesFor(spark, table, snap, c, Some(lo), Some(hi)) match {
+        strPrunedFilesFor(spark, table, snap, c, lo, hi) match {
           case None => acc
           case Some(files) => Some(acc match {
             case None => files.toSet

@@ -1600,16 +1600,16 @@ class LakehouseSpec extends AnyFunSuite {
     Manifest.analyzeFilesString(spark, tbl, Seq("w"))
     // both families admit exactly the middle file
     val conj = Manifest.readPrunedMixed(spark, tbl,
-      Seq(("v", 12.0, 18.0)), Seq(("w", "b", "b")))
+      Seq(("v", 12.0, 18.0)), Seq(("w", Some("b"), Some("b"))))
     assert(conj.inputFiles.length == 1 && conj.count() == 2)
     // families disagree: the numeric range admits file 1, the string
     // range file 2 — the conjunction is empty
     assert(Manifest.readPrunedMixed(spark, tbl,
-      Seq(("v", 1.0, 10.0)), Seq(("w", "b", "b"))).count() == 0)
+      Seq(("v", 1.0, 10.0)), Seq(("w", Some("b"), Some("b")))).count() == 0)
     // a family that cannot decide (un-analyzed column) admits all:
     // the conjunction degrades to the other family alone
     val half = Manifest.readPrunedMixed(spark, tbl,
-      Seq(("v", 12.0, 18.0)), Seq(("w2_missing", "b", "b")))
+      Seq(("v", 12.0, 18.0)), Seq(("w2_missing", Some("b"), Some("b"))))
     assert(half.inputFiles.length == 1 && half.count() == 2)
   }
 
@@ -1656,6 +1656,11 @@ class LakehouseSpec extends AnyFunSuite {
       .when(Pred.And(Seq(Pred.Op("w", "eq", Some("b")),
         Pred.Op("v", "gteq", Some(21))))))
     assert(q3.inputFiles.isEmpty && q3.head().getLong(0) == 0)
+    // string RANGE (the day-BETWEEN time-series shape): two of three
+    // files admit
+    val qr = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Op("w", "between", Some(Seq("a", "b")))))
+    assert(qr.inputFiles.length == 2 && qr.head().getLong(0) == 4)
     // unboundable predicates (OR trees) leave the scan untouched but
     // still compute correctly
     val q4 = Compiler.compile(CubeQuery(cube).measure("n", "n")
