@@ -91,10 +91,17 @@ object CubeRunner {
     // statsOnly plans are the same hazard in option form: the served
     // LocalRelation freezes the sidecar fold at compile time, so a
     // cached one would replay stale stats after the table moved.
+    // Manifest-backed cubes are the hazard in SOURCE form: compiling
+    // resolves the snapshot (and any driver file pruning) to a frozen
+    // file list, so a cached plan would keep serving the old version
+    // after a commit — every manifested fact compiles fresh (the
+    // runner rebuilds the cube per execute; only the cache could
+    // replay a stale snapshot).
     val cacheable = q.measures.forall { case (_, m) =>
       !cube.metrics.get(m.metric).exists(_.snapshotsData) &&
         !cube.altSources.exists(_.metricOverrides.get(m.metric).exists(_.snapshotsData)) } &&
-      !q.options.contains(graft.query.QueryOpt.StatsOnly)
+      !q.options.contains(graft.query.QueryOpt.StatsOnly) &&
+      cube.manifestTable.isEmpty
     val df = cache match {
       case Some(c) if cacheable =>
         c.getOrCompile(PlanCache.key(spark, cat.id, cube.name, nested, q, parsed.root))(build)

@@ -105,6 +105,18 @@ class ExecSpec extends AnyFunSuite {
       "second execution must re-serve the moved table, not a cached row")
     assert(cache.hits == 0 && cache.misses == 0,
       s"statsOnly must bypass the cache: hits=${cache.hits} misses=${cache.misses}")
+    // the SOURCE form of the same hazard: a plain (non-statsOnly)
+    // query on a manifested cube resolves the snapshot at compile —
+    // caching it would keep serving the old version after a commit
+    val pdoc = """{"fields": [{"name": "n", "alias": "n"}]}"""
+    val p1 = CubeRunner.execute(spark, registry, cubeFor, pdoc,
+      cache = Some(cache))
+    Manifest.commitAppend(spark, tbl, Seq((4L, 40L)).toDF("id", "v"))
+    val p2 = CubeRunner.execute(spark, registry, cubeFor, pdoc,
+      cache = Some(cache))
+    assert(p1.rows.head.getLong(0) == 3 && p2.rows.head.getLong(0) == 4)
+    assert(cache.hits == 0 && cache.misses == 0,
+      s"manifested cubes must bypass the cache: hits=${cache.hits} misses=${cache.misses}")
   }
 
   test("plan cache: repeated query compiles once, results identical, keys scope by database") {
