@@ -247,8 +247,12 @@ object Compiler {
     * ([[graft.sources.Manifest.statsAggregate]]) — zero data-file opens
     * on a covered snapshot, a LocalRelation plan instead of a scan. An
     * EXPLICIT opt-in, so every unservable shape refuses loudly
-    * (V4-style) instead of silently degrading: dimensions or filters
-    * (file stats are table-level), non-flat grouping, metric-level filters, plan-backed
+    * (V4-style) instead of silently degrading: dimensions,
+    * non-exactly-servable filters (a WHERE serves only when it is
+    * EXACTLY a conjunction of inclusive numeric ranges — then
+    * fully-covered files serve from their scalars and only boundary
+    * files scan, [[graft.sources.Manifest.statsAggregateWhere]]),
+    * non-flat grouping, metric-level filters, plan-backed
     * or expression-valued metrics (recognition is
     * [[org.apache.spark.sql.GraftBridge.statsServableAgg]]'s strict
     * count/min/max/sum-of-a-bare-attribute match), joined columns, and
@@ -282,11 +286,38 @@ object Compiler {
       }
     if (q.slices.nonEmpty)
       refuse("serves table-level aggregates only (drop the dimensions)")
-    if (q.wheres.nonEmpty)
-      refuse("cannot apply filters (file stats are table-level)")
     if (q.grouping != GroupingMode.Flat) refuse("requires flat grouping")
     if (q.measures.isEmpty) refuse("needs at least one measure")
     val factSchema = cube.fact.schema
+    // filters serve ONLY when the WHERE is EXACTLY a conjunction of
+    // inclusive numeric ranges on bare fact columns
+    // (boundsFromPredComplete) — then fully-covered files serve from
+    // their stored scalars and only boundary files scan. Anything the
+    // proof can't cover refuses loudly: an explicit statsOnly must
+    // never silently approximate.
+    val whereBounds: Seq[(String, Double, Double)] =
+      if (q.wheres.isEmpty) Nil
+      else {
+        val pred = q.wheres.flatMap(p => compilePred(cube.selector _, p))
+          .reduceOption(_ && _)
+        pred match {
+          case None => Nil
+          case Some(p) =>
+            val bs = Manifest.boundsFromPredComplete(p).getOrElse(refuse(
+              "can serve filters only when the WHERE is exactly a " +
+                "conjunction of >=/<=/=/BETWEEN ranges on bare numeric " +
+                "fact columns — run the full query for this filter"))
+            bs.foreach { case (c, _, _) =>
+              val f = factSchema.fields.find(_.name == c).getOrElse(refuse(
+                s"filter column '$c' is not a fact column"))
+              if (!f.dataType.isInstanceOf[NumericType] ||
+                  f.dataType.isInstanceOf[DecimalType])
+                refuse(s"filter column '$c' is ${f.dataType.simpleString} — " +
+                  "file stats serve non-decimal numeric ranges only")
+            }
+            bs
+        }
+      }
     val forms: Seq[(String, String, Option[String])] =
       q.measures.map { case (key, m) =>
         checkKey(key)
@@ -313,8 +344,12 @@ object Compiler {
         }
         (key, form, c)
       }
-    val served = Manifest.statsAggregate(spark, tbl,
-      forms.flatMap(_._3).distinct, pinned)
+    val served =
+      if (whereBounds.isEmpty)
+        Manifest.statsAggregate(spark, tbl,
+          forms.flatMap(_._3).distinct, pinned)
+      else Manifest.statsAggregateWhere(spark, tbl,
+        forms.flatMap(_._3).distinct, whereBounds, pinned)
     val outCols: Seq[Column] = forms.map { case (key, form, cOpt) =>
       (form, cOpt) match {
         case ("cnt", _) => F.col("cnt").as(key)

@@ -1097,6 +1097,52 @@ object Round15Queries {
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |  true AS multi_file_layout, true AS scan_pruned_strict
              |FROM documents WHERE n_chars BETWEEN 100 AND 300
-             |GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin))
+             |GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin)),
+
+    // FILTERED METADATA AGGREGATES through the parsed front door:
+    // statsOnly + a complete BETWEEN filter — fully-covered files of
+    // the range-clustered layout serve count/sum straight from their
+    // stored per-file scalars, only the range's boundary files scan,
+    // and the result is STILL a LocalRelation (zero input files in the
+    // plan; pinned). A strict `gt` filter refuses — an exact serve
+    // must never relax strictness the way pruning may. Values
+    // recomputed by the oracle.
+    NamedQuery("q226_stats_where",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        import graft.model.Metric
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("statswhere") + "/docs"
+        Manifest.create(s, table,
+          docs.repartitionByRange(4, col("n_chars"))
+            .sortWithinPartitions("n_chars"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val cube0 = graft.cubes.Cubes.documentsCube(s, d)
+        val cube = cube0.copy(
+          fact = Manifest.read(s, table), manifestTable = Some(table),
+          metrics = cube0.metrics +
+            ("sumChars" -> Metric.sumOf("sumChars", col("n_chars"))))
+        def parse(args: String) = QueryParser.parse(cube,
+          s"""{ "cube": "documents",
+             |  "args": { $args "options": { "statsOnly": true } },
+             |  "fields": [
+             |    {"name": "count", "alias": "n_docs"},
+             |    {"name": "sumChars", "alias": "sum_chars"} ] }""".stripMargin)
+          .query.toDF
+        val out = parse("\"nChars\": { \"between\": [100, 300] },")
+        val servedLocal = out.inputFiles.isEmpty
+        val strictRefused =
+          try { parse("\"nChars\": { \"gt\": 100 },"); false }
+          catch { case e: Throwable => e.getMessage.contains("conjunction") }
+        out.select(col("n_docs"), col("sum_chars"),
+          F.lit(servedLocal).as("served_local"),
+          F.lit(strictRefused).as("strict_refused"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS served_local, true AS strict_refused
+             |FROM documents WHERE n_chars BETWEEN 100 AND 300""".stripMargin))
   )
 }

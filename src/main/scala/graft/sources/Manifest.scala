@@ -773,6 +773,220 @@ object Manifest {
       }.filter { case (_, lo, hi) => lo <= hi }.sortBy(_._1)
   }
 
+  /** [[boundsFromPred]] with a COMPLETENESS proof: Some(bounds) only
+    * when the predicate is EXACTLY the conjunction of the returned
+    * inclusive ranges — every leaf is a recognized non-strict
+    * comparison (>=, <=, =, BETWEEN) of a bare attribute against a
+    * numeric literal, and nothing else appears in the tree. Strict
+    * comparisons are rejected on purpose: pruning may relax `>` to
+    * `>=` (supersets are sound), an EXACT serve may not. What
+    * completeness buys: a filtered aggregate can be answered from
+    * per-file stats alone for files fully inside every range (and
+    * with no NULLs in the predicate columns), scanning only the
+    * boundary — [[statsAggregateWhere]]. Contradictory bounds are
+    * KEPT (lo > hi ⇒ the predicate is unsatisfiable ⇒ zero rows),
+    * unlike the pruning variant which drops them. */
+  private[graft] def boundsFromPredComplete(pred: Column)
+      : Option[Seq[(String, Double, Double)]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def num(l: Any): Option[Double] = l match {
+      case n: Number => Some(n.doubleValue())
+      case d: java.math.BigDecimal => Some(d.doubleValue())
+      case d: scala.math.BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    type B = (String, Double, Double)
+    def mk(a: Expression, v: Any, lo: Boolean): Option[Seq[B]] =
+      (attr(a), num(v)) match {
+        case (Some(c), Some(x)) => Some(Seq(
+          if (lo) (c, x, Double.PositiveInfinity)
+          else (c, Double.NegativeInfinity, x)))
+        case _ => None
+      }
+    def pt(a: Expression, v: Any): Option[Seq[B]] =
+      (attr(a), num(v)) match {
+        case (Some(c), Some(x)) => Some(Seq((c, x, x)))
+        case _ => None
+      }
+    def walk(e: Expression): Option[Seq[B]] = e match {
+      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case GreaterThanOrEqual(a, Literal(v, _)) => mk(a, v, lo = true)
+      case GreaterThanOrEqual(Literal(v, _), a) => mk(a, v, lo = false)
+      case LessThanOrEqual(a, Literal(v, _)) => mk(a, v, lo = false)
+      case LessThanOrEqual(Literal(v, _), a) => mk(a, v, lo = true)
+      case EqualTo(a, Literal(v, _)) => pt(a, v)
+      case EqualTo(Literal(v, _), a) => pt(a, v)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.lengthCompare(1) == 0 =>
+        (u.nameParts.head.toLowerCase, u.arguments) match {
+          case ("and", Seq(l, r)) =>
+            for { a <- walk(l); b <- walk(r) } yield a ++ b
+          case (">=", Seq(a, Literal(v, _))) => mk(a, v, lo = true)
+          case (">=", Seq(Literal(v, _), a)) => mk(a, v, lo = false)
+          case ("<=", Seq(a, Literal(v, _))) => mk(a, v, lo = false)
+          case ("<=", Seq(Literal(v, _), a)) => mk(a, v, lo = true)
+          case ("=" | "==", Seq(a, Literal(v, _))) => pt(a, v)
+          case ("=" | "==", Seq(Literal(v, _), a)) => pt(a, v)
+          case _ => None
+        }
+      case _ => None
+    }
+    walk(GraftBridge.convertedExpression(pred)).map(
+      _.groupBy(_._1).toSeq.map { case (c, bs) =>
+        (c, bs.map(_._2).max, bs.map(_._3).min)
+      }.sortBy(_._1))
+  }
+
+  /** FILTERED metadata-served aggregates: [[statsAggregate]] under a
+    * conjunction of inclusive numeric ranges (a COMPLETE predicate —
+    * [[boundsFromPredComplete]]'s contract). Per covered file, the
+    * envelope decides three ways:
+    *
+    *  - DISJOINT from any range (or the range column all-NULL in the
+    *    file): contributes nothing;
+    *  - FULLY INSIDE every range AND no NULLs in any range column
+    *    (`nn == cnt` — a NULL row never satisfies a range): every row
+    *    matches, so the file's stored scalars serve as-is;
+    *  - otherwise (boundary / NULL-bearing / uncovered): the file
+    *    scans WITH the predicate.
+    *
+    * Cost is ∝ boundary + unanalyzed files — on a range-clustered
+    * 100 TB table a `day BETWEEN` count touches the two edge files.
+    * Same output row and soundness ladder as [[statsAggregate]]
+    * (DVs ⇒ live scan; missing stats ⇒ scan); `files_scanned` counts
+    * the files that actually opened. */
+  def statsAggregateWhere(spark: SparkSession, table: String,
+      cols: Seq[String], where: Seq[(String, Double, Double)],
+      version: Option[Long] = None): DataFrame = {
+    require(where.nonEmpty,
+      "statsAggregateWhere needs at least one range (else statsAggregate)")
+    val snap = version match {
+      case Some(v) =>
+        require(versions(spark, table).contains(v),
+          s"Manifest.statsAggregateWhere: $table has no retained version $v")
+        readSnapshot(spark, table, v)
+      case None => currentSnapshot(spark, table).getOrElse(sys.error(
+        s"Manifest.statsAggregateWhere: $table has no committed snapshot"))
+    }
+    import org.apache.spark.sql.{types => T}
+    val outSchema = T.StructType(
+      T.StructField("cnt", T.LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          T.StructField(s"${c}_nn", T.LongType, nullable = false),
+          T.StructField(s"${c}_min", T.DoubleType),
+          T.StructField(s"${c}_max", T.DoubleType),
+          T.StructField(s"${c}_sum", T.DoubleType))) :+
+        T.StructField("served_from", T.StringType, nullable = false) :+
+        T.StructField("files_scanned", T.LongType, nullable = false))
+    val predCol = where.map { case (c, lo, hi) =>
+      F.col(c) >= lo && F.col(c) <= hi }.reduce(_ && _)
+    def scanAgg(df: DataFrame): (Long, Seq[(Long, Option[Double],
+        Option[Double], Option[Double])]) = {
+      val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
+        cols.flatMap(c => Seq(
+          F.count(F.col(c)).cast("long").as(s"${c}_nn"),
+          F.min(F.col(c)).cast("double").as(s"${c}_min"),
+          F.max(F.col(c)).cast("double").as(s"${c}_max"),
+          F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
+      val r = df.filter(predCol).agg(aggs.head, aggs.tail: _*).collect()(0)
+      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), cols.indices.map { k =>
+        val b = 1 + 4 * k
+        (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
+      })
+    }
+    def emit(cnt: Long, per: Seq[(Long, Option[Double], Option[Double],
+        Option[Double])], from: String, scanned: Long): DataFrame = {
+      val vals: Seq[Any] = cnt +: per.flatMap { case (nn, mi, ma, su) =>
+        Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) } :+ from :+ scanned
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(vals)), outSchema)
+    }
+    val allFiles = listSnapshotFiles(spark, table, snap)
+    def fallback(): DataFrame = {
+      val (cnt, per) = scanAgg(readSnapshotData(spark, table, snap))
+      emit(cnt, per, "scan", allFiles.size.toLong)
+    }
+    if (snap.meta.contains(DvKey)) return fallback()
+    val fs = fsFor(spark, table)
+    val (sch, rows) = Some(snap.version)
+      .filter(v => fs.exists(statsDir(table, v)))
+      .orElse(versions(spark, table)
+        .filter(v => fs.exists(statsDir(table, v))).lastOption)
+      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+      .getOrElse(return fallback())
+    val needed = (cols ++ where.map(_._1)).distinct
+    val statN = needed.flatMap(c => Seq(s"${c}__min", s"${c}__max",
+      s"${c}__cnt", s"${c}__nn", s"${c}__sum"))
+    if (!statN.forall(sch.fieldNames.contains)) return fallback()
+    if (snap.meta.contains(PartitionKey)) return fallback()
+    val fi = sch.fieldIndex("file")
+    val allSet = allFiles.map(normPath).toSet
+    val covered = rows.filter(r => allSet.contains(normPath(r.getString(fi))))
+    val known = covered.map(r => normPath(r.getString(fi))).toSet
+    val uncovered = allFiles.filterNot(f => known.contains(normPath(f)))
+    def dbl(r: org.apache.spark.sql.Row, n: String): Option[Double] = {
+      val i = sch.fieldIndex(n)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    // classify covered files against every range
+    sealed trait Cls; case object Disjoint extends Cls
+    case object Full extends Cls; case object Boundary extends Cls
+    def classify(r: org.apache.spark.sql.Row): Cls = {
+      val states = where.map { case (c, lo, hi) =>
+        (dbl(r, s"${c}__min"), dbl(r, s"${c}__max")) match {
+          case (Some(mi), Some(ma)) =>
+            if (ma < lo || mi > hi) Disjoint
+            else if (mi >= lo && ma <= hi &&
+              dbl(r, s"${c}__nn") == dbl(r, s"${c}__cnt")) Full
+            else Boundary
+          case _ => Disjoint // all-NULL range column: no row matches
+        }
+      }
+      if (states.contains(Disjoint)) Disjoint
+      else if (states.forall(_ == Full)) Full
+      else Boundary
+    }
+    val (fullF, rest) = covered.partition(r => classify(r) == Full)
+    val boundary = rest.filter(r => classify(r) == Boundary)
+      .map(_.getString(fi))
+    val toScan = boundary ++ uncovered
+    val (dCnt, dPer) =
+      if (toScan.isEmpty)
+        (0L, cols.map(_ => (0L, Option.empty[Double],
+          Option.empty[Double], Option.empty[Double])))
+      else scanAgg(readFilesLive(spark, table, snap, toScan.toIndexedSeq))
+    def fold(name: String, delta: Option[Double],
+        combine: (Double, Double) => Double): Option[Double] = {
+      val i = sch.fieldIndex(name)
+      val xs = fullF.iterator.filter(!_.isNullAt(i))
+        .map(_.getDouble(i)) ++ delta.iterator
+      xs.reduceOption(combine)
+    }
+    val cntField = s"${needed.head}__cnt"
+    val cnt = dCnt + {
+      val i = sch.fieldIndex(cntField)
+      fullF.iterator.map(_.getDouble(i).toLong).sum
+    }
+    val per = cols.zip(dPer).map { case (c, (dnn, dmi, dma, dsu)) =>
+      val i = sch.fieldIndex(s"${c}__nn")
+      (dnn + fullF.iterator.map(_.getDouble(i).toLong).sum,
+        fold(s"${c}__min", dmi, math.min),
+        fold(s"${c}__max", dma, math.max),
+        fold(s"${c}__sum", dsu, _ + _))
+    }
+    emit(cnt, per,
+      if (toScan.isEmpty) "stats" else "stats_delta",
+      toScan.size.toLong)
+  }
+
   /** STRING bounds recoverable from a predicate's top-level conjuncts
     * — `source = 'x'`, `day BETWEEN '2024-01-01' AND '2024-01-07'`,
     * `url >= 'https://a/'` — as optional-sided inclusive ranges for

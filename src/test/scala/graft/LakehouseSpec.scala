@@ -1680,6 +1680,75 @@ class LakehouseSpec extends AnyFunSuite {
     assert(q6.head().getLong(0) == 1)
   }
 
+  test("filtered metadata aggregates: a complete range WHERE serves " +
+      "from fully-covered files' stats and scans only boundary / " +
+      "NULL-bearing files") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_statswhere").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, Option(100L)), (10L, Option(200L))).toDF("v", "w").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((11L, Option(300L)), (20L, Option.empty[Long]))
+        .toDF("v", "w").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((21L, Option(500L)), (30L, Option(600L))).toDF("v", "w").coalesce(1))
+    // the trap file: v envelope [15,15] sits inside ranges, but a NULL
+    // v row means nn != cnt — the file must SCAN, or the NULL row
+    // would be counted as matching
+    Manifest.commitAppend(spark, tbl,
+      Seq((Option(15L), 700L), (Option.empty[Long], 800L))
+        .toDF("v", "w").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("v", "w"))
+    def probe(lo: Double, hi: Double) = Manifest.statsAggregateWhere(
+      spark, tbl, Seq("w"), Seq(("v", lo, hi))).head()
+    val a = probe(1, 20) // f1+f2 full, f4 scans, f3 disjoint
+    assert(a.getAs[String]("served_from") == "stats_delta" &&
+      a.getAs[Long]("files_scanned") == 1)
+    assert(a.getAs[Long]("cnt") == 5 && a.getAs[Long]("w_nn") == 4 &&
+      a.getAs[Double]("w_sum") == 1300.0 &&
+      a.getAs[Double]("w_max") == 700.0)
+    val b = probe(21, 30) // f3 full, everything else disjoint: ZERO scans
+    assert(b.getAs[String]("served_from") == "stats" &&
+      b.getAs[Long]("files_scanned") == 0)
+    assert(b.getAs[Long]("cnt") == 2 && b.getAs[Double]("w_sum") == 1100.0)
+    val c = probe(5, 20) // f1 becomes boundary: scans with f4
+    assert(c.getAs[Long]("files_scanned") == 2 &&
+      c.getAs[Long]("cnt") == 4 && c.getAs[Double]("w_sum") == 1200.0)
+    // disjoint everywhere: zero rows, zero scans
+    val z = probe(1000, 2000)
+    assert(z.getAs[Long]("cnt") == 0 && z.getAs[Long]("files_scanned") == 0 &&
+      z.getAs[String]("served_from") == "stats")
+    // always equals the live filtered scan
+    val direct = Manifest.read(spark, tbl)
+      .filter(col("v") >= 1 && col("v") <= 20)
+      .agg(F.count(F.lit(1)), F.sum("w")).head()
+    assert(direct.getLong(0) == a.getAs[Long]("cnt") &&
+      direct.getLong(1) == a.getAs[Double]("w_sum").toLong)
+    // the statsOnly front door serves the same filter (LocalRelation,
+    // exact values); a STRICT comparison refuses — relaxing `>` to
+    // `>=` is fine for pruning, never for an exact serve
+    import graft.model.{Cube, Metric, Selector, CubeQueryException}
+    import graft.query.{CubeQuery, Pred}
+    import graft.compile.Compiler
+    val cube = Cube("t", Manifest.read(spark, tbl),
+      dimensions = Map.empty,
+      metrics = Map("n" -> Metric.countAll("n"),
+        "sw" -> Metric.sumOf("sw", col("w"))),
+      selectors = Map("v" -> Selector("v", col("v"))),
+      manifestTable = Some(tbl))
+    val q = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .measure("sw", "sw")
+      .when(Pred.Op("v", "between", Some(Seq(1, 20)))).statsOnly)
+    assert(q.inputFiles.isEmpty)
+    assert(q.head() == org.apache.spark.sql.Row(5L, 1300L))
+    val e = intercept[CubeQueryException](Compiler.compile(CubeQuery(cube)
+      .measure("n", "n").when(Pred.Op("v", "gt", Some(5))).statsOnly))
+    assert(e.getMessage.contains("conjunction"), e.getMessage)
+  }
+
   test("statsOnly front door: the metadata-served result is " +
       "indistinguishable from the scan — same schema, same values — " +
       "and its plan reads zero data files") {
@@ -1737,8 +1806,11 @@ class LakehouseSpec extends AnyFunSuite {
       val e = intercept[graft.model.CubeQueryException](Compiler.compile(q))
       assert(e.getMessage.contains(needle), e.getMessage)
     }
+    // a filter on a selector this cube never declared refuses at
+    // resolution (the exactly-servable-filter path is covered by the
+    // "filtered metadata aggregates" test)
     refusal(base.statsOnly.when(
-      graft.query.Pred.Op("id", "gt", Some(1))), "filters")
+      graft.query.Pred.Op("id", "gt", Some(1))), "unknown selector")
     refusal(CubeQuery(cube).measure("n", "n").withRollup.statsOnly,
       "flat grouping")
     refusal(CubeQuery(cube).measureWhen("n", "n",
