@@ -1747,6 +1747,17 @@ class LakehouseSpec extends AnyFunSuite {
     val e = intercept[CubeQueryException](Compiler.compile(CubeQuery(cube)
       .measure("n", "n").when(Pred.Op("v", "gt", Some(5))).statsOnly))
     assert(e.getMessage.contains("conjunction"), e.getMessage)
+    // full composition: filtered + statsOnly + asOf — the pinned
+    // epoch's filtered serve survives a later takedown
+    Manifest.deleteWhere(spark, tbl, col("v") === 11L)
+    Manifest.analyzeFiles(spark, tbl, Seq("v", "w"))
+    def filt(qq: CubeQuery) = Compiler.compile(qq.measure("n", "n")
+      .measure("sw", "sw")
+      .when(Pred.Op("v", "between", Some(Seq(1, 20)))).statsOnly)
+    assert(filt(CubeQuery(cube).asOfVersion(4)).head() ==
+      org.apache.spark.sql.Row(5L, 1300L))
+    assert(filt(CubeQuery(cube)).head() ==
+      org.apache.spark.sql.Row(4L, 1000L))
   }
 
   test("statsOnly front door: the metadata-served result is " +
