@@ -74,7 +74,7 @@ object MoRScale {
     // and the history ledger must be driver-fold fast — ∝ n sidecar
     // rows, zero data-file opens
     time(s"analyzeFiles ($n files, one grouped scan)") {
-      Manifest.analyzeFiles(spark, tbl, Seq("v"))
+      Manifest.analyzeFiles(spark, tbl, Seq("id", "v"))
     }
     val sa = time(s"statsAggregate (driver fold over $n sidecar rows)") {
       Manifest.statsAggregate(spark, tbl, Seq("v")).head()
@@ -85,6 +85,16 @@ object MoRScale {
     time("history (driver metadata ledger)") {
       assert(Manifest.history(spark, tbl).count() >= 1)
     }
+    // filtered serve on the id-clustered layout: a mid-table range
+    // covers ~40% of files fully; only the two boundary files scan
+    val sw = time("statsAggregateWhere (range over ~40% of files)") {
+      Manifest.statsAggregateWhere(spark, tbl, Seq("v"),
+        Seq(("id", total * 0.3, total * 0.7))).head()
+    }
+    println(s"[morscale] statsAggregateWhere served_from=" +
+      s"${sw.getAs[String]("served_from")} " +
+      s"files_scanned=${sw.getAs[Long]("files_scanned")} " +
+      s"cnt=${sw.getAs[Long]("cnt")}")
     spark.stop()
   }
 }
