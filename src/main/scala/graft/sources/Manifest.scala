@@ -866,67 +866,21 @@ object Manifest {
       version: Option[Long] = None): DataFrame = {
     require(where.nonEmpty,
       "statsAggregateWhere needs at least one range (else statsAggregate)")
-    val snap = version match {
-      case Some(v) =>
-        require(versions(spark, table).contains(v),
-          s"Manifest.statsAggregateWhere: $table has no retained version $v")
-        readSnapshot(spark, table, v)
-      case None => currentSnapshot(spark, table).getOrElse(sys.error(
-        s"Manifest.statsAggregateWhere: $table has no committed snapshot"))
-    }
-    import org.apache.spark.sql.{types => T}
-    val outSchema = T.StructType(
-      T.StructField("cnt", T.LongType, nullable = false) +:
-        cols.flatMap(c => Seq(
-          T.StructField(s"${c}_nn", T.LongType, nullable = false),
-          T.StructField(s"${c}_min", T.DoubleType),
-          T.StructField(s"${c}_max", T.DoubleType),
-          T.StructField(s"${c}_sum", T.DoubleType))) :+
-        T.StructField("served_from", T.StringType, nullable = false) :+
-        T.StructField("files_scanned", T.LongType, nullable = false))
+    val snap = resolveStatsSnap(spark, table, version, "statsAggregateWhere")
     val predCol = where.map { case (c, lo, hi) =>
       F.col(c) >= lo && F.col(c) <= hi }.reduce(_ && _)
-    def scanAgg(df: DataFrame): (Long, Seq[(Long, Option[Double],
-        Option[Double], Option[Double])]) = {
-      val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
-        cols.flatMap(c => Seq(
-          F.count(F.col(c)).cast("long").as(s"${c}_nn"),
-          F.min(F.col(c)).cast("double").as(s"${c}_min"),
-          F.max(F.col(c)).cast("double").as(s"${c}_max"),
-          F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
-      val r = df.filter(predCol).agg(aggs.head, aggs.tail: _*).collect()(0)
-      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
-      (r.getLong(0), cols.indices.map { k =>
-        val b = 1 + 4 * k
-        (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
-      })
-    }
-    def emit(cnt: Long, per: Seq[(Long, Option[Double], Option[Double],
-        Option[Double])], from: String, scanned: Long): DataFrame = {
-      val vals: Seq[Any] = cnt +: per.flatMap { case (nn, mi, ma, su) =>
-        Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) } :+ from :+ scanned
-      spark.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(vals)), outSchema)
-    }
     val allFiles = listSnapshotFiles(spark, table, snap)
     def fallback(): DataFrame = {
-      val (cnt, per) = scanAgg(readSnapshotData(spark, table, snap))
-      emit(cnt, per, "scan", allFiles.size.toLong)
+      val (cnt, per) = statsScanAgg(readSnapshotData(spark, table, snap),
+        cols, Some(predCol))
+      statsEmit(spark, cols, cnt, per, "scan", allFiles.size.toLong)
     }
     if (snap.meta.contains(DvKey)) return fallback()
-    val fs = fsFor(spark, table)
-    val (sch, rows) = Some(snap.version)
-      .filter(v => fs.exists(statsDir(table, v)))
-      .orElse(versions(spark, table)
-        .filter(v => fs.exists(statsDir(table, v))).lastOption)
-      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+    if (snap.meta.contains(PartitionKey)) return fallback()
+    val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
     val needed = (cols ++ where.map(_._1)).distinct
-    val statN = needed.flatMap(c => Seq(s"${c}__min", s"${c}__max",
-      s"${c}__cnt", s"${c}__nn", s"${c}__sum"))
-    if (!statN.forall(sch.fieldNames.contains)) return fallback()
-    if (snap.meta.contains(PartitionKey)) return fallback()
+    if (!statsCovers(sch, needed)) return fallback()
     val fi = sch.fieldIndex("file")
     val allSet = allFiles.map(normPath).toSet
     val covered = rows.filter(r => allSet.contains(normPath(r.getString(fi))))
@@ -959,30 +913,13 @@ object Manifest {
       .map(_.getString(fi))
     val toScan = boundary ++ uncovered
     val (dCnt, dPer) =
-      if (toScan.isEmpty)
-        (0L, cols.map(_ => (0L, Option.empty[Double],
-          Option.empty[Double], Option.empty[Double])))
-      else scanAgg(readFilesLive(spark, table, snap, toScan.toIndexedSeq))
-    def fold(name: String, delta: Option[Double],
-        combine: (Double, Double) => Double): Option[Double] = {
-      val i = sch.fieldIndex(name)
-      val xs = fullF.iterator.filter(!_.isNullAt(i))
-        .map(_.getDouble(i)) ++ delta.iterator
-      xs.reduceOption(combine)
-    }
-    val cntField = s"${needed.head}__cnt"
-    val cnt = dCnt + {
-      val i = sch.fieldIndex(cntField)
-      fullF.iterator.map(_.getDouble(i).toLong).sum
-    }
-    val per = cols.zip(dPer).map { case (c, (dnn, dmi, dma, dsu)) =>
-      val i = sch.fieldIndex(s"${c}__nn")
-      (dnn + fullF.iterator.map(_.getDouble(i).toLong).sum,
-        fold(s"${c}__min", dmi, math.min),
-        fold(s"${c}__max", dma, math.max),
-        fold(s"${c}__sum", dsu, _ + _))
-    }
-    emit(cnt, per,
+      if (toScan.isEmpty) (0L, statsZero(cols))
+      else statsScanAgg(
+        readFilesLive(spark, table, snap, toScan.toIndexedSeq),
+        cols, Some(predCol))
+    val (cnt, per) = statsFold(sch, fullF, cols,
+      s"${needed.head}__cnt", dCnt, dPer)
+    statsEmit(spark, cols, cnt, per,
       if (toScan.isEmpty) "stats" else "stats_delta",
       toScan.size.toLong)
   }
@@ -2450,71 +2387,17 @@ object Manifest {
       cols: Seq[String], version: Option[Long] = None): DataFrame = {
     // empty cols is the count(*)-only shape: any covered column's
     // per-file cnt anchors the row count
-    val snap = version match {
-      case Some(v) =>
-        require(versions(spark, table).contains(v),
-          s"Manifest.statsAggregate: $table has no retained version $v")
-        readSnapshot(spark, table, v)
-      case None => currentSnapshot(spark, table).getOrElse(
-        sys.error(s"Manifest.statsAggregate: $table has no committed snapshot"))
-    }
-    import org.apache.spark.sql.{types => T}
-    val outSchema = T.StructType(
-      T.StructField("cnt", T.LongType, nullable = false) +:
-        cols.flatMap(c => Seq(
-          T.StructField(s"${c}_nn", T.LongType, nullable = false),
-          T.StructField(s"${c}_min", T.DoubleType),
-          T.StructField(s"${c}_max", T.DoubleType),
-          T.StructField(s"${c}_sum", T.DoubleType))) :+
-        T.StructField("served_from", T.StringType, nullable = false) :+
-        T.StructField("files_scanned", T.LongType, nullable = false))
-    // the scan shape every fallback (and the uncovered-delta probe)
-    // uses: same names/types as the metadata-served row
-    def scanAgg(df: DataFrame): (Long, Seq[(Long, Option[Double],
-        Option[Double], Option[Double])]) = {
-      val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
-        cols.flatMap(c => Seq(
-          F.count(F.col(c)).cast("long").as(s"${c}_nn"),
-          F.min(F.col(c)).cast("double").as(s"${c}_min"),
-          F.max(F.col(c)).cast("double").as(s"${c}_max"),
-          F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
-      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
-      (r.getLong(0), cols.indices.map { k =>
-        val b = 1 + 4 * k
-        (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
-      })
-    }
-    def emit(cnt: Long, per: Seq[(Long, Option[Double], Option[Double],
-        Option[Double])], from: String, scanned: Long): DataFrame = {
-      val vals: Seq[Any] = cnt +: per.flatMap { case (nn, mi, ma, su) =>
-        Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) } :+ from :+ scanned
-      spark.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row.fromSeq(vals)), outSchema)
-    }
+    val snap = resolveStatsSnap(spark, table, version, "statsAggregate")
     def fallback(): DataFrame = {
-      val (cnt, per) = scanAgg(readSnapshotData(spark, table, snap))
-      emit(cnt, per, "scan",
+      val (cnt, per) = statsScanAgg(readSnapshotData(spark, table, snap),
+        cols, None)
+      statsEmit(spark, cols, cnt, per, "scan",
         listSnapshotFiles(spark, table, snap).size.toLong)
     }
     if (snap.meta.contains(DvKey)) return fallback()
-    // sidecar choice: the probed version's own sidecar when one was
-    // built, else the newest RETAINED one (the buildSidecar reuse
-    // rule) — rows are per immutable file, filtered below to the
-    // files the probed snapshot actually lists, so a pre-append
-    // sidecar serves its covered files and the append becomes the
-    // scanned delta
-    val fs = fsFor(spark, table)
-    val (sch, rows) = Some(snap.version)
-      .filter(v => fs.exists(statsDir(table, v)))
-      .orElse(versions(spark, table)
-        .filter(v => fs.exists(statsDir(table, v))).lastOption)
-      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+    val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
-    val statN = cols.flatMap(c => Seq(s"${c}__min", s"${c}__max",
-      s"${c}__cnt", s"${c}__nn", s"${c}__sum"))
-    if (!statN.forall(sch.fieldNames.contains)) return fallback()
+    if (!statsCovers(sch, cols)) return fallback()
     val fi = sch.fieldIndex("file")
     // a DRIVER filesystem listing, not a relation init — the serve
     // must stay a metadata read even at 100k files. Set lookups keyed
@@ -2531,34 +2414,123 @@ object Manifest {
     if (uncovered.nonEmpty && snap.meta.contains(PartitionKey))
       return fallback()
     val (dCnt, dPer) =
-      if (uncovered.isEmpty)
-        (0L, cols.map(_ => (0L, Option.empty[Double],
-          Option.empty[Double], Option.empty[Double])))
-      else scanAgg(readFilesLive(spark, table, snap, uncovered))
-    def fold(name: String, delta: Option[Double],
-        combine: (Double, Double) => Double): Option[Double] = {
-      val i = sch.fieldIndex(name)
-      val xs = covered.iterator.filter(!_.isNullAt(i))
-        .map(_.getDouble(i)) ++ delta.iterator
-      xs.reduceOption(combine)
-    }
+      if (uncovered.isEmpty) (0L, statsZero(cols))
+      else statsScanAgg(readFilesLive(spark, table, snap, uncovered),
+        cols, None)
     val cntField = cols.headOption.map(c => s"${c}__cnt")
       .orElse(sch.fieldNames.find(_.endsWith("__cnt")))
       .getOrElse(return fallback())
+    val (cnt, per) = statsFold(sch, covered, cols, cntField, dCnt, dPer)
+    statsEmit(spark, cols, cnt, per,
+      if (uncovered.isEmpty) "stats" else "stats_delta",
+      uncovered.size.toLong)
+  }
+
+  // ---- shared statsAggregate/statsAggregateWhere machinery ----------
+
+  private type StatsPer =
+    Seq[(Long, Option[Double], Option[Double], Option[Double])]
+
+  private def resolveStatsSnap(spark: SparkSession, table: String,
+      version: Option[Long], what: String): Snapshot = version match {
+    case Some(v) =>
+      require(versions(spark, table).contains(v),
+        s"Manifest.$what: $table has no retained version $v")
+      readSnapshot(spark, table, v)
+    case None => currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.$what: $table has no committed snapshot"))
+  }
+
+  /** Sidecar choice: the probed version's own sidecar when one was
+    * built, else the newest RETAINED one (the buildSidecar reuse rule)
+    * — rows are per immutable file, filtered by the caller to the
+    * files the probed snapshot actually lists, so a pre-append sidecar
+    * serves its covered files and the append becomes the scanned
+    * delta. */
+  private def statsSidecarFor(spark: SparkSession, table: String,
+      snap: Snapshot): Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] = {
+    val fs = fsFor(spark, table)
+    Some(snap.version)
+      .filter(v => fs.exists(statsDir(table, v)))
+      .orElse(versions(spark, table)
+        .filter(v => fs.exists(statsDir(table, v))).lastOption)
+      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+  }
+
+  private def statsCovers(sch: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Boolean =
+    cols.flatMap(c => Seq(s"${c}__min", s"${c}__max", s"${c}__cnt",
+      s"${c}__nn", s"${c}__sum")).forall(sch.fieldNames.contains)
+
+  private def statsZero(cols: Seq[String]): StatsPer =
+    cols.map(_ => (0L, Option.empty[Double],
+      Option.empty[Double], Option.empty[Double]))
+
+  /** The scan shape every fallback (and every boundary/uncovered
+    * probe) uses — same names/types as the metadata-served row, with
+    * an optional predicate applied first. */
+  private def statsScanAgg(df: DataFrame, cols: Seq[String],
+      pred: Option[Column]): (Long, StatsPer) = {
+    val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
+      cols.flatMap(c => Seq(
+        F.count(F.col(c)).cast("long").as(s"${c}_nn"),
+        F.min(F.col(c)).cast("double").as(s"${c}_min"),
+        F.max(F.col(c)).cast("double").as(s"${c}_max"),
+        F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
+    val src = pred.map(df.filter).getOrElse(df)
+    val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    (r.getLong(0), cols.indices.map { k =>
+      val b = 1 + 4 * k
+      (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
+    })
+  }
+
+  /** Fold the SERVING sidecar rows with the scanned delta: cnt from
+    * `cntField`, per requested column nn-sum / min / max / sum. */
+  private def statsFold(sch: org.apache.spark.sql.types.StructType,
+      serving: Array[org.apache.spark.sql.Row], cols: Seq[String],
+      cntField: String, dCnt: Long, dPer: StatsPer): (Long, StatsPer) = {
+    def fold(name: String, delta: Option[Double],
+        combine: (Double, Double) => Double): Option[Double] = {
+      val i = sch.fieldIndex(name)
+      val xs = serving.iterator.filter(!_.isNullAt(i))
+        .map(_.getDouble(i)) ++ delta.iterator
+      xs.reduceOption(combine)
+    }
     val cnt = dCnt + {
       val i = sch.fieldIndex(cntField)
-      covered.iterator.map(_.getDouble(i).toLong).sum
+      serving.iterator.map(_.getDouble(i).toLong).sum
     }
     val per = cols.zip(dPer).map { case (c, (dnn, dmi, dma, dsu)) =>
       val i = sch.fieldIndex(s"${c}__nn")
-      (dnn + covered.iterator.map(_.getDouble(i).toLong).sum,
+      (dnn + serving.iterator.map(_.getDouble(i).toLong).sum,
         fold(s"${c}__min", dmi, math.min),
         fold(s"${c}__max", dma, math.max),
         fold(s"${c}__sum", dsu, _ + _))
     }
-    emit(cnt, per,
-      if (uncovered.isEmpty) "stats" else "stats_delta",
-      uncovered.size.toLong)
+    (cnt, per)
+  }
+
+  /** The one-row LocalRelation every serve/fallback returns. */
+  private def statsEmit(spark: SparkSession, cols: Seq[String], cnt: Long,
+      per: StatsPer, from: String, scanned: Long): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    val outSchema = T.StructType(
+      T.StructField("cnt", T.LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          T.StructField(s"${c}_nn", T.LongType, nullable = false),
+          T.StructField(s"${c}_min", T.DoubleType),
+          T.StructField(s"${c}_max", T.DoubleType),
+          T.StructField(s"${c}_sum", T.DoubleType))) :+
+        T.StructField("served_from", T.StringType, nullable = false) :+
+        T.StructField("files_scanned", T.LongType, nullable = false))
+    val vals: Seq[Any] = cnt +: per.flatMap { case (nn, mi, ma, su) =>
+      Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) } :+ from :+ scanned
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(vals)), outSchema)
   }
 
   /** Total bytes of a snapshot's data (driver-side metadata listing). */
