@@ -1143,6 +1143,48 @@ object Round15Queries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  true AS served_local, true AS strict_refused
+             |FROM documents WHERE n_chars BETWEEN 100 AND 300""".stripMargin)),
+
+    // THE FULL COMPOSITION: filtered + statsOnly + asOf through the
+    // parsed front door. After a CoW takedown churns the table, the
+    // SAME filtered metadata query serves both epochs — the pinned one
+    // from its retained sidecar, the current one from the re-analyze —
+    // and both results stay LocalRelations. Values recomputed by the
+    // oracle on each epoch's content.
+    NamedQuery("q227_stats_where_asof",
+      (s, d) => {
+        import graft.parse.QueryParser
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("statswasof") + "/docs"
+        Manifest.create(s, table,
+          docs.repartitionByRange(4, col("n_chars"))
+            .sortWithinPartitions("n_chars"))                        // v1
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        val cube = graft.cubes.Cubes.documentsCube(s, d)
+          .copy(fact = Manifest.read(s, table), manifestTable = Some(table))
+        Manifest.deleteWhere(s, table, col("doc_id") % 3 === 0)      // v2
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        def parse(opts: String) = QueryParser.parse(cube,
+          s"""{ "cube": "documents",
+             |  "args": {
+             |    "nChars": { "between": [100, 300] },
+             |    "options": { "statsOnly": true$opts } },
+             |  "fields": [ {"name": "count", "alias": "n_docs"} ] }"""
+            .stripMargin).query.toDF
+        val cur = parse("")
+        val old = parse(", \"asOf\": 1")
+        cur.select(col("n_docs").as("cur_docs"),
+          F.lit(old.head().getLong(0)).as("asof_docs"),
+          F.lit(cur.inputFiles.isEmpty && old.inputFiles.isEmpty)
+            .as("served_local"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT)
+             |    AS cur_docs,
+             |  CAST(count(*) AS BIGINT) AS asof_docs,
+             |  true AS served_local
              |FROM documents WHERE n_chars BETWEEN 100 AND 300""".stripMargin))
   )
 }
