@@ -1185,6 +1185,56 @@ object Round15Queries {
              |    AS cur_docs,
              |  CAST(count(*) AS BIGINT) AS asof_docs,
              |  true AS served_local
-             |FROM documents WHERE n_chars BETWEEN 100 AND 300""".stripMargin))
+             |FROM documents WHERE n_chars BETWEEN 100 AND 300""".stripMargin)),
+
+    // Z-ORDER CLUSTERED COMPACTION + CONJUNCTIVE PRUNING, end to end
+    // on the manifest: a Morton-interleaved sort key clusters BOTH
+    // axes, so after one compaction a (orderkey-quarter × low-quantity)
+    // box prunes to a strict subset of files that is also at most what
+    // EITHER single axis admits — the multi-dimensional payoff a
+    // single-column sort cannot give. The explicit filter on top keeps
+    // the served rows exact, recomputed by the oracle.
+    NamedQuery("q228_zorder_pruning",
+      (s, d) => {
+        import graft.sources.{Layout, Manifest}
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity").cast("long")
+            .as("l_quantity"))
+        val table = freshQueryDir("zorder") + "/li"
+        Manifest.create(s, table, li.repartition(8))
+        val maxKey = li.agg(F.max("l_orderkey")).head().getLong(0)
+        val z = Layout.zValue(
+          Layout.axisBucket(col("l_orderkey"), 0, maxKey.toDouble + 1, 5),
+          Layout.axisBucket(col("l_quantity"), 0, 51, 5), 5)
+        val bytes = Manifest.snapshotBytes(s, table,
+          Manifest.currentSnapshot(s, table).get)
+        Manifest.compact(s, table, targetBytes = math.max(1L, bytes / 16),
+          sortBy = Some(z))
+        Manifest.analyzeFiles(s, table, Seq("l_orderkey", "l_quantity"))
+        val all = Manifest.read(s, table).inputFiles.length
+        val cut = (maxKey / 4).toDouble
+        val pk = Manifest.readPruned(s, table, "l_orderkey", 0, cut)
+          .inputFiles.length
+        val pq = Manifest.readPruned(s, table, "l_quantity", 1, 12)
+          .inputFiles.length
+        val conj = Manifest.readPrunedAll(s, table,
+          Seq(("l_orderkey", 0, cut), ("l_quantity", 1, 12)))
+        val nConj = conj.inputFiles.length
+        conj.filter(col("l_orderkey") <= maxKey / 4 &&
+            col("l_quantity").between(1, 12))
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("l_quantity").cast("long").as("sum_qty"))
+          .select(col("n_rows"), col("sum_qty"),
+            F.lit(all >= 8).as("multi_file_layout"),
+            F.lit(nConj < all).as("conj_strict_subset"),
+            F.lit(nConj <= math.min(pk, pq)).as("conj_tightest"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  true AS multi_file_layout, true AS conj_strict_subset,
+             |  true AS conj_tightest
+             |FROM lineitem
+             |WHERE l_orderkey <= (SELECT max(l_orderkey) FROM lineitem) // 4
+             |  AND l_quantity BETWEEN 1 AND 12""".stripMargin))
   )
 }
