@@ -76,8 +76,29 @@ object Compiler {
           try q.wheres.flatMap(p => compilePred(cube.selector _, p))
             .reduceOption(_ && _)
           catch { case _: CubeQueryException => None }
+        // provenance gate: bounds may prune fact FILES only on columns
+        // that are provably the fact's own — in the fact schema, and
+        // never referenced through a RESOLVED attribute of another
+        // frame (a selector built from a joined dim whose bare name
+        // collides with a fact column would otherwise prune fact
+        // files against the wrong column's envelopes — silent row
+        // loss). Unresolved bare names that collide fail analysis as
+        // ambiguous anyway; resolved foreign attributes are the
+        // silent case this closes.
+        val factIds = org.apache.spark.sql.GraftBridge.analyzed(cube.fact)
+          .output.map(_.exprId).toSet
+        val foreignNames: Set[String] = pred.toSeq.flatMap { p =>
+          import org.apache.spark.sql.catalyst.expressions.AttributeReference
+          org.apache.spark.sql.GraftBridge.convertedExpression(p).collect {
+            case a: AttributeReference if !factIds.contains(a.exprId) => a.name
+          }
+        }.toSet
+        val factCols = cube.fact.schema.fieldNames.toSet
+        def prunable(c: String) = factCols.contains(c) && !foreignNames.contains(c)
         val num = pred.map(Manifest.boundsFromPred).getOrElse(Nil)
+          .filter(b => prunable(b._1))
         val str = pred.map(Manifest.strBoundsFromPred).getOrElse(Nil)
+          .filter(b => prunable(b._1))
         val fact: Option[DataFrame] =
           if (num.nonEmpty || str.nonEmpty)
             Some(Manifest.readPrunedMixed(spark, tbl, num, str, pinned))
@@ -350,6 +371,44 @@ object Compiler {
           forms.flatMap(_._3).distinct, pinned)
       else Manifest.statsAggregateWhere(spark, tbl,
         forms.flatMap(_._3).distinct, whereBounds, pinned)
+    // integral sums fold through the sidecar's per-file DOUBLE
+    // scalars and cast back to Long below — exact only while every
+    // partial stays below 2⁵³. Decimals are refused outright above;
+    // large longs get the same honesty here, from the served row's
+    // own scalars (a one-row LocalRelation — the check is free):
+    // single-signed columns are exact iff |total| < 2⁵³ (every
+    // per-file sum and fold prefix is bounded by the total); mixed
+    // signs need the conservative nn·max(|min|,|max|) < 2⁵³ bound,
+    // since cancellation can hide an imprecise partial behind a
+    // small total.
+    val intSums = forms.collect {
+      case (key, "sum", Some(c)) if (factSchema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }) => (key, c)
+    }
+    if (intSums.nonEmpty) {
+      val row = served.head()
+      val exactCap = 9007199254740992d // 2^53
+      def dbl(n: String): Option[Double] = {
+        val i = row.fieldIndex(n)
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      intSums.foreach { case (key, c) =>
+        (dbl(s"${c}_min"), dbl(s"${c}_max"), dbl(s"${c}_sum")) match {
+          case (Some(mi), Some(ma), Some(su)) =>
+            val nn = row.getAs[Long](s"${c}_nn")
+            val exact =
+              if (mi >= 0 || ma <= 0) math.abs(su) < exactCap
+              else nn.toDouble * math.max(math.abs(mi), math.abs(ma)) < exactCap
+            if (!exact) refuse(
+              s"measure '$key': sum($c) folds through double file scalars " +
+                "and exceeds 2^53 — the exact-looking integer would be " +
+                "silently wrong; run the full query for this sum")
+          case _ => () // no non-null rows: sum is NULL, nothing to guard
+        }
+      }
+    }
     val outCols: Seq[Column] = forms.map { case (key, form, cOpt) =>
       (form, cOpt) match {
         case ("cnt", _) => F.col("cnt").as(key)

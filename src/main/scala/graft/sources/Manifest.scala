@@ -2580,6 +2580,17 @@ object Manifest {
       sys.error(s"Manifest.tag: rename to $target failed — a concurrent " +
         s"tag '$name' won; nothing written")
     }
+    // validate AFTER the rename: a concurrent vacuum that snapshotted
+    // the tag set before this tag landed may have reclaimed v's
+    // manifest anyway — without this check the tag would dangle
+    // silently (tagVersion succeeds, readTag fails). Vacuum re-checks
+    // tags after computing its dead set, so the two sides interlock:
+    // whichever ran second sees the other's write.
+    if (!fs.exists(manifestFile(table, v))) {
+      fs.delete(target, false)
+      sys.error(s"Manifest.tag: version $v of $table was vacuumed " +
+        "concurrently — the tag would dangle; nothing pinned")
+    }
     v
   }
 
@@ -2683,7 +2694,17 @@ object Manifest {
       readSnapshot(spark, table, v).meta.get("committed_at")
         .exists(_.toLong >= cutoff)
     val keepSet = vs.takeRight(keep).toSet ++ tagged
-    val (live, dead) = vs.partition(v => keepSet.contains(v) || fresh(v))
+    val (live0, dead0) = vs.partition(v => keepSet.contains(v) || fresh(v))
+    // re-check tags against the computed dead set: a tag() committed
+    // after the first tags() read would otherwise have its pinned
+    // version reclaimed (the tag dangles). tag() validates the
+    // manifest still exists after its rename, so between the two
+    // checks every interleaving either retains the version or fails
+    // the tagger loudly — never a silent dangle.
+    val lateTags = if (dead0.isEmpty) Set.empty[Long]
+      else tags(spark, table).values.toSet -- tagged
+    val (rescued, dead) = dead0.partition(lateTags.contains)
+    val live = (live0 ++ rescued).sorted
     val deadSnaps = dead.map(readSnapshot(spark, table, _))
     dead.foreach { v =>
       fs.delete(manifestFile(table, v), false)

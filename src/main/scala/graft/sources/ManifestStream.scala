@@ -115,7 +115,8 @@ object ManifestStream {
       case None if !o.startLatest =>
         // initial batch: the whole snapshot at v2, as inserts
         withCdc(Manifest.readVersion(spark, table, v2), o, "insert", v2)
-      case None => changes(spark, o, s2, retained, v1 = retainedStart(o, retained), v2)
+      case None => changes(spark, o, s2, retained,
+        v1 = retainedStart(retained, v2), v2)
       case Some(a) => changes(spark, o, s2, retained, a, v2)
     }
     align(df, schema)
@@ -125,8 +126,13 @@ object ManifestStream {
     * current when the SOURCE was created — carried through the Opts
     * closure via [[ManifestSource]]; this fallback (used only when
     * batchFrame is driven directly in specs) anchors at the newest
-    * retained version below v2. */
-  private def retainedStart(o: Opts, retained: Seq[Long]): Long = retained.last
+    * retained version AT OR BELOW v2, so a directly-driven first span
+    * is empty rather than inverted (retained.last can exceed v2 when
+    * commits landed after the probe picked its end version — an
+    * inverted span built an empty change list whose `.reduce` threw
+    * instead of serving the empty batch). */
+  private def retainedStart(retained: Seq[Long], v2: Long): Long =
+    retained.filter(_ <= v2).lastOption.getOrElse(v2)
 
   private def changes(spark: SparkSession, o: Opts, s2: Manifest.Snapshot,
       retained: Seq[Long], v1: Long, v2: Long): DataFrame = {
@@ -139,8 +145,20 @@ object ManifestStream {
         "unrecoverable; restart from a fresh checkpoint")
     if (!o.changeFeed) spanNet(spark, o, v1, v2)
     else {
-      // per-commit attribution: one netted feed per retained pair
+      // per-commit attribution: one netted feed per retained pair.
+      // The span must be GAPLESS — versions are sequential, so any
+      // missing intermediate means vacuum reclaimed a commit between
+      // original delivery and this (checkpoint-replay) call; a netted
+      // multi-commit pair would no longer be bit-identical to what
+      // was first delivered, which is the exactly-once property.
       val span = retained.filter(v => v > v1 && v <= v2)
+      val expected = (v1 + 1) to v2
+      if (span != expected) sys.error(
+        s"graft-table stream: versions ${expected.filterNot(span.contains)
+          .mkString(",")} of $table inside the change span ($v1,$v2] were " +
+          "vacuumed — the per-commit feed is unrecoverable; restart from a " +
+          "fresh checkpoint (and vacuum with retainMs covering the stream's " +
+          "replay window)")
       span.zip(v1 +: span.dropRight(1)).map { case (v, p) =>
         withCdcFeed(pairNet(spark, o, p, v), v)
       }.reduce(_ unionByName _)

@@ -219,4 +219,52 @@ class ManifestStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no longer retained"))
   }
+
+  test("changeFeed refuses a span with vacuumed INTERMEDIATE versions — " +
+      "a netted multi-commit pair is not what was first delivered") {
+    val table = tmp("gap") + "/t"
+    Manifest.create(spark, table, slice(0))                    // v1
+    Manifest.commitAppend(spark, table, slice(1))              // v2
+    Manifest.commitAppend(spark, table, slice(2))              // v3
+    Manifest.commitAppend(spark, table, slice(3))              // v4
+    // tag keeps v1 and v4 retained; v2/v3 inside the span vacuum away
+    Manifest.tag(spark, table, "start", version = 1L)
+    Manifest.vacuum(spark, table, keep = 1)
+    assert(Manifest.versions(spark, table) == Seq(1L, 4L))
+    val o = ManifestStream.Opts(table, changeFeed = true,
+      ignoreDeletes = false, startLatest = false)
+    val schema = ManifestStream.sourceSchema(spark, o)
+    val e = intercept[Exception] {
+      ManifestStream.batchFrame(spark, o, schema,
+        Manifest.readSnapshot(spark, table, 4L)
+          .meta.get(Manifest.SchemaKey), Some(1L), 4L).collect()
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // the append-shaped mode nets the whole span structurally and is
+    // unaffected by the gap (pure-append span: diff v1 → v4 directly)
+    val oNet = o.copy(changeFeed = false)
+    val net = ManifestStream.batchFrame(spark, oNet,
+      ManifestStream.sourceSchema(spark, oNet),
+      Manifest.readSnapshot(spark, table, 4L)
+        .meta.get(Manifest.SchemaKey), Some(1L), 4L)
+    assert(rows(net).sameElements(
+      rows(docs.filter(col("doc_id") % 5 >= 1 && col("doc_id") % 5 <= 3))))
+  }
+
+  test("a directly-driven first changeFeed span anchors at or below v2 — " +
+      "empty batch, not an UnsupportedOperationException") {
+    val table = tmp("anchor") + "/t"
+    Manifest.create(spark, table, slice(0))                    // v1
+    val o = ManifestStream.Opts(table, changeFeed = true,
+      ignoreDeletes = false, startLatest = true)
+    val schema = ManifestStream.sourceSchema(spark, o)
+    val frozen = Manifest.currentSnapshot(spark, table).get
+      .meta.get(Manifest.SchemaKey)
+    // commits land AFTER the probe picked v2=1: retained.last (3) > v2
+    Manifest.commitAppend(spark, table, slice(1))              // v2
+    Manifest.commitAppend(spark, table, slice(2))              // v3
+    val batch = ManifestStream.batchFrame(spark, o, schema, frozen, None, 1L)
+    assert(batch.collect().isEmpty,
+      "a startLatest first span ending at its own anchor must be empty")
+  }
 }
