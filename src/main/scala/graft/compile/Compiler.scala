@@ -381,13 +381,18 @@ object Compiler {
     // signs need the conservative nn·max(|min|,|max|) < 2⁵³ bound,
     // since cancellation can hide an imprecise partial behind a
     // small total.
-    val intSums = forms.collect {
-      case (key, "sum", Some(c)) if (factSchema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      }) => (key, c)
+    def isIntegral(c: String): Boolean = factSchema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
     }
-    if (intSums.nonEmpty) {
+    val intSums = forms.collect {
+      case (key, "sum", Some(c)) if isIntegral(c) => (key, c) }
+    // min/max of integral columns cast the sidecar's double scalar
+    // back below — the same 2^53 honesty applies: a Long min/max past
+    // the double-exact range (snowflake ids) would round silently
+    val intMinMax = forms.collect {
+      case (key, f @ ("min" | "max"), Some(c)) if isIntegral(c) => (key, f, c) }
+    if (intSums.nonEmpty || intMinMax.nonEmpty) {
       val row = served.head()
       val exactCap = 9007199254740992d // 2^53
       def dbl(n: String): Option[Double] = {
@@ -406,6 +411,14 @@ object Compiler {
                 "and exceeds 2^53 — the exact-looking integer would be " +
                 "silently wrong; run the full query for this sum")
           case _ => () // no non-null rows: sum is NULL, nothing to guard
+        }
+      }
+      intMinMax.foreach { case (key, f, c) =>
+        dbl(s"${c}_$f").foreach { v =>
+          if (math.abs(v) >= exactCap) refuse(
+            s"measure '$key': $f($c) folds through double file scalars and " +
+              "|value| >= 2^53 — the exact-looking integer would be " +
+              s"silently rounded; run the full query for this $f")
         }
       }
     }

@@ -2583,9 +2583,12 @@ object Manifest {
     // validate AFTER the rename: a concurrent vacuum that snapshotted
     // the tag set before this tag landed may have reclaimed v's
     // manifest anyway — without this check the tag would dangle
-    // silently (tagVersion succeeds, readTag fails). Vacuum re-checks
-    // tags after computing its dead set, so the two sides interlock:
-    // whichever ran second sees the other's write.
+    // silently (tagVersion succeeds, readTag fails). Vacuum re-reads
+    // tags AFTER deleting manifests (restoring any newly-pinned one
+    // from held bytes), so the two sides interlock: rename-then-check
+    // here, delete-then-recheck there — whichever ran second sees the
+    // other's write, and every interleaving either retains the
+    // version or fails this tagger loudly.
     if (!fs.exists(manifestFile(table, v))) {
       fs.delete(target, false)
       sys.error(s"Manifest.tag: version $v of $table was vacuumed " +
@@ -2599,26 +2602,37 @@ object Manifest {
     val fs = fsFor(spark, table)
     val dir = tagsDir(table)
     if (!fs.exists(dir)) return Map.empty
+    // tolerant of a tag file vanishing between listStatus and open —
+    // a concurrent deleteTag (or tag()'s own dangling-rollback delete)
+    // is legitimate churn, not a reason for the lister (vacuum, most
+    // critically) to abort: a vanished tag simply isn't a tag.
     fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
       case TagFileName(name) if !name.startsWith(".") =>
-        name -> tagVersion(spark, table, name)
-    }.toMap
+        tagVersionOpt(spark, table, name).map(name -> _)
+    }.flatten.toMap
   }
 
-  def tagVersion(spark: SparkSession, table: String, name: String): Long = {
+  private def tagVersionOpt(spark: SparkSession, table: String,
+      name: String): Option[Long] = {
     val fs = fsFor(spark, table)
     val f = tagFile(table, name)
-    require(fs.exists(f), s"Manifest.tagVersion: no tag '$name' on $table")
-    val in = fs.open(f)
+    val in = try fs.open(f) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
       out.toString("UTF-8")
     } finally in.close()
-    text.split('\n').map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    Some(text.split('\n').map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .headOption.map(_.toLong).getOrElse(
-        sys.error(s"Manifest.tagVersion: tag file $f carries no version"))
+        sys.error(s"Manifest.tagVersion: tag file $f carries no version")))
   }
+
+  def tagVersion(spark: SparkSession, table: String, name: String): Long =
+    tagVersionOpt(spark, table, name).getOrElse(
+      sys.error(s"Manifest.tagVersion: no tag '$name' on $table"))
 
   /** Read the snapshot a tag pins — [[readVersion]] by name. */
   def readTag(spark: SparkSession, table: String, name: String): DataFrame =
@@ -2697,20 +2711,60 @@ object Manifest {
     val (live0, dead0) = vs.partition(v => keepSet.contains(v) || fresh(v))
     // re-check tags against the computed dead set: a tag() committed
     // after the first tags() read would otherwise have its pinned
-    // version reclaimed (the tag dangles). tag() validates the
-    // manifest still exists after its rename, so between the two
-    // checks every interleaving either retains the version or fails
-    // the tagger loudly — never a silent dangle.
+    // version reclaimed (the tag dangles). This pre-delete re-read is
+    // an optimization (rescue before touching anything); the
+    // interlock that actually closes every interleaving is the
+    // POST-delete re-read below.
     val lateTags = if (dead0.isEmpty) Set.empty[Long]
       else tags(spark, table).values.toSet -- tagged
-    val (rescued, dead) = dead0.partition(lateTags.contains)
-    val live = (live0 ++ rescued).sorted
-    val deadSnaps = dead.map(readSnapshot(spark, table, _))
-    dead.foreach { v =>
-      fs.delete(manifestFile(table, v), false)
+    val (rescued, dead1) = dead0.partition(lateTags.contains)
+    // hold each dead manifest's raw bytes so a tag that lands between
+    // this read and the delete can be honored by RESTORING the
+    // manifest verbatim, then delete the manifests ONLY (sidecars and
+    // data wait until the rescue decision is final)
+    def rawBytes(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    val deadBytes = dead1.map(v => v -> rawBytes(manifestFile(table, v))).toMap
+    dead1.foreach(v => fs.delete(manifestFile(table, v), false))
+    // THIRD tags read, AFTER the manifest deletes — the half of the
+    // interlock that makes the pair airtight. tag() renames its tag
+    // file BEFORE checking the manifest exists; this read happens
+    // AFTER the manifest delete. So for any tagger: if its
+    // manifest-exists check preceded our delete (tag succeeded), its
+    // rename preceded that check, hence preceded this read — we see
+    // the tag and restore the manifest from the held bytes. If its
+    // check followed our delete and we hadn't restored yet, it sees
+    // the manifest missing, fails loudly, and rolls its tag file
+    // back. Either the version is retained or the tagger errors —
+    // never a success on both sides with a dangling tag. (A tagger
+    // checking inside the delete→restore window fails loudly even
+    // though the version ends up retained — conservative, not wrong.)
+    val postTags = if (dead1.isEmpty) Set.empty[Long]
+      else tags(spark, table).values.toSet
+    val (rescued2, dead) = dead1.partition(postTags.contains)
+    rescued2.foreach { v =>
+      val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(deadBytes(v)) finally out.close()
+      if (!fs.rename(tmp, manifestFile(table, v))) fs.delete(tmp, false)
+    }
+    val live = (live0 ++ rescued ++ rescued2).sorted
+    val deadSnaps = dead.map { v =>
       fs.delete(statsDir(table, v), true) // file-skipping sidecars, if any
       fs.delete(bloomDir(table, v), true)
       fs.delete(strStatsDir(table, v), true)
+      val text = new String(deadBytes(v), "UTF-8")
+      val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      Snapshot(v, lines.filterNot(_.startsWith("#")),
+        lines.filter(_.startsWith("#")).flatMap(_.drop(1).split("=", 2) match {
+          case Array(k, vv) => Some(k -> vv); case _ => None
+        }).toMap)
     }
     val liveSnaps = live.map(readSnapshot(spark, table, _))
     val referenced = liveSnaps.flatMap(_.paths).toSet

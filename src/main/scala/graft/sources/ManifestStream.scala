@@ -125,14 +125,16 @@ object ManifestStream {
   /** `startingVersion=latest` anchors the first span at the version
     * current when the SOURCE was created — carried through the Opts
     * closure via [[ManifestSource]]; this fallback (used only when
-    * batchFrame is driven directly in specs) anchors at the newest
-    * retained version AT OR BELOW v2, so a directly-driven first span
-    * is empty rather than inverted (retained.last can exceed v2 when
-    * commits landed after the probe picked its end version — an
-    * inverted span built an empty change list whose `.reduce` threw
-    * instead of serving the empty batch). */
-  private def retainedStart(retained: Seq[Long], v2: Long): Long =
-    retained.filter(_ <= v2).lastOption.getOrElse(v2)
+    * batchFrame is driven directly in specs) anchors at v2 itself, so
+    * a directly-driven first span is always EMPTY rather than
+    * inverted (retained.last can exceed v2 when commits landed after
+    * the probe picked its end version — an inverted span built an
+    * empty change list whose `.reduce` threw instead of serving the
+    * empty batch). batchFrame already requires `retained.contains
+    * (v2)`, so "newest retained version at or below v2" IS v2 — the
+    * identity is stated rather than re-derived with a filter, so the
+    * invariant stays visible. */
+  private def retainedStart(retained: Seq[Long], v2: Long): Long = v2
 
   private def changes(spark: SparkSession, o: Opts, s2: Manifest.Snapshot,
       retained: Seq[Long], v1: Long, v2: Long): DataFrame = {
