@@ -95,18 +95,21 @@ object Compiler {
         }.toSet
         val factCols = cube.fact.schema.fieldNames.toSet
         def prunable(c: String) = factCols.contains(c) && !foreignNames.contains(c)
-        val num = pred.map(Manifest.boundsFromPred).getOrElse(Nil)
-          .filter(b => prunable(b._1))
-        val str = pred.map(Manifest.strBoundsFromPred).getOrElse(Nil)
-          .filter(b => prunable(b._1))
+        // predicate-TREE admission (readPrunedWhereOpt): conjunctive
+        // ranges, OR-of-disjuncts, IN lists — each leaf provenance-
+        // gated by `prunable`, so a disjunct on a joined column
+        // admits rather than pruning against the wrong envelopes.
+        // None ⇒ the decision keeps every file (or can't apply): the
+        // fact stays untouched and rollup alt-source routing stays
+        // available.
         val fact: Option[DataFrame] =
-          if (num.nonEmpty || str.nonEmpty)
-            Some(Manifest.readPrunedMixed(spark, tbl, num, str, pinned))
-          else pinned match {
+          pred.flatMap(p =>
+            Manifest.readPrunedWhereOpt(spark, tbl, p, pinned, prunable))
+          .orElse(pinned match {
             case Some(v) => Some(Manifest.readVersion(spark, tbl, v))
             case None if asOfOpt.nonEmpty => Some(Manifest.read(spark, tbl))
-            case None => None // no asOf, no recoverable bounds: untouched
-          }
+            case None => None // no asOf, nothing pruned: untouched
+          })
         fact match {
           case Some(f) =>
             return compile(q.copy(

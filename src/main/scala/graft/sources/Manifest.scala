@@ -685,14 +685,13 @@ object Manifest {
     deleteCore(spark, table, pred,
       scanFor = (snap, rawFull) => {
         // envelope pruning is derived from the PREDICATE ITSELF, so it
-        // cannot be unsound: only conjunctive numeric range/equality
-        // shapes yield bounds, everything else scans fully. (An earlier
-        // design took caller-supplied ranges on trust — a hint narrower
-        // than the predicate would have silently left matching rows
-        // alive in pruned files, in the takedown path of all places.)
-        val ranges = boundsFromPred(pred)
-        if (ranges.isEmpty) rawFull
-        else prunedFilesFor(spark, table, snap, ranges) match {
+        // cannot be unsound ([[admittedFilesFor]] — per-leaf envelope
+        // tests, OR/IN prune to per-disjunct unions, anything
+        // unrecognized scans fully). (An earlier design took
+        // caller-supplied ranges on trust — a hint narrower than the
+        // predicate would have silently left matching rows alive in
+        // pruned files, in the takedown path of all places.)
+        admittedFilesFor(spark, table, snap, pred) match {
           case None => rawFull
           case Some(fl) if fl.isEmpty => rawFull.limit(0)
           case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
@@ -1291,12 +1290,8 @@ object Manifest {
         snap.paths.map(p => selectWithPos(
           spark.read.parquet(s"$table/$p"))).reduce(_ unionByName _)
       else {
-        val ranges = boundsFromPred(pred)
-        val files =
-          if (ranges.nonEmpty)
-            prunedFilesFor(spark, table, snap, ranges)
-              .getOrElse(raw.inputFiles.toIndexedSeq)
-          else raw.inputFiles.toIndexedSeq
+        val files = admittedFilesFor(spark, table, snap, pred)
+          .getOrElse(raw.inputFiles.toIndexedSeq)
         if (files.isEmpty) return snap
         selectWithPos(snapshotReader(spark, snap).parquet(files: _*))
       }
@@ -2348,6 +2343,219 @@ object Manifest {
         if (keep.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
         else readFilesLive(spark, table, snap, keep)
     }
+  }
+
+  /** Predicate-TREE file skipping — the OR/IN generalization of the
+    * conjunctive [[readPrunedAll]]/[[readPrunedMixed]] family, which
+    * drop every OR subtree (so `day IN (d1, d3)` pruned nothing). The
+    * predicate is evaluated ABSTRACTLY per file against both sidecar
+    * envelope families (numeric `stats_v`, string `strstats_v`): each
+    * recognized comparison/equality/IN leaf answers "may this file
+    * hold a matching row?" from the file's [min, max] envelope, And/Or
+    * compose monotonically (an over-approximation of "∃ matching row"
+    * stays one through both connectives), and everything unrecognized
+    * — NOT subtrees, UDFs, non-`prunable` columns (the provenance
+    * gate, applied per LEAF so it holds inside every disjunct),
+    * columns a sidecar predates, files a sidecar misses — admits,
+    * conservatively. An OR therefore prunes to the UNION of its
+    * disjuncts' file sets: sound because a file survives when ANY
+    * disjunct's envelope test admits it, each test being the same
+    * intersection soundness as the conjunctive family. For pure
+    * conjunctions the per-leaf evaluation is EQUAL to intersecting
+    * bounds first (interval intersection distributes over the leaf
+    * tests), so this strictly subsumes the range walkers.
+    *
+    * Returns Some(admitted files) — the caller still applies the
+    * predicate in full, envelopes prune files, never rows — or None
+    * when skipping cannot apply at all (no sidecar of either family,
+    * or a hive layout, whose leaf-file reads would drop partition
+    * columns and whose pruning is partition pruning's job). */
+  private[graft] def admittedFilesFor(spark: SparkSession, table: String,
+      snap: Snapshot, pred: Column,
+      prunable: String => Boolean = _ => true): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.types.{DataType, StringType, StructType}
+    val numSide = sidecarRows(spark, statsDir(table, snap.version))
+    val strSide = sidecarRows(spark, strStatsDir(table, snap.version))
+    if (numSide.isEmpty && strSide.isEmpty) return None
+    val full = readSnapshotRaw(spark, table, snap)
+    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+      return None
+    // per-file per-column envelopes keyed by NORMALIZED path (sidecar
+    // rows carry input_file_name() renderings, the listing carries
+    // URIs). A present entry of None = the file's stats row is NULL
+    // (all-NULL column): a comparison/IN leaf can never match there.
+    // An absent column or file = not covered: the leaf admits.
+    def envOf[T](side: Option[(StructType, Array[org.apache.spark.sql.Row])],
+        minSuf: String, maxSuf: String, get: (org.apache.spark.sql.Row, Int) => T)
+        : (Set[String], Map[String, Map[String, Option[(T, T)]]]) =
+      side match {
+        case None => (Set.empty, Map.empty)
+        case Some((sch, rows)) =>
+          val cols = sch.fieldNames.toSeq.collect {
+            case n if n.endsWith(minSuf) => n.dropRight(minSuf.length) }
+          val fi = sch.fieldIndex("file")
+          val m = rows.map { r =>
+            normPath(r.getString(fi)) -> cols.map { c =>
+              val mi = sch.fieldIndex(s"$c$minSuf")
+              val ma = sch.fieldIndex(s"$c$maxSuf")
+              c -> (if (r.isNullAt(mi) || r.isNullAt(ma)) None
+                else Some((get(r, mi), get(r, ma))))
+            }.toMap
+          }.toMap
+          (cols.toSet, m)
+      }
+    val (numCols, numEnv) =
+      envOf[Double](numSide, "__min", "__max", (r, i) => r.getDouble(i))
+    val (strCols, strEnv) =
+      envOf[String](strSide, "__smin", "__smax", (r, i) => r.getString(i))
+    def attr(e: Expression): Option[String] = e match {
+      // deliberately NO Cast unwrapping (boundsFromPred's reasoning)
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def numLit(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case d: java.math.BigDecimal => Some(d.doubleValue())
+      case d: scala.math.BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    // ops: gt/ge/lt/le/eq, attribute on the LEFT (callers flip)
+    def leaf(f: String, a: Expression, v: Any, t: DataType,
+        op: String): Boolean = attr(a) match {
+      case Some(c) if prunable(c) && numCols.contains(c) &&
+          numLit(v).nonEmpty =>
+        numEnv.get(f).map(_(c)) match {
+          case Some(None) => false // all-NULL column: no row can match
+          case Some(Some((mi, ma))) =>
+            val x = numLit(v).get
+            op match {
+              case "gt" => ma > x
+              case "ge" => ma >= x
+              case "lt" => mi < x
+              case "le" => mi <= x
+              case _ => mi <= x && x <= ma
+            }
+          case None => true // file the sidecar misses
+        }
+      case Some(c) if prunable(c) && strCols.contains(c) &&
+          t == StringType && v != null =>
+        strEnv.get(f).map(_(c)) match {
+          case Some(None) => false
+          case Some(Some((mi, ma))) =>
+            val x = v.toString
+            op match {
+              case "gt" => utf8Cmp(ma, x) > 0
+              case "ge" => utf8Cmp(ma, x) >= 0
+              case "lt" => utf8Cmp(mi, x) < 0
+              case "le" => utf8Cmp(mi, x) <= 0
+              case _ => utf8Cmp(mi, x) <= 0 && utf8Cmp(ma, x) >= 0
+            }
+          case None => true
+        }
+      case _ => true // foreign / uncovered / non-literal: admit
+    }
+    def inLeaf(f: String, a: Expression, list: Seq[Expression]): Boolean = {
+      val lits = list.collect { case Literal(v, t) => (v, t) }
+      // any non-literal element ⇒ the leaf is unrecognizable: admit.
+      // NULL elements never match a row (three-valued IN), so only
+      // the non-null literals decide; an all-NULL list admits nothing.
+      if (lits.length != list.length) true
+      else lits.filter(_._1 != null)
+        .exists { case (v, t) => leaf(f, a, v, t, "eq") }
+    }
+    def flip(op: String): String = op match {
+      case "gt" => "lt"; case "ge" => "le"
+      case "lt" => "gt"; case "le" => "ge"; case o => o
+    }
+    def cmp(f: String, l: Expression, r: Expression, op: String): Boolean =
+      (l, r) match {
+        case (a, Literal(v, t)) => leaf(f, a, v, t, op)
+        case (Literal(v, t), a) => leaf(f, a, v, t, flip(op))
+        case _ => true
+      }
+    def admit(e: Expression, f: String): Boolean = e match {
+      case And(l, r) => admit(l, f) && admit(r, f)
+      case Or(l, r) => admit(l, f) || admit(r, f)
+      case GreaterThan(l, r) => cmp(f, l, r, "gt")
+      case GreaterThanOrEqual(l, r) => cmp(f, l, r, "ge")
+      case LessThan(l, r) => cmp(f, l, r, "lt")
+      case LessThanOrEqual(l, r) => cmp(f, l, r, "le")
+      case EqualTo(l, r) => cmp(f, l, r, "eq")
+      case In(a, list) => inLeaf(f, a, list)
+      // Column-built predicates convert to unresolved calls by name
+      case u: UnresolvedFunction if u.nameParts.lengthCompare(1) == 0 =>
+        (u.nameParts.head.toLowerCase, u.arguments) match {
+          case ("and", Seq(l, r)) => admit(l, f) && admit(r, f)
+          case ("or", Seq(l, r)) => admit(l, f) || admit(r, f)
+          case (">", Seq(l, r)) => cmp(f, l, r, "gt")
+          case (">=", Seq(l, r)) => cmp(f, l, r, "ge")
+          case ("<", Seq(l, r)) => cmp(f, l, r, "lt")
+          case ("<=", Seq(l, r)) => cmp(f, l, r, "le")
+          case ("=" | "==", Seq(l, r)) => cmp(f, l, r, "eq")
+          case ("in", a +: rest) if rest.nonEmpty => inLeaf(f, a, rest)
+          case _ => true
+        }
+      case _ => true // NOT, UDFs, LIKE, IS NULL, ...: admit
+    }
+    val expr = GraftBridge.convertedExpression(pred)
+    Some(full.inputFiles.toIndexedSeq.filter(f => admit(expr, normPath(f))))
+  }
+
+  /** [[readPrunedMixed]] for a full predicate TREE ([[admittedFilesFor]]
+    * semantics — OR and IN prune to unions of per-disjunct file sets).
+    * Serves the pinned snapshot restricted to the admitted files; the
+    * caller still applies `pred` in full. Returns None when the
+    * decision admits EVERY file or cannot apply — the caller keeps its
+    * plain read (and whatever routing, e.g. rollup alt-sources, that
+    * path enables) rather than paying a rebind that prunes nothing. */
+  def readPrunedWhereOpt(spark: SparkSession, table: String, pred: Column,
+      version: Option[Long] = None,
+      prunable: String => Boolean = _ => true): Option[DataFrame] = {
+    val snap = version match {
+      case Some(v) =>
+        require(versions(spark, table).contains(v),
+          s"Manifest.readPrunedWhere: $table has no retained version $v")
+        readSnapshot(spark, table, v)
+      case None => currentSnapshot(spark, table).getOrElse(
+        sys.error(s"Manifest.readPrunedWhere: $table has no committed snapshot"))
+    }
+    admittedFilesFor(spark, table, snap, pred, prunable).flatMap { keep =>
+      if (keep.isEmpty) Some(readSnapshotRaw(spark, table, snap).limit(0))
+      else if (keep.size == readSnapshotRaw(spark, table, snap)
+          .inputFiles.length) None
+      else Some(readFilesLive(spark, table, snap, keep))
+    }
+  }
+
+  /** The V2-catalog serving core ([[graft.sources.v2.GraftCatalog]]):
+    * the pinned snapshot restricted to the predicate-admitted files
+    * ([[admittedFilesFor]] tree semantics), DV-masked, under the
+    * evolved schema — plus the admitted file list itself, so the
+    * caller can report/pin the skipping decision. `pred` of None (or
+    * a predicate nothing recognizes) serves the full snapshot. */
+  private[graft] def readAdmitted(spark: SparkSession, table: String,
+      version: Option[Long], pred: Option[Column])
+      : (DataFrame, Seq[String]) = {
+    val snap = version match {
+      case Some(v) =>
+        require(versions(spark, table).contains(v),
+          s"Manifest.readAdmitted: $table has no retained version $v")
+        readSnapshot(spark, table, v)
+      case None => currentSnapshot(spark, table).getOrElse(
+        sys.error(s"Manifest.readAdmitted: $table has no committed snapshot"))
+    }
+    val all = readSnapshotRaw(spark, table, snap).inputFiles.toIndexedSeq
+    val admitted = pred
+      .flatMap(p => admittedFilesFor(spark, table, snap, p))
+      .getOrElse(all)
+    val df =
+      if (admitted.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
+      else if (admitted.size == all.size) readSnapshotData(spark, table, snap)
+      else readFilesLive(spark, table, snap, admitted)
+    (df, admitted)
   }
 
   /** Whole-table `count(*)` / `count(c)` / `min` / `max` / `sum`

@@ -1661,12 +1661,22 @@ class LakehouseSpec extends AnyFunSuite {
     val qr = Compiler.compile(CubeQuery(cube).measure("n", "n")
       .when(Pred.Op("w", "between", Some(Seq("a", "b")))))
     assert(qr.inputFiles.length == 2 && qr.head().getLong(0) == 4)
-    // unboundable predicates (OR trees) leave the scan untouched but
-    // still compute correctly
+    // OR trees prune to the UNION of their disjuncts' file sets
+    // (tree admission): w='a' OR w='c' admits exactly files 1 and 3
     val q4 = Compiler.compile(CubeQuery(cube).measure("n", "n")
       .when(Pred.Or(Seq(Pred.Op("w", "eq", Some("a")),
         Pred.Op("w", "eq", Some("c"))))))
-    assert(q4.inputFiles.length == all && q4.head().getLong(0) == 4)
+    assert(q4.inputFiles.length == 2 && q4.head().getLong(0) == 4)
+    // IN-shaped numeric probe: two points in two different files
+    val qin = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Op("v", "in", Some(Seq(1, 30)))))
+    assert(qin.inputFiles.length == 2 && qin.head().getLong(0) == 2)
+    // an OR with one unboundable arm admits everything — and because
+    // nothing prunes, the fact is left UNBOUND (no rebind)
+    val qor = Compiler.compile(CubeQuery(cube).measure("n", "n")
+      .when(Pred.Or(Seq(Pred.Op("w", "eq", Some("a")),
+        Pred.Op("w", "like", Some("%c%"))))))
+    assert(qor.inputFiles.length == all && qor.head().getLong(0) == 4)
     // composes with asOf: pin v1+where — the exact-version sidecar
     // would be needed, so the pinned scan serves the FULL pinned
     // snapshot (conservative) and the values are the pinned epoch's
@@ -1678,6 +1688,64 @@ class LakehouseSpec extends AnyFunSuite {
     val q6 = Compiler.compile(CubeQuery(cube).measure("n", "n")
       .when(Pred.Op("v", "gteq", Some(21))))
     assert(q6.head().getLong(0) == 1)
+  }
+
+  test("OR/IN file skipping: tree admission prunes to per-disjunct " +
+      "unions — disjoint, overlapping, single-arm, and mixed-family " +
+      "shapes — and admits conservatively on NOT / foreign columns") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_orin").toString
+    val tbl = s"$dir/t"
+    // 8 range-clustered files over id 1..800; sid zero-padded so
+    // lexicographic order == numeric order
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, "%04d".format(i))).toDF("id", "sid")
+        .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    Manifest.analyzeFilesString(spark, tbl, Seq("sid"))
+    val full = Manifest.read(spark, tbl)
+    val nAll = full.inputFiles.length
+    assert(nAll == 8)
+    def pruned(pred: org.apache.spark.sql.Column) =
+      Manifest.readPrunedWhereOpt(spark, tbl, pred)
+    def check(pred: org.apache.spark.sql.Column, maxFiles: Int): Unit = {
+      val df = pruned(pred).getOrElse(fail(s"nothing pruned for $pred"))
+      assert(df.inputFiles.length <= maxFiles && df.inputFiles.length < nAll,
+        s"$pred admitted ${df.inputFiles.length} files")
+      val got = df.filter(pred).collect().map(_.toString).sorted
+      val want = full.filter(pred).collect().map(_.toString).sorted
+      assert(got.sameElements(want), s"$pred: pruned read lost rows")
+    }
+    // IN: two points in two far-apart files
+    check(col("id").isin(5L, 790L), 3)
+    // OR of DISJOINT ranges: union of the two file sets
+    check(col("id").between(100, 120) || col("id").between(600, 620), 4)
+    // OVERLAPPING ranges: union, no double-count, rows intact
+    check(col("id").between(100, 300) || col("id").between(250, 420), 6)
+    // SINGLE-ARM ranges OR'd: (id < 50) || (id > 760)
+    check(col("id") < 50 || col("id") > 760, 3)
+    // mixed families: a numeric arm OR a string arm
+    check(col("id") < 50 || col("sid") >= "0790", 3)
+    // string IN through the strstats envelopes
+    check(col("sid").isin("0007", "0777"), 3)
+    // conjunction AND disjunction nested
+    check((col("id") > 700 && col("sid") <= "0710") || col("id") < 5, 4)
+    // zero-admitting IN: every literal outside every envelope ⇒ a
+    // well-formed empty frame, no file opened
+    val empty = pruned(col("id").isin(5000L, 6000L))
+    assert(empty.nonEmpty && empty.get.inputFiles.isEmpty &&
+      empty.get.count() == 0)
+    // NOT subtrees admit everything ⇒ None (caller keeps plain read)
+    assert(pruned(!(col("id") < 700)).isEmpty)
+    // a disjunct on a column no sidecar covers admits everything
+    assert(pruned(col("id") < 50 || col("other") === 1).isEmpty)
+    // provenance gate per LEAF: with id non-prunable, only the sid
+    // arm may prune — an OR keeps both sides' admissions sound
+    val gated = Manifest.readPrunedWhereOpt(spark, tbl,
+      col("id").isin(5L, 790L), None, prunable = _ == "sid")
+    assert(gated.isEmpty, "a non-prunable leaf must admit every file")
   }
 
   test("filtered metadata aggregates: a complete range WHERE serves " +
