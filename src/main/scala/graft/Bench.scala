@@ -20,6 +20,20 @@ object Bench {
     "q46_asof_join", "q66_asof_native", "q47_merged_cube",
     "q51_minhash_pairs", "q55_text_profile", "q57_cosine_topk")
 
+  /** Second frozen set (round 17+): the lakehouse/curation operators
+    * the original 18 never touched — CoW merge, MoR delete vectors,
+    * change feed, filtered + grouped metadata serving, z-order
+    * conjunctive pruning, the exactly-once upsert sink, the
+    * graft-table streaming source, Kneser-Ney scoring, and the
+    * curation capstone. Reported separately (`lakehouse_value` /
+    * `lakehouse_queries`) so the original set's round-over-round
+    * series stays comparable. */
+  val Lakehouse: Seq[String] = Seq(
+    "q208_merge_upsert", "q209_delete_vectors", "q202_change_feed",
+    "q226_stats_where", "q228_zorder_pruning", "q215_stream_upsert",
+    "q217_table_stream", "q190_kneser_ney", "q195_curation_v4",
+    "q231_grouped_statsonly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,20 +50,25 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val all = SparkEntry.queries
-    val results = Headline.filter(all.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def run(names: Seq[String]): Seq[(String, Double)] =
+      names.filter(all.contains).map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -1.0)
+      }
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]): Double =
+      rs.map(_._2).filter(_ >= 0).sum
+    val results = run(Headline)
+    val lake = run(Lakehouse)
+    println(f"""{"metric":"total","value":${tot(results)}%.3f,"unit":"sec","queries":${json(results)},"lakehouse_value":${tot(lake)}%.3f,"lakehouse_queries":${json(lake)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -308,11 +308,53 @@ object Compiler {
           case _ => refuse("asOf carries no version, timestamp, or tag")
         }
       }
-    if (q.slices.nonEmpty)
-      refuse("serves table-level aggregates only (drop the dimensions)")
     if (q.grouping != GroupingMode.Flat) refuse("requires flat grouping")
     if (q.measures.isEmpty) refuse("needs at least one measure")
     val factSchema = cube.fact.schema
+    // GROUPED statsOnly: every slice must be a BARE fact column (no
+    // sub-field chain, no join dependency, no explode) of a
+    // non-decimal numeric or string type — the file-constant key
+    // shapes Manifest.statsAggregateGrouped can prove from the
+    // envelope sidecars. Anything else refuses loudly: an explicit
+    // statsOnly must never silently approximate.
+    val groupKeys: Seq[(String, String)] = q.slices.map { case (key, ref) =>
+      checkKey(key)
+      if (ref.path.nonEmpty) refuse(
+        s"slice '$key' chains sub-fields — file stats serve bare " +
+          "fact columns only")
+      val dim = cube.dimensions.getOrElse(ref.dim, refuse(
+        s"slice '$key' references unknown dimension '${ref.dim}'"))
+      if (dim.explode) refuse(s"slice '$key' explodes an array dimension")
+      if (dim.requires.nonEmpty) refuse(
+        s"slice '$key' needs a join — joined columns are not in file stats")
+      // bare attribute only, with the front-door provenance gate: a
+      // RESOLVED attribute must be the fact's own, not a foreign
+      // frame's column whose bare name collides
+      val c = {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        lazy val factIds = org.apache.spark.sql.GraftBridge
+          .analyzed(cube.fact).output.map(_.exprId).toSet
+        org.apache.spark.sql.GraftBridge.convertedExpression(dim.col) match {
+          case a: UnresolvedAttribute => a.name
+          case a: AttributeReference if factIds.contains(a.exprId) => a.name
+          case _ => refuse(
+            s"slice '$key' is expression-valued or foreign — file stats " +
+              "serve bare fact columns only")
+        }
+      }
+      val f = factSchema.fields.find(_.name == c).getOrElse(refuse(
+        s"slice '$key' references '$c', which is not a fact column"))
+      f.dataType match {
+        case _: DecimalType => refuse(
+          s"slice '$key': '$c' is ${f.dataType.simpleString} — the " +
+            "sidecar's double scalars cannot key groups exactly")
+        case _: NumericType | StringType => ()
+        case other => refuse(s"slice '$key': file stats key numeric or " +
+          s"string columns only, '$c' is ${other.simpleString}")
+      }
+      (key, c)
+    }
     // filters serve ONLY when the WHERE is EXACTLY a conjunction of
     // inclusive numeric ranges on bare fact columns
     // (boundsFromPredComplete) — then fully-covered files serve from
@@ -369,7 +411,10 @@ object Compiler {
         (key, form, c)
       }
     val served =
-      if (whereBounds.isEmpty)
+      if (groupKeys.nonEmpty)
+        Manifest.statsAggregateGrouped(spark, tbl, groupKeys.map(_._2),
+          forms.flatMap(_._3).distinct, whereBounds, pinned)
+      else if (whereBounds.isEmpty)
         Manifest.statsAggregate(spark, tbl,
           forms.flatMap(_._3).distinct, pinned)
       else Manifest.statsAggregateWhere(spark, tbl,
@@ -396,36 +441,41 @@ object Compiler {
     val intMinMax = forms.collect {
       case (key, f @ ("min" | "max"), Some(c)) if isIntegral(c) => (key, f, c) }
     if (intSums.nonEmpty || intMinMax.nonEmpty) {
-      val row = served.head()
       val exactCap = 9007199254740992d // 2^53
-      def dbl(n: String): Option[Double] = {
-        val i = row.fieldIndex(n)
-        if (row.isNullAt(i)) None else Some(row.getDouble(i))
-      }
-      intSums.foreach { case (key, c) =>
-        (dbl(s"${c}_min"), dbl(s"${c}_max"), dbl(s"${c}_sum")) match {
-          case (Some(mi), Some(ma), Some(su)) =>
-            val nn = row.getAs[Long](s"${c}_nn")
-            val exact =
-              if (mi >= 0 || ma <= 0) math.abs(su) < exactCap
-              else nn.toDouble * math.max(math.abs(mi), math.abs(ma)) < exactCap
-            if (!exact) refuse(
-              s"measure '$key': sum($c) folds through double file scalars " +
-                "and exceeds 2^53 — the exact-looking integer would be " +
-                "silently wrong; run the full query for this sum")
-          case _ => () // no non-null rows: sum is NULL, nothing to guard
+      // one row flat, one row PER GROUP grouped — every served row
+      // must clear the guard (a LocalRelation either way: collecting
+      // re-reads metadata, never the table)
+      served.collect().foreach { row =>
+        def dbl(n: String): Option[Double] = {
+          val i = row.fieldIndex(n)
+          if (row.isNullAt(i)) None else Some(row.getDouble(i))
         }
-      }
-      intMinMax.foreach { case (key, f, c) =>
-        dbl(s"${c}_$f").foreach { v =>
-          if (math.abs(v) >= exactCap) refuse(
-            s"measure '$key': $f($c) folds through double file scalars and " +
-              "|value| >= 2^53 — the exact-looking integer would be " +
-              s"silently rounded; run the full query for this $f")
+        intSums.foreach { case (key, c) =>
+          (dbl(s"${c}_min"), dbl(s"${c}_max"), dbl(s"${c}_sum")) match {
+            case (Some(mi), Some(ma), Some(su)) =>
+              val nn = row.getAs[Long](s"${c}_nn")
+              val exact =
+                if (mi >= 0 || ma <= 0) math.abs(su) < exactCap
+                else nn.toDouble * math.max(math.abs(mi), math.abs(ma)) < exactCap
+              if (!exact) refuse(
+                s"measure '$key': sum($c) folds through double file scalars " +
+                  "and exceeds 2^53 — the exact-looking integer would be " +
+                  "silently wrong; run the full query for this sum")
+            case _ => () // no non-null rows: sum is NULL, nothing to guard
+          }
+        }
+        intMinMax.foreach { case (key, f, c) =>
+          dbl(s"${c}_$f").foreach { v =>
+            if (math.abs(v) >= exactCap) refuse(
+              s"measure '$key': $f($c) folds through double file scalars and " +
+                "|value| >= 2^53 — the exact-looking integer would be " +
+                s"silently rounded; run the full query for this $f")
+          }
         }
       }
     }
-    val outCols: Seq[Column] = forms.map { case (key, form, cOpt) =>
+    val outCols: Seq[Column] = groupKeys.map { case (key, c) =>
+      F.col(c).as(key) } ++ forms.map { case (key, form, cOpt) =>
       (form, cOpt) match {
         case ("cnt", _) => F.col("cnt").as(key)
         case ("nn", Some(c)) => F.col(s"${c}_nn").as(key)
@@ -441,7 +491,7 @@ object Compiler {
     }
     foldOptions(served.select(outCols: _*),
       q.options.filterNot(o => o == QueryOpt.StatsOnly ||
-        o.isInstanceOf[QueryOpt.AsOf]), Set.empty)
+        o.isInstanceOf[QueryOpt.AsOf]), groupKeys.map(_._1).toSet)
   }
 
   /** `_aq.`-prefix injection guard analogue (parse_tree.rb:113-114): output

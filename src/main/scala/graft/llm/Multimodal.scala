@@ -25,13 +25,18 @@ import org.apache.spark.sql.{functions => F}
   * real decode→transform→re-encode stage (integer-exact
   * nearest-neighbor, q135).
   *
-  * The remaining codec boundary is INTER-frame compression (H.264
-  * class): this container is not part of the JDK, so a production
-  * deployment swaps the per-partition decoder inside [[sampleFrames]] /
-  * [[resizeImages]] for a native codec binding. Everything Spark-side —
+  * INTER-frame compression is real too, at minimal-codec scale:
+  * `videoDeltaMediaFromDocuments` builds a keyframe + delta-frame
+  * container (previous-frame XOR, run-length encoded — the
+  * temporal-redundancy trade of the H.264 class) and
+  * `sampleDeltaFrames` decodes the dependency chain sequentially,
+  * emitting every k-th frame through the same [[Frame]] /
+  * [[frameFeatures]] shape as the seekable MPNG path (q233). A
+  * production deployment swapping in a native H.264 binding replaces
+  * exactly the per-partition decode closure; the Spark-side plumbing —
   * schema, partition-local decoder init, explode-shaped frame output,
-  * binary-in/binary-out column contracts — is the real plumbing that
-  * binding drops into, and is what the specs and oracles pin down.
+  * binary-in/binary-out column contracts — is what the specs and
+  * oracles pin down.
   */
 object Multimodal {
 
@@ -343,6 +348,161 @@ object Multimodal {
             bb.position(bb.position() + len) // seek, don't copy
             Iterator.empty
           }
+        }
+      }
+    }
+  }
+
+  // ---- inter-frame (delta) video codec --------------------------------
+
+  /** Minimal INTER-frame video codec — temporal-redundancy compression,
+    * the H.264-class trade the MPNG frame table deliberately does not
+    * make. Container "DMPG" (ints big-endian): magic, int32 nFrames,
+    * int32 width, int32 height; then frame 0 as a length-prefixed
+    * KEYFRAME (a genuine PNG), and each later frame as a
+    * length-prefixed RLE of its raw-pixel XOR against the PREVIOUS
+    * frame — a mostly-static scene compresses to near-nothing. The
+    * cost is the inter-frame contract itself: frame f needs 0..f-1,
+    * so sampling decodes the chain once per media
+    * ([[sampleDeltaFrames]]) — cost ∝ frames DECODED, not frames
+    * emitted, unlike MPNG's seekable table. RLE: (int32 run, byte)*
+    * — XOR streams are almost all zeros. */
+  def videoDeltaMediaFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(F.col("doc_id"), F.col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          MediaRecord(id, "video/x-dmpg", encodeDmpg(id, text)) }
+      }
+  }
+
+  /** The same deterministic frame content as [[encodeMpng]] (frame f =
+    * the doc's image advanced f text-bytes), so the two containers'
+    * decoded features are directly comparable — and analytically
+    * oracle-able. */
+  private[llm] def encodeDmpg(id: Long, text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 1 + math.floorMod(id, 8L).toInt
+    val h = 1 + math.floorMod(bytes.length, 8)
+    def pixels(offset: Int): Array[Byte] = {
+      val p = new Array[Byte](w * h)
+      var i = 0
+      while (i < p.length) {
+        p(i) = if (bytes.isEmpty) 0
+          else bytes((i + offset) % bytes.length)
+        i += 1
+      }
+      p
+    }
+    val nFrames = 2 + math.floorMod(id, 3L).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("DMPG")
+    dos.writeInt(nFrames); dos.writeInt(w); dos.writeInt(h)
+    val key = encodePng(id, text, offset = 0)
+    dos.writeInt(key.length); dos.write(key)
+    var prev = pixels(0)
+    var f = 1
+    while (f < nFrames) {
+      val cur = pixels(f)
+      val xor = new Array[Byte](cur.length)
+      var i = 0
+      while (i < cur.length) { xor(i) = (cur(i) ^ prev(i)).toByte; i += 1 }
+      val enc = rle(xor)
+      dos.writeInt(enc.length); dos.write(enc)
+      prev = cur
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  private[llm] def rle(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      var run = 1
+      while (i + run < bytes.length && bytes(i + run) == b) run += 1
+      dos.writeInt(run); dos.writeByte(b)
+      i += run
+    }
+    out.toByteArray
+  }
+
+  private[llm] def unrle(enc: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    val bb = java.nio.ByteBuffer.wrap(enc)
+    var i = 0
+    while (i < n) {
+      val run = bb.getInt
+      val b = bb.get()
+      require(run > 0 && i + run <= n, s"corrupt RLE: run $run at $i of $n")
+      java.util.Arrays.fill(out, i, i + run, b)
+      i += run
+    }
+    out
+  }
+
+  /** Decode the delta chain once per media and emit every `stride`-th
+    * frame as a (re-encoded PNG) [[Frame]] — the same downstream shape
+    * as [[sampleFrames]], so [[frameFeatures]] consumes either
+    * container unchanged. Sequential by necessity (inter-frame
+    * dependencies); still partition-local, one chain state per
+    * media. */
+  def sampleDeltaFrames(spark: SparkSession, media: Dataset[MediaRecord],
+      stride: Int): Dataset[Frame] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { rec =>
+        val bb = java.nio.ByteBuffer.wrap(rec.payload)
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(new String(magic, "US-ASCII") == "DMPG",
+          s"media ${rec.media_id}: not a DMPG container")
+        val n = bb.getInt; val w = bb.getInt; val h = bb.getInt
+        val keyLen = bb.getInt
+        val key = new Array[Byte](keyLen)
+        bb.get(key)
+        val img0 = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(key))
+        require(img0 != null && img0.getWidth == w && img0.getHeight == h,
+          s"media ${rec.media_id}: keyframe does not decode to ${w}x$h")
+        var cur = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          cur(i) = img0.getRaster.getSample(i % w, i / w, 0).toByte
+          i += 1
+        }
+        def toPng(px: Array[Byte]): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var j = 0
+          while (j < px.length) {
+            img.getRaster.setSample(j % w, j / w, 0, px(j) & 0xFF)
+            j += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        (0 until n).iterator.flatMap { f =>
+          if (f > 0) {
+            val len = bb.getInt
+            val enc = new Array[Byte](len)
+            bb.get(enc)
+            val xor = unrle(enc, w * h)
+            val nxt = new Array[Byte](w * h)
+            var j = 0
+            while (j < nxt.length) { nxt(j) = (cur(j) ^ xor(j)).toByte; j += 1 }
+            cur = nxt
+          }
+          if (f % stride == 0) Iterator.single(Frame(rec.media_id, f, toPng(cur)))
+          else Iterator.empty
         }
       }
     }

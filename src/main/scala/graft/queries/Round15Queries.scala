@@ -866,9 +866,12 @@ object Round15Queries {
         def refused(fields: String, opts: String, needle: String) =
           try { parse(fields, opts); false }
           catch { case e: Throwable => e.getMessage.contains(needle) }
+        // bare-column slices now SERVE from metadata (q231's grouped
+        // statsOnly); the refusal pin moved to the shape that stays
+        // unservable — an expression-valued dimension
         val dimRefused = refused(
-          """{"name": "source"}, {"name": "count", "alias": "n"}""",
-          "\"statsOnly\": true", "table-level")
+          """{"name": "lang"}, {"name": "count", "alias": "n"}""",
+          "\"statsOnly\": true", "expression-valued")
         val exoticRefused = refused(
           """{"name": "sumTokens", "alias": "t"}""",
           "\"statsOnly\": true", "not a servable")

@@ -88,6 +88,179 @@ object Round17Queries {
              |        AND (SELECT max(doc_id) // 2 + 20 FROM documents)
              |   OR lpad(CAST(doc_id AS VARCHAR), 8, '0') >=
              |        lpad(CAST((SELECT max(doc_id) - 3 FROM documents)
-             |          AS VARCHAR), 8, '0')""".stripMargin))
+             |          AS VARCHAR), 8, '0')""".stripMargin)),
+
+    // The DataSourceV2 SQL front door: the manifested table registers
+    // under a TableCatalog and the probe runs as PLAIN spark.sql over
+    // `graft_q230.db.docs` — no CubeQuery, no Manifest read call in
+    // the query itself. What must ride along: (a) MoR delete vectors
+    // mask the even doc_ids the takedown removed; (b) the WHERE's IN
+    // probe prunes FILES at the driver (strict-subset pin via the
+    // scan's admitted-files report); (c) the aggregate hash-matches
+    // the oracle, which recomputes the post-delete state from the
+    // fixture. The catalog name is fixed and its root conf re-reads
+    // dynamically, so repeated invocations re-point cleanly.
+    NamedQuery("q230_sql_catalog",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlcat")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))
+        // MoR takedown: every doc_id divisible by 7 vanishes behind a
+        // delete vector — no data file rewritten
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 7 === 0)
+        Manifest.analyzeFiles(s, table, Seq("doc_id"))
+        s.conf.set("spark.sql.catalog.graft_q230",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q230.root", root)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val nAll = Manifest.read(s, table).inputFiles.length
+        val agg = s.sql(
+          s"""SELECT count(*) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM graft_q230.db.docs
+             |WHERE doc_id IN (3, 7, ${maxId - 4}, ${maxId - 6})
+             |   OR doc_id BETWEEN ${maxId / 2} AND ${maxId / 2 + 30}
+             |""".stripMargin)
+        val row = agg.head()
+        val admitted = GraftScanInfo.lastFiles(table).getOrElse(Nil)
+        val pruned = admitted.nonEmpty && admitted.size < nAll
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), pruned))
+          .toDF("n_rows", "sum_chars", "pruned_files")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS pruned_files
+             |FROM documents
+             |WHERE doc_id % 7 <> 0
+             |  AND (doc_id IN (3, 7, (SELECT max(doc_id) - 4 FROM documents),
+             |         (SELECT max(doc_id) - 6 FROM documents))
+             |   OR doc_id BETWEEN (SELECT max(doc_id) // 2 FROM documents)
+             |        AND (SELECT max(doc_id) // 2 + 30 FROM documents))"""
+        .stripMargin)),
+
+    // GROUPED metadata serving through the cube front door: a
+    // hive-partitioned-by-source snapshot (the canonical file-constant
+    // key) with both sidecar families analyzed; `slice(source) +
+    // count/sum + statsOnly` folds entirely at the driver — the
+    // compiled plan is a LocalRelation with ZERO data files (pinned
+    // as `meta_only`), one row per source. The 100 TB shape this
+    // buys: "rows per day this quarter" on a day-partitioned table
+    // becomes a sidecar read. The oracle recomputes every group from
+    // the fixture.
+    NamedQuery("q231_grouped_statsonly",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.model.{Cube, Dimension, Metric}
+        import graft.query.CubeQuery
+        import graft.compile.Compiler
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("gstats") + "/docs"
+        Manifest.create(s, table, docs, partitionBy = Seq("source"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        Manifest.analyzeFilesString(s, table, Seq("source"))
+        val cube = Cube("docs", Manifest.read(s, table),
+          dimensions = Map("source" -> Dimension("source", col("source"))),
+          metrics = Map(
+            "n" -> Metric.countAll("n"),
+            "sc" -> Metric.sumOf("sc", col("n_chars"))),
+          selectors = Map.empty,
+          manifestTable = Some(table))
+        val served = Compiler.compile(CubeQuery(cube)
+          .slice("source", "source")
+          .measure("n_rows", "n").measure("sum_chars", "sc")
+          .statsOnly.asc("source"))
+        served.select(col("source"), col("n_rows"),
+          col("sum_chars").cast("long").as("sum_chars"),
+          F.lit(served.inputFiles.isEmpty).as("meta_only"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, true AS meta_only
+             |FROM documents GROUP BY source ORDER BY source ASC"""
+        .stripMargin)),
+
+    // Composite-key bloom restriction: a round-robin 8-file layout
+    // (every file spans the whole id range — envelopes provably
+    // impotent) with a (source, doc_id) COMPOSITE bloom sidecar
+    // (xxhash64 over the key tuple). A two-tuple multi-column
+    // takedown (deleteKeysTuples) then restricts its phase-1 scan to
+    // the tuples' candidate files, pinned via the readPointTuples
+    // strict-subset; the post-takedown aggregate is recomputed by the
+    // oracle. The right-to-be-forgotten shape when the key is
+    // (user, day), not a single id.
+    NamedQuery("q232_composite_takedown",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val table = freshQueryDir("comptake") + "/docs"
+        Manifest.create(s, table, docs.repartition(8))
+        Manifest.analyzeFilesBloom(s, table,
+          Seq(Manifest.compositeName(Seq("source", "doc_id"))),
+          expectedItemsPerFile = 100000)
+        // two real (source, doc_id) tuples from the fixture
+        val keys = docs.orderBy(col("doc_id"))
+          .limit(2).collect()
+          .map(r => Seq[Any](r.getString(1), r.getLong(0))).toSeq
+        val nAll = Manifest.read(s, table).inputFiles.length
+        val pt = Manifest.readPointTuples(s, table,
+          Seq("source", "doc_id"), keys)
+        val pruned = pt.inputFiles.length < nAll
+        Manifest.deleteKeysTuples(s, table, Seq("source", "doc_id"), keys)
+        Manifest.read(s, table)
+          .agg(F.count(F.lit(1)).as("n_rows"),
+            F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            F.lit(pruned).as("pruned_files"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS pruned_files
+             |FROM documents
+             |WHERE doc_id NOT IN (
+             |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2)"""
+        .stripMargin)),
+
+    // INTER-frame video codec: the documents render as keyframe +
+    // delta-frame containers (previous-frame XOR, run-length encoded —
+    // the temporal-redundancy trade of the H.264 class), and the
+    // pipeline decodes the dependency CHAIN sequentially, sampling
+    // every 2nd frame into the same frame-features shape as q134's
+    // seekable MPNG path. The oracle recomputes every frame's
+    // brightness analytically from the text bytes — identical to
+    // q134's oracle, so a hash match proves the XOR+RLE chain
+    // reconstructs each frame bit-exactly through however many deltas
+    // precede it.
+    NamedQuery("q233_video_delta_frames",
+      (s, d) => graft.llm.Multimodal.frameFeatures(s,
+          graft.llm.Multimodal.sampleDeltaFrames(s,
+            graft.llm.Multimodal.videoDeltaMediaFromDocuments(
+              s, Tables.documents(s, d)), 2))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("brightness"))
+        .orderBy(col("media_id").asc, col("frame_idx").asc),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(1 + (doc_id % 8) AS INT) AS width,
+             |    CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT) AS height,
+             |    octet_length(CAST(text AS BLOB)) AS blen,
+             |    2 + (doc_id % 3) AS n_frames
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, text, width, height, blen,
+             |    unnest(range(0, n_frames::INT)) AS f
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, width, height,
+             |  round(list_avg([ord(text[((p + f) % blen) + 1])
+             |                  for p in range(0, width*height)]), 6) AS brightness
+             |FROM fr WHERE f % 2 = 0
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin))
   )
 }

@@ -923,6 +923,284 @@ object Manifest {
       toScan.size.toLong)
   }
 
+  /** GROUPED metadata-served aggregates — `GROUP BY day` count/min/
+    * max/sum answered from DRIVER METADATA when every group key is
+    * FILE-CONSTANT: on a partitioned or clustered layout each file's
+    * key envelope collapses to a point (`min == max`) with no NULL
+    * keys (`nn == cnt` — a NULL key is its own SQL group the envelope
+    * cannot see), so the file's stored scalars belong wholly to that
+    * group and the whole query folds at the driver. The most common
+    * real shape at 100 TB — "rows per day this quarter" on a
+    * day-laid-out table — becomes one sidecar read and ZERO data-file
+    * opens. Numeric keys serve from the `stats_v` sidecar; string
+    * keys (day strings!) from `strstats_v`, whose per-file counts
+    * exist for exactly this proof. Hive partition columns are the
+    * canonical file-constant key and serve through the same envelopes
+    * once analyzed.
+    *
+    * Soundness ladder, per FILE (never per query, except where noted):
+    *  - `where` ranges classify as in [[statsAggregateWhere]]:
+    *    disjoint files contribute nothing, fully-inside files serve,
+    *    boundary/NULL-bearing files scan with the residual predicate;
+    *  - a file whose key envelope is NOT a point (unclustered), has
+    *    NULL keys, predates the sidecar, or carries an integral key
+    *    past 2⁵³ (double identity would silently merge groups) SCANS;
+    *  - DVs on the snapshot, or a missing/stale sidecar family ⇒ full
+    *    grouped scan (`served_from = "scan"`), never a wrong answer;
+    *  - a HIVE layout with any file to scan falls back to the full
+    *    directory-read scan — leaf-file reads would drop the
+    *    partition columns mid-group.
+    *
+    * The fold is driver-side at #files + #scanned-groups grain — the
+    * key is a partition/cluster grain by construction (day, source,
+    * shard), NOT a high-cardinality column; a group-by-user_id does
+    * not belong here and will simply scan.
+    *
+    * Output: one row per group — the key columns under their fact
+    * types, then `cnt` and per requested column `<c>_nn/_min/_max/
+    * _sum` ([[statsAggregate]] shapes), then the `served_from` ∈
+    * {stats, stats_delta, scan} and `files_scanned` pins. Sorted by
+    * key for determinism. */
+  def statsAggregateGrouped(spark: SparkSession, table: String,
+      groupBy: Seq[String], cols: Seq[String],
+      where: Seq[(String, Double, Double)] = Nil,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    require(groupBy.nonEmpty,
+      "statsAggregateGrouped needs group keys (else statsAggregate)")
+    val snap = resolveStatsSnap(spark, table, version, "statsAggregateGrouped")
+    val factSchema = readSnapshotRaw(spark, table, snap).schema
+    groupBy.foreach(k => require(factSchema.fieldNames.contains(k),
+      s"Manifest.statsAggregateGrouped: '$k' is not a column of $table"))
+    val strKey = groupBy.map(k => factSchema(k).dataType == StringType)
+    val predCol = where.map { case (c, lo, hi) =>
+      F.col(c) >= lo && F.col(c) <= hi }.reduceOption(_ && _)
+    val allFiles = listSnapshotFiles(spark, table, snap)
+    val partitioned = snap.meta.contains(PartitionKey)
+
+    // the grouped analogue of statsScanAgg: per group key tuple
+    // (numeric keys carried as Double — the sidecar's identity), the
+    // same cnt/nn/min/max/sum scalars
+    def scanAgg(df: DataFrame): Seq[(Seq[Any], Long, StatsPer)] = {
+      val keyCols = groupBy.zip(strKey).map { case (k, s) =>
+        (if (s) F.col(k) else F.col(k).cast("double")).as(s"__k_$k") }
+      val aggs = F.count(F.lit(1)).cast("long").as("cnt") +:
+        cols.flatMap(c => Seq(
+          F.count(F.col(c)).cast("long").as(s"${c}_nn"),
+          F.min(F.col(c)).cast("double").as(s"${c}_min"),
+          F.max(F.col(c)).cast("double").as(s"${c}_max"),
+          F.sum(F.col(c).cast("double")).as(s"${c}_sum")))
+      val src = predCol.map(df.filter).getOrElse(df)
+      src.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+        .collect().toIndexedSeq.map { r =>
+          val key = groupBy.indices.map(i =>
+            if (r.isNullAt(i)) null else r.get(i))
+          val base = groupBy.length
+          def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          (key, r.getLong(base), cols.indices.map { j =>
+            val b = base + 1 + 4 * j
+            (r.getLong(b), d(b + 1), d(b + 2), d(b + 3))
+          }: StatsPer)
+        }
+    }
+    def emit(groups: Seq[(Seq[Any], Long, StatsPer)], from: String,
+        scanned: Long): DataFrame =
+      statsEmitGrouped(spark, groupBy, strKey, factSchema, cols,
+        groups, from, scanned)
+    def fallback(): DataFrame =
+      emit(scanAgg(readSnapshotData(spark, table, snap)), "scan",
+        allFiles.size.toLong)
+    if (snap.meta.contains(DvKey)) return fallback()
+
+    val numKeys = groupBy.zip(strKey).collect { case (k, false) => k }
+    val strKeys = groupBy.zip(strKey).collect { case (k, true) => k }
+    val neededNum = (cols ++ where.map(_._1) ++ numKeys).distinct
+    // numeric sidecar: required whenever any measure / range / numeric
+    // key needs it; the cnt anchor comes from it when possible
+    val numSide =
+      if (neededNum.isEmpty) None
+      else statsSidecarFor(spark, table, snap) match {
+        case Some((sch, rows)) if statsCovers(sch, neededNum) =>
+          Some((sch, rows))
+        case _ => return fallback()
+      }
+    val strSide =
+      if (strKeys.isEmpty) None
+      else {
+        val fs = fsFor(spark, table)
+        Some(snap.version)
+          .filter(v => fs.exists(strStatsDir(table, v)))
+          .orElse(versions(spark, table)
+            .filter(v => fs.exists(strStatsDir(table, v))).lastOption)
+          .flatMap(v => sidecarRows(spark, strStatsDir(table, v))) match {
+          case Some((sch, rows)) if strKeys.forall(k =>
+              Seq(s"${k}__smin", s"${k}__smax", s"${k}__scnt",
+                s"${k}__snn").forall(sch.fieldNames.contains)) =>
+            Some((sch, rows))
+          case _ => return fallback()
+        }
+      }
+    val numMap = numSide.map { case (sch, rows) =>
+      (sch, rows.map(r => normPath(
+        r.getString(sch.fieldIndex("file"))) -> r).toMap) }
+    val strMap = strSide.map { case (sch, rows) =>
+      (sch, rows.map(r => normPath(
+        r.getString(sch.fieldIndex("file"))) -> r).toMap) }
+    val exactCap = 9007199254740992d // 2^53: double key identity limit
+    val served = Seq.newBuilder[(Seq[Any], Long, StatsPer)]
+    val toScan = Seq.newBuilder[String]
+    var scanCount = 0
+    allFiles.foreach { f =>
+      val nf = normPath(f)
+      def dbl(sr: (org.apache.spark.sql.types.StructType,
+          org.apache.spark.sql.Row), n: String): Option[Double] = {
+        val i = sr._1.fieldIndex(n)
+        if (sr._2.isNullAt(i)) None else Some(sr._2.getDouble(i))
+      }
+      val nr = numMap.flatMap { case (sch, m) => m.get(nf).map((sch, _)) }
+      val sr = strMap.flatMap { case (sch, m) => m.get(nf).map((sch, _)) }
+      // any needed side missing this file ⇒ scan it
+      if (numMap.nonEmpty && nr.isEmpty || strMap.nonEmpty && sr.isEmpty) {
+        toScan += f; scanCount += 1
+      } else {
+        // where classification (statsAggregateWhere's three-way split)
+        sealed trait Cls; object Disjoint extends Cls
+        object Full extends Cls; object Boundary extends Cls
+        val wcls: Cls = {
+          val states = where.map { case (c, lo, hi) =>
+            (dbl(nr.get, s"${c}__min"), dbl(nr.get, s"${c}__max")) match {
+              case (Some(mi), Some(ma)) =>
+                if (ma < lo || mi > hi) Disjoint
+                else if (mi >= lo && ma <= hi && dbl(nr.get, s"${c}__nn") ==
+                  dbl(nr.get, s"${c}__cnt")) Full
+                else Boundary
+              case _ => Disjoint // all-NULL range column: no row matches
+            }
+          }
+          if (states.contains(Disjoint)) Disjoint
+          else if (states.forall(_ == Full)) Full else Boundary
+        }
+        if (wcls != Disjoint) {
+          // key extraction: every key must be file-constant & NULL-free
+          val key: Option[Seq[Any]] =
+            groupBy.zip(strKey).foldLeft(Option(Seq.empty[Any])) {
+              case (None, _) => None
+              case (Some(acc), (k, false)) =>
+                val (mi, ma) = (dbl(nr.get, s"${k}__min"),
+                  dbl(nr.get, s"${k}__max"))
+                val pure = dbl(nr.get, s"${k}__nn") == dbl(nr.get, s"${k}__cnt")
+                val integral = factSchema(k).dataType match {
+                  case org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.ByteType => true
+                  case _ => false
+                }
+                (mi, ma) match {
+                  case (Some(a), Some(b)) if a == b && pure &&
+                      (!integral || math.abs(a) < exactCap) =>
+                    Some(acc :+ (a: Any))
+                  case _ => None
+                }
+              case (Some(acc), (k, true)) =>
+                val (sch, row) = sr.get
+                def s(n: String): Option[String] = {
+                  val i = sch.fieldIndex(n)
+                  if (row.isNullAt(i)) None else Some(row.getString(i))
+                }
+                (s(s"${k}__smin"), s(s"${k}__smax")) match {
+                  case (Some(a), Some(b)) if a == b &&
+                      s(s"${k}__scnt") == s(s"${k}__snn") =>
+                    Some(acc :+ (a: Any))
+                  case _ => None
+                }
+            }
+          (key, wcls) match {
+            case (Some(kv), Full) =>
+              val (sch, row) = nr.getOrElse(sr.get)
+              val cnt: Long =
+                if (neededNum.nonEmpty)
+                  row.getDouble(sch.fieldIndex(
+                    s"${neededNum.head}__cnt")).toLong
+                else {
+                  val (ssch, srow) = sr.get
+                  srow.getString(ssch.fieldIndex(
+                    s"${strKeys.head}__scnt")).toLong
+                }
+              val per: StatsPer = cols.map { c =>
+                def d(n: String) = dbl(nr.get, n)
+                (d(s"${c}__nn").fold(0L)(_.toLong), d(s"${c}__min"),
+                  d(s"${c}__max"), d(s"${c}__sum"))
+              }
+              served += ((kv, cnt, per))
+            case _ => toScan += f; scanCount += 1
+          }
+        }
+      }
+    }
+    val scanFiles = toScan.result()
+    // hive layout: a leaf-file delta scan would drop the partition
+    // columns mid-group — any residue falls back to the full scan
+    if (partitioned && scanFiles.nonEmpty) return fallback()
+    val delta =
+      if (scanFiles.isEmpty) Nil
+      else scanAgg(readFilesLive(spark, table, snap, scanFiles))
+    // fold served + delta by key tuple
+    val groups = (served.result() ++ delta)
+      .groupBy(_._1).toSeq.map { case (k, parts) =>
+        val cnt = parts.map(_._2).sum
+        val per: StatsPer = cols.indices.map { j =>
+          val ps = parts.map(_._3(j))
+          (ps.map(_._1).sum,
+            ps.flatMap(_._2).reduceOption((a, b) => math.min(a, b)),
+            ps.flatMap(_._3).reduceOption((a, b) => math.max(a, b)),
+            ps.flatMap(_._4).reduceOption(_ + _))
+        }
+        (k, cnt, per)
+      }
+    emit(groups, if (scanFiles.isEmpty) "stats" else "stats_delta",
+      scanCount.toLong)
+  }
+
+  /** The grouped LocalRelation emitter: key columns restored to their
+    * FACT types (the sidecar's doubles are identity below 2⁵³ — the
+    * serve already refused past it), then the statsEmit scalar shapes
+    * and serving pins. */
+  private def statsEmitGrouped(spark: SparkSession, groupBy: Seq[String],
+      strKey: Seq[Boolean],
+      factSchema: org.apache.spark.sql.types.StructType, cols: Seq[String],
+      groups: Seq[(Seq[Any], Long, StatsPer)], from: String,
+      scanned: Long): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    val rawSchema = T.StructType(
+      groupBy.zip(strKey).map { case (k, s) =>
+        T.StructField(s"__k_$k",
+          if (s) T.StringType else T.DoubleType) } ++
+        (T.StructField("cnt", T.LongType, nullable = false) +:
+          cols.flatMap(c => Seq(
+            T.StructField(s"${c}_nn", T.LongType, nullable = false),
+            T.StructField(s"${c}_min", T.DoubleType),
+            T.StructField(s"${c}_max", T.DoubleType),
+            T.StructField(s"${c}_sum", T.DoubleType)))) :+
+        T.StructField("served_from", T.StringType, nullable = false) :+
+        T.StructField("files_scanned", T.LongType, nullable = false))
+    val sorted = groups.sortBy(_._1.map(v =>
+      if (v == null) "" else v.toString).mkString("|"))
+    val rows = sorted.map { case (k, cnt, per) =>
+      org.apache.spark.sql.Row.fromSeq(
+        k ++ (cnt +: per.flatMap { case (nn, mi, ma, su) =>
+          Seq[Any](nn, mi.orNull, ma.orNull, su.orNull) }) ++
+          Seq(from, scanned))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), rawSchema)
+    val outCols = groupBy.map(k =>
+      F.col(s"__k_$k").cast(factSchema(k).dataType).as(k)) ++
+      rawSchema.fieldNames.filterNot(_.startsWith("__k_")).map(F.col)
+    df.select(outCols: _*)
+  }
+
   /** STRING bounds recoverable from a predicate's top-level conjuncts
     * — `source = 'x'`, `day BETWEEN '2024-01-01' AND '2024-01-07'`,
     * `url >= 'https://a/'` — as optional-sided inclusive ranges for
@@ -1008,6 +1286,39 @@ object Manifest {
     deleteCore(spark, table, F.col(column).isin(values: _*),
       scanFor = (snap, rawFull) =>
         pointCandidateFiles(spark, table, snap, column, values) match {
+          case None => rawFull
+          case Some(fl) if fl.isEmpty => rawFull.limit(0)
+          case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
+        })
+  }
+
+  /** [[deleteKeys]] for COMPOSITE keys: delete the rows whose key
+    * TUPLE (in `columns` order) is one of `rows` — the multi-column
+    * right-to-be-forgotten shape ("remove these (user, day) pairs").
+    * Phase 1's candidate files come from the COMPOSITE bloom sidecar
+    * when one covers the spec (`analyzeFilesBloom(Seq("a+b"))`), so a
+    * handful-of-tuples takedown opens a handful of files, decided at
+    * the driver — same soundness as [[deleteKeys]] (bloom false
+    * negatives are impossible; false positives cost a candidate
+    * scan). No sidecar / partitioned layout degrade to the exact full
+    * phase-1 scan. Tuple count is bounded (the predicate is an OR of
+    * per-tuple conjunctions): batch a larger takedown. */
+  def deleteKeysTuples(spark: SparkSession, table: String,
+      columns: Seq[String], rows: Seq[Seq[Any]]): Snapshot = {
+    require(columns.size >= 2,
+      "Manifest.deleteKeysTuples: use deleteKeys for a single column")
+    require(rows.nonEmpty, "Manifest.deleteKeysTuples: no key tuples")
+    require(rows.forall(_.size == columns.size),
+      "Manifest.deleteKeysTuples: every tuple must match the columns")
+    require(rows.size <= 10000,
+      s"Manifest.deleteKeysTuples: ${rows.size} tuples — batch takedowns " +
+        "above 10k tuples (the predicate is an OR of per-tuple ANDs)")
+    val pred = rows.map(r => columns.zip(r)
+        .map { case (c, v) => F.col(c) === F.lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
+    deleteCore(spark, table, pred,
+      scanFor = (snap, rawFull) =>
+        pointCandidateFilesTuples(spark, table, snap, columns, rows) match {
           case None => rawFull
           case Some(fl) if fl.isEmpty => rawFull.limit(0)
           case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
@@ -1187,13 +1498,21 @@ object Manifest {
       fs.delete(new Path(s"$table/$srcRel"), true); throw e
     }
     val srcKeys = src.select(keys.map(F.col).toIndexedSeq: _*).distinct()
-    // 2. phase 1 — EXACT touched-file set, bloom-restricted when possible
+    // 2. phase 1 — EXACT touched-file set, bloom-restricted when
+    // possible: single keys probe their own bloom, multi-column keys
+    // probe the COMPOSITE bloom (analyzeFilesBloom("a+b")) — the
+    // source keys hash through Spark itself (xxhash64 over the frozen
+    // source copy's own columns), so probe bits agree with the
+    // sidecar aggregate's bit-for-bit with no lit/cast re-derivation
     val scanned =
-      if (keys.size == 1 && parts.isEmpty) {
+      if (parts.isEmpty) {
         val cap = 10000
-        val vals = srcKeys.limit(cap + 1).collect().map(_.get(0)).toSeq
-        if (vals.size <= cap)
-          pointCandidateFiles(spark, table, snap, keys.head, vals) match {
+        val bloomName = compositeName(keys)
+        val hs = srcKeys
+          .select(F.xxhash64(keys.map(F.col): _*).as("__h"))
+          .limit(cap + 1).collect().map(_.getLong(0)).toIndexedSeq
+        if (hs.size <= cap)
+          pointCandidateFilesHashed(spark, table, snap, bloomName, hs) match {
             case None => raw
             case Some(fl) if fl.isEmpty => raw.limit(0)
             case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
@@ -1813,7 +2132,7 @@ object Manifest {
       cols: Seq[String]): Int = {
     require(cols.nonEmpty, "analyzeFiles needs at least one column")
     buildSidecar(spark, table, statsDir,
-      keepCol = (df, c) => df.schema(c).dataType
+      keepCol = (df, c) => df.columns.contains(c) && df.schema(c).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       statNames = c => Seq(s"${c}__min", s"${c}__max", s"${c}__cnt",
         s"${c}__nn", s"${c}__sum"),
@@ -1858,8 +2177,9 @@ object Manifest {
     val priorCols = prior.toSeq.flatMap(_._1.fieldNames.toSeq)
       .filter(_ != "file").map(n => n.substring(0, n.lastIndexOf("__")))
       .distinct
-    val effCols = (cols ++ priorCols).distinct
-      .filter(c => df.columns.contains(c) && keepCol(df, c))
+    // existence lives inside keepCol: a bloom "column" may be a
+    // COMPOSITE key spec ("a+b") that is not itself a df column
+    val effCols = (cols ++ priorCols).distinct.filter(c => keepCol(df, c))
     require(effCols.nonEmpty,
       s"$what: no eligible columns among ${cols.mkString(",")}")
     val statCols = "file" +: effCols.flatMap(statNames)
@@ -1928,6 +2248,15 @@ object Manifest {
   private def bloomDir(table: String, v: Long) =
     new Path(s"$table/_manifest/bloom_v${"%08d".format(v)}")
 
+  /** A bloom column spec: a bare column name, or a composite key as
+    * "a+b" — hashed as xxhash64(a, b). [[compositeName]] canonicalizes
+    * a key list into the spec; order is semantic (xxhash64 is
+    * order-sensitive), so build and probe must use the same order —
+    * both derive it from the caller's key sequence. */
+  private[sources] def compositeParts(spec: String): Seq[String] =
+    spec.split('+').toIndexedSeq
+  def compositeName(keys: Seq[String]): String = keys.mkString("+")
+
   /** Per-file BLOOM sidecar — the point-lookup complement of
     * [[analyzeFiles]]: min/max envelopes prune RANGE predicates on
     * clustered columns, but an equality probe on an unclustered
@@ -1965,13 +2294,20 @@ object Manifest {
       conf.set(itemsKey, expectedItemsPerFile.toString)
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // a col spec may be COMPOSITE — "a+b" blooms xxhash64(a, b), the
+    // canonical multi-column key encoding (xxhash64 is order-sensitive
+    // and type-tagged, so tuple identity is exact up to hash
+    // collision, which only ever costs an extra candidate file) —
+    // what lets multi-column upserts and takedowns prune files too
     try buildSidecar(spark, table, bloomDir,
-      keepCol = (_, _) => true,
+      keepCol = (df, c) => compositeParts(c)
+        .forall(df.columns.contains),
       statNames = c => Seq(s"${c}__bloom"),
       fieldType = org.apache.spark.sql.types.BinaryType,
       aggsFor = cs => cs.map { c =>
         GraftBridge.column(new BloomFilterAggregate(
-          GraftBridge.expression(F.xxhash64(F.col(c))),
+          GraftBridge.expression(
+            F.xxhash64(compositeParts(c).map(F.col): _*)),
           Literal(expectedItemsPerFile), Literal(numBits))
           .toAggregateExpression()).as(s"${c}__bloom")
       },
@@ -2008,6 +2344,28 @@ object Manifest {
       .getOrElse(readSnapshotData(spark, table, snap))
   }
 
+  /** [[readPointAny]] for COMPOSITE keys: the current snapshot
+    * restricted to the files whose composite bloom
+    * (`analyzeFilesBloom(Seq(compositeName(columns)))`) says MIGHT
+    * contain any of the key TUPLES — the multi-column point lookup
+    * ("these (user, day) pairs"). Same conservatism: no sidecar for
+    * the spec / hive layout ⇒ the plain pinned read. */
+  def readPointTuples(spark: SparkSession, table: String,
+      columns: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
+    require(columns.size >= 2,
+      "Manifest.readPointTuples: use readPointAny for a single column")
+    require(rows.nonEmpty && rows.forall(_.size == columns.size),
+      "Manifest.readPointTuples: every tuple must match the columns")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.readPointTuples: $table has no committed snapshot"))
+    pointCandidateFilesTuples(spark, table, snap, columns, rows) match {
+      case None => readSnapshotData(spark, table, snap)
+      case Some(paths) if paths.isEmpty =>
+        readSnapshotRaw(spark, table, snap).limit(0)
+      case Some(paths) => readFilesLive(spark, table, snap, paths)
+    }
+  }
+
   /** The bloom-sidecar pruning decision shared by [[readPointAny]]
     * and [[deleteKeys]]: Some(pruned frame) when a sidecar covers the
     * column on an unpartitioned layout, None ⇒ caller serves the full
@@ -2029,6 +2387,36 @@ object Manifest {
   private def pointCandidateFiles(spark: SparkSession, table: String,
       snap: Snapshot, column: String,
       values: Seq[Any]): Option[Seq[String]] = {
+    val dt = readSnapshotRaw(spark, table, snap).schema(column).dataType
+    val probes = spark.range(1).select(
+        F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
+      .first().getSeq[Long](0)
+    pointCandidateFilesHashed(spark, table, snap, column, probes)
+  }
+
+  /** [[pointCandidateFiles]] for composite keys: each probe row is one
+    * key TUPLE in `keys` order, hashed exactly as the composite bloom
+    * ([[compositeName]]) was built. */
+  private def pointCandidateFilesTuples(spark: SparkSession, table: String,
+      snap: Snapshot, keys: Seq[String],
+      rows: Seq[Seq[Any]]): Option[Seq[String]] = {
+    val sch = readSnapshotRaw(spark, table, snap).schema
+    val dts = keys.map(k => sch(k).dataType)
+    val probes = spark.range(1).select(
+        F.array(rows.map(r => F.xxhash64(
+          r.zip(dts).map { case (v, dt) => F.lit(v).cast(dt) }: _*)): _*))
+      .first().getSeq[Long](0)
+    pointCandidateFilesHashed(spark, table, snap,
+      compositeName(keys), probes)
+  }
+
+  /** The bloom decision core: candidate files whose `<bloomName>`
+    * filter might contain ANY of the pre-hashed probes. None ⇒ no
+    * sidecar / hive layout / the sidecar predates this (possibly
+    * composite) spec — the caller serves the full read. */
+  private def pointCandidateFilesHashed(spark: SparkSession, table: String,
+      snap: Snapshot, bloomName: String,
+      probes: Seq[Long]): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val bd = bloomDir(table, snap.version)
     // RAW read: the decision needs the snapshot's own file list (a DV
@@ -2038,15 +2426,11 @@ object Manifest {
         full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
       return None
     val (sch, rows) = sidecarRows(spark, bd).getOrElse(return None)
-    // sidecar predates this column: conservative full read, never a
+    // sidecar predates this spec: conservative full read, never a
     // resolution error
-    if (!sch.fieldNames.contains(s"${column}__bloom")) return None
-    val dt = full.schema(column).dataType
-    val probes = spark.range(1).select(
-        F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
-      .first().getSeq[Long](0)
+    if (!sch.fieldNames.contains(s"${bloomName}__bloom")) return None
     val fi = sch.fieldIndex("file")
-    val bi = sch.fieldIndex(s"${column}__bloom")
+    val bi = sch.fieldIndex(s"${bloomName}__bloom")
     val known = rows.map(_.getString(fi)).toSet
     val keep = rows.filter { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -2151,13 +2535,22 @@ object Manifest {
       cols: Seq[String]): Int = {
     require(cols.nonEmpty, "analyzeFilesString needs at least one column")
     buildSidecar(spark, table, strStatsDir,
-      keepCol = (df, c) => df.schema(c).dataType ==
+      keepCol = (df, c) => df.columns.contains(c) && df.schema(c).dataType ==
         org.apache.spark.sql.types.StringType,
-      statNames = c => Seq(s"${c}__smin", s"${c}__smax"),
+      statNames = c => Seq(s"${c}__smin", s"${c}__smax",
+        s"${c}__scnt", s"${c}__snn"),
       fieldType = org.apache.spark.sql.types.StringType,
+      // per-file row/non-null counts ride as string-encoded longs (the
+      // family's single stat type) — what lets a GROUPED metadata
+      // serve prove a string key file-constant AND NULL-free
+      // ([[statsAggregateGrouped]]). Pre-widening sidecars simply fail
+      // the full-coverage reuse test and rebuild — one rescan, never a
+      // wrong answer (the buildSidecar evolution contract).
       aggsFor = cs => cs.flatMap(c =>
         Seq(F.min(F.col(c)).as(s"${c}__smin"),
-          F.max(F.col(c)).as(s"${c}__smax"))),
+          F.max(F.col(c)).as(s"${c}__smax"),
+          F.count(F.lit(1)).cast("string").as(s"${c}__scnt"),
+          F.count(F.col(c)).cast("string").as(s"${c}__snn"))),
       cols, "analyzeFilesString")
   }
 
@@ -3044,5 +3437,99 @@ object Manifest {
           fs.delete(new Path(s"$table/$n"), true)
         case _ => ()
       }
+  }
+
+  // ---- maintenance advisor -------------------------------------------
+
+  /** The DESCRIBE-HEALTH face: a driver-side report of which
+    * maintenance verb the table needs NOW, from the same metadata the
+    * verbs themselves read — file listing + sizes, delete-vector
+    * dirs, sidecar coverage, retained-version count. No data file
+    * opens; at 100 TB this is the cron job's first call, so the
+    * expensive verbs run only when their trigger actually holds.
+    *
+    * One row per firing trigger — `(action, reason, metric,
+    * threshold)`, empty when the table is healthy:
+    *
+    *  - `compact` — the current snapshot is fragmented: more than
+    *    `maxFiles` data files AND at least half are under
+    *    `smallFileBytes` (many healthy-sized files is a big table,
+    *    not fragmentation).
+    *  - `foldDeletes` — `dvDirThreshold`+ delete-vector dirs ride the
+    *    snapshot: every read pays the anti-join against each, and the
+    *    statsOnly/changeFeed serve modes stay degraded until folded.
+    *  - `analyze` / `analyzeString` / `analyzeBloom` — the family's
+    *    sidecar EXISTS (the table opted into that accelerator) but
+    *    appends since the last run left more than `staleFraction` of
+    *    the current files uncovered, so skips degrade toward full
+    *    scans. A table that never analyzed is NOT nagged.
+    *  - `vacuum` — more than `keepVersions` retained snapshots:
+    *    manifest listing and dead-data reclamation are overdue.
+    */
+  def adviseMaintenance(spark: SparkSession, table: String,
+      smallFileBytes: Long = 32L << 20, maxFiles: Int = 16,
+      dvDirThreshold: Int = 2, staleFraction: Double = 0.25,
+      keepVersions: Int = 10): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.adviseMaintenance: $table has no committed snapshot"))
+    val fs = fsFor(spark, table)
+    val advice = Seq.newBuilder[(String, String, Double, Double)]
+
+    val files = listSnapshotFiles(spark, table, snap)
+    val sizes = files.map(f => fs.getFileStatus(new Path(f)).getLen)
+    val small = sizes.count(_ < smallFileBytes)
+    if (files.size > maxFiles && small * 2 >= files.size)
+      advice += (("compact",
+        s"$small of ${files.size} data files are under " +
+          s"${smallFileBytes >> 20} MiB — reads pay per-file overhead; " +
+          "compact (optionally with sortBy to restore clustering)",
+        files.size.toDouble, maxFiles.toDouble))
+
+    val dvDirs = snap.meta.get(DvKey)
+      .map(_.split(',').count(_.nonEmpty)).getOrElse(0)
+    if (dvDirs >= dvDirThreshold)
+      advice += (("foldDeletes",
+        s"$dvDirs delete-vector dirs ride the snapshot — every read " +
+          "anti-joins each, and metadata serving is degraded until folded",
+        dvDirs.toDouble, dvDirThreshold.toDouble))
+
+    // sidecar staleness per family: only families the table opted into
+    val fileSet = files.map(normPath).toSet
+    def staleness(dirFor: (String, Long) => Path, what: String): Unit = {
+      val newest = versions(spark, table)
+        .filter(v => fs.exists(dirFor(table, v))).lastOption
+      newest.flatMap(v => sidecarRows(spark, dirFor(table, v))).foreach {
+        case (sch, rows) =>
+          val fi = sch.fieldIndex("file")
+          val covered = rows.map(r => normPath(r.getString(fi))).toSet
+          val uncovered = fileSet.count(f => !covered.contains(f))
+          if (files.nonEmpty && uncovered.toDouble / files.size > staleFraction)
+            advice += ((what,
+              s"$uncovered of ${files.size} current files predate the " +
+                s"newest sidecar — file skipping degrades toward full " +
+                "scans; re-run (incremental: only the new files scan)",
+              uncovered.toDouble / files.size, staleFraction))
+      }
+    }
+    staleness(statsDir, "analyze")
+    staleness(strStatsDir, "analyzeString")
+    staleness(bloomDir, "analyzeBloom")
+
+    val retained = versions(spark, table).size
+    if (retained > keepVersions)
+      advice += (("vacuum",
+        s"$retained retained snapshots — manifest listings and dead " +
+          "data-dir reclamation are overdue (tags are always retained)",
+        retained.toDouble, keepVersions.toDouble))
+
+    val schema = T.StructType(Seq(
+      T.StructField("action", T.StringType, nullable = false),
+      T.StructField("reason", T.StringType, nullable = false),
+      T.StructField("metric", T.DoubleType, nullable = false),
+      T.StructField("threshold", T.DoubleType, nullable = false)))
+    val rows = advice.result().map(org.apache.spark.sql.Row.fromTuple)
+    spark.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 }

@@ -1,9 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{functions => F}
 
@@ -227,71 +225,245 @@ object ManifestStream {
   }
 }
 
-/** `spark.readStream.format("graft-table").option("path", table)` —
-  * registered via META-INF/services; the fully-qualified class name
-  * works as the format string too. */
-class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister {
-  override def shortName(): String = "graft-table"
-
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    val o = ManifestStream.opts(parameters)
-    (shortName(), ManifestStream.sourceSchema(sqlContext.sparkSession, o))
-  }
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new ManifestSource(sqlContext.sparkSession, ManifestStream.opts(parameters))
+/** A snapshot-version stream offset. -1 is the pre-initial marker —
+  * "nothing served yet; the first span is the full snapshot". */
+private[sources] case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
 }
 
-/** The v1 Source: offsets are manifest versions ([[LongOffset]]);
-  * `getBatch` plans the span's rows as a batch frame (pinning the
-  * snapshots on the driver) and re-wraps it as a streaming frame. */
-class ManifestSource(spark: SparkSession, o: ManifestStream.Opts)
-    extends Source {
+/** `spark.readStream.format("graft-table").option("path", table)` —
+  * registered via META-INF/services; the fully-qualified class name
+  * works as the format string too.
+  *
+  * DataSourceV2: [[org.apache.spark.sql.connector.catalog.TableProvider]]
+  * → Table(MICRO_BATCH_READ) → Scan → [[ManifestMicroBatchStream]] —
+  * entirely the public connector API (the earlier DSv1 `Source` needed
+  * a `private[sql]` shim to re-wrap batch frames as streaming frames;
+  * a Spark minor bump could break it silently). */
+class ManifestStreamProvider
+    extends org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-  /** Version current at source creation — the anchor for
-    * `startingVersion=latest`, and the floor getOffset never goes
+  override def shortName(): String = "graft-table"
+
+  private def optsOf(options: java.util.Map[String, String]) = {
+    import scala.jdk.CollectionConverters._
+    ManifestStream.opts(options.asScala.toMap
+      .map { case (k, v) => k.toLowerCase -> v })
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestStream.sourceSchema(SparkSession.active, optsOf(options))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    new ManifestStreamTable(schema, optsOf(properties))
+}
+
+private[sources] class ManifestStreamTable(tableSchema: StructType,
+    o: ManifestStream.Opts)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"graft-table ${o.table}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = name()
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new ManifestMicroBatchStream(SparkSession.active, o, tableSchema,
+          checkpointLocation)
+    }
+}
+
+/** The DSv2 micro-batch stream: offsets are manifest versions; each
+  * batch `(v1, v2]` plans through [[ManifestStream.batchFrame]] (the
+  * exact semantics the spec pins version-pair by version-pair), then
+  * STAGES its rows as length-prefixed UnsafeRow bytes under the
+  * stream's checkpoint — what lets a [[org.apache.spark.sql.connector
+  * .read.PartitionReader]] (which by contract produces InternalRows,
+  * not a re-plannable DataFrame) serve a batch whose plan is a
+  * multi-stage driver-side frame (netting joins, DV anti-joins).
+  *
+  * Exactly-once: snapshots are immutable within retention, so a
+  * replayed span recomputes the same multiset; the staged dir is
+  * keyed by the span and reused when its _SUCCESS marker exists, so a
+  * mid-write crash re-stages and a completed stage replays its exact
+  * bytes. [[commit]] reclaims staged spans at or below the committed
+  * offset. Cost: one batch-sized disk round trip per micro-batch —
+  * ∝ WHAT CHANGED, never the table; the one large batch is an
+  * initial-snapshot serve, where `startingVersion=latest` plus a
+  * batch backfill (the standard pattern at scale) avoids it
+  * entirely. */
+class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
+    schema: StructType, checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  /** Version current at stream creation — the anchor for
+    * `startingVersion=latest`, and the floor latestOffset never goes
     * below. */
   private val startVersion: Long =
     Manifest.currentSnapshot(spark, o.table).getOrElse(sys.error(
       s"graft-table stream: ${o.table} has no committed snapshot")).version
 
-  /** Schema AND the schema-evolution fingerprint are frozen here; a
+  /** Schema-evolution fingerprint frozen at stream creation; a
     * mid-stream evolution fails the batch loudly (restart adopts). */
   private val frozenSchemaJson: Option[String] =
     Manifest.readSnapshot(spark, o.table, startVersion)
       .meta.get(Manifest.SchemaKey)
 
-  override val schema: StructType = ManifestStream.sourceSchema(spark, o)
+  private val stagingRoot = new Path(checkpointLocation, "graft-staged")
 
-  override def getOffset: Option[Offset] = {
+  override def initialOffset(): V2Offset =
+    VersionOffset(if (o.startLatest) startVersion else -1L)
+
+  override def latestOffset(): V2Offset = {
     val vs = Manifest.versions(spark, o.table)
-    Some(LongOffset(math.max(vs.lastOption.getOrElse(startVersion), startVersion)))
+    VersionOffset(math.max(vs.lastOption.getOrElse(startVersion), startVersion))
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val v2 = ver(end)
-    val v1 = start.map(ver)
-    val batch = (v1, o.startLatest) match {
-      case (None, true) =>
-        // anchor the first span at the source's creation version
-        ManifestStream.batchFrame(spark, o, schema, frozenSchemaJson,
-          Some(startVersion), v2)
-      case _ =>
-        ManifestStream.batchFrame(spark, o, schema, frozenSchemaJson, v1, v2)
+  override def deserializeOffset(json: String): V2Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: V2Offset,
+      end: V2Offset): Array[InputPartition] = {
+    val v1 = start match {
+      case VersionOffset(-1L) => None
+      case VersionOffset(v) => Some(v)
+      case other => Some(other.json.trim.toLong)
     }
-    GraftBridge.streamingFrame(batch)
+    val v2 = end match {
+      case VersionOffset(v) => v
+      case other => other.json.trim.toLong
+    }
+    val batch = ManifestStream.batchFrame(spark, o, schema,
+      frozenSchemaJson, v1, v2)
+    val dir = new Path(stagingRoot, s"span-${v1.getOrElse(-1L)}-$v2")
+    StagedRows.stage(batch, dir)
+      .map(f => StagedPartition(f): InputPartition).toArray
   }
 
-  private def ver(off: Offset): Long = off match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
+  override def createReaderFactory(): PartitionReaderFactory =
+    StagedRowReaderFactory(schema.fields.length)
+
+  /** Batches at or below the committed offset can never replay —
+    * their staged bytes are reclaimed. */
+  override def commit(end: V2Offset): Unit = {
+    val committed = end.json.trim.toLong
+    val fs = stagingRoot.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).foreach { st =>
+        st.getPath.getName.split('-') match {
+          case Array("span", _, b) if b.toLong <= committed =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
   }
 
-  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One staged file = one input partition. */
+private[sources] case class StagedPartition(path: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object StagedRows {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+
+  /** Write a batch's rows as per-partition files of length-prefixed
+    * UnsafeRow bytes (terminator -1), write-once per span: a dir with
+    * _SUCCESS replays its exact bytes; a partial dir from a crashed
+    * stage is rebuilt from scratch (tmp + rename, so _SUCCESS implies
+    * complete). Returns the staged data files. */
+  def stage(batch: DataFrame, dir: Path): Seq[String] = {
+    val spark = batch.sparkSession
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles: Seq[String] =
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).map(_.toString).sorted.toSeq
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return dataFiles
+    val tmp = new Path(dir.getParent, s".${dir.getName}.tmp")
+    fs.delete(tmp, true); fs.delete(dir, true)
+    fs.mkdirs(tmp)
+    val schema = batch.schema
+    val tmpStr = tmp.toString
+    // executes the batch's (driver-pinned) plan DISTRIBUTED; each task
+    // serializes its own partition — no driver collect
+    batch.queryExecution.toRdd.mapPartitionsWithIndex { (i, rows) =>
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(schema)
+      val p = new Path(f"$tmpStr/part-$i%05d")
+      val pfs = p.getFileSystem(new Configuration())
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      try {
+        while (rows.hasNext) {
+          val u = proj(rows.next())
+          out.writeInt(u.getSizeInBytes)
+          u.writeToStream(out, buf)
+          n += 1
+        }
+        out.writeInt(-1)
+      } finally out.close()
+      Iterator(n)
+    }.collect()
+    if (!fs.rename(tmp, dir))
+      sys.error(s"graft-table stream: failed to publish staged span $dir")
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    dataFiles
+  }
+}
+
+private[sources] case class StagedRowReaderFactory(numFields: Int)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[StagedPartition].path
+    new PartitionReader[InternalRow] {
+      private val p = new org.apache.hadoop.fs.Path(path)
+      private val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .open(p), 1 << 16))
+      private var row: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+
+      override def next(): Boolean = {
+        val len = in.readInt()
+        if (len < 0) { row = null; false }
+        else {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(numFields)
+          r.pointTo(bytes, len)
+          row = r
+          true
+        }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
 }

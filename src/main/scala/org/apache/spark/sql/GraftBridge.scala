@@ -62,16 +62,4 @@ object GraftBridge {
     }
   }
 
-  /** Re-wrap an eagerly-planned BATCH frame as a STREAMING frame — the
-    * shape a v1 streaming `Source.getBatch` must return
-    * (`MicroBatchExecution` asserts `isStreaming` on it). The physical
-    * plan is fixed here on the driver (which is what pins the snapshot
-    * the batch reads); the RDD itself stays lazy until the micro-batch
-    * runs. `internalCreateDataFrame` is `private[sql]`, hence the
-    * bridge. */
-  def streamingFrame(df: DataFrame): DataFrame = {
-    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
-    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
-      isStreaming = true)
-  }
 }

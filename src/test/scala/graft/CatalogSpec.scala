@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSourceV2 SQL front door (graft.sources.v2.GraftCatalog):
+  * `spark.sql("SELECT … FROM graft.db.t …")` must serve every manifest
+  * capability — snapshot pinning, VERSION/TIMESTAMP AS OF (tags
+  * included), driver file skipping with OR/IN tree admission, MoR
+  * delete-vector masking, evolved-schema reads — without the CubeQuery
+  * front door, because the standard catalog interface is what external
+  * tools at 100 TB actually speak.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+      .getOrCreate()
+    SparkSession.setActiveSession(s)
+    s
+  }
+
+  import graft.sources.Manifest
+  import graft.sources.v2.GraftScanInfo
+
+  /** Fresh warehouse root; re-points the cached catalog instance via
+    * the dynamically-read conf. */
+  private def freshRoot(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    root
+  }
+
+  test("SELECT through the registered catalog matches the native read, " +
+      "and a WHERE with IN/OR prunes files at the driver (strict subset)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/docs"
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+        .repartitionByRange(8, F.col("id")).sortWithinPartitions(F.col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val nAll = Manifest.read(spark, tbl).inputFiles.length
+    assert(nAll == 8)
+
+    // full-table parity, hash-grade: same rows, same schema
+    val sql = spark.sql("SELECT id, v FROM graft.db.docs ORDER BY id")
+    val native = Manifest.read(spark, tbl).orderBy("id")
+    assert(sql.schema == native.schema)
+    assert(sql.collect().sameElements(native.collect()))
+
+    // IN probe: two far-apart points — the driver decision admits a
+    // strict subset of the snapshot's files
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.db.docs " +
+        "WHERE id IN (5, 790)")
+    assert(q.head() == org.apache.spark.sql.Row(2L, (5L + 790L) * 3))
+    val admitted = GraftScanInfo.lastFiles(tbl).get
+    assert(admitted.nonEmpty && admitted.size < nAll,
+      s"IN probe admitted ${admitted.size} of $nAll files")
+
+    // OR of ranges: union of per-disjunct file sets, still a subset
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.docs " +
+        "WHERE (id BETWEEN 100 AND 120) OR (id BETWEEN 600 AND 620)")
+    assert(q2.head().getLong(0) == 42)
+    val adm2 = GraftScanInfo.lastFiles(tbl).get
+    assert(adm2.size < nAll, s"OR probe admitted ${adm2.size} files")
+
+    // column pruning reaches the scan builder (pruneColumns → the
+    // inner frame selects exactly the pruned schema)
+    val proj = spark.sql("SELECT v FROM graft.db.docs WHERE id < 10")
+    assert(proj.collect().length == 9)
+  }
+
+  test("MoR delete vectors mask rows through the SQL front door") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/t"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(2))
+    Manifest.deleteWhereMoR(spark, tbl, F.col("id") % 10 === 0)
+    val got = spark.sql("SELECT count(*) AS n FROM graft.db.t").head().getLong(0)
+    assert(got == 90, s"DV mask must hide the 10 deleted rows, got $got")
+    assert(spark.sql("SELECT * FROM graft.db.t WHERE id = 20").count() == 0)
+    assert(spark.sql("SELECT * FROM graft.db.t WHERE id = 21").count() == 1)
+  }
+
+  test("VERSION AS OF pins versions and resolves tags; TIMESTAMP AS OF " +
+      "resolves commit wall time; reads pin snapshots against commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/ev"
+    Manifest.create(spark, tbl, Seq((1L, "a")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl, Seq((2L, "b")).toDF("id", "s"))
+    Manifest.tag(spark, tbl, "release-v1", 1L)
+    val t2 = Manifest.readSnapshot(spark, tbl, 2L)
+      .meta("committed_at").toLong
+    Manifest.commitAppend(spark, tbl, Seq((3L, "c")).toDF("id", "s"))
+
+    assert(spark.sql("SELECT * FROM graft.db.ev").count() == 3)
+    assert(spark.sql("SELECT * FROM graft.db.ev VERSION AS OF 1").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db.ev VERSION AS OF 2").count() == 2)
+    // a tag name is a release pin
+    assert(spark.sql(
+      "SELECT * FROM graft.db.ev VERSION AS OF 'release-v1'").count() == 1)
+    // timestamp resolution: the instant of v2's commit serves v2
+    val ts = new java.sql.Timestamp(t2)
+    assert(spark.sql(
+      s"SELECT * FROM graft.db.ev TIMESTAMP AS OF '$ts'").count() == 2)
+
+    // snapshot pinning: the scan resolves its snapshot at build time,
+    // so a plan EXECUTED before a commit served 3 rows, and a fresh
+    // resolution after the commit serves 4 — never a torn read
+    Manifest.commitAppend(spark, tbl, Seq((4L, "d")).toDF("id", "s"))
+    assert(spark.sql("SELECT * FROM graft.db.ev").count() == 4)
+  }
+
+  test("evolved snapshots serve pre-evolution files with NULL new " +
+      "columns through SQL; listTables lists manifested dirs; DDL and " +
+      "missing tables refuse loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/evo"
+    Manifest.create(spark, tbl, Seq((1L, "a")).toDF("id", "s"))
+    Manifest.commitAppend(spark, tbl,
+      Seq((2L, "b", 9L)).toDF("id", "s", "extra"), mergeSchema = true)
+    val rows = spark.sql(
+      "SELECT id, extra FROM graft.db.evo ORDER BY id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getLong(1) == 9L)
+
+    // a second, non-manifested dir is invisible
+    new java.io.File(s"$root/db/plaindir").mkdirs()
+    val listed = spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("evo") && !listed.contains("plaindir"))
+
+    val miss = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.nope").collect())
+    assert(miss.getMessage.toLowerCase.contains("table"))
+    val ddl = intercept[Exception](spark.sql(
+      "DROP TABLE graft.db.evo"))
+    assert(ddl.getMessage.contains("read-only"))
+  }
+}

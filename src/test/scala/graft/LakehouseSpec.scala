@@ -1748,6 +1748,118 @@ class LakehouseSpec extends AnyFunSuite {
     assert(gated.isEmpty, "a non-prunable leaf must admit every file")
   }
 
+  test("grouped metadata aggregates: file-constant keys serve GROUP BY " +
+      "from the sidecar with zero data files opened; impure/unclustered/" +
+      "NULL-bearing key files scan; DVs and missing sidecars fall back") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_grouped").toString
+
+    // --- numeric key, one file per key (the clustered/partitioned
+    // layout's file-constant shape) ---
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "w").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((2L, 30L), (2L, 40L), (2L, 50L)).toDF("k", "w").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((3L, 60L)).toDF("k", "w").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("k", "w"))
+    val g = Manifest.statsAggregateGrouped(spark, tbl, Seq("k"), Seq("w"))
+      .collect()
+    assert(g.length == 3)
+    assert(g.forall(_.getAs[String]("served_from") == "stats") &&
+      g.forall(_.getAs[Long]("files_scanned") == 0L),
+      "fully-covered grouped serve must open ZERO data files")
+    val byKey = g.map(r => r.getAs[Long]("k") ->
+      (r.getAs[Long]("cnt"), r.getAs[Double]("w_sum"))).toMap
+    assert(byKey == Map(1L -> (2L, 30.0), 2L -> (3L, 120.0),
+      3L -> (1L, 60.0)))
+    // with a WHERE range: boundary file scans, disjoint drops
+    val gw = Manifest.statsAggregateGrouped(spark, tbl, Seq("k"),
+      Seq("w"), where = Seq(("w", 10.0, 35.0))).collect()
+    assert(gw.map(r => r.getAs[Long]("k") -> r.getAs[Long]("cnt")).toMap ==
+      Map(1L -> 2L, 2L -> 1L))
+    assert(gw.head.getAs[String]("served_from") == "stats_delta" &&
+      gw.head.getAs[Long]("files_scanned") == 1L,
+      "only the boundary file (k=2) may scan")
+    // equals the direct computation, always
+    val direct = Manifest.read(spark, tbl).groupBy("k")
+      .agg(F.count(F.lit(1)).as("cnt"), F.sum("w").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getLong(2).toDouble)).toMap
+    assert(byKey == direct)
+
+    // --- a file with MIXED keys (unclustered) and one with a NULL key
+    // must scan; groups still exact, NULL key is its own group ---
+    Manifest.commitAppend(spark, tbl,
+      Seq((1L, 70L), (3L, 80L)).toDF("k", "w").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((Option.empty[Long], 90L), (Option(2L), 100L))
+        .toDF("k", "w").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("k", "w"))
+    val g2 = Manifest.statsAggregateGrouped(spark, tbl, Seq("k"), Seq("w"))
+    val got2 = g2.collect()
+    assert(got2.head.getAs[String]("served_from") == "stats_delta" &&
+      got2.head.getAs[Long]("files_scanned") == 2L,
+      "exactly the mixed-key and NULL-key files scan")
+    val direct2 = Manifest.read(spark, tbl).groupBy("k")
+      .agg(F.count(F.lit(1)).cast("long").as("cnt"),
+        F.sum(F.col("w").cast("double")).as("s")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val got2m = got2.map(r => (if (r.isNullAt(0)) -1L else
+      r.getAs[Long]("k")) ->
+      (r.getAs[Long]("cnt"), r.getAs[Double]("w_sum"))).toMap
+    assert(got2m == direct2, "grouped serve must equal the direct scan")
+
+    // --- DV on the snapshot: full grouped-scan fallback, still exact ---
+    Manifest.deleteWhereMoR(spark, tbl, col("w") === 40L)
+    val g3 = Manifest.statsAggregateGrouped(spark, tbl, Seq("k"), Seq("w"))
+      .collect()
+    assert(g3.head.getAs[String]("served_from") == "scan")
+    assert(g3.map(r => (if (r.isNullAt(0)) -1L else r.getAs[Long]("k")) ->
+      r.getAs[Long]("cnt")).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 2L, -1L -> 1L))
+
+    // --- string key (the GROUP BY day shape), count-only ---
+    val tbl2 = s"$dir/days"
+    Manifest.create(spark, tbl2,
+      Seq(("2024-01-01", 1L), ("2024-01-01", 2L))
+        .toDF("day", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl2,
+      Seq(("2024-01-02", 3L), ("2024-01-02", 4L), ("2024-01-02", 5L))
+        .toDF("day", "v").coalesce(1))
+    Manifest.analyzeFilesString(spark, tbl2, Seq("day"))
+    val gd = Manifest.statsAggregateGrouped(spark, tbl2, Seq("day"), Nil)
+      .collect()
+    assert(gd.forall(_.getAs[String]("served_from") == "stats") &&
+      gd.forall(_.getAs[Long]("files_scanned") == 0L))
+    assert(gd.map(r => r.getAs[String]("day") -> r.getAs[Long]("cnt"))
+      .toMap == Map("2024-01-01" -> 2L, "2024-01-02" -> 3L))
+    // no sidecar for a requested measure: scan fallback, exact
+    val gm = Manifest.statsAggregateGrouped(spark, tbl2, Seq("day"),
+      Seq("v")).collect()
+    assert(gm.head.getAs[String]("served_from") == "scan" &&
+      gm.map(r => r.getAs[String]("day") -> r.getAs[Double]("v_sum"))
+        .toMap == Map("2024-01-01" -> 3.0, "2024-01-02" -> 12.0))
+
+    // --- hive partition column: the canonical file-constant key ---
+    val tbl3 = s"$dir/hive"
+    Manifest.create(spark, tbl3,
+      Seq((1L, 100L), (1L, 200L), (2L, 300L)).toDF("day", "v"),
+      partitionBy = Seq("day"))
+    Manifest.analyzeFiles(spark, tbl3, Seq("day", "v"))
+    val gh = Manifest.statsAggregateGrouped(spark, tbl3, Seq("day"),
+      Seq("v")).collect()
+    assert(gh.forall(_.getAs[String]("served_from") == "stats") &&
+      gh.forall(_.getAs[Long]("files_scanned") == 0L),
+      "an analyzed hive layout serves grouped from metadata")
+    assert(gh.map(r => r.getAs[Long]("day") -> r.getAs[Double]("v_sum"))
+      .toMap == Map(1L -> 300.0, 2L -> 300.0))
+  }
+
   test("filtered metadata aggregates: a complete range WHERE serves " +
       "from fully-covered files' stats and scans only boundary / " +
       "NULL-bearing files") {
@@ -1896,6 +2008,176 @@ class LakehouseSpec extends AnyFunSuite {
       graft.query.Pred.Op("id", "gt", Some(1))).statsOnly, "has a filter")
     refusal(CubeQuery(cube.copy(manifestTable = None))
       .measure("n", "n").statsOnly, "manifested source")
+  }
+
+  test("maintenance advisor: each trigger fires in exactly its state " +
+      "and falls silent once the verb runs") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_advise").toString
+    def actions(tbl: String, keep: Int = 10) =
+      Manifest.adviseMaintenance(spark, tbl, keepVersions = keep)
+        .select("action").collect().map(_.getString(0)).toSet
+
+    // healthy one-file table: silent (incl. no nag for sidecar
+    // families the table never opted into)
+    val t0 = s"$dir/healthy"
+    Manifest.create(spark, t0, Seq((1L, 2L)).toDF("k", "v"))
+    assert(actions(t0).isEmpty)
+
+    // fragmentation: many tiny files ⇒ compact; compaction silences
+    val t1 = s"$dir/frag"
+    Manifest.create(spark, t1,
+      (1 to 400).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .repartition(20))
+    assert(actions(t1) == Set("compact"))
+    Manifest.compact(spark, t1, targetBytes = 1L << 30)
+    assert(actions(t1).isEmpty)
+
+    // delete-vector pileup: two MoR takedowns ⇒ foldDeletes; the fold
+    // silences
+    val t2 = s"$dir/dv"
+    Manifest.create(spark, t2,
+      (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    Manifest.deleteWhereMoR(spark, t2, col("k") === 5L)
+    assert(actions(t2).isEmpty, "one vector is not yet pileup")
+    Manifest.deleteWhereMoR(spark, t2, col("k") === 7L)
+    assert(actions(t2) == Set("foldDeletes"))
+    Manifest.foldDeletes(spark, t2)
+    assert(actions(t2).isEmpty)
+
+    // sidecar staleness: analyzed, then appends leave >25% uncovered ⇒
+    // analyze; the (incremental) re-run silences
+    val t3 = s"$dir/stale"
+    Manifest.create(spark, t3, Seq((1L, 2L)).toDF("k", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, t3, Seq("v"))
+    assert(actions(t3).isEmpty)
+    (1 to 3).foreach(i => Manifest.commitAppend(spark, t3,
+      Seq((i + 1L, i + 2L)).toDF("k", "v").coalesce(1)))
+    assert(actions(t3) == Set("analyze"))
+    Manifest.analyzeFiles(spark, t3, Seq("v"))
+    assert(actions(t3).isEmpty)
+
+    // version pileup: more retained snapshots than the window ⇒
+    // vacuum; vacuuming silences
+    val t4 = s"$dir/vers"
+    Manifest.create(spark, t4, Seq((1L, 2L)).toDF("k", "v"))
+    (1 to 5).foreach(i => Manifest.commitAppend(spark, t4,
+      Seq((i + 1L, 2L)).toDF("k", "v")))
+    assert(actions(t4, keep = 4) == Set("vacuum"))
+    Manifest.vacuum(spark, t4, keep = 2)
+    assert(actions(t4, keep = 4).isEmpty)
+  }
+
+  test("composite-key bloom: multi-column point reads, takedowns, and " +
+      "merges prune files through the tuple-hash sidecar; no sidecar " +
+      "degrades to the exact full scan") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_compbloom").toString
+    val tbl = s"$dir/t"
+    // round-robin 8 files: every file spans the whole key space, so
+    // envelopes cannot prune — only the bloom can
+    val data = (1 to 400).map(i => (i.toLong % 20, s"u${i % 50}", i.toLong))
+    Manifest.create(spark, tbl,
+      data.toDF("day", "user", "v").repartition(8))
+    Manifest.analyzeFilesBloom(spark, tbl,
+      Seq(Manifest.compositeName(Seq("day", "user"))),
+      expectedItemsPerFile = 10000)
+    val nAll = Manifest.read(spark, tbl).inputFiles.length
+    assert(nAll == 8)
+    // multi-column point read: the probed tuples' files only
+    val probe = Seq(Seq(3L, "u23"), Seq(7L, "u27"))
+    val pt = Manifest.readPointTuples(spark, tbl, Seq("day", "user"), probe)
+    assert(pt.inputFiles.length < nAll,
+      s"composite bloom admitted ${pt.inputFiles.length} of $nAll")
+    val want = Manifest.read(spark, tbl)
+      .filter(($"day" === 3L && $"user" === "u23") ||
+        ($"day" === 7L && $"user" === "u27")).collect().map(_.toString).sorted
+    assert(pt.filter(($"day" === 3L && $"user" === "u23") ||
+        ($"day" === 7L && $"user" === "u27"))
+      .collect().map(_.toString).sorted.sameElements(want))
+    assert(want.nonEmpty, "probe tuples must exist in the fixture")
+    // multi-column takedown: exact final state, tuple-restricted scan
+    val before = Manifest.read(spark, tbl).count()
+    Manifest.deleteKeysTuples(spark, tbl, Seq("day", "user"), probe)
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == before - want.length)
+    assert(after.filter(($"day" === 3L && $"user" === "u23") ||
+      ($"day" === 7L && $"user" === "u27")).count() == 0)
+    // multi-key merge on the composite bloom: updates + inserts exact
+    Manifest.analyzeFilesBloom(spark, tbl,
+      Seq(Manifest.compositeName(Seq("day", "user"))),
+      expectedItemsPerFile = 10000)
+    val src = Seq((5L, "u25", 99999L), (777L, "unew", 1L))
+      .toDF("day", "user", "v")
+    Manifest.merge(spark, tbl, src, Seq("day", "user"))
+    val merged = Manifest.read(spark, tbl)
+    assert(merged.filter($"day" === 5L && $"user" === "u25" &&
+      $"v" === 99999L).count() ==
+      merged.filter($"day" === 5L && $"user" === "u25").count())
+    assert(merged.filter($"day" === 777L).count() == 1)
+    // soundness without a sidecar: same results, full scan
+    val tbl2 = s"$dir/t2"
+    Manifest.create(spark, tbl2,
+      data.toDF("day", "user", "v").repartition(4))
+    val pt2 = Manifest.readPointTuples(spark, tbl2, Seq("day", "user"), probe)
+    assert(pt2.inputFiles.length == 4, "no sidecar: conservative full read")
+    Manifest.deleteKeysTuples(spark, tbl2, Seq("day", "user"), probe)
+    assert(Manifest.read(spark, tbl2).count() == before - want.length)
+  }
+
+  test("grouped statsOnly front door: a bare-column slice serves " +
+      "GROUP BY from metadata with zero files opened; sub-field, " +
+      "expression, and joined slices refuse loudly") {
+    import graft.sources.Manifest
+    import graft.model.{Cube, Dimension, JoinSpec, Metric}
+    import graft.query.CubeQuery
+    import graft.compile.Compiler
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_groupedfd").toString
+    val tbl = s"$dir/t"
+    // one file per key: the clustered layout grouped serving proves
+    Manifest.create(spark, tbl,
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((2L, 30L)).toDF("k", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("k", "v"))
+    val dimTbl = Seq((1L, "one"), (2L, "two")).toDF("k2", "name")
+    def cube = Cube("t", Manifest.read(spark, tbl),
+      dimensions = Map(
+        "k" -> Dimension("k", col("k"),
+          fields = Map("x10" -> (c => c * 10))),
+        "kx" -> Dimension("kx", col("k") + 1),
+        "name" -> Dimension("name", col("name"), requires = Set("d"))),
+      metrics = Map("n" -> Metric.countAll("n"),
+        "sv" -> Metric.sumOf("sv", col("v"))),
+      selectors = Map.empty,
+      joins = Map("d" -> JoinSpec("d", dimTbl, col("k") === col("k2"))),
+      manifestTable = Some(tbl))
+    val base = CubeQuery(cube).slice("k", "k")
+      .measure("n", "n").measure("sv", "sv").asc("k")
+    val scan = Compiler.compile(base)
+    val meta = Compiler.compile(base.statsOnly)
+    assert(meta.schema == scan.schema,
+      s"grouped statsOnly must be type-indistinguishable:\n" +
+        s"${meta.schema}\nvs\n${scan.schema}")
+    assert(meta.collect().toSeq == scan.collect().toSeq)
+    assert(meta.inputFiles.isEmpty,
+      "grouped statsOnly must open zero data files")
+    def refusal(q: CubeQuery, needle: String): Unit = {
+      val e = intercept[graft.model.CubeQueryException](Compiler.compile(q))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    refusal(CubeQuery(cube).slice("kk", "k", "x10")
+      .measure("n", "n").statsOnly, "chains sub-fields")
+    refusal(CubeQuery(cube).slice("kx", "kx")
+      .measure("n", "n").statsOnly, "expression-valued")
+    refusal(CubeQuery(cube).slice("name", "name")
+      .measure("n", "n").statsOnly, "needs a join")
   }
 
   test("metadata-served aggregates on a hive layout: covered serves " +
