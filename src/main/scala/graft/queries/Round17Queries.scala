@@ -261,6 +261,45 @@ object Round17Queries {
              |  round(list_avg([ord(text[((p + f) % blen) + 1])
              |                  for p in range(0, width*height)]), 6) AS brightness
              |FROM fr WHERE f % 2 = 0
-             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin))
+             |ORDER BY media_id ASC, frame_idx ASC""".stripMargin)),
+
+    // SQL aggregate pushdown: a plain `SELECT source, count(*),
+    // sum(n_chars) … GROUP BY source` over the registered catalog is
+    // answered ENTIRELY from the envelope sidecars — the physical plan
+    // carries PushedAggregates and the scan reports ZERO files opened
+    // (pinned as meta_only). The external-tool dashboard query at
+    // 100 TB: no CubeQuery, no statsOnly option, just SQL, and the
+    // table is never read. Values recomputed by the oracle.
+    NamedQuery("q234_sql_agg_pushdown",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val root = freshQueryDir("sqlagg")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs, partitionBy = Seq("source"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        Manifest.analyzeFilesString(s, table, Seq("source"))
+        s.conf.set("spark.sql.catalog.graft_q234",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q234.root", root)
+        val agg = s.sql(
+          """SELECT source, count(*) AS n_rows,
+            |  sum(n_chars) AS sum_chars
+            |FROM graft_q234.db.docs GROUP BY source ORDER BY source"""
+            .stripMargin)
+        val rows = agg.collect()
+        val metaOnly = GraftScanInfo.lastFiles(table).exists(_.isEmpty) &&
+          agg.queryExecution.executedPlan.toString
+            .contains("PushedAggregates")
+        import s.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), metaOnly))
+          .toSeq.toDF("source", "n_rows", "sum_chars", "meta_only")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, true AS meta_only
+             |FROM documents GROUP BY source ORDER BY source ASC"""
+        .stripMargin))
   )
 }

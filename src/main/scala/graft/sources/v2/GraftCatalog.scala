@@ -44,11 +44,28 @@ import org.apache.spark.sql.{functions => F}
   * relation returns the INNER Manifest frame's `InternalRow` RDD with
   * `needConversion = false` — the JDBC source's own pattern — so the
   * underlying parquet scan keeps columnar reads, predicate pushdown
-  * (pushed filters are re-applied to the inner frame, reaching the
-  * footers) and whole-stage codegen, with zero per-row conversion at
-  * the bridge. Filters are additionally reported back to Spark as
-  * residuals, so the engine re-applies them above the scan — the
-  * standard sound double-application every file source does.
+  * (exactly-translated filters are claimed handled and applied to the
+  * inner frame, reaching the footers; anything untranslatable stays a
+  * Spark-side residual) and whole-stage codegen, with zero per-row
+  * conversion at the bridge.
+  *
+  * Aggregate pushdown ([[org.apache.spark.sql.connector.read
+  * .SupportsPushDownAggregates]], complete-only): `count(*)`/`count`/
+  * `min`/`max`/`sum` — flat, under exact inclusive ranges, or GROUP BY
+  * file-constant keys — serve from the envelope sidecars with ZERO
+  * data files in the plan ([[Manifest.statsAggregateGrouped]] and
+  * friends, version-pinned at push time); `avg` rides Spark's own
+  * sum/count rewrite. Anything unservable — DV-carrying snapshots,
+  * boundary files, 2⁵³-risky integral sums/extrema, strict bounds —
+  * DECLINES pushdown and Spark aggregates the ordinary scan: slower,
+  * never wrong.
+  *
+  * Not offered: [[org.apache.spark.sql.connector.read
+  * .SupportsRuntimeFiltering]] — runtime (DPP-style) filters re-plan
+  * partitions after physical planning, which the V1Scan bridge cannot
+  * express (its relation is planned once); the native IVF/DPP paths
+  * (`llm/Similarity`) and the CubeQuery front door remain the
+  * runtime-pruned routes.
   *
   * The catalog is READ-ONLY by design: writes go through the
   * `Manifest.*` verbs (create/commitAppend/merge/deleteWhere/...),
@@ -175,39 +192,266 @@ private[v2] class GraftTable(path: String, pinned: Option[Long])
 
 private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
     tableSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.types._
 
   private var required: StructType = tableSchema
-  private var accepted: Array[Filter] = Array.empty
+  private var handled: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
+  private var agg: Option[(StructType, Seq[Row])] = None
 
-  /** Every filter is kept for the DRIVER file-skipping decision and
-    * re-applied to the inner frame (reaching the parquet footers), but
-    * ALL filters are also returned as residuals so Spark re-evaluates
-    * them above the scan — pruning may only ever drop files, never
-    * substitute for the predicate. */
+  /** A filter with an EXACT Column translation is accepted as handled
+    * (the inner frame applies it, reaching the parquet footers; Spark
+    * does not re-evaluate); anything untranslatable stays a Spark-side
+    * residual. ALL filters — handled or not — still feed the driver
+    * file-skipping decision, where partial translation is sound
+    * (admission only ever drops files that cannot match). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters
-    filters
+    allFilters = filters
+    val (h, residual) = filters.partition(f => GraftScan.toColumn(f).nonEmpty)
+    handled = h
+    residual
   }
-  override def pushedFilters(): Array[Filter] =
-    accepted.filter(f => GraftScan.toColumn(f).nonEmpty)
+  override def pushedFilters(): Array[Filter] = handled
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(path, pinned, required, accepted)
+  /** COMPLETE aggregate pushdown — `SELECT count(*)/min/max/sum …
+    * [WHERE exact ranges] [GROUP BY file-constant keys]` over the
+    * catalog serves from the envelope sidecars, zero data files
+    * opened (Manifest.statsAggregate / statsAggregateWhere /
+    * statsAggregateGrouped, version-pinned at push time). The serve
+    * runs EAGERLY here: it is driver metadata by the acceptance
+    * conditions (refuse unless `served_from == "stats"`, i.e. the
+    * sidecar covers every file and no boundary scans), and eager
+    * evaluation is also where the 2⁵³ honesty guard runs — a sum or
+    * min/max whose double scalar could round refuses PUSHDOWN (Spark
+    * then aggregates the ordinary scan; slower, never wrong).
+    * Partial pushdown is never offered (the serve is global, not
+    * per-partition), so supportCompletePushDown and pushAggregation
+    * answer from the same memoized attempt. */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    tryServe(a).nonEmpty
+  override def pushAggregation(a: Aggregation): Boolean =
+    tryServe(a) match {
+      case Some(s) => agg = Some(s); true
+      case None => false
+    }
+
+  private var memo: Option[(String, Option[(StructType, Seq[Row])])] = None
+  private def tryServe(a: Aggregation)
+      : Option[(StructType, Seq[Row])] = {
+    val key = a.toString
+    memo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = try serveOnce(a) catch { case scala.util.control.NonFatal(_) =>
+          None // any resolution surprise: decline, Spark aggregates
+        }
+        memo = Some((key, r))
+        r
+    }
+  }
+
+  private def name(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  private def serveOnce(a: Aggregation): Option[(StructType, Seq[Row])] = {
+    val spark = SparkSession.active
+    // group keys: bare columns of numeric-or-string non-decimal type
+    val groupKeys: Seq[String] = a.groupByExpressions.toSeq.map { e =>
+      name(e).getOrElse(return None) }
+    if (groupKeys.exists(k => !tableSchema.fieldNames.contains(k))) return None
+    if (groupKeys.exists(k => tableSchema(k).dataType match {
+      case _: DecimalType => true
+      case _: NumericType | StringType => false
+      case _ => true })) return None
+    // aggregates: the statsAggregate forms only, no DISTINCT
+    sealed trait Form
+    case object Cnt extends Form
+    case class Col(form: String, c: String) extends Form
+    val forms: Seq[Form] = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Cnt
+      case c: Count if !c.isDistinct =>
+        Col("nn", name(c.column).getOrElse(return None))
+      case m: Min => Col("min", name(m.column).getOrElse(return None))
+      case m: Max => Col("max", name(m.column).getOrElse(return None))
+      case s: Sum if !s.isDistinct =>
+        Col("sum", name(s.column).getOrElse(return None))
+      case _ => return None
+    }
+    val cols = forms.collect { case Col(_, c) => c }.distinct
+    if (cols.exists(c => !tableSchema.fieldNames.contains(c))) return None
+    if (cols.exists(c => tableSchema(c).dataType match {
+      case _: DecimalType => true // double scalars cannot serve decimals
+      case _: NumericType => false
+      case _ => true })) return None
+    // filters: Spark only offers aggregates when no residuals remain;
+    // the handled set must ALSO be exactly a conjunction of inclusive
+    // ranges the sidecar can serve (boundsFromPredComplete's proof).
+    // Spark plants an implied IsNotNull beside every range conjunct —
+    // redundant under range semantics (a comparison never matches
+    // NULL), so it strips IFF a bound on the same column survives.
+    val (notNulls, rangeFilters) = handled.partition {
+      case sources.IsNotNull(_) => true
+      case _ => false
+    }
+    val whereBounds: Seq[(String, Double, Double)] =
+      if (rangeFilters.isEmpty) Nil
+      else {
+        val pred = GraftScan.toPredicate(rangeFilters).getOrElse(return None)
+        Manifest.boundsFromPredComplete(pred).getOrElse(return None)
+      }
+    val nnCols = notNulls.map { case sources.IsNotNull(c) => c; case _ => "" }
+    if (!nnCols.forall(c => whereBounds.exists(_._1 == c))) return None
+    if (whereBounds.exists { case (c, _, _) =>
+      !tableSchema.fieldNames.contains(c) ||
+        (tableSchema(c).dataType match {
+          case _: DecimalType => true
+          case _: NumericType => false
+          case _ => true }) }) return None
+    // pin the snapshot NOW: the served values and any later replay of
+    // this scan must agree whatever commits land in between
+    val version = pinned.orElse(
+      Manifest.currentSnapshot(spark, path).map(_.version))
+    val served =
+      if (groupKeys.nonEmpty)
+        Manifest.statsAggregateGrouped(spark, path, groupKeys, cols,
+          whereBounds, version)
+      else if (whereBounds.isEmpty)
+        Manifest.statsAggregate(spark, path, cols, version)
+      else Manifest.statsAggregateWhere(spark, path, cols, whereBounds,
+        version)
+    val rows = served.collect().toIndexedSeq
+    // pure metadata only: a serve that had to open data files is not
+    // worth claiming (Spark's own aggregate over the scan is the
+    // honest plan there)
+    if (!rows.forall(_.getAs[String]("served_from") == "stats")) return None
+    // the 2^53 honesty guards, per row (per group when grouped)
+    val exactCap = 9007199254740992d
+    def integral(c: String) = tableSchema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    rows.foreach { row =>
+      def dbl(n: String): Option[Double] = {
+        val i = row.fieldIndex(n)
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      forms.foreach {
+        case Col("sum", c) if integral(c) =>
+          (dbl(s"${c}_min"), dbl(s"${c}_max"), dbl(s"${c}_sum")) match {
+            case (Some(mi), Some(ma), Some(su)) =>
+              val nn = row.getAs[Long](s"${c}_nn")
+              val exact =
+                if (mi >= 0 || ma <= 0) math.abs(su) < exactCap
+                else nn.toDouble * math.max(math.abs(mi), math.abs(ma)) < exactCap
+              if (!exact) return None
+            case _ => ()
+          }
+        case Col(f @ ("min" | "max"), c) if integral(c) =>
+          dbl(s"${c}_$f").foreach(v =>
+            if (math.abs(v) >= exactCap) return None)
+        case _ => ()
+      }
+    }
+    // output: group keys under their table types, then one field per
+    // aggregate with the type Spark's own aggregate would produce
+    def sumType(c: String): DataType = tableSchema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => LongType
+      case _ => DoubleType
+    }
+    val outSchema = StructType(
+      groupKeys.map(k => StructField(k, tableSchema(k).dataType)) ++
+        forms.zipWithIndex.map {
+          case (Cnt, i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Col("nn", _), i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (Col("min" | "max", c), i) =>
+            StructField(s"agg_$i", tableSchema(c).dataType)
+          case (Col(_, c), i) => StructField(s"agg_$i", sumType(c))
+        })
+    // map[Any]: without the explicit type the numeric match arms
+    // weak-LUB back to Double and the Long cast silently un-casts
+    def castNum(v: Option[Double], dt: DataType): Any = v.map[Any](x => dt match {
+      case LongType => x.toLong
+      case IntegerType => x.toInt
+      case ShortType => x.toShort
+      case ByteType => x.toByte
+      case FloatType => x.toFloat
+      case _ => x
+    }).orNull
+    val outRows = rows.map { row =>
+      def dbl(n: String): Option[Double] = {
+        val i = row.fieldIndex(n)
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      Row.fromSeq(
+        groupKeys.map(k => row.get(row.fieldIndex(k))) ++
+          forms.map {
+            case Cnt => row.getAs[Long]("cnt")
+            case Col("nn", c) => row.getAs[Long](s"${c}_nn")
+            case Col(f @ ("min" | "max"), c) =>
+              castNum(dbl(s"${c}_$f"), tableSchema(c).dataType)
+            case Col(_, c) => castNum(dbl(s"${c}_sum"), sumType(c))
+          })
+    }
+    Some((outSchema, outRows))
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, rows)) =>
+      new GraftLocalScan(path, pinned, schema, rows)
+    case None => new GraftScan(path, pinned, required, handled, allFilters)
+  }
+}
+
+/** A metadata-served (already aggregated) result: the scan IS the
+  * rows — a one-partition local relation, no data file in the plan. */
+private[v2] class GraftLocalScan(path: String, pinned: Option[Long],
+    outSchema: StructType, rows: Seq[Row]) extends V1Scan {
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"graft-table $path @${pinned.fold("current")(v => s"v$v")} " +
+      s"metadata-served aggregate (${rows.size} rows, zero data files)"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val spark = context.sparkSession
+        GraftScanInfo.record(path, Nil) // zero files opened
+        spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          outSchema).queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+      }
+    }.asInstanceOf[T]
+  }
 }
 
 private[v2] class GraftScan(path: String, pinned: Option[Long],
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+    required: StructType, handled: Array[Filter],
+    allFilters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String = {
     val v = pinned.fold("current")(v => s"v$v")
     s"graft-table $path @$v cols=[${required.fieldNames.mkString(",")}] " +
-      s"filters=[${filters.mkString(", ")}]"
+      s"filters=[${handled.mkString(", ")}]"
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -226,24 +470,27 @@ private[v2] class GraftScan(path: String, pinned: Option[Long],
   }
 
   /** The Manifest-served frame this scan wraps: snapshot-pinned,
-    * file-skipped from the pushed filters' tree, DV-masked, filtered
-    * (sound double-application; also what reaches parquet's row-group
-    * stats), and projected to exactly the pruned schema. */
+    * file-skipped from ALL pushed filters' tree (partial translation
+    * is sound for admission), DV-masked, with the HANDLED filters
+    * applied exactly (they were claimed as pushed, so Spark does not
+    * re-evaluate them; the translation is the same SQL semantics the
+    * v1 Filter contract defines), projected to the pruned schema. */
   private[v2] def innerFrame(spark: SparkSession): DataFrame = {
-    val pred = GraftScan.toPredicate(filters)
-    val (df, admitted) = Manifest.readAdmitted(spark, path, pinned, pred)
+    val prunePred = allFilters.flatMap(GraftScan.toColumnLoose)
+      .reduceOption(_ && _)
+    val (df, admitted) = Manifest.readAdmitted(spark, path, pinned, prunePred)
     GraftScanInfo.record(path, admitted)
-    val filtered = pred.fold(df)(df.filter)
+    val filtered = GraftScan.toPredicate(handled).fold(df)(df.filter)
     if (required.fieldNames.sameElements(filtered.columns)) filtered
     else filtered.select(required.fieldNames.toIndexedSeq.map(F.col): _*)
   }
 }
 
 private[v2] object GraftScan {
-  /** v1 Filter → Column, EXACT translations only (None = the filter
-    * stays a Spark-side residual; since every filter is re-applied
-    * above the scan anyway, dropping an untranslatable conjunct is
-    * sound — it only widens the inner read). */
+  /** v1 Filter → Column, EXACT translations only — the basis for
+    * claiming a filter handled. Conjunctions translate only when BOTH
+    * sides do (a partially-translated And applied as the whole filter
+    * would be a wrong claim). */
   def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
     case sources.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
@@ -257,18 +504,28 @@ private[v2] object GraftScan {
     case sources.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
     case sources.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
     case sources.StringContains(a, v) => Some(F.col(a).contains(v))
-    case sources.And(l, r) => (toColumn(l), toColumn(r)) match {
-      // one translatable conjunct alone is still sound (a superset)
+    case sources.And(l, r) => for {
+      a <- toColumn(l); b <- toColumn(r)
+    } yield a && b
+    case sources.Or(l, r) => for {
+      a <- toColumn(l); b <- toColumn(r)
+    } yield a || b
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** Best-effort translation for the FILE-ADMISSION decision only: a
+    * partially-translated And keeps its translatable side (sound — the
+    * admitted set only widens), an Or still needs both. Never applied
+    * to rows. */
+  def toColumnLoose(f: Filter): Option[Column] = f match {
+    case sources.And(l, r) => (toColumnLoose(l), toColumnLoose(r)) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (Some(a), None) => Some(a)
       case (None, Some(b)) => Some(b)
       case _ => None
     }
-    case sources.Or(l, r) => for {
-      a <- toColumn(l); b <- toColumn(r) // BOTH, or the Or is dropped
-    } yield a || b
-    case sources.Not(c) => toColumn(c).map(!_) // exact inner only
-    case _ => None
+    case other => toColumn(other)
   }
 
   def toPredicate(filters: Array[Filter]): Option[Column] =

@@ -122,6 +122,62 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db.ev").count() == 4)
   }
 
+  test("aggregate pushdown: count/min/max/sum (flat, filtered, grouped) " +
+      "serve from sidecar metadata with zero data files; DVs, 2^53 " +
+      "risks, and unservable shapes fall back to the ordinary scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/m"
+    Manifest.create(spark, tbl,
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, tbl,
+      Seq((2L, 30L), (2L, 40L)).toDF("k", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("k", "v"))
+
+    def zeroFiles(): Boolean =
+      GraftScanInfo.lastFiles(tbl).exists(_.isEmpty)
+
+    // flat: one LocalRelation-backed row, no data file opened
+    val flat = spark.sql(
+      "SELECT count(*), count(v), min(v), max(v), sum(v) FROM graft.db.m")
+    assert(flat.head() == org.apache.spark.sql.Row(4L, 4L, 10L, 40L, 100L))
+    assert(zeroFiles(), "flat aggregate must serve from metadata")
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)") &&
+      !plan.toLowerCase.contains("hashaggregate"),
+      s"the plan must BE the pushed serve, no aggregate exec on top:\n$plan")
+
+    // filtered (exact inclusive ranges): fully-covered serve
+    val filt = spark.sql(
+      "SELECT count(*), sum(v) FROM graft.db.m WHERE v BETWEEN 30 AND 40")
+    assert(filt.head() == org.apache.spark.sql.Row(2L, 70L))
+    assert(zeroFiles(), "range-filtered aggregate must serve from metadata")
+
+    // grouped by the file-constant key
+    val grp = spark.sql(
+      "SELECT k, count(*), sum(v) FROM graft.db.m GROUP BY k ORDER BY k")
+    assert(grp.collect().toSeq == Seq(
+      org.apache.spark.sql.Row(1L, 2L, 30L),
+      org.apache.spark.sql.Row(2L, 2L, 70L)))
+    assert(zeroFiles(), "grouped aggregate must serve from metadata")
+
+    // avg rides Spark's own rewrite into pushed sum+count — also a
+    // metadata serve
+    assert(spark.sql("SELECT avg(v) FROM graft.db.m").head().getDouble(0)
+      == 25.0)
+    assert(zeroFiles(), "avg rewrites to sum/count and serves")
+    // a strict < bound is not a complete range: must NOT claim metadata
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.m WHERE v < 40").head().getLong(0) == 3)
+    assert(!zeroFiles(), "a strict bound must scan")
+
+    // DVs on the snapshot: the serve declines, the scan stays exact
+    Manifest.deleteWhereMoR(spark, tbl, $"v" === 20L)
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.m").head()
+      == org.apache.spark.sql.Row(3L, 80L))
+    assert(!zeroFiles(), "a DV-carrying snapshot must scan")
+  }
+
   test("evolved snapshots serve pre-evolution files with NULL new " +
       "columns through SQL; listTables lists manifested dirs; DDL and " +
       "missing tables refuse loudly") {
