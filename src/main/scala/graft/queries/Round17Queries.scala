@@ -300,6 +300,48 @@ object Round17Queries {
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, true AS meta_only
              |FROM documents GROUP BY source ORDER BY source ASC"""
-        .stripMargin))
+        .stripMargin)),
+
+    // The release-audit composition: tag version 1 as a named release,
+    // keep committing, then answer "how big was corpus-v1" with PLAIN
+    // SQL — `VERSION AS OF 'corpus-v1'` resolves the tag, the pinned
+    // snapshot serves its aggregate from its RETAINED sidecar (zero
+    // data files, pinned as meta_only), and the current snapshot's
+    // count confirms the table moved on underneath. Years-later
+    // reproducibility as one SQL line.
+    NamedQuery("q235_sql_release_audit",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val root = freshQueryDir("sqlrel")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs.coalesce(4))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        Manifest.tag(s, table, "corpus-v1", 1L)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        Manifest.commitAppend(s, table, docs.limit(100)
+          .select((col("doc_id") + maxId + 1).as("doc_id"),
+            col("source"), col("n_chars")).coalesce(1))
+        s.conf.set("spark.sql.catalog.graft_q235",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q235.root", root)
+        val rel = s.sql(
+          """SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars
+            |FROM graft_q235.db.docs VERSION AS OF 'corpus-v1'"""
+            .stripMargin).head()
+        val metaOnly = GraftScanInfo.lastFiles(table).exists(_.isEmpty)
+        val cur = s.sql(
+          "SELECT count(*) FROM graft_q235.db.docs").head().getLong(0)
+        import s.implicits._
+        Seq((rel.getLong(0), rel.getLong(1), metaOnly,
+          cur == rel.getLong(0) + 100))
+          .toDF("n_docs", "sum_chars", "meta_only", "moved_on")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS meta_only, true AS moved_on
+             |FROM documents""".stripMargin))
   )
 }

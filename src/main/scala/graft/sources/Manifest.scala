@@ -385,10 +385,7 @@ object Manifest {
     val rel = writeData(spark, table, v, df, partitionBy)
     val fs = fsFor(spark, table)
     val dir = new Path(s"$table/$rel")
-    val it = fs.listFiles(dir, true)
-    var hasParquet = false
-    while (!hasParquet && it.hasNext)
-      hasParquet = it.next().getPath.getName.endsWith(".parquet")
+    val hasParquet = walkParquet(fs, dir).nonEmpty
     val n = if (!hasParquet) 0L
       else spark.read.parquet(dir.toString).count()
     if (n == 0) { fs.delete(dir, true); () }
@@ -969,7 +966,20 @@ object Manifest {
     require(groupBy.nonEmpty,
       "statsAggregateGrouped needs group keys (else statsAggregate)")
     val snap = resolveStatsSnap(spark, table, version, "statsAggregateGrouped")
-    val factSchema = readSnapshotRaw(spark, table, snap).schema
+    // schema WITHOUT a full relation init (the statsAggregate lesson):
+    // the committed-schema stamp when present, else one footer; hive
+    // layouts keep the relation read (a leaf footer lacks the
+    // partition columns, whose types come from directory inference)
+    val factSchema: org.apache.spark.sql.types.StructType =
+      snap.meta.get(SchemaKey) match {
+        case Some(json) => org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        case None if !snap.meta.contains(PartitionKey) =>
+          listSnapshotFiles(spark, table, snap).headOption
+            .map(f => spark.read.parquet(f).schema)
+            .getOrElse(readSnapshotRaw(spark, table, snap).schema)
+        case None => readSnapshotRaw(spark, table, snap).schema
+      }
     groupBy.foreach(k => require(factSchema.fieldNames.contains(k),
       s"Manifest.statsAggregateGrouped: '$k' is not a column of $table"))
     val strKey = groupBy.map(k => factSchema(k).dataType == StringType)
@@ -2673,16 +2683,29 @@ object Manifest {
       val root = new Path(s"$table/$p")
       if (!fs.exists(root)) Nil
       else if (fs.getFileStatus(root).isFile) Seq(root.toString)
-      else {
-        val out = Seq.newBuilder[String]
-        val it = fs.listFiles(root, true)
-        while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) out += f.toString
-        }
-        out.result()
+      else walkParquet(fs, root)
+    }
+  }
+
+  /** Recursive parquet listing via plain listStatus — NOT
+    * `fs.listFiles(root, recursive=true)`, whose LocatedFileStatus
+    * iterator computes block locations per file and costs ~3.5 ms/file
+    * on the local filesystem (measured: 17 s for a 5k-file dir vs
+    * 0.05 s of raw stats) — a metadata decision must never pay that. */
+  private def walkParquet(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var stack = List(root)
+    while (stack.nonEmpty) {
+      val dir = stack.head
+      stack = stack.tail
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) stack ::= st.getPath
+        else if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString
       }
     }
+    out.result()
   }
 
   private def normPath(f: String): String = new Path(f).toUri.getPath
@@ -2772,8 +2795,11 @@ object Manifest {
     val numSide = sidecarRows(spark, statsDir(table, snap.version))
     val strSide = sidecarRows(spark, strStatsDir(table, snap.version))
     if (numSide.isEmpty && strSide.isEmpty) return None
-    val full = readSnapshotRaw(spark, table, snap)
-    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+    // the file universe comes from the FILESYSTEM, not a relation init
+    // (the statsAggregate lesson: at 5k files the relation's footer
+    // pass costs seconds; the decision must stay a metadata read)
+    val allFiles = listSnapshotFiles(spark, table, snap)
+    if (allFiles.exists(f => f.split('/').exists(_.contains("="))))
       return None
     // per-file per-column envelopes keyed by NORMALIZED path (sidecar
     // rows carry input_file_name() renderings, the listing carries
@@ -2894,7 +2920,7 @@ object Manifest {
       case _ => true // NOT, UDFs, LIKE, IS NULL, ...: admit
     }
     val expr = GraftBridge.convertedExpression(pred)
-    Some(full.inputFiles.toIndexedSeq.filter(f => admit(expr, normPath(f))))
+    Some(allFiles.toIndexedSeq.filter(f => admit(expr, normPath(f))))
   }
 
   /** [[readPrunedMixed]] for a full predicate TREE ([[admittedFilesFor]]
@@ -2917,8 +2943,7 @@ object Manifest {
     }
     admittedFilesFor(spark, table, snap, pred, prunable).flatMap { keep =>
       if (keep.isEmpty) Some(readSnapshotRaw(spark, table, snap).limit(0))
-      else if (keep.size == readSnapshotRaw(spark, table, snap)
-          .inputFiles.length) None
+      else if (keep.size == listSnapshotFiles(spark, table, snap).size) None
       else Some(readFilesLive(spark, table, snap, keep))
     }
   }
@@ -2940,7 +2965,7 @@ object Manifest {
       case None => currentSnapshot(spark, table).getOrElse(
         sys.error(s"Manifest.readAdmitted: $table has no committed snapshot"))
     }
-    val all = readSnapshotRaw(spark, table, snap).inputFiles.toIndexedSeq
+    val all = listSnapshotFiles(spark, table, snap)
     val admitted = pred
       .flatMap(p => admittedFilesFor(spark, table, snap, p))
       .getOrElse(all)
@@ -3415,12 +3440,10 @@ object Manifest {
         if (fs.exists(root)) {
           val keepAbs = keep.map(k =>
             fs.makeQualified(new Path(s"$table/$k")).toString)
-          val it = fs.listFiles(root, true)
-          while (it.hasNext) {
-            val f = it.next().getPath
-            if (f.getName.endsWith(".parquet") &&
-                !keepAbs.contains(fs.makeQualified(f).toString))
-              fs.delete(f, false)
+          walkParquet(fs, root).foreach { f =>
+            val fp = new Path(f)
+            if (!keepAbs.contains(fs.makeQualified(fp).toString))
+              fs.delete(fp, false)
           }
         }
       }

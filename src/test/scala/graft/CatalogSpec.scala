@@ -171,10 +171,32 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft.db.m WHERE v < 40").head().getLong(0) == 3)
     assert(!zeroFiles(), "a strict bound must scan")
 
+    // grouped + WHERE composes: the range classifies per file, the
+    // key partitions the survivors
+    val gw = spark.sql(
+      "SELECT k, count(*) FROM graft.db.m WHERE v BETWEEN 10 AND 20 " +
+        "GROUP BY k ORDER BY k")
+    assert(gw.collect().toSeq == Seq(org.apache.spark.sql.Row(1L, 2L)))
+    assert(zeroFiles(), "grouped+filtered aggregate must serve")
+
+    // VERSION AS OF + pushdown: the pinned snapshot serves from ITS
+    // retained sidecar even after later commits — "how big was
+    // release v1" stays a metadata read
+    Manifest.tag(spark, tbl, "rel-v1", 1L)
+    Manifest.commitAppend(spark, tbl,
+      Seq((3L, 50L)).toDF("k", "v").coalesce(1))
+    assert(spark.sql(
+      "SELECT count(*), sum(v) FROM graft.db.m VERSION AS OF 'rel-v1'")
+      .head() == org.apache.spark.sql.Row(2L, 30L))
+    assert(zeroFiles(), "a pinned release must still serve from metadata")
+    Manifest.analyzeFiles(spark, tbl, Seq("k", "v"))
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.m").head()
+      == org.apache.spark.sql.Row(5L, 150L))
+
     // DVs on the snapshot: the serve declines, the scan stays exact
     Manifest.deleteWhereMoR(spark, tbl, $"v" === 20L)
     assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.m").head()
-      == org.apache.spark.sql.Row(3L, 80L))
+      == org.apache.spark.sql.Row(4L, 130L))
     assert(!zeroFiles(), "a DV-carrying snapshot must scan")
   }
 

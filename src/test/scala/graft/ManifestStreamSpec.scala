@@ -70,6 +70,32 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"sink has ${got.length} rows, expected ${want.length}")
   }
 
+  test("staged micro-batch spans are reclaimed once their offset commits") {
+    val dir = tmp("staging")
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table).writeStream
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every processed batch's staged UnsafeRow span sits under the
+    // checkpoint until its offset commits; after processAllAvailable
+    // both batches committed, so nothing may remain
+    val staged = new java.io.File(s"$ckpt/graft-staged")
+    val leftover = Option(staged.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("span-"))
+    assert(leftover.isEmpty,
+      s"committed spans must be reclaimed, found ${leftover.map(_.getName)}")
+    // and the sink is exact despite the reclamation
+    assert(rows(spark.read.parquet(s"$dir/out")).length ==
+      docs.filter(col("doc_id") % 5 <= 1).count())
+  }
+
   test("a pure-append span reads only the appended entries — no multiset diff in the plan") {
     val table = tmp("fastpath") + "/t"
     Manifest.create(spark, table, slice(0))
