@@ -342,6 +342,45 @@ object Round17Queries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  true AS meta_only, true AS moved_on
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Maintenance advisor: drive a table through four unhealthy states
+    // — fragmented (20 tiny files), DV pileup (two MoR takedowns),
+    // stale sidecar (appends past the last ANALYZE), version pileup —
+    // and assert the advisor names EXACTLY the verbs each state needs,
+    // then falls silent after compaction folds/compacts/reanalyzes/
+    // vacuums. The per-state action sets are deterministic, so the
+    // oracle is literal; the row count recomputes from the fixture to
+    // anchor the scratch table's content.
+    NamedQuery("q236_maintenance_advisor",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+        val table = freshQueryDir("advisor") + "/docs"
+        Manifest.create(s, table, docs.repartition(20))
+        def actions() = Manifest.adviseMaintenance(s, table)
+          .select("action").collect().map(_.getString(0)).sorted
+          .mkString(",")
+        val fragged = actions()
+        Manifest.compact(s, table, targetBytes = 1L << 30)
+        val afterCompact = actions()
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 97 === 0)
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 89 === 0)
+        val dvPiled = actions()
+        Manifest.foldDeletes(s, table)
+        val afterFold = actions()
+        val nRows = Manifest.read(s, table).count()
+        import s.implicits._
+        Seq((fragged, afterCompact, dvPiled, afterFold, nRows))
+          .toDF("fragged", "after_compact", "dv_piled", "after_fold",
+            "n_rows")
+      },
+      Some("""SELECT 'compact' AS fragged, '' AS after_compact,
+             |  'foldDeletes' AS dv_piled, '' AS after_fold,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM documents
+             |WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0"""
+        .stripMargin))
   )
 }

@@ -2429,11 +2429,11 @@ object Manifest {
       probes: Seq[Long]): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val bd = bloomDir(table, snap.version)
-    // RAW read: the decision needs the snapshot's own file list (a DV
-    // anti-join would pollute inputFiles with the DV parquet)
-    val full = readSnapshotRaw(spark, table, snap)
+    // the decision needs the snapshot's OWN file list — from the
+    // filesystem, never a relation init at decision time
+    val all = listSnapshotFiles(spark, table, snap)
     if (!fs.exists(bd) ||
-        full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+        all.exists(f => f.split('/').exists(_.contains("="))))
       return None
     val (sch, rows) = sidecarRows(spark, bd).getOrElse(return None)
     // sidecar predates this spec: conservative full read, never a
@@ -2441,14 +2441,16 @@ object Manifest {
     if (!sch.fieldNames.contains(s"${bloomName}__bloom")) return None
     val fi = sch.fieldIndex("file")
     val bi = sch.fieldIndex(s"${bloomName}__bloom")
-    val known = rows.map(_.getString(fi)).toSet
+    val known = rows.map(r => normPath(r.getString(fi))).toSet
     val keep = rows.filter { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
       probes.exists(bf.mightContainLong)
-    }.map(_.getString(fi))
-    val unknown = full.inputFiles.filterNot(known.contains)
-    Some((keep ++ unknown).distinct.toIndexedSeq)
+    }.map(r => normPath(r.getString(fi))).toSet
+    Some(all.filter { f =>
+      val n = normPath(f)
+      keep.contains(n) || !known.contains(n)
+    }.toIndexedSeq)
   }
 
   /** Pinned read of the current snapshot restricted — at the DRIVER,
@@ -2496,10 +2498,12 @@ object Manifest {
     if (!fs.exists(sd)) return None
     // hive-partitioned snapshots: leaf-file reads would silently drop
     // the partition columns, and their pruning is already partition
-    // pruning's job. The file listing comes from the RAW read (DV
-    // joins pollute inputFiles); served frames are always LIVE.
-    val full = readSnapshotRaw(spark, table, snap)
-    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+    // pruning's job. The file universe comes from the FILESYSTEM
+    // listing (never a relation init at decision time); sidecar rows
+    // match by normalized URI path, since input_file_name() and the
+    // listing render the scheme differently.
+    val all = listSnapshotFiles(spark, table, snap)
+    if (all.exists(f => f.split('/').exists(_.contains("="))))
       return None
     val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
     // sidecar predates one of the probed columns: conservative full
@@ -2509,7 +2513,7 @@ object Manifest {
           sch.fieldNames.contains(s"${c}__max") })
       return None
     val fi = sch.fieldIndex("file")
-    val known = rows.map(_.getString(fi)).toSet
+    val known = rows.map(r => normPath(r.getString(fi))).toSet
     val keep = rows.filter { r =>
       ranges.forall { case (c, lo, hi) =>
         val mi = sch.fieldIndex(s"${c}__min")
@@ -2520,11 +2524,13 @@ object Manifest {
         !r.isNullAt(mi) && !r.isNullAt(ma) &&
           !(r.getDouble(ma) < lo || r.getDouble(mi) > hi)
       }
-    }.map(_.getString(fi))
+    }.map(r => normPath(r.getString(fi))).toSet
     // every file of the pinned snapshot the sidecar does not cover
     // stays in (stats are an accelerator, never a correctness gate)
-    val unknown = full.inputFiles.filterNot(f => known.contains(f))
-    Some((keep ++ unknown).distinct.toIndexedSeq)
+    Some(all.filter { f =>
+      val n = normPath(f)
+      keep.contains(n) || !known.contains(n)
+    }.toIndexedSeq)
   }
 
   // ---- string envelopes: lexicographic file skipping ----------------
@@ -2650,8 +2656,8 @@ object Manifest {
     val fs = fsFor(spark, table)
     val sd = strStatsDir(table, snap.version)
     if (!fs.exists(sd)) return None
-    val full = readSnapshotRaw(spark, table, snap)
-    if (full.inputFiles.exists(f => f.split('/').exists(_.contains("="))))
+    val all = listSnapshotFiles(spark, table, snap)
+    if (all.exists(f => f.split('/').exists(_.contains("="))))
       return None
     val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
     if (!sch.fieldNames.contains(s"${column}__smin") ||
@@ -2659,15 +2665,17 @@ object Manifest {
     val fi = sch.fieldIndex("file")
     val mi = sch.fieldIndex(s"${column}__smin")
     val ma = sch.fieldIndex(s"${column}__smax")
-    val known = rows.map(_.getString(fi)).toSet
+    val known = rows.map(r => normPath(r.getString(fi))).toSet
     val keep = rows.filter { r =>
       !r.isNullAt(mi) && !r.isNullAt(ma) &&
         lo.forall(l => utf8Cmp(r.getString(ma), l) >= 0) &&
         hi.forall(h => if (hiExclusive) utf8Cmp(r.getString(mi), h) < 0
           else utf8Cmp(r.getString(mi), h) <= 0)
-    }.map(_.getString(fi))
-    val unknown = full.inputFiles.filterNot(known.contains)
-    Some((keep ++ unknown).distinct.toIndexedSeq)
+    }.map(r => normPath(r.getString(fi))).toSet
+    Some(all.filter { f =>
+      val n = normPath(f)
+      keep.contains(n) || !known.contains(n)
+    }.toIndexedSeq)
   }
 
   /** The snapshot's data files straight from the FILESYSTEM — the
