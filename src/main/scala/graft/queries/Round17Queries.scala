@@ -381,6 +381,47 @@ object Round17Queries {
              |  CAST(count(*) AS BIGINT) AS n_rows
              |FROM documents
              |WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0"""
-        .stripMargin))
+        .stripMargin)),
+
+    // SQL writes through the catalog: `INSERT INTO` lands as an
+    // ordinary commitAppend (one new manifest version, history-
+    // stamped), and the very next SQL read serves old + new rows
+    // consistently. The full round trip — create via API, append the
+    // top-100 docs via INSERT INTO … SELECT over the same catalog,
+    // aggregate via SQL — recomputed by the oracle; the version pin
+    // proves the write was one snapshot commit, not a blind file
+    // drop.
+    NamedQuery("q237_sql_insert",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlins")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs.coalesce(2))
+        s.conf.set("spark.sql.catalog.graft_q237",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q237.root", root)
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        s.sql(
+          s"""INSERT INTO graft_q237.db.docs
+             |SELECT doc_id + $maxId + 1 AS doc_id, n_chars
+             |FROM graft_q237.db.docs ORDER BY doc_id LIMIT 100"""
+            .stripMargin)
+        val oneCommit = Manifest.versions(s, table) == Seq(1L, 2L)
+        s.sql(
+          """SELECT count(*) AS n_rows,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM graft_q237.db.docs""".stripMargin)
+          .select(col("n_rows"), col("sum_chars"),
+            F.lit(oneCommit).as("one_commit"))
+      },
+      Some("""WITH ins AS (
+             |  SELECT n_chars FROM documents ORDER BY doc_id LIMIT 100)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) +
+             |    (SELECT count(*) FROM ins) AS n_rows,
+             |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) +
+             |    (SELECT CAST(sum(n_chars) AS BIGINT) FROM ins) AS sum_chars,
+             |  true AS one_commit""".stripMargin))
   )
 }

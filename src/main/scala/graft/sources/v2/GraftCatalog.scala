@@ -28,6 +28,7 @@ import org.apache.spark.sql.{functions => F}
   *   spark.sql("SELECT * FROM graft.db.events VERSION AS OF 3")
   *   spark.sql("SELECT * FROM graft.db.events VERSION AS OF 'corpus-v1'")
   *   spark.sql("SELECT * FROM graft.db.events TIMESTAMP AS OF '2024-02-01'")
+  *   spark.readStream.table("graft.db.events")   // live tail, exactly-once
   * }}}
   *
   * Every manifest capability rides along without the CubeQuery front
@@ -67,10 +68,13 @@ import org.apache.spark.sql.{functions => F}
   * (`llm/Similarity`) and the CubeQuery front door remain the
   * runtime-pruned routes.
   *
-  * The catalog is READ-ONLY by design: writes go through the
-  * `Manifest.*` verbs (create/commitAppend/merge/deleteWhere/...),
-  * whose optimistic-concurrency and WAP semantics a blind SQL INSERT
-  * could not honor. DDL methods therefore refuse loudly.
+  * Writes: `INSERT INTO` / `writeTo(...).append()` land as
+  * [[Manifest.commitAppend]] commits — the optimistic-concurrency
+  * verb itself, so a SQL append is exactly as safe as the API one.
+  * Every OTHER mutation stays with the Manifest verbs (deleteWhere /
+  * merge / WAP / evolution), whose CoW/MoR semantics a generic SQL
+  * rewrite could not preserve; DDL and INSERT OVERWRITE refuse
+  * loudly.
   *
   * At 100 TB: table resolution and file skipping are driver metadata
   * (one manifest read + sidecar parquet reads); the data plan is the
@@ -175,7 +179,8 @@ object GraftScanInfo {
 }
 
 private[v2] class GraftTable(path: String, pinned: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = path + pinned.fold("")(v => s"@v$v")
 
   override lazy val schema: StructType = pinned match {
@@ -184,14 +189,62 @@ private[v2] class GraftTable(path: String, pinned: Option[Long])
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
+  /** `INSERT INTO graft.db.t …` / `df.writeTo("graft.db.t").append()`:
+    * the APPEND verb through the standard write API, delegating to
+    * [[Manifest.commitAppend]] — which IS the optimistic-concurrency
+    * commit (tmp + create-exclusive rename; a racing committer fails
+    * loudly and retries), revalidates the schema against the current
+    * snapshot, and stamps the history ledger. Everything else stays
+    * with the Manifest verbs: INSERT OVERWRITE / TRUNCATE are not
+    * capabilities of this table (Spark refuses at analysis), DELETE /
+    * UPDATE / MERGE route to deleteWhere / merge whose CoW/MoR
+    * semantics a generic rewrite could not preserve, and a pinned
+    * (VERSION AS OF) table refuses writes outright. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinned.isEmpty,
+      s"graft catalog: $path is pinned (VERSION/TIMESTAMP AS OF) — a " +
+        "historical snapshot cannot be appended to; write to the bare table")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.Dataset[Row],
+                  overwrite: Boolean): Unit = {
+                require(!overwrite, s"graft catalog: INSERT OVERWRITE on " +
+                  s"$path is not supported — overwrite explicitly through " +
+                  "the Manifest verbs (deleteWhere + append, or a rewrite " +
+                  "commit), which preserve snapshot semantics")
+                Manifest.commitAppend(SparkSession.active, path, data.toDF())
+              }
+            }
+        }
+    }
+  }
+
+  /** `spark.readStream.table("graft.db.t")` tails the table through
+    * the same [[graft.sources.ManifestMicroBatchStream]] as
+    * `format("graft-table")` — append mode by default,
+    * `option("ignoreDeletes", true)` and
+    * `option("startingVersion", "latest")` pass through. The
+    * changeFeed face stays with `format("graft-table")`: its CDC
+    * columns widen the schema, and a catalog table's schema is fixed
+    * at resolution (options cannot grow it). A VERSION/TIMESTAMP AS
+    * OF table refuses to stream — a pinned snapshot has no tail. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, pinned, schema)
+    new GraftScanBuilder(path, pinned, schema, options)
 }
 
 private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
-    tableSchema: StructType) extends ScanBuilder
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -410,7 +463,9 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
   override def build(): Scan = agg match {
     case Some((schema, rows)) =>
       new GraftLocalScan(path, pinned, schema, rows)
-    case None => new GraftScan(path, pinned, required, handled, allFilters)
+    case None =>
+      new GraftScan(path, pinned, required, handled, allFilters,
+        tableSchema, options)
   }
 }
 
@@ -444,9 +499,40 @@ private[v2] class GraftLocalScan(path: String, pinned: Option[Long],
 
 private[v2] class GraftScan(path: String, pinned: Option[Long],
     required: StructType, handled: Array[Filter],
-    allFilters: Array[Filter]) extends V1Scan {
+    allFilters: Array[Filter],
+    tableSchema: StructType = new StructType(),
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** The streaming face of the catalog table — the batch scan's
+    * snapshot pinning obviously cannot apply; the stream tails the
+    * LIVE table via the same MicroBatchStream the `graft-table`
+    * format uses. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinned.isEmpty,
+      "graft catalog: a VERSION/TIMESTAMP AS OF table cannot stream — " +
+        "a pinned snapshot has no tail; stream the bare table")
+    def bool(k: String) = Option(options.get(k))
+      .exists(_.trim.equalsIgnoreCase("true"))
+    require(!bool("changefeed"),
+      "graft catalog: changeFeed widens the schema with CDC columns, " +
+        "which a catalog table's fixed schema cannot carry — use " +
+        "spark.readStream.format(\"graft-table\").option(\"changeFeed\", " +
+        "\"true\") for the row-level feed")
+    val latest = Option(options.get("startingversion"))
+      .orElse(Option(options.get("startingVersion")))
+      .exists(_.trim.equalsIgnoreCase("latest"))
+    val o = graft.sources.ManifestStream.Opts(path, changeFeed = false,
+      ignoreDeletes = bool("ignoredeletes"), startLatest = latest)
+    // the stream stages (and serves) exactly the PRUNED schema —
+    // batchFrame aligns by name, so a projected readStream stages
+    // only the columns it asked for
+    new graft.sources.ManifestMicroBatchStream(SparkSession.active, o,
+      required, checkpointLocation)
+  }
 
   override def description(): String = {
     val v = pinned.fold("current")(v => s"v$v")

@@ -200,6 +200,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(!zeroFiles(), "a DV-carrying snapshot must scan")
   }
 
+  test("INSERT INTO through the catalog lands a commitAppend: new " +
+      "version, history-stamped, schema-checked; OVERWRITE and pinned " +
+      "writes refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/w"
+    Manifest.create(spark, tbl, Seq((1L, "a")).toDF("id", "s"))
+    spark.sql("INSERT INTO graft.db.w VALUES (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT * FROM graft.db.w").count() == 3)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L),
+      "the SQL insert must be one ordinary manifest commit")
+    // writeTo.append is the same verb
+    Seq((4L, "d")).toDF("id", "s").writeTo("graft.db.w").append()
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT * FROM graft.db.w").count() == 4)
+    // schema drift fails loudly (commitAppend's contract / analysis)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.w VALUES (5, 'e', 9)")
+    }
+    // INSERT OVERWRITE is not a capability: refused at analysis
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft.db.w VALUES (9, 'z')")
+    }
+    // nothing landed from the refusals
+    assert(spark.sql("SELECT * FROM graft.db.w").count() == 4 &&
+      Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+  }
+
+  test("readStream.table over the catalog tails the live table " +
+      "exactly-once; changeFeed and pinned tables refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/s"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    Manifest.create(spark, tbl, Seq((1L, "a")).toDF("id", "s"))
+    val q = spark.readStream.table("graft.db.s").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Manifest.commitAppend(spark, tbl, Seq((2L, "b")).toDF("id", "s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")))
+    // changeFeed must route to the format face (fixed catalog schema)
+    val cf = intercept[Exception] {
+      spark.readStream.option("changeFeed", "true").table("graft.db.s")
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    assert(cf.getMessage.contains("changeFeed") ||
+      Option(cf.getCause).exists(_.getMessage.contains("changeFeed")))
+  }
+
   test("evolved snapshots serve pre-evolution files with NULL new " +
       "columns through SQL; listTables lists manifested dirs; DDL and " +
       "missing tables refuse loudly") {
