@@ -246,6 +246,18 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
       Seq(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")))
+    // filters and projections stay EXACT through the streaming path —
+    // one untranslatable (Spark-residual) and one translatable filter
+    // (the shape a batch scan claims handled): the stream must not
+    // lose either
+    val fq = spark.readStream.table("graft.db.s")
+      .filter($"id" % 2 === 0).filter($"id" >= 2).select("id")
+      .writeStream.format("parquet").option("path", s"$root/fout")
+      .option("checkpointLocation", s"$root/fckpt").start()
+    try fq.processAllAvailable() finally fq.stop()
+    assert(spark.read.parquet(s"$root/fout").collect().map(_.getLong(0))
+      .sorted.sameElements(Array(2L)))
+
     // changeFeed must route to the format face (fixed catalog schema)
     val cf = intercept[Exception] {
       spark.readStream.option("changeFeed", "true").table("graft.db.s")
