@@ -266,12 +266,18 @@ object Compiler {
   private def boundMetric(r: Resolved, m: MeasureRef): Metric =
     m.args.foldLeft(r.met(m.metric)) { case (met, (k, v)) => met.applyArg(k, v) }
 
-  /** The `statsOnly` route: table-level count/min/max/sum served from
-    * the manifested fact's ANALYZE sidecar at the driver
+  /** The `statsOnly` route: count/min/max/sum served from the
+    * manifested fact's ANALYZE sidecars at the driver
     * ([[graft.sources.Manifest.statsAggregate]]) — zero data-file opens
-    * on a covered snapshot, a LocalRelation plan instead of a scan. An
+    * on a covered snapshot, a LocalRelation plan instead of a scan.
+    * SLICES serve too, when every slice is a bare fact column of
+    * numeric-or-string type — the GROUP BY folds from per-file
+    * scalars where each file's key envelope is a point
+    * ([[graft.sources.Manifest.statsAggregateGrouped]]; "rows per day
+    * this quarter" on a day-laid-out table is one sidecar read). An
     * EXPLICIT opt-in, so every unservable shape refuses loudly
-    * (V4-style) instead of silently degrading: dimensions,
+    * (V4-style) instead of silently degrading: sub-field chains,
+    * expression-valued or joined dimensions,
     * non-exactly-servable filters (a WHERE serves only when it is
     * EXACTLY a conjunction of inclusive numeric ranges — then
     * fully-covered files serve from their scalars and only boundary
