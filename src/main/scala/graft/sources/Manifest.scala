@@ -2858,11 +2858,16 @@ object Manifest {
           case Some(None) => false // all-NULL column: no row can match
           case Some(Some((mi, ma))) =>
             val x = numLit(v).get
+            // strict ops test NON-strictly: envelopes (and the literal)
+            // are double-ROUNDED, and rounding is only monotone — for
+            // an integral column at ≥2⁵³ a row with col > x can round
+            // to ma == x, which a strict `ma > x` would falsely prune
+            // (deleteWhere would then silently skip matching rows).
+            // `max >= v > x ⇒ round(max) >= round(x)` IS sound; the
+            // superset only re-admits boundary files.
             op match {
-              case "gt" => ma > x
-              case "ge" => ma >= x
-              case "lt" => mi < x
-              case "le" => mi <= x
+              case "gt" | "ge" => ma >= x
+              case "lt" | "le" => mi <= x
               case _ => mi <= x && x <= ma
             }
           case None => true // file the sidecar misses

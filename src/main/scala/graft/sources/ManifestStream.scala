@@ -359,18 +359,24 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StagedRowReaderFactory(schema.fields.length)
+    StagedRowReaderFactory(schema.fields.length,
+      new SerializedHadoopConf(spark.sessionState.newHadoopConf()))
 
   /** Batches at or below the committed offset can never replay —
-    * their staged bytes are reclaimed. */
+    * their staged bytes are reclaimed. The span-end is parsed with a
+    * sign-aware regex: the initial snapshot's dir is `span--1-<v>`
+    * (start offset -1), which a naive split('-') shatters into four
+    * pieces that match nothing — the one dir that MUST be reclaimed
+    * (it is table-sized) would leak under the checkpoint forever. */
   override def commit(end: V2Offset): Unit = {
     val committed = end.json.trim.toLong
+    val spanName = """^span-(-?\d+)-(-?\d+)$""".r
     val fs = stagingRoot.getFileSystem(
       spark.sessionState.newHadoopConf())
     if (fs.exists(stagingRoot))
       fs.listStatus(stagingRoot).foreach { st =>
-        st.getPath.getName.split('-') match {
-          case Array("span", _, b) if b.toLong <= committed =>
+        st.getPath.getName match {
+          case spanName(_, b) if b.toLong <= committed =>
             fs.delete(st.getPath, true)
           case _ => ()
         }
@@ -384,8 +390,27 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
 private[sources] case class StagedPartition(path: String)
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** The SESSION's Hadoop conf, shipped to executors — `new
+  * Configuration()` there would drop per-session settings (object-store
+  * credentials, endpoint overrides), silently breaking staging on any
+  * checkpoint whose filesystem needs them. Hadoop's Configuration is
+  * not Serializable, so it rides as XML bytes. */
+private[sources] class SerializedHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 private[sources] object StagedRows {
-  import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.Path
 
   /** Write a batch's rows as per-partition files of length-prefixed
@@ -405,13 +430,14 @@ private[sources] object StagedRows {
     fs.mkdirs(tmp)
     val schema = batch.schema
     val tmpStr = tmp.toString
+    val serConf = new SerializedHadoopConf(spark.sessionState.newHadoopConf())
     // executes the batch's (driver-pinned) plan DISTRIBUTED; each task
     // serializes its own partition — no driver collect
     batch.queryExecution.toRdd.mapPartitionsWithIndex { (i, rows) =>
       val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(schema)
       val p = new Path(f"$tmpStr/part-$i%05d")
-      val pfs = p.getFileSystem(new Configuration())
+      val pfs = p.getFileSystem(serConf.value)
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
       val buf = new Array[Byte](1 << 16)
@@ -434,7 +460,8 @@ private[sources] object StagedRows {
   }
 }
 
-private[sources] case class StagedRowReaderFactory(numFields: Int)
+private[sources] case class StagedRowReaderFactory(numFields: Int,
+    conf: SerializedHadoopConf)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
@@ -446,8 +473,7 @@ private[sources] case class StagedRowReaderFactory(numFields: Int)
       private val p = new org.apache.hadoop.fs.Path(path)
       private val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .open(p), 1 << 16))
+          p.getFileSystem(conf.value).open(p), 1 << 16))
       private var row: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
 
       override def next(): Boolean = {

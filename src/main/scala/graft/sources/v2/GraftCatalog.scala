@@ -111,13 +111,21 @@ class GraftCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Listed through the root's Hadoop FileSystem — every other catalog
+    * path (read/write/stream) resolves Hadoop-style, and a
+    * java.io.File walk would make SHOW TABLES the one verb that only
+    * works on the local filesystem. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new java.io.File((root +: namespace).mkString("/"))
-    if (!dir.isDirectory)
+    val dir = new org.apache.hadoop.fs.Path((root +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory)
       throw new NoSuchNamespaceException(catName +: namespace)
-    dir.listFiles().filter(f =>
-        new java.io.File(f, "_manifest").isDirectory)
-      .map(f => Identifier.of(namespace, f.getName))
+    fs.listStatus(dir).filter { st =>
+      st.isDirectory && {
+        val m = new org.apache.hadoop.fs.Path(st.getPath, "_manifest")
+        fs.exists(m) && fs.getFileStatus(m).isDirectory
+      }
+    }.map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -2201,4 +2201,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(s2.getAs[String]("served_from") == "scan")
     assert(s2.getAs[Long]("cnt") == 4 && s2.getAs[Double]("v_sum") == 100.0)
   }
+
+  test("admission near 2^53: a strict > whose literal and envelope both " +
+      "double-round to the same value must still ADMIT the file — " +
+      "rounding is only monotone, so strict tests run non-strictly") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_p53").toString
+    val tbl = s"$dir/t"
+    val big = 9007199254740993L // 2^53 + 1: rounds DOWN to 2^53
+    // two files: a small-id decoy and the snowflake-id file whose
+    // max (2^53+1) is indistinguishable from 2^53 after rounding
+    val small = Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+    val snow = Seq(big).toDF("v").coalesce(1)
+    Manifest.create(spark, tbl, small)
+    Manifest.commitAppend(spark, tbl, snow)
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    // col > 2^53 matches exactly the snowflake row; the envelope test
+    // compares round(2^53+1)=2^53 against round(2^53)=2^53 — a strict
+    // `ma > x` pruned the file and a deleteWhere silently missed it
+    val pred = F.col("v") > F.lit(9007199254740992L)
+    val pruned = Manifest.readPrunedWhereOpt(spark, tbl, pred)
+    pruned.foreach { df =>
+      assert(df.filter(pred).count() == 1L,
+        "the 2^53+1 row must survive envelope admission")
+    }
+    // the full read agrees regardless of the pruning decision
+    assert(Manifest.read(spark, tbl).filter(pred).count() == 1L)
+    // and the MoR takedown built on the same admission deletes it
+    Manifest.deleteWhereMoR(spark, tbl, pred)
+    assert(Manifest.read(spark, tbl).count() == 3L,
+      "deleteWhereMoR must not be defeated by double-rounded envelopes")
+  }
 }

@@ -36,6 +36,20 @@ class ManifestStreamSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Array[String] =
     df.collect().map(_.toString).sorted
 
+  /** Every `span-*` dir under any `graft-staged` root below `ckpt` —
+    * Spark puts the SOURCE's checkpoint dir at `<ckpt>/sources/0`, so
+    * the staging root is discovered recursively, never assumed. */
+  private def stagedSpans(ckpt: String): Seq[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString == "graft-staged").toList
+        .flatMap(r => Option(r.toFile.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("span-")).map(_.toString))
+    } finally s.close()
+  }
+
   test("initial snapshot + appends land exactly-once in a file sink, across a restart") {
     val dir = tmp("restart")
     val table = s"$dir/t"
@@ -82,18 +96,27 @@ class ManifestStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       Manifest.commitAppend(spark, table, slice(1))
       q.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(2))
+      q.processAllAvailable()
     } finally q.stop()
-    // every processed batch's staged UnsafeRow span sits under the
-    // checkpoint until its offset commits; after processAllAvailable
-    // both batches committed, so nothing may remain
-    val staged = new java.io.File(s"$ckpt/graft-staged")
-    val leftover = Option(staged.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("span-"))
-    assert(leftover.isEmpty,
-      s"committed spans must be reclaimed, found ${leftover.map(_.getName)}")
+    // a processed batch's staged span sits under the checkpoint until
+    // its offset COMMITS — which Spark signals when the NEXT batch is
+    // constructed, so after three batches everything up to the
+    // second's end version must be reclaimed; only the FINAL span may
+    // linger (no later batch ever committed it). The staging root is
+    // wherever Spark put the SOURCE's checkpoint dir
+    // (<ckpt>/sources/0/graft-staged) — discovered recursively so the
+    // assertion pins the real dir, not a path that never existed.
+    // Crucially the INITIAL, table-sized span (span--1-1, whose
+    // negative start offset once defeated a split('-') parse and
+    // leaked it forever) must be gone.
+    val leftover = stagedSpans(ckpt).map(p => p.split('/').last)
+    val stale = leftover.filterNot(_ == "span-2-3")
+    assert(stale.isEmpty,
+      s"spans below the last committed offset must be reclaimed, found $stale")
     // and the sink is exact despite the reclamation
     assert(rows(spark.read.parquet(s"$dir/out")).length ==
-      docs.filter(col("doc_id") % 5 <= 1).count())
+      docs.filter(col("doc_id") % 5 <= 2).count())
   }
 
   test("a pure-append span reads only the appended entries — no multiset diff in the plan") {
