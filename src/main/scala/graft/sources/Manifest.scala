@@ -223,6 +223,33 @@ object Manifest {
     * suffix ([[writeData]]). */
   private val DataDirName = """^_v(\d{8})(-[0-9a-f]{8})?$""".r
 
+  /** The WRITER LEASE for orphan reclamation: [[vacuum]] only deletes
+    * an uncommitted (never-referenced) data or DV directory whose
+    * recursive max mtime is older than this — a race-losing writer of
+    * version v is still alive and writing when the winner's commit
+    * makes `current == v`, and the bare version predicate would
+    * reclaim the loser's directory out from under its write job. An
+    * active job keeps renewing its lease with every task file it
+    * lands; one hour of total write silence marks a genuine crash. */
+  val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+
+  /** Recursive max modification time under `root` (the root itself
+    * when empty) — the orphan-staleness clock. Orphan candidates are
+    * few by construction, so the walk is small. */
+  private def maxMtimeUnder(fs: FileSystem, root: Path): Long = {
+    var mx = fs.getFileStatus(root).getModificationTime
+    var stack = List(root)
+    while (stack.nonEmpty) {
+      val dir = stack.head
+      stack = stack.tail
+      fs.listStatus(dir).foreach { st =>
+        mx = math.max(mx, st.getModificationTime)
+        if (st.isDirectory) stack ::= st.getPath
+      }
+    }
+    mx
+  }
+
   /** All committed versions, ascending (empty for a plain table). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val fs = fsFor(spark, table)
@@ -269,7 +296,21 @@ object Manifest {
 
   /** Commit `paths` (relative to the table root) as version
     * `expected + 1`. Fails loudly if that version already exists — the
-    * optimistic-concurrency loser must re-resolve and retry. */
+    * optimistic-concurrency loser must re-resolve and retry.
+    *
+    * The version slot is decided by a scheme-appropriate ATOMIC
+    * primitive. On HDFS the manifest rename itself refuses an
+    * occupied destination atomically. On the LOCAL filesystem rename
+    * is POSIX rename(2) — it silently REPLACES an existing
+    * destination, so two same-version committers could both "win",
+    * the second overwriting the first's committed manifest (a lost
+    * update the concurrency stress spec actually caught). There the
+    * slot is claimed first with `File.createNewFile` (O_EXCL-atomic
+    * per its contract): exactly one claimer proceeds to rename, the
+    * loser errors and retries with a fresh snapshot. A claim from a
+    * crashed local writer is broken after [[ClaimLeaseMs]] of no
+    * manifest appearing. Object stores bring their own primitive
+    * (conditional PUT) per the protocol note at the top of this file. */
   def commit(spark: SparkSession, table: String,
       expected: Long, paths: Seq[String],
       meta: Map[String, String] = Map.empty): Snapshot = {
@@ -281,9 +322,10 @@ object Manifest {
     val fs = fsFor(spark, table)
     fs.mkdirs(manifestDir(table))
     val target = manifestFile(table, expected + 1)
-    if (fs.exists(target)) sys.error(
+    def lost(): Nothing = sys.error(
       s"Manifest.commit: $target already exists — a concurrent commit won; " +
         "re-resolve the current snapshot and retry")
+    if (fs.exists(target)) lost()
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     // every commit stamps its wall time (ms) — the AS OF timestamp
@@ -292,13 +334,37 @@ object Manifest {
     val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     try out.write(((metaLines ++ paths).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      sys.error(s"Manifest.commit: rename to $target failed (lost the race?); " +
-        "nothing committed")
-    }
+    val localClaim: Option[java.io.File] =
+      if (fs.getUri.getScheme != "file") None
+      else {
+        val claim = new java.io.File(new Path(
+          s"$table/_manifest/.claim-v${"%08d".format(expected + 1)}")
+          .toUri.getPath)
+        // break a stale claim: claimed long ago, yet no manifest —
+        // the claimer died between claim and rename
+        if (claim.exists() && !fs.exists(target) &&
+            System.currentTimeMillis() - claim.lastModified() > ClaimLeaseMs)
+          claim.delete()
+        if (!claim.createNewFile()) { fs.delete(tmp, false); lost() }
+        Some(claim)
+      }
+    try {
+      // re-check under the claim: a racer may have renamed between
+      // the first check and our claim
+      if (fs.exists(target)) { fs.delete(tmp, false); lost() }
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        sys.error(s"Manifest.commit: rename to $target failed (lost the " +
+          "race?); nothing committed")
+      }
+    } finally localClaim.foreach(_.delete())
     Snapshot(expected + 1, paths, stamped)
   }
+
+  /** How long a local commit claim may sit without its manifest
+    * before another committer may break it (the claimer crashed
+    * between claim and rename — a microsecond window in practice). */
+  private val ClaimLeaseMs: Long = 60L * 1000
 
   /** DESCRIBE HISTORY: one row per RETAINED version — version number,
     * commit wall time, the write verb that produced it ([[OpKey]];
@@ -333,6 +399,22 @@ object Manifest {
     commit(spark, table, 0L,
       Seq(writeData(spark, table, 1L, df, partitionBy)),
       withOp(withPartitionMeta(meta, partitionBy), "create"))
+  }
+
+  /** Create a manifested table with ZERO rows — the SQL
+    * `CREATE TABLE` shape: one v1 commit whose single data file is an
+    * empty parquet carrying the schema in its footer, so every reader
+    * (and the first `INSERT INTO`'s schema revalidation) sees the
+    * declared columns before any data lands. Partitioned empty tables
+    * refuse: a hive layout encodes partition columns in directories,
+    * and zero rows means zero directories to commit — declare
+    * partitioning on the first data write (CTAS / [[create]]). */
+  def createEmpty(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Snapshot = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
+    create(spark, table, empty)
   }
 
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
@@ -2701,8 +2783,12 @@ object Manifest {
     * on the local filesystem (measured: 17 s for a 5k-file dir vs
     * 0.05 s of raw stats) — a metadata decision must never pay that. */
   private def walkParquet(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Seq[String] = {
-    val out = Seq.newBuilder[String]
+      root: Path): Seq[String] =
+    walkParquetStatus(fs, root).map(_._1)
+
+  private def walkParquetStatus(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
     var stack = List(root)
     while (stack.nonEmpty) {
       val dir = stack.head
@@ -2710,10 +2796,28 @@ object Manifest {
       fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) stack ::= st.getPath
         else if (st.getPath.getName.endsWith(".parquet"))
-          out += st.getPath.toString
+          out += ((st.getPath.toString, st.getLen))
       }
     }
     out.result()
+  }
+
+  /** [[listSnapshotFiles]] keeping each file's LENGTH from the same
+    * listStatus pass — what the native V2 batch scan sizes its input
+    * partitions (and its reported statistics) from without a second
+    * round of per-file RPCs. */
+  private[graft] def listSnapshotFilesWithLen(spark: SparkSession,
+      table: String, snap: Snapshot): Seq[(String, Long)] = {
+    val fs = fsFor(spark, table)
+    snap.paths.flatMap { p =>
+      val root = new Path(s"$table/$p")
+      if (!fs.exists(root)) Nil
+      else {
+        val st = fs.getFileStatus(root)
+        if (st.isFile) Seq((root.toString, st.getLen))
+        else walkParquetStatus(fs, root)
+      }
+    }
   }
 
   private def normPath(f: String): String = new Path(f).toUri.getPath
@@ -2987,6 +3091,136 @@ object Manifest {
       else if (admitted.size == all.size) readSnapshotData(spark, table, snap)
       else readFilesLive(spark, table, snap, admitted)
     (df, admitted)
+  }
+
+  // ---- native-V2-scan planning surface (graft.sources.v2) -----------
+  //
+  // The catalog's native Batch scan re-expresses readAdmitted's
+  // semantics at FILE grain: admitted parquet files become input
+  // partitions, the DV mask becomes per-file position lists applied in
+  // the partition reader, and the evolved schema rides as the reader's
+  // dataSchema. Everything here is driver metadata — one listing, one
+  // sidecar read, one (takedown-sized) DV collect.
+
+  /** Resolve the snapshot a catalog scan pins: an explicit retained
+    * version, else current. */
+  private[graft] def resolveSnapshot(spark: SparkSession, table: String,
+      version: Option[Long]): Snapshot = version match {
+    case Some(v) =>
+      require(versions(spark, table).contains(v),
+        s"Manifest: $table has no retained version $v (vacuumed?)")
+      readSnapshot(spark, table, v)
+    case None => currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest: $table has no committed snapshot"))
+  }
+
+  /** True when the snapshot reads as a hive layout — directory-encoded
+    * partition columns that a per-FILE reader would silently drop, so
+    * the native scan must fall back to the relation-based path. */
+  private[graft] def hiveLayout(spark: SparkSession, table: String,
+      snap: Snapshot): Boolean =
+    snap.meta.contains(PartitionKey) ||
+      listSnapshotFiles(spark, table, snap)
+        .exists(f => f.split('/').exists(_.contains("=")))
+
+  /** The snapshot's COMMITTED (evolved) schema, when one was stamped. */
+  private[graft] def committedSchemaOf(snap: Snapshot)
+      : Option[org.apache.spark.sql.types.StructType] =
+    snap.meta.get(SchemaKey).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The DV `file` key of an absolute path — the same anchoring rule
+    * as [[selectWithPos]], so writer and native reader agree on the
+    * key whatever the FS renders before the version dir. */
+  private[graft] def relFileKey(abs: String): String =
+    """(_v\d{8}-[0-9a-f]{8}/.+)$""".r.findFirstIn(abs)
+      .getOrElse(abs.substring(abs.lastIndexOf('/') + 1))
+
+  /** MoR delete-vector positions restricted to `files`, keyed by the
+    * manifest-relative file key, each list SORTED — the shape a
+    * positional partition reader consumes. Empty for DV-less
+    * snapshots; the collect is takedown-sized by the DV discipline. */
+  private[graft] def dvPositionsFor(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): Map[String, Array[Long]] =
+    dvFrame(spark, table, snap) match {
+      case None => Map.empty
+      case Some(dv) =>
+        val keys = files.map(f => relFileKey(normPath(f))).toSet
+        dv.select("file", "pos").collect().toSeq
+          .filter(r => keys.contains(r.getString(0)))
+          .groupBy(_.getString(0))
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+    }
+
+  /** Columns with an envelope sidecar of either family for this
+    * snapshot — the attributes on which runtime (DPP-style) filters
+    * can actually narrow the admitted file set. */
+  private[graft] def envelopeColumns(spark: SparkSession, table: String,
+      snap: Snapshot): Set[String] = {
+    def cols(dir: Path, suf: String): Seq[String] =
+      sidecarRows(spark, dir).map(_._1.fieldNames.toSeq.collect {
+        case f if f.endsWith(suf) => f.dropRight(suf.length)
+      }).getOrElse(Nil)
+    (cols(statsDir(table, snap.version), "__min") ++
+      cols(strStatsDir(table, snap.version), "__smin")).toSet
+  }
+
+  /** Exact RAW row count (pre-DV) of `files` from the numeric
+    * sidecar's per-file `cnt`, when every file is covered — the
+    * statistics a scan reports to Spark's CBO without opening a
+    * footer. None when any file is uncovered. */
+  private[graft] def sidecarRawRowCount(spark: SparkSession, table: String,
+      snap: Snapshot, files: Seq[String]): Option[Long] =
+    statsSidecarFor(spark, table, snap).flatMap {
+      case (sch, rows) =>
+        sch.fieldNames.find(_.endsWith("__cnt")).flatMap { cf =>
+          val fi = sch.fieldIndex("file")
+          val ci = sch.fieldIndex(cf)
+          val m = rows.iterator.filterNot(_.isNullAt(ci))
+            .map(r => normPath(r.getString(fi)) -> r.getDouble(ci)).toMap
+          val want = files.map(normPath)
+          if (want.forall(m.contains)) Some(want.map(m).sum.toLong)
+          else None
+        }
+    }
+
+  /** COPY-ON-WRITE group replacement for the SQL row-level operations
+    * ([[graft.sources.v2.GraftRowLevelOperation]]): drop `replaced`
+    * (absolute file paths of the PINNED snapshot `snap`), carry every
+    * other file of the dirtied entries as per-file entries (the
+    * [[deleteWhere]] discipline), keep clean entries verbatim, append
+    * `newRels`, and commit ONE version at `expected = snap.version` —
+    * a snapshot that moved underneath fails the rename loudly.
+    * Metadata (DV dirs, schema, partitioning) inherits: untouched
+    * files keep their masks; a replaced file's now-dangling vector
+    * entries match nothing (and fold away at the next maintenance). */
+  private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
+      snap: Snapshot, replaced: Seq[String], newRels: Seq[String],
+      op: String): Snapshot = {
+    val fs = fsFor(spark, table)
+    def norm(f: String) = new Path(f).toUri.getPath
+    val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
+    def relOf(f: String) = norm(f).stripPrefix(tableAbs).stripPrefix("/")
+    val allFiles = listSnapshotFiles(spark, table, snap).map(norm)
+    val replacedSet = replaced.map(norm).toSet
+    val unknown = replacedSet -- allFiles.toSet
+    require(unknown.isEmpty,
+      s"Manifest.commitReplaceFiles: ${unknown.size} replaced files are " +
+        s"not in $table@v${snap.version} — the scan and commit disagree " +
+        s"on the snapshot (first: ${unknown.headOption.getOrElse("")})")
+    val entryFor = prefixResolver(snap.paths)
+    val filesUnder = allFiles.groupBy(f => entryFor(relOf(f)).getOrElse(
+      sys.error(s"Manifest.commitReplaceFiles: $f outside the snapshot")))
+    val (dirty, clean) = snap.paths.partition(p =>
+      filesUnder.getOrElse(p, Seq.empty).exists(replacedSet))
+    val carried = dirty.flatMap(p =>
+      filesUnder(p).filterNot(replacedSet).map(relOf))
+    val keep = clean ++ carried ++ newRels
+    require(keep.nonEmpty,
+      s"Manifest.commitReplaceFiles: the rewrite removed every row of " +
+        s"$table — a snapshot cannot be empty; drop the table instead")
+    commit(spark, table, snap.version, keep, withOp(snap.meta, op))
   }
 
   /** Whole-table `count(*)` / `count(c)` / `min` / `max` / `sum`
@@ -3335,7 +3569,8 @@ object Manifest {
     * where a bare keep-N is only safe if commits are slower than
     * reads. */
   def vacuum(spark: SparkSession, table: String, keep: Int = 2,
-      retainMs: Long = 0L): Unit = {
+      retainMs: Long = 0L,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     require(keep >= 1, s"must keep at least the current snapshot, got $keep")
     val fs = fsFor(spark, table)
     val vs = versions(spark, table)
@@ -3414,12 +3649,19 @@ object Manifest {
     def dvRefs(ss: Seq[Snapshot]) = ss.flatMap(_.meta.get(DvKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)).toSet
     val liveDv = dvRefs(liveSnaps)
+    val deadDv = dvRefs(deadSnaps)
+    val dvCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     val dvBase = new Path(s"$table/_dv")
     if (fs.exists(dvBase))
       fs.listStatus(dvBase).toSeq.filter(_.isDirectory)
         .map(_.getPath.getName).foreach {
           case n @ DvDirName(v) if v.toLong <= current &&
-              !liveDv.contains(s"_dv/$n") =>
+              !liveDv.contains(s"_dv/$n") &&
+              // a dead snapshot's vector is provably unreferenced; a
+              // NEVER-referenced dir may be a live deleter mid-write —
+              // the writer lease decides (same race as data-dir orphans)
+              (deadDv.contains(s"_dv/$n") ||
+                maxMtimeUnder(fs, new Path(s"$table/_dv/$n")) < dvCutoff) =>
             fs.delete(new Path(s"$table/_dv/$n"), true)
           case _ => ()
         }
@@ -3462,14 +3704,21 @@ object Manifest {
       }
     }
     // reclaim ORPHANED data dirs — crashed or race-losing writers'
-    // uncommitted uniquely-suffixed directories. Only versions at or
-    // below the current one: an in-flight writer is building
-    // version current+1, which this predicate can never touch.
+    // uncommitted uniquely-suffixed directories — but ONLY past the
+    // WRITER LEASE ([[DefaultOrphanGraceMs]]): "version at or below
+    // current" alone cannot distinguish a crashed writer from a LIVE
+    // loser still writing version v while the winner's commit made
+    // current == v (deleting under it fails the loser's write job
+    // mid-flight — seen under real contention, not hypothetically).
+    // Staleness is the dir's RECURSIVE max mtime, so an active job
+    // landing task files keeps renewing its own lease.
+    val orphanCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     fs.listStatus(new Path(table)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .foreach {
         case n @ DataDirName(v, _) if v.toLong <= current &&
-            liveUnder(n).isEmpty =>
+            liveUnder(n).isEmpty &&
+            maxMtimeUnder(fs, new Path(s"$table/$n")) < orphanCutoff =>
           fs.delete(new Path(s"$table/$n"), true)
         case _ => ()
       }

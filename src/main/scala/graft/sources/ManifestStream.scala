@@ -207,6 +207,70 @@ object ManifestStream {
     else Some(Manifest.readSnapshotData(spark, table, s2.copy(paths = added)))
   }
 
+  /** The parquet files a span `(v1, v2]` can serve ZERO-COPY — no
+    * UnsafeRow staging, the appended files themselves become input
+    * partitions — with the SAME guards batchFrame applies (retention,
+    * schema fingerprint). Some(files-with-length) when servable:
+    *
+    *  - the initial snapshot (`v1 = None`) of a DV-less snapshot:
+    *    every file of the snapshot;
+    *  - a structurally pure-append span (no removed manifest entry,
+    *    DV metadata unchanged): exactly the added entries' files.
+    *
+    * None when the span must stage: changeFeed (synthesized CDC
+    * columns), a hive layout (directory-encoded partition columns a
+    * per-file reader would drop), or a delete-carrying span (netting
+    * joins / DV anti-joins need a driver-planned frame).
+    *
+    * Replay contract: data files are immutable and the retention
+    * guards refuse a vacuumed span loudly, so a replayed zero-copy
+    * batch serves the identical multiset — the same exactly-once
+    * property the staged path provides, minus the double write of
+    * every streamed byte. */
+  private[sources] def zeroCopyFiles(spark: SparkSession, o: Opts,
+      frozenSchemaJson: Option[String], v1: Option[Long], v2: Long)
+      : Option[Seq[(String, Long)]] = {
+    if (o.changeFeed) return None
+    val table = o.table
+    val retained = Manifest.versions(spark, table)
+    require(retained.contains(v2),
+      s"graft-table stream: version $v2 of $table is not retained (vacuumed?)")
+    val s2 = Manifest.readSnapshot(spark, table, v2)
+    if (s2.meta.get(Manifest.SchemaKey) != frozenSchemaJson) sys.error(
+      s"graft-table stream: $table's schema evolved at or before version $v2 " +
+        "mid-stream — restart the stream (same checkpoint) to adopt the new " +
+        "schema; pre-evolution rows will serve NULL for the added columns")
+    if (Manifest.hiveLayout(spark, table, s2)) return None
+    v1 match {
+      case None =>
+        if (o.startLatest || s2.meta.contains(Manifest.DvKey)) None
+        else Some(Manifest.listSnapshotFilesWithLen(spark, table, s2))
+      case Some(a) if a == v2 => Some(Nil)
+      case Some(a) =>
+        require(retained.contains(a),
+          s"graft-table stream: checkpointed version $a of $table is no " +
+            "longer retained (vacuumed beneath the stream) — the span's " +
+            "rows are unrecoverable; restart from a fresh checkpoint")
+        val (added, removed) = Manifest.diffSnapshots(spark, table, a, v2)
+        val s1 = Manifest.readSnapshot(spark, table, a)
+        val dvSame = s1.meta.get(Manifest.DvKey) == s2.meta.get(Manifest.DvKey)
+        if (removed.nonEmpty || !dvSame) None
+        else if (added.isEmpty) Some(Nil)
+        else Some(Manifest.listSnapshotFilesWithLen(spark, table,
+          s2.copy(paths = added)))
+    }
+  }
+
+  /** The dataSchema a zero-copy parquet reader resolves files against:
+    * the committed (evolved) schema when stamped, else the snapshot's
+    * own read schema at stream start. */
+  private[sources] def zeroCopyDataSchema(spark: SparkSession, o: Opts,
+      startVersion: Long, frozenSchemaJson: Option[String]): StructType =
+    frozenSchemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(Manifest.readVersion(spark, o.table, startVersion).schema)
+
   private def withCdc(df: DataFrame, o: Opts, tpe: String, v: Long): DataFrame =
     if (!o.changeFeed) df
     else df.withColumn("_change_type", F.lit(tpe))
@@ -288,25 +352,28 @@ private[sources] class ManifestStreamTable(tableSchema: StructType,
     }
 }
 
-/** The DSv2 micro-batch stream: offsets are manifest versions; each
-  * batch `(v1, v2]` plans through [[ManifestStream.batchFrame]] (the
-  * exact semantics the spec pins version-pair by version-pair), then
-  * STAGES its rows as length-prefixed UnsafeRow bytes under the
-  * stream's checkpoint — what lets a [[org.apache.spark.sql.connector
-  * .read.PartitionReader]] (which by contract produces InternalRows,
-  * not a re-plannable DataFrame) serve a batch whose plan is a
-  * multi-stage driver-side frame (netting joins, DV anti-joins).
+/** The DSv2 micro-batch stream: offsets are manifest versions.
   *
-  * Exactly-once: snapshots are immutable within retention, so a
-  * replayed span recomputes the same multiset; the staged dir is
-  * keyed by the span and reused when its _SUCCESS marker exists, so a
-  * mid-write crash re-stages and a completed stage replays its exact
-  * bytes. [[commit]] reclaims staged spans at or below the committed
-  * offset. Cost: one batch-sized disk round trip per micro-batch —
-  * ∝ WHAT CHANGED, never the table; the one large batch is an
-  * initial-snapshot serve, where `startingVersion=latest` plus a
-  * batch backfill (the standard pattern at scale) avoids it
-  * entirely. */
+  * The DOMINANT path is ZERO-COPY ([[ManifestStream.zeroCopyFiles]]):
+  * the initial snapshot and every structurally pure-append span serve
+  * the appended parquet files directly as input partitions through
+  * Spark's own parquet reader — no byte of streamed data is written
+  * twice. Only spans that need a driver-planned frame — changeFeed
+  * (synthesized CDC columns), delete-carrying spans (netting joins /
+  * DV anti-joins), hive layouts — plan through
+  * [[ManifestStream.batchFrame]] and STAGE their rows as
+  * length-prefixed UnsafeRow bytes under the stream's checkpoint
+  * (a [[org.apache.spark.sql.connector.read.PartitionReader]]
+  * produces InternalRows, not a re-plannable DataFrame).
+  *
+  * Exactly-once, both paths: snapshots are immutable within retention
+  * — a replayed zero-copy span reads the identical files (vacuumed
+  * spans refuse loudly), and a staged dir is keyed by the span and
+  * reused when its _SUCCESS marker exists, so a mid-write crash
+  * re-stages and a completed stage replays its exact bytes.
+  * [[commit]] reclaims staged spans at or below the committed
+  * offset. Cost: ∝ WHAT CHANGED, never the table, with the staging
+  * round trip paid only on delete-carrying/CDC spans. */
 class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
     schema: StructType, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -329,6 +396,13 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
 
   private val stagingRoot = new Path(checkpointLocation, "graft-staged")
 
+  /** The table's full base schema (all nullable) frozen at stream
+    * creation — the parquet reader's dataSchema for zero-copy spans.
+    * The serving `schema` may be a catalog-pruned SUBSET of this. */
+  private val baseSchema: StructType = StructType(
+    ManifestStream.zeroCopyDataSchema(spark, o, startVersion,
+      frozenSchemaJson).fields.map(_.copy(nullable = true)))
+
   override def initialOffset(): V2Offset =
     VersionOffset(if (o.startLatest) startVersion else -1L)
 
@@ -340,6 +414,11 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
   override def deserializeOffset(json: String): V2Offset =
     VersionOffset(json.trim.toLong)
 
+  /** Zero-copy first: a pure-append span (and the DV-less initial
+    * snapshot) serves its appended parquet files DIRECTLY as input
+    * partitions — no staging write, no re-read; only spans that
+    * genuinely need a driver-planned frame (deletes, changeFeed, hive
+    * layouts) pay the UnsafeRow staging round trip. */
   override def planInputPartitions(start: V2Offset,
       end: V2Offset): Array[InputPartition] = {
     val v1 = start match {
@@ -351,16 +430,44 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
       case VersionOffset(v) => v
       case other => other.json.trim.toLong
     }
-    val batch = ManifestStream.batchFrame(spark, o, schema,
-      frozenSchemaJson, v1, v2)
-    val dir = new Path(stagingRoot, s"span-${v1.getOrElse(-1L)}-$v2")
-    StagedRows.stage(batch, dir)
-      .map(f => StagedPartition(f): InputPartition).toArray
+    ManifestStream.zeroCopyFiles(spark, o, frozenSchemaJson, v1, v2) match {
+      case Some(files) =>
+        val maxBytes =
+          org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+        files.iterator.flatMap { case (f, len) =>
+          if (len <= maxBytes)
+            Iterator.single(StreamFilePartition(f, 0L, len): InputPartition)
+          else (0L until len by maxBytes).iterator.map(s =>
+            StreamFilePartition(f, s, math.min(maxBytes, len - s))
+              : InputPartition)
+        }.toArray
+      case None =>
+        val batch = ManifestStream.batchFrame(spark, o, schema,
+          frozenSchemaJson, v1, v2)
+        val dir = new Path(stagingRoot, s"span-${v1.getOrElse(-1L)}-$v2")
+        StagedRows.stage(batch, dir)
+          .map(f => StagedPartition(f): InputPartition).toArray
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    StagedRowReaderFactory(schema.fields.length,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val staged = StagedRowReaderFactory(schema.fields.length,
       new SerializedHadoopConf(spark.sessionState.newHadoopConf()))
+    // the zero-copy parquet reader function (driver-built, shipped in
+    // the factory); changeFeed never zero-copies, so it skips the build
+    val parquetFn =
+      if (o.changeFeed) None
+      else {
+        import org.apache.spark.sql.execution.datasources.FileFormat
+        val fmt = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat()
+        Some(fmt.buildReaderWithPartitionValues(spark, baseSchema,
+          new StructType(), schema, Nil,
+          Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+          spark.sessionState.newHadoopConf()))
+      }
+    StreamReaderFactory(staged, parquetFn)
+  }
 
   /** Batches at or below the committed offset can never replay —
     * their staged bytes are reclaimed. The span-end is parsed with a
@@ -389,6 +496,42 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
 /** One staged file = one input partition. */
 private[sources] case class StagedPartition(path: String)
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** One zero-copy parquet file (or byte-range split of one). */
+private[sources] case class StreamFilePartition(path: String, start: Long,
+    length: Long) extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Dispatches between the two partition kinds a graft stream plans:
+  * staged UnsafeRow spans and zero-copy parquet files. */
+private[sources] case class StreamReaderFactory(
+    staged: StagedRowReaderFactory,
+    parquet: Option[org.apache.spark.sql.execution.datasources
+      .PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow]])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case sp: StagedPartition => staged.createReader(sp)
+    case fp: StreamFilePartition =>
+      val fn = parquet.getOrElse(sys.error(
+        "graft-table stream: zero-copy partition without a parquet reader " +
+          "(changeFeed spans must stage)"))
+      val it = fn(org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(fp.path),
+        fp.start, fp.length, Array.empty[String]))
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { row = it.next(); true } else false
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    case other => sys.error(s"graft-table stream: unknown partition $other")
+  }
+}
 
 /** The SESSION's Hadoop conf, shipped to executors — `new
   * Configuration()` there would drop per-session settings (object-store

@@ -81,7 +81,8 @@ import org.apache.spark.sql.{functions => F}
   * same pruned, DV-masked parquet scan the native API serves — the
   * catalog adds interoperability, not a second execution path.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catName: String = _
   private var initRoot: Option[String] = None
 
@@ -160,13 +161,59 @@ class GraftCatalog extends TableCatalog {
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"GraftCatalog '$catName' is read-only — write through the " +
-      "Manifest.* verbs (create/commitAppend/merge/deleteWhere/...), " +
-      "whose optimistic-concurrency commits a blind SQL write cannot honor")
+    s"GraftCatalog '$catName' is read-only for destructive DDL — " +
+      "drop/alter/rename through the Manifest.* verbs, whose " +
+      "optimistic-concurrency commits a blind SQL rewrite cannot honor")
 
+  /** Only hive (identity) partitioning has a manifest meaning; any
+    * bucketing/temporal transform refuses loudly. */
+  private def identityParts(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references().length == 1)
+        t.references()(0).fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform '$t' — only " +
+          "identity (hive-style) partitioning maps to the manifest layout")
+    }
+
+  /** `CREATE TABLE graft.db.t (…)`: one v1 commit of an empty,
+    * schema-carrying snapshot ([[Manifest.createEmpty]]) — the table
+    * is immediately readable (zero rows) and appendable through both
+    * faces. Partitioned empty tables refuse (an empty hive layout has
+    * no directories to commit); declare partitioning via CTAS. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly
+      properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (Manifest.isManifested(spark, p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(identityParts(partitions).isEmpty,
+      "graft catalog: CREATE TABLE with PARTITIONED BY needs data to lay " +
+        "out the hive directories — use CREATE TABLE … AS SELECT (or " +
+        "Manifest.create with partitionBy)")
+    Manifest.createEmpty(spark, p, schema)
+    new GraftTable(p, None)
+  }
+
+  /** Atomic CTAS: the staged table's write IS [[Manifest.create]] —
+    * the whole `CREATE TABLE … AS SELECT` lands as ONE v1 snapshot
+    * commit (data invisible until the manifest rename), so a crashed
+    * CTAS leaves nothing visible and a successful one is immediately
+    * readable through both faces. */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val p = pathOf(ident)
+    if (Manifest.isManifested(spark, p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(info.constraints().isEmpty,
+      "graft catalog: table constraints are not supported — enforce " +
+        "CHECKs through the Manifest commit hooks")
+    new GraftStagedTable(p, info.schema(), identityParts(info.partitions()))
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly
   override def dropTable(ident: Identifier): Boolean = readOnly
@@ -174,10 +221,65 @@ class GraftCatalog extends TableCatalog {
       newIdent: Identifier): Unit = readOnly
 }
 
+/** The CTAS staging vehicle: holds the declared shape; the V1 write
+  * executes [[Manifest.create]] (one v1 commit — data stays invisible
+  * until the manifest rename lands). commit is therefore a no-op and
+  * abort before any commit reclaims the orphan directory, which the
+  * manifest protocol already treats as garbage. */
+private[v2] class GraftStagedTable(path: String, tableSchema: StructType,
+    partitionBy: Seq[String])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var created = false
+
+  override def name(): String = path
+  override lazy val schema: StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.Dataset[Row],
+                  overwrite: Boolean): Unit = {
+                Manifest.create(SparkSession.active, path, data.toDF(),
+                  partitionBy)
+                created = true
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit =
+    if (!created) {
+      // nothing committed — reclaim whatever partial data dir the
+      // failed write left (invisible garbage either way)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+}
+
 /** Observability hook: the most recent scan's admitted file list per
   * table path — what a spec (or an operator watching skip rates) pins
   * the driver-side pruning decision against, since `Dataset.inputFiles`
-  * cannot see through a non-FileTable DSv2 relation. */
+  * cannot see through a non-FileTable DSv2 relation.
+  *
+  * DIAGNOSTIC-ONLY, single-reader: two concurrent scans of the SAME
+  * table race on the slot (last planner wins), so a pin is only
+  * meaningful when the pinning thread just ran the query itself —
+  * exactly how every spec and registry query uses it. Execution
+  * correctness never depends on this registry. */
 object GraftScanInfo {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
@@ -186,10 +288,68 @@ object GraftScanInfo {
   def lastFiles(table: String): Option[Seq[String]] = Option(last.get(table))
 }
 
+/** The one metadata column catalog tables expose: the row's
+  * manifest-relative data-file key (the same key DV masks use) —
+  * provenance for users (`SELECT _graft_file, * FROM t`), and the
+  * projection anchor Spark's row-level rewrites require. */
+private[v2] object GraftFileMetaColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_graft_file"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "manifest-relative data file key of the row"
+}
+
 private[v2] class GraftTable(path: String, pinned: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = path + pinned.fold("")(v => s"@v$v")
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetaColumn)
+
+  /** `UPDATE` / `MERGE INTO` / CoW-shaped `DELETE`: group-based
+    * copy-on-write rewrites ([[GraftRowLevelOperation]]). Translatable
+    * DELETEs never get here — Spark's metadata-only optimization
+    * routes them to [[deleteWhere]]'s MoR vector commit first. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"graft catalog: $path is pinned (VERSION/TIMESTAMP AS OF) — a " +
+        "historical snapshot cannot be mutated; run the command on the " +
+        "bare table")
+    () => new GraftRowLevelOperation(path, info.command())
+  }
+
+  /** `DELETE FROM graft.db.t WHERE …` — the SQL takedown verb, bridged
+    * to [[Manifest.deleteWhereMoR]]: ONE merge-on-read commit that
+    * masks the doomed positions behind a delete vector, rewrites no
+    * data file, and preserves time travel (the pre-delete snapshot
+    * stays readable until vacuum). The condition must translate
+    * EXACTLY to the engine's predicate vocabulary ([[GraftScan
+    * .toColumn]]) — anything else (expressions over columns,
+    * subqueries) refuses at analysis rather than risking a partial
+    * takedown; rewrite the predicate or use the Manifest verb. A bare
+    * `DELETE FROM t` (and SQL TRUNCATE, which Spark routes through
+    * the same face) masks every row — the table stays, emptied, with
+    * full history. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall(f => GraftScan.toColumn(f).nonEmpty)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"graft catalog: $path is pinned (VERSION/TIMESTAMP AS OF) — a " +
+        "historical snapshot cannot be deleted from; delete on the bare table")
+    Manifest.deleteWhereMoR(SparkSession.active, path,
+      GraftScan.toPredicate(filters).getOrElse(F.lit(true)))
+  }
 
   override lazy val schema: StructType = pinned match {
     case Some(v) => Manifest.readVersion(SparkSession.active, path, v).schema
@@ -351,6 +511,29 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
     }
     val cols = forms.collect { case Col(_, c) => c }.distinct
     if (cols.exists(c => !tableSchema.fieldNames.contains(c))) return None
+    // DV-carrying snapshots: a bare, unfiltered, ungrouped count(*)
+    // is STILL exactly servable — raw sidecar rows minus the masked
+    // positions (both driver metadata; masks are deduplicated by the
+    // deleteWhereMoR write discipline). Every other form declines:
+    // min/max/sum cannot be positionally corrected without reading.
+    // The takedown-heavy table keeps its zero-file dashboard count.
+    locally {
+      val snap = Manifest.resolveSnapshot(spark, path, pinned)
+      if (snap.meta.contains(Manifest.DvKey)) {
+        if (groupKeys.nonEmpty || handled.nonEmpty ||
+            forms.exists(_ != Cnt)) return None
+        val files = Manifest.listSnapshotFilesWithLen(spark, path, snap)
+          .map(_._1)
+        val raw = Manifest.sidecarRawRowCount(spark, path, snap, files)
+          .getOrElse(return None)
+        val masked = Manifest.dvPositionsFor(spark, path, snap, files)
+          .valuesIterator.map(_.length.toLong).sum
+        val schema = StructType(forms.indices.map(i =>
+          StructField(s"agg_$i", LongType, nullable = false)))
+        return Some((schema,
+          Seq(Row.fromSeq(forms.map(_ => raw - masked)))))
+      }
+    }
     if (cols.exists(c => tableSchema(c).dataType match {
       case _: DecimalType => true // double scalars cannot serve decimals
       case _: NumericType => false
@@ -468,12 +651,25 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
     Some((outSchema, outRows))
   }
 
+  /** Routing: a metadata-served aggregate is its own local scan; a
+    * hive-partitioned snapshot (directory-encoded partition columns a
+    * per-file reader would drop) or a claim the native re-checker
+    * cannot bind keeps the V1 bridge; everything else gets the NATIVE
+    * batch scan — runtime file skipping, CBO statistics, and per-file
+    * DV masking ([[GraftNativeScan]]). */
   override def build(): Scan = agg match {
     case Some((schema, rows)) =>
       new GraftLocalScan(path, pinned, schema, rows)
     case None =>
-      new GraftScan(path, pinned, required, handled, allFilters,
-        tableSchema, options)
+      val spark = SparkSession.active
+      val snap = Manifest.resolveSnapshot(spark, path, pinned)
+      if (!Manifest.hiveLayout(spark, path, snap) &&
+          GraftNativeScan.bindable(handled, tableSchema))
+        new GraftNativeScan(path, pinned, snap, required, handled,
+          allFilters, tableSchema, options)
+      else
+        new GraftScan(path, pinned, required, handled, allFilters,
+          tableSchema, options)
   }
 }
 
@@ -517,30 +713,13 @@ private[v2] class GraftScan(path: String, pinned: Option[Long],
   /** The streaming face of the catalog table — the batch scan's
     * snapshot pinning obviously cannot apply; the stream tails the
     * LIVE table via the same MicroBatchStream the `graft-table`
-    * format uses. */
+    * format uses. The stream serves exactly the PRUNED schema —
+    * batchFrame aligns by name, so a projected readStream stages only
+    * the columns it asked for. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(pinned.isEmpty,
-      "graft catalog: a VERSION/TIMESTAMP AS OF table cannot stream — " +
-        "a pinned snapshot has no tail; stream the bare table")
-    def bool(k: String) = Option(options.get(k))
-      .exists(_.trim.equalsIgnoreCase("true"))
-    require(!bool("changefeed"),
-      "graft catalog: changeFeed widens the schema with CDC columns, " +
-        "which a catalog table's fixed schema cannot carry — use " +
-        "spark.readStream.format(\"graft-table\").option(\"changeFeed\", " +
-        "\"true\") for the row-level feed")
-    val latest = Option(options.get("startingversion"))
-      .orElse(Option(options.get("startingVersion")))
-      .exists(_.trim.equalsIgnoreCase("latest"))
-    val o = graft.sources.ManifestStream.Opts(path, changeFeed = false,
-      ignoreDeletes = bool("ignoredeletes"), startLatest = latest)
-    // the stream stages (and serves) exactly the PRUNED schema —
-    // batchFrame aligns by name, so a projected readStream stages
-    // only the columns it asked for
-    new graft.sources.ManifestMicroBatchStream(SparkSession.active, o,
-      required, checkpointLocation)
-  }
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    GraftStreamFace.toMicroBatchStream(path, pinned, required, options,
+      checkpointLocation)
 
   override def description(): String = {
     val v = pinned.fold("current")(v => s"v$v")
@@ -576,7 +755,17 @@ private[v2] class GraftScan(path: String, pinned: Option[Long],
     GraftScanInfo.record(path, admitted)
     val filtered = GraftScan.toPredicate(handled).fold(df)(df.filter)
     if (required.fieldNames.sameElements(filtered.columns)) filtered
-    else filtered.select(required.fieldNames.toIndexedSeq.map(F.col): _*)
+    else filtered.select(required.fieldNames.toIndexedSeq.map {
+      // the _graft_file metadata column: manifest-relative file key,
+      // computed the same way the DV writer keys files
+      case n if n == GraftFileMetaColumn.name() =>
+        val fp = F.input_file_name()
+        F.coalesce(
+          F.nullif(F.regexp_extract(fp,
+            "(_v[0-9]{8}-[0-9a-f]{8}/.+)$", 1), F.lit("")),
+          F.element_at(F.split(fp, "/"), -1)).as(n)
+      case n => F.col(n)
+    }: _*)
   }
 }
 

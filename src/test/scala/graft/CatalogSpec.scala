@@ -193,11 +193,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.m").head()
       == org.apache.spark.sql.Row(5L, 150L))
 
-    // DVs on the snapshot: the serve declines, the scan stays exact
+    // DVs on the snapshot: min/max/sum decline (a positional mask
+    // cannot correct them), the scan stays exact…
     Manifest.deleteWhereMoR(spark, tbl, $"v" === 20L)
     assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.m").head()
       == org.apache.spark.sql.Row(4L, 130L))
-    assert(!zeroFiles(), "a DV-carrying snapshot must scan")
+    assert(!zeroFiles(), "a DV-carrying sum must scan")
+    // …but a BARE count(*) is still exactly servable — raw sidecar
+    // rows minus the masked positions, both driver metadata: the
+    // takedown-heavy table keeps its zero-file dashboard count
+    assert(spark.sql("SELECT count(*) FROM graft.db.m")
+      .head().getLong(0) == 4L)
+    assert(zeroFiles(), "count(*) under DVs = sidecar minus mask, zero files")
   }
 
   test("INSERT INTO through the catalog lands a commitAppend: new " +
@@ -292,5 +299,222 @@ class CatalogSpec extends AnyFunSuite {
     val ddl = intercept[Exception](spark.sql(
       "DROP TABLE graft.db.evo"))
     assert(ddl.getMessage.contains("read-only"))
+  }
+
+  test("DELETE FROM through the catalog lands ONE MoR commit — no file " +
+      "rewritten, time travel intact — and untranslatable predicates " +
+      "refuse without committing") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/del"
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .repartitionByRange(4, F.col("id")).sortWithinPartitions(F.col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+
+    spark.sql("DELETE FROM graft.db.del " +
+      "WHERE id BETWEEN 100 AND 150 OR id IN (7, 399)")
+    // one optimistic-concurrency commit, verb-stamped, zero rewrites
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    val snap = Manifest.currentSnapshot(spark, tbl).get
+    assert(snap.meta.get("operation").contains("delete"))
+    assert(snap.paths == Manifest.readSnapshot(spark, tbl, 1L).paths,
+      "a MoR delete must not rewrite or drop data files")
+    // both faces agree on the survivors
+    val want = 400L - 51L - 2L
+    assert(spark.sql("SELECT count(*) FROM graft.db.del")
+      .head().getLong(0) == want)
+    assert(Manifest.read(spark, tbl).count() == want)
+    assert(Manifest.read(spark, tbl)
+      .filter(F.col("id") === 7L || F.col("id").between(100, 150)).count() == 0)
+    // the pre-delete snapshot stays readable (GDPR-grade audit trail
+    // until vacuum)
+    assert(spark.sql("SELECT count(*) FROM graft.db.del VERSION AS OF 1")
+      .head().getLong(0) == 400L)
+
+    // a condition outside the filter vocabulary (expression over a
+    // column) cannot ride the metadata-only path — it falls through
+    // to the COPY-ON-WRITE row-level rewrite: one more commit,
+    // verb-stamped, exact rows
+    spark.sql("DELETE FROM graft.db.del WHERE id % 7 = 0")
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("delete"))
+    val want2 = Manifest.readVersion(spark, tbl, 2L)
+      .filter(F.col("id") % 7 =!= 0).count()
+    assert(spark.sql("SELECT count(*) FROM graft.db.del")
+      .head().getLong(0) == want2)
+    assert(Manifest.read(spark, tbl).filter(F.col("id") % 7 === 0)
+      .count() == 0)
+  }
+
+  test("UPDATE and MERGE INTO through the catalog: copy-on-write group " +
+      "replacement — pruned to the predicate-admitted files, untouched " +
+      "files carried verbatim, one optimistic commit each") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/up"
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(8, F.col("id")).sortWithinPartitions(F.col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val v1Files = Manifest.read(spark, tbl).inputFiles.toSet
+    assert(v1Files.size == 8)
+
+    // UPDATE with a pushable WHERE: only the admitted files rewrite
+    spark.sql("UPDATE graft.db.up SET v = v + 1000 WHERE id BETWEEN 1 AND 50")
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("update"))
+    val v2Files = Manifest.read(spark, tbl).inputFiles.toSet
+    assert((v1Files intersect v2Files).nonEmpty,
+      "untouched files must be carried verbatim, not rewritten")
+    assert((v1Files -- v2Files).size < v1Files.size,
+      "the rewrite must be pruned to the admitted files")
+    // values: rows 1..50 bumped, everything else untouched, count fixed
+    assert(spark.sql("SELECT count(*) FROM graft.db.up")
+      .head().getLong(0) == 800L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.db.up").head().getLong(0) ==
+      (1 to 800).map(_.toLong).sum + 50L * 1000L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.up WHERE v > 1000 AND id <= 50")
+      .head().getLong(0) == 50L)
+
+    // MERGE INTO: matched rows update, unmatched insert — one commit
+    Seq((10L, 0L), (20L, 0L), (9001L, 77L), (9002L, 78L))
+      .toDF("id", "v").write.parquet(s"$root/mergesrc")
+    spark.read.parquet(s"$root/mergesrc").createOrReplaceTempView("m_src")
+    spark.sql(
+      """MERGE INTO graft.db.up t USING m_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+        .stripMargin)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("merge"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.up")
+      .head().getLong(0) == 802L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.db.up WHERE id IN (10, 20, 9001, 9002)")
+      .head().getLong(0) == 0L + 0L + 77L + 78L)
+    // both faces agree after the whole SQL lifecycle
+    assert(Manifest.read(spark, tbl).count() == 802L)
+    // and time travel still serves every pre-mutation state
+    assert(spark.sql("SELECT count(*) FROM graft.db.up VERSION AS OF 1")
+      .head().getLong(0) == 800L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.db.up VERSION AS OF 1")
+      .head().getLong(0) == (1 to 800).map(_.toLong).sum)
+  }
+
+  test("runtime (DPP-style) filtering: a selective dim filter in a SQL " +
+      "join narrows the fact scan's admitted files AFTER planning") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/fact"
+    Manifest.create(spark, tbl,
+      (1 to 4000).map(i => (i.toLong, (i % 97).toLong)).toDF("k", "m")
+        .repartitionByRange(8, F.col("k")).sortWithinPartitions(F.col("k")))
+    Manifest.analyzeFiles(spark, tbl, Seq("k"))
+    val nAll = Manifest.read(spark, tbl).inputFiles.length
+    assert(nAll == 8)
+    // the dim must be FILE-backed: a LocalRelation constant-folds its
+    // filter away and PartitionPruning then sees no selective
+    // predicate to derive a runtime filter from
+    Seq((100L, "hit"), (120L, "hit"), (140L, "hit"),
+      (3000L, "miss"), (3500L, "miss"))
+      .toDF("k", "g").write.parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("cat_dim")
+
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(f.m) AS sm FROM graft.db.fact f " +
+        "JOIN cat_dim d ON f.k = d.k WHERE d.g = 'hit'")
+    val row = q.head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getLong(1) == (100 % 97) + (120 % 97) + (140 % 97))
+    // the static plan admits every file (no fact-side predicate); the
+    // runtime filter derived from the dim side must have narrowed the
+    // file set through the envelope sidecar
+    val admitted = GraftScanInfo.lastFiles(tbl).get
+    assert(admitted.nonEmpty && admitted.size < nAll,
+      s"runtime filter admitted ${admitted.size} of $nAll files — " +
+        "expected a strict subset")
+  }
+
+  test("the scan reports manifest statistics — exact bytes from the " +
+      "listing, exact rows from the sidecar net of DVs — so the CBO " +
+      "broadcasts a small graft table without opening a footer") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/small"
+    Manifest.create(spark, tbl,
+      (1 to 50).map(i => (i.toLong, s"name_$i")).toDF("k", "nm").coalesce(1))
+    Manifest.analyzeFiles(spark, tbl, Seq("k"))
+    Manifest.deleteWhereMoR(spark, tbl, F.col("k") > 45L) // 5 rows masked
+
+    val rel = spark.sql("SELECT k, nm FROM graft.db.small")
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < (1L << 20),
+      s"expected exact small size, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(45)),
+      s"expected sidecar row count net of the DV mask, got ${stats.rowCount}")
+
+    // a fact side big enough to be un-broadcastable: the join planning
+    // decision then PROVES the graft side's reported size was believed
+    val big = spark.range(0, 3000000L)
+      .select((F.col("id") % 50 + 1).as("k"), F.col("id").as("x"))
+    val j = big.join(spark.table("graft.db.small"), "k")
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the small graft table to broadcast, plan:\n$plan")
+  }
+
+  test("CREATE TABLE lands an empty schema-carrying v1 and CTAS lands " +
+      "ONE atomic v1 commit — both readable through SQL and the API; " +
+      "duplicate and empty-partitioned creates refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+
+    // plain CREATE TABLE: empty v1, immediately readable + appendable
+    spark.sql("CREATE TABLE graft.db.fresh (id BIGINT, name STRING)")
+    assert(Manifest.versions(spark, s"$root/db/fresh") == Seq(1L))
+    assert(spark.sql("SELECT * FROM graft.db.fresh").collect().isEmpty)
+    assert(spark.table("graft.db.fresh").schema.fieldNames
+      .sameElements(Array("id", "name")))
+    spark.sql("INSERT INTO graft.db.fresh VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.fresh")
+      .head().getLong(0) == 2L)
+    assert(Manifest.read(spark, s"$root/db/fresh").count() == 2L)
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.fresh (x INT)"))
+
+    // CTAS: exactly one v1 commit, verb-stamped, both faces agree
+    (1 to 300).map(i => (i.toLong, i * 5L)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.db.made AS " +
+      "SELECT k, v FROM ctas_src WHERE k <= 200")
+    val made = s"$root/db/made"
+    assert(Manifest.versions(spark, made) == Seq(1L),
+      "CTAS must land as ONE snapshot commit")
+    assert(Manifest.currentSnapshot(spark, made).get
+      .meta.get("operation").contains("create"))
+    assert(spark.sql("SELECT sum(v) FROM graft.db.made")
+      .head().getLong(0) == (1 to 200).map(_ * 5L).sum)
+    assert(Manifest.read(spark, made).count() == 200L)
+
+    // partitioned CTAS: identity transforms become the hive layout
+    spark.sql("CREATE TABLE graft.db.parted PARTITIONED BY (p) AS " +
+      "SELECT k, CAST(k % 3 AS STRING) AS p FROM ctas_src")
+    val parted = s"$root/db/parted"
+    assert(Manifest.versions(spark, parted) == Seq(1L))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.parted WHERE p = '1'")
+      .head().getLong(0) == 100L)
+    assert(Manifest.read(spark, parted).columns.contains("p"))
+
+    // an EMPTY partitioned CREATE has no directories to commit
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.db.ep (a INT, p STRING) PARTITIONED BY (p)"))
   }
 }

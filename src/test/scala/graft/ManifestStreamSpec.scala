@@ -119,6 +119,38 @@ class ManifestStreamSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 5 <= 2).count())
   }
 
+  test("pure-append spans serve ZERO-COPY — no staged bytes under the " +
+      "checkpoint — while a delete-carrying span still stages") {
+    val dir = tmp("zerocopy")
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    Manifest.create(spark, table, slice(0))
+    val q = ManifestStream.read(spark, table, ignoreDeletes = true)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      Manifest.commitAppend(spark, table, slice(1))
+      q.processAllAvailable()
+      // initial snapshot + pure append: the appended parquet files ARE
+      // the input partitions; nothing may have been staged
+      assert(stagedSpans(ckpt).isEmpty,
+        s"zero-copy spans must not stage, found ${stagedSpans(ckpt)}")
+      // a delete-carrying span needs the driver-planned net frame —
+      // that one stages (and is the only one that pays the round trip)
+      Manifest.deleteWhereMoR(spark, table, col("doc_id") % 10 === 0)
+      q.processAllAvailable()
+      assert(stagedSpans(ckpt).nonEmpty,
+        "a delete-carrying span must stage its netted rows")
+    } finally q.stop()
+    // exactness across the mode switch: the sink holds exactly the
+    // rows delivered before the delete (net inserts of the delete
+    // span are empty)
+    val got = rows(spark.read.parquet(s"$dir/out"))
+    val want = rows(docs.filter(col("doc_id") % 5 <= 1))
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
   test("a pure-append span reads only the appended entries — no multiset diff in the plan") {
     val table = tmp("fastpath") + "/t"
     Manifest.create(spark, table, slice(0))
