@@ -131,13 +131,29 @@ private[v2] class GraftCowScanBuilder(op: GraftRowLevelOperation)
   override def build(): Scan = new GraftCowScan(op, required, filters)
 }
 
-/** The deterministic CoW group scan: static envelope admission, DV
-  * positions applied per file, parquet footers get the translatable
-  * filters on clean files (row-group skipping only — rows are
-  * re-filtered by the rewrite query). */
+/** The CoW group scan: envelope admission from the pushed predicate
+  * tree, narrowed further by RUNTIME GROUP FILTERING (Spark's
+  * RowLevelOperationRuntimeGroupFiltering plants a dynamic IN-filter
+  * of the command's MATCHING key values on [[filterAttributes]] —
+  * for a MERGE with no pushable target predicate, the difference
+  * between rewriting the table and rewriting the matched files). DV
+  * positions apply per file; rows are never filtered (the write
+  * replaces whole files, so every surviving row of an admitted file
+  * must flow through the rewrite).
+  *
+  * Soundness of the replaced-set handoff: the write replaces
+  * [[GraftRowLevelOperation.scannedFiles]], which tracks every
+  * narrowing. `filter()` runs when the scan's stage executes, before
+  * its partitions plan, so the rows that flowed and the set the
+  * commit drops always describe the same files. A stage the engine
+  * proves empty WITHOUT running the scan can only arise when no
+  * group matches (empty MERGE source, group filter matching
+  * nothing) — there the recorded set's rows all re-flow or the set
+  * is already narrowed to ∅, never a silent drop. */
 private[v2] class GraftCowScan(op: GraftRowLevelOperation,
     required: StructType, allFilters: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private def spark: SparkSession = SparkSession.active
   private val path = op.path
@@ -146,14 +162,33 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation,
     Manifest.listSnapshotFilesWithLen(spark, path, op.snap)
   private val sizeOf: Map[String, Long] = filesWithLen.toMap
 
-  private val admitted: Seq[String] = {
-    val pred = allFilters.flatMap(GraftScan.toColumnLoose)
-      .reduceOption(_ && _)
-    val a = pred
+  private val staticPred =
+    allFilters.flatMap(GraftScan.toColumnLoose).reduceOption(_ && _)
+
+  @volatile private var admitted: Seq[String] = {
+    val a = staticPred
       .flatMap(p => Manifest.admittedFilesFor(spark, path, op.snap, p))
       .getOrElse(filesWithLen.map(_._1))
     op.scannedFiles = Some(a)
     a
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val covered = Manifest.envelopeColumns(spark, path, op.snap)
+    required.fieldNames.filter(covered.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val runtime = filters.flatMap(GraftScan.toColumnLoose).toSeq
+    if (runtime.nonEmpty) {
+      val pred = (staticPred.toSeq ++ runtime).reduce(_ && _)
+      Manifest.admittedFilesFor(spark, path, op.snap, pred).foreach { rt =>
+        admitted = rt
+        op.scannedFiles = Some(rt)
+      }
+    }
   }
 
   override def readSchema(): StructType = required

@@ -408,6 +408,53 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == (1 to 800).map(_.toLong).sum)
   }
 
+  test("MERGE runtime group filtering: a source whose keys hit two of " +
+      "eight range-clustered files rewrites ONLY the files the dynamic " +
+      "key filter admits — the rest carry verbatim") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/rgf"
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(8, F.col("id")).sortWithinPartitions(F.col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val v1Files = Manifest.read(spark, tbl).inputFiles.toSet
+    assert(v1Files.size == 8)
+    // source keys cluster in the low range — a MERGE has NO pushable
+    // target predicate, so only the runtime key filter can prune
+    Seq((5L, 500L), (17L, 1700L), (42L, 4200L))
+      .toDF("id", "v").write.parquet(s"$root/rgfsrc")
+    spark.read.parquet(s"$root/rgfsrc").createOrReplaceTempView("rgf_src")
+    spark.sql(
+      """MERGE INTO graft.db.rgf t USING rgf_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val v2Files = Manifest.read(spark, tbl).inputFiles.toSet
+    val rewritten = (v1Files -- v2Files).size
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"expected the runtime key filter to confine the rewrite to the " +
+        s"1-2 files holding ids 5/17/42, rewrote $rewritten of 8")
+    // values exact: three updates, everything else untouched
+    assert(spark.sql("SELECT count(*) FROM graft.db.rgf")
+      .head().getLong(0) == 800L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.db.rgf").head().getLong(0) ==
+      (1 to 800).map(_.toLong).sum - (5 + 17 + 42) + (500 + 1700 + 4200))
+
+    // MERGE with an EMPTY matching source: no group admits, nothing
+    // rewrites, and no data is lost (the empty-query edge)
+    Seq((100000L, 1L)).toDF("id", "v").filter($"id" < 0)
+      .write.parquet(s"$root/rgfempty")
+    spark.read.parquet(s"$root/rgfempty")
+      .createOrReplaceTempView("rgf_empty")
+    spark.sql(
+      """MERGE INTO graft.db.rgf t USING rgf_empty s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.rgf").head()
+      == org.apache.spark.sql.Row(800L,
+        (1 to 800).map(_.toLong).sum - 64L + 6400L),
+      "an empty-source MERGE must not drop or duplicate a single row")
+  }
+
   test("runtime (DPP-style) filtering: a selective dim filter in a SQL " +
       "join narrows the fact scan's admitted files AFTER planning") {
     import spark.implicits._
