@@ -66,6 +66,28 @@ object SkipScale {
     time("adviseMaintenance") {
       Manifest.adviseMaintenance(spark, tbl).collect()
     }
+    // round-18 catalog verbs at the same fragmentation: the native
+    // scan's planning (admission + per-file partitions) and the SQL
+    // mutations — the MoR DELETE is driver metadata + one vector
+    // write; the CoW UPDATE's rewrite is ∝ admitted files but its
+    // PLANNING (admission + per-file carry of the untouched ~n files
+    // into the commit) is the part that must stay sub-linear-ish
+    spark.conf.set("spark.sql.catalog.graft_scale",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_scale.root", dir)
+    val lo = rows / 2
+    time(f"catalog SQL pruned aggregate ($n%,d files)") {
+      spark.sql(s"SELECT sum(v) FROM graft_scale.t " +
+        s"WHERE id BETWEEN $lo AND ${lo + 120}").collect()
+    }
+    time(f"SQL DELETE FROM (MoR metadata path, $n%,d files)") {
+      spark.sql(s"DELETE FROM graft_scale.t " +
+        s"WHERE id BETWEEN ${rows / 4} AND ${rows / 4 + 49}")
+    }
+    time(f"SQL UPDATE (CoW, ~2 files rewritten, $n%,d files)") {
+      spark.sql(s"UPDATE graft_scale.t SET v = v + 1 " +
+        s"WHERE id BETWEEN ${rows / 8} AND ${rows / 8 + 49}")
+    }
     spark.stop()
   }
 }

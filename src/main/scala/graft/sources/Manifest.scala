@@ -2509,15 +2509,16 @@ object Manifest {
   private def pointCandidateFilesHashed(spark: SparkSession, table: String,
       snap: Snapshot, bloomName: String,
       probes: Seq[Long]): Option[Seq[String]] = {
-    val fs = fsFor(spark, table)
-    val bd = bloomDir(table, snap.version)
     // the decision needs the snapshot's OWN file list — from the
     // filesystem, never a relation init at decision time
     val all = listSnapshotFiles(spark, table, snap)
-    if (!fs.exists(bd) ||
-        all.exists(f => f.split('/').exists(_.contains("="))))
+    if (all.exists(f => f.split('/').exists(_.contains("="))))
       return None
-    val (sch, rows) = sidecarRows(spark, bd).getOrElse(return None)
+    // newest retained sidecar (files are immutable; unknown files
+    // stay candidates below), so interleaved commits never turn the
+    // bloom decision off table-wide
+    val (sch, rows) = newestSidecar(spark, table, snap, bloomDir)
+      .getOrElse(return None)
     // sidecar predates this spec: conservative full read, never a
     // resolution error
     if (!sch.fieldNames.contains(s"${bloomName}__bloom")) return None
@@ -2575,19 +2576,18 @@ object Manifest {
   private def prunedFilesFor(spark: SparkSession, table: String,
       snap: Snapshot,
       ranges: Seq[(String, Double, Double)]): Option[Seq[String]] = {
-    val fs = fsFor(spark, table)
-    val sd = statsDir(table, snap.version)
-    if (!fs.exists(sd)) return None
     // hive-partitioned snapshots: leaf-file reads would silently drop
     // the partition columns, and their pruning is already partition
     // pruning's job. The file universe comes from the FILESYSTEM
     // listing (never a relation init at decision time); sidecar rows
     // match by normalized URI path, since input_file_name() and the
-    // listing render the scheme differently.
+    // listing render the scheme differently. The newest RETAINED
+    // sidecar decides (files are immutable; uncovered files read).
     val all = listSnapshotFiles(spark, table, snap)
     if (all.exists(f => f.split('/').exists(_.contains("="))))
       return None
-    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
+    val (sch, rows) = newestSidecar(spark, table, snap, statsDir)
+      .getOrElse(return None)
     // sidecar predates one of the probed columns: conservative full
     // read, never a resolution error
     if (!ranges.forall { case (c, _, _) =>
@@ -2735,13 +2735,11 @@ object Manifest {
       snap: Snapshot, column: String,
       lo: Option[String], hi: Option[String],
       hiExclusive: Boolean = false): Option[Seq[String]] = {
-    val fs = fsFor(spark, table)
-    val sd = strStatsDir(table, snap.version)
-    if (!fs.exists(sd)) return None
     val all = listSnapshotFiles(spark, table, snap)
     if (all.exists(f => f.split('/').exists(_.contains("="))))
       return None
-    val (sch, rows) = sidecarRows(spark, sd).getOrElse(return None)
+    val (sch, rows) = newestSidecar(spark, table, snap, strStatsDir)
+      .getOrElse(return None)
     if (!sch.fieldNames.contains(s"${column}__smin") ||
         !sch.fieldNames.contains(s"${column}__smax")) return None
     val fi = sch.fieldIndex("file")
@@ -2904,8 +2902,16 @@ object Manifest {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.types.{DataType, StringType, StructType}
-    val numSide = sidecarRows(spark, statsDir(table, snap.version))
-    val strSide = sidecarRows(spark, strStatsDir(table, snap.version))
+    // the NEWEST retained sidecar of each family, not just the
+    // snapshot's own version: data files are immutable, so any
+    // retained sidecar's rows describe the files it covers exactly,
+    // and files it misses simply admit. Without the fallback, ANY
+    // commit after the last ANALYZE (a MoR takedown, a tag-less
+    // append) silently turned admission off table-wide — measured as
+    // a 2-file UPDATE rewriting all 5,000 files because a DELETE had
+    // bumped the version past the sidecar.
+    val numSide = newestSidecar(spark, table, snap, statsDir)
+    val strSide = newestSidecar(spark, table, snap, strStatsDir)
     if (numSide.isEmpty && strSide.isEmpty) return None
     // the file universe comes from the FILESYSTEM, not a relation init
     // (the statsAggregate lesson: at 5k files the relation's footer
@@ -3158,12 +3164,12 @@ object Manifest {
     * can actually narrow the admitted file set. */
   private[graft] def envelopeColumns(spark: SparkSession, table: String,
       snap: Snapshot): Set[String] = {
-    def cols(dir: Path, suf: String): Seq[String] =
-      sidecarRows(spark, dir).map(_._1.fieldNames.toSeq.collect {
-        case f if f.endsWith(suf) => f.dropRight(suf.length)
-      }).getOrElse(Nil)
-    (cols(statsDir(table, snap.version), "__min") ++
-      cols(strStatsDir(table, snap.version), "__smin")).toSet
+    def cols(dirFor: (String, Long) => Path, suf: String): Seq[String] =
+      newestSidecar(spark, table, snap, dirFor)
+        .map(_._1.fieldNames.toSeq.collect {
+          case f if f.endsWith(suf) => f.dropRight(suf.length)
+        }).getOrElse(Nil)
+    (cols(statsDir, "__min") ++ cols(strStatsDir, "__smin")).toSet
   }
 
   /** Exact RAW row count (pre-DV) of `files` from the numeric
@@ -3322,13 +3328,23 @@ object Manifest {
     * delta. */
   private def statsSidecarFor(spark: SparkSession, table: String,
       snap: Snapshot): Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] =
+    newestSidecar(spark, table, snap, statsDir)
+
+  /** The given FAMILY's sidecar at the snapshot's own version, else
+    * the newest retained one — sound for any per-file consumer
+    * because data files are immutable (rows describe covered files
+    * exactly; uncovered files degrade conservatively). */
+  private def newestSidecar(spark: SparkSession, table: String,
+      snap: Snapshot, dirFor: (String, Long) => Path)
+      : Option[(org.apache.spark.sql.types.StructType,
         Array[org.apache.spark.sql.Row])] = {
     val fs = fsFor(spark, table)
     Some(snap.version)
-      .filter(v => fs.exists(statsDir(table, v)))
+      .filter(v => fs.exists(dirFor(table, v)))
       .orElse(versions(spark, table)
-        .filter(v => fs.exists(statsDir(table, v))).lastOption)
-      .flatMap(v => sidecarRows(spark, statsDir(table, v)))
+        .filter(v => fs.exists(dirFor(table, v))).lastOption)
+      .flatMap(v => sidecarRows(spark, dirFor(table, v)))
   }
 
   private def statsCovers(sch: org.apache.spark.sql.types.StructType,

@@ -70,10 +70,11 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
   /** Files admitted by the STATIC predicate tree; narrowed in place by
     * [[filter]] when a runtime filter lands (And only ever shrinks the
     * admitted set — tree admission is conjunction-monotone). */
-  @volatile private var admitted: Seq[String] =
+  @volatile private var admitted: Seq[String] = {
     staticPred
       .flatMap(p => Manifest.admittedFilesFor(spark, path, snap, p))
       .getOrElse(filesWithLen.map(_._1))
+  }
 
   override def readSchema(): StructType = required
 

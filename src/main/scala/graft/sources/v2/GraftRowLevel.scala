@@ -226,9 +226,10 @@ private[v2] class GraftCowScan(op: GraftRowLevelOperation,
     * (row-group skip) or row-level re-check here would silently DROP
     * the admitted files' non-matching rows from the replacement.
     * Pushed predicates prune at exactly one grain: files. */
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     GraftNativeScan.readerFactory(spark, op.snap, required,
       Array.empty, op.tableSchema)
+  }
 }
 
 private[v2] case class GraftWriteMessage(files: Seq[String], rows: Long)
@@ -297,7 +298,7 @@ private[v2] case class GraftParquetWriterFactory(dir: String,
     schema: StructType) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
+      taskId: Long): DataWriter[InternalRow] = {
     new DataWriter[InternalRow] {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
       import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -351,4 +352,5 @@ private[v2] case class GraftParquetWriterFactory(dir: String,
 
       override def close(): Unit = ()
     }
+  }
 }

@@ -77,6 +77,16 @@ class CatalogSpec extends AnyFunSuite {
     // inner frame selects exactly the pruned schema)
     val proj = spark.sql("SELECT v FROM graft.db.docs WHERE id < 10")
     assert(proj.collect().length == 9)
+
+    // the _graft_file metadata column: per-row provenance, one key per
+    // data file, keyed exactly like the DV masks (version-dir anchored)
+    val prov = spark.sql(
+      "SELECT _graft_file, count(*) AS n FROM graft.db.docs GROUP BY 1")
+      .collect()
+    assert(prov.length == nAll, s"expected one key per file, got ${prov.length}")
+    assert(prov.map(_.getLong(1)).sum == 800L)
+    assert(prov.forall(_.getString(0).matches("_v\\d{8}-[0-9a-f]{8}/.+")),
+      s"keys must be version-dir anchored, got ${prov.head.getString(0)}")
   }
 
   test("MoR delete vectors mask rows through the SQL front door") {

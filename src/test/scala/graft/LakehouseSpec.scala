@@ -245,11 +245,15 @@ class LakehouseSpec extends AnyFunSuite {
     assert(rows(pruned).sameElements(rows(full)) && rows(pruned).length == 51)
     // disjoint range: every file skipped, still a well-formed empty frame
     assert(Manifest.readPruned(spark, tbl, "id", 5000.0, 6000.0).count() == 0)
-    // an append the sidecar has not seen yet: version-scoped stats are
-    // gone for v2, so the read conservatively falls back to every file
+    // an append the sidecar has not seen yet: the newest RETAINED
+    // sidecar keeps pruning the files it covers, the uncovered
+    // appended files admit conservatively — never a lost row
     Manifest.commitAppend(spark, tbl, mk(801 to 820))
     val fallback = Manifest.readPruned(spark, tbl, "id", 100.0, 150.0)
-    assert(fallback.inputFiles.length == Manifest.read(spark, tbl).inputFiles.length)
+    assert(fallback.inputFiles.length <
+      Manifest.read(spark, tbl).inputFiles.length,
+      "covered files must keep pruning past the un-analyzed append")
+    assert(fallback.filter($"id".between(100, 150)).count() == 51)
     // re-analyze INCREMENTALLY: the eight covered files' rows carry
     // over from the v1 sidecar, only the appended files are scanned
     val appended = Manifest.read(spark, tbl).inputFiles.length - scanned0
@@ -1570,11 +1574,15 @@ class LakehouseSpec extends AnyFunSuite {
     // a disjoint range admits nothing (the NULL row never matches)
     assert(Manifest.readPrunedString(spark, tbl, "w",
       Some("x"), Some("z")).count() == 0)
-    // an un-analyzed append falls back to the FULL read (the numeric
-    // readPruned discipline) — never a lost row
+    // an un-analyzed append: covered files keep pruning through the
+    // newest retained sidecar, the uncovered appended file admits —
+    // never a lost row
     Manifest.commitAppend(spark, tbl,
       Seq(("dragonfruit", 8L)).toDF("w", "id").coalesce(1))
-    assert(Manifest.readPrefix(spark, tbl, "w", "a").count() == 8)
+    val fb = Manifest.readPrefix(spark, tbl, "w", "a")
+    assert(fb.inputFiles.length <
+      Manifest.read(spark, tbl).inputFiles.length)
+    assert(fb.filter(col("w").startsWith("a")).count() == 2)
     // incremental re-analyze scans ONLY the appended file; pruning resumes
     assert(Manifest.analyzeFilesString(spark, tbl, Seq("w")) == 1)
     val pd = Manifest.readPrefix(spark, tbl, "w", "dragon")
@@ -2233,5 +2241,41 @@ class LakehouseSpec extends AnyFunSuite {
     Manifest.deleteWhereMoR(spark, tbl, pred)
     assert(Manifest.read(spark, tbl).count() == 3L,
       "deleteWhereMoR must not be defeated by double-rounded envelopes")
+  }
+
+  test("file skipping survives commits past the last ANALYZE: the " +
+      "newest retained sidecar decides, appended files admit " +
+      "conservatively, and a post-delete UPDATE-shaped admission " +
+      "stays surgical") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_stale").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 800).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .repartitionByRange(8, F.col("id")).sortWithinPartitions(F.col("id")))
+    Manifest.analyzeFiles(spark, tbl, Seq("id"))
+    val n1 = Manifest.read(spark, tbl).inputFiles.length
+
+    // a MoR takedown bumps the version past the sidecar; the envelope
+    // decision must keep pruning (this exact shape once collapsed to
+    // "admit everything", turning a 1-file rewrite into a table scan)
+    Manifest.deleteWhereMoR(spark, tbl, F.col("id") === 400L)
+    val pruned = Manifest.readPrunedWhereOpt(spark, tbl,
+      F.col("id").between(100, 110))
+    assert(pruned.nonEmpty, "admission must survive the version bump")
+    assert(pruned.get.inputFiles.length < n1)
+    assert(pruned.get.filter(F.col("id").between(100, 110)).count() == 11)
+
+    // an APPEND past the sidecar: old files keep pruning, the new
+    // (uncovered) file always admits — rows never go missing
+    Manifest.commitAppend(spark, tbl,
+      Seq((105L, 9999L)).toDF("id", "v").coalesce(1))
+    val pruned2 = Manifest.readPrunedWhereOpt(spark, tbl,
+      F.col("id").between(100, 110))
+    assert(pruned2.nonEmpty && pruned2.get.inputFiles.length < n1 + 1)
+    assert(pruned2.get.filter(F.col("id").between(100, 110)).count() == 12,
+      "the uncovered appended file must admit conservatively")
   }
 }
