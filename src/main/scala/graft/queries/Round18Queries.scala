@@ -395,6 +395,89 @@ object Round18Queries {
              |  CAST((SELECT sum(CASE WHEN doc_id % 5 = 0 THEN 7
              |                        ELSE n_chars END) FROM documents)
              |    + 22 AS BIGINT) AS sum_chars,
-             |  true AS one_commit""".stripMargin))
+             |  true AS one_commit""".stripMargin)),
+
+    // count(*) pushdown on a TAKEDOWN-CARRYING snapshot: after a MoR
+    // delete masks rows behind a vector, the bare dashboard count is
+    // STILL answered with zero data files — raw sidecar rows minus
+    // the masked positions, both driver metadata (pinned via the
+    // scan's zero-file report + PushedAggregates in the plan). The
+    // GDPR takedown doesn't break the metadata-served dashboard; a
+    // sum on the same snapshot honestly declines and scans. Both
+    // values recomputed by the oracle.
+    NamedQuery("q245_sql_count_dv",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlcntdv")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs.coalesce(4))
+        Manifest.analyzeFiles(s, table, Seq("doc_id", "n_chars"))
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 13 === 0)
+        s.conf.set("spark.sql.catalog.graft_q245",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q245.root", root)
+        val cnt = s.sql("SELECT count(*) AS n FROM graft_q245.db.docs")
+        val n = cnt.head().getLong(0)
+        val countMetaOnly = GraftScanInfo.lastFiles(table).exists(_.isEmpty) &&
+          cnt.queryExecution.executedPlan.toString
+            .contains("PushedAggregates")
+        val sum = s.sql(
+          "SELECT CAST(sum(n_chars) AS BIGINT) AS sc FROM graft_q245.db.docs")
+        val sc = sum.head().getLong(0)
+        val sumScans = GraftScanInfo.lastFiles(table).exists(_.nonEmpty)
+        import s.implicits._
+        Seq((n, sc, countMetaOnly, sumScans))
+          .toDF("n_rows", "sum_chars", "count_meta_only", "sum_scans")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS count_meta_only, true AS sum_scans
+             |FROM documents WHERE doc_id % 13 <> 0""".stripMargin)),
+
+    // SQL ALTER TABLE ADD COLUMN: additive schema evolution as ONE
+    // metadata-only commit — zero files touched (paths pinned equal),
+    // every pre-evolution row serves NULL for the new column, and the
+    // very next INSERT carries it. The full shape a live pipeline
+    // needs when a new quality score joins the corpus schema
+    // mid-flight. Values recomputed by the oracle.
+    NamedQuery("q246_sql_add_column",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlalter")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs.coalesce(2))
+        s.conf.set("spark.sql.catalog.graft_q246",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q246.root", root)
+        s.sql("ALTER TABLE graft_q246.db.docs ADD COLUMN quality DOUBLE")
+        val metadataOnly = Manifest.versions(s, table) == Seq(1L, 2L) &&
+          Manifest.currentSnapshot(s, table).get.paths ==
+            Manifest.readSnapshot(s, table, 1L).paths &&
+          Manifest.currentSnapshot(s, table).get
+            .meta.get("operation").contains("evolve")
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        s.sql(s"INSERT INTO graft_q246.db.docs VALUES " +
+          s"(${maxId + 1}, 42, 0.75), (${maxId + 2}, 43, 0.25)")
+        val agg = s.sql(
+          """SELECT count(*) AS n_rows,
+            |  count(quality) AS n_scored,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(sum(quality) AS DOUBLE) AS sum_quality
+            |FROM graft_q246.db.docs""".stripMargin).head()
+        import s.implicits._
+        Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+          agg.getDouble(3), metadataOnly))
+          .toDF("n_rows", "n_scored", "sum_chars", "sum_quality",
+            "metadata_only")
+      },
+      Some("""SELECT CAST(count(*) + 2 AS BIGINT) AS n_rows,
+             |  CAST(2 AS BIGINT) AS n_scored,
+             |  CAST(sum(n_chars) + 85 AS BIGINT) AS sum_chars,
+             |  CAST(1.0 AS DOUBLE) AS sum_quality,
+             |  true AS metadata_only
+             |FROM documents""".stripMargin))
   )
 }

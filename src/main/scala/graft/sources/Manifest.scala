@@ -417,6 +417,46 @@ object Manifest {
     create(spark, table, empty)
   }
 
+  /** ADDITIVE schema evolution as a METADATA-ONLY commit — the SQL
+    * `ALTER TABLE … ADD COLUMN` shape: no data file is touched; the
+    * widened schema lands as the snapshot's committed read schema
+    * ([[SchemaKey]]) and every existing row serves NULL for the new
+    * columns, exactly like an evolution that rode an append. Strictly
+    * additive: every existing field must survive with its name and
+    * type (drops, renames, and type changes would silently corrupt
+    * reads of immutable files — refused loudly); new fields must be
+    * nullable (there is no data to backfill). Hive-partitioned
+    * tables refuse — explicit-schema reads fight partition inference
+    * (the commitAppend evolution rule). */
+  def evolveSchema(spark: SparkSession, table: String,
+      widened: org.apache.spark.sql.types.StructType): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.evolveSchema: $table has no committed snapshot"))
+    val hive = snap.meta.contains(PartitionKey) ||
+      listSnapshotFiles(spark, table, snap)
+        .exists(f => f.split('/').exists(_.contains("=")))
+    require(!hive,
+      "Manifest.evolveSchema: additive schema evolution is not supported " +
+        "on hive-partitioned tables (explicit-schema reads would fight " +
+        "partition inference)")
+    val cur = committedSchemaOf(snap)
+      .getOrElse(readSnapshotRaw(spark, table, snap).schema)
+    def key(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType.sql)).toSet
+    require(key(cur).subsetOf(key(widened)),
+      s"Manifest.evolveSchema: evolution must be ADDITIVE — missing or " +
+        s"retyped: ${(key(cur) -- key(widened)).map(_._1).toSeq.sorted
+          .mkString(",")}")
+    val added = widened.filterNot(f => cur.fieldNames.contains(f.name))
+    require(added.nonEmpty,
+      "Manifest.evolveSchema: nothing to add")
+    require(added.forall(_.nullable),
+      s"Manifest.evolveSchema: new columns must be NULLABLE (no data to " +
+        s"backfill): ${added.filterNot(_.nullable).map(_.name).mkString(",")}")
+    commit(spark, table, snap.version, snap.paths,
+      withOp(snap.meta, "evolve") + (SchemaKey -> widened.json))
+  }
+
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
     * listing its current root files in place (no data movement). From
     * then on the table must be read through the manifest — the next

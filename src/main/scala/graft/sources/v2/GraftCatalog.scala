@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{functions => F}
 
@@ -41,14 +41,14 @@ import org.apache.spark.sql.{functions => F}
   * MoR delete vectors mask deleted rows, and an evolved snapshot
   * serves pre-evolution files with NULL new columns.
   *
-  * Read path: the scan implements the public [[V1Scan]] bridge, whose
-  * relation returns the INNER Manifest frame's `InternalRow` RDD with
-  * `needConversion = false` — the JDBC source's own pattern — so the
-  * underlying parquet scan keeps columnar reads, predicate pushdown
-  * (exactly-translated filters are claimed handled and applied to the
-  * inner frame, reaching the footers; anything untranslatable stays a
-  * Spark-side residual) and whole-stage codegen, with zero per-row
-  * conversion at the bridge.
+  * Read path: unpartitioned snapshots plan through the NATIVE batch
+  * scan ([[GraftNativeScan]] — admitted files as input partitions over
+  * Spark's vectorized parquet reader, runtime DPP-style file skipping,
+  * manifest-served CBO statistics, per-file DV masking, a
+  * `_graft_file` provenance metadata column); hive-partitioned
+  * snapshots keep the [[V1Scan]] bridge ([[GraftScan]] — the JDBC
+  * source's zero-conversion pattern), whose directory-encoded
+  * partition columns a per-file reader would drop.
   *
   * Aggregate pushdown ([[org.apache.spark.sql.connector.read
   * .SupportsPushDownAggregates]], complete-only): `count(*)`/`count`/
@@ -56,25 +56,27 @@ import org.apache.spark.sql.{functions => F}
   * file-constant keys — serve from the envelope sidecars with ZERO
   * data files in the plan ([[Manifest.statsAggregateGrouped]] and
   * friends, version-pinned at push time); `avg` rides Spark's own
-  * sum/count rewrite. Anything unservable — DV-carrying snapshots,
-  * boundary files, 2⁵³-risky integral sums/extrema, strict bounds —
-  * DECLINES pushdown and Spark aggregates the ordinary scan: slower,
-  * never wrong.
+  * sum/count rewrite; a bare `count(*)` serves even on DV-carrying
+  * snapshots (sidecar rows minus masked positions). Anything
+  * unservable — boundary files, 2⁵³-risky integral sums/extrema,
+  * strict bounds — DECLINES pushdown and Spark aggregates the
+  * ordinary scan: slower, never wrong.
   *
-  * Not offered: [[org.apache.spark.sql.connector.read
-  * .SupportsRuntimeFiltering]] — runtime (DPP-style) filters re-plan
-  * partitions after physical planning, which the V1Scan bridge cannot
-  * express (its relation is planned once); the native IVF/DPP paths
-  * (`llm/Similarity`) and the CubeQuery front door remain the
-  * runtime-pruned routes.
-  *
-  * Writes: `INSERT INTO` / `writeTo(...).append()` land as
-  * [[Manifest.commitAppend]] commits — the optimistic-concurrency
-  * verb itself, so a SQL append is exactly as safe as the API one.
-  * Every OTHER mutation stays with the Manifest verbs (deleteWhere /
-  * merge / WAP / evolution), whose CoW/MoR semantics a generic SQL
-  * rewrite could not preserve; DDL and INSERT OVERWRITE refuse
-  * loudly.
+  * Mutations — the full SQL lifecycle, each verb an optimistic-
+  * concurrency manifest commit:
+  *  - `CREATE TABLE` = an empty schema-carrying v1; `CREATE TABLE …
+  *    AS SELECT` = ONE atomic v1 ([[GraftStagedTable]]);
+  *  - `INSERT INTO` / `writeTo(…).append()` = [[Manifest.commitAppend]];
+  *  - `DELETE FROM` = the MoR delete-vector commit for translatable
+  *    predicates ([[Manifest.deleteWhereMoR]]), the copy-on-write
+  *    rewrite for the rest;
+  *  - `UPDATE` / `MERGE INTO` = group-based CoW rewrites pruned to
+  *    the predicate- and runtime-key-admitted files
+  *    ([[GraftRowLevelOperation]]);
+  *  - `ALTER TABLE … ADD COLUMN` = a metadata-only additive schema
+  *    evolution ([[Manifest.evolveSchema]]).
+  *  INSERT OVERWRITE, DROP/RENAME, non-additive ALTERs, and writes to
+  *  pinned snapshots refuse loudly.
   *
   * At 100 TB: table resolution and file skipping are driver metadata
   * (one manifest read + sidecar parquet reads); the data plan is the
@@ -82,7 +84,8 @@ import org.apache.spark.sql.{functions => F}
   * catalog adds interoperability, not a second execution path.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catName: String = _
   private var initRoot: Option[String] = None
 
@@ -128,6 +131,69 @@ class GraftCatalog extends TableCatalog
       }
     }.map(st => Identifier.of(namespace, st.getPath.getName))
   }
+
+  // ---- SupportsNamespaces: a namespace IS a warehouse directory ----
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(p, "_manifest")
+    fs.exists(m) && fs.getFileStatus(m).isDirectory
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  /** Child directories that are not manifested tables themselves. */
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace).mkString("/"))
+    val fs = fsOf(dir)
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory)
+      throw new NoSuchNamespaceException(catName +: namespace)
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !isTableDir(fs, st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace).mkString("/"))
+    val fs = fsOf(dir)
+    if (namespace.isEmpty || !fs.exists(dir) ||
+        !fs.getFileStatus(dir).isDirectory || isTableDir(fs, dir))
+      throw new NoSuchNamespaceException(catName +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  /** `CREATE NAMESPACE graft.db2`: one mkdirs — a namespace carries no
+    * metadata of its own (properties refuse rather than silently
+    * dropping). */
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(metadata.isEmpty || {
+      // Spark always stamps its own 'owner' property; anything else
+      // the directory cannot persist refuses loudly
+      val ks = metadata.keySet()
+      ks.size() == 1 && ks.contains("owner")
+    }, s"graft catalog: namespace properties are not supported " +
+      s"(a namespace is a directory): ${metadata.keySet()}")
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace).mkString("/"))
+    fsOf(dir).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit = readOnly
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = readOnly
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
@@ -214,8 +280,34 @@ class GraftCatalog extends TableCatalog
     new GraftStagedTable(p, info.schema(), identityParts(info.partitions()))
   }
 
+  /** `ALTER TABLE graft.db.t ADD COLUMN c TYPE` — additive schema
+    * evolution as ONE metadata-only commit ([[Manifest.evolveSchema]]):
+    * no file rewritten, existing rows serve NULL. Only top-level
+    * nullable ADD COLUMN (appended at the end) maps to the manifest's
+    * evolution semantics; drops, renames, type changes, positioned or
+    * nested adds refuse loudly — they would corrupt reads of
+    * immutable files or have no manifest meaning. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!Manifest.isManifested(spark, p))
+      throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable &&
+            a.position() == null =>
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER '$other' — only plain " +
+          "nullable top-level ADD COLUMN maps to additive manifest " +
+          "evolution; everything else would rewrite immutable files")
+    }
+    val cur = Manifest.read(spark, p).schema
+    Manifest.evolveSchema(spark, p,
+      StructType(cur.fields ++ adds))
+    new GraftTable(p, None)
+  }
+
   override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
@@ -775,6 +867,9 @@ private[v2] object GraftScan {
     * sides do (a partially-translated And applied as the whole filter
     * would be a wrong claim). */
   def toColumn(f: Filter): Option[Column] = f match {
+    // TRUNCATE TABLE arrives as the AlwaysTrue predicate
+    case sources.AlwaysTrue() => Some(F.lit(true))
+    case sources.AlwaysFalse() => Some(F.lit(false))
     case sources.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
     case sources.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
     case sources.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))

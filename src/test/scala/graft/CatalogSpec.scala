@@ -574,4 +574,74 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.db.ep (a INT, p STRING) PARTITIONED BY (p)"))
   }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only additive evolution; " +
+      "TRUNCATE masks every row behind one MoR commit; destructive " +
+      "ALTERs refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/ev"
+    Manifest.create(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+
+    spark.sql("ALTER TABLE graft.db.ev ADD COLUMN score DOUBLE")
+    // one commit, zero files touched, old rows serve NULL
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("evolve"))
+    assert(Manifest.currentSnapshot(spark, tbl).get.paths ==
+      Manifest.readSnapshot(spark, tbl, 1L).paths)
+    val rows = spark.sql(
+      "SELECT id, score FROM graft.db.ev ORDER BY id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(1)))
+    // the widened schema accepts inserts with the new column
+    spark.sql("INSERT INTO graft.db.ev VALUES (3, 'c', 0.5)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.ev WHERE score IS NOT NULL")
+      .head().getLong(0) == 1L)
+    // both faces agree on the evolved shape
+    assert(Manifest.read(spark, tbl).schema.fieldNames
+      .sameElements(Array("id", "s", "score")))
+
+    // destructive ALTERs refuse loudly
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ev DROP COLUMN s"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ev RENAME COLUMN s TO t"))
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L),
+      "refused ALTERs must commit nothing")
+
+    // TRUNCATE: the table stays (and its history), emptied by one
+    // MoR mask — the pre-truncate snapshot still time-travels
+    spark.sql("TRUNCATE TABLE graft.db.ev")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ev")
+      .head().getLong(0) == 0L)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.ev VERSION AS OF 3")
+      .head().getLong(0) == 3L)
+  }
+
+  test("namespaces are warehouse directories: CREATE NAMESPACE, SHOW " +
+      "NAMESPACES, CTAS into the new namespace; DROP refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    // seed one table so db exists
+    Manifest.create(spark, s"$root/db/seed",
+      Seq((1L, 2L)).toDF("a", "b").coalesce(1))
+    spark.sql("CREATE NAMESPACE graft.curated")
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet
+    assert(namespaces == Set("db", "curated"), s"got $namespaces")
+    // a table dir is NOT a namespace; a namespace is usable immediately
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("ns_src")
+    spark.sql("CREATE TABLE graft.curated.t AS SELECT * FROM ns_src")
+    assert(spark.sql("SELECT sum(v) FROM graft.curated.t")
+      .head().getLong(0) == 30L)
+    assert(spark.sql("SHOW TABLES IN graft.curated").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+    intercept[Exception](spark.sql("DROP NAMESPACE graft.curated"))
+    intercept[Exception](spark.sql(
+      "SHOW NAMESPACES IN graft.nope"))
+  }
 }

@@ -2278,4 +2278,28 @@ class LakehouseSpec extends AnyFunSuite {
     assert(pruned2.get.filter(F.col("id").between(100, 110)).count() == 12,
       "the uncovered appended file must admit conservatively")
   }
+
+  test("commitReplaceFiles refuses a snapshot that moved underneath — " +
+      "the CoW rewrite's optimistic-concurrency bracket") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_stale_replace").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v").coalesce(2))
+    val pinned = Manifest.currentSnapshot(spark, tbl).get
+    val victim = Manifest.read(spark, tbl).inputFiles.head
+    // a commit lands between the rewrite's scan and its commit
+    Manifest.commitAppend(spark, tbl,
+      Seq((101L, 202L)).toDF("id", "v").coalesce(1))
+    val e = intercept[RuntimeException](
+      Manifest.commitReplaceFiles(spark, tbl, pinned,
+        replaced = Seq(victim), newRels = Nil, op = "update"))
+    assert(e.getMessage.contains("concurrent commit won"),
+      s"stale replace must lose the rename race loudly, got: ${e.getMessage}")
+    // nothing clobbered: the interleaved append and every original row
+    // still serve
+    assert(Manifest.read(spark, tbl).count() == 101L)
+  }
 }
