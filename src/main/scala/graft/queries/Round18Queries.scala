@@ -478,6 +478,57 @@ object Round18Queries {
              |  CAST(sum(n_chars) + 85 AS BIGINT) AS sum_chars,
              |  CAST(1.0 AS DOUBLE) AS sum_quality,
              |  true AS metadata_only
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // The SQL maintenance loop: `CALL graft.system.advise` names
+    // exactly the verbs the unhealthy states need (fragmented 20-file
+    // layout + two MoR takedowns ⇒ compact + foldDeletes), the CALL
+    // verbs run them (fold, compact, analyze, vacuum — each the
+    // Manifest verb itself, summary rows pinned), and advise falls
+    // SILENT on the maintained table. The post-maintenance aggregate
+    // is recomputed by the oracle — proof the whole loop preserved
+    // every surviving row. No Scala in the operate path.
+    NamedQuery("q247_sql_maintenance",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlmaint")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs.repartition(20))
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 97 === 0)
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 89 === 0)
+        s.conf.set("spark.sql.catalog.graft_q247",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q247.root", root)
+        def advised() = s.sql(
+          "CALL graft_q247.system.advise(table => 'db/docs')")
+          .select("action").collect().map(_.getString(0)).sorted
+          .mkString(",")
+        val flagged = advised()
+        s.sql("CALL graft_q247.system.fold_deletes(table => 'db/docs')")
+        val compacted = s.sql(
+          "CALL graft_q247.system.compact(table => 'db/docs')").head()
+        s.sql("CALL graft_q247.system.analyze(table => 'db/docs', " +
+          "columns => 'doc_id,n_chars')")
+        val vacuumed = s.sql(
+          "CALL graft_q247.system.vacuum(table => 'db/docs', keep => 1)")
+          .head()
+        val silent = advised()
+        val agg = s.sql(
+          """SELECT count(*) AS n_rows,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM graft_q247.db.docs""".stripMargin).head()
+        import s.implicits._
+        Seq((flagged, silent, agg.getLong(0), agg.getLong(1),
+          compacted.getInt(1) < 20 && vacuumed.getInt(1) == 1))
+          .toDF("flagged", "after", "n_rows", "sum_chars", "loop_ran")
+      },
+      Some("""SELECT 'compact,foldDeletes' AS flagged, '' AS after,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS loop_ran
+             |FROM documents
+             |WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0"""
+        .stripMargin))
   )
 }

@@ -85,7 +85,17 @@ import org.apache.spark.sql.{functions => F}
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL graft.system.advise/compact/fold_deletes/analyze/vacuum` —
+    * the maintenance loop from plain SQL ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
   private var catName: String = _
   private var initRoot: Option[String] = None
 

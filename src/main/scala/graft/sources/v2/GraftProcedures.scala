@@ -1,0 +1,141 @@
+package graft.sources.v2
+
+import java.util.Collections
+
+import graft.sources.Manifest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL maintenance verbs — `CALL graft.system.<verb>(…)` — so the
+  * whole operate-a-table loop the maintenance advisor recommends runs
+  * from plain SQL, no Scala in sight:
+  *
+  * {{{
+  *   CALL graft.system.advise(table => 'db/docs')
+  *   CALL graft.system.compact(table => 'db/docs', target_mb => 1024)
+  *   CALL graft.system.fold_deletes(table => 'db/docs')
+  *   CALL graft.system.analyze(table => 'db/docs',
+  *     columns => 'doc_id,n_chars', string_columns => 'source')
+  *   CALL graft.system.vacuum(table => 'db/docs', keep => 5)
+  * }}}
+  *
+  * Each verb IS the corresponding Manifest call (same optimistic
+  * commits, same guards — a racing writer fails the verb loudly,
+  * never a half state), and each returns a one-row summary (advise
+  * returns the full report) as a LocalScan — driver metadata, no
+  * executor work beyond what the verb itself distributes. `table` is
+  * the warehouse-relative path (`namespace/name`, matching the
+  * catalog's own layout).
+  */
+private[v2] object GraftProcedures {
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  private val Names = Seq("advise", "compact", "fold_deletes", "analyze",
+    "vacuum")
+
+  def load(root: => String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")) &&
+      Names.contains(ident.name()),
+      s"graft catalog: unknown procedure ${ident.namespace().mkString(".")}" +
+        s".${ident.name()} — available: ${Names.map("system." + _).mkString(", ")}")
+    new GraftProcedure(root, ident.name())
+  }
+}
+
+private[v2] class GraftProcedure(root: => String, verb: String)
+    extends UnboundProcedure with BoundProcedure {
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = verb
+  override def description(): String = s"graft maintenance verb '$verb'"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // commits move state
+
+  private def p(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+  private def pd(n: String, dt: DataType, default: String) =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  override def parameters(): Array[ProcedureParameter] = verb match {
+    case "advise" | "fold_deletes" => Array(p("table", StringType))
+    case "compact" =>
+      Array(p("table", StringType), pd("target_mb", IntegerType, "1024"))
+    case "analyze" =>
+      Array(p("table", StringType), pd("columns", StringType, "''"),
+        pd("string_columns", StringType, "''"))
+    case "vacuum" =>
+      Array(p("table", StringType), pd("keep", IntegerType, "2"),
+        pd("retain_hours", IntegerType, "0"))
+  }
+
+  private def out(fields: (String, DataType)*)(values: Any*): Scan = {
+    val schema = StructType(fields.map { case (n, t) => StructField(n, t) })
+    val row = InternalRow.fromSeq(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    })
+    new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String = s"graft system.$verb result"
+    }
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = s"$root/${input.getString(0)}"
+    require(Manifest.isManifested(spark, table),
+      s"graft system.$verb: $table is not a manifested table")
+    val scan: Scan = verb match {
+      case "advise" =>
+        val report = Manifest.adviseMaintenance(spark, table)
+        val schema = report.schema
+        val reportRows: Array[InternalRow] =
+          report.queryExecution.toRdd.collect().map(_.copy())
+        new LocalScan {
+          override def rows(): Array[InternalRow] = reportRows
+          override def readSchema(): StructType = schema
+          override def description(): String = "graft system.advise report"
+        }
+      case "compact" =>
+        val snap = Manifest.compact(spark, table,
+          targetBytes = input.getInt(1).toLong << 20)
+        out("version" -> LongType, "n_entries" -> IntegerType)(
+          snap.version, snap.paths.size)
+      case "fold_deletes" =>
+        val snap = Manifest.foldDeletes(spark, table)
+        out("version" -> LongType, "n_entries" -> IntegerType)(
+          snap.version, snap.paths.size)
+      case "analyze" =>
+        def cols(i: Int) = Option(input.getString(i)).map(_.trim)
+          .filter(_.nonEmpty).map(_.split(',').toSeq.map(_.trim))
+          .getOrElse(Nil)
+        val (num, str) = (cols(1), cols(2))
+        require(num.nonEmpty || str.nonEmpty,
+          "graft system.analyze: give columns and/or string_columns")
+        val scannedNum =
+          if (num.nonEmpty) Manifest.analyzeFiles(spark, table, num) else 0
+        val scannedStr =
+          if (str.nonEmpty) Manifest.analyzeFilesString(spark, table, str)
+          else 0
+        out("files_scanned_numeric" -> IntegerType,
+          "files_scanned_string" -> IntegerType)(scannedNum, scannedStr)
+      case "vacuum" =>
+        val before = Manifest.versions(spark, table).size
+        Manifest.vacuum(spark, table, keep = input.getInt(1),
+          retainMs = input.getInt(2).toLong * 3600 * 1000)
+        val after = Manifest.versions(spark, table).size
+        out("versions_before" -> IntegerType,
+          "versions_retained" -> IntegerType)(before, after)
+    }
+    Collections.singletonList(scan).iterator()
+  }
+}

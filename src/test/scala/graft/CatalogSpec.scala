@@ -644,4 +644,55 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       "SHOW NAMESPACES IN graft.nope"))
   }
+
+  test("CALL graft.system.*: the whole maintenance loop from SQL — " +
+      "advise names the verbs, compact/fold/analyze/vacuum run them, " +
+      "advise falls silent") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/mx"
+    // fragmented + DV-piled: the advisor must name compact + foldDeletes
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+        .repartition(20))
+    Manifest.deleteWhereMoR(spark, tbl, F.col("id") % 97 === 0)
+    Manifest.deleteWhereMoR(spark, tbl, F.col("id") % 89 === 0)
+
+    def advised(): Set[String] = spark.sql(
+      "CALL graft.system.advise(table => 'db/mx')")
+      .select("action").collect().map(_.getString(0)).toSet
+    val before = advised()
+    assert(before.contains("compact") && before.contains("foldDeletes"),
+      s"advisor must flag the unhealthy states, got $before")
+
+    val folded = spark.sql(
+      "CALL graft.system.fold_deletes(table => 'db/mx')").head()
+    assert(folded.getLong(0) == 4L, "fold must land one new version")
+    val compacted = spark.sql(
+      "CALL graft.system.compact(table => 'db/mx', target_mb => 1024)")
+      .head()
+    assert(compacted.getLong(0) == 5L)
+    assert(compacted.getInt(1) < 20, "compaction must collapse the files")
+
+    val analyzed = spark.sql(
+      "CALL graft.system.analyze(table => 'db/mx', columns => 'id,v')")
+      .head()
+    assert(analyzed.getInt(0) > 0, "analyze must scan the new files")
+    val vacuumed = spark.sql(
+      "CALL graft.system.vacuum(table => 'db/mx', keep => 1)").head()
+    assert(vacuumed.getInt(0) == 5 && vacuumed.getInt(1) == 1)
+
+    // the table is healthy and exactly right afterwards
+    assert(advised().isEmpty, "a maintained table must advise nothing")
+    val want = 400L -
+      (1 to 400).count(i => i % 97 == 0 || i % 89 == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.db.mx")
+      .head().getLong(0) == want)
+    // unknown procedure refuses loudly (Spark wraps the catalog's
+    // available-list message in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.explode(table => 'db/mx')"))
+    assert(e.getMessage.contains("Failed to load routine") ||
+      e.getMessage.contains("available"))
+  }
 }
