@@ -70,12 +70,20 @@ object GraftFunctions {
     case other => throw new CubeQueryException(s"$what must be a boolean literal, got $other")
   }
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session — scalar expressions
+    * AND the manifest's table-valued functions (`table_changes`,
+    * `table_history`). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    graft.sources.v2.GraftTableFunctions.all.foreach {
+      case (name, builder) =>
+        spark.sessionState.tableFunctionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` —
@@ -89,6 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
+    }
+    graft.sources.v2.GraftTableFunctions.all.foreach {
+      case (name, builder) =>
+        e.injectTableFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.sources.v2", name),
+          builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfPushdownRule)

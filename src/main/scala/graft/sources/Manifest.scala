@@ -209,6 +209,12 @@ object Manifest {
     * dropped by any full rewrite (compaction folds the DVs in). */
   private[sources] val DvKey = "delete_vectors"
 
+  /** Commit-metadata key marking a DROP-TABLE tombstone: the current
+    * snapshot carries it, the read faces treat the table as gone, and
+    * [[vacuum]] reclaims everything once the retention window closes.
+    * [[restore]] to a pre-drop version is the undrop. */
+  private[sources] val DroppedKey = "dropped"
+
   /** Commit-metadata key naming the verb that produced each version —
     * what makes [[history]] a DESCRIBE-HISTORY. Every public write
     * path stamps its own verb, so an inherited label can never
@@ -326,6 +332,15 @@ object Manifest {
       s"Manifest.commit: $target already exists — a concurrent commit won; " +
         "re-resolve the current snapshot and retry")
     if (fs.exists(target)) lost()
+    // a DROPPED table accepts no further commits except the undrop
+    // ([[restore]]) — without this, a retrying appender racing the
+    // drop would quietly resurrect the table one version later
+    if (expected > 0 && !meta.get(OpKey).contains("restore") &&
+        (try readSnapshot(spark, table, expected).meta.contains(DroppedKey)
+        catch { case _: java.io.IOException => false }))
+      sys.error(s"Manifest.commit: $table is DROPPED (tombstone at " +
+        s"v$expected) — only Manifest.restore may commit on it; vacuum " +
+        "reclaims it")
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     // every commit stamps its wall time (ms) — the AS OF timestamp
@@ -334,30 +349,80 @@ object Manifest {
     val metaLines = stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     try out.write(((metaLines ++ paths).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    val claimOwner = java.util.UUID.randomUUID().toString
     val localClaim: Option[java.io.File] =
       if (fs.getUri.getScheme != "file") None
       else {
-        val claim = new java.io.File(new Path(
-          s"$table/_manifest/.claim-v${"%08d".format(expected + 1)}")
-          .toUri.getPath)
-        // break a stale claim: claimed long ago, yet no manifest —
-        // the claimer died between claim and rename
+        val mdir = new java.io.File(
+          new Path(s"$table/_manifest").toUri.getPath)
+        val claim = new java.io.File(mdir,
+          s".claim-v${"%08d".format(expected + 1)}")
+        // reap crash leftovers of the claim protocol itself (an owner
+        // source whose writer died before linking, an unreaped break
+        // tombstone) — benign for LIVE writers: a linked claim shares
+        // the source's inode, so deleting the source name changes
+        // nothing a verifier reads
+        Option(mdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if ((f.getName.startsWith(".claimsrc-") ||
+              f.getName.startsWith(".claimtomb-")) &&
+              System.currentTimeMillis() - f.lastModified() > ClaimLeaseMs)
+            f.delete()
+        }
+        // break a stale claim (claimed long ago, yet no manifest — the
+        // claimer died between claim and rename) ATOMICALLY: rename(2)
+        // to a unique tombstone. Of N committers observing the same
+        // stale claim, exactly ONE renameTo succeeds (the source path
+        // vanishes for the rest), so a double-break can never let two
+        // same-version writers both hold fresh claims — the delete-
+        // then-create break had exactly that lost-update window.
         if (claim.exists() && !fs.exists(target) &&
-            System.currentTimeMillis() - claim.lastModified() > ClaimLeaseMs)
-          claim.delete()
-        if (!claim.createNewFile()) { fs.delete(tmp, false); lost() }
+            System.currentTimeMillis() - claim.lastModified() > ClaimLeaseMs) {
+          val tomb = new java.io.File(mdir, s".claimtomb-$claimOwner")
+          if (claim.renameTo(tomb)) tomb.delete()
+        }
+        // the claim is a HARD LINK to a unique owner-stamped source:
+        // createLink is O_EXCL-atomic like createNewFile, and because
+        // no committer ever writes THROUGH the claim path, reading the
+        // claim back says exactly whose it is (a write-then-read-back
+        // ownership scheme races on the write — two writers can
+        // interleave write/verify and both "pass"; a link shares an
+        // inode that was fully written BEFORE the claim existed)
+        val src = new java.io.File(mdir, s".claimsrc-$claimOwner")
+        java.nio.file.Files.write(src.toPath,
+          claimOwner.getBytes("UTF-8"))
+        try java.nio.file.Files.createLink(claim.toPath, src.toPath)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            src.delete(); fs.delete(tmp, false); lost()
+        }
+        src.delete() // the claim keeps the inode alive
         Some(claim)
       }
+    def ownsClaim(claim: java.io.File): Boolean =
+      try new String(java.nio.file.Files.readAllBytes(claim.toPath),
+        "UTF-8") == claimOwner
+      catch { case _: java.io.IOException => false }
     try {
       // re-check under the claim: a racer may have renamed between
       // the first check and our claim
       if (fs.exists(target)) { fs.delete(tmp, false); lost() }
+      // verify the claim is still OURS before the replace-semantics
+      // rename: if a breaker (wrongly, or after we sat past the
+      // lease) tombstoned our claim and re-claimed, the slot belongs
+      // to them now — renaming anyway would overwrite their manifest
+      localClaim.foreach { c =>
+        if (!ownsClaim(c)) { fs.delete(tmp, false); lost() }
+      }
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
         sys.error(s"Manifest.commit: rename to $target failed (lost the " +
           "race?); nothing committed")
       }
-    } finally localClaim.foreach(_.delete())
+    } finally localClaim.foreach { c =>
+      // delete the claim only while it is still ours — on the
+      // ownership-lost path the claim is the new owner's to manage
+      if (ownsClaim(c)) c.delete()
+    }
     Snapshot(expected + 1, paths, stamped)
   }
 
@@ -447,6 +512,16 @@ object Manifest {
       s"Manifest.evolveSchema: evolution must be ADDITIVE — missing or " +
         s"retyped: ${(key(cur) -- key(widened)).map(_._1).toSeq.sorted
           .mkString(",")}")
+    // nullability may only widen: flipping an existing nullable column
+    // to non-nullable would commit a read schema claiming NOT NULL over
+    // immutable files that may hold nulls — wrong null-handling (or
+    // reader errors) downstream
+    val narrowed = cur.filter(c => c.nullable &&
+      widened.find(_.name == c.name).exists(!_.nullable))
+    require(narrowed.isEmpty,
+      s"Manifest.evolveSchema: cannot narrow nullability of existing " +
+        s"column(s) ${narrowed.map(_.name).mkString(",")} — committed " +
+        "files may already hold nulls")
     val added = widened.filterNot(f => cur.fieldNames.contains(f.name))
     require(added.nonEmpty,
       "Manifest.evolveSchema: nothing to add")
@@ -687,6 +762,31 @@ object Manifest {
     commit(spark, table, snap.version, old.paths,
       withOp(old.meta, "restore"))
   }
+
+  /** DROP TABLE as a TOMBSTONE commit — the removal story a real
+    * warehouse needs without an immediate `rm`: one optimistic commit
+    * stamps the drop (same claim/rename discipline as every verb, so
+    * a racing writer loses loudly, never half-drops), the table
+    * becomes invisible to the read faces (catalog loads, SHOW
+    * TABLES), and the BYTES stay until [[vacuum]]'s lease discipline
+    * reclaims them — a reader pinned on a pre-drop snapshot inside
+    * the retention window keeps serving, and a mistaken drop undoes
+    * with [[restore]] (the only verb a dropped table's commit guard
+    * admits). */
+  def dropTable(spark: SparkSession, table: String): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.dropTable: $table has no committed snapshot"))
+    require(!snap.meta.contains(DroppedKey),
+      s"Manifest.dropTable: $table is already dropped (awaiting vacuum)")
+    commit(spark, table, snap.version, snap.paths,
+      withOp(snap.meta, "drop") + (DroppedKey -> "true"))
+  }
+
+  /** True when the CURRENT snapshot is a drop tombstone — the read
+    * faces' invisibility test. Retained pre-drop versions still exist
+    * underneath until vacuum. */
+  def isDropped(spark: SparkSession, table: String): Boolean =
+    currentSnapshot(spark, table).exists(_.meta.contains(DroppedKey))
 
   /** File-level diff between two retained versions: (added, removed)
     * relative paths, v1 → v2. Driver-side manifest metadata only —
@@ -2226,6 +2326,22 @@ object Manifest {
     * decision as raw rows (#files grain — the size every decision
     * already collects); no re-wrapped relation, so a snapshot with
     * large per-file Bloom sidecars holds ONE driver copy, not two. */
+  /** Total row count of the parquet files under `dir`, from FOOTERS
+    * only — no row is deserialized, so counting even a large delete
+    * vector stays a driver metadata read (the mask-heavy advisor's
+    * numerator). */
+  private def footerRowCount(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0L
+    walkParquet(fs, dir).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private def sidecarRows(spark: SparkSession, dir: Path)
       : Option[(org.apache.spark.sql.types.StructType,
         Array[org.apache.spark.sql.Row])] =
@@ -3778,6 +3894,24 @@ object Manifest {
           fs.delete(new Path(s"$table/$n"), true)
         case _ => ()
       }
+    // ---- dropped-table reclamation: the back half of DROP TABLE ----
+    // The tombstone made the table invisible; once it has sat past
+    // the retention window (`retainMs` — the same clock that protects
+    // pinned pre-drop readers), and no tag still names a release, and
+    // no writer lease is live (a race-losing job could still be
+    // flushing under an orphan dir), the WHOLE table directory goes.
+    // Tags refuse the reclaim rather than silently unpinning a
+    // release — delete the tag first if the drop is really meant.
+    val curSnap = readSnapshot(spark, table, current)
+    if (curSnap.meta.contains(DroppedKey) &&
+        curSnap.meta.get("committed_at").exists(_.toLong < cutoff) &&
+        tags(spark, table).isEmpty) {
+      val busy = fs.listStatus(new Path(table)).exists { st =>
+        st.isDirectory && st.getPath.getName != "_manifest" &&
+          maxMtimeUnder(fs, st.getPath) > orphanCutoff
+      }
+      if (!busy) fs.delete(new Path(table), true)
+    }
   }
 
   // ---- maintenance advisor -------------------------------------------
@@ -3810,7 +3944,7 @@ object Manifest {
   def adviseMaintenance(spark: SparkSession, table: String,
       smallFileBytes: Long = 32L << 20, maxFiles: Int = 16,
       dvDirThreshold: Int = 2, staleFraction: Double = 0.25,
-      keepVersions: Int = 10): DataFrame = {
+      keepVersions: Int = 10, maskedFraction: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.{types => T}
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.adviseMaintenance: $table has no committed snapshot"))
@@ -3818,6 +3952,7 @@ object Manifest {
     val advice = Seq.newBuilder[(String, String, Double, Double)]
 
     val files = listSnapshotFiles(spark, table, snap)
+    val fileSet = files.map(normPath).toSet
     val sizes = files.map(f => fs.getFileStatus(new Path(f)).getLen)
     val small = sizes.count(_ < smallFileBytes)
     if (files.size > maxFiles && small * 2 >= files.size)
@@ -3827,16 +3962,53 @@ object Manifest {
           "compact (optionally with sortBy to restore clustering)",
         files.size.toDouble, maxFiles.toDouble))
 
-    val dvDirs = snap.meta.get(DvKey)
-      .map(_.split(',').count(_.nonEmpty)).getOrElse(0)
+    val dvRels = snap.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val dvDirs = dvRels.size
     if (dvDirs >= dvDirThreshold)
       advice += (("foldDeletes",
         s"$dvDirs delete-vector dirs ride the snapshot — every read " +
           "anti-joins each, and metadata serving is degraded until folded",
         dvDirs.toDouble, dvDirThreshold.toDouble))
+    else if (dvDirs > 0) {
+      // MASK-HEAVY trigger: even ONE vector can hide a large fraction
+      // of the table, and a DV-carrying file is read with NO parquet
+      // footer pushdown (row-group skipping would break positional
+      // masking — the GraftNativeScan rule), so every read pays
+      // full-file IO on the masked files until folded. Both sides of
+      // the ratio are driver metadata: DV parquet FOOTERS for masked
+      // positions, the stats sidecar's per-file `cnt` for the
+      // denominator (tables without a sidecar aren't nagged — the
+      // fraction can't be measured without opening data files).
+      val masked = dvRels.map(d =>
+        footerRowCount(spark, new Path(s"$table/$d"))).sum
+      statsSidecarFor(spark, table, snap).foreach { case (sch, rows) =>
+        // any analyzed column's per-file `<c>__cnt` is the row count
+        // (doubles, exact below 2⁵³ — the envelope discipline)
+        val cntField = sch.fieldNames.find(_.endsWith("__cnt"))
+        if (cntField.nonEmpty && sch.fieldNames.contains("file")) {
+          val fi = sch.fieldIndex("file")
+          val ci = sch.fieldIndex(cntField.get)
+          val covered = rows.filter(r =>
+            fileSet.contains(normPath(r.getString(fi))))
+          // full coverage required: a stale sidecar undercounts the
+          // denominator and would over-fire the advice
+          if (covered.map(r => normPath(r.getString(fi))).toSet == fileSet) {
+            val total = covered.map(_.getDouble(ci)).sum
+            if (total > 0 && masked.toDouble / total > maskedFraction)
+              advice += (("foldDeletes",
+                f"$masked of ${total.toLong} rows " +
+                  f"(${100.0 * masked / total}%.1f%%) are masked behind " +
+                  "delete vectors — DV-carrying files lose parquet footer " +
+                  "pushdown on every read; folding repays that " +
+                  "full-file IO",
+                masked.toDouble / total, maskedFraction))
+          }
+        }
+      }
+    }
 
     // sidecar staleness per family: only families the table opted into
-    val fileSet = files.map(normPath).toSet
     def staleness(dirFor: (String, Long) => Path, what: String): Unit = {
       val newest = versions(spark, table)
         .filter(v => fs.exists(dirFor(table, v))).lastOption

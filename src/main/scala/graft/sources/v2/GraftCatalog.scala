@@ -74,8 +74,12 @@ import org.apache.spark.sql.{functions => F}
   *    the predicate- and runtime-key-admitted files
   *    ([[GraftRowLevelOperation]]);
   *  - `ALTER TABLE … ADD COLUMN` = a metadata-only additive schema
-  *    evolution ([[Manifest.evolveSchema]]).
-  *  INSERT OVERWRITE, DROP/RENAME, non-additive ALTERs, and writes to
+  *    evolution ([[Manifest.evolveSchema]]);
+  *  - `DROP TABLE` = ONE tombstone commit ([[Manifest.dropTable]]):
+  *    the identifier vanishes from every read face, the bytes wait
+  *    for `CALL graft.system.vacuum`'s lease-disciplined reclaim, and
+  *    `Manifest.restore` undoes a mistake.
+  *  INSERT OVERWRITE, RENAME, non-additive ALTERs, and writes to
   *  pinned snapshots refuse loudly.
   *
   * At 100 TB: table resolution and file skipping are driver metadata
@@ -137,7 +141,10 @@ class GraftCatalog extends TableCatalog
     fs.listStatus(dir).filter { st =>
       st.isDirectory && {
         val m = new org.apache.hadoop.fs.Path(st.getPath, "_manifest")
-        fs.exists(m) && fs.getFileStatus(m).isDirectory
+        fs.exists(m) && fs.getFileStatus(m).isDirectory &&
+          // a drop tombstone hides the table (one small manifest read
+          // per candidate — SHOW TABLES stays a driver metadata walk)
+          !Manifest.isDropped(spark, st.getPath.toString)
       }
     }.map(st => Identifier.of(namespace, st.getPath.getName))
   }
@@ -205,10 +212,19 @@ class GraftCatalog extends TableCatalog
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = readOnly
 
+  /** Invisibility test shared by every load face: missing manifest OR
+    * a drop tombstone as the current snapshot. A dropped table's
+    * retained versions refuse too — the SQL identifier is GONE; an
+    * already-planned DataFrame (pinned at scan build) keeps serving. */
+  private def requireLive(ident: Identifier, path: String): Unit = {
+    if (!Manifest.isManifested(spark, path) ||
+        Manifest.isDropped(spark, path))
+      throw new NoSuchTableException(ident)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    if (!Manifest.isManifested(spark, path))
-      throw new NoSuchTableException(ident)
+    requireLive(ident, path)
     new GraftTable(path, None)
   }
 
@@ -217,8 +233,7 @@ class GraftCatalog extends TableCatalog
     * is the release-pinning read. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
-    if (!Manifest.isManifested(spark, path))
-      throw new NoSuchTableException(ident)
+    requireLive(ident, path)
     val v = version.toLongOption
       .getOrElse(Manifest.tagVersion(spark, path, version))
     require(Manifest.versions(spark, path).contains(v),
@@ -230,8 +245,7 @@ class GraftCatalog extends TableCatalog
     * manifest's commit stamps are millis. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
-    if (!Manifest.isManifested(spark, path))
-      throw new NoSuchTableException(ident)
+    requireLive(ident, path)
     new GraftTable(path,
       Some(Manifest.versionAt(spark, path, timestampMicros / 1000L)))
   }
@@ -261,9 +275,15 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val p = pathOf(ident)
-    if (Manifest.isManifested(spark, p))
+    if (Manifest.isManifested(spark, p)) {
+      if (Manifest.isDropped(spark, p))
+        throw new UnsupportedOperationException(
+          s"graft catalog: $p is a DROPPED table awaiting reclamation — " +
+            "CALL graft.system.vacuum to free the identifier, or " +
+            "Manifest.restore to undrop")
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    }
     require(identityParts(partitions).isEmpty,
       "graft catalog: CREATE TABLE with PARTITIONED BY needs data to lay " +
         "out the hive directories — use CREATE TABLE … AS SELECT (or " +
@@ -281,13 +301,30 @@ class GraftCatalog extends TableCatalog
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val p = pathOf(ident)
-    if (Manifest.isManifested(spark, p))
+    if (Manifest.isManifested(spark, p)) {
+      if (Manifest.isDropped(spark, p))
+        throw new UnsupportedOperationException(
+          s"graft catalog: $p is a DROPPED table awaiting reclamation — " +
+            "CALL graft.system.vacuum to free the identifier, or " +
+            "Manifest.restore to undrop")
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    }
     require(info.constraints().isEmpty,
       "graft catalog: table constraints are not supported — enforce " +
         "CHECKs through the Manifest commit hooks")
-    new GraftStagedTable(p, info.schema(), identityParts(info.partitions()))
+    // record what the target path holds BEFORE the write: an aborted
+    // CTAS may only reclaim what IT created — the identifier's
+    // directory can legitimately pre-exist with unrelated content (a
+    // plain parquet dir awaiting adopt, a namespace dir holding other
+    // tables), which a blanket recursive delete would destroy
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val hfs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val preExisting: Option[Set[String]] =
+      if (!hfs.exists(hp)) None
+      else Some(hfs.listStatus(hp).map(_.getPath.getName).toSet)
+    new GraftStagedTable(p, info.schema(), identityParts(info.partitions()),
+      preExisting)
   }
 
   /** `ALTER TABLE graft.db.t ADD COLUMN c TYPE` — additive schema
@@ -300,8 +337,7 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = pathOf(ident)
-    if (!Manifest.isManifested(spark, p))
-      throw new NoSuchTableException(ident)
+    requireLive(ident, p)
     val adds = changes.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.isNullable &&
@@ -318,7 +354,20 @@ class GraftCatalog extends TableCatalog
     new GraftTable(p, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly
+  /** `DROP TABLE graft.db.t`: ONE tombstone commit
+    * ([[Manifest.dropTable]]) — the table vanishes from every read
+    * face immediately, the bytes stay for pinned pre-drop readers
+    * until `CALL graft.system.vacuum`'s lease discipline reclaims the
+    * directory, and `Manifest.restore` undoes a mistaken drop. Returns
+    * false (Spark's IF EXISTS contract) when there is nothing to
+    * drop. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!Manifest.isManifested(spark, p) || Manifest.isDropped(spark, p))
+      false
+    else { Manifest.dropTable(spark, p); true }
+  }
+
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
 }
@@ -326,10 +375,13 @@ class GraftCatalog extends TableCatalog
 /** The CTAS staging vehicle: holds the declared shape; the V1 write
   * executes [[Manifest.create]] (one v1 commit — data stays invisible
   * until the manifest rename lands). commit is therefore a no-op and
-  * abort before any commit reclaims the orphan directory, which the
-  * manifest protocol already treats as garbage. */
+  * abort before any commit reclaims the orphan artifacts — but ONLY
+  * what this write created: `preExisting` (the target directory's
+  * child names at stage time, None when it did not exist) bounds the
+  * abort so a CTAS onto a path with unrelated pre-existing content
+  * can never destroy it. */
 private[v2] class GraftStagedTable(path: String, tableSchema: StructType,
-    partitionBy: Seq[String])
+    partitionBy: Seq[String], preExisting: Option[Set[String]])
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -363,12 +415,19 @@ private[v2] class GraftStagedTable(path: String, tableSchema: StructType,
 
   override def abortStagedChanges(): Unit =
     if (!created) {
-      // nothing committed — reclaim whatever partial data dir the
-      // failed write left (invisible garbage either way)
+      // nothing committed — reclaim what the failed write left
+      // (invisible garbage), but never a byte that pre-existed it
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(
         SparkSession.active.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) preExisting match {
+        case None => fs.delete(p, true) // this write made the dir
+        case Some(before) =>
+          fs.listStatus(p).foreach { st =>
+            if (!before.contains(st.getPath.getName))
+              fs.delete(st.getPath, true)
+          }
+      }
     }
 }
 

@@ -18,11 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   CALL graft.system.advise(table => 'db/docs')
   *   CALL graft.system.compact(table => 'db/docs', target_mb => 1024)
+  *   CALL graft.system.compact(table => 'db/docs',       -- Z-ORDER
+  *     sort_columns => 'doc_id,n_chars', zorder_bits => 8)
   *   CALL graft.system.fold_deletes(table => 'db/docs')
   *   CALL graft.system.analyze(table => 'db/docs',
   *     columns => 'doc_id,n_chars', string_columns => 'source')
   *   CALL graft.system.vacuum(table => 'db/docs', keep => 5)
+  *   CALL graft.system.history(table => 'db/docs')
   * }}}
+  *
+  * `compact(sort_columns => …)` with ONE column is a linear clustered
+  * rewrite; with TWO it threads [[graft.sources.Layout.zValue]] — the
+  * z-order maintenance loop becomes SQL-drivable end to end.
+  * `history` serves the [[Manifest.history]] ledger (one row per
+  * retained version: version, commit time, operation verb, entry
+  * count) — "what happened to this table", the first operator
+  * question, from SQL.
   *
   * Each verb IS the corresponding Manifest call (same optimistic
   * commits, same guards — a racing writer fails the verb loudly,
@@ -40,7 +51,7 @@ private[v2] object GraftProcedures {
     else Array.empty
 
   private val Names = Seq("advise", "compact", "fold_deletes", "analyze",
-    "vacuum")
+    "vacuum", "history")
 
   def load(root: => String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")) &&
@@ -66,9 +77,12 @@ private[v2] class GraftProcedure(root: => String, verb: String)
     ProcedureParameter.in(n, dt).defaultValue(default).build()
 
   override def parameters(): Array[ProcedureParameter] = verb match {
-    case "advise" | "fold_deletes" => Array(p("table", StringType))
+    case "advise" | "fold_deletes" | "history" =>
+      Array(p("table", StringType))
     case "compact" =>
-      Array(p("table", StringType), pd("target_mb", IntegerType, "1024"))
+      Array(p("table", StringType), pd("target_mb", IntegerType, "1024"),
+        pd("sort_columns", StringType, "''"),
+        pd("zorder_bits", IntegerType, "8"))
     case "analyze" =>
       Array(p("table", StringType), pd("columns", StringType, "''"),
         pd("string_columns", StringType, "''"))
@@ -91,6 +105,8 @@ private[v2] class GraftProcedure(root: => String, verb: String)
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    require(!input.isNullAt(0),
+      s"graft system.$verb: table must not be NULL")
     val table = s"$root/${input.getString(0)}"
     require(Manifest.isManifested(spark, table),
       s"graft system.$verb: $table is not a manifested table")
@@ -106,16 +122,67 @@ private[v2] class GraftProcedure(root: => String, verb: String)
           override def description(): String = "graft system.advise report"
         }
       case "compact" =>
+        def intArg(i: Int, dflt: Int) =
+          if (input.isNullAt(i)) dflt else input.getInt(i)
+        val sortCols = (if (input.isNullAt(2)) None
+          else Option(input.getString(2))).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(',').toSeq.map(_.trim)).getOrElse(Nil)
+        // `sort_columns`: one column = a linear clustered rewrite;
+        // two = a Z-ORDER rewrite (Morton-interleaved bucket ids via
+        // [[graft.sources.Layout]]) so BOTH axes prune after the
+        // compaction. Domain bounds come from the snapshot itself —
+        // sound here, unlike incremental writes, because a compaction
+        // rewrites the WHOLE key space in one pass.
+        val sortBy: Option[org.apache.spark.sql.Column] = sortCols match {
+          case Nil => None
+          case Seq(c) => Some(org.apache.spark.sql.functions.col(c))
+          case Seq(c1, c2) =>
+            import org.apache.spark.sql.{functions => F}
+            val bits = intArg(3, 8)
+            val b = Manifest.read(spark, table).agg(
+              F.min(F.col(c1).cast("double")),
+              F.max(F.col(c1).cast("double")),
+              F.min(F.col(c2).cast("double")),
+              F.max(F.col(c2).cast("double"))).head()
+            require(!b.isNullAt(0) && !b.isNullAt(2),
+              s"graft system.compact: sort_columns $c1,$c2 are all-NULL " +
+                "— nothing to cluster on")
+            def hi(lo: Double, h: Double) =
+              h + math.max((h - lo) * 1e-6, java.lang.Math.ulp(h))
+            Some(graft.sources.Layout.zValue(
+              graft.sources.Layout.axisBucket(F.col(c1),
+                b.getDouble(0), hi(b.getDouble(0), b.getDouble(1)), bits),
+              graft.sources.Layout.axisBucket(F.col(c2),
+                b.getDouble(2), hi(b.getDouble(2), b.getDouble(3)), bits),
+              bits))
+          case more => throw new IllegalArgumentException(
+            "graft system.compact: sort_columns takes at most TWO " +
+              s"columns (the z-curve is 2-axis), got ${more.size}")
+        }
         val snap = Manifest.compact(spark, table,
-          targetBytes = input.getInt(1).toLong << 20)
+          targetBytes = intArg(1, 1024).toLong << 20, sortBy = sortBy)
         out("version" -> LongType, "n_entries" -> IntegerType)(
           snap.version, snap.paths.size)
+      case "history" =>
+        val report = Manifest.history(spark, table)
+        val schema = report.schema
+        val historyRows: Array[InternalRow] =
+          report.queryExecution.toRdd.collect().map(_.copy())
+        new LocalScan {
+          override def rows(): Array[InternalRow] = historyRows
+          override def readSchema(): StructType = schema
+          override def description(): String = "graft system.history ledger"
+        }
       case "fold_deletes" =>
         val snap = Manifest.foldDeletes(spark, table)
         out("version" -> LongType, "n_entries" -> IntegerType)(
           snap.version, snap.paths.size)
       case "analyze" =>
-        def cols(i: Int) = Option(input.getString(i)).map(_.trim)
+        // isNullAt BEFORE getString: an explicit NULL argument reaches
+        // here as a null UTF8String, whose toString-inside-getString
+        // NPEs before Option could wrap it
+        def cols(i: Int) = (if (input.isNullAt(i)) None
+          else Option(input.getString(i))).map(_.trim)
           .filter(_.nonEmpty).map(_.split(',').toSeq.map(_.trim))
           .getOrElse(Nil)
         val (num, str) = (cols(1), cols(2))
@@ -129,9 +196,11 @@ private[v2] class GraftProcedure(root: => String, verb: String)
         out("files_scanned_numeric" -> IntegerType,
           "files_scanned_string" -> IntegerType)(scannedNum, scannedStr)
       case "vacuum" =>
+        def intArg(i: Int, dflt: Int) =
+          if (input.isNullAt(i)) dflt else input.getInt(i)
         val before = Manifest.versions(spark, table).size
-        Manifest.vacuum(spark, table, keep = input.getInt(1),
-          retainMs = input.getInt(2).toLong * 3600 * 1000)
+        Manifest.vacuum(spark, table, keep = intArg(1, 2),
+          retainMs = intArg(2, 0).toLong * 3600 * 1000)
         val after = Manifest.versions(spark, table).size
         out("versions_before" -> IntegerType,
           "versions_retained" -> IntegerType)(before, after)

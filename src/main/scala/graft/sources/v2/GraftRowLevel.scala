@@ -238,9 +238,12 @@ private[v2] case class GraftWriteMessage(files: Seq[String], rows: Long)
 /** The replacement write: executors land parquet directly in the next
   * version's (invisible) data directory; the driver commit swaps the
   * scanned group set for the written files in one optimistic commit.
-  * Speculative or failed task attempts leave stray files — the commit
-  * keeps only message-named files and deletes the rest BEFORE the
-  * manifest rename makes the directory visible. */
+  * The manifest entries are PER-FILE — exactly the task-committed
+  * names — never the directory: a zombie or speculative attempt that
+  * flushes its part file after the stray sweep (even after the
+  * manifest rename) can then never become visible to a reader, the
+  * same per-file carry discipline the commit uses for untouched
+  * files. The sweep still runs, but only to reclaim garbage bytes. */
 private[v2] class GraftReplaceBatchWrite(op: GraftRowLevelOperation,
     writeSchema: StructType) extends BatchWrite {
   private def spark: SparkSession = SparkSession.active
@@ -273,7 +276,8 @@ private[v2] class GraftReplaceBatchWrite(op: GraftRowLevelOperation,
           fs.delete(st.getPath, false)
       }
     val newRels =
-      if (rows > 0L && keepNames.nonEmpty) Seq(rel)
+      if (rows > 0L && keepNames.nonEmpty)
+        keepNames.toSeq.sorted.map(n => s"$rel/$n")
       else { fs.delete(dir, true); Nil }
     val replaced = op.scannedFiles.getOrElse(sys.error(
       "graft catalog: row-level write committed before its scan planned — " +

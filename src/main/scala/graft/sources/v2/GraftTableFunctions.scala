@@ -1,0 +1,103 @@
+package graft.sources.v2
+
+import graft.model.CubeQueryException
+import graft.sources.Manifest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE-VALUED faces for the manifest's metadata/CDC reads — the
+  * verbs a DOWNSTREAM consumer types when a takedown delta or an audit
+  * question arrives, without touching the Scala API:
+  *
+  * {{{
+  *   SELECT * FROM table_changes('graft.db.docs', 1, 4)
+  *   SELECT * FROM table_history('graft.db.docs')
+  * }}}
+  *
+  * `table_changes` returns [[Manifest.readChanges]]'s row-level feed
+  * (the table's columns plus `_change_type` ∈ insert|delete) between
+  * two retained versions; `table_history` returns the
+  * [[Manifest.history]] ledger (one row per retained version). Both
+  * are registered as Catalyst TABLE FUNCTIONS ([[graft.functions
+  * .GraftExtensions]] injects them; [[graft.functions.GraftFunctions
+  * .register]] adds them to a live session), so the returned plan is
+  * the manifest read's own DISTRIBUTED plan — the feed's cost stays
+  * ∝ the commits being explained (the readChanges contract), never a
+  * driver collect.
+  *
+  * The first argument resolves like a user would expect: a
+  * `catalog.ns.table` reference is mapped through that catalog's
+  * configured warehouse root (`spark.sql.catalog.<name>.root`), and
+  * anything else is taken as a direct table path — the same dual
+  * addressing the maintenance procedures use. Arguments must be
+  * literals: the table and version pin WHICH snapshot diff is read at
+  * analysis time, exactly like `VERSION AS OF`.
+  */
+object GraftTableFunctions {
+
+  /** `catalog.ns.t` → `<root>/ns/t` when `catalog` has a configured
+    * root; otherwise `ref` is already a filesystem path. */
+  private[v2] def resolveTableRef(spark: SparkSession, ref: String): String = {
+    val parts = ref.split('.')
+    if (parts.length >= 2) {
+      spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+        .foreach(root => return (root +: parts.tail.toSeq).mkString("/"))
+    }
+    ref
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) if v != null => v.toString
+    case other => throw new CubeQueryException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new CubeQueryException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def tableArg(exprs: Seq[Expression]): String = {
+    val spark = SparkSession.active
+    val path = resolveTableRef(spark, strLit(exprs.head, "table"))
+    if (!Manifest.isManifested(spark, path))
+      throw new CubeQueryException(
+        s"table_changes/table_history: $path is not a manifested table")
+    path
+  }
+
+  private def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size != 3)
+      throw new CubeQueryException(
+        "table_changes takes (table, from_version, to_version), got " +
+          s"${exprs.size} argument(s)")
+    val spark = SparkSession.active
+    val path = tableArg(exprs)
+    val v1 = longLit(exprs(1), "from_version")
+    val v2 = longLit(exprs(2), "to_version")
+    val retained = Manifest.versions(spark, path)
+    Seq(v1, v2).foreach(v => if (!retained.contains(v))
+      throw new CubeQueryException(
+        s"table_changes: $path has no retained version $v (vacuumed?) — " +
+          s"retained: ${retained.mkString(",")}"))
+    Manifest.readChanges(spark, path, v1, v2).queryExecution.analyzed
+  }
+
+  private def tableHistory(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size != 1)
+      throw new CubeQueryException(
+        s"table_history takes (table), got ${exprs.size} argument(s)")
+    val spark = SparkSession.active
+    Manifest.history(spark, tableArg(exprs)).queryExecution.analyzed
+  }
+
+  /** Registration table shared by the extension and live-session
+    * paths. */
+  val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "table_changes" -> tableChanges,
+    "table_history" -> tableHistory)
+}

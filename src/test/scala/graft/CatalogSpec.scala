@@ -306,9 +306,14 @@ class CatalogSpec extends AnyFunSuite {
     val miss = intercept[Exception](spark.sql(
       "SELECT * FROM graft.db.nope").collect())
     assert(miss.getMessage.toLowerCase.contains("table"))
+    // RENAME stays refused (no manifest meaning); DROP is now the
+    // tombstone commit, pinned end-to-end in its own test below
     val ddl = intercept[Exception](spark.sql(
-      "DROP TABLE graft.db.evo"))
+      "ALTER TABLE graft.db.evo RENAME TO graft.db.evo2"))
     assert(ddl.getMessage.contains("read-only"))
+    spark.sql("DROP TABLE graft.db.evo")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("evo"))
   }
 
   test("DELETE FROM through the catalog lands ONE MoR commit — no file " +
@@ -611,6 +616,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L),
       "refused ALTERs must commit nothing")
 
+    // nullability may only WIDEN: re-declaring an existing nullable
+    // column NOT NULL would claim non-null over immutable files that
+    // already hold nulls (score of the pre-evolution rows)
+    val cur = Manifest.read(spark, tbl).schema
+    val narrowed = org.apache.spark.sql.types.StructType(cur.map(f =>
+      if (f.name == "score") f.copy(nullable = false) else f) :+
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))
+    val ne = intercept[Exception](
+      Manifest.evolveSchema(spark, tbl, narrowed))
+    assert(ne.getMessage.contains("narrow nullability"),
+      s"narrowing must refuse, got: ${ne.getMessage}")
+
     // TRUNCATE: the table stays (and its history), emptied by one
     // MoR mask — the pre-truncate snapshot still time-travels
     spark.sql("TRUNCATE TABLE graft.db.ev")
@@ -694,5 +712,221 @@ class CatalogSpec extends AnyFunSuite {
       "CALL graft.system.explode(table => 'db/mx')"))
     assert(e.getMessage.contains("Failed to load routine") ||
       e.getMessage.contains("available"))
+  }
+
+  test("an aborted CTAS reclaims only what it created — pre-existing " +
+      "content at the identifier path survives the abort") {
+    import spark.implicits._
+    val root = freshRoot()
+    // the identifier's directory legitimately pre-exists with
+    // unrelated content: a plain parquet dir awaiting Manifest.adopt
+    val pre = s"$root/db/docs"
+    (1 to 10).map(i => (i.toLong, s"keep-$i")).toDF("id", "s")
+      .coalesce(1).write.parquet(pre)
+    val preFiles = new java.io.File(pre).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(preFiles.nonEmpty)
+
+    // a CTAS that fails at EXECUTION time (after staging, mid-write)
+    val err = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.db.docs AS " +
+        "SELECT CAST(raise_error('boom') AS BIGINT) AS id FROM range(5)"))
+    assert(err.getMessage != null)
+
+    // the abort swept this write's artifacts but not a pre-existing byte
+    val after = new java.io.File(pre).listFiles().map(_.getName).toSet
+    assert(preFiles.subsetOf(after),
+      s"abort destroyed pre-existing files: missing ${preFiles -- after}")
+    assert(!Manifest.isManifested(spark, pre),
+      "a failed CTAS must not leave a committed manifest")
+    assert(!after.exists(_.startsWith("_v")),
+      s"abort left this write's data dirs behind: $after")
+    // the pre-existing parquet is intact and adoptable
+    assert(spark.read.parquet(pre).count() == 10L)
+
+    // and a CTAS onto a FRESH path that fails still removes the dir
+    val err2 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.db.fresh AS " +
+        "SELECT CAST(raise_error('boom') AS BIGINT) AS id FROM range(5)"))
+    assert(err2.getMessage != null)
+    assert(!new java.io.File(s"$root/db/fresh").exists(),
+      "abort must reclaim a directory the write itself created")
+  }
+
+  test("row-level rewrites commit PER-FILE entries: a zombie task file " +
+      "flushed after commit is never served") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/rw"
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .repartitionByRange(4, F.col("id")).sortWithinPartitions(F.col("id")))
+    spark.sql("UPDATE graft.db.rw SET v = v + 1 WHERE id <= 100")
+    val snap = Manifest.currentSnapshot(spark, tbl).get
+    // the rewrite's new entries are task-committed FILES, not the
+    // version directory — visibility never depends on a listing
+    val newEntries = snap.paths.filterNot(
+      Manifest.readSnapshot(spark, tbl, 1L).paths.contains)
+    assert(newEntries.nonEmpty &&
+      newEntries.forall(e => e.contains("/") && e.endsWith(".parquet")),
+      s"rewrite landed directory-grain entries: $newEntries")
+    val before = spark.sql("SELECT count(*) AS n, sum(v) AS sv " +
+      "FROM graft.db.rw").head()
+    // the zombie: a stray part file lands in the committed rewrite
+    // directory AFTER the manifest rename
+    val rewriteDir = new java.io.File(
+      s"$tbl/${newEntries.head.split('/').head}")
+    val zombieSrc = new java.io.File(s"$tbl/${newEntries.head}")
+    java.nio.file.Files.copy(zombieSrc.toPath,
+      new java.io.File(rewriteDir, "part-zombie-attempt-7.parquet").toPath)
+    val after = spark.sql("SELECT count(*) AS n, sum(v) AS sv " +
+      "FROM graft.db.rw").head()
+    assert(after == before,
+      s"a post-commit zombie flush changed query results: $before -> $after")
+    assert(before.getLong(0) == 400L &&
+      before.getLong(1) == (1 to 400).map(i => i * 2L).sum + 100L)
+  }
+
+  test("table_changes / table_history negative shapes: non-literal " +
+      "args, unknown tables, unretained versions, wrong arity — all " +
+      "refuse loudly at analysis time") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val root = freshRoot()
+    val tbl = s"$root/db/neg"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    Manifest.commitAppend(spark, tbl,
+      Seq((101L, 202L)).toDF("id", "v"))
+
+    // happy path through BOTH addressings: catalog ref and raw path
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('graft.db.neg', 1, 2)")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$tbl', 1, 2)")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM table_history('graft.db.neg')")
+      .head().getLong(0) == 2L)
+
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    refuses("SELECT * FROM table_changes('graft.db.ghost', 1, 2)",
+      "not a manifested table")
+    refuses("SELECT * FROM table_changes('graft.db.neg', 1, 99)",
+      "no retained version")
+    refuses("SELECT * FROM table_changes('graft.db.neg', 1)",
+      "table_changes takes")
+    refuses("SELECT * FROM table_changes('graft.db.neg', 1, 2.5)",
+      "integer literal")
+    refuses("SELECT * FROM table_changes(rand()::string, 1, 2)",
+      "string literal")
+    refuses("SELECT * FROM table_history('graft.db.neg', 1)",
+      "table_history takes")
+    // a vacuumed version refuses rather than serving a wrong diff
+    Manifest.vacuum(spark, tbl, keep = 1, orphanGraceMs = 0L)
+    refuses("SELECT * FROM table_changes('graft.db.neg', 1, 2)",
+      "no retained version")
+  }
+
+  test("DROP TABLE: tombstone commit hides every face, writes refuse, " +
+      "restore undrops, vacuum reclaims once the lease closes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/dr"
+    Manifest.create(spark, tbl,
+      (1 to 60).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    Manifest.tag(spark, tbl, "rel-1")
+    spark.sql("DROP TABLE graft.db.dr")
+    // every load face refuses — bare, VERSION AS OF, TIMESTAMP AS OF
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.dr").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.dr VERSION AS OF 1").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.dr TIMESTAMP AS OF '2099-01-01'").collect())
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.db.dr VALUES (999, 999)"))
+    // a retrying API writer cannot resurrect the table either
+    val we = intercept[Exception](Manifest.commitAppend(spark, tbl,
+      Seq((999L, 999L)).toDF("id", "v")))
+    assert(we.getMessage.contains("DROPPED"), we.getMessage)
+    // double drop is a clean no-op (IF EXISTS sees no table)
+    spark.sql("DROP TABLE IF EXISTS graft.db.dr")
+    // a tag refuses the reclaim (a release is pinned); the tombstone
+    // and the data survive vacuum
+    Manifest.vacuum(spark, tbl, keep = 1, retainMs = 0L, orphanGraceMs = 0L)
+    assert(new java.io.File(tbl).exists(),
+      "vacuum must not reclaim a dropped table a tag still pins")
+    // restore = undrop: full content back, every face serves again
+    Manifest.restore(spark, tbl, 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dr")
+      .head().getLong(0) == 60L)
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("dr"))
+    // drop again, release the tag, close the lease — reclaimed
+    spark.sql("DROP TABLE graft.db.dr")
+    Manifest.deleteTag(spark, tbl, "rel-1")
+    Manifest.vacuum(spark, tbl, keep = 1, retainMs = 0L, orphanGraceMs = 0L)
+    assert(!new java.io.File(tbl).exists(), "lease closed — reclaim")
+  }
+
+  test("CALL graft.system.history serves the ledger; z-order compact " +
+      "via sort_columns refuses >2 columns and all-NULL axes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/hz"
+    Manifest.create(spark, tbl,
+      (1 to 200).map(i => (i.toLong, i * 3L, null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "v", "dead").repartition(4))
+    Manifest.deleteWhereMoR(spark, tbl, F.col("id") % 50 === 0)
+    val hist = spark.sql("CALL graft.system.history(table => 'db/hz')")
+      .orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).sameElements(Array(1L, 2L)))
+    assert(hist.map(_.getString(2)).sameElements(Array("create", "delete")))
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.compact(table => 'db/hz', " +
+        "sort_columns => 'id,v,dead')"))
+    assert(e3.getMessage.contains("at most TWO"), e3.getMessage)
+    val eN = intercept[Exception](spark.sql(
+      "CALL graft.system.compact(table => 'db/hz', " +
+        "sort_columns => 'dead,v')"))
+    assert(eN.getMessage.contains("all-NULL"), eN.getMessage)
+    // the 2-axis happy path folds the DVs and lands one compact commit
+    spark.sql("CALL graft.system.compact(table => 'db/hz', " +
+      "sort_columns => 'id,v', zorder_bits => 4)")
+    val snap = Manifest.currentSnapshot(spark, tbl).get
+    assert(snap.meta.get("operation").contains("compact"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.hz")
+      .head().getLong(0) == 196L)
+  }
+
+  test("CALL procedures: NULL table refuses loudly; NULL optional args " +
+      "fall back instead of NPEing") {
+    import spark.implicits._
+    val root = freshRoot()
+    Manifest.create(spark, s"$root/db/pn",
+      (1 to 50).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.analyze(table => 'db/pn', columns => NULL, " +
+        "string_columns => NULL)"))
+    assert(e1.getMessage.contains("give columns"),
+      s"NULL analyze args must hit the domain guard, got: ${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.advise(table => NULL)"))
+    assert(e2.getMessage.contains("table must not be NULL"),
+      s"NULL table must refuse cleanly, got: ${e2.getMessage}")
+    // NULL ints fall back to the declared defaults
+    val c = spark.sql(
+      "CALL graft.system.compact(table => 'db/pn', target_mb => NULL)")
+      .head()
+    assert(c.getLong(0) == 2L)
+    val v = spark.sql(
+      "CALL graft.system.vacuum(table => 'db/pn', keep => NULL, " +
+        "retain_hours => NULL)").head()
+    assert(v.getInt(1) <= 2)
   }
 }

@@ -184,4 +184,56 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(seen.zip(seen.drop(1)).forall { case (a, b) => b >= a },
       s"a reader went backwards: ${seen.mkString(",")}")
   }
+
+  test("stale-claim break is single-winner: N committers racing over a " +
+      "dead writer's claim produce exactly ONE v2, never a lost update") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    (1 to 8).foreach { iter =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_claim_$iter").toString
+      val table = s"$dir/t"
+      Manifest.create(spark, table,
+        (1 to 5).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+      val snap = Manifest.currentSnapshot(spark, table).get
+      // a dead writer's leftover: a claim on v2 with no manifest,
+      // older than the lease — every committer below is a breaker
+      val claim = new java.io.File(s"$table/_manifest/.claim-v00000002")
+      assert(claim.createNewFile())
+      assert(claim.setLastModified(System.currentTimeMillis() - 180000L))
+
+      val n = 6
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val wins = new ConcurrentLinkedQueue[String]()
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try {
+              Manifest.commit(spark, table, expected = 1L, snap.paths,
+                snap.meta + ("writer" -> s"w$i"))
+              wins.add(s"w$i")
+            } catch { case _: Throwable => losses.incrementAndGet() }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS), "pool hung")
+      // exactly one winner, and v2's content IS that winner's commit —
+      // the delete-then-create break let two proceed and the second
+      // rename silently replaced the first (the lost update this pins)
+      assert(wins.size == 1 && losses.get == n - 1,
+        s"iter $iter: ${wins.size} winners / ${losses.get} losers")
+      assert(Manifest.versions(spark, table) == Seq(1L, 2L))
+      assert(Manifest.readSnapshot(spark, table, 2L).meta.get("writer")
+        .contains(wins.peek()), s"iter $iter: v2 is not the winner's")
+      // the protocol cleaned up after itself: no claim artifacts left
+      val left = new java.io.File(s"$table/_manifest").listFiles()
+        .map(_.getName).filter(_.startsWith(".claim"))
+      assert(left.isEmpty, s"iter $iter: leftover ${left.mkString(",")}")
+    }
+  }
 }

@@ -2076,6 +2076,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(actions(t4, keep = 4) == Set("vacuum"))
     Manifest.vacuum(spark, t4, keep = 2)
     assert(actions(t4, keep = 4).isEmpty)
+
+    // MASK-HEAVY: a single vector below the dir-count threshold but
+    // hiding a measured >5% of the sidecar-counted rows ⇒ foldDeletes
+    // — DV-carrying files lose parquet footer pushdown on every read.
+    // A small mask stays silent; a table with no stats sidecar is
+    // never nagged (the fraction cannot be measured from metadata).
+    val t5 = s"$dir/masklight"
+    Manifest.create(spark, t5,
+      (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, t5, Seq("v"))
+    Manifest.deleteWhereMoR(spark, t5, col("k") === 5L) // 1% masked
+    assert(actions(t5).isEmpty, "a 1% mask is not mask-heavy")
+    val t6 = s"$dir/maskheavy"
+    Manifest.create(spark, t6,
+      (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    Manifest.analyzeFiles(spark, t6, Seq("v"))
+    Manifest.deleteWhereMoR(spark, t6, col("k") <= 20L) // 20% masked
+    val heavy = Manifest.adviseMaintenance(spark, t6).collect()
+    assert(heavy.map(_.getString(0)).toSet == Set("foldDeletes"),
+      s"got ${heavy.map(_.getString(0)).mkString(",")}")
+    assert(heavy.head.getString(1).contains("footer pushdown"))
+    assert(heavy.head.getDouble(2) > 0.15 && heavy.head.getDouble(2) < 0.25)
+    // the fold silences the mask trigger (the rewrite leaves the
+    // sidecar stale — the advisor hands off to analyze, which then
+    // silences fully: the loop's own discipline)
+    Manifest.foldDeletes(spark, t6)
+    assert(actions(t6) == Set("analyze"))
+    Manifest.analyzeFiles(spark, t6, Seq("v"))
+    assert(actions(t6).isEmpty)
   }
 
   test("composite-key bloom: multi-column point reads, takedowns, and " +
