@@ -3285,6 +3285,21 @@ object Manifest {
       listSnapshotFiles(spark, table, snap)
         .exists(f => f.split('/').exists(_.contains("=")))
 
+  /** The snapshot's hive partition COLUMN NAMES, in layout order —
+    * the commit metadata when recorded (create/append stamp it), else
+    * inferred from one listed file's `k=v` directory segments (every
+    * file of a hive snapshot shares the layout). Empty for
+    * unpartitioned snapshots. */
+  private[graft] def partitionColumnsOf(spark: SparkSession, table: String,
+      snap: Snapshot): Seq[String] =
+    snap.meta.get(PartitionKey).map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse {
+        listSnapshotFiles(spark, table, snap).headOption.map { f =>
+          new Path(f).toUri.getPath.split('/').toSeq
+            .filter(_.contains("=")).map(_.split("=", 2)(0))
+        }.getOrElse(Nil)
+      }
+
   /** The snapshot's COMMITTED (evolved) schema, when one was stamped. */
   private[graft] def committedSchemaOf(snap: Snapshot)
       : Option[org.apache.spark.sql.types.StructType] =
