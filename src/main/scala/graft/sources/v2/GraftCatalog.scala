@@ -41,14 +41,17 @@ import org.apache.spark.sql.{functions => F}
   * MoR delete vectors mask deleted rows, and an evolved snapshot
   * serves pre-evolution files with NULL new columns.
   *
-  * Read path: unpartitioned snapshots plan through the NATIVE batch
-  * scan ([[GraftNativeScan]] — admitted files as input partitions over
+  * Read path: snapshots plan through the NATIVE batch scan
+  * ([[GraftNativeScan]] — admitted files as input partitions over
   * Spark's vectorized parquet reader, runtime DPP-style file skipping,
   * manifest-served CBO statistics, per-file DV masking, a
-  * `_graft_file` provenance metadata column); hive-partitioned
-  * snapshots keep the [[V1Scan]] bridge ([[GraftScan]] — the JDBC
-  * source's zero-conversion pattern), whose directory-encoded
-  * partition columns a per-file reader would drop.
+  * `_graft_file` provenance metadata column). Hive-partitioned
+  * snapshots ride the same scan: directory-encoded partition values
+  * are parsed at the driver, pruned against partition-column
+  * predicates (static AND runtime), and supplied per file as
+  * `PartitionedFile.partitionValues`. Only a claim the native
+  * re-checker cannot bind falls back to the [[V1Scan]] bridge
+  * ([[GraftScan]] — the JDBC source's zero-conversion pattern).
   *
   * Aggregate pushdown ([[org.apache.spark.sql.connector.read
   * .SupportsPushDownAggregates]], complete-only): `count(*)`/`count`/
@@ -813,22 +816,27 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
   }
 
   /** Routing: a metadata-served aggregate is its own local scan; a
-    * hive-partitioned snapshot (directory-encoded partition columns a
-    * per-file reader would drop) or a claim the native re-checker
-    * cannot bind keeps the V1 bridge; everything else gets the NATIVE
-    * batch scan — runtime file skipping, CBO statistics, and per-file
-    * DV masking ([[GraftNativeScan]]). */
+    * claim the native re-checker cannot bind keeps the V1 bridge;
+    * everything else — hive layouts included — gets the NATIVE batch
+    * scan: runtime file skipping, CBO statistics, per-file DV masking,
+    * and (hive) driver-side partition-value pruning with the
+    * directory values supplied as `PartitionedFile.partitionValues`
+    * ([[GraftNativeScan]]). */
   override def build(): Scan = agg match {
     case Some((schema, rows)) =>
       new GraftLocalScan(path, pinned, schema, rows)
     case None =>
       val spark = SparkSession.active
       val snap = Manifest.resolveSnapshot(spark, path, pinned)
-      if (!Manifest.hiveLayout(spark, path, snap) &&
-          GraftNativeScan.bindable(handled, tableSchema))
+      if (GraftNativeScan.bindable(handled, tableSchema)) {
+        val partSchema =
+          if (!Manifest.hiveLayout(spark, path, snap)) new StructType()
+          else StructType(Manifest.partitionColumnsOf(spark, path, snap)
+            .filter(tableSchema.fieldNames.contains)
+            .map(tableSchema(_)))
         new GraftNativeScan(path, pinned, snap, required, handled,
-          allFilters, tableSchema, options)
-      else
+          allFilters, tableSchema, options, partSchema)
+      } else
         new GraftScan(path, pinned, required, handled, allFilters,
           tableSchema, options)
   }

@@ -47,18 +47,74 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the footers; both paths then apply the bound predicate and project
   * to the pruned schema.
   *
-  * Hive-partitioned snapshots stay on the V1 bridge ([[GraftScan]]):
-  * their partition columns live in directory names a per-file reader
-  * would drop.
+  * Hive-partitioned snapshots ride the SAME native scan: their
+  * directory-encoded partition values are parsed at the driver
+  * (`partSchema` names the columns, the table schema types them),
+  * shipped per file as [[PartitionedFile.partitionValues]] to Spark's
+  * own partition-appending parquet reader, and — the real win — used
+  * for DRIVER-SIDE partition-value pruning: any static or RUNTIME
+  * filter over partition columns admits files by evaluating the
+  * predicate against each file's parsed values, no sidecar needed
+  * (the path IS the statistic). Partition columns therefore get
+  * runtime (DPP-style) filtering, CBO statistics, and `_graft_file`
+  * exactly like data columns.
   */
 private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
     snap: Manifest.Snapshot, required: StructType,
     claimed: Array[Filter], allFilters: Array[Filter],
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    partSchema: StructType = new StructType())
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private def spark: SparkSession = SparkSession.active
+
+  private val partNames = partSchema.fieldNames.toSet
+
+  /** Directory-encoded partition values of `file`, parsed into one
+    * InternalRow over `schema`'s columns (internal representations via
+    * Catalyst Cast from the unescaped path string — the same
+    * string→type rule Spark's own partition inference applies).
+    * Missing keys and `__HIVE_DEFAULT_PARTITION__` read NULL. */
+  private def partValuesFor(file: String,
+      schema: StructType): InternalRow = {
+    if (schema.isEmpty) return InternalRow.empty
+    import org.apache.spark.sql.catalyst.{expressions => CE}
+    val kv = new org.apache.hadoop.fs.Path(file).toUri.getPath
+      .split('/').filter(_.contains("="))
+      .map { s => val a = s.split("=", 2); a(0) -> a(1) }.toMap
+    val tz = Some(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+      kv.get(f.name).map(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) => CE.Cast(
+          CE.Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString(raw), org.apache.spark.sql.types.StringType),
+          f.dataType, tz).eval(null)
+      }
+    })
+  }
+
+  /** Keep only the files whose parsed partition values satisfy every
+    * partition-column-only conjunct of `filters` — driver-side hive
+    * pruning from the paths alone. Conjunction-monotone like the
+    * envelope decision, so it composes with (and after) it. */
+  private def prunePartition(files: Seq[String],
+      filters: Seq[Filter]): Seq[String] = {
+    if (partSchema.isEmpty) return files
+    val partOnly = filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(partNames.contains))
+    GraftNativeScan.boundFilterExpr(partOnly.toArray, partSchema) match {
+      case None => files
+      case Some(expr) =>
+        val pred = org.apache.spark.sql.catalyst.expressions
+          .Predicate.create(expr)
+        pred.initialize(0)
+        files.filter(f => pred.eval(partValuesFor(f, partSchema)))
+    }
+  }
 
   private val filesWithLen: Seq[(String, Long)] =
     Manifest.listSnapshotFilesWithLen(spark, path, snap)
@@ -70,11 +126,11 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
   /** Files admitted by the STATIC predicate tree; narrowed in place by
     * [[filter]] when a runtime filter lands (And only ever shrinks the
     * admitted set — tree admission is conjunction-monotone). */
-  @volatile private var admitted: Seq[String] = {
+  @volatile private var admitted: Seq[String] = prunePartition(
     staticPred
       .flatMap(p => Manifest.admittedFilesFor(spark, path, snap, p))
-      .getOrElse(filesWithLen.map(_._1))
-  }
+      .getOrElse(filesWithLen.map(_._1)),
+    allFilters.toSeq)
 
   override def readSchema(): StructType = required
 
@@ -101,18 +157,25 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
     * a runtime filter can only arrive on a join key, which is always
     * read). */
   override def filterAttributes(): Array[NamedReference] = {
-    val covered = Manifest.envelopeColumns(spark, path, snap)
+    // envelope-covered columns, plus partition columns — the path is
+    // always a complete "statistic" for those
+    val covered = Manifest.envelopeColumns(spark, path, snap) ++ partNames
     required.fieldNames.filter(covered.contains)
       .map(Expressions.column)
   }
 
   override def filter(filters: Array[Filter]): Unit = {
     val runtime = filters.flatMap(GraftScan.toColumnLoose).toSeq
-    if (runtime.nonEmpty) {
-      val pred = (staticPred.toSeq ++ runtime).reduce(_ && _)
-      Manifest.admittedFilesFor(spark, path, snap, pred)
-        .foreach(rt => admitted = rt)
-    }
+    val envelope: Option[Seq[String]] =
+      if (runtime.isEmpty) None
+      else {
+        val pred = (staticPred.toSeq ++ runtime).reduce(_ && _)
+        Manifest.admittedFilesFor(spark, path, snap, pred)
+      }
+    // the envelope decision re-derives from the full list, so re-apply
+    // partition pruning over static AND runtime filters on its result
+    admitted = prunePartition(envelope.getOrElse(admitted),
+      (allFilters ++ filters).toSeq)
   }
 
   // ---- SupportsReportStatistics --------------------------------------
@@ -140,6 +203,13 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
 
   // ---- Batch ----------------------------------------------------------
 
+  /** The partition columns the READER must emit: whatever the output
+    * asks for plus whatever the claimed filters re-check. */
+  private val partRequired: StructType = StructType(
+    partSchema.fields.filter(f =>
+      required.fieldNames.contains(f.name) ||
+        claimed.exists(_.references.contains(f.name))))
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = admitted
     GraftScanInfo.record(path, files)
@@ -150,26 +220,28 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
       val len = sizeOf.getOrElse(f, 0L)
       val key = Manifest.relFileKey(
         new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      val pv = partValuesFor(f, partRequired)
       dv.get(key) match {
         case Some(positions) =>
           // positional masking needs the WHOLE file in one reader —
           // a split's row index would not start at 0
           Iterator.single(
-            GraftFilePartition(f, 0L, len, positions): InputPartition)
+            GraftFilePartition(f, 0L, len, positions, pv): InputPartition)
         case None =>
           if (len <= maxBytes)
             Iterator.single(
-              GraftFilePartition(f, 0L, len, Array.empty): InputPartition)
+              GraftFilePartition(f, 0L, len, Array.empty, pv)
+                : InputPartition)
           else (0L until len by maxBytes).iterator.map(start =>
             GraftFilePartition(f, start, math.min(maxBytes, len - start),
-              Array.empty): InputPartition)
+              Array.empty, pv): InputPartition)
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftNativeScan.readerFactory(spark, snap, required, claimed,
-      tableSchema)
+      tableSchema, partRequired)
 }
 
 private[v2] object GraftNativeScan {
@@ -197,28 +269,44 @@ private[v2] object GraftNativeScan {
     * file-key column). */
   def readerFactory(spark: SparkSession, snap: Manifest.Snapshot,
       required: StructType, claimed: Array[Filter],
-      tableSchema: StructType): PartitionReaderFactory = {
+      tableSchema: StructType,
+      partRequired: StructType = new StructType())
+      : PartitionReaderFactory = {
     val metaName = GraftFileMetaColumn.name()
-    val dataRequired = StructType(
-      required.fields.filterNot(_.name == metaName))
-    val readerSchema = readerSchemaFor(dataRequired, claimed, tableSchema)
+    val partNames = partRequired.fieldNames.toSet
+    val dataRequired = StructType(required.fields.filterNot(f =>
+      f.name == metaName || partNames.contains(f.name)))
+    // parquet files do NOT hold partition columns — the data schema
+    // and the footer-pushed claims must be partition-free; partition
+    // refs in a claim are re-checked row-level over the combined row
+    val dataSchema = StructType(Manifest.committedSchemaOf(snap)
+      .getOrElse(tableSchema).fields
+      .filterNot(f => partNames.contains(f.name)))
+    val dataClaims = claimed.filter(
+      _.references.forall(r => !partNames.contains(r)))
+    val readerSchema = readerSchemaFor(dataRequired, claimed, dataSchema)
+    // the reader emits data columns first, then the partition columns
+    // appended from PartitionedFile.partitionValues
+    val combined = StructType(readerSchema.fields ++ partRequired.fields)
     var next = -1
     val outOrdinals: Array[Int] = required.fields.map { f =>
-      if (f.name == metaName) -1 else { next += 1; next }
+      if (f.name == metaName) -1
+      else if (partNames.contains(f.name))
+        readerSchema.length + partRequired.fieldNames.indexOf(f.name)
+      else { next += 1; next }
     }
-    val dataSchema = Manifest.committedSchemaOf(snap).getOrElse(tableSchema)
     val fmt = new ParquetFileFormat()
     val opts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
     val hc = spark.sessionState.newHadoopConf()
     val filtered = fmt.buildReaderWithPartitionValues(spark, dataSchema,
-      new StructType(), readerSchema, claimed.toIndexedSeq, opts, hc)
+      partRequired, readerSchema, dataClaims.toIndexedSeq, opts, hc)
     val plain =
       if (snap.meta.contains(Manifest.DvKey))
         fmt.buildReaderWithPartitionValues(spark, dataSchema,
-          new StructType(), readerSchema, Nil, opts, hc)
+          partRequired, readerSchema, Nil, opts, hc)
       else filtered
     GraftNativeReaderFactory(filtered, plain,
-      boundFilterExpr(claimed, readerSchema), readerSchema, outOrdinals)
+      boundFilterExpr(claimed, combined), combined, outOrdinals)
   }
 
   /** True when every claimed filter can be re-evaluated natively —
@@ -284,9 +372,12 @@ private[v2] object GraftNativeScan {
 }
 
 /** One admitted parquet file (or a byte-range split of one), plus its
-  * sorted MoR-masked row positions (whole-file partitions only). */
+  * sorted MoR-masked row positions (whole-file partitions only) and
+  * its directory-encoded partition values (hive layouts; empty
+  * otherwise), already converted to internal representations. */
 private[v2] case class GraftFilePartition(file: String, start: Long,
-    length: Long, dvPositions: Array[Long]) extends InputPartition
+    length: Long, dvPositions: Array[Long],
+    partValues: InternalRow = InternalRow.empty) extends InputPartition
 
 /** Wraps the driver-built parquet reader function: per partition,
   * read (footer-filtered for clean files, positional for DV files),
@@ -304,7 +395,7 @@ private[v2] case class GraftNativeReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val pf = PartitionedFile(InternalRow.empty,
+    val pf = PartitionedFile(p.partValues,
       SparkPath.fromPathString(p.file), p.start, p.length,
       Array.empty[String])
     val masked = p.dvPositions.nonEmpty

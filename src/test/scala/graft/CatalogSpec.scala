@@ -904,6 +904,82 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 196L)
   }
 
+  test("hive-partitioned snapshots ride the NATIVE scan: partition " +
+      "values typed from the path, driver partition pruning, mixed " +
+      "part+data predicates, _graft_file, and DV masking") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/hv"
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i % 8, i * 2L)).toDF("id", "day", "v"),
+      partitionBy = Seq("day"))
+    val nAll = Manifest.read(spark, tbl).inputFiles.length
+    assert(nAll >= 8, s"expected >=8 hive leaf files, got $nAll")
+
+    // full parity with the native (inference-reading) face
+    val sql = spark.sql("SELECT id, day, v FROM graft.db.hv ORDER BY id")
+    val native = Manifest.read(spark, tbl)
+      .select("id", "day", "v").orderBy("id")
+    assert(sql.schema == native.schema)
+    assert(sql.collect().sameElements(native.collect()))
+
+    // the plan is the native DSv2 batch scan, not the V1 bridge
+    assert(sql.queryExecution.executedPlan.toString
+      .contains("BatchScan"), sql.queryExecution.executedPlan.toString)
+
+    // partition-value pruning: a day predicate admits ~1/8 of files
+    val one = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.db.hv WHERE day = 3")
+    val expect = (1 to 400).filter(_ % 8 == 3)
+    assert(one.head() == org.apache.spark.sql.Row(
+      expect.size.toLong, expect.map(_ * 2L).sum))
+    val admitted1 = GraftScanInfo.lastFiles(tbl).get
+    assert(admitted1.nonEmpty && admitted1.size < nAll,
+      s"day=3 admitted ${admitted1.size} of $nAll")
+    assert(admitted1.forall(_.contains("day=3")))
+
+    // IN over partition values, mixed with a data predicate
+    val mixed = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.hv " +
+        "WHERE day IN (1, 5) AND v >= 100")
+    assert(mixed.head().getLong(0) ==
+      (1 to 400).count(i => (i % 8 == 1 || i % 8 == 5) && i * 2 >= 100))
+    val admitted2 = GraftScanInfo.lastFiles(tbl).get
+    assert(admitted2.forall(f => f.contains("day=1") || f.contains("day=5")))
+
+    // _graft_file provenance now works on hive layouts
+    val prov = spark.sql(
+      "SELECT DISTINCT _graft_file FROM graft.db.hv WHERE day = 6")
+      .collect().map(_.getString(0))
+    assert(prov.nonEmpty && prov.forall(_.contains("day=6")))
+
+    // a MoR takedown masks rows behind the native hive reader
+    spark.sql("DELETE FROM graft.db.hv WHERE id <= 40")
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.hv").head() ==
+      org.apache.spark.sql.Row(360L, (41 to 400).map(_ * 2L).sum))
+    assert(Manifest.currentSnapshot(spark, tbl).get.paths ==
+      Manifest.readSnapshot(spark, tbl, 1L).paths,
+      "the delete must move no data file")
+
+    // runtime (DPP-style) narrowing on the PARTITION column: a
+    // selective dim filter arrives post-planning as an IN set. The
+    // dim must be FILE-backed — a LocalRelation constant-folds and
+    // leaves nothing to derive the runtime filter from (q239's rule).
+    (0 to 7).map(d => (d, if (d == 3) "keep" else "drop"))
+      .toDF("dday", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/hv_dim")
+    spark.read.parquet(s"$root/hv_dim").createOrReplaceTempView("hv_dim")
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM graft.db.hv t
+        |JOIN hv_dim d ON t.day = d.dday WHERE d.tag = 'keep'"""
+        .stripMargin)
+    assert(joined.head().getLong(0) ==
+      (41 to 400).count(_ % 8 == 3))
+    val admitted3 = GraftScanInfo.lastFiles(tbl).get
+    assert(admitted3.size < nAll && admitted3.forall(_.contains("day=3")),
+      s"runtime partition filter admitted ${admitted3.size}: $admitted3")
+  }
+
   test("CALL procedures: NULL table refuses loudly; NULL optional args " +
       "fall back instead of NPEing") {
     import spark.implicits._
