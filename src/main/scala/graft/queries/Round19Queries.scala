@@ -310,6 +310,113 @@ object Round19Queries {
              |  true AS z_ranges_disjoint, true AS conj_prunes_both_axes
              |FROM lineitem
              |WHERE l_orderkey <= (SELECT max(l_orderkey) FROM lineitem) // 4
-             |  AND l_quantity BETWEEN 1 AND 12""".stripMargin))
+             |  AND l_quantity BETWEEN 1 AND 12""".stripMargin)),
+
+    // HIVE LAYOUTS ON THE NATIVE SCAN (q239's mirror): a
+    // hive-partitioned snapshot plans through the same DSv2 batch
+    // scan — static partition predicates prune files at the DRIVER
+    // from the paths alone (no sidecar), and a selective file-backed
+    // dim joined on the PARTITION column narrows the admitted set at
+    // RUNTIME (DPP-style). Both prunings pinned as strict subsets of
+    // partition-matching files; both aggregates recomputed by the
+    // oracle.
+    NamedQuery("q252_hive_native_skip",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 8).as("shard"))
+        val root = freshQueryDir("hivedpp")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs, partitionBy = Seq("shard"))
+        s.conf.set("spark.sql.catalog.graft_q252",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q252.root", root)
+        val nAll = Manifest.read(s, table).inputFiles.length
+        // static: a partition predicate prunes from the path alone
+        val stat = s.sql(
+          """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+            |FROM graft_q252.db.docs WHERE shard IN (2, 5)"""
+            .stripMargin).head()
+        val aStatic = GraftScanInfo.lastFiles(table).getOrElse(Nil)
+        val staticPruned = aStatic.nonEmpty && aStatic.size < nAll &&
+          aStatic.forall(f => f.contains("shard=2") || f.contains("shard=5"))
+        // runtime: a file-backed selective dim on the partition key —
+        // typed INT to match hive inference (a widening cast on the
+        // join key would break runtime-filter attribution)
+        (0 to 7).map(x => (x, if (x == 3) "hit" else "miss"))
+          .toDF("k", "g").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/dim")
+        s.read.parquet(s"$root/dim").createOrReplaceTempView("q252_dim")
+        val j = s.sql(
+          """SELECT count(*) AS n, CAST(sum(f.n_chars) AS BIGINT) AS sc
+            |FROM graft_q252.db.docs f JOIN q252_dim d ON f.shard = d.k
+            |WHERE d.g = 'hit'""".stripMargin).head()
+        val aRt = GraftScanInfo.lastFiles(table).getOrElse(Nil)
+        val runtimePruned = aRt.nonEmpty && aRt.size < nAll &&
+          aRt.forall(_.contains("shard=3"))
+        Seq((stat.getLong(0), stat.getLong(1), j.getLong(0), j.getLong(1),
+          staticPruned, runtimePruned))
+          .toDF("n_static", "sum_static", "n_runtime", "sum_runtime",
+            "static_pruned", "runtime_pruned")
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 8 IN (2, 5)) AS BIGINT)
+             |    AS n_static,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 8 IN (2, 5))
+             |    AS BIGINT) AS sum_static,
+             |  CAST(count(*) FILTER (WHERE doc_id % 8 = 3) AS BIGINT)
+             |    AS n_runtime,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 8 = 3) AS BIGINT)
+             |    AS sum_runtime,
+             |  true AS static_pruned, true AS runtime_pruned
+             |FROM documents""".stripMargin)),
+
+    // HIVE CBO STATISTICS (q240's mirror): the native scan reports
+    // exact bytes from the snapshot listing for a hive layout too, so
+    // the optimizer broadcasts the small graft side of a join against
+    // an un-broadcastable fact — pinned from the static physical
+    // plan; the join aggregate recomputed by the oracle.
+    NamedQuery("q253_hive_cbo_stats",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 4).as("shard"))
+        val root = freshQueryDir("hivecbo")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs, partitionBy = Seq("shard"))
+        s.conf.set("spark.sql.catalog.graft_q253",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q253.root", root)
+        val stats = s.sql(
+          "SELECT doc_id, n_chars FROM graft_q253.db.docs")
+          .queryExecution.optimizedPlan.stats
+        val sizeReported = stats.sizeInBytes > 0 &&
+          stats.sizeInBytes < (1L << 30)
+        s.range(0, 2000000L)
+          .select((col("id") % 1000 + 1).as("doc_id"))
+          .createOrReplaceTempView("q253_big")
+        val j = s.sql(
+          """SELECT count(*) AS n_rows,
+            |  CAST(sum(g.n_chars) AS BIGINT) AS sum_chars
+            |FROM q253_big b JOIN graft_q253.db.docs g
+            |  ON b.doc_id = g.doc_id""".stripMargin)
+        val broadcast = j.queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin")
+        val row = j.head()
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), sizeReported, broadcast))
+          .toDF("n_rows", "sum_chars", "size_reported", "broadcast_join")
+      },
+      Some("""WITH big AS (
+             |  SELECT (i % 1000) + 1 AS doc_id FROM range(0, 2000000) t(i))
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(documents.n_chars) AS BIGINT) AS sum_chars,
+             |  true AS size_reported, true AS broadcast_join
+             |FROM big JOIN documents ON big.doc_id = documents.doc_id"""
+        .stripMargin))
   )
 }
