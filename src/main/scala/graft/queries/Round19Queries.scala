@@ -423,6 +423,70 @@ object Round19Queries {
              |  CAST(sum(documents.n_chars) AS BIGINT) AS sum_chars,
              |  true AS size_reported, true AS broadcast_join
              |FROM big JOIN documents ON big.doc_id = documents.doc_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // SQL RENAME TABLE: one atomic directory move — the new
+    // identifier serves the post-takedown corpus, the FULL identity
+    // transfers (version history with its verbs, a release tag, the
+    // skipping sidecar — file pruning still admits a strict subset at
+    // the new path), and the old identifier is gone. The aggregates
+    // and the takedown arithmetic are recomputed by the oracle.
+    NamedQuery("q254_sql_rename",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlren")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")))                      // v1
+        Manifest.analyzeFiles(s, table, Seq("doc_id"))
+        Manifest.deleteWhereMoR(s, table, col("doc_id") % 9 === 0)   // v2
+        Manifest.tag(s, table, "pre-rename")
+        s.conf.set("spark.sql.catalog.graft_q254",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q254.root", root)
+        s.sql(
+          "ALTER TABLE graft_q254.db.docs RENAME TO graft_q254.db.corpus")
+        val moved = s"$root/db/corpus"
+        val agg = s.sql(
+          """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+            |FROM graft_q254.db.corpus""".stripMargin).head()
+        val historyIntact = Manifest.versions(s, moved) == Seq(1L, 2L) &&
+          Manifest.currentSnapshot(s, moved).get
+            .meta.get("operation").contains("delete")
+        val total = docs.count()
+        val timeTravel = s.sql(
+          "SELECT count(*) FROM graft_q254.db.corpus VERSION AS OF 1")
+          .head().getLong(0) == total
+        val tagServes = s.sql(
+          "SELECT count(*) FROM graft_q254.db.corpus " +
+            "VERSION AS OF 'pre-rename'").head().getLong(0) == agg.getLong(0)
+        val oldGone =
+          try { s.sql("SELECT * FROM graft_q254.db.docs").collect(); false }
+          catch { case _: Exception => true }
+        // the skipping sidecar moved with the table: a point probe at
+        // the new path admits a strict subset of files
+        val maxId = docs.agg(F.max("doc_id")).head().getLong(0)
+        val nAll = Manifest.read(s, moved).inputFiles.length
+        s.sql("SELECT count(*) FROM graft_q254.db.corpus " +
+          s"WHERE doc_id IN (5, ${maxId - 2})").head()
+        val admitted = GraftScanInfo.lastFiles(moved).getOrElse(Nil)
+        val skipSurvives = admitted.nonEmpty && admitted.size < nAll
+        import s.implicits._
+        Seq((agg.getLong(0), agg.getLong(1), historyIntact, timeTravel,
+          tagServes, oldGone, skipSurvives))
+          .toDF("n_rows", "sum_chars", "history_intact", "time_travel",
+            "tag_serves", "old_gone", "skip_survives")
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 9 <> 0) AS BIGINT)
+             |    AS n_rows,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 9 <> 0) AS BIGINT)
+             |    AS sum_chars,
+             |  true AS history_intact, true AS time_travel,
+             |  true AS tag_serves, true AS old_gone, true AS skip_survives
+             |FROM documents""".stripMargin))
   )
 }

@@ -332,15 +332,25 @@ object Manifest {
       s"Manifest.commit: $target already exists — a concurrent commit won; " +
         "re-resolve the current snapshot and retry")
     if (fs.exists(target)) lost()
-    // a DROPPED table accepts no further commits except the undrop
-    // ([[restore]]) — without this, a retrying appender racing the
-    // drop would quietly resurrect the table one version later
-    if (expected > 0 && !meta.get(OpKey).contains("restore") &&
-        (try readSnapshot(spark, table, expected).meta.contains(DroppedKey)
-        catch { case _: java.io.IOException => false }))
-      sys.error(s"Manifest.commit: $table is DROPPED (tombstone at " +
-        s"v$expected) — only Manifest.restore may commit on it; vacuum " +
-        "reclaims it")
+    if (expected > 0) {
+      // the expected version's manifest must EXIST: a legit committer
+      // derived `expected` from a snapshot it read, and the current
+      // manifest is always retained — a missing chain means the table
+      // was RENAMED or reclaimed underneath (committing would
+      // resurrect a ghost at the old path)
+      if (!fs.exists(manifestFile(table, expected)))
+        sys.error(s"Manifest.commit: $table has no manifest v$expected — " +
+          "the table was renamed or reclaimed underneath; re-resolve " +
+          "the table location and retry")
+      // a DROPPED table accepts no further commits except the undrop
+      // ([[restore]]) — without this, a retrying appender racing the
+      // drop would quietly resurrect the table one version later
+      if (!meta.get(OpKey).contains("restore") &&
+          readSnapshot(spark, table, expected).meta.contains(DroppedKey))
+        sys.error(s"Manifest.commit: $table is DROPPED (tombstone at " +
+          s"v$expected) — only Manifest.restore may commit on it; vacuum " +
+          "reclaims it")
+    }
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     // every commit stamps its wall time (ms) — the AS OF timestamp
@@ -787,6 +797,38 @@ object Manifest {
     * underneath until vacuum. */
   def isDropped(spark: SparkSession, table: String): Boolean =
     currentSnapshot(spark, table).exists(_.meta.contains(DroppedKey))
+
+  /** RENAME TABLE as ONE atomic directory move — everything a table
+    * is (manifests, data dirs, delete vectors, sidecars, tags) lives
+    * UNDER its root and every manifest entry is root-RELATIVE, so the
+    * whole identity transfers in a single `FileSystem.rename`:
+    * history, time travel, tags, and skipping sidecars all survive
+    * verbatim at the new path. Atomic on HDFS/POSIX directory rename
+    * (the same primitive the commit protocol already leans on);
+    * object stores without atomic dir rename should move the path
+    * out-of-band and adopt.
+    *
+    * Concurrency: a writer racing the rename fails LOUDLY, never
+    * half-writes — its commit re-checks that the expected version's
+    * manifest still exists at the path it resolved, and a renamed-away
+    * table has no chain there ([[commit]]'s ghost-resurrection
+    * guard). */
+  def renameTable(spark: SparkSession, src: String, dst: String): Unit = {
+    require(currentSnapshot(spark, src).nonEmpty,
+      s"Manifest.renameTable: $src has no committed snapshot")
+    require(!isDropped(spark, src),
+      s"Manifest.renameTable: $src is DROPPED (awaiting vacuum) — " +
+        "restore it first or let vacuum reclaim it")
+    val fs = fsFor(spark, src)
+    val to = new Path(dst)
+    require(!fs.exists(to),
+      s"Manifest.renameTable: destination $dst already exists")
+    val parent = to.getParent
+    if (parent != null) fs.mkdirs(parent)
+    require(fs.rename(new Path(src), to),
+      s"Manifest.renameTable: rename $src -> $dst failed (concurrent " +
+        "rename, or a filesystem without atomic directory rename?)")
+  }
 
   /** File-level diff between two retained versions: (added, removed)
     * relative paths, v1 → v2. Driver-side manifest metadata only —

@@ -81,9 +81,12 @@ import org.apache.spark.sql.{functions => F}
   *  - `DROP TABLE` = ONE tombstone commit ([[Manifest.dropTable]]):
   *    the identifier vanishes from every read face, the bytes wait
   *    for `CALL graft.system.vacuum`'s lease-disciplined reclaim, and
-  *    `Manifest.restore` undoes a mistake.
-  *  INSERT OVERWRITE, RENAME, non-additive ALTERs, and writes to
-  *  pinned snapshots refuse loudly.
+  *    `Manifest.restore` undoes a mistake;
+  *  - `ALTER TABLE … RENAME TO` = one atomic directory move
+  *    ([[Manifest.renameTable]]) — history, tags, and sidecars
+  *    transfer verbatim (entries are root-relative).
+  *  INSERT OVERWRITE, non-additive ALTERs, and writes to pinned
+  *  snapshots refuse loudly.
   *
   * At 100 TB: table resolution and file skipping are driver metadata
   * (one manifest read + sidecar parquet reads); the data plan is the
@@ -254,9 +257,9 @@ class GraftCatalog extends TableCatalog
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"GraftCatalog '$catName' is read-only for destructive DDL — " +
-      "drop/alter/rename through the Manifest.* verbs, whose " +
-      "optimistic-concurrency commits a blind SQL rewrite cannot honor")
+    s"GraftCatalog '$catName' is read-only for this DDL — namespaces " +
+      "are plain warehouse directories (no properties to alter; drop " +
+      "the tables, then remove the directory out-of-band)")
 
   /** Only hive (identity) partitioning has a manifest meaning; any
     * bucketing/temporal transform refuses loudly. */
@@ -371,8 +374,28 @@ class GraftCatalog extends TableCatalog
     else { Manifest.dropTable(spark, p); true }
   }
 
+  /** `ALTER TABLE graft.db.t RENAME TO graft.db2.t2`: one atomic
+    * directory move ([[Manifest.renameTable]]) — history, time
+    * travel, tags, and sidecars all transfer (manifest entries are
+    * root-relative). Cross-namespace moves are just path moves; the
+    * destination namespace directory is created on the way. */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly
+      newIdent: Identifier): Unit = {
+    val src = pathOf(oldIdent)
+    requireLive(oldIdent, src)
+    // Spark hands the RENAME TO target verbatim — a catalog-qualified
+    // `graft.db2.t2` arrives with 'graft' still leading the namespace;
+    // strip our own name so the path resolves inside the warehouse
+    val ident =
+      if (newIdent.namespace().nonEmpty && newIdent.namespace()(0) == catName)
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    val dst = pathOf(ident)
+    if (Manifest.isManifested(spark, dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    Manifest.renameTable(spark, src, dst)
+  }
 }
 
 /** The CTAS staging vehicle: holds the declared shape; the V1 write

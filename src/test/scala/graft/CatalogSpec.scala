@@ -306,14 +306,24 @@ class CatalogSpec extends AnyFunSuite {
     val miss = intercept[Exception](spark.sql(
       "SELECT * FROM graft.db.nope").collect())
     assert(miss.getMessage.toLowerCase.contains("table"))
-    // RENAME stays refused (no manifest meaning); DROP is now the
-    // tombstone commit, pinned end-to-end in its own test below
-    val ddl = intercept[Exception](spark.sql(
-      "ALTER TABLE graft.db.evo RENAME TO graft.db.evo2"))
-    assert(ddl.getMessage.contains("read-only"))
-    spark.sql("DROP TABLE graft.db.evo")
+    // RENAME is one atomic directory move: the new identifier serves
+    // the full history, the old one is gone
+    spark.sql("ALTER TABLE graft.db.evo RENAME TO graft.db.evo2")
+    assert(spark.sql("SELECT count(*) FROM graft.db.evo2")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.evo2 VERSION AS OF 1")
+      .head().getLong(0) == 1L, "time travel must survive the rename")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.evo").collect())
+    // renaming onto an existing table refuses
+    Manifest.create(spark, s"$root/db/occupied",
+      Seq((1L, "x")).toDF("id", "s").coalesce(1))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.evo2 RENAME TO graft.db.occupied"))
+    spark.sql("DROP TABLE graft.db.evo2")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
-      .map(_.getString(1)).contains("evo"))
+      .map(_.getString(1)).contains("evo2"))
   }
 
   test("DELETE FROM through the catalog lands ONE MoR commit — no file " +
