@@ -291,6 +291,32 @@ object Manifest {
     Snapshot(v, lines.filterNot(_.startsWith("#")), meta)
   }
 
+  /** HEADER-ONLY manifest read: the commit writer puts every `#k=v`
+    * meta line BEFORE the entry list, so a consumer that only needs
+    * the metadata (the commit guard's tombstone check, most
+    * prominently) streams lines until the first non-'#' and stops —
+    * O(header), never O(entries), which matters on every commit
+    * against a 10⁵–10⁶-entry manifest. */
+  private[graft] def readSnapshotMeta(spark: SparkSession, table: String,
+      v: Long): Map[String, String] = {
+    val fs = fsFor(spark, table)
+    val in = fs.open(manifestFile(table, v))
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    try {
+      val meta = Map.newBuilder[String, String]
+      var line = reader.readLine()
+      while (line != null && line.trim.startsWith("#")) {
+        line.trim.drop(1).split("=", 2) match {
+          case Array(k, vv) => meta += (k -> vv)
+          case _ => ()
+        }
+        line = reader.readLine()
+      }
+      meta.result()
+    } finally reader.close()
+  }
+
   /** Pinned read of the current snapshot: the file list is resolved
     * HERE, once, so the returned frame is immune to later commits and
     * (within the retention window) to vacuum. */
@@ -344,9 +370,11 @@ object Manifest {
           "the table location and retry")
       // a DROPPED table accepts no further commits except the undrop
       // ([[restore]]) — without this, a retrying appender racing the
-      // drop would quietly resurrect the table one version later
+      // drop would quietly resurrect the table one version later.
+      // HEADER-ONLY read: at a 10⁵⁺-entry manifest the guard must not
+      // re-parse the entry list on every commit
       if (!meta.get(OpKey).contains("restore") &&
-          readSnapshot(spark, table, expected).meta.contains(DroppedKey))
+          readSnapshotMeta(spark, table, expected).contains(DroppedKey))
         sys.error(s"Manifest.commit: $table is DROPPED (tombstone at " +
           s"v$expected) — only Manifest.restore may commit on it; vacuum " +
           "reclaims it")
@@ -794,9 +822,11 @@ object Manifest {
 
   /** True when the CURRENT snapshot is a drop tombstone — the read
     * faces' invisibility test. Retained pre-drop versions still exist
-    * underneath until vacuum. */
+    * underneath until vacuum. Header-only read: SHOW TABLES calls
+    * this once per candidate and must not parse entry lists. */
   def isDropped(spark: SparkSession, table: String): Boolean =
-    currentSnapshot(spark, table).exists(_.meta.contains(DroppedKey))
+    versions(spark, table).lastOption.exists(v =>
+      readSnapshotMeta(spark, table, v).contains(DroppedKey))
 
   /** RENAME TABLE as ONE atomic directory move — everything a table
     * is (manifests, data dirs, delete vectors, sidecars, tags) lives
@@ -3808,7 +3838,7 @@ object Manifest {
     val cutoff = System.currentTimeMillis() - retainMs
     val tagged = tags(spark, table).values.toSet
     def fresh(v: Long): Boolean = retainMs > 0 &&
-      readSnapshot(spark, table, v).meta.get("committed_at")
+      readSnapshotMeta(spark, table, v).get("committed_at")
         .exists(_.toLong >= cutoff)
     val keepSet = vs.takeRight(keep).toSet ++ tagged
     val (live0, dead0) = vs.partition(v => keepSet.contains(v) || fresh(v))
@@ -3959,9 +3989,9 @@ object Manifest {
     // flushing under an orphan dir), the WHOLE table directory goes.
     // Tags refuse the reclaim rather than silently unpinning a
     // release — delete the tag first if the drop is really meant.
-    val curSnap = readSnapshot(spark, table, current)
-    if (curSnap.meta.contains(DroppedKey) &&
-        curSnap.meta.get("committed_at").exists(_.toLong < cutoff) &&
+    val curMeta = readSnapshotMeta(spark, table, current)
+    if (curMeta.contains(DroppedKey) &&
+        curMeta.get("committed_at").exists(_.toLong < cutoff) &&
         tags(spark, table).isEmpty) {
       val busy = fs.listStatus(new Path(table)).exists { st =>
         st.isDirectory && st.getPath.getName != "_manifest" &&
