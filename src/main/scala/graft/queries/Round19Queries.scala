@@ -487,6 +487,54 @@ object Round19Queries {
              |    AS sum_chars,
              |  true AS history_intact, true AS time_travel,
              |  true AS tag_serves, true AS old_gone, true AS skip_survives
+             |FROM documents""".stripMargin)),
+
+    // THE RELEASE LOOP FROM SQL: adopt a plain parquet corpus into the
+    // manifest, publish it as a named release (CALL tag), take down
+    // rows (SQL DELETE), serve the frozen release through
+    // `VERSION AS OF 'name'` while the live table serves survivors,
+    // then roll back (CALL restore) — the verb ledger pinned via CALL
+    // history. Every aggregate recomputed by the oracle.
+    NamedQuery("q255_sql_release",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sqlrel")
+        docs.coalesce(4).write.parquet(s"$root/db/corpus")
+        s.conf.set("spark.sql.catalog.graft_q255",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q255.root", root)
+        s.sql("CALL graft_q255.system.adopt(table => 'db/corpus')") // v1
+        s.sql("CALL graft_q255.system.tag(table => 'db/corpus', " +
+          "name => 'release-1')")
+        s.sql("DELETE FROM graft_q255.db.corpus WHERE doc_id % 6 = 2") // v2
+        val live = s.sql(
+          """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+            |FROM graft_q255.db.corpus""".stripMargin).head()
+        val release = s.sql(
+          "SELECT count(*) FROM graft_q255.db.corpus " +
+            "VERSION AS OF 'release-1'").head().getLong(0)
+        s.sql("CALL graft_q255.system.restore(table => 'db/corpus', " +
+          "version => 1)") // v3
+        val restored = s.sql(
+          "SELECT count(*) FROM graft_q255.db.corpus").head().getLong(0)
+        val ops = s.sql(
+          "CALL graft_q255.system.history(table => 'db/corpus')")
+          .orderBy(col("version")).select("operation")
+          .collect().map(_.getString(0)).mkString(",")
+        import s.implicits._
+        Seq((live.getLong(0), live.getLong(1), release,
+          restored == release, ops))
+          .toDF("n_live", "sum_live", "n_release", "restore_rolls_back",
+            "ops")
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 6 <> 2) AS BIGINT)
+             |    AS n_live,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 6 <> 2) AS BIGINT)
+             |    AS sum_live,
+             |  CAST(count(*) AS BIGINT) AS n_release,
+             |  true AS restore_rolls_back,
+             |  'adopt,delete,restore' AS ops
              |FROM documents""".stripMargin))
   )
 }

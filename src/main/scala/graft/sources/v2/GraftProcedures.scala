@@ -25,6 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     columns => 'doc_id,n_chars', string_columns => 'source')
   *   CALL graft.system.vacuum(table => 'db/docs', keep => 5)
   *   CALL graft.system.history(table => 'db/docs')
+  *   CALL graft.system.restore(table => 'db/docs', version => 3)
+  *   CALL graft.system.tag(table => 'db/docs', name => 'corpus-v1')
+  *   CALL graft.system.drop_tag(table => 'db/docs', name => 'corpus-v1')
+  *   CALL graft.system.adopt(table => 'db/plain_parquet_dir')
   * }}}
   *
   * `compact(sort_columns => …)` with ONE column is a linear clustered
@@ -51,7 +55,7 @@ private[v2] object GraftProcedures {
     else Array.empty
 
   private val Names = Seq("advise", "compact", "fold_deletes", "analyze",
-    "vacuum", "history")
+    "vacuum", "history", "restore", "tag", "drop_tag", "adopt")
 
   def load(root: => String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")) &&
@@ -89,6 +93,14 @@ private[v2] class GraftProcedure(root: => String, verb: String)
     case "vacuum" =>
       Array(p("table", StringType), pd("keep", IntegerType, "2"),
         pd("retain_hours", IntegerType, "0"))
+    case "restore" =>
+      Array(p("table", StringType), p("version", LongType))
+    case "tag" =>
+      Array(p("table", StringType), p("name", StringType),
+        pd("version", LongType, "-1"))
+    case "drop_tag" =>
+      Array(p("table", StringType), p("name", StringType))
+    case "adopt" => Array(p("table", StringType))
   }
 
   private def out(fields: (String, DataType)*)(values: Any*): Scan = {
@@ -108,7 +120,10 @@ private[v2] class GraftProcedure(root: => String, verb: String)
     require(!input.isNullAt(0),
       s"graft system.$verb: table must not be NULL")
     val table = s"$root/${input.getString(0)}"
-    require(Manifest.isManifested(spark, table),
+    if (verb == "adopt")
+      require(!Manifest.isManifested(spark, table),
+        s"graft system.adopt: $table is already manifested")
+    else require(Manifest.isManifested(spark, table),
       s"graft system.$verb: $table is not a manifested table")
     val scan: Scan = verb match {
       case "advise" =>
@@ -161,6 +176,32 @@ private[v2] class GraftProcedure(root: => String, verb: String)
         }
         val snap = Manifest.compact(spark, table,
           targetBytes = intArg(1, 1024).toLong << 20, sortBy = sortBy)
+        out("version" -> LongType, "n_entries" -> IntegerType)(
+          snap.version, snap.paths.size)
+      case "restore" =>
+        // also the UNDROP: restore is the one verb a dropped table's
+        // commit guard admits
+        require(!input.isNullAt(1),
+          "graft system.restore: version must not be NULL")
+        val snap = Manifest.restore(spark, table, input.getLong(1))
+        out("version" -> LongType, "restored_from" -> LongType)(
+          snap.version, input.getLong(1))
+      case "tag" =>
+        require(!input.isNullAt(1),
+          "graft system.tag: name must not be NULL")
+        val v = if (input.isNullAt(2)) -1L else input.getLong(2)
+        val pinned = Manifest.tag(spark, table,
+          input.getString(1), version = v)
+        out("tag" -> StringType, "version" -> LongType)(
+          input.getString(1), pinned)
+      case "drop_tag" =>
+        require(!input.isNullAt(1),
+          "graft system.drop_tag: name must not be NULL")
+        Manifest.deleteTag(spark, table, input.getString(1))
+        out("tag" -> StringType, "dropped" -> IntegerType)(
+          input.getString(1), 1)
+      case "adopt" =>
+        val snap = Manifest.adopt(spark, table)
         out("version" -> LongType, "n_entries" -> IntegerType)(
           snap.version, snap.paths.size)
       case "history" =>

@@ -990,6 +990,60 @@ class CatalogSpec extends AnyFunSuite {
       s"runtime partition filter admitted ${admitted3.size}: $admitted3")
   }
 
+  test("the release loop from SQL: adopt a plain parquet dir, tag a " +
+      "version, restore (including the undrop), drop the tag") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/rel"
+    // a plain parquet dir awaiting adoption — no manifest yet
+    (1 to 50).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .coalesce(1).write.parquet(tbl)
+    val adopted = spark.sql(
+      "CALL graft.system.adopt(table => 'db/rel')").head()
+    assert(adopted.getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rel")
+      .head().getLong(0) == 50L)
+    // double adopt refuses
+    val ae = intercept[Exception](spark.sql(
+      "CALL graft.system.adopt(table => 'db/rel')"))
+    assert(ae.getMessage.contains("already manifested"))
+
+    spark.sql("INSERT INTO graft.db.rel VALUES (51, 102)") // v2
+    val tagged = spark.sql(
+      "CALL graft.system.tag(table => 'db/rel', name => 'corpus-v1')")
+      .head()
+    assert(tagged.getString(0) == "corpus-v1" && tagged.getLong(1) == 2L)
+    spark.sql("DELETE FROM graft.db.rel WHERE id > 10") // v3
+    assert(spark.sql("SELECT count(*) FROM graft.db.rel")
+      .head().getLong(0) == 10L)
+    // the tag still serves the release through SQL time travel
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.rel VERSION AS OF 'corpus-v1'")
+      .head().getLong(0) == 51L)
+    // restore rolls the current snapshot back to the release
+    val restored = spark.sql(
+      "CALL graft.system.restore(table => 'db/rel', version => 2)").head()
+    assert(restored.getLong(0) == 4L && restored.getLong(1) == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rel")
+      .head().getLong(0) == 51L)
+
+    // restore is also the UNDROP — the one verb a tombstone admits
+    spark.sql("DROP TABLE graft.db.rel") // v5
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.db.rel").collect())
+    spark.sql(
+      "CALL graft.system.restore(table => 'db/rel', version => 4)") // v6
+    assert(spark.sql("SELECT count(*) FROM graft.db.rel")
+      .head().getLong(0) == 51L, "restore must undrop")
+
+    // drop the tag; the pinned name stops resolving
+    spark.sql(
+      "CALL graft.system.drop_tag(table => 'db/rel', name => 'corpus-v1')")
+    intercept[Exception](spark.sql(
+      "SELECT count(*) FROM graft.db.rel VERSION AS OF 'corpus-v1'")
+      .collect())
+  }
+
   test("CALL procedures: NULL table refuses loudly; NULL optional args " +
       "fall back instead of NPEing") {
     import spark.implicits._
