@@ -535,6 +535,61 @@ object Round19Queries {
              |  CAST(count(*) AS BIGINT) AS n_release,
              |  true AS restore_rolls_back,
              |  'adopt,delete,restore' AS ops
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // GROUP BY A HIVE PARTITION COLUMN FROM METADATA: the dashboard
+    // shape ("rows and volume per shard/day") serves with ZERO data
+    // files — the partition key comes from the directory PATHS, the
+    // measures from the stats sidecar, and a count(*)-only table that
+    // was never analyzed serves from parquet FOOTERS. Pinned: the
+    // relation's output IS the served aggregate (agg_* columns) and
+    // the scan recorded zero files. Every value recomputed by the
+    // oracle.
+    NamedQuery("q256_hive_partition_agg",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 5).as("shard"))
+        val root = freshQueryDir("hivepagg")
+        val table = s"$root/db/docs"
+        Manifest.create(s, table, docs, partitionBy = Seq("shard"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars"))
+        s.conf.set("spark.sql.catalog.graft_q256",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q256.root", root)
+        // shard is inferred INT from the directory paths; the output
+        // casts AFTER the pushed aggregate (the group key itself must
+        // stay a bare column for the pushdown to be offered)
+        val sql = s.sql(
+          """SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_chars
+            |FROM (SELECT shard, count(*) AS n_docs,
+            |        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |      FROM graft_q256.db.docs GROUP BY shard)"""
+            .stripMargin)
+        val plan = sql.queryExecution.optimizedPlan.toString
+        val pushed = plan.contains("agg_0") && plan.contains("RelationV2")
+        val rows = sql.collect()
+        val zeroFiles = GraftScanInfo.lastFiles(table).exists(_.isEmpty)
+        // count(*)-only on a NEVER-analyzed hive table: footers serve
+        val t2 = s"$root/db/plain"
+        Manifest.create(s, t2, docs.select(col("doc_id"),
+          (col("doc_id") % 2).as("half")), partitionBy = Seq("half"))
+        val g2 = Manifest.statsAggregateGrouped(s, t2, Seq("half"), Nil)
+        val footerServed =
+          g2.collect().forall(_.getAs[String]("served_from") == "stats")
+        import s.implicits._
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          pushed && zeroFiles, footerServed))
+          .toDF("shard", "n_docs", "sum_chars", "zero_file_serve",
+            "footer_serve")
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT CAST(doc_id % 5 AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS zero_file_serve, true AS footer_serve
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

@@ -1281,6 +1281,19 @@ object Manifest {
       F.col(c) >= lo && F.col(c) <= hi }.reduceOption(_ && _)
     val allFiles = listSnapshotFiles(spark, table, snap)
     val partitioned = snap.meta.contains(PartitionKey)
+    // hive PARTITION group keys serve from the file PATHS: each file's
+    // directory value is constant by construction, so the key needs no
+    // sidecar coverage — `GROUP BY day` over a day-partitioned 100 TB
+    // table is a pure metadata read (the path is the statistic)
+    val partCols: Set[String] =
+      if (hiveLayout(spark, table, snap))
+        partitionColumnsOf(spark, table, snap).toSet
+      else Set.empty
+    def pathVal(nf: String, k: String): Option[String] =
+      nf.split('/').find(_.startsWith(k + "="))
+        .map(s => org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(s.substring(k.length + 1)))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
 
     // the grouped analogue of statsScanAgg: per group key tuple
     // (numeric keys carried as Double — the sidecar's identity), the
@@ -1316,8 +1329,10 @@ object Manifest {
         allFiles.size.toLong)
     if (snap.meta.contains(DvKey)) return fallback()
 
-    val numKeys = groupBy.zip(strKey).collect { case (k, false) => k }
-    val strKeys = groupBy.zip(strKey).collect { case (k, true) => k }
+    val numKeys = groupBy.zip(strKey).collect {
+      case (k, false) if !partCols.contains(k) => k }
+    val strKeys = groupBy.zip(strKey).collect {
+      case (k, true) if !partCols.contains(k) => k }
     val neededNum = (cols ++ where.map(_._1) ++ numKeys).distinct
     // numeric sidecar: required whenever any measure / range / numeric
     // key needs it; the cnt anchor comes from it when possible
@@ -1389,6 +1404,26 @@ object Manifest {
           val key: Option[Seq[Any]] =
             groupBy.zip(strKey).foldLeft(Option(Seq.empty[Any])) {
               case (None, _) => None
+              // hive partition key: the directory value IS the
+              // file-constant (a default/NULL partition scans)
+              case (Some(acc), (k, isStr)) if partCols.contains(k) =>
+                pathVal(nf, k) match {
+                  case Some(raw) if isStr => Some(acc :+ (raw: Any))
+                  case Some(raw) =>
+                    val d = try raw.toDouble
+                      catch { case _: NumberFormatException => Double.NaN }
+                    val integral = factSchema(k).dataType match {
+                      case org.apache.spark.sql.types.LongType |
+                           org.apache.spark.sql.types.IntegerType |
+                           org.apache.spark.sql.types.ShortType |
+                           org.apache.spark.sql.types.ByteType => true
+                      case _ => false
+                    }
+                    if (!d.isNaN && (!integral || math.abs(d) < exactCap))
+                      Some(acc :+ (d: Any))
+                    else None
+                  case None => None
+                }
               case (Some(acc), (k, false)) =>
                 val (mi, ma) = (dbl(nr.get, s"${k}__min"),
                   dbl(nr.get, s"${k}__max"))
@@ -1421,16 +1456,21 @@ object Manifest {
             }
           (key, wcls) match {
             case (Some(kv), Full) =>
-              val (sch, row) = nr.getOrElse(sr.get)
               val cnt: Long =
-                if (neededNum.nonEmpty)
+                if (neededNum.nonEmpty) {
+                  val (sch, row) = nr.get
                   row.getDouble(sch.fieldIndex(
                     s"${neededNum.head}__cnt")).toLong
-                else {
+                } else if (strKeys.nonEmpty) {
                   val (ssch, srow) = sr.get
                   srow.getString(ssch.fieldIndex(
                     s"${strKeys.head}__scnt")).toLong
-                }
+                } else
+                  // every key is a hive partition column and no
+                  // measure needs a sidecar: the per-file count comes
+                  // from the parquet FOOTER — still driver metadata,
+                  // no row deserialized
+                  footerRowCount(spark, new Path(f))
               val per: StatsPer = cols.map { c =>
                 def d(n: String) = dbl(nr.get, n)
                 (d(s"${c}__nn").fold(0L)(_.toLong), d(s"${c}__min"),

@@ -2239,6 +2239,62 @@ class LakehouseSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("cnt") == 4 && s2.getAs[Double]("v_sum") == 100.0)
   }
 
+  test("GROUP BY a hive partition column serves from the PATHS: sidecar " +
+      "measures per directory value, and a count(*)-only shape needs no " +
+      "sidecar at all (parquet footers)") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("manifest_partagg").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      (1 to 90).map(i => (i.toLong, s"p${i % 3}", i * 2L))
+        .toDF("id", "p", "v").repartition(4), partitionBy = Seq("p"))
+    Manifest.analyzeFiles(spark, tbl, Seq("v"))
+    // GROUP BY the partition column with a sidecar measure: pure stats
+    val g = Manifest.statsAggregateGrouped(spark, tbl, Seq("p"), Seq("v"))
+      .orderBy("p").collect()
+    assert(g.length == 3)
+    assert(g.forall(_.getAs[String]("served_from") == "stats"),
+      s"partition GROUP BY must serve from metadata: ${g.mkString(";")}")
+    (0 to 2).foreach { k =>
+      val want = (1 to 90).filter(_ % 3 == k)
+      val row = g(k)
+      assert(row.getAs[String]("p") == s"p$k")
+      assert(row.getAs[Long]("cnt") == want.size.toLong)
+      assert(row.getAs[Double]("v_sum") == want.map(_ * 2L).sum.toDouble)
+    }
+    // count(*)-only GROUP BY partition on a NEVER-analyzed table:
+    // footer counts, still zero rows deserialized
+    val tbl2 = s"$dir/t2"
+    Manifest.create(spark, tbl2,
+      (1 to 40).map(i => (i.toLong, s"d${i % 2}"))
+        .toDF("id", "d").repartition(2), partitionBy = Seq("d"))
+    val g2 = Manifest.statsAggregateGrouped(spark, tbl2, Seq("d"), Nil)
+      .orderBy("d").collect()
+    assert(g2.length == 2 &&
+      g2.forall(_.getAs[String]("served_from") == "stats"))
+    assert(g2.map(_.getAs[Long]("cnt")).toSeq == Seq(20L, 20L))
+
+    // the SQL face: complete aggregate pushdown with ZERO data files
+    spark.conf.set("spark.sql.catalog.graft_pa",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pa.root",
+      new java.io.File(tbl).getParent)
+    val sql = spark.sql(
+      "SELECT p, count(*) AS n, sum(v) AS sv FROM graft_pa.t GROUP BY p " +
+        "ORDER BY p")
+    val plan = sql.queryExecution.optimizedPlan.toString
+    val rows = sql.collect()
+    assert(rows.length == 3 && rows.map(_.getLong(1)).sum == 90L)
+    // the relation's output IS the served aggregate (agg_* columns) —
+    // Spark planned no aggregate of its own over the scan
+    assert(plan.contains("agg_0") && plan.contains("RelationV2"),
+      s"expected a pushed metadata serve, got:\n$plan")
+    assert(graft.sources.v2.GraftScanInfo.lastFiles(tbl)
+      .exists(_.isEmpty), "the pushed serve must open zero data files")
+  }
+
   test("admission near 2^53: a strict > whose literal and envelope both " +
       "double-round to the same value must still ADMIT the file — " +
       "rounding is only monotone, so strict tests run non-strictly") {
