@@ -990,6 +990,36 @@ class CatalogSpec extends AnyFunSuite {
       s"runtime partition filter admitted ${admitted3.size}: $admitted3")
   }
 
+  test("MERGE with WHEN NOT MATCHED BY SOURCE: every target row is " +
+      "in play, so the rewrite must not be pruned to the matched " +
+      "groups — all three action classes land exactly, one commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/mbs"
+    Manifest.create(spark, tbl,
+      (1 to 400).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .repartitionByRange(8, F.col("id")).sortWithinPartitions(F.col("id")))
+    // source touches only the low range plus two fresh ids — every
+    // other target row is NOT MATCHED BY SOURCE and must delete
+    ((1L to 50L) ++ Seq(401L, 402L)).map(i => (i, 999L)).toDF("id", "nv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/src")
+    spark.read.parquet(s"$root/src").createOrReplaceTempView("mbs_src")
+    spark.sql(
+      """MERGE INTO graft.db.mbs t USING mbs_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val after = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.db.mbs").head()
+    assert(after.getLong(0) == 52L,
+      s"50 updated + 2 inserted survive, got ${after.getLong(0)}")
+    assert(after.getLong(1) == 52L * 999L)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L),
+      "the whole merge is ONE commit")
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("merge"))
+  }
+
   test("the release loop from SQL: adopt a plain parquet dir, tag a " +
       "version, restore (including the undrop), drop the tag") {
     import spark.implicits._
