@@ -54,13 +54,6 @@ object GraftTableFunctions {
       s"$what must be a string literal, got $other")
   }
 
-  private def longLit(e: Expression, what: String): Long = e match {
-    case Literal(v: Long, _) => v
-    case Literal(v: Int, _) => v.toLong
-    case other => throw new CubeQueryException(
-      s"$what must be an integer literal, got $other")
-  }
-
   private def tableArg(exprs: Seq[Expression]): String = {
     val spark = SparkSession.active
     val path = resolveTableRef(spark, strLit(exprs.head, "table"))
@@ -70,6 +63,21 @@ object GraftTableFunctions {
     path
   }
 
+  /** A version argument: an integer literal IS the version; a string
+    * literal resolves as a TAG name — the same dual addressing as
+    * `VERSION AS OF`, so `table_changes(t, 'corpus-v1', 'corpus-v2')`
+    * explains what changed between two releases. */
+  private def versionArg(spark: SparkSession, path: String,
+      e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: UTF8String, _) if v != null =>
+      Manifest.tagVersion(spark, path, v.toString)
+    case other => throw new CubeQueryException(
+      s"$what must be an integer literal or a tag-name string literal, " +
+        s"got $other")
+  }
+
   private def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.size != 3)
       throw new CubeQueryException(
@@ -77,8 +85,8 @@ object GraftTableFunctions {
           s"${exprs.size} argument(s)")
     val spark = SparkSession.active
     val path = tableArg(exprs)
-    val v1 = longLit(exprs(1), "from_version")
-    val v2 = longLit(exprs(2), "to_version")
+    val v1 = versionArg(spark, path, exprs(1), "from_version")
+    val v2 = versionArg(spark, path, exprs(2), "to_version")
     val retained = Manifest.versions(spark, path)
     Seq(v1, v2).foreach(v => if (!retained.contains(v))
       throw new CubeQueryException(

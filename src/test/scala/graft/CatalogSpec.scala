@@ -837,6 +837,19 @@ class CatalogSpec extends AnyFunSuite {
       "string literal")
     refuses("SELECT * FROM table_history('graft.db.neg', 1)",
       "table_history takes")
+    // tag names address versions like VERSION AS OF — the two faces
+    // serve the identical feed; an unknown tag refuses
+    Manifest.tag(spark, tbl, "base", version = 1L)
+    Manifest.tag(spark, tbl, "head", version = 2L)
+    assert(spark.sql(
+      "SELECT * FROM table_changes('graft.db.neg', 'base', 'head')")
+      .collect().map(_.toString).sorted.sameElements(
+        spark.sql("SELECT * FROM table_changes('graft.db.neg', 1, 2)")
+          .collect().map(_.toString).sorted))
+    refuses("SELECT * FROM table_changes('graft.db.neg', 'ghost', 2)",
+      "no tag")
+    Manifest.deleteTag(spark, tbl, "base")
+    Manifest.deleteTag(spark, tbl, "head")
     // a vacuumed version refuses rather than serving a wrong diff
     Manifest.vacuum(spark, tbl, keep = 1, orphanGraceMs = 0L)
     refuses("SELECT * FROM table_changes('graft.db.neg', 1, 2)",
@@ -1018,6 +1031,28 @@ class CatalogSpec extends AnyFunSuite {
       "the whole merge is ONE commit")
     assert(Manifest.currentSnapshot(spark, tbl).get
       .meta.get("operation").contains("merge"))
+  }
+
+  test("DELETE with a subquery predicate routes through the CoW " +
+      "rewrite (untranslatable for the MoR vector) and lands exactly, " +
+      "one commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    val tbl = s"$root/db/ds"
+    Manifest.create(spark, tbl,
+      (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+        .repartitionByRange(4, F.col("id")))
+    (1L to 10L).toDF("kid").coalesce(1).write.parquet(s"$root/kill")
+    spark.read.parquet(s"$root/kill").createOrReplaceTempView("ds_kill")
+    spark.sql(
+      "DELETE FROM graft.db.ds WHERE id IN (SELECT kid FROM ds_kill)")
+    val after = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.db.ds").head()
+    assert(after.getLong(0) == 90L &&
+      after.getLong(1) == (11 to 100).map(_ * 2L).sum)
+    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L))
+    assert(Manifest.currentSnapshot(spark, tbl).get
+      .meta.get("operation").contains("delete"))
   }
 
   test("the release loop from SQL: adopt a plain parquet dir, tag a " +
