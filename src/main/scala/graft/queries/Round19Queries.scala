@@ -590,6 +590,54 @@ object Round19Queries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  true AS zero_file_serve, true AS footer_serve
-             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // STREAM RESUME FROM A VERSION: `readStream.table(...)` with
+    // `startingVersion => N` through the catalog serves exactly the
+    // net effect of commits N..now — the "I have processed through
+    // N-1" shape a downstream CDC/incremental consumer types — and
+    // the tail keeps flowing after. Both row sets recomputed by the
+    // oracle from the commit arithmetic.
+    NamedQuery("q257_stream_resume",
+      (s, d) => {
+        import graft.sources.Manifest
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("sresume")
+        val table = s"$root/db/docs"
+        val out = s"$root/out"
+        Manifest.create(s, table, docs.filter(col("doc_id") % 4 === 0)) // v1
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 4 === 1)) // v2
+        Manifest.commitAppend(s, table, docs.filter(col("doc_id") % 4 === 2)) // v3
+        s.conf.set("spark.sql.catalog.graft_q257",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q257.root", root)
+        val q = s.readStream.option("startingVersion", "3")
+          .table("graft_q257.db.docs")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", s"$root/ckpt").start()
+        val firstSpan = try {
+          q.processAllAvailable()
+          val n = s.read.parquet(out).count()
+          // the tail: one more commit flows through the SAME stream
+          Manifest.commitAppend(s, table,
+            docs.filter(col("doc_id") % 4 === 3)) // v4
+          q.processAllAvailable()
+          n
+        } finally q.stop()
+        s.read.parquet(out).agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("n_chars").cast("long").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            F.lit(firstSpan).as("n_first_span"))
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE doc_id % 4 >= 2) AS BIGINT)
+             |    AS n_rows,
+             |  CAST(sum(n_chars) FILTER (WHERE doc_id % 4 >= 2) AS BIGINT)
+             |    AS sum_chars,
+             |  CAST(count(*) FILTER (WHERE doc_id % 4 = 2) AS BIGINT)
+             |    AS n_first_span
+             |FROM documents""".stripMargin))
   )
 }

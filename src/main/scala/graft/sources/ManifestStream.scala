@@ -33,6 +33,10 @@ import org.apache.spark.sql.{functions => F}
   *     attributed per commit.
   *   - `startingVersion=latest`: skip the initial snapshot and tail
   *     only commits after stream start (the "new data only" shape).
+  *   - `startingVersion=N`: resume from version N — the first span
+  *     serves the net effect of commits N..now (requires snapshot N-1
+  *     retained; N=1 ≡ the default full-snapshot start). The
+  *     downstream CDC consumer's "I have processed through N-1" shape.
   *
   * Scale: every batch is costed by WHAT CHANGED, never by the table —
   * a pure-append span is detected STRUCTURALLY from the manifest diff
@@ -51,7 +55,8 @@ import org.apache.spark.sql.{functions => F}
 object ManifestStream {
 
   private[graft] final case class Opts(table: String, changeFeed: Boolean,
-      ignoreDeletes: Boolean, startLatest: Boolean)
+      ignoreDeletes: Boolean, startLatest: Boolean,
+      startAt: Option[Long] = None)
 
   private[graft] def opts(parameters: Map[String, String]): Opts = {
     val table = parameters.getOrElse("path", sys.error(
@@ -61,14 +66,24 @@ object ManifestStream {
     val ign = bool("ignoredeletes")
     require(!(cf && ign),
       "graft-table stream: changeFeed and ignoreDeletes are mutually exclusive")
-    val latest = parameters.get("startingversion") match {
-      case None => false
-      case Some(v) if v.trim.equalsIgnoreCase("latest") => true
-      case Some(v) => sys.error(
-        s"graft-table stream: startingVersion='$v' unsupported — only 'latest' " +
-          "(or omit it to serve the full current snapshot first)")
+    // startingVersion: 'latest' tails from the version current at
+    // stream creation; a NUMBER N serves the effect of commits N..now
+    // (the CDC-consumer resume shape — requires version N-1 retained,
+    // since a span is a snapshot diff; N=1 ≡ the default full-snapshot
+    // start); omitted = the full current snapshot first, then the tail
+    var latest = false
+    var startAt: Option[Long] = None
+    parameters.get("startingversion").foreach { v =>
+      if (v.trim.equalsIgnoreCase("latest")) latest = true
+      else v.trim.toLongOption match {
+        case Some(n) if n >= 1 => if (n > 1) startAt = Some(n)
+        case _ => sys.error(
+          s"graft-table stream: startingVersion='$v' unsupported — " +
+            "'latest', a version number >= 1, or omit it to serve the " +
+            "full current snapshot first")
+      }
     }
-    Opts(table, cf, ign, latest)
+    Opts(table, cf, ign, latest, startAt)
   }
 
   /** The frozen source schema: the table's committed read schema (all
@@ -85,12 +100,14 @@ object ManifestStream {
 
   /** Sugar: `Manifest` table → streaming frame. */
   def read(spark: SparkSession, table: String, changeFeed: Boolean = false,
-      ignoreDeletes: Boolean = false, startLatest: Boolean = false): DataFrame = {
+      ignoreDeletes: Boolean = false, startLatest: Boolean = false,
+      startingVersion: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format(classOf[ManifestStreamProvider].getName)
       .option("path", table)
     if (changeFeed) r = r.option("changeFeed", "true")
     if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
     if (startLatest) r = r.option("startingVersion", "latest")
+    startingVersion.foreach(n => r = r.option("startingVersion", n.toString))
     r.load()
   }
 
@@ -248,9 +265,10 @@ object ManifestStream {
       case Some(a) if a == v2 => Some(Nil)
       case Some(a) =>
         require(retained.contains(a),
-          s"graft-table stream: checkpointed version $a of $table is no " +
-            "longer retained (vacuumed beneath the stream) — the span's " +
-            "rows are unrecoverable; restart from a fresh checkpoint")
+          s"graft-table stream: span-start version $a of $table is not " +
+            "retained (vacuumed, or a startingVersion whose predecessor " +
+            "is gone) — the span's rows are unrecoverable; restart from " +
+            "a fresh checkpoint or a retained startingVersion")
         val (added, removed) = Manifest.diffSnapshots(spark, table, a, v2)
         val s1 = Manifest.readSnapshot(spark, table, a)
         val dvSame = s1.meta.get(Manifest.DvKey) == s2.meta.get(Manifest.DvKey)
@@ -404,7 +422,15 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
       frozenSchemaJson).fields.map(_.copy(nullable = true)))
 
   override def initialOffset(): V2Offset =
-    VersionOffset(if (o.startLatest) startVersion else -1L)
+    VersionOffset(
+      if (o.startLatest) startVersion
+      else o.startAt match {
+        // the first span is (N-1, latest]: exactly the net effect of
+        // commits N..latest; changes() itself refuses loudly when the
+        // N-1 snapshot is no longer retained
+        case Some(n) => n - 1
+        case None => -1L
+      })
 
   override def latestOffset(): V2Offset = {
     val vs = Manifest.versions(spark, o.table)

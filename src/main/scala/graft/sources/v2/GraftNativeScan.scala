@@ -481,11 +481,20 @@ private[v2] object GraftStreamFace {
         "which a catalog table's fixed schema cannot carry — use " +
         "spark.readStream.format(\"graft-table\").option(\"changeFeed\", " +
         "\"true\") for the row-level feed")
-    val latest = Option(options.get("startingversion"))
-      .orElse(Option(options.get("startingVersion")))
-      .exists(_.trim.equalsIgnoreCase("latest"))
+    val sv = Option(options.get("startingversion"))
+      .orElse(Option(options.get("startingVersion"))).map(_.trim)
+    val latest = sv.exists(_.equalsIgnoreCase("latest"))
+    // a NUMBER resumes from that version's commit (the CDC/incremental
+    // consumer shape); 1 ≡ the default full-snapshot start
+    val startAt = sv.filterNot(_.equalsIgnoreCase("latest")).map { v =>
+      v.toLongOption.filter(_ >= 1).getOrElse(throw new
+          IllegalArgumentException(
+        s"graft catalog: startingVersion='$v' — 'latest' or a version " +
+          "number >= 1"))
+    }.filter(_ > 1)
     val o = graft.sources.ManifestStream.Opts(path, changeFeed = false,
-      ignoreDeletes = bool("ignoredeletes"), startLatest = latest)
+      ignoreDeletes = bool("ignoredeletes"), startLatest = latest,
+      startAt = startAt)
     new graft.sources.ManifestMicroBatchStream(SparkSession.active, o,
       required, checkpointLocation)
   }

@@ -258,6 +258,49 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(rows(spark.table("mstream_latest")).sameElements(rows(slice(1))))
   }
 
+  test("startingVersion=N resumes from that commit: the first span is " +
+      "the net effect of commits N..now; N=1 equals the default; a " +
+      "vacuumed predecessor refuses") {
+    val dir = tmp("startn")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))       // v1
+    Manifest.commitAppend(spark, table, slice(1)) // v2
+    Manifest.commitAppend(spark, table, slice(2)) // v3
+    // resume from v3: the first span serves exactly commit 3's rows
+    val q = ManifestStream.read(spark, table, startingVersion = Some(3L))
+      .writeStream.format("memory").queryName("mstream_startn")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("mstream_startn"))
+        .sameElements(rows(slice(2))),
+        "startingVersion=3 must serve exactly commit 3's effect")
+      Manifest.commitAppend(spark, table, slice(3)) // v4 — the tail
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.table("mstream_startn"))
+      .sameElements(rows(slice(2).unionByName(slice(3)))))
+    // N=1 ≡ the default full-snapshot start
+    val q1 = ManifestStream.read(spark, table, startingVersion = Some(1L))
+      .writeStream.format("memory").queryName("mstream_start1")
+      .option("checkpointLocation", s"$dir/ckpt1").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows(spark.table("mstream_start1")).sameElements(
+      rows(slice(0).unionByName(slice(1)).unionByName(slice(2))
+        .unionByName(slice(3)))))
+    // a startingVersion whose PREDECESSOR was vacuumed refuses loudly
+    Manifest.vacuum(spark, table, keep = 1, orphanGraceMs = 0L)
+    val qv = ManifestStream.read(spark, table, startingVersion = Some(3L))
+      .writeStream.format("memory").queryName("mstream_startv")
+      .option("checkpointLocation", s"$dir/ckptv").start()
+    try {
+      intercept[Exception] { qv.processAllAvailable() }
+      val msg = Option(qv.exception.orNull).map(_.toString).getOrElse("")
+      assert(msg.contains("not") && msg.contains("retained"),
+        s"wrong failure: $msg")
+    } finally qv.stop()
+  }
+
   test("schema evolution mid-stream fails loudly; a restarted source adopts the widened schema") {
     val dir = tmp("evolve")
     val table = s"$dir/t"
