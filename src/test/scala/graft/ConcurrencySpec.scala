@@ -185,6 +185,65 @@ class ConcurrencySpec extends AnyFunSuite {
       s"a reader went backwards: ${seen.mkString(",")}")
   }
 
+  test("rename racing appenders: every append lands at the moved table " +
+      "or fails loudly — the old path never resurrects as a ghost") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    (1 to 4).foreach { iter =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_renrace_$iter").toString
+      val src = s"$dir/t"
+      val dst = s"$dir/t2"
+      Manifest.create(spark, src,
+        Seq(("seed", 1L)).toDF("tag", "n"))
+      val n = 6
+      val pool = Executors.newFixedThreadPool(n + 1)
+      val start = new CountDownLatch(1)
+      val landed = new ConcurrentLinkedQueue[String]()
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try {
+              Manifest.commitAppend(spark, src,
+                Seq((s"w$i", 1L)).toDF("tag", "n"))
+              landed.add(s"w$i")
+            } catch { case _: Throwable => refused.incrementAndGet() }
+          }
+        })
+      }
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          // land mid-burst: half the appenders typically precede it
+          Thread.sleep(40L * (iter % 3))
+          var done = false
+          while (!done) {
+            try { Manifest.renameTable(spark, src, dst); done = true }
+            catch { case _: Throwable => Thread.sleep(10) }
+          }
+        }
+      })
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "pool hung")
+      // the moved table serves the seed plus EXACTLY the successful
+      // appends — an appender that lost to the rename contributed
+      // nothing anywhere
+      val tags = Manifest.read(spark, dst)
+        .select("tag").collect().map(_.getString(0)).toSet
+      val wins = landed.toArray(Array.empty[String]).toSet
+      assert(tags == wins + "seed",
+        s"iter $iter: served $tags vs committed $wins")
+      assert(wins.size + refused.get == n)
+      // the old path must NOT have resurrected as a table — a racer's
+      // data-dir orphan is acceptable garbage, a manifest is not
+      assert(!Manifest.isManifested(spark, src),
+        s"iter $iter: ghost manifest at the renamed-away path")
+    }
+  }
+
   test("stale-claim break is single-winner: N committers racing over a " +
       "dead writer's claim produce exactly ONE v2, never a lost update") {
     import spark.implicits._
