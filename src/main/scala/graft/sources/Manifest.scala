@@ -842,7 +842,10 @@ object Manifest {
     * half-writes — its commit re-checks that the expected version's
     * manifest still exists at the path it resolved, and a renamed-away
     * table has no chain there ([[commit]]'s ghost-resurrection
-    * guard). */
+    * guard). A race-loser's claim file or tmp manifest can ride the
+    * rename to the new path as inert leftovers; the standard
+    * stale-claim break (ClaimLeaseMs) and tmp reclamation age them
+    * out. */
   def renameTable(spark: SparkSession, src: String, dst: String): Unit = {
     require(currentSnapshot(spark, src).nonEmpty,
       s"Manifest.renameTable: $src has no committed snapshot")
