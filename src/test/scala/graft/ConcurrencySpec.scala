@@ -244,6 +244,74 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("drop racing appenders: appends land before the tombstone or " +
+      "refuse — a retrying writer can never resurrect a dropped table") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    (1 to 4).foreach { iter =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_droprace_$iter").toString
+      val table = s"$dir/t"
+      Manifest.create(spark, table, Seq(("seed", 1L)).toDF("tag", "n"))
+      val n = 6
+      val pool = Executors.newFixedThreadPool(n + 1)
+      val start = new CountDownLatch(1)
+      val landed = new ConcurrentLinkedQueue[String]()
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      (1 to n).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            // a RETRYING appender — exactly the client that could
+            // resurrect the table if the guard were version-race-only
+            var attempts = 0
+            var done = false
+            while (!done && attempts < 5) {
+              attempts += 1
+              try {
+                Manifest.commitAppend(spark, table,
+                  Seq((s"w$i", 1L)).toDF("tag", "n"))
+                landed.add(s"w$i"); done = true
+              } catch {
+                case e: Throwable if e.getMessage != null &&
+                    e.getMessage.contains("DROPPED") =>
+                  refused.incrementAndGet(); done = true
+                case _: Throwable => Thread.sleep(5)
+              }
+            }
+            if (!done) refused.incrementAndGet()
+          }
+        })
+      }
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          Thread.sleep(30L * (iter % 3))
+          var done = false
+          while (!done) {
+            try { Manifest.dropTable(spark, table); done = true }
+            catch { case _: Throwable => Thread.sleep(5) }
+          }
+        }
+      })
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "pool hung")
+      // still dropped — nobody committed past the tombstone
+      assert(Manifest.isDropped(spark, table),
+        s"iter $iter: an appender resurrected the dropped table")
+      val cur = Manifest.currentSnapshot(spark, table).get
+      assert(cur.meta.get("operation").contains("drop"))
+      // the tombstone's content is the seed plus exactly the appends
+      // that landed BEFORE it
+      val tags = Manifest.readVersion(spark, table, cur.version - 1)
+        .select("tag").collect().map(_.getString(0)).toSet
+      val wins = landed.toArray(Array.empty[String]).toSet
+      assert(tags == wins + "seed",
+        s"iter $iter: pre-drop snapshot $tags vs committed $wins")
+    }
+  }
+
   test("stale-claim break is single-winner: N committers racing over a " +
       "dead writer's claim produce exactly ONE v2, never a lost update") {
     import spark.implicits._
