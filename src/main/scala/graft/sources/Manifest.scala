@@ -48,6 +48,14 @@ import org.apache.spark.sql.{functions => F}
   * version number has passed them; manifest present = committed,
   * regardless of when the writer died; [[vacuum]] is idempotent.
   */
+/** A commit lost the optimistic version-slot race — the ONE failure a
+  * writer may safely retry against a fresh snapshot (every other
+  * commit error is a semantic refusal: dropped tombstone, renamed-away
+  * chain, schema drift). [[Manifest.commitAppend]]'s auto-rebase loop
+  * catches exactly this type; callers of the raw [[Manifest.commit]]
+  * own their own retry. */
+final class CommitRaceLost(msg: String) extends RuntimeException(msg)
+
 object Manifest {
 
   /** `meta` carries commit annotations as `#key=value` comment lines
@@ -352,9 +360,8 @@ object Manifest {
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
       "meta keys cannot contain '='; keys and values cannot contain newlines")
     val fs = fsFor(spark, table)
-    fs.mkdirs(manifestDir(table))
     val target = manifestFile(table, expected + 1)
-    def lost(): Nothing = sys.error(
+    def lost(): Nothing = throw new CommitRaceLost(
       s"Manifest.commit: $target already exists — a concurrent commit won; " +
         "re-resolve the current snapshot and retry")
     if (fs.exists(target)) lost()
@@ -379,6 +386,12 @@ object Manifest {
           s"v$expected) — only Manifest.restore may commit on it; vacuum " +
           "reclaims it")
     }
+    // mkdirs only AFTER the chain guard passed: fs.create below makes
+    // parents, so an early mkdirs (or the tmp write itself) on a
+    // guard-FAILING commit would resurrect an empty `_manifest` dir at
+    // a renamed-away path — which the catalog's directory-existence
+    // listTables then shows as a phantom table
+    fs.mkdirs(manifestDir(table))
     val tmp = new Path(s"$table/_manifest/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     // every commit stamps its wall time (ms) — the AS OF timestamp
@@ -444,6 +457,16 @@ object Manifest {
       // re-check under the claim: a racer may have renamed between
       // the first check and our claim
       if (fs.exists(target)) { fs.delete(tmp, false); lost() }
+      // re-check the CHAIN under the claim too: the ghost-resurrection
+      // guard above ran before the tmp write — a renameTable landing
+      // in between would let this rename recreate `_manifest` at the
+      // renamed-away path with entries pointing at moved data
+      if (expected > 0 && !fs.exists(manifestFile(table, expected))) {
+        fs.delete(tmp, false)
+        sys.error(s"Manifest.commit: $table lost its manifest v$expected " +
+          "under the claim — the table was renamed or reclaimed; " +
+          "re-resolve the table location and retry")
+      }
       // verify the claim is still OURS before the replace-semantics
       // rename: if a breaker (wrongly, or after we sat past the
       // lease) tombstoned our claim and re-claimed, the slot belongs
@@ -453,8 +476,8 @@ object Manifest {
       }
       if (!fs.rename(tmp, target)) {
         fs.delete(tmp, false)
-        sys.error(s"Manifest.commit: rename to $target failed (lost the " +
-          "race?); nothing committed")
+        throw new CommitRaceLost(s"Manifest.commit: rename to $target " +
+          "failed (lost the race?); nothing committed")
       }
     } finally localClaim.foreach { c =>
       // delete the claim only while it is still ours — on the
@@ -685,11 +708,56 @@ object Manifest {
     * BOTH directions: a partitioned table refuses evolution, and an
     * evolved table refuses partitioned appends — either combination
     * would put SchemaKey beside PartitionKey and break the
-    * multi-entry union read. */
+    * multi-entry union read.
+    *
+    * AUTO-REBASE (the multi-writer story): an append's content does
+    * not derive from the table state — its rows are new whatever
+    * landed in between — so losing the version-slot race is not a
+    * conflict, just a stale base. On a [[CommitRaceLost]] this method
+    * re-resolves the new current snapshot, RE-VALIDATES everything
+    * that could have moved (schema drift, layout/evolution exclusions,
+    * row checks added since, the dropped tombstone via the commit
+    * guard) against that snapshot, re-inherits ITS metadata (a
+    * concurrent MoR delete's DvKey must ride along — dropping it would
+    * resurrect masked rows), and re-commits the SAME already-written
+    * data directory one slot later — the bytes are immutable and
+    * never rewritten, so N concurrent appenders all land in wall-clock
+    * order without caller retry loops. Rebases are bounded by
+    * `maxRebase` (then the race error propagates); a semantic refusal
+    * never retries. Writers whose idempotence rides commit metadata
+    * they checked BEFORE calling (the streaming sink's batch
+    * high-water) must pass `maxRebase = 0`: a silent rebase would skip
+    * their re-check and double-land a replayed batch. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty,
-      mergeSchema: Boolean = false): Snapshot = {
+      mergeSchema: Boolean = false,
+      maxRebase: Int = 20): Snapshot = {
+    // the data directory is written ONCE (first attempt) and reused
+    // verbatim on every rebase — its version-number prefix may end up
+    // below the version finally committed, which only orphan-reclaim
+    // ORDERING reads (a committed dir is referenced, never an orphan)
+    var written: Option[String] = None
+    var rebases = 0
+    while (true) {
+      try return commitAppendOnce(spark, table, df, partitionBy, meta,
+        mergeSchema, written, r => written = Some(r))
+      catch {
+        case e: CommitRaceLost =>
+          if (rebases >= maxRebase) throw e
+          rebases += 1
+          // jittered backoff: N losers re-resolving in lockstep would
+          // re-collide on the next slot for O(N) rounds
+          Thread.sleep(2L + scala.util.Random.nextInt(1 << math.min(rebases, 6)))
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def commitAppendOnce(spark: SparkSession, table: String,
+      df: DataFrame, partitionBy: Seq[String], meta: Map[String, String],
+      mergeSchema: Boolean, preWritten: Option[String],
+      recordWritten: String => Unit): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
     // fail loudly on drift: parquet's per-file schemas would otherwise
@@ -728,7 +796,11 @@ object Manifest {
       "Manifest.commitAppend: cannot add hive-partitioned entries to " +
         "a schema-evolved table")
     enforceChecks(spark, snap, df, "commitAppend")
-    val rel = writeData(spark, table, snap.version + 1, df, partitionBy)
+    val rel = preWritten.getOrElse {
+      val r = writeData(spark, table, snap.version + 1, df, partitionBy)
+      recordWritten(r)
+      r
+    }
     val evolved =
       if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
       else Map.empty[String, String]
@@ -4040,7 +4112,16 @@ object Manifest {
         st.isDirectory && st.getPath.getName != "_manifest" &&
           maxMtimeUnder(fs, st.getPath) > orphanCutoff
       }
-      if (!busy) fs.delete(new Path(table), true)
+      // re-read the chain IMMEDIATELY before the recursive delete:
+      // restore is the one verb the commit guard admits on a dropped
+      // table, it writes no data files (nothing renews a writer
+      // lease), and `current` was resolved at vacuum ENTRY — a restore
+      // landing mid-vacuum would otherwise be silently erased
+      // (unrecoverable, unlike the tag case which gets a post-delete
+      // re-read). A restore advances the chain past `current`; abort
+      // the reclaim and leave the table to the restorer.
+      if (!busy && versions(spark, table).lastOption.contains(current))
+        fs.delete(new Path(table), true)
     }
   }
 

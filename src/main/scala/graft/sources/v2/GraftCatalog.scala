@@ -148,6 +148,11 @@ class GraftCatalog extends TableCatalog
       st.isDirectory && {
         val m = new org.apache.hadoop.fs.Path(st.getPath, "_manifest")
         fs.exists(m) && fs.getFileStatus(m).isDirectory &&
+          // at least one COMMITTED version required — an empty
+          // `_manifest` left by a guard-failing committer or a crashed
+          // first write is a phantom, not a table (directory existence
+          // alone would list it)
+          Manifest.versions(spark, st.getPath.toString).nonEmpty &&
           // a drop tombstone hides the table (one small manifest read
           // per candidate — SHOW TABLES stays a driver metadata walk)
           !Manifest.isDropped(spark, st.getPath.toString)
@@ -385,11 +390,20 @@ class GraftCatalog extends TableCatalog
     requireLive(oldIdent, src)
     // Spark hands the RENAME TO target verbatim — a catalog-qualified
     // `graft.db2.t2` arrives with 'graft' still leading the namespace;
-    // strip our own name so the path resolves inside the warehouse
+    // strip our own name so the path resolves inside the warehouse.
+    // But ONLY when the verbatim namespace does not name a REAL
+    // warehouse directory: a namespace legitimately named like the
+    // catalog makes the unstripped identifier the right one, and
+    // stripping would silently move the table to the wrong path
     val ident =
-      if (newIdent.namespace().nonEmpty && newIdent.namespace()(0) == catName)
-        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
-      else newIdent
+      if (newIdent.namespace().nonEmpty && newIdent.namespace()(0) == catName) {
+        val verbatimNs = new org.apache.hadoop.fs.Path(
+          (root +: newIdent.namespace()).mkString("/"))
+        val fs = verbatimNs.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(verbatimNs) && fs.getFileStatus(verbatimNs).isDirectory)
+          newIdent
+        else Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      } else newIdent
     val dst = pathOf(ident)
     if (Manifest.isManifested(spark, dst))
       throw new org.apache.spark.sql.catalyst.analysis

@@ -89,10 +89,15 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
       kv.get(f.name).map(org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName) match {
         case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        // TRY eval mode, explicitly: under the session default (ANSI
+        // in Spark 4) a malformed directory value — day=notanint for
+        // an int partition column — would THROW at planning and fail
+        // the whole scan; Spark's own partition inference safe-casts
+        // such values to NULL, and this scan must match it
         case Some(raw) => CE.Cast(
           CE.Literal(org.apache.spark.unsafe.types.UTF8String
             .fromString(raw), org.apache.spark.sql.types.StringType),
-          f.dataType, tz).eval(null)
+          f.dataType, tz, CE.EvalMode.TRY).eval(null)
       }
     })
   }

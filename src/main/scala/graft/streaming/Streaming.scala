@@ -659,7 +659,13 @@ object Streaming {
         val meta = Map("stream_batch" -> batchId.toString,
           "stream_batch_fp" -> fp)
         if (Manifest.isManifested(s, table))
-          Manifest.commitAppend(s, table, batch, meta = meta)
+          // maxRebase = 0: this sink's exactly-once rides the
+          // high-water re-check ABOVE the commit — an auto-rebase
+          // would silently skip that re-check and let a zombie
+          // replica double-land a batch a twin already committed;
+          // losing the slot loudly re-enters this method, which then
+          // sees the landed batch and takes the skip path
+          Manifest.commitAppend(s, table, batch, meta = meta, maxRebase = 0)
         else Manifest.create(s, table, batch, meta = meta)
     }
     } finally batch.unpersist()

@@ -363,4 +363,99 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(left.isEmpty, s"iter $iter: leftover ${left.mkString(",")}")
     }
   }
+
+  test("auto-rebase: N concurrent appenders ALL land with NO caller " +
+      "retry loop; chain gap-free; every batch serves exactly once") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase").toString
+    val table = s"$dir/t"
+    val rowsPerBatch = 8
+    Manifest.create(spark, table,
+      (1 to rowsPerBatch).map(i => ("seed", i.toLong)).toDF("tag", "n"))
+    val nAppenders = 8
+    val batchesEach = 3
+    val pool = Executors.newFixedThreadPool(nAppenders)
+    val start = new CountDownLatch(1)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    for (w <- 1 to nAppenders) pool.submit(new Runnable {
+      override def run(): Unit = {
+        SparkSession.setActiveSession(spark)
+        start.await()
+        for (b <- 1 to batchesEach) {
+          val df = (1 to rowsPerBatch).map(i => (s"w$w-b$b", i.toLong))
+            .toDF("tag", "n").coalesce(1)
+          // ONE call, no wrapper — liveness is commitAppend's own
+          try Manifest.commitAppend(spark, table, df)
+          catch { case e: Throwable => failures.add(e) }
+        }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "pool hung")
+    assert(failures.isEmpty,
+      s"auto-rebase starved: ${failures.toArray.mkString("; ")}")
+    val versions = Manifest.versions(spark, table)
+    assert(versions == (1L to (1 + nAppenders * batchesEach)),
+      s"version chain has gaps: $versions")
+    val counts = Manifest.read(spark, table)
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 1 + nAppenders * batchesEach)
+    assert(counts.values.forall(_ == rowsPerBatch.toLong),
+      s"per-batch counts off: $counts")
+  }
+
+  test("auto-rebase re-inherits the WINNER's metadata: a MoR delete " +
+      "landing mid-race keeps masking after the rebased append") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebdv").toString
+    val table = s"$dir/t"
+    Manifest.create(spark, table,
+      (1 to 20).map(i => (i.toLong, if (i <= 10) "del" else "keep"))
+        .toDF("id", "cls"))
+    // race a MoR delete against appenders; whatever interleaving
+    // happens, the DvKey must survive onto the final snapshot
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        SparkSession.setActiveSession(spark)
+        start.await()
+        var done = false
+        while (!done) {
+          try { Manifest.deleteWhereMoR(spark, table,
+            F.col("cls") === "del"); done = true }
+          catch {
+            case _: graft.sources.CommitRaceLost => Thread.sleep(5)
+            case e: Throwable => failures.add(e); done = true
+          }
+        }
+      }
+    })
+    for (w <- 1 to 3) pool.submit(new Runnable {
+      override def run(): Unit = {
+        SparkSession.setActiveSession(spark)
+        start.await()
+        val df = (1 to 5).map(i => (100L * w + i, "keep")).toDF("id", "cls")
+          .coalesce(1)
+        try Manifest.commitAppend(spark, table, df)
+        catch { case e: Throwable => failures.add(e) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "pool hung")
+    assert(failures.isEmpty,
+      s"unexpected: ${failures.toArray.mkString("; ")}")
+    // masked rows stay masked — a rebase that dropped the winner's
+    // DvKey would resurrect the 10 deleted rows
+    val out = Manifest.read(spark, table)
+    assert(out.filter(F.col("cls") === "del").count() == 0L,
+      "rebase resurrected MoR-deleted rows")
+    assert(out.count() == 10L + 15L)
+  }
 }
