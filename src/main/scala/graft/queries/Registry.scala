@@ -17,7 +17,7 @@ object Registry {
       ParsedQueries.qs ++ ExtraQueries.qs ++ InvariantQueries.qs ++
       TrainQueries.qs ++ CurateQueries.qs ++ Round13Queries.qs ++
       Round14Queries.qs ++ Round15Queries.qs ++ Round17Queries.qs ++
-      Round18Queries.qs ++ Round19Queries.qs
+      Round18Queries.qs ++ Round19Queries.qs ++ Round20Queries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -90,11 +90,18 @@ object Manifest {
   }
 
   /** [[readSnapshotRaw]] with the snapshot's delete vectors applied —
-    * what every row-serving path returns. DV-less snapshots (the
-    * common case) pass through untouched; a hive multi-entry snapshot
-    * applies DVs per entry (the `_metadata` column resolves per file
-    * relation, not across a union). */
+    * what every row-serving path returns, under the snapshot's
+    * LOGICAL column names (the mapping projection is the last step;
+    * unmapped snapshots pass through untouched). */
   private[sources] def readSnapshotData(spark: SparkSession, table: String,
+      snap: Snapshot): DataFrame =
+    toLogicalProj(snap, readSnapshotDataPhysical(spark, table, snap))
+
+  /** [[readSnapshotData]] WITHOUT the logical projection — the frame
+    * keeps the files' physical column names. Internal rewrite paths
+    * and [[readChanges]] (which applies the feed-end version's own
+    * mapping to BOTH sides) consume this. */
+  private def readSnapshotDataPhysical(spark: SparkSession, table: String,
       snap: Snapshot): DataFrame =
     if (!snap.meta.contains(DvKey))
       readSnapshotRaw(spark, table, snap)
@@ -210,6 +217,76 @@ object Manifest {
     * readers serve pre-evolution files with NULL new columns, without
     * a per-footer merge pass. Inherits until the next evolution. */
   private[graft] val SchemaKey = "table_schema"
+  /** Commit-metadata key carrying COLUMN MAPPING — the field-ID
+    * indirection that makes RENAME/DROP COLUMN metadata-only commits
+    * (the Delta column-mapping / Iceberg field-ID story, reduced to
+    * what immutable parquet actually needs): an ordered list of
+    * `logical:physical` pairs (names URL-encoded, ',' between pairs).
+    * Files ALWAYS carry physical names; [[SchemaKey]] stays the
+    * PHYSICAL read schema; every public read face projects
+    * physical→logical at the end ([[toLogicalProj]]), and every verb
+    * taking user predicates/column names translates logical→physical
+    * at entry ([[predToPhysical]]/[[physOf]]). A physical column
+    * absent from the mapping is DROPPED — readers never materialize
+    * it (Catalyst prunes it out of the scan). Any full rewrite
+    * ([[compact]], [[commitRewrite]]) writes logical-named files and
+    * clears the mapping — compaction folds renames exactly like it
+    * folds delete vectors. */
+  private[sources] val ColumnMapKey = "column_mapping"
+
+  private def encName(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The snapshot's ordered logical→physical pairs, None when the
+    * snapshot carries no mapping (logical == physical everywhere). */
+  private[sources] def mappingOf(snap: Snapshot): Option[Seq[(String, String)]] =
+    snap.meta.get(ColumnMapKey).map(_.split(',').toSeq.filter(_.nonEmpty)
+      .map { p =>
+        val a = p.split(":", 2)
+        (decName(a(0)), decName(a(1)))
+      })
+
+  private def mappingMeta(pairs: Seq[(String, String)]): String =
+    pairs.map { case (l, p) => s"${encName(l)}:${encName(p)}" }.mkString(",")
+
+  /** logical → physical name resolution (identity when unmapped). */
+  private[sources] def physOf(snap: Snapshot): String => String = {
+    val m = mappingOf(snap).map(_.toMap).getOrElse(Map.empty)
+    (n: String) => m.getOrElse(n, n)
+  }
+
+  /** Serve a PHYSICAL frame under the snapshot's LOGICAL names: one
+    * projection — Catalyst collapses it into the scan, so dropped
+    * columns are never read and renames cost nothing. */
+  private def toLogicalProj(snap: Snapshot, df: DataFrame): DataFrame =
+    mappingOf(snap) match {
+      case None => df
+      case Some(pairs) =>
+        df.select(pairs.map { case (l, p) => F.col(p).as(l) }: _*)
+    }
+
+  /** Rewrite a user predicate's single-part column references from
+    * logical to physical names — what lets the CoW/MoR verbs and the
+    * sidecar file-skipping decision run unchanged (sidecars are built
+    * over physical file columns) on a mapped snapshot. */
+  private[sources] def predToPhysical(snap: Snapshot, pred: Column): Column =
+    mappingOf(snap) match {
+      case None => pred
+      case Some(pairs) =>
+        val m = pairs.toMap
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val e = GraftBridge.convertedExpression(pred).transform {
+          case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+              m.get(a.nameParts.head).exists(_ != a.nameParts.head) =>
+            UnresolvedAttribute(Seq(m(a.nameParts.head)))
+        }
+        GraftBridge.column(e)
+    }
+
+  /** True when the snapshot carries a non-identity column mapping. */
+  private[sources] def isMapped(snap: Snapshot): Boolean =
+    snap.meta.contains(ColumnMapKey)
+
   /** Commit-metadata key listing the snapshot's delete-vector dirs
     * (comma-separated, relative, under `_dv/`) — merge-on-read row
     * deletes ([[deleteWhereMoR]]): positions masked at read time, no
@@ -565,8 +642,19 @@ object Manifest {
       "Manifest.evolveSchema: additive schema evolution is not supported " +
         "on hive-partitioned tables (explicit-schema reads would fight " +
         "partition inference)")
-    val cur = committedSchemaOf(snap)
+    val phys = committedSchemaOf(snap)
       .getOrElse(readSnapshotRaw(spark, table, snap).schema)
+    // a mapped snapshot's user-facing schema is the LOGICAL one; the
+    // caller's `widened` speaks logical names
+    val pairsOpt = mappingOf(snap)
+    val cur = pairsOpt match {
+      case None => phys
+      case Some(pairs) => org.apache.spark.sql.types.StructType(
+        pairs.map { case (l, p) =>
+          val f = phys(p)
+          org.apache.spark.sql.types.StructField(l, f.dataType, f.nullable)
+        })
+    }
     def key(s: org.apache.spark.sql.types.StructType) =
       s.map(f => (f.name, f.dataType.sql)).toSet
     require(key(cur).subsetOf(key(widened)),
@@ -589,9 +677,120 @@ object Manifest {
     require(added.forall(_.nullable),
       s"Manifest.evolveSchema: new columns must be NULLABLE (no data to " +
         s"backfill): ${added.filterNot(_.nullable).map(_.name).mkString(",")}")
-    commit(spark, table, snap.version, snap.paths,
-      withOp(snap.meta, "evolve") + (SchemaKey -> widened.json))
+    pairsOpt match {
+      case None =>
+        commit(spark, table, snap.version, snap.paths,
+          withOp(snap.meta, "evolve") + (SchemaKey -> widened.json))
+      case Some(pairs) =>
+        // a mapped add must dodge RETIRED physical names: a column
+        // dropped earlier still exists physically in old files (and in
+        // [[SchemaKey]]) — re-adding its logical name with the same
+        // physical name would serve the OLD bytes where NULL is owed.
+        // Fresh collisions get a version-suffixed physical name.
+        val taken = phys.fieldNames.toSet
+        val withPhys = added.map { f =>
+          val p = if (taken.contains(f.name))
+            s"${f.name}__f${snap.version + 1}" else f.name
+          (f, p)
+        }
+        val newPhys = org.apache.spark.sql.types.StructType(
+          phys.fields ++ withPhys.map { case (f, p) =>
+            org.apache.spark.sql.types.StructField(p, f.dataType, f.nullable)
+          })
+        val physFor = (pairs ++ withPhys.map { case (f, p) => f.name -> p }).toMap
+        val newPairs = widened.map(f => f.name -> physFor(f.name))
+        commit(spark, table, snap.version, snap.paths,
+          withOp(snap.meta, "evolve") + (SchemaKey -> newPhys.json) +
+            (ColumnMapKey -> mappingMeta(newPairs.toSeq)))
+    }
   }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit — no data file is
+    * touched: the committed physical read schema ([[SchemaKey]]) is
+    * pinned and the logical→physical mapping ([[ColumnMapKey]])
+    * re-points the logical name at the same physical column. Time
+    * travel reads each version under its OWN names (the mapping rides
+    * the snapshot), CoW/MoR/CDC keep working (verbs translate
+    * predicates at entry), and the next full rewrite folds the
+    * mapping away (files regain logical names; the native SQL scan
+    * path resumes). Hive-partitioned tables refuse (the SchemaKey /
+    * PartitionKey exclusion); a column referenced by a CHECK
+    * constraint refuses — drop the constraint first (its SQL text
+    * would silently go stale). */
+  def renameColumn(spark: SparkSession, table: String,
+      from: String, to: String): Snapshot = {
+    val (snap, phys, pairs) = mappingBase(spark, table, "renameColumn")
+    require(pairs.exists(_._1 == from),
+      s"Manifest.renameColumn: $table has no column '$from'")
+    require(!pairs.exists(_._1 == to),
+      s"Manifest.renameColumn: $table already has a column '$to'")
+    val stale = checkRefs(spark, snap).filter(_._2.contains(from)).keys
+    require(stale.isEmpty,
+      s"Manifest.renameColumn: CHECK constraint(s) ${stale.mkString(",")} " +
+        s"reference '$from' — drop them first (their SQL would go stale)")
+    val newPairs = pairs.map { case (l, p) =>
+      if (l == from) (to, p) else (l, p) }
+    commit(spark, table, snap.version, snap.paths,
+      withOp(snap.meta, "rename_column") + (SchemaKey -> phys.json) +
+        (ColumnMapKey -> mappingMeta(newPairs)))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the logical name leaves
+    * the mapping; the physical column stays in the immutable files
+    * (and in [[SchemaKey]], which is what lets a later re-add of the
+    * same name get a FRESH physical column instead of the old bytes)
+    * but no reader ever materializes it — Catalyst prunes it out of
+    * every scan. Same refusals as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val (snap, phys, pairs) = mappingBase(spark, table, "dropColumn")
+    require(pairs.exists(_._1 == name),
+      s"Manifest.dropColumn: $table has no column '$name'")
+    require(pairs.size > 1,
+      s"Manifest.dropColumn: cannot drop $table's last column")
+    val stale = checkRefs(spark, snap).filter(_._2.contains(name)).keys
+    require(stale.isEmpty,
+      s"Manifest.dropColumn: CHECK constraint(s) ${stale.mkString(",")} " +
+        s"reference '$name' — drop them first")
+    commit(spark, table, snap.version, snap.paths,
+      withOp(snap.meta, "drop_column") + (SchemaKey -> phys.json) +
+        (ColumnMapKey -> mappingMeta(pairs.filterNot(_._1 == name))))
+  }
+
+  /** Shared entry for the mapping verbs: resolve the snapshot, refuse
+    * hive layouts, and return (snapshot, physical schema, current
+    * logical→physical pairs — identity when unmapped). */
+  private def mappingBase(spark: SparkSession, table: String, what: String)
+      : (Snapshot, org.apache.spark.sql.types.StructType,
+        Seq[(String, String)]) = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.$what: $table has no committed snapshot"))
+    val hive = snap.meta.contains(PartitionKey) ||
+      listSnapshotFiles(spark, table, snap)
+        .exists(f => f.split('/').exists(_.contains("=")))
+    require(!hive,
+      s"Manifest.$what: column mapping is not supported on " +
+        "hive-partitioned tables (explicit-schema reads would fight " +
+        "partition inference)")
+    val phys = committedSchemaOf(snap)
+      .getOrElse(readSnapshotRaw(spark, table, snap).schema)
+    val pairs = mappingOf(snap)
+      .getOrElse(phys.fields.toSeq.map(f => f.name -> f.name))
+    (snap, phys, pairs)
+  }
+
+  /** Each CHECK constraint's referenced column names (parsed from its
+    * SQL text) — what the mapping verbs consult before letting a name
+    * go away underneath a constraint. */
+  private def checkRefs(spark: SparkSession, snap: Snapshot)
+      : Map[String, Set[String]] =
+    checks(snap).map { case (n, sql) =>
+      val e = spark.sessionState.sqlParser.parseExpression(sql)
+      n -> e.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.toSet
+    }
 
   /** Adopt an existing PLAIN parquet directory: commit a v1 manifest
     * listing its current root files in place (no data movement). From
@@ -681,8 +880,8 @@ object Manifest {
       else Map.empty[String, String]
     commit(spark, table, snap.version, Seq(rel),
       withPartitionMeta(
-        withOp(snap.meta - PartitionKey - DvKey, "rewrite") ++
-          restamped ++ meta,
+        withOp(snap.meta - PartitionKey - DvKey - ColumnMapKey,
+          "rewrite") ++ restamped ++ meta,
         partitionBy))
   }
 
@@ -765,7 +964,19 @@ object Manifest {
     // Types compare only outside partitionBy columns (hive partition
     // inference narrows their types on read).
     val curDf = readSnapshotRaw(spark, table, snap) // schema + file list
-    val curS = curDf.schema
+    // a MAPPED snapshot's batch contract is the LOGICAL schema (the
+    // caller speaks logical names); the batch is renamed to physical
+    // just before the write, so files stay physically uniform
+    val pairsOpt = mappingOf(snap)
+    val curS = pairsOpt match {
+      case None => curDf.schema
+      case Some(pairs) =>
+        val phys = committedSchemaOf(snap).getOrElse(curDf.schema)
+        org.apache.spark.sql.types.StructType(pairs.map { case (l, p) =>
+          val f = phys(p)
+          org.apache.spark.sql.types.StructField(l, f.dataType, f.nullable)
+        })
+    }
     def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
       if (partitionBy.contains(f.name)) (f.name, "partition")
       else (f.name, f.dataType.sql)).toSet
@@ -787,6 +998,13 @@ object Manifest {
         "Manifest.commitAppend: additive schema evolution is not " +
           "supported on hive-partitioned tables (explicit-schema reads " +
           "would fight partition inference)")
+      // a MAPPED table's adds need physical-name assignment against
+      // the retired set — that lives in [[evolveSchema]]; a silent
+      // pass here could re-point a dropped column's old bytes
+      require(pairsOpt.isEmpty,
+        "Manifest.commitAppend: mergeSchema evolution on a column-mapped " +
+          "table — use Manifest.evolveSchema (metadata-only add) first, " +
+          "then append the widened batch")
     }
     // ...and the converse: once evolved, a partitioned APPEND would
     // land PartitionKey beside the inherited SchemaKey — the union
@@ -796,8 +1014,18 @@ object Manifest {
       "Manifest.commitAppend: cannot add hive-partitioned entries to " +
         "a schema-evolved table")
     enforceChecks(spark, snap, df, "commitAppend")
+    // rename the batch to PHYSICAL names just before the write (mapped
+    // snapshots only): every file of the table stays physically
+    // uniform, whatever renames happened in between
+    val dfP = pairsOpt match {
+      case None => df
+      case Some(pairs) =>
+        val m = pairs.toMap
+        df.select(df.columns.map(c =>
+          F.col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+    }
     val rel = preWritten.getOrElse {
-      val r = writeData(spark, table, snap.version + 1, df, partitionBy)
+      val r = writeData(spark, table, snap.version + 1, dfP, partitionBy)
       recordWritten(r)
       r
     }
@@ -970,8 +1198,11 @@ object Manifest {
       // per entry instead of tripping partition inference — each
       // side's OWN delete vectors mask its rows (the copied snapshot
       // keeps its meta), so a CoW rewrite of already-MoR-deleted rows
-      // still cancels
-      else readSnapshotData(spark, table,
+      // still cancels. PHYSICAL names on purpose: physical names never
+      // change across renames, so both sides diff under one naming and
+      // align() serves the feed under v2's LOGICAL schema — the Delta
+      // column-mapping CDC rule (the feed speaks the query-end names)
+      else readSnapshotDataPhysical(spark, table,
         readSnapshot(spark, table, v).copy(paths = rels))
     // a MoR delete changes NO entry — the mask grew while the file
     // list stood still, so the entry diff alone would miss it. Pull
@@ -1007,11 +1238,16 @@ object Manifest {
     // pre-evolution side lacks the new columns — fill NULL, exactly
     // how v2 itself reads those files, so rewrite churn still cancels)
     val cols = template.columns.toSeq
+    // each logical output column's PHYSICAL source under v2's naming
+    // (identity when v2 is unmapped)
+    val physFor = physOf(s2)
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
-      df.select(cols.map(c =>
-        if (have(c)) F.col(c)
-        else F.lit(null).cast(template.schema(c).dataType).as(c)): _*)
+      df.select(cols.map { c =>
+        val p = physFor(c)
+        if (have(p)) F.col(p).as(c)
+        else F.lit(null).cast(template.schema(c).dataType).as(c)
+      }: _*)
     }
     val a = align(readSide((added ++ dvTouched).distinct, v2))
     val r = align(readSide((removed ++ dvTouched).distinct, v1))
@@ -1057,7 +1293,8 @@ object Manifest {
         // caller-supplied ranges on trust — a hint narrower than the
         // predicate would have silently left matching rows alive in
         // pruned files, in the takedown path of all places.)
-        admittedFilesFor(spark, table, snap, pred) match {
+        admittedFilesFor(spark, table, snap,
+          predToPhysical(snap, pred)) match {
           case None => rawFull
           case Some(fl) if fl.isEmpty => rawFull.limit(0)
           case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
@@ -1240,7 +1477,7 @@ object Manifest {
         cols, Some(predCol))
       statsEmit(spark, cols, cnt, per, "scan", allFiles.size.toLong)
     }
-    if (snap.meta.contains(DvKey)) return fallback()
+    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
     if (snap.meta.contains(PartitionKey)) return fallback()
     val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
@@ -1341,8 +1578,19 @@ object Manifest {
     // partition columns, whose types come from directory inference)
     val factSchema: org.apache.spark.sql.types.StructType =
       snap.meta.get(SchemaKey) match {
-        case Some(json) => org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        case Some(json) =>
+          val phys = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          // the caller speaks LOGICAL names on a mapped snapshot
+          mappingOf(snap) match {
+            case None => phys
+            case Some(pairs) => org.apache.spark.sql.types.StructType(
+              pairs.map { case (l, ph) =>
+                val f = phys(ph)
+                org.apache.spark.sql.types.StructField(l, f.dataType,
+                  f.nullable)
+              })
+          }
         case None if !snap.meta.contains(PartitionKey) =>
           listSnapshotFiles(spark, table, snap).headOption
             .map(f => spark.read.parquet(f).schema)
@@ -1402,7 +1650,9 @@ object Manifest {
     def fallback(): DataFrame =
       emit(scanAgg(readSnapshotData(spark, table, snap)), "scan",
         allFiles.size.toLong)
-    if (snap.meta.contains(DvKey)) return fallback()
+    // mapped snapshots serve by scan: sidecar stat names are physical,
+    // the keys/measures here are logical (compact folds the mapping)
+    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
 
     val numKeys = groupBy.zip(strKey).collect {
       case (k, false) if !partCols.contains(k) => k }
@@ -1704,7 +1954,8 @@ object Manifest {
     require(values.nonEmpty, "Manifest.deleteKeys: no values to delete")
     deleteCore(spark, table, F.col(column).isin(values: _*),
       scanFor = (snap, rawFull) =>
-        pointCandidateFiles(spark, table, snap, column, values) match {
+        pointCandidateFiles(spark, table, snap,
+          physOf(snap)(column), values) match {
           case None => rawFull
           case Some(fl) if fl.isEmpty => rawFull.limit(0)
           case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
@@ -1737,17 +1988,21 @@ object Manifest {
       .reduce(_ || _)
     deleteCore(spark, table, pred,
       scanFor = (snap, rawFull) =>
-        pointCandidateFilesTuples(spark, table, snap, columns, rows) match {
+        pointCandidateFilesTuples(spark, table, snap,
+          columns.map(physOf(snap)), rows) match {
           case None => rawFull
           case Some(fl) if fl.isEmpty => rawFull.limit(0)
           case Some(fl) => snapshotReader(spark, snap).parquet(fl: _*)
         })
   }
 
-  private def deleteCore(spark: SparkSession, table: String, pred: Column,
+  private def deleteCore(spark: SparkSession, table: String, pred0: Column,
       scanFor: (Snapshot, DataFrame) => DataFrame): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.deleteWhere: $table has no committed snapshot"))
+    // the caller's predicate speaks LOGICAL names; everything below
+    // (scans, rewrites) runs on the files' physical columns
+    val pred = predToPhysical(snap, pred0)
     val fs = fsFor(spark, table)
     val raw = readSnapshotRaw(spark, table, snap)
     val partitioned =
@@ -1896,16 +2151,21 @@ object Manifest {
       s"Manifest.merge: source schema mismatch vs current snapshot — " +
         s"only in table: ${(cur -- nxt).map(_._1).toSeq.sorted.mkString(",")}; " +
         s"only in source: ${(nxt -- cur).map(_._1).toSeq.sorted.mkString(",")}")
+    // mapped snapshots: the source and keys speak LOGICAL names; the
+    // materialized copy and every internal scan below run physical
+    val physMap = physOf(snap)
+    val keysP = keys.map(physMap)
     // 1. materialize the source ONCE as (part of) version N+1's data
     val (srcRel, nSrc) = writeDataCounted(spark, table, snap.version + 1,
-      source.select(full.columns.map(F.col).toIndexedSeq: _*), parts)
+      source.select(full.columns.map(c =>
+        F.col(c).as(physMap(c))).toIndexedSeq: _*), parts)
     if (nSrc == 0) return snap // empty source: no-op, nothing committed
     val src = spark.read.parquet(s"$table/$srcRel")
     // key hygiene on the frozen copy: NULL or duplicate keys = ambiguous
-    val bad = src.groupBy(keys.map(F.col).toIndexedSeq: _*)
+    val bad = src.groupBy(keysP.map(F.col).toIndexedSeq: _*)
       .agg(F.count(F.lit(1)).as("__n"))
       .filter(F.col("__n") > 1 ||
-        keys.map(k => F.col(k).isNull).reduce(_ || _))
+        keysP.map(k => F.col(k).isNull).reduce(_ || _))
       .limit(1).collect()
     if (bad.nonEmpty) {
       fs.delete(new Path(s"$table/$srcRel"), true)
@@ -1913,10 +2173,11 @@ object Manifest {
         "rows — an upsert with two writers of one key is ambiguous; " +
         "dedupe the source first")
     }
-    try enforceChecks(spark, snap, src, "merge") catch { case e: Throwable =>
+    try enforceChecks(spark, snap, toLogicalProj(snap, src), "merge")
+    catch { case e: Throwable =>
       fs.delete(new Path(s"$table/$srcRel"), true); throw e
     }
-    val srcKeys = src.select(keys.map(F.col).toIndexedSeq: _*).distinct()
+    val srcKeys = src.select(keysP.map(F.col).toIndexedSeq: _*).distinct()
     // 2. phase 1 — EXACT touched-file set, bloom-restricted when
     // possible: single keys probe their own bloom, multi-column keys
     // probe the COMPOSITE bloom (analyzeFilesBloom("a+b")) — the
@@ -1926,9 +2187,9 @@ object Manifest {
     val scanned =
       if (parts.isEmpty) {
         val cap = 10000
-        val bloomName = compositeName(keys)
+        val bloomName = compositeName(keysP)
         val hs = srcKeys
-          .select(F.xxhash64(keys.map(F.col): _*).as("__h"))
+          .select(F.xxhash64(keysP.map(F.col): _*).as("__h"))
           .limit(cap + 1).collect().map(_.getLong(0)).toIndexedSeq
         if (hs.size <= cap)
           pointCandidateFilesHashed(spark, table, snap, bloomName, hs) match {
@@ -1940,8 +2201,8 @@ object Manifest {
       } else raw
     def norm(f: String) = new Path(f).toUri.getPath
     val touched = scanned
-      .select((keys.map(F.col) :+ F.input_file_name().as("__f")).toIndexedSeq: _*)
-      .join(srcKeys, keys, "left_semi")
+      .select((keysP.map(F.col) :+ F.input_file_name().as("__f")).toIndexedSeq: _*)
+      .join(srcKeys, keysP, "left_semi")
       .select("__f").distinct()
       .collect().map(r => norm(r.getString(0))).toSet
     if (touched.isEmpty) // nothing matched: the upsert is a pure append
@@ -1967,7 +2228,7 @@ object Manifest {
       // for pre-evolution files — same rule as deleteWhere's rewrite)
       val survivors = readFilesLive(spark, table, snap,
           touched.toSeq.sorted)
-        .join(srcKeys, keys, "left_anti")
+        .join(srcKeys, keysP, "left_anti")
       val (survRel, nSurv) =
         writeDataCounted(spark, table, snap.version + 1, survivors, Nil)
       val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
@@ -1980,7 +2241,7 @@ object Manifest {
         .map(p => applyDv(spark, table, snap,
           spark.read.parquet(s"$table/$p")))
         .reduce(_ unionByName _)
-        .join(srcKeys, keys, "left_anti")
+        .join(srcKeys, keysP, "left_anti")
       val (survRel, nSurv) =
         writeDataCounted(spark, table, snap.version + 1, survivors, parts)
       val rels = (if (nSurv == 0) Nil else Seq(survRel)) :+ srcRel
@@ -2015,9 +2276,11 @@ object Manifest {
     * Positions name bytes, not values; files are keyed by their
     * manifest-relative path, unique within a snapshot. */
   def deleteWhereMoR(spark: SparkSession, table: String,
-      pred: Column): Snapshot = {
+      pred0: Column): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.deleteWhereMoR: $table has no committed snapshot"))
+    // logical→physical at entry, like every verb taking a predicate
+    val pred = predToPhysical(snap, pred0)
     val fs = fsFor(spark, table)
     val raw = readSnapshotRaw(spark, table, snap)
     val partitioned =
@@ -2159,6 +2422,9 @@ object Manifest {
     require(keys.nonEmpty, "Manifest.applyDeltaMoR: needs key columns")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.applyDeltaMoR: $table has no committed snapshot"))
+    require(!isMapped(snap),
+      "Manifest.applyDeltaMoR: the table carries a column mapping " +
+        "(rename/drop) — run compact() to fold the mapping, then retry")
     val fs = fsFor(spark, table)
     val raw = readSnapshotRaw(spark, table, snap)
     require(deletes.columns.toSeq.sorted == keys.sorted,
@@ -2248,6 +2514,9 @@ object Manifest {
     require(keys.nonEmpty, "Manifest.mergeMoR: needs at least one key column")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.mergeMoR: $table has no committed snapshot"))
+    require(!isMapped(snap),
+      "Manifest.mergeMoR: the table carries a column mapping " +
+        "(rename/drop) — run compact() to fold the mapping, then retry")
     checkStageSchema(spark, table, snap, source, "mergeMoR")
     val src = source.cache()
     try {
@@ -2404,6 +2673,9 @@ object Manifest {
       df: DataFrame): String = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.stageAppend: $table has no committed snapshot"))
+    require(!isMapped(snap),
+      "Manifest.stageAppend: the table carries a column mapping " +
+        "(rename/drop) — run compact() to fold the mapping, then retry")
     checkStageSchema(spark, table, snap, df, "stageAppend")
     val parts = snap.meta.get(PartitionKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -2479,6 +2751,10 @@ object Manifest {
         "(already published or dropped?)")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.publishStage: $table has no committed snapshot"))
+    require(!isMapped(snap),
+      "Manifest.publishStage: the table carries a column mapping " +
+        "(rename/drop) — staged files are logical-named; run compact() " +
+        "to fold the mapping, then retry")
     val rel = stageDir(table, id)
     checkStageSchema(spark, table, snap,
       spark.read.parquet(s"$table/$rel"), "publishStage")
@@ -2775,7 +3051,8 @@ object Manifest {
     require(values.nonEmpty, "Manifest.readPointAny: no probe values")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPointAny: $table has no committed snapshot"))
-    pointCandidates(spark, table, snap, column, values)
+    pointCandidates(spark, table, snap, physOf(snap)(column), values)
+      .map(toLogicalProj(snap, _))
       .getOrElse(readSnapshotData(spark, table, snap))
   }
 
@@ -2793,11 +3070,13 @@ object Manifest {
       "Manifest.readPointTuples: every tuple must match the columns")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPointTuples: $table has no committed snapshot"))
-    pointCandidateFilesTuples(spark, table, snap, columns, rows) match {
+    pointCandidateFilesTuples(spark, table, snap,
+      columns.map(physOf(snap)), rows) match {
       case None => readSnapshotData(spark, table, snap)
       case Some(paths) if paths.isEmpty =>
-        readSnapshotRaw(spark, table, snap).limit(0)
-      case Some(paths) => readFilesLive(spark, table, snap, paths)
+        toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
+      case Some(paths) =>
+        toLogicalProj(snap, readFilesLive(spark, table, snap, paths))
     }
   }
 
@@ -2902,11 +3181,13 @@ object Manifest {
     require(ranges.nonEmpty, "readPrunedAll needs at least one range")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPruned: $table has no committed snapshot"))
-    prunedFilesFor(spark, table, snap, ranges) match {
+    prunedFilesFor(spark, table, snap,
+      ranges.map(r => (physOf(snap)(r._1), r._2, r._3))) match {
       case None => readSnapshotData(spark, table, snap)
       case Some(paths) if paths.isEmpty =>
-        readSnapshotRaw(spark, table, snap).limit(0)
-      case Some(paths) => readFilesLive(spark, table, snap, paths)
+        toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
+      case Some(paths) =>
+        toLogicalProj(snap, readFilesLive(spark, table, snap, paths))
     }
   }
 
@@ -3043,11 +3324,13 @@ object Manifest {
       "readPrunedString needs at least one bound")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPrunedString: $table has no committed snapshot"))
-    strPrunedFilesFor(spark, table, snap, column, lo, hi) match {
+    strPrunedFilesFor(spark, table, snap,
+      physOf(snap)(column), lo, hi) match {
       case None => readSnapshotData(spark, table, snap)
       case Some(paths) if paths.isEmpty =>
-        readSnapshotRaw(spark, table, snap).limit(0)
-      case Some(paths) => readFilesLive(spark, table, snap, paths)
+        toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
+      case Some(paths) =>
+        toLogicalProj(snap, readFilesLive(spark, table, snap, paths))
     }
   }
 
@@ -3060,12 +3343,13 @@ object Manifest {
       column: String, prefix: String): DataFrame = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.readPrefix: $table has no committed snapshot"))
-    strPrunedFilesFor(spark, table, snap, column,
+    strPrunedFilesFor(spark, table, snap, physOf(snap)(column),
       Some(prefix), prefixSuccessor(prefix), hiExclusive = true) match {
       case None => readSnapshotData(spark, table, snap)
       case Some(paths) if paths.isEmpty =>
-        readSnapshotRaw(spark, table, snap).limit(0)
-      case Some(paths) => readFilesLive(spark, table, snap, paths)
+        toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
+      case Some(paths) =>
+        toLogicalProj(snap, readFilesLive(spark, table, snap, paths))
     }
   }
 
@@ -3189,10 +3473,11 @@ object Manifest {
         sys.error(s"Manifest.readPrunedMixed: $table has no committed snapshot"))
     }
     val numD = if (numRanges.isEmpty) None
-      else prunedFilesFor(spark, table, snap, numRanges)
+      else prunedFilesFor(spark, table, snap,
+        numRanges.map(r => (physOf(snap)(r._1), r._2, r._3)))
     val strD = strRanges.foldLeft(Option.empty[Set[String]]) {
       case (acc, (c, lo, hi)) =>
-        strPrunedFilesFor(spark, table, snap, c, lo, hi) match {
+        strPrunedFilesFor(spark, table, snap, physOf(snap)(c), lo, hi) match {
           case None => acc
           case Some(files) => Some(acc match {
             case None => files.toSet
@@ -3209,8 +3494,9 @@ object Manifest {
           case (None, Some(y)) => y.toSeq.sorted
           case _ => Nil // unreachable
         }
-        if (keep.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
-        else readFilesLive(spark, table, snap, keep)
+        if (keep.isEmpty)
+          toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
+        else toLogicalProj(snap, readFilesLive(spark, table, snap, keep))
     }
   }
 
@@ -3407,10 +3693,12 @@ object Manifest {
       case None => currentSnapshot(spark, table).getOrElse(
         sys.error(s"Manifest.readPrunedWhere: $table has no committed snapshot"))
     }
-    admittedFilesFor(spark, table, snap, pred, prunable).flatMap { keep =>
-      if (keep.isEmpty) Some(readSnapshotRaw(spark, table, snap).limit(0))
+    admittedFilesFor(spark, table, snap,
+      predToPhysical(snap, pred), prunable).flatMap { keep =>
+      if (keep.isEmpty)
+        Some(toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0)))
       else if (keep.size == listSnapshotFiles(spark, table, snap).size) None
-      else Some(readFilesLive(spark, table, snap, keep))
+      else Some(toLogicalProj(snap, readFilesLive(spark, table, snap, keep)))
     }
   }
 
@@ -3433,12 +3721,14 @@ object Manifest {
     }
     val all = listSnapshotFiles(spark, table, snap)
     val admitted = pred
-      .flatMap(p => admittedFilesFor(spark, table, snap, p))
+      .flatMap(p => admittedFilesFor(spark, table, snap,
+        predToPhysical(snap, p)))
       .getOrElse(all)
     val df =
-      if (admitted.isEmpty) readSnapshotRaw(spark, table, snap).limit(0)
+      if (admitted.isEmpty)
+        toLogicalProj(snap, readSnapshotRaw(spark, table, snap).limit(0))
       else if (admitted.size == all.size) readSnapshotData(spark, table, snap)
-      else readFilesLive(spark, table, snap, admitted)
+      else toLogicalProj(snap, readFilesLive(spark, table, snap, admitted))
     (df, admitted)
   }
 
@@ -3631,7 +3921,10 @@ object Manifest {
       statsEmit(spark, cols, cnt, per, "scan",
         listSnapshotFiles(spark, table, snap).size.toLong)
     }
-    if (snap.meta.contains(DvKey)) return fallback()
+    // a column-mapped snapshot declines the sidecar serve — sidecar
+    // stat names are physical, the caller speaks logical; the scan
+    // fallback is always right, and the next compact folds the mapping
+    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
     val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
     if (!statsCovers(sch, cols)) return fallback()
@@ -3926,9 +4219,14 @@ object Manifest {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val rel = writeData(spark, table, snap.version + 1, laid, parts)
     // carry the metadata forward (see commitAppend) — minus the delete
-    // vectors, which this rewrite just folded into the data
+    // vectors AND the column mapping, which this rewrite just folded
+    // into the data (the compacted files carry LOGICAL names; the
+    // committed read schema restamps to match them)
+    val restamped =
+      if (snap.meta.contains(SchemaKey)) Map(SchemaKey -> df.schema.json)
+      else Map.empty[String, String]
     commit(spark, table, snap.version, Seq(rel),
-      withOp(snap.meta, "compact") - DvKey)
+      withOp(snap.meta, "compact") - DvKey - ColumnMapKey ++ restamped)
   }
 
   /** Retention: drop every snapshot except the newest `keep`, any

@@ -56,7 +56,7 @@ object ManifestStream {
 
   private[graft] final case class Opts(table: String, changeFeed: Boolean,
       ignoreDeletes: Boolean, startLatest: Boolean,
-      startAt: Option[Long] = None)
+      startAt: Option[Long] = None, startTs: Option[Long] = None)
 
   private[graft] def opts(parameters: Map[String, String]): Opts = {
     val table = parameters.getOrElse("path", sys.error(
@@ -83,7 +83,65 @@ object ManifestStream {
             "full current snapshot first")
       }
     }
-    Opts(table, cf, ign, latest, startAt)
+    // startingTimestamp: resume at a WALL-CLOCK instant — resolved to
+    // the first version committed at or after it when the source
+    // starts (the commit stamps are the same clock readAsOf uses)
+    val startTs = parameters.get("startingtimestamp").map(parseTs)
+    require(startTs.isEmpty || (startAt.isEmpty && !latest),
+      "graft-table stream: startingTimestamp and startingVersion are " +
+        "mutually exclusive")
+    Opts(table, cf, ign, latest, startAt, startTs)
+  }
+
+  /** Epoch millis of a `startingTimestamp` value: bare millis, a
+    * date (`yyyy-MM-dd`, UTC midnight), a local timestamp
+    * (`yyyy-MM-dd HH:mm:ss[.S]`, session-naive = UTC here), or an ISO
+    * instant. */
+  private[graft] def parseTs(v: String): Long = {
+    val t = v.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDate.parse(t)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            sys.error(s"graft-table stream: cannot parse " +
+              s"startingTimestamp='$v' — use epoch millis, yyyy-MM-dd, " +
+              "yyyy-MM-dd HH:mm:ss, or an ISO instant")
+          }
+        }
+      }
+    }
+  }
+
+  /** The FIRST version whose commit stamp is at or after `ts` — the
+    * startingTimestamp resolution. Refuses when the answer could be
+    * hidden in a vacuumed window (the matched version's predecessor
+    * must be retained with a stamp strictly before `ts`, unless the
+    * match is version 1 — then nothing precedes it); returns
+    * `last+1` when every retained commit precedes `ts` (the stream
+    * tails forward from creation, serving nothing until new commits
+    * land). */
+  private[graft] def versionAtOrAfter(spark: SparkSession, table: String,
+      ts: Long): Long = {
+    val vs = Manifest.versions(spark, table)
+    require(vs.nonEmpty,
+      s"graft-table stream: $table has no committed snapshot")
+    def stamp(v: Long): Long = Manifest.readSnapshotMeta(spark, table, v)
+      .get("committed_at").map(_.toLong).getOrElse(0L)
+    vs.find(v => stamp(v) >= ts) match {
+      case None => vs.last + 1
+      case Some(v) =>
+        require(v == 1L || (vs.contains(v - 1) && stamp(v - 1) < ts),
+          s"graft-table stream: cannot resolve startingTimestamp=$ts on " +
+            s"$table — versions before v$v were vacuumed, so commits in " +
+            "the window cannot be proven earlier than the instant; use " +
+            "startingVersion or a fresh (full-snapshot) start")
+        v
+    }
   }
 
   /** The frozen source schema: the table's committed read schema (all
@@ -101,13 +159,15 @@ object ManifestStream {
   /** Sugar: `Manifest` table → streaming frame. */
   def read(spark: SparkSession, table: String, changeFeed: Boolean = false,
       ignoreDeletes: Boolean = false, startLatest: Boolean = false,
-      startingVersion: Option[Long] = None): DataFrame = {
+      startingVersion: Option[Long] = None,
+      startingTimestamp: Option[String] = None): DataFrame = {
     var r = spark.readStream.format(classOf[ManifestStreamProvider].getName)
       .option("path", table)
     if (changeFeed) r = r.option("changeFeed", "true")
     if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
     if (startLatest) r = r.option("startingVersion", "latest")
     startingVersion.foreach(n => r = r.option("startingVersion", n.toString))
+    startingTimestamp.foreach(t => r = r.option("startingTimestamp", t))
     r.load()
   }
 
@@ -126,6 +186,14 @@ object ManifestStream {
       s"graft-table stream: $table's schema evolved at or before version $v2 " +
         "mid-stream — restart the stream (same checkpoint) to adopt the new " +
         "schema; pre-evolution rows will serve NULL for the added columns")
+    // a COLUMN MAPPING landing mid-stream (RENAME/DROP COLUMN) can
+    // leave SchemaKey byte-identical while the logical names moved —
+    // the frozen schema would silently NULL-fill; fail loudly instead
+    // (sources refuse to START on a mapped table, so frozen = unmapped)
+    if (s2.meta.contains(Manifest.ColumnMapKey)) sys.error(
+      s"graft-table stream: a column rename/drop landed on $table at or " +
+        s"before version $v2 mid-stream — compact() folds the mapping; " +
+        "restart the stream after it")
     val df = v1 match {
       case None if !o.startLatest =>
         // initial batch: the whole snapshot at v2, as inserts
@@ -257,6 +325,14 @@ object ManifestStream {
       s"graft-table stream: $table's schema evolved at or before version $v2 " +
         "mid-stream — restart the stream (same checkpoint) to adopt the new " +
         "schema; pre-evolution rows will serve NULL for the added columns")
+    // a COLUMN MAPPING landing mid-stream (RENAME/DROP COLUMN) can
+    // leave SchemaKey byte-identical while the logical names moved —
+    // the frozen schema would silently NULL-fill; fail loudly instead
+    // (sources refuse to START on a mapped table, so frozen = unmapped)
+    if (s2.meta.contains(Manifest.ColumnMapKey)) sys.error(
+      s"graft-table stream: a column rename/drop landed on $table at or " +
+        s"before version $v2 mid-stream — compact() folds the mapping; " +
+        "restart the stream after it")
     if (Manifest.hiveLayout(spark, table, s2)) return None
     v1 match {
       case None =>
@@ -408,9 +484,16 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
 
   /** Schema-evolution fingerprint frozen at stream creation; a
     * mid-stream evolution fails the batch loudly (restart adopts). */
-  private val frozenSchemaJson: Option[String] =
-    Manifest.readSnapshot(spark, o.table, startVersion)
-      .meta.get(Manifest.SchemaKey)
+  private val frozenSchemaJson: Option[String] = {
+    val start = Manifest.readSnapshot(spark, o.table, startVersion)
+    // a mapped table's stream would zero-copy files under PHYSICAL
+    // names and align() would NULL-fill the logical ones — refuse at
+    // source creation; compact() folds the mapping and the stream runs
+    require(!start.meta.contains(Manifest.ColumnMapKey),
+      s"graft-table stream: ${o.table} carries a column mapping " +
+        "(rename/drop) — run compact() to fold it, then start the stream")
+    start.meta.get(Manifest.SchemaKey)
+  }
 
   private val stagingRoot = new Path(checkpointLocation, "graft-staged")
 
@@ -421,10 +504,21 @@ class ManifestMicroBatchStream(spark: SparkSession, o: ManifestStream.Opts,
     ManifestStream.zeroCopyDataSchema(spark, o, startVersion,
       frozenSchemaJson).fields.map(_.copy(nullable = true)))
 
+  /** `startingTimestamp` resolved ONCE at source creation — the same
+    * first-version-at-or-after rule readAsOf's versionAt mirrors,
+    * with the vacuumed-window refusal. Resolving to 1 degrades to the
+    * full-snapshot start (commits 1..now ARE the snapshot). */
+  private val resolvedStartAt: Option[Long] = o.startTs match {
+    case None => o.startAt
+    case Some(ts) =>
+      Some(ManifestStream.versionAtOrAfter(spark, o.table, ts))
+        .filter(_ > 1L)
+  }
+
   override def initialOffset(): V2Offset =
     VersionOffset(
       if (o.startLatest) startVersion
-      else o.startAt match {
+      else resolvedStartAt match {
         // the first span is (N-1, latest]: exactly the net effect of
         // commits N..latest; changes() itself refuses loudly when the
         // N-1 snapshot is no longer retained

@@ -349,19 +349,37 @@ class GraftCatalog extends TableCatalog
       changes: TableChange*): Table = {
     val p = pathOf(ident)
     requireLive(ident, p)
-    val adds = changes.map {
-      case a: TableChange.AddColumn
-          if a.fieldNames.length == 1 && a.isNullable &&
-            a.position() == null =>
-        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER '$other' — only plain " +
-          "nullable top-level ADD COLUMN maps to additive manifest " +
-          "evolution; everything else would rewrite immutable files")
+    // RENAME/DROP COLUMN: metadata-only column-mapping commits
+    // ([[Manifest.renameColumn]]/[[Manifest.dropColumn]]) — handled
+    // one change at a time (each is its own commit, like Delta)
+    val (mapChanges, rest) = changes.partition {
+      case r: TableChange.RenameColumn => r.fieldNames.length == 1
+      case d: TableChange.DeleteColumn => d.fieldNames.length == 1
+      case _ => false
     }
-    val cur = Manifest.read(spark, p).schema
-    Manifest.evolveSchema(spark, p,
-      StructType(cur.fields ++ adds))
+    mapChanges.foreach {
+      case r: TableChange.RenameColumn =>
+        Manifest.renameColumn(spark, p, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        Manifest.dropColumn(spark, p, d.fieldNames()(0))
+      case _ => ()
+    }
+    if (rest.nonEmpty) {
+      val adds = rest.map {
+        case a: TableChange.AddColumn
+            if a.fieldNames.length == 1 && a.isNullable &&
+              a.position() == null =>
+          StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER '$other' — only plain " +
+            "nullable top-level ADD COLUMN, RENAME COLUMN, and DROP " +
+            "COLUMN map to manifest commits; everything else would " +
+            "rewrite immutable files")
+      }
+      val cur = Manifest.read(spark, p).schema
+      Manifest.evolveSchema(spark, p,
+        StructType(cur.fields ++ adds))
+    }
     new GraftTable(p, None)
   }
 
@@ -865,7 +883,12 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
     case None =>
       val spark = SparkSession.active
       val snap = Manifest.resolveSnapshot(spark, path, pinned)
-      if (GraftNativeScan.bindable(handled, tableSchema)) {
+      // a column-mapped snapshot keeps the V1 bridge: its inner frame
+      // serves the LOGICAL projection (readAdmitted), where the native
+      // scan would read files under logical names they don't carry;
+      // the next compact folds the mapping and the native path resumes
+      if (GraftNativeScan.bindable(handled, tableSchema) &&
+          !Manifest.isMapped(snap)) {
         val partSchema =
           if (!Manifest.hiveLayout(spark, path, snap)) new StructType()
           else StructType(Manifest.partitionColumnsOf(spark, path, snap)

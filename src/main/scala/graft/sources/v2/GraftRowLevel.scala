@@ -64,12 +64,21 @@ private[v2] class GraftRowLevelOperation(val path: String,
     * translatable ones to the metadata-only (MoR) path — an eager
     * refusal here would take hive tables' working MoR deletes down
     * with the CoW path they never use. */
-  private[v2] def refuseHive(): Unit =
+  private[v2] def refuseHive(): Unit = {
     require(!Manifest.hiveLayout(spark, path, snap),
       s"graft catalog: SQL $cmd rewrite on hive-partitioned table $path " +
         "is not supported — per-file copy-on-write would drop " +
         "directory-encoded partition columns; use Manifest.merge / " +
         "deleteWhere (directory-grain)")
+    // a column-mapped snapshot refuses too: this operation rewrites
+    // files under the table's LOGICAL schema while the carried files
+    // stay physical — the mixed naming would brick the explicit-schema
+    // read; fold the mapping first, then the rewrite path works
+    require(!Manifest.isMapped(snap),
+      s"graft catalog: SQL $cmd rewrite on column-mapped table $path — " +
+        "run CALL <catalog>.system.compact(...) to fold the rename/drop " +
+        "mapping, then retry (Manifest.deleteWhere/merge also work)")
+  }
 
   private[v2] val tableSchema: StructType =
     Manifest.committedSchemaOf(snap).getOrElse(

@@ -66,16 +66,28 @@ object GraftTableFunctions {
   /** A version argument: an integer literal IS the version; a string
     * literal resolves as a TAG name — the same dual addressing as
     * `VERSION AS OF`, so `table_changes(t, 'corpus-v1', 'corpus-v2')`
-    * explains what changed between two releases. */
+    * explains what changed between two releases — and, when no tag
+    * matches and the string parses as a TIMESTAMP, as the newest
+    * version committed at or before that instant (the readAsOf rule),
+    * so `table_changes(t, '2024-01-01', '2024-02-01')` explains a
+    * wall-clock window without the consumer mapping instants to
+    * versions by hand. */
   private def versionArg(spark: SparkSession, path: String,
       e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
     case Literal(v: UTF8String, _) if v != null =>
-      Manifest.tagVersion(spark, path, v.toString)
+      val s0 = v.toString
+      try Manifest.tagVersion(spark, path, s0)
+      catch { case tagErr: Throwable =>
+        scala.util.Try(graft.sources.ManifestStream.parseTs(s0)).toOption match {
+          case Some(ts) => Manifest.versionAt(spark, path, ts)
+          case None => throw tagErr
+        }
+      }
     case other => throw new CubeQueryException(
-      s"$what must be an integer literal or a tag-name string literal, " +
-        s"got $other")
+      s"$what must be an integer literal, a tag-name string literal, " +
+        s"or a timestamp string literal, got $other")
   }
 
   private def tableChanges(exprs: Seq[Expression]): LogicalPlan = {

@@ -618,12 +618,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(Manifest.read(spark, tbl).schema.fieldNames
       .sameElements(Array("id", "s", "score")))
 
-    // destructive ALTERs refuse loudly
+    // RENAME/DROP COLUMN: metadata-only column-mapping commits — the
+    // SQL face serves the new shape, zero data files move, and the
+    // mapping folds on the next rewrite (MappingSpec pins the rest)
+    spark.sql("ALTER TABLE graft.db.ev RENAME COLUMN s TO label")
+    assert(spark.table("graft.db.ev").columns.toSeq ==
+      Seq("id", "label", "score"))
+    spark.sql("ALTER TABLE graft.db.ev DROP COLUMN label")
+    assert(spark.table("graft.db.ev").columns.toSeq == Seq("id", "score"))
+    assert(Manifest.versions(spark, tbl) == (1L to 5L),
+      "each mapping ALTER is ONE metadata commit")
+    assert(Manifest.currentSnapshot(spark, tbl).get.paths ==
+      Manifest.readSnapshot(spark, tbl, 3L).paths,
+      "mapping commits must move zero data files")
+    // still-destructive ALTERs (type changes etc.) refuse loudly
     intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.ev DROP COLUMN s"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.ev RENAME COLUMN s TO t"))
-    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L),
+      spark.sql("ALTER TABLE graft.db.ev ALTER COLUMN score TYPE STRING"))
+    assert(Manifest.versions(spark, tbl) == (1L to 5L),
       "refused ALTERs must commit nothing")
 
     // nullability may only WIDEN: re-declaring an existing nullable
@@ -644,7 +655,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("TRUNCATE TABLE graft.db.ev")
     assert(spark.sql("SELECT count(*) FROM graft.db.ev")
       .head().getLong(0) == 0L)
-    assert(Manifest.versions(spark, tbl) == Seq(1L, 2L, 3L, 4L))
+    assert(Manifest.versions(spark, tbl) == (1L to 6L))
     assert(spark.sql("SELECT count(*) FROM graft.db.ev VERSION AS OF 3")
       .head().getLong(0) == 3L)
   }

@@ -375,6 +375,63 @@ class ManifestStreamSpec extends AnyFunSuite {
       rows(docs.filter(col("doc_id") % 5 >= 1 && col("doc_id") % 5 <= 3))))
   }
 
+  test("startingTimestamp resumes at a wall-clock instant: the first " +
+      "span is the net effect of commits at or after it; a vacuumed " +
+      "window refuses; a future instant tails forward") {
+    val dir = tmp("startts")
+    val table = s"$dir/t"
+    Manifest.create(spark, table, slice(0))       // v1
+    Thread.sleep(15)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    Manifest.commitAppend(spark, table, slice(1)) // v2
+    Manifest.commitAppend(spark, table, slice(2)) // v3
+    // an instant between v1 and v2 resolves to v2: first span = net
+    // effect of commits 2..now
+    val q = ManifestStream.read(spark, table,
+        startingTimestamp = Some(betweenV1V2.toString))
+      .writeStream.format("memory").queryName("mstream_ts")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("mstream_ts"))
+        .sameElements(rows(slice(1).unionByName(slice(2)))),
+        "an instant between v1 and v2 must serve exactly commits 2..3")
+      Manifest.commitAppend(spark, table, slice(3)) // v4 — the tail
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.table("mstream_ts")).sameElements(
+      rows(slice(1).unionByName(slice(2)).unionByName(slice(3)))))
+    // a FUTURE instant tails forward: nothing until a new commit lands
+    val future = (System.currentTimeMillis() + 3600L * 1000).toString
+    val qf = ManifestStream.read(spark, table,
+        startingTimestamp = Some(future))
+      .writeStream.format("memory").queryName("mstream_tsf")
+      .option("checkpointLocation", s"$dir/ckptf").start()
+    try {
+      qf.processAllAvailable()
+      assert(spark.table("mstream_tsf").count() == 0)
+      Manifest.commitAppend(spark, table, slice(4)) // v5
+      qf.processAllAvailable()
+      assert(rows(spark.table("mstream_tsf")).sameElements(rows(slice(4))))
+    } finally qf.stop()
+    // an instant before the FIRST commit ≡ the full-snapshot start
+    assert(ManifestStream.versionAtOrAfter(spark, table, 0L) == 1L)
+    // vacuumed window: the instant's true first version cannot be
+    // proven — refuse loudly at source creation
+    Manifest.vacuum(spark, table, keep = 1, orphanGraceMs = 0L)
+    val ev = intercept[Exception] {
+      val qv = ManifestStream.read(spark, table,
+          startingTimestamp = Some(betweenV1V2.toString))
+        .writeStream.format("memory").queryName("mstream_tsv")
+        .option("checkpointLocation", s"$dir/ckptv").start()
+      try qv.processAllAvailable() finally qv.stop()
+    }
+    assert(ev.getMessage.contains("vacuumed") ||
+      Option(ev.getCause).exists(_.getMessage.contains("vacuumed")),
+      s"wrong failure: ${ev.getMessage}")
+  }
+
   test("a directly-driven first changeFeed span anchors at or below v2 — " +
       "empty batch, not an UnsupportedOperationException") {
     val table = tmp("anchor") + "/t"
