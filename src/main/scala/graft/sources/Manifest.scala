@@ -2776,6 +2776,153 @@ object Manifest {
     fs.delete(stageMarker(table, id), false)
   }
 
+  // ---- writable branches (the WAP generalization) -------------------
+  //
+  // A BRANCH is a named ref with its OWN version chain, forked from a
+  // main snapshot — the Iceberg branch shape, and the generalization
+  // of the one-batch stage above: an audit flow lands N commits on the
+  // branch, invisible to main, then PUBLISHES them as ONE atomic main
+  // commit (fast-forward), refusing loudly if main moved since the
+  // fork. Storage reuses the whole manifest protocol verbatim: the
+  // branch is a pseudo-root `<table>/_branches/<name>` whose
+  // `_manifest` holds its chain — [[commit]]'s claim/rename discipline,
+  // chain guard, and history all apply unchanged — while every entry
+  // stays TABLE-root-relative, so branch data dirs live beside main's
+  // (written with the FORK version's prefix, ≤ main's current, which
+  // keeps the orphan-reclaim ordering sound) and [[vacuum]] treats
+  // branch-referenced entries as live. The underscore prefix keeps
+  // `_branches` invisible to plain reads and SHOW TABLES.
+
+  private def branchRoot(table: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branch name '$name' — use letters, digits, dot, underscore, dash")
+    s"$table/_branches/$name"
+  }
+
+  /** Commit-metadata key recording the MAIN version a branch forked
+    * from — what publish's fast-forward check compares against. */
+  private[sources] val ForkKey = "forked_from"
+
+  /** Fork a branch from the CURRENT main snapshot: branch v1 is a
+    * copy of main's paths + metadata, stamped with the fork version.
+    * Hive layouts and column-mapped snapshots refuse (branch appends
+    * are flat; fold/convert first). */
+  def branchCreate(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.branchCreate: $table has no committed snapshot"))
+    require(!hiveLayout(spark, table, snap),
+      s"Manifest.branchCreate: $table is hive-partitioned — convert() " +
+        "to the flat layout first")
+    require(!isMapped(snap),
+      s"Manifest.branchCreate: $table carries a column mapping — " +
+        "compact() folds it first")
+    val root = branchRoot(table, name)
+    require(versions(spark, root).isEmpty,
+      s"Manifest.branchCreate: branch '$name' already exists on $table")
+    commit(spark, root, 0L, snap.paths,
+      withOp(snap.meta, "branch") + (ForkKey -> snap.version.toString))
+  }
+
+  /** Branch names with a committed chain. */
+  def branches(spark: SparkSession, table: String): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val base = new Path(s"$table/_branches")
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => versions(spark, s"$table/_branches/$n").nonEmpty)
+      .sorted
+  }
+
+  /** The branch's HEAD snapshot (its own chain's newest version);
+    * paths are table-root-relative like every snapshot's. */
+  def branchHead(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val root = branchRoot(table, name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty,
+      s"Manifest.branchHead: $table has no branch '$name'")
+    readSnapshot(spark, root, vs.last)
+  }
+
+  /** Read the branch head — the same DV-masked, committed-schema read
+    * as main's, just pinned to the branch chain. */
+  def readBranch(spark: SparkSession, table: String,
+      name: String): DataFrame =
+    readSnapshotData(spark, table, branchHead(spark, table, name))
+
+  /** APPEND to a branch: writes the batch under the MAIN table root
+    * (fork-version prefix — invisible to main, lease-protected and
+    * branch-referenced against vacuum) and commits it on the branch's
+    * own chain. Same strict schema contract as [[commitAppend]],
+    * against the BRANCH head. */
+  def branchAppend(spark: SparkSession, table: String, name: String,
+      df: DataFrame): Snapshot = {
+    val root = branchRoot(table, name)
+    val head = branchHead(spark, table, name)
+    val fork = head.meta.get(ForkKey).map(_.toLong).getOrElse(
+      sys.error(s"Manifest.branchAppend: branch '$name' has no fork stamp"))
+    val curS = readSnapshotRaw(spark, table, head).schema
+    def key(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType.sql)).toSet
+    require(key(curS) == key(df.schema),
+      s"Manifest.branchAppend: schema mismatch vs branch head — only in " +
+        s"branch: ${(key(curS) -- key(df.schema)).map(_._1).toSeq.sorted
+          .mkString(",")}; only in batch: ${(key(df.schema) -- key(curS))
+          .map(_._1).toSeq.sorted.mkString(",")}")
+    enforceChecks(spark, head, df, "branchAppend")
+    val rel = writeData(spark, table, fork, df, Nil)
+    commit(spark, root, head.version, head.paths :+ rel,
+      withOp(head.meta, "append"))
+  }
+
+  /** PUBLISH: land the branch head's whole state on main as ONE
+    * atomic commit — the fast-forward. Refuses loudly when main moved
+    * past the fork point (publishing would silently drop the
+    * interleaved commits — rebase by hand: fork a fresh branch, replay
+    * what matters). The branch chain is deleted after the publish;
+    * its data dirs are now main-referenced. */
+  def publishBranch(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val head = branchHead(spark, table, name)
+    val fork = head.meta.get(ForkKey).map(_.toLong).getOrElse(
+      sys.error(s"Manifest.publishBranch: branch '$name' has no fork stamp"))
+    val cur = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.publishBranch: $table has no committed snapshot"))
+    require(cur.version == fork,
+      s"Manifest.publishBranch: $table moved to v${cur.version} since " +
+        s"branch '$name' forked at v$fork — the fast-forward would drop " +
+        "the interleaved commits; fork a fresh branch and replay")
+    val out = commit(spark, table, cur.version, head.paths,
+      withOp(head.meta - ForkKey, "publish_branch"))
+    dropBranch(spark, table, name)
+    out
+  }
+
+  /** Delete a branch: its chain goes now; its branch-only data dirs
+    * become ordinary orphans (fork-version prefix ≤ current) that
+    * [[vacuum]] reclaims once the writer lease passes. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    val fs = fsFor(spark, table)
+    fs.delete(new Path(branchRoot(table, name)), true)
+    // reap the _branches dir itself when the last branch goes (non-
+    // recursive: a concurrent branchCreate's content survives)
+    val base = new Path(s"$table/_branches")
+    try if (fs.exists(base) && fs.listStatus(base).isEmpty)
+      fs.delete(base, false)
+    catch { case _: java.io.IOException => () } // raced a create: keep
+  }
+
+  /** Every branch's every retained snapshot — what [[vacuum]] folds
+    * into its referenced set so branch work is never reclaimed. */
+  private def branchSnapshots(spark: SparkSession,
+      table: String): Seq[Snapshot] =
+    branches(spark, table).flatMap { n =>
+      val root = s"$table/_branches/$n"
+      versions(spark, root).map(v => readSnapshot(spark, root, v))
+    }
+
   // ---- file skipping (per-file envelopes as a snapshot sidecar) ----
 
   private def statsDir(table: String, v: Long) =
@@ -4229,6 +4376,52 @@ object Manifest {
       withOp(snap.meta, "compact") - DvKey - ColumnMapKey ++ restamped)
   }
 
+  /** HIVE→MANIFEST conversion: rewrite a hive-partitioned manifested
+    * table into the FLAT manifested layout — the directory-encoded
+    * partition columns become ordinary DATA columns in the rewritten
+    * files (they were already columns of every read; conversion just
+    * stores them) — unlocking everything the hive layout refuses:
+    * additive schema evolution, column mapping (RENAME/DROP COLUMN),
+    * MoR delete-vector masking on the native scan path, and
+    * envelope/Bloom sidecar serving over ALL columns (the old
+    * partition key's values are now real per-file stats, so `GROUP BY
+    * key` keeps its zero-data-file serve through the file-constant
+    * rule once analyzed). ONE atomic rewrite commit (op `convert`);
+    * the original hive directories stay UNTOUCHED on disk, referenced
+    * by the retained pre-conversion snapshots — pinned readers and
+    * time travel serve through them until [[vacuum]]'s retention
+    * reclaims the old versions. `sortBy` re-clusters the flat layout
+    * (default: the old partition columns, so pruning power carries
+    * over); sizing follows [[compact]]'s targetBytes rule. */
+  def convert(spark: SparkSession, table: String,
+      sortBy: Option[Column] = None,
+      targetBytes: Long = 1L << 30): Snapshot = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val snap = currentSnapshot(spark, table).getOrElse(
+      sys.error(s"Manifest.convert: $table has no committed snapshot"))
+    require(hiveLayout(spark, table, snap),
+      s"Manifest.convert: $table is not hive-partitioned — flat " +
+        "manifested tables already have evolution/mapping/DV/sidecar " +
+        "support; nothing to convert")
+    val df = readSnapshotData(spark, table, snap)
+    val parts = snap.meta.get(PartitionKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val totalBytes = snapshotBytes(spark, table, snap)
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val cluster: Option[Column] = sortBy.orElse(
+      parts.headOption.map(_ => F.struct(parts.map(F.col): _*)))
+    val laid = cluster match {
+      case Some(c) => df.repartitionByRange(nFiles, c).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    val rel = writeData(spark, table, snap.version + 1, laid, Nil)
+    // PartitionKey dies with the layout; DVs fold into the rewrite
+    // (readSnapshotData already masked them)
+    commit(spark, table, snap.version, Seq(rel),
+      withOp(snap.meta - PartitionKey - DvKey, "convert"))
+  }
+
   /** Retention: drop every snapshot except the newest `keep`, any
     * version [[tag]]ged by name, and (when `retainMs > 0`) any version
     * committed within the last `retainMs` — delete their manifests
@@ -4313,15 +4506,19 @@ object Manifest {
         }).toMap)
     }
     val liveSnaps = live.map(readSnapshot(spark, table, _))
-    val referenced = liveSnaps.flatMap(_.paths).toSet
+    // branch chains keep their entries (and inherited DV dirs) LIVE:
+    // a branch references main data dirs it forked over plus its own
+    // appended dirs, none of which main's chain may still list
+    val branchSnaps = branchSnapshots(spark, table)
+    val referenced = (liveSnaps ++ branchSnaps).flatMap(_.paths).toSet
     // delete-vector dirs: live-referenced vectors must survive (their
     // masks are load-bearing for every retained snapshot); everything
     // else under _dv — dead snapshots' vectors, crashed writers'
     // orphans at or below the current version — is reclaimed
     def dvRefs(ss: Seq[Snapshot]) = ss.flatMap(_.meta.get(DvKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)).toSet
-    val liveDv = dvRefs(liveSnaps)
-    val deadDv = dvRefs(deadSnaps)
+    val liveDv = dvRefs(liveSnaps ++ branchSnaps)
+    val deadDv = dvRefs(deadSnaps) -- liveDv
     val dvCutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     val dvBase = new Path(s"$table/_dv")
     if (fs.exists(dvBase))

@@ -55,7 +55,8 @@ private[v2] object GraftProcedures {
     else Array.empty
 
   private val Names = Seq("advise", "compact", "fold_deletes", "analyze",
-    "vacuum", "history", "restore", "tag", "drop_tag", "adopt")
+    "vacuum", "history", "restore", "tag", "drop_tag", "adopt", "convert",
+    "branch", "publish_branch", "drop_branch")
 
   def load(root: => String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")) &&
@@ -101,6 +102,11 @@ private[v2] class GraftProcedure(root: => String, verb: String)
     case "drop_tag" =>
       Array(p("table", StringType), p("name", StringType))
     case "adopt" => Array(p("table", StringType))
+    case "convert" =>
+      Array(p("table", StringType), pd("target_mb", IntegerType, "1024"),
+        pd("sort_columns", StringType, "''"))
+    case "branch" | "publish_branch" | "drop_branch" =>
+      Array(p("table", StringType), p("name", StringType))
   }
 
   private def out(fields: (String, DataType)*)(values: Any*): Scan = {
@@ -204,6 +210,40 @@ private[v2] class GraftProcedure(root: => String, verb: String)
         val snap = Manifest.adopt(spark, table)
         out("version" -> LongType, "n_entries" -> IntegerType)(
           snap.version, snap.paths.size)
+      case "convert" =>
+        // hive → flat manifested layout: one atomic rewrite commit;
+        // evolution/mapping/DV/sidecars unlock, old hive dirs stay
+        // for pinned readers until vacuum
+        val targetMb = if (input.isNullAt(1)) 1024 else input.getInt(1)
+        val sortCols = (if (input.isNullAt(2)) None
+          else Option(input.getString(2))).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty)
+        val sortBy = sortCols.map(cs =>
+          org.apache.spark.sql.functions.struct(
+            cs.map(org.apache.spark.sql.functions.col): _*))
+        val snap = Manifest.convert(spark, table, sortBy,
+          targetBytes = targetMb.toLong << 20)
+        out("version" -> LongType, "n_entries" -> IntegerType)(
+          snap.version, snap.paths.size)
+      case "branch" =>
+        require(!input.isNullAt(1),
+          "graft system.branch: name must not be NULL")
+        val snap = Manifest.branchCreate(spark, table, input.getString(1))
+        out("branch" -> StringType, "forked_from" -> LongType)(
+          input.getString(1), snap.meta("forked_from").toLong)
+      case "publish_branch" =>
+        require(!input.isNullAt(1),
+          "graft system.publish_branch: name must not be NULL")
+        val snap = Manifest.publishBranch(spark, table, input.getString(1))
+        out("version" -> LongType, "n_entries" -> IntegerType)(
+          snap.version, snap.paths.size)
+      case "drop_branch" =>
+        require(!input.isNullAt(1),
+          "graft system.drop_branch: name must not be NULL")
+        Manifest.dropBranch(spark, table, input.getString(1))
+        out("branch" -> StringType, "dropped" -> IntegerType)(
+          input.getString(1), 1)
       case "history" =>
         val report = Manifest.history(spark, table)
         val schema = report.schema
