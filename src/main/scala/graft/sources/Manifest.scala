@@ -922,8 +922,11 @@ object Manifest {
     * data directory one slot later — the bytes are immutable and
     * never rewritten, so N concurrent appenders all land in wall-clock
     * order without caller retry loops. Rebases are bounded by
-    * `maxRebase` (then the race error propagates); a semantic refusal
-    * never retries. Writers whose idempotence rides commit metadata
+    * `maxRebase` (then the race error propagates) — the default is
+    * deliberately generous: under heavy contention on a starved
+    * machine a writer can lose dozens of slots, and "all appenders
+    * land" is the liveness contract; a semantic refusal never
+    * retries. Writers whose idempotence rides commit metadata
     * they checked BEFORE calling (the streaming sink's batch
     * high-water) must pass `maxRebase = 0`: a silent rebase would skip
     * their re-check and double-land a replayed batch. */
@@ -931,7 +934,7 @@ object Manifest {
       partitionBy: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty,
       mergeSchema: Boolean = false,
-      maxRebase: Int = 20): Snapshot = {
+      maxRebase: Int = 100): Snapshot = {
     // the data directory is written ONCE (first attempt) and reused
     // verbatim on every rebase — its version-number prefix may end up
     // below the version finally committed, which only orphan-reclaim
@@ -963,15 +966,25 @@ object Manifest {
     // surface as missing-column reads long after the bad commit landed.
     // Types compare only outside partitionBy columns (hive partition
     // inference narrows their types on read).
-    val curDf = readSnapshotRaw(spark, table, snap) // schema + file list
+    //
+    // ONE-entry probe, not a full-snapshot relation: the schema/layout
+    // check must stay O(entry) — a 10⁶-entry table's append (and every
+    // auto-rebase attempt under contention) would otherwise pay a full
+    // file listing just to compare schemas. Entries share one read
+    // schema by this very contract; the committed stamp wins when
+    // present (evolved tables), and hive entries are whole version
+    // DIRECTORIES (the deleteWhere carry rule), so partition inference
+    // still sees the `col=` level under the probe.
+    lazy val probeDf =
+      snapshotReader(spark, snap).parquet(s"$table/${snap.paths.head}")
     // a MAPPED snapshot's batch contract is the LOGICAL schema (the
     // caller speaks logical names); the batch is renamed to physical
     // just before the write, so files stay physically uniform
     val pairsOpt = mappingOf(snap)
     val curS = pairsOpt match {
-      case None => curDf.schema
+      case None => committedSchemaOf(snap).getOrElse(probeDf.schema)
       case Some(pairs) =>
-        val phys = committedSchemaOf(snap).getOrElse(curDf.schema)
+        val phys = committedSchemaOf(snap).getOrElse(probeDf.schema)
         org.apache.spark.sql.types.StructType(pairs.map { case (l, p) =>
           val f = phys(p)
           org.apache.spark.sql.types.StructField(l, f.dataType, f.nullable)
@@ -993,7 +1006,8 @@ object Manifest {
       // partitionBy=Nil call would land SchemaKey beside PartitionKey
       // and brick every later read on the strict unionByName
       val hiveLayout = snap.meta.contains(PartitionKey) ||
-        curDf.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
+        snap.paths.exists(p => p.split('/').exists(_.contains("="))) ||
+        probeDf.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
       require(partitionBy.isEmpty && !hiveLayout,
         "Manifest.commitAppend: additive schema evolution is not " +
           "supported on hive-partitioned tables (explicit-schema reads " +

@@ -324,6 +324,18 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.evo2")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
       .map(_.getString(1)).contains("evo2"))
+
+    // a NAMESPACE legitimately named like the catalog: the rename
+    // target 'graft.graft.t' must land INSIDE warehouse dir 'graft/',
+    // not have its leading element stripped as a catalog prefix
+    Manifest.create(spark, s"$root/db/mover",
+      Seq((7L, "z")).toDF("id", "s").coalesce(1))
+    spark.sql("CREATE NAMESPACE graft.graft")
+    spark.sql("ALTER TABLE graft.db.mover RENAME TO graft.graft.moved")
+    assert(Manifest.isManifested(spark, s"$root/graft/moved"),
+      "rename into a catalog-named namespace went to the wrong path")
+    assert(spark.sql("SELECT count(*) FROM graft.graft.moved")
+      .head().getLong(0) == 1L)
   }
 
   test("DELETE FROM through the catalog lands ONE MoR commit — no file " +

@@ -155,6 +155,31 @@ class MappingSpec extends AnyFunSuite {
     assert(pruned.filter(F.col("revenue") <= 100L).count() == 10)
   }
 
+  test("the mapping projection collapses into the scan: a pruned read " +
+      "of one renamed column reads ONE physical column with the filter " +
+      "pushed to the footers") {
+    import spark.implicits._
+    val table = s"${fresh("plan")}/t"
+    Manifest.create(spark, table,
+      (1 to 100).map(i => (i.toLong, i * 2L, s"pad-$i" * 20)).toDF(
+        "id", "amount", "pad"))
+    Manifest.renameColumn(spark, table, "amount", "revenue")
+    val df = Manifest.read(spark, table)
+      .filter(F.col("revenue") > 100L).select("revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst folded `col(amount).as(revenue)` into the scan: the
+    // parquet read schema is the ONE physical column, the other two
+    // never leave the footers, and the range filter is pushed
+    assert(plan.contains("ReadSchema") && plan.contains("amount"),
+      s"physical column not in scan:\n$plan")
+    assert(!plan.contains("pad"),
+      s"unprojected column leaked into the scan:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(amount"),
+      s"filter not pushed through the mapping projection:\n$plan")
+    assert(df.count() == 50)
+  }
+
   test("refusals: hive layout, CHECK-referenced column, MoR upsert, " +
       "stage, stream — each loud with the fold remedy") {
     import spark.implicits._
