@@ -2436,29 +2436,36 @@ object Manifest {
     require(keys.nonEmpty, "Manifest.applyDeltaMoR: needs key columns")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.applyDeltaMoR: $table has no committed snapshot"))
-    require(!isMapped(snap),
-      "Manifest.applyDeltaMoR: the table carries a column mapping " +
-        "(rename/drop) — run compact() to fold the mapping, then retry")
     val fs = fsFor(spark, table)
     val raw = readSnapshotRaw(spark, table, snap)
     require(deletes.columns.toSeq.sorted == keys.sorted,
       s"Manifest.applyDeltaMoR: deletes must carry exactly the key " +
         s"columns ${keys.sorted.mkString(",")}, got " +
         deletes.columns.sorted.mkString(","))
+    // mapped snapshots: the delta speaks LOGICAL names; every scan and
+    // write below runs on the files' physical columns
+    val physMap = physOf(snap)
+    val keysP = keys.map(physMap)
     val parts = snap.meta.get(PartitionKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     checkStageSchema(spark, table, snap, inserts, "applyDeltaMoR")
     // materialize BOTH legs before deciding anything (the delta may be
     // derived from this very table — freeze it first)
+    val logicalCols = mappingOf(snap).map(_.map(_._1))
+      .getOrElse(raw.columns.toSeq)
     val (insRel, nIns) = writeDataCounted(spark, table, snap.version + 1,
-      inserts.select(raw.columns.map(F.col).toIndexedSeq: _*), parts)
+      inserts.select(logicalCols.map(c =>
+        F.col(c).as(physMap(c))).toIndexedSeq: _*), parts)
     if (nIns > 0)
       try enforceChecks(spark, snap,
-        spark.read.parquet(s"$table/$insRel"), "applyDeltaMoR")
+        toLogicalProj(snap, spark.read.parquet(s"$table/$insRel")),
+        "applyDeltaMoR")
       catch { case e: Throwable =>
         fs.delete(new Path(s"$table/$insRel"), true); throw e
       }
-    val delKeys = deletes.na.drop("any").distinct().cache()
+    val delKeys = deletes.select(keys.map(k =>
+        F.col(k).as(physMap(k))).toIndexedSeq: _*)
+      .na.drop("any").distinct().cache()
     val nDel = delKeys.count()
     if (nIns == 0 && nDel == 0) { delKeys.unpersist(); return snap }
     // positions to mask: LIVE rows whose keys match — bloom-restricted
@@ -2479,7 +2486,7 @@ object Manifest {
                 val vals = delKeys.limit(cap + 1).collect()
                   .map(_.get(0)).toSeq
                 if (vals.size <= cap)
-                  pointCandidateFiles(spark, table, snap, keys.head, vals)
+                  pointCandidateFiles(spark, table, snap, keysP.head, vals)
                     .getOrElse(raw.inputFiles.toIndexedSeq)
                 else raw.inputFiles.toIndexedSeq
               } else raw.inputFiles.toIndexedSeq
@@ -2495,7 +2502,7 @@ object Manifest {
             dv.select(F.col("file").as("__file"), F.col("pos").as("__pos")),
             Seq("__file", "__pos"), "left_anti")
         }
-        val doomed = live.join(delKeys, keys, "left_semi")
+        val doomed = live.join(delKeys, keysP, "left_semi")
           .select(F.col("__file").as("file"), F.col("__pos").as("pos"))
         val rel = s"_dv/v${"%08d".format(snap.version + 1)}-" +
           java.util.UUID.randomUUID().toString.take(8)
@@ -2528,9 +2535,6 @@ object Manifest {
     require(keys.nonEmpty, "Manifest.mergeMoR: needs at least one key column")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.mergeMoR: $table has no committed snapshot"))
-    require(!isMapped(snap),
-      "Manifest.mergeMoR: the table carries a column mapping " +
-        "(rename/drop) — run compact() to fold the mapping, then retry")
     checkStageSchema(spark, table, snap, source, "mergeMoR")
     val src = source.cache()
     try {
@@ -2720,7 +2724,17 @@ object Manifest {
       snap: Snapshot, df: DataFrame, what: String): Unit = {
     val parts = snap.meta.get(PartitionKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val cur = readSnapshotRaw(spark, table, snap).schema
+    // the caller's batch speaks LOGICAL names on a mapped snapshot
+    val cur = mappingOf(snap) match {
+      case None => readSnapshotRaw(spark, table, snap).schema
+      case Some(pairs) =>
+        val phys = committedSchemaOf(snap)
+          .getOrElse(readSnapshotRaw(spark, table, snap).schema)
+        org.apache.spark.sql.types.StructType(pairs.map { case (l, ph) =>
+          val f = phys(ph)
+          org.apache.spark.sql.types.StructField(l, f.dataType, f.nullable)
+        })
+    }
     def key(s: org.apache.spark.sql.types.StructType) = s.map(f =>
       if (parts.contains(f.name)) (f.name, "partition")
       else (f.name, f.dataType.sql)).toSet
@@ -4670,6 +4684,18 @@ object Manifest {
       sys.error(s"Manifest.adviseMaintenance: $table has no committed snapshot"))
     val fs = fsFor(spark, table)
     val advice = Seq.newBuilder[(String, String, Double, Double)]
+
+    // a COLUMN MAPPING (rename/drop) degrades serving until folded:
+    // the native SQL scan declines, sidecar stats serving declines,
+    // MoR upserts / staging / streams refuse — one compact repays all
+    // of it. Metadata-only trigger, fires regardless of file counts.
+    if (isMapped(snap))
+      advice += (("compact",
+        "a column mapping (RENAME/DROP COLUMN) rides the snapshot — " +
+          "the native scan path and sidecar stats serving stay " +
+          "degraded, and staging/streams/SQL row-level rewrites refuse, " +
+          "until a full rewrite folds the mapping into the files",
+        1.0, 0.0))
 
     val files = listSnapshotFiles(spark, table, snap)
     val fileSet = files.map(normPath).toSet

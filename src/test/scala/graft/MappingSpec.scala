@@ -153,6 +153,18 @@ class MappingSpec extends AnyFunSuite {
     Manifest.analyzeFiles(spark, table, Seq("revenue"))
     val pruned = Manifest.readPruned(spark, table, "revenue", 0.0, 100.0)
     assert(pruned.filter(F.col("revenue") <= 100L).count() == 10)
+    // the advisor loop: a mapped snapshot advises compact; the folded
+    // table falls silent on that trigger
+    val t2 = s"${fresh("adv")}/t"
+    Manifest.create(spark, t2,
+      (1 to 10).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    Manifest.renameColumn(spark, t2, "v", "w")
+    val advised = Manifest.adviseMaintenance(spark, t2).collect()
+    assert(advised.exists(r => r.getString(0) == "compact" &&
+      r.getString(1).contains("mapping")), "mapped table must advise compact")
+    Manifest.compact(spark, t2, targetBytes = 1L << 30)
+    assert(!Manifest.adviseMaintenance(spark, t2).collect()
+      .exists(_.getString(1).contains("mapping")))
   }
 
   test("the mapping projection collapses into the scan: a pruned read " +
@@ -200,11 +212,14 @@ class MappingSpec extends AnyFunSuite {
     assert(ec.getMessage.contains("CHECK"))
     Manifest.dropCheck(spark, table, "pos")
     Manifest.renameColumn(spark, table, "amount", "revenue")
-    // MoR upsert / stage / stream refuse on the mapped snapshot
-    val em = intercept[Exception] {
-      Manifest.mergeMoR(spark, table,
-        Seq((1L, 5L)).toDF("id", "revenue"), Seq("id")) }
-    assert(em.getMessage.contains("column mapping"))
+    // the MoR upsert TRANSLATES at entry: masked old row, appended new
+    Manifest.mergeMoR(spark, table,
+      Seq((1L, 5L), (999L, 7L)).toDF("id", "revenue"), Seq("id"))
+    val up = Manifest.read(spark, table)
+    assert(up.filter(F.col("id") === 1L).first().getLong(1) == 5L)
+    assert(up.filter(F.col("id") === 999L).count() == 1)
+    assert(up.count() == 11)
+    // staging still refuses on the mapped snapshot
     val es = intercept[Exception] {
       Manifest.stageAppend(spark, table, Seq((50L, 1L)).toDF("id", "revenue")) }
     assert(es.getMessage.contains("column mapping"))
