@@ -883,22 +883,45 @@ private[v2] class GraftScanBuilder(path: String, pinned: Option[Long],
     case None =>
       val spark = SparkSession.active
       val snap = Manifest.resolveSnapshot(spark, path, pinned)
-      // a column-mapped snapshot keeps the V1 bridge: its inner frame
-      // serves the LOGICAL projection (readAdmitted), where the native
-      // scan would read files under logical names they don't carry;
-      // the next compact folds the mapping and the native path resumes
-      if (GraftNativeScan.bindable(handled, tableSchema) &&
-          !Manifest.isMapped(snap)) {
-        val partSchema =
-          if (!Manifest.hiveLayout(spark, path, snap)) new StructType()
-          else StructType(Manifest.partitionColumnsOf(spark, path, snap)
-            .filter(tableSchema.fieldNames.contains)
-            .map(tableSchema(_)))
-        new GraftNativeScan(path, pinned, snap, required, handled,
-          allFilters, tableSchema, options, partSchema)
-      } else
-        new GraftScan(path, pinned, required, handled, allFilters,
-          tableSchema, options)
+      // a COLUMN-MAPPED snapshot rides the native scan too — with
+      // every internal name translated to PHYSICAL (what the files
+      // carry) and the LOGICAL schema reported back to Spark: rows
+      // are positional and the translation preserves order and types.
+      // Untranslatable shapes fall to the V1 bridge, whose inner frame
+      // serves the logical projection (readAdmitted) — correct, just
+      // without runtime file skipping until the next compact folds
+      // the mapping.
+      Manifest.mappingOf(snap) match {
+        case None if GraftNativeScan.bindable(handled, tableSchema) =>
+          val partSchema =
+            if (!Manifest.hiveLayout(spark, path, snap)) new StructType()
+            else StructType(Manifest.partitionColumnsOf(spark, path, snap)
+              .filter(tableSchema.fieldNames.contains)
+              .map(tableSchema(_)))
+          new GraftNativeScan(path, pinned, snap, required, handled,
+            allFilters, tableSchema, options, partSchema)
+        case Some(pairs) =>
+          val m = pairs.toMap
+          def mp(n: String) = m.getOrElse(n, n)
+          val handledP = handled.map(
+            GraftNativeScan.renameFilterRefs(_, mp))
+          val allP = allFilters.map(
+            GraftNativeScan.renameFilterRefs(_, mp))
+          val physTable = Manifest.committedSchemaOf(snap)
+            .getOrElse(tableSchema) // mapping ⇒ SchemaKey, by invariant
+          val requiredP = StructType(required.fields.map(f =>
+            if (m.contains(f.name)) f.copy(name = m(f.name)) else f))
+          if (GraftNativeScan.bindable(handledP, physTable))
+            new GraftNativeScan(path, pinned, snap, requiredP, handledP,
+              allP, physTable, options, new StructType(),
+              reportSchema = Some(required))
+          else
+            new GraftScan(path, pinned, required, handled, allFilters,
+              tableSchema, options)
+        case None =>
+          new GraftScan(path, pinned, required, handled, allFilters,
+            tableSchema, options)
+      }
   }
 }
 

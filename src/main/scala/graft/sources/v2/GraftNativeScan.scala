@@ -63,9 +63,21 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
     snap: Manifest.Snapshot, required: StructType,
     claimed: Array[Filter], allFilters: Array[Filter],
     tableSchema: StructType, options: CaseInsensitiveStringMap,
-    partSchema: StructType = new StructType())
+    partSchema: StructType = new StructType(),
+    reportSchema: Option[StructType] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // COLUMN-MAPPED snapshots ride this scan with every internal name
+  // PHYSICAL (required/claimed/allFilters arrive pre-translated by the
+  // builder) while `reportSchema` carries the LOGICAL names Spark
+  // resolves against — rows are positional, and the translation
+  // preserves order and types, so the reader's output IS the reported
+  // schema's. Runtime filters arrive under logical names (they resolve
+  // against the output) and translate through `toPhysName`.
+  private val toPhysName: Map[String, String] = reportSchema
+    .map(rs => rs.fieldNames.zip(required.fieldNames).toMap)
+    .getOrElse(Map.empty)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -137,7 +149,7 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
       .getOrElse(filesWithLen.map(_._1)),
     allFilters.toSeq)
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = reportSchema.getOrElse(required)
 
   override def toBatch: Batch = this
 
@@ -163,14 +175,21 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
     * read). */
   override def filterAttributes(): Array[NamedReference] = {
     // envelope-covered columns, plus partition columns — the path is
-    // always a complete "statistic" for those
+    // always a complete "statistic" for those. Coverage is checked
+    // under PHYSICAL names (sidecars are physical); the offered refs
+    // are the OUTPUT (logical) names Spark resolves
     val covered = Manifest.envelopeColumns(spark, path, snap) ++ partNames
-    required.fieldNames.filter(covered.contains)
-      .map(Expressions.column)
+    readSchema().fieldNames.zip(required.fieldNames)
+      .filter { case (_, p) => covered.contains(p) }
+      .map { case (l, _) => Expressions.column(l) }
   }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val runtime = filters.flatMap(GraftScan.toColumnLoose).toSeq
+    val filtersP =
+      if (toPhysName.isEmpty) filters
+      else filters.map(GraftNativeScan.renameFilterRefs(_,
+        n => toPhysName.getOrElse(n, n)))
+    val runtime = filtersP.flatMap(GraftScan.toColumnLoose).toSeq
     val envelope: Option[Seq[String]] =
       if (runtime.isEmpty) None
       else {
@@ -180,7 +199,7 @@ private[v2] class GraftNativeScan(path: String, pinned: Option[Long],
     // the envelope decision re-derives from the full list, so re-apply
     // partition pruning over static AND runtime filters on its result
     admitted = prunePartition(envelope.getOrElse(admitted),
-      (allFilters ++ filters).toSeq)
+      (allFilters ++ filtersP).toSeq)
   }
 
   // ---- SupportsReportStatistics --------------------------------------
@@ -319,6 +338,32 @@ private[v2] object GraftNativeScan {
     * is in [[boundFilterExpr]]'s vocabulary. The builder only routes
     * to the native scan when this holds (else the V1 bridge, which
     * applies claims through the inner frame, keeps the table sound). */
+  /** Rewrite a v1 Filter tree's TOP-LEVEL attribute references through
+    * `m` — the logical→physical translation the column-mapped native
+    * scan runs on. Unknown filter shapes pass through untouched: they
+    * are not in [[boundFilterExpr]]'s vocabulary either, so a stale
+    * name inside one can only make `bindable` refuse (→ the V1
+    * bridge), never corrupt a read. Dotted (nested) references are
+    * left alone — the mapping is top-level by construction. */
+  def renameFilterRefs(f: Filter, m: String => String): Filter = f match {
+    case S.EqualTo(a, v) => S.EqualTo(m(a), v)
+    case S.EqualNullSafe(a, v) => S.EqualNullSafe(m(a), v)
+    case S.GreaterThan(a, v) => S.GreaterThan(m(a), v)
+    case S.GreaterThanOrEqual(a, v) => S.GreaterThanOrEqual(m(a), v)
+    case S.LessThan(a, v) => S.LessThan(m(a), v)
+    case S.LessThanOrEqual(a, v) => S.LessThanOrEqual(m(a), v)
+    case S.In(a, vs) => S.In(m(a), vs)
+    case S.IsNull(a) => S.IsNull(m(a))
+    case S.IsNotNull(a) => S.IsNotNull(m(a))
+    case S.StringStartsWith(a, v) => S.StringStartsWith(m(a), v)
+    case S.StringEndsWith(a, v) => S.StringEndsWith(m(a), v)
+    case S.StringContains(a, v) => S.StringContains(m(a), v)
+    case S.And(l, r) => S.And(renameFilterRefs(l, m), renameFilterRefs(r, m))
+    case S.Or(l, r) => S.Or(renameFilterRefs(l, m), renameFilterRefs(r, m))
+    case S.Not(c) => S.Not(renameFilterRefs(c, m))
+    case other => other
+  }
+
   def bindable(claimed: Array[Filter], tableSchema: StructType): Boolean = {
     val names = tableSchema.fieldNames.toSet
     claimed.forall(f => f.references.forall(names.contains)) && {

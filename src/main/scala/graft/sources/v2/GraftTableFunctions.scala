@@ -115,9 +115,51 @@ object GraftTableFunctions {
     Manifest.history(spark, tableArg(exprs)).queryExecution.analyzed
   }
 
+  /** `SELECT * FROM table_branch('cat.db.t', 'audit')` — read a
+    * writable branch's HEAD from SQL: the same DV-masked,
+    * committed-schema distributed read as the main table's, pinned to
+    * the branch chain ([[Manifest.readBranch]]). */
+  private def tableBranch(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size != 2)
+      throw new CubeQueryException(
+        s"table_branch takes (table, branch_name), got " +
+          s"${exprs.size} argument(s)")
+    val spark = SparkSession.active
+    val path = tableArg(exprs)
+    Manifest.readBranch(spark, path, strLit(exprs(1), "branch_name"))
+      .queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM table_branches('cat.db.t')` — the branch ledger:
+    * one row per branch (name, head version on the branch's own
+    * chain, fork version on main, entry count). Driver metadata
+    * only. */
+  private def tableBranches(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size != 1)
+      throw new CubeQueryException(
+        s"table_branches takes (table), got ${exprs.size} argument(s)")
+    val spark = SparkSession.active
+    val path = tableArg(exprs)
+    import org.apache.spark.sql.{types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("branch", T.StringType, nullable = false),
+      T.StructField("head_version", T.LongType, nullable = false),
+      T.StructField("forked_from", T.LongType),
+      T.StructField("n_entries", T.IntegerType, nullable = false)))
+    val rows = Manifest.branches(spark, path).map { n =>
+      val h = Manifest.branchHead(spark, path, n)
+      org.apache.spark.sql.Row(n, h.version,
+        h.meta.get("forked_from").map(_.toLong).orNull, h.paths.size)
+    }
+    spark.createDataFrame(scala.jdk.CollectionConverters
+      .SeqHasAsJava(rows).asJava, schema).queryExecution.analyzed
+  }
+
   /** Registration table shared by the extension and live-session
     * paths. */
   val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "table_changes" -> tableChanges,
-    "table_history" -> tableHistory)
+    "table_history" -> tableHistory,
+    "table_branch" -> tableBranch,
+    "table_branches" -> tableBranches)
 }

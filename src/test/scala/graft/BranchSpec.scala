@@ -40,6 +40,15 @@ class BranchSpec extends AnyFunSuite {
     assert(Manifest.readBranch(spark, table, "audit").count() == 25)
     assert(Manifest.read(spark, table).count() == 10)
     assert(Manifest.versions(spark, table) == Seq(1L))
+    // SQL faces: table_branch reads the head, table_branches ledgers
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM table_branch('$table', 'audit')")
+      .head().getLong(0) == 25L)
+    val ledger = spark.sql(
+      s"SELECT * FROM table_branches('$table')").collect()
+    assert(ledger.length == 1 && ledger(0).getString(0) == "audit" &&
+      ledger(0).getLong(1) == 4L && ledger(0).getLong(2) == 1L)
     // publish: ONE main commit with the branch head's whole state
     val pub = Manifest.publishBranch(spark, table, "audit")
     assert(pub.version == 2L)

@@ -263,4 +263,34 @@ class MappingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(revenue) AS s FROM graft_mapq.db.t")
       .first().getLong(0) == (1 to 15).map(_ * 10L).sum)
   }
+
+  test("the SQL face keeps the NATIVE scan and its file skipping on a " +
+      "mapped table: a sidecar built before the rename still prunes a " +
+      "filter typed under the new name") {
+    import spark.implicits._
+    import graft.sources.v2.GraftScanInfo
+    val root = fresh("native")
+    val table = s"$root/db/t"
+    // 4 range-clustered files over amount
+    Manifest.create(spark, table,
+      (1 to 100).map(i => (i.toLong, i * 10L)).toDF("id", "amount")
+        .repartitionByRange(4, F.col("amount"))
+        .sortWithinPartitions("amount"))
+    Manifest.analyzeFiles(spark, table, Seq("amount"))
+    Manifest.renameColumn(spark, table, "amount", "revenue")
+    spark.conf.set("spark.sql.catalog.graft_mapn",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mapn.root", root)
+    val q = spark.sql("SELECT id, revenue FROM graft_mapn.db.t " +
+      "WHERE revenue BETWEEN 10 AND 200")
+    val rows = q.collect()
+    assert(rows.length == 20 && rows.forall(_.getLong(1) <= 200L))
+    // native scan in the plan (not the V1 bridge), files pruned to a
+    // strict subset by the PRE-rename sidecar through the translation
+    assert(q.queryExecution.executedPlan.toString.contains("native"),
+      s"mapped table fell off the native scan:\n${q.queryExecution}")
+    val scanned = GraftScanInfo.lastFiles(table)
+    assert(scanned.exists(fl => fl.nonEmpty && fl.size < 4),
+      s"no file skipping through the mapping: $scanned")
+  }
 }
