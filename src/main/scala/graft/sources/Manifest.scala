@@ -1491,11 +1491,16 @@ object Manifest {
         cols, Some(predCol))
       statsEmit(spark, cols, cnt, per, "scan", allFiles.size.toLong)
     }
-    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
+    if (snap.meta.contains(DvKey)) return fallback()
     if (snap.meta.contains(PartitionKey)) return fallback()
     val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
-    val needed = (cols ++ where.map(_._1)).distinct
+    // mapped snapshots: sidecar lookups under PHYSICAL names, output
+    // under the caller's logical ones (see statsAggregate)
+    val pm = physOf(snap)
+    val colsP = cols.map(pm)
+    val whereP = where.map(r => (pm(r._1), r._2, r._3))
+    val needed = (colsP ++ whereP.map(_._1)).distinct
     if (!statsCovers(sch, needed)) return fallback()
     val fi = sch.fieldIndex("file")
     val allSet = allFiles.map(normPath).toSet
@@ -1510,7 +1515,7 @@ object Manifest {
     sealed trait Cls; case object Disjoint extends Cls
     case object Full extends Cls; case object Boundary extends Cls
     def classify(r: org.apache.spark.sql.Row): Cls = {
-      val states = where.map { case (c, lo, hi) =>
+      val states = whereP.map { case (c, lo, hi) =>
         (dbl(r, s"${c}__min"), dbl(r, s"${c}__max")) match {
           case (Some(mi), Some(ma)) =>
             if (ma < lo || mi > hi) Disjoint
@@ -1531,9 +1536,10 @@ object Manifest {
     val (dCnt, dPer) =
       if (toScan.isEmpty) (0L, statsZero(cols))
       else statsScanAgg(
-        readFilesLive(spark, table, snap, toScan.toIndexedSeq),
+        toLogicalProj(snap,
+          readFilesLive(spark, table, snap, toScan.toIndexedSeq)),
         cols, Some(predCol))
-    val (cnt, per) = statsFold(sch, fullF, cols,
+    val (cnt, per) = statsFold(sch, fullF, colsP,
       s"${needed.head}__cnt", dCnt, dPer)
     statsEmit(spark, cols, cnt, per,
       if (toScan.isEmpty) "stats" else "stats_delta",
@@ -1664,15 +1670,20 @@ object Manifest {
     def fallback(): DataFrame =
       emit(scanAgg(readSnapshotData(spark, table, snap)), "scan",
         allFiles.size.toLong)
-    // mapped snapshots serve by scan: sidecar stat names are physical,
-    // the keys/measures here are logical (compact folds the mapping)
-    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
+    if (snap.meta.contains(DvKey)) return fallback()
 
+    // mapped snapshots: every SIDECAR lookup below runs under the
+    // PHYSICAL names (the sidecars were built over the files), while
+    // group keys, measures, and the emitted frame keep the caller's
+    // logical names — a sidecar built before a rename keeps serving
+    val pm = physOf(snap)
+    val colsP = cols.map(pm)
+    val whereP = where.map(r => (pm(r._1), r._2, r._3))
     val numKeys = groupBy.zip(strKey).collect {
       case (k, false) if !partCols.contains(k) => k }
     val strKeys = groupBy.zip(strKey).collect {
       case (k, true) if !partCols.contains(k) => k }
-    val neededNum = (cols ++ where.map(_._1) ++ numKeys).distinct
+    val neededNum = (colsP ++ whereP.map(_._1) ++ numKeys.map(pm)).distinct
     // numeric sidecar: required whenever any measure / range / numeric
     // key needs it; the cnt anchor comes from it when possible
     val numSide =
@@ -1691,7 +1702,7 @@ object Manifest {
           .orElse(versions(spark, table)
             .filter(v => fs.exists(strStatsDir(table, v))).lastOption)
           .flatMap(v => sidecarRows(spark, strStatsDir(table, v))) match {
-          case Some((sch, rows)) if strKeys.forall(k =>
+          case Some((sch, rows)) if strKeys.map(pm).forall(k =>
               Seq(s"${k}__smin", s"${k}__smax", s"${k}__scnt",
                 s"${k}__snn").forall(sch.fieldNames.contains)) =>
             Some((sch, rows))
@@ -1725,7 +1736,7 @@ object Manifest {
         sealed trait Cls; object Disjoint extends Cls
         object Full extends Cls; object Boundary extends Cls
         val wcls: Cls = {
-          val states = where.map { case (c, lo, hi) =>
+          val states = whereP.map { case (c, lo, hi) =>
             (dbl(nr.get, s"${c}__min"), dbl(nr.get, s"${c}__max")) match {
               case (Some(mi), Some(ma)) =>
                 if (ma < lo || mi > hi) Disjoint
@@ -1763,11 +1774,12 @@ object Manifest {
                     else None
                   case None => None
                 }
-              case (Some(acc), (k, false)) =>
+              case (Some(acc), (k0, false)) =>
+                val k = pm(k0)
                 val (mi, ma) = (dbl(nr.get, s"${k}__min"),
                   dbl(nr.get, s"${k}__max"))
                 val pure = dbl(nr.get, s"${k}__nn") == dbl(nr.get, s"${k}__cnt")
-                val integral = factSchema(k).dataType match {
+                val integral = factSchema(k0).dataType match {
                   case org.apache.spark.sql.types.LongType |
                        org.apache.spark.sql.types.IntegerType |
                        org.apache.spark.sql.types.ShortType |
@@ -1780,7 +1792,8 @@ object Manifest {
                     Some(acc :+ (a: Any))
                   case _ => None
                 }
-              case (Some(acc), (k, true)) =>
+              case (Some(acc), (k0, true)) =>
+                val k = pm(k0)
                 val (sch, row) = sr.get
                 def s(n: String): Option[String] = {
                   val i = sch.fieldIndex(n)
@@ -1803,14 +1816,14 @@ object Manifest {
                 } else if (strKeys.nonEmpty) {
                   val (ssch, srow) = sr.get
                   srow.getString(ssch.fieldIndex(
-                    s"${strKeys.head}__scnt")).toLong
+                    s"${pm(strKeys.head)}__scnt")).toLong
                 } else
                   // every key is a hive partition column and no
                   // measure needs a sidecar: the per-file count comes
                   // from the parquet FOOTER — still driver metadata,
                   // no row deserialized
                   footerRowCount(spark, new Path(f))
-              val per: StatsPer = cols.map { c =>
+              val per: StatsPer = colsP.map { c =>
                 def d(n: String) = dbl(nr.get, n)
                 (d(s"${c}__nn").fold(0L)(_.toLong), d(s"${c}__min"),
                   d(s"${c}__max"), d(s"${c}__sum"))
@@ -1827,7 +1840,8 @@ object Manifest {
     if (partitioned && scanFiles.nonEmpty) return fallback()
     val delta =
       if (scanFiles.isEmpty) Nil
-      else scanAgg(readFilesLive(spark, table, snap, scanFiles))
+      else scanAgg(toLogicalProj(snap,
+        readFilesLive(spark, table, snap, scanFiles)))
     // fold served + delta by key tuple
     val groups = (served.result() ++ delta)
       .groupBy(_._1).toSeq.map { case (k, parts) =>
@@ -4096,13 +4110,14 @@ object Manifest {
       statsEmit(spark, cols, cnt, per, "scan",
         listSnapshotFiles(spark, table, snap).size.toLong)
     }
-    // a column-mapped snapshot declines the sidecar serve — sidecar
-    // stat names are physical, the caller speaks logical; the scan
-    // fallback is always right, and the next compact folds the mapping
-    if (snap.meta.contains(DvKey) || isMapped(snap)) return fallback()
+    if (snap.meta.contains(DvKey)) return fallback()
+    // mapped snapshots: sidecar stat names are PHYSICAL (built over
+    // the files), the caller speaks logical — look up physically, emit
+    // logically; a sidecar built BEFORE a rename keeps serving after
+    val colsP = cols.map(physOf(snap))
     val (sch, rows) = statsSidecarFor(spark, table, snap)
       .getOrElse(return fallback())
-    if (!statsCovers(sch, cols)) return fallback()
+    if (!statsCovers(sch, colsP)) return fallback()
     val fi = sch.fieldIndex("file")
     // a DRIVER filesystem listing, not a relation init — the serve
     // must stay a metadata read even at 100k files. Set lookups keyed
@@ -4120,12 +4135,13 @@ object Manifest {
       return fallback()
     val (dCnt, dPer) =
       if (uncovered.isEmpty) (0L, statsZero(cols))
-      else statsScanAgg(readFilesLive(spark, table, snap, uncovered),
+      else statsScanAgg(
+        toLogicalProj(snap, readFilesLive(spark, table, snap, uncovered)),
         cols, None)
-    val cntField = cols.headOption.map(c => s"${c}__cnt")
+    val cntField = colsP.headOption.map(c => s"${c}__cnt")
       .orElse(sch.fieldNames.find(_.endsWith("__cnt")))
       .getOrElse(return fallback())
-    val (cnt, per) = statsFold(sch, covered, cols, cntField, dCnt, dPer)
+    val (cnt, per) = statsFold(sch, covered, colsP, cntField, dCnt, dPer)
     statsEmit(spark, cols, cnt, per,
       if (uncovered.isEmpty) "stats" else "stats_delta",
       uncovered.size.toLong)
@@ -4692,9 +4708,9 @@ object Manifest {
     if (isMapped(snap))
       advice += (("compact",
         "a column mapping (RENAME/DROP COLUMN) rides the snapshot — " +
-          "the native scan path and sidecar stats serving stay " +
-          "degraded, and staging/streams/SQL row-level rewrites refuse, " +
-          "until a full rewrite folds the mapping into the files",
+          "staging, streams, and SQL row-level rewrites refuse until a " +
+          "full rewrite folds the mapping into the files (reads, " +
+          "skipping, and stats serving all translate and keep working)",
         1.0, 0.0))
 
     val files = listSnapshotFiles(spark, table, snap)

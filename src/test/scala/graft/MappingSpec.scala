@@ -264,6 +264,51 @@ class MappingSpec extends AnyFunSuite {
       .first().getLong(0) == (1 to 15).map(_ * 10L).sum)
   }
 
+  test("zero-file stats serving survives a rename: a sidecar built " +
+      "before it answers count/sum/min/max and GROUP BY under the new " +
+      "name, from metadata") {
+    import spark.implicits._
+    import graft.sources.v2.GraftScanInfo
+    val root = fresh("stats")
+    // shard-clustered: one file per shard value (one append each)
+    val perShard = (0 to 3).map(k =>
+      (1 to 40).filter(_ % 4 == k).map(i => (i.toLong, i * 10L, k.toLong)))
+    val t2 = s"$root/db/t2"
+    Manifest.create(spark, t2, perShard.head.toDF("id", "amount", "shard")
+      .coalesce(1))
+    perShard.tail.foreach(rows => Manifest.commitAppend(spark, t2,
+      rows.toDF("id", "amount", "shard").coalesce(1)))
+    Manifest.analyzeFiles(spark, t2, Seq("amount", "shard"))
+    Manifest.renameColumn(spark, t2, "amount", "revenue")
+    // flat aggregate: served from the pre-rename sidecar
+    val flat = Manifest.statsAggregate(spark, t2, Seq("revenue")).head()
+    assert(flat.getAs[String]("served_from") == "stats",
+      s"mapped flat stats fell back: $flat")
+    assert(flat.getAs[Long]("cnt") == 40L)
+    assert(flat.getAs[Double]("revenue_sum") == (1 to 40).map(_ * 10).sum)
+    // ranged aggregate under the new name
+    val ranged = Manifest.statsAggregateWhere(spark, t2,
+      Seq("revenue"), Seq(("revenue", 0.0, 10000.0))).head()
+    assert(ranged.getAs[String]("served_from") == "stats")
+    // grouped by the file-constant shard, measuring the renamed column
+    val g = Manifest.statsAggregateGrouped(spark, t2,
+      Seq("shard"), Seq("revenue"))
+    val grows = g.collect()
+    assert(grows.forall(_.getAs[String]("served_from") == "stats"),
+      s"mapped grouped stats fell back: ${grows.mkString(";")}")
+    assert(grows.length == 4)
+    // SQL aggregate pushdown: zero data files in the plan
+    spark.conf.set("spark.sql.catalog.graft_maps",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_maps.root", root)
+    val sql = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(revenue) AS BIGINT) AS s " +
+        "FROM graft_maps.db.t2").head()
+    assert(sql.getLong(0) == 40L && sql.getLong(1) == (1 to 40).map(_ * 10L).sum)
+    assert(GraftScanInfo.lastFiles(t2).exists(_.isEmpty),
+      "mapped SQL aggregate opened data files")
+  }
+
   test("the SQL face keeps the NATIVE scan and its file skipping on a " +
       "mapped table: a sidecar built before the rename still prunes a " +
       "filter typed under the new name") {
