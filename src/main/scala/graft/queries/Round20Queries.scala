@@ -422,6 +422,57 @@ object Round20Queries {
              |  true AS publish_one_atomic_commit,
              |  true AS divergence_refused,
              |  CAST(count(*) AS BIGINT) AS n_late_branch
+             |FROM documents""".stripMargin)),
+
+    // RENAME survives the WHOLE serving stack: a sidecar analyzed
+    // BEFORE the rename keeps (a) pruning a range typed under the NEW
+    // name on the NATIVE SQL scan (pinned: strict-subset file list),
+    // and (b) serving the zero-data-file aggregate pushdown under the
+    // new name (pinned: zero files opened). Exact counts/sums
+    // recomputed by the oracle under the ORIGINAL fixture names —
+    // proving the logical→physical translation changed nothing about
+    // the values.
+    NamedQuery("q264_rename_serving",
+      (s, d) => {
+        import graft.sources.Manifest
+        import graft.sources.v2.GraftScanInfo
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+        val root = freshQueryDir("renserve")
+        val table = s"$root/db/docs"
+        // range-clustered over n_chars: 4 files with disjoint envelopes
+        Manifest.create(s, table, docs
+          .repartitionByRange(4, col("n_chars"))
+          .sortWithinPartitions("n_chars"))
+        Manifest.analyzeFiles(s, table, Seq("n_chars", "doc_id"))
+        Manifest.renameColumn(s, table, "n_chars", "chars")
+        s.conf.set("spark.sql.catalog.graft_q264",
+          "graft.sources.v2.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q264.root", root)
+        // (a) native scan + pre-rename sidecar skipping under new name
+        val lo = s.sql("SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT)" +
+          " AS sd FROM graft_q264.db.docs WHERE chars <= 150").head()
+        val skipped = GraftScanInfo.lastFiles(table)
+          .exists(fl => fl.nonEmpty && fl.size < 4)
+        // (b) zero-file aggregate pushdown under the new name
+        val agg = s.sql("SELECT count(*) AS n, CAST(sum(chars) AS BIGINT)" +
+          " AS sc FROM graft_q264.db.docs").head()
+        val zeroFiles = GraftScanInfo.lastFiles(table).exists(_.isEmpty)
+        import s.implicits._
+        Seq((lo.getLong(0), lo.getLong(1), agg.getLong(0), agg.getLong(1),
+          skipped, zeroFiles))
+          .toDF("n_low", "sum_id_low", "n_all", "sum_chars",
+            "sidecar_skips_after_rename", "zero_file_agg_after_rename")
+      },
+      Some("""SELECT
+             |  CAST(count(*) FILTER (WHERE n_chars <= 150) AS BIGINT)
+             |    AS n_low,
+             |  CAST(sum(doc_id) FILTER (WHERE n_chars <= 150) AS BIGINT)
+             |    AS sum_id_low,
+             |  CAST(count(*) AS BIGINT) AS n_all,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  true AS sidecar_skips_after_rename,
+             |  true AS zero_file_agg_after_rename
              |FROM documents""".stripMargin))
   )
 }
