@@ -2957,12 +2957,18 @@ object Manifest {
   }
 
   /** Every branch's every retained snapshot — what [[vacuum]] folds
-    * into its referenced set so branch work is never reclaimed. */
+    * into its referenced set so branch work is never reclaimed. A
+    * manifest vanishing mid-walk (a concurrent [[dropBranch]]) is
+    * skipped, not thrown: fewer referenced paths only ever means MORE
+    * reclaimed, and a dropped branch's dirs are exactly the orphans
+    * vacuum is entitled to take (lease-gated like any other). */
   private def branchSnapshots(spark: SparkSession,
       table: String): Seq[Snapshot] =
     branches(spark, table).flatMap { n =>
       val root = s"$table/_branches/$n"
-      versions(spark, root).map(v => readSnapshot(spark, root, v))
+      versions(spark, root).flatMap(v =>
+        try Some(readSnapshot(spark, root, v))
+        catch { case _: java.io.FileNotFoundException => None })
     }
 
   // ---- file skipping (per-file envelopes as a snapshot sidecar) ----
