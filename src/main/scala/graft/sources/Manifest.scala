@@ -2932,12 +2932,21 @@ object Manifest {
       sys.error(s"Manifest.publishBranch: branch '$name' has no fork stamp"))
     val cur = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.publishBranch: $table has no committed snapshot"))
-    require(cur.version == fork,
-      s"Manifest.publishBranch: $table moved to v${cur.version} since " +
+    def diverged(at: Long): Nothing = sys.error(
+      s"Manifest.publishBranch: $table moved to v$at since " +
         s"branch '$name' forked at v$fork — the fast-forward would drop " +
         "the interleaved commits; fork a fresh branch and replay")
-    val out = commit(spark, table, cur.version, head.paths,
-      withOp(head.meta - ForkKey, "publish_branch"))
+    if (cur.version != fork) diverged(cur.version)
+    val out =
+      try commit(spark, table, cur.version, head.paths,
+        withOp(head.meta - ForkKey, "publish_branch"))
+      catch {
+        // losing the slot IS divergence: a commit (e.g. an auto-
+        // rebasing appender) landed between the fork check and ours —
+        // surface the branch-shaped refusal, not the raw race
+        case _: CommitRaceLost =>
+          diverged(currentSnapshot(spark, table).fold(fork)(_.version))
+      }
     dropBranch(spark, table, name)
     out
   }

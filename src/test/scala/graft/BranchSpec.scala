@@ -121,6 +121,65 @@ class BranchSpec extends AnyFunSuite {
       s"leftover dirs ${left.mkString(",")} vs referenced $referenced")
   }
 
+  test("publish racing auto-rebasing appenders: every interleaving is " +
+      "either a clean fast-forward or the loud divergence refusal — " +
+      "never a silent drop of interleaved commits") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    (1 to 4).foreach { iter =>
+      val table = s"${fresh(s"race$iter")}/t"
+      Manifest.create(spark, table,
+        (1 to 5).map(i => (i.toLong, "seed")).toDF("id", "tag"))
+      Manifest.branchCreate(spark, table, "r")
+      Manifest.branchAppend(spark, table, "r",
+        Seq((100L, "branch")).toDF("id", "tag"))
+      val pool = Executors.newFixedThreadPool(3)
+      val start = new CountDownLatch(1)
+      @volatile var published = false
+      @volatile var refused = false
+      val appendFailures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 2).foreach { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            start.await()
+            try Manifest.commitAppend(spark, table,
+              Seq((200L + w, s"main$w")).toDF("id", "tag").coalesce(1))
+            catch { case e: Throwable => appendFailures.add(e) }
+          }
+        })
+      }
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          start.await()
+          try { Manifest.publishBranch(spark, table, "r"); published = true }
+          catch {
+            case e: Throwable if Option(e.getMessage)
+                .exists(_.contains("fork")) => refused = true
+          }
+        }
+      })
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "pool hung")
+      assert(appendFailures.isEmpty,
+        s"iter $iter: appenders failed: ${appendFailures.toArray.mkString(";")}")
+      assert(published ^ refused,
+        s"iter $iter: publish must land or refuse (got p=$published r=$refused)")
+      val out = Manifest.read(spark, table)
+      // the two appends ALWAYS survive (rebase absorbs the publish);
+      // the branch row is present iff the publish won
+      assert(out.filter(F.col("tag").startsWith("main")).count() == 2,
+        s"iter $iter: a publish dropped interleaved commits")
+      assert(out.filter(F.col("tag") === "branch").count() ==
+        (if (published) 1L else 0L))
+      if (refused)
+        assert(Manifest.readBranch(spark, table, "r").count() == 6)
+    }
+  }
+
   test("refusals: duplicate branch, hive layout, mapped snapshot, " +
       "schema drift on branchAppend") {
     import spark.implicits._
