@@ -2705,9 +2705,6 @@ object Manifest {
       df: DataFrame): String = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.stageAppend: $table has no committed snapshot"))
-    require(!isMapped(snap),
-      "Manifest.stageAppend: the table carries a column mapping " +
-        "(rename/drop) — run compact() to fold the mapping, then retry")
     checkStageSchema(spark, table, snap, df, "stageAppend")
     val parts = snap.meta.get(PartitionKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -2715,7 +2712,18 @@ object Manifest {
     val id = java.util.UUID.randomUUID().toString.take(8)
     val rel = stageDir(table, id)
     val dir = new Path(s"$table/$rel")
-    val w = df.write.mode("overwrite")
+    // mapped snapshots: the staged batch speaks LOGICAL names; the
+    // staged FILES carry physical ones like every committed file
+    // (physical names never change across later renames, so the batch
+    // stays publishable whatever mapping churn lands in between)
+    val dfP = mappingOf(snap) match {
+      case None => df
+      case Some(pairs) =>
+        val m = pairs.toMap
+        df.select(df.columns.map(c =>
+          F.col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+    val w = dfP.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(dir.toString)
     val n = spark.read.parquet(dir.toString).count()
@@ -2723,7 +2731,8 @@ object Manifest {
       fs.delete(dir, true)
       sys.error(s"Manifest.stageAppend: refusing to stage an empty batch")
     }
-    try enforceChecks(spark, snap, spark.read.parquet(dir.toString),
+    try enforceChecks(spark,
+      snap, toLogicalProj(snap, spark.read.parquet(dir.toString)),
       "stageAppend")
     catch { case e: Throwable => fs.delete(dir, true); throw e }
     val out = fs.create(stageMarker(table, id), false)
@@ -2775,7 +2784,18 @@ object Manifest {
     val fs = fsFor(spark, table)
     require(fs.exists(stageMarker(table, id)),
       s"Manifest.readStage: no staged batch $id on $table")
-    spark.read.parquet(s"$table/${stageDir(table, id)}")
+    val raw = spark.read.parquet(s"$table/${stageDir(table, id)}")
+    // staged files are physical; the auditor reads under the CURRENT
+    // snapshot's logical names (renames between stage and audit show
+    // the new names — physical names are the stable identity; a
+    // column added since staging is simply absent from the audit)
+    currentSnapshot(spark, table).flatMap(mappingOf) match {
+      case None => raw
+      case Some(pairs) =>
+        val have = raw.columns.toSet
+        raw.select(pairs.collect {
+          case (l, p) if have(p) => F.col(p).as(l) }: _*)
+    }
   }
 
   /** WRITE-AUDIT-PUBLISH, step 3: one atomic commit of the staged
@@ -2793,17 +2813,26 @@ object Manifest {
         "(already published or dropped?)")
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.publishStage: $table has no committed snapshot"))
-    require(!isMapped(snap),
-      "Manifest.publishStage: the table carries a column mapping " +
-        "(rename/drop) — staged files are logical-named; run compact() " +
-        "to fold the mapping, then retry")
     val rel = stageDir(table, id)
-    checkStageSchema(spark, table, snap,
-      spark.read.parquet(s"$table/$rel"), "publishStage")
+    // staged files are PHYSICAL; both re-validations run on the
+    // logical view under the PUBLISH-time snapshot (a rename between
+    // stage and publish is absorbed — physical names are stable; an
+    // evolution in between refuses on the schema re-check, as before).
+    // Pairs whose physical column the staged batch lacks (a column
+    // ADDED since staging) are left out of the projection so the
+    // schema re-check reports the drift instead of a resolution error
+    val rawStaged = spark.read.parquet(s"$table/$rel")
+    val staged = mappingOf(snap) match {
+      case None => rawStaged
+      case Some(pairs) =>
+        val have = rawStaged.columns.toSet
+        rawStaged.select(pairs.collect {
+          case (l, p) if have(p) => F.col(p).as(l) }: _*)
+    }
+    checkStageSchema(spark, table, snap, staged, "publishStage")
     // constraints may have been added since staging: re-check, so a
     // publish can never smuggle rows past a newer contract
-    enforceChecks(spark, snap, spark.read.parquet(s"$table/$rel"),
-      "publishStage")
+    enforceChecks(spark, snap, staged, "publishStage")
     val out = commit(spark, table, snap.version, snap.paths :+ rel,
       withOp(snap.meta, "publish") ++ meta)
     fs.delete(marker, false)
@@ -4723,9 +4752,9 @@ object Manifest {
     if (isMapped(snap))
       advice += (("compact",
         "a column mapping (RENAME/DROP COLUMN) rides the snapshot — " +
-          "staging, streams, and SQL row-level rewrites refuse until a " +
-          "full rewrite folds the mapping into the files (reads, " +
-          "skipping, and stats serving all translate and keep working)",
+          "streams and SQL row-level rewrites refuse until a full " +
+          "rewrite folds the mapping into the files (reads, writes, " +
+          "skipping, staging, and stats serving all translate)",
         1.0, 0.0))
 
     val files = listSnapshotFiles(spark, table, snap)

@@ -192,8 +192,9 @@ class MappingSpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
-  test("refusals: hive layout, CHECK-referenced column, MoR upsert, " +
-      "stage, stream — each loud with the fold remedy") {
+  test("refusals and translations: hive refuses, CHECK-referenced " +
+      "column refuses, MoR upsert and WAP staging translate, streams " +
+      "refuse with the fold remedy") {
     import spark.implicits._
     val hive = s"${fresh("hive")}/t"
     Manifest.create(spark, hive,
@@ -219,10 +220,17 @@ class MappingSpec extends AnyFunSuite {
     assert(up.filter(F.col("id") === 1L).first().getLong(1) == 5L)
     assert(up.filter(F.col("id") === 999L).count() == 1)
     assert(up.count() == 11)
-    // staging still refuses on the mapped snapshot
-    val es = intercept[Exception] {
-      Manifest.stageAppend(spark, table, Seq((50L, 1L)).toDF("id", "revenue")) }
-    assert(es.getMessage.contains("column mapping"))
+    // WAP staging translates too: stage under logical names, audit
+    // under logical names, publish lands physical-named files
+    val sid = Manifest.stageAppend(spark, table,
+      Seq((50L, 500L)).toDF("id", "revenue"))
+    assert(Manifest.readStage(spark, table, sid)
+      .columns.toSeq == Seq("id", "revenue"))
+    Manifest.publishStage(spark, table, sid)
+    val afterWap = Manifest.read(spark, table)
+    assert(afterWap.filter(F.col("id") === 50L)
+      .first().getLong(1) == 500L)
+    assert(afterWap.count() == 12)
     val et = intercept[Exception] {
       val q = graft.sources.ManifestStream.read(spark, table)
         .writeStream.format("noop").start()
