@@ -272,30 +272,7 @@ object LangModel {
   def kneserNeyScoreAgainst(model: TrigramModel, docs: DataFrame,
       id: Column, text: Column): DataFrame = {
     val tri = docTrigrams(docs, id, text)
-    // context totals + distinct-successor counts: each c3 row IS a
-    // distinct (a,b,c) type, so count(*) per (a,b) = N1+(a,b,·)
-    val ctx = model.trigrams.groupBy("a", "b").agg(
-      F.sum("cnt3").cast("double").as("ctx2"),
-      F.count(F.lit(1)).cast("double").as("n1p_ab"))
-    // continuation counts: N1+(·,b,c) = distinct predecessors of (b,c)
-    val cbc = model.trigrams.groupBy("b", "c")
-      .agg(F.count(F.lit(1)).cast("double").as("cont_bc"))
-    val cb = cbc.groupBy("b").agg(
-      F.sum("cont_bc").as("cont_b"),
-      F.count(F.lit(1)).cast("double").as("n1p_b"))
-    val cc = cbc.groupBy("c")
-      .agg(F.count(F.lit(1)).cast("double").as("cont_c"))
-    val ctot = cbc.agg(F.count(F.lit(1)).cast("double").as("cont_tot"))
-    val p1 = (F.coalesce(F.col("cont_c"), F.lit(0.0)) + 1.0) /
-      (F.col("cont_tot") + F.col("n_vocab"))
-    val p2 = F.when(F.col("cont_b").isNotNull,
-      F.greatest(F.coalesce(F.col("cont_bc"), F.lit(0.0)) - KnD, F.lit(0.0)) /
-        F.col("cont_b") +
-        F.lit(KnD) * F.col("n1p_b") / F.col("cont_b") * p1).otherwise(p1)
-    val p3 = F.when(F.col("ctx2").isNotNull,
-      F.greatest(F.coalesce(F.col("cnt3"), F.lit(0.0)).cast("double") - KnD,
-        F.lit(0.0)) / F.col("ctx2") +
-        F.lit(KnD) * F.col("n1p_ab") / F.col("ctx2") * p2).otherwise(p2)
+    val (ctx, cbc, cb, cc, ctot) = knCountTables(model)
     tri.join(model.trigrams, Seq("a", "b", "c"), "left")
       .join(ctx, Seq("a", "b"), "left")
       .join(cbc, Seq("b", "c"), "left")
@@ -306,13 +283,112 @@ object LangModel {
       .groupBy("doc_id")
       .agg(
         F.count(F.lit(1)).cast("int").as("n_trigrams"),
-        F.round(F.avg(F.log(p3)), 6).as("logprob"))
+        F.round(F.avg(F.log(knP3)), 6).as("logprob"))
+  }
+
+  /** The four derived KN count tables, in TWO grouping-sets passes
+    * instead of five separate aggregations (ctx/cbc share one shuffle
+    * of the type table; cb/cc/ctot share one shuffle of cbc — Spark's
+    * ReuseExchange serves every branch from the same exchange). All
+    * aggregated values are integer-valued doubles below 2⁵³, so the
+    * fold order cannot perturb a bit — the tables are value-identical
+    * to the separate-aggregation shape. */
+  private def knCountTables(model: TrigramModel)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // grouping_id bits follow groupBy column order, 1 = aggregated-out:
+    // over (a,b,c), set (a,b) → 0b001 = 1, set (b,c) → 0b100 = 4
+    val g1 = model.trigrams.groupingSets(
+        Seq(Seq(F.col("a"), F.col("b")), Seq(F.col("b"), F.col("c"))),
+        F.col("a"), F.col("b"), F.col("c"))
+      .agg(F.sum("cnt3").cast("double").as("__s3"),
+        F.count(F.lit(1)).cast("double").as("__n1p"),
+        F.grouping_id().as("__gid"))
+    // context totals + distinct-successor counts: each c3 row IS a
+    // distinct (a,b,c) type, so count(*) per (a,b) = N1+(a,b,·)
+    val ctx = g1.filter(F.col("__gid") === 1).select(
+      F.col("a"), F.col("b"),
+      F.col("__s3").as("ctx2"), F.col("__n1p").as("n1p_ab"))
+    // continuation counts: N1+(·,b,c) = distinct predecessors of (b,c)
+    val cbc = g1.filter(F.col("__gid") === 4).select(
+      F.col("b"), F.col("c"), F.col("__n1p").as("cont_bc"))
+    // over (b,c): set (b) → 0b01 = 1, set (c) → 0b10 = 2, set () → 3
+    val g2 = cbc.groupingSets(
+        Seq(Seq(F.col("b")), Seq(F.col("c")), Seq.empty),
+        F.col("b"), F.col("c"))
+      .agg(F.sum("cont_bc").as("__sbc"),
+        F.count(F.lit(1)).cast("double").as("__cnt"),
+        F.grouping_id().as("__gid"))
+    val cb = g2.filter(F.col("__gid") === 1).select(
+      F.col("b"), F.col("__sbc").as("cont_b"), F.col("__cnt").as("n1p_b"))
+    val cc = g2.filter(F.col("__gid") === 2).select(
+      F.col("c"), F.col("__cnt").as("cont_c"))
+    val ctot = g2.filter(F.col("__gid") === 3).select(
+      F.col("__cnt").as("cont_tot"))
+    (ctx, cbc, cb, cc, ctot)
+  }
+
+  /** The interpolated-KN per-position probability, over the joined
+    * count columns (shared by the held-out and self-score faces). */
+  private def knP3: Column = {
+    val p1 = (F.coalesce(F.col("cont_c"), F.lit(0.0)) + 1.0) /
+      (F.col("cont_tot") + F.col("n_vocab"))
+    val p2 = F.when(F.col("cont_b").isNotNull,
+      F.greatest(F.coalesce(F.col("cont_bc"), F.lit(0.0)) - KnD, F.lit(0.0)) /
+        F.col("cont_b") +
+        F.lit(KnD) * F.col("n1p_b") / F.col("cont_b") * p1).otherwise(p1)
+    F.when(F.col("ctx2").isNotNull,
+      F.greatest(F.coalesce(F.col("cnt3"), F.lit(0.0)).cast("double") - KnD,
+        F.lit(0.0)) / F.col("ctx2") +
+        F.lit(KnD) * F.col("n1p_ab") / F.col("ctx2") * p2).otherwise(p2)
   }
 
   /** Self-scoring convenience: train on the corpus, score the same
-    * corpus under interpolated KN. */
-  def kneserNeyScore(docs: DataFrame, id: Column, text: Column): DataFrame =
-    kneserNeyScoreAgainst(trainTrigramModel(docs, id, text), docs, id, text)
+    * corpus under interpolated KN.
+    *
+    * Two self-score-only structural savings (results bit-identical —
+    * every scored trigram is IN the model by construction, so all five
+    * count joins of the held-out path are guaranteed hits):
+    *   - the per-doc trigram lineage (tokenize + explode, the
+    *     corpus-sized pass) feeds BOTH the type counts and the scoring
+    *     side — materialized once (memory-with-disk-spill, the
+    *     [[bigramScore]] discipline) instead of tokenizing twice;
+    *   - the count tables are joined AMONG THEMSELVES first (all
+    *     type-table-sized) into one enriched (a,b,c) table, and the
+    *     corpus-sized trigram stream joins ONCE on (a,b,c) — instead of
+    *     five corpus-side joins on five different keys. A held-out
+    *     trigram could miss the type row while its suborders match, so
+    *     only the self-score face may take this shape; here every
+    *     (a,b,c) matches and carries exactly the suborder counts the
+    *     five-join plan would have attached. */
+  def kneserNeyScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tri = docTrigrams(docs, id, text)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c3 = tri.groupBy("a", "b", "c").agg(F.count(F.lit(1)).as("cnt3"))
+    // bigrams ride along for TrigramModel shape-completeness only — the
+    // KN score never evaluates them (lazy plan, zero execution cost)
+    val c2 = docBigrams(docs, id, text)
+      .groupBy("p", "c").agg(F.count(F.lit(1)).as("cnt2"))
+      .select(F.col("p").as("a"), F.col("c").as("b"), F.col("cnt2"))
+    val u = docs.select(F.explode(Dedup.tokens(F.lower(text))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("cnt1"))
+    val totals = u.agg(
+      F.sum("cnt1").cast("double").as("n_tokens"),
+      F.count(F.lit(1)).cast("double").as("n_vocab"))
+    val model = TrigramModel(c3, c2, u, totals)
+    val (ctx, cbc, cb, cc, ctot) = knCountTables(model)
+    val enriched = model.trigrams
+      .join(ctx, Seq("a", "b"), "left")
+      .join(cbc, Seq("b", "c"), "left")
+      .join(cb, Seq("b"), "left")
+      .join(cc, Seq("c"), "left")
+      .crossJoin(ctot)
+      .crossJoin(model.totals.select(F.col("n_vocab")))
+    tri.join(enriched, Seq("a", "b", "c"), "left")
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).cast("int").as("n_trigrams"),
+        F.round(F.avg(F.log(knP3)), 6).as("logprob"))
+  }
 
   /** Persist a trained trigram model as four parquet tables — the
     * stored form the live perplexity gate

@@ -687,10 +687,22 @@ object Manifest {
         // [[SchemaKey]]) — re-adding its logical name with the same
         // physical name would serve the OLD bytes where NULL is owed.
         // Fresh collisions get a version-suffixed physical name.
-        val taken = phys.fieldNames.toSet
+        val taken = scala.collection.mutable.Set(phys.fieldNames.toSeq: _*)
         val withPhys = added.map { f =>
-          val p = if (taken.contains(f.name))
-            s"${f.name}__f${snap.version + 1}" else f.name
+          // the dodged candidate itself must clear the taken set (a
+          // pre-existing physical column could be named exactly
+          // name__fN) — loop the suffix until free, and reserve each
+          // assignment so two adds in one call cannot collide either
+          val p = if (!taken.contains(f.name)) f.name
+          else {
+            var cand = s"${f.name}__f${snap.version + 1}"
+            var k = 1
+            while (taken.contains(cand)) {
+              cand = s"${f.name}__f${snap.version + 1}_$k"; k += 1
+            }
+            cand
+          }
+          taken += p
           (f, p)
         }
         val newPhys = org.apache.spark.sql.types.StructType(
@@ -938,8 +950,13 @@ object Manifest {
     // the data directory is written ONCE (first attempt) and reused
     // verbatim on every rebase — its version-number prefix may end up
     // below the version finally committed, which only orphan-reclaim
-    // ORDERING reads (a committed dir is referenced, never an orphan)
-    var written: Option[String] = None
+    // ORDERING reads (a committed dir is referenced, never an orphan).
+    // The COLUMN MAPPING in force at write time rides along: the dir's
+    // physical column names were fixed under it, so a rebase against a
+    // snapshot whose mapping moved (a racing compact/convert folded it,
+    // or a drop+re-add re-pointed a name) must NOT reuse the dir —
+    // commitAppendOnce deletes it and rewrites under the new mapping.
+    var written: Option[(String, Option[String])] = None
     var rebases = 0
     while (true) {
       try return commitAppendOnce(spark, table, df, partitionBy, meta,
@@ -958,8 +975,8 @@ object Manifest {
 
   private def commitAppendOnce(spark: SparkSession, table: String,
       df: DataFrame, partitionBy: Seq[String], meta: Map[String, String],
-      mergeSchema: Boolean, preWritten: Option[String],
-      recordWritten: String => Unit): Snapshot = {
+      mergeSchema: Boolean, preWritten: Option[(String, Option[String])],
+      recordWritten: ((String, Option[String])) => Unit): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.commitAppend: $table has no committed snapshot"))
     // fail loudly on drift: parquet's per-file schemas would otherwise
@@ -1038,10 +1055,21 @@ object Manifest {
         df.select(df.columns.map(c =>
           F.col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
     }
-    val rel = preWritten.getOrElse {
-      val r = writeData(spark, table, snap.version + 1, dfP, partitionBy)
-      recordWritten(r)
-      r
+    val curMapping = snap.meta.get(ColumnMapKey)
+    val rel = preWritten match {
+      case Some((r, m)) if m == curMapping => r
+      case other =>
+        // stale-mapping rebase: the pre-written dir's physical names
+        // were fixed under a mapping the race winner has since moved
+        // (folded by compact/convert, or re-pointed by drop+re-add).
+        // Reusing it would commit physically-incompatible files into
+        // one snapshot — delete and rewrite under the NEW mapping,
+        // which dfP above already reflects (it derives from `snap`).
+        other.foreach { case (r, _) =>
+          fsFor(spark, table).delete(new Path(s"$table/$r"), true) }
+        val r = writeData(spark, table, snap.version + 1, dfP, partitionBy)
+        recordWritten((r, curMapping))
+        r
     }
     val evolved =
       if (mergeSchema && cur != nxt) Map(SchemaKey -> df.schema.json)
@@ -1255,18 +1283,64 @@ object Manifest {
     // each logical output column's PHYSICAL source under v2's naming
     // (identity when v2 is unmapped)
     val physFor = physOf(s2)
-    def align(df: DataFrame): DataFrame = {
+    // NULL-filling is legitimate ONLY for additive evolution (the
+    // column did not exist on that side). If the COLUMN MAPPING moved
+    // anywhere inside the window (rename/drop/re-add, or a rewrite
+    // folding the mapping restamped files to new physical names), a
+    // missing physical source means the side's files hold the column
+    // under a name this alignment cannot see — NULL-filling would emit
+    // spurious delete/insert pairs with NULLs. Refuse loudly instead
+    // (the Delta column-mapping CDC rule); per-commit windows that do
+    // not cross the mapping change still serve. Header-only manifest
+    // reads, O(window).
+    lazy val mappingMovedInWindow: Boolean = {
+      val states = s1.meta.get(ColumnMapKey) +:
+        versions(spark, table).filter(v => v > v1 && v <= v2)
+          .map(v =>
+            if (v == v2) s2.meta.get(ColumnMapKey)
+            else readSnapshotMeta(spark, table, v).get(ColumnMapKey))
+      states.distinct.size > 1
+    }
+    def align(df: DataFrame, sideHasEntries: Boolean): DataFrame = {
       val have = df.columns.toSet
       df.select(cols.map { c =>
         val p = physFor(c)
         if (have(p)) F.col(p).as(c)
+        else if (sideHasEntries && mappingMovedInWindow)
+          throw new IllegalArgumentException(
+            s"Manifest.readChanges: column '$c' has no physical source " +
+              s"on one side of ($v1, $v2] and the column mapping changed " +
+              "inside the window — the feed cannot align renamed/folded " +
+              "columns across the change. Read per-commit windows that " +
+              "do not cross the mapping commit instead")
         else F.lit(null).cast(template.schema(c).dataType).as(c)
       }: _*)
     }
-    val a = align(readSide((added ++ dvTouched).distinct, v2))
-    val r = align(readSide((removed ++ dvTouched).distinct, v1))
-    a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
-      .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
+    val addRels = (added ++ dvTouched).distinct
+    val remRels = (removed ++ dvTouched).distinct
+    val a = align(readSide(addRels, v2), addRels.nonEmpty)
+    val r = align(readSide(remRels, v1), remRels.nonEmpty)
+    // ONE-PASS multiset diff: tag each side ±1, sum per whole row, emit
+    // |net| copies ('insert' when the v2 side has more, 'delete' when
+    // the v1 side does). Identical multiset semantics to the previous
+    // a.exceptAll(r) ∪ r.exceptAll(a), but each side is scanned ONCE
+    // and the diff is ONE hash aggregation (one exchange) instead of
+    // two exceptAll joins that shuffled both sides twice — at 100 TB
+    // the feed still costs ∝ the commit being explained, with a 4×
+    // smaller constant.
+    val sgn = "__graft_cdc_sgn"
+    val netc = "__graft_cdc_net"
+    val net = a.withColumn(sgn, F.lit(1L))
+      .unionByName(r.withColumn(sgn, F.lit(-1L)))
+      .groupBy(cols.map(F.col): _*)
+      .agg(F.sum(F.col(sgn)).as(netc))
+      .filter(F.col(netc) =!= 0L)
+    net.select((cols.map(F.col) :+
+        F.when(F.col(netc) > 0, F.lit("insert")).otherwise(F.lit("delete"))
+          .as("_change_type") :+
+        F.explode(F.sequence(F.lit(1L), F.abs(F.col(netc))))
+          .as("__graft_cdc_rep")): _*)
+      .drop("__graft_cdc_rep")
   }
 
   /** COPY-ON-WRITE row delete — the takedown / right-to-be-forgotten

@@ -357,6 +357,23 @@ class GraftCatalog extends TableCatalog
       case d: TableChange.DeleteColumn => d.fieldNames.length == 1
       case _ => false
     }
+    // validate the FULL change list up front: an unsupported change in
+    // the same ALTER must reject BEFORE any mapping commit lands, or
+    // the statement applies partially (non-atomic ALTER). Commits still
+    // land one at a time below — mapping changes and the evolution are
+    // separate manifest commits by design (like Delta) — but a rejected
+    // statement now leaves the table untouched.
+    val adds = rest.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable &&
+            a.position() == null =>
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER '$other' — only plain " +
+          "nullable top-level ADD COLUMN, RENAME COLUMN, and DROP " +
+          "COLUMN map to manifest commits; everything else would " +
+          "rewrite immutable files")
+    }
     mapChanges.foreach {
       case r: TableChange.RenameColumn =>
         Manifest.renameColumn(spark, p, r.fieldNames()(0), r.newName())
@@ -364,18 +381,7 @@ class GraftCatalog extends TableCatalog
         Manifest.dropColumn(spark, p, d.fieldNames()(0))
       case _ => ()
     }
-    if (rest.nonEmpty) {
-      val adds = rest.map {
-        case a: TableChange.AddColumn
-            if a.fieldNames.length == 1 && a.isNullable &&
-              a.position() == null =>
-          StructField(a.fieldNames()(0), a.dataType(), nullable = true)
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog: unsupported ALTER '$other' — only plain " +
-            "nullable top-level ADD COLUMN, RENAME COLUMN, and DROP " +
-            "COLUMN map to manifest commits; everything else would " +
-            "rewrite immutable files")
-      }
+    if (adds.nonEmpty) {
       val cur = Manifest.read(spark, p).schema
       Manifest.evolveSchema(spark, p,
         StructType(cur.fields ++ adds))

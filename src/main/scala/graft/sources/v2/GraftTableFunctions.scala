@@ -78,8 +78,14 @@ object GraftTableFunctions {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: UTF8String, _) if v != null =>
       val s0 = v.toString
+      // only the MISSING-TAG failure may fall through to the timestamp
+      // interpretation — an unrelated I/O failure reading the tag file
+      // must propagate, not silently reroute the query to a different
+      // version. (Bare-integer strings stay timestamp-eligible: the
+      // epoch-millis string form is part of the table_changes contract.)
       try Manifest.tagVersion(spark, path, s0)
-      catch { case tagErr: Throwable =>
+      catch { case scala.util.control.NonFatal(tagErr)
+          if tagErr.getMessage != null && tagErr.getMessage.contains("no tag") =>
         scala.util.Try(graft.sources.ManifestStream.parseTs(s0)).toOption match {
           case Some(ts) => Manifest.versionAt(spark, path, ts)
           case None => throw tagErr

@@ -159,10 +159,11 @@ class ManifestStreamSpec extends AnyFunSuite {
       ignoreDeletes = false, startLatest = false)
     val schema = ManifestStream.sourceSchema(spark, o)
     val batch = ManifestStream.batchFrame(spark, o, schema, None, Some(1L), 2L)
-    // the optimizer rewrites exceptAll to replicaterows-over-Union —
-    // that marker's absence is the fast path's signature
+    // readChanges' one-pass diff is a signed-union Aggregate (the
+    // __graft_cdc_net sum) — that marker's absence is the fast path's
+    // signature
     val plan = batch.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("replicaterows") && !plan.contains("Aggregate"),
+    assert(!plan.contains("__graft_cdc_net") && !plan.contains("Aggregate"),
       s"pure append paid a multiset diff:\n$plan")
     assert(rows(batch).sameElements(rows(slice(1))))
 
@@ -171,7 +172,8 @@ class ManifestStreamSpec extends AnyFunSuite {
     val o2 = o.copy(changeFeed = true)
     val feed = ManifestStream.batchFrame(spark, o2,
       ManifestStream.sourceSchema(spark, o2), None, Some(2L), 3L)
-    assert(feed.queryExecution.optimizedPlan.toString.contains("replicaterows"))
+    assert(feed.queryExecution.optimizedPlan.toString
+      .contains("__graft_cdc_net"))
   }
 
   test("append mode refuses a delete-carrying commit loudly") {
