@@ -605,21 +605,24 @@ object Round13Queries {
         val gate = TextAnalysis.gopherRules(planted, col("doc_id"),
             col("text"), minWords = 20, minStopHits = 1)
           .filter(col("kept")).select("doc_id")
-        // the plant + Gopher-gate lineage feeds both scrubAll and the
-        // source join; the scrubbed text feeds KN training, KN scoring,
-        // AND the final join — materialize each once
-        // (memory-with-disk-spill, the bigramScore discipline) instead
-        // of re-running the row-local regex chains per consumer.
-        // Results are unchanged: persist only collapses recomputation.
         val survivors = planted.join(gate, Seq("doc_id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the planted→Gopher→scrub regex lineage feeds the KN trigram
+        // pass, the KN unigram pass, and the score join — materialize
+        // it once (it is survivor-sized; the regex chains are the
+        // expensive part)
         val scrubbed = Pii.scrubAll(survivors, col("doc_id"), col("text"))
           .select(col("doc_id"), col("text_redacted"))
           .join(survivors.select(col("doc_id"), col("source")), "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the KN-scored frame feeds BOTH the per-source quantile
+        // boundaries and the bin join — materialize it once
+        // (memory-with-disk-spill, the bigramScore discipline) so the
+        // whole train+score subplan executes ONCE instead of twice.
+        // Results unchanged: persist only collapses recomputation.
         val scored = LangModel.kneserNeyScore(
             scrubbed, col("doc_id"), col("text_redacted"))
           .join(scrubbed, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val surv = graft.operators.Binning.withStratumQuantileBin(
             scored, "source", "logprob", n = 3)
           .filter(col("bin") >= 2)
