@@ -854,8 +854,15 @@ object Manifest {
     val rel = writeData(spark, table, v, df, partitionBy)
     val fs = fsFor(spark, table)
     val dir = new Path(s"$table/$rel")
-    val hasParquet = walkParquet(fs, dir).nonEmpty
-    val n = if (!hasParquet) 0L
+    val files = walkParquet(fs, dir)
+    // count from the WRITTEN footers at the driver when the landed
+    // file set is small (the common verb shape — no Spark job at all);
+    // fall back to a distributed footer-only count when a rewrite
+    // landed many files, so the driver never serially opens thousands
+    // of footers. Both read the identical record counts.
+    val n =
+      if (files.isEmpty) 0L
+      else if (files.size <= 64) footerRowCount(spark, dir)
       else spark.read.parquet(dir.toString).count()
     if (n == 0) { fs.delete(dir, true); () }
     (rel, n)
@@ -2415,7 +2422,9 @@ object Manifest {
     // but at that selectivity the right tool is the CoW delete or a
     // compaction, not a vector.)
     doomed.coalesce(1).write.parquet(dir.toString)
-    val n = spark.read.parquet(dir.toString).count()
+    // one coalesced file: its footer record count IS the mask size —
+    // a driver metadata read, not a Spark job
+    val n = footerRowCount(spark, dir)
     if (n == 0) { fs.delete(dir, true); return snap }
     val dvs = snap.meta.get(DvKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
