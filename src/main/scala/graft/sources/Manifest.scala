@@ -854,18 +854,22 @@ object Manifest {
     val rel = writeData(spark, table, v, df, partitionBy)
     val fs = fsFor(spark, table)
     val dir = new Path(s"$table/$rel")
-    val files = walkParquet(fs, dir)
-    // count from the WRITTEN footers at the driver when the landed
-    // file set is small (the common verb shape — no Spark job at all);
-    // fall back to a distributed footer-only count when a rewrite
-    // landed many files, so the driver never serially opens thousands
-    // of footers. Both read the identical record counts.
-    val n =
-      if (files.isEmpty) 0L
-      else if (files.size <= 64) footerRowCount(spark, dir)
-      else spark.read.parquet(dir.toString).count()
+    val n = writtenRowCount(spark, fs, dir)
     if (n == 0) { fs.delete(dir, true); () }
     (rel, n)
+  }
+
+  /** Row count of a JUST-WRITTEN directory: from the parquet footers
+    * at the driver when the landed file set is small (the common verb
+    * shape — no Spark job at all); a distributed footer-only count
+    * when a rewrite landed many files, so the driver never serially
+    * opens thousands of footers. Both read identical record counts. */
+  private def writtenRowCount(spark: SparkSession,
+      fs: FileSystem, dir: Path): Long = {
+    val files = walkParquet(fs, dir)
+    if (files.isEmpty) 0L
+    else if (files.size <= 64) footerRowCount(spark, dir)
+    else spark.read.parquet(dir.toString).count()
   }
 
   /** Full-rewrite commit: materialize `df` as the next version's data
@@ -2553,7 +2557,10 @@ object Manifest {
     val (insRel, nIns) = writeDataCounted(spark, table, snap.version + 1,
       inserts.select(logicalCols.map(c =>
         F.col(c).as(physMap(c))).toIndexedSeq: _*), parts)
-    if (nIns > 0)
+    if (nIns > 0 && checks(snap).nonEmpty)
+      // gate the re-open on checks actually existing: building the
+      // frame costs a footer/listing pass even when there is nothing
+      // to enforce
       try enforceChecks(spark, snap,
         toLogicalProj(snap, spark.read.parquet(s"$table/$insRel")),
         "applyDeltaMoR")
@@ -2605,7 +2612,8 @@ object Manifest {
           java.util.UUID.randomUUID().toString.take(8)
         val dir = new Path(s"$table/$rel")
         doomed.coalesce(1).write.parquet(dir.toString)
-        if (spark.read.parquet(dir.toString).count() == 0) {
+        // one coalesced file: footer record count, no Spark job
+        if (footerRowCount(spark, dir) == 0) {
           fs.delete(dir, true); None
         } else Some(rel)
       }
@@ -2809,15 +2817,18 @@ object Manifest {
     val w = dfP.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(dir.toString)
-    val n = spark.read.parquet(dir.toString).count()
+    // footer-based count, no Spark job on small landings (the
+    // writeDataCounted rule)
+    val n = writtenRowCount(spark, fs, dir)
     if (n == 0) {
       fs.delete(dir, true)
       sys.error(s"Manifest.stageAppend: refusing to stage an empty batch")
     }
-    try enforceChecks(spark,
-      snap, toLogicalProj(snap, spark.read.parquet(dir.toString)),
-      "stageAppend")
-    catch { case e: Throwable => fs.delete(dir, true); throw e }
+    if (checks(snap).nonEmpty)
+      try enforceChecks(spark,
+        snap, toLogicalProj(snap, spark.read.parquet(dir.toString)),
+        "stageAppend")
+      catch { case e: Throwable => fs.delete(dir, true); throw e }
     val out = fs.create(stageMarker(table, id), false)
     try out.write(s"$rel\n".getBytes("UTF-8")) finally out.close()
     id
