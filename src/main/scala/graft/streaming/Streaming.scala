@@ -550,8 +550,10 @@ object Streaming {
     val s = batch0.sparkSession
     val batch = batch0.persist()
     try {
-      if (batch.isEmpty) return
+      // the fingerprint's row count doubles as the empty check — one
+      // aggregation pass instead of isEmpty + fingerprint
       val fp = contentFingerprint(batch)
+      if (fp.endsWith(":0")) return
       val cur = Manifest.currentSnapshot(s, table)
       cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
         case Some(n) if batchId < n => sys.error(
