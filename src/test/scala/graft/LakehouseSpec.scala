@@ -2387,4 +2387,28 @@ class LakehouseSpec extends AnyFunSuite {
     // still serve
     assert(Manifest.read(spark, tbl).count() == 101L)
   }
+
+  test("change feed multiset multiplicity: duplicate identical rows " +
+      "each appear in the feed; identical-content rewrite still cancels") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_cdc_mult").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    // an appended batch carrying THREE copies of one identical row:
+    // the signed-net diff must emit |net| = 3 insert rows, not 1
+    Manifest.commitAppend(spark, tbl,
+      Seq((7L, "dup"), (7L, "dup"), (7L, "dup"), (8L, "x"))
+        .toDF("id", "s").coalesce(1))
+    val feed = Manifest.readChanges(spark, tbl, 1L, 2L)
+    assert(feed.filter($"_change_type" === "delete").count() == 0)
+    assert(feed.filter($"id" === 7L && $"s" === "dup").count() == 3,
+      "duplicate identical rows must keep their multiplicity in the feed")
+    assert(feed.count() == 4)
+    // a compaction rewrites every file with identical content — the
+    // duplicates net to zero and the feed is empty
+    Manifest.compact(spark, tbl, targetBytes = Long.MaxValue)
+    assert(Manifest.readChanges(spark, tbl, 2L, 3L).count() == 0)
+  }
 }

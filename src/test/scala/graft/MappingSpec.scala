@@ -346,4 +346,34 @@ class MappingSpec extends AnyFunSuite {
     assert(scanned.exists(fl => fl.nonEmpty && fl.size < 4),
       s"no file skipping through the mapping: $scanned")
   }
+
+  test("CDC refuses loudly when a mapping change crosses the window " +
+      "with non-empty sides; per-commit windows still serve") {
+    import spark.implicits._
+    val table = s"${fresh("cdcfold")}/t"
+    Manifest.create(spark, table,
+      (1 to 20).map(i => (i.toLong, i * 10L)).toDF("id", "n_chars"))   // v1
+    Manifest.renameColumn(spark, table, "n_chars", "chars")           // v2
+    Manifest.commitAppend(spark, table,
+      (21 to 30).map(i => (i.toLong, i * 10L)).toDF("id", "chars"))   // v3
+    Manifest.compact(spark, table, targetBytes = 1L << 30)            // v4
+    // rename alone: metadata-only, empty sides — serves (empty feed)
+    assert(Manifest.readChanges(spark, table, 1L, 2L).count() == 0)
+    // the append window does not cross a mapping CHANGE boundary with
+    // data on both sides under different namings — serves, under the
+    // feed-end logical names
+    val app = Manifest.readChanges(spark, table, 2L, 3L)
+    assert(app.columns.contains("chars"))
+    assert(app.count() == 10)
+    // any window crossing the FOLD with rewritten entries would
+    // NULL-fill the renamed column on the v-old side (the spurious
+    // delete/insert pairs the old NULL-fill emitted) — must refuse
+    val e = intercept[Exception] {
+      Manifest.readChanges(spark, table, 1L, 4L).count() }
+    assert(e.getMessage.contains("mapping changed"),
+      s"expected the mapping-window refusal, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Manifest.readChanges(spark, table, 3L, 4L).count() }
+    assert(e2.getMessage.contains("mapping changed"))
+  }
 }
