@@ -2424,8 +2424,11 @@ object Manifest {
     // a takedown's vector is small by nature: one file. (A mask past
     // ~10^8 positions would make this single writer the bottleneck —
     // but at that selectivity the right tool is the CoW delete or a
-    // compaction, not a vector.)
-    doomed.coalesce(1).write.parquet(dir.toString)
+    // compaction, not a vector.) repartition(1), NOT coalesce(1): a
+    // coalesce would collapse the upstream positional SCAN into one
+    // task; the shuffle boundary keeps the scan parallel and moves
+    // only the takedown-sized positions to the single writer.
+    doomed.repartition(1).write.parquet(dir.toString)
     // one coalesced file: its footer record count IS the mask size —
     // a driver metadata read, not a Spark job
     val n = footerRowCount(spark, dir)
@@ -2611,8 +2614,10 @@ object Manifest {
         val rel = s"_dv/v${"%08d".format(snap.version + 1)}-" +
           java.util.UUID.randomUUID().toString.take(8)
         val dir = new Path(s"$table/$rel")
-        doomed.coalesce(1).write.parquet(dir.toString)
-        // one coalesced file: footer record count, no Spark job
+        // repartition(1), not coalesce(1) — keep the positional scan
+        // parallel (the deleteWhereMoR rule)
+        doomed.repartition(1).write.parquet(dir.toString)
+        // one written file: footer record count, no Spark job
         if (footerRowCount(spark, dir) == 0) {
           fs.delete(dir, true); None
         } else Some(rel)

@@ -458,4 +458,62 @@ class ConcurrencySpec extends AnyFunSuite {
       "rebase resurrected MoR-deleted rows")
     assert(out.count() == 10L + 15L)
   }
+
+  test("auto-rebase rewrites its data dir when a racing compact FOLDS " +
+      "the column mapping: appended rows serve under the logical name, " +
+      "never NULL") {
+    import spark.implicits._
+    SparkSession.setActiveSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebmap").toString
+    val table = s"$dir/t"
+    Manifest.create(spark, table,
+      (1 to 20).map(i => (i.toLong, i * 10L)).toDF("id", "n_chars")
+        .coalesce(1))
+    Manifest.renameColumn(spark, table, "n_chars", "chars") // mapped
+    // race appenders (speaking the LOGICAL name) against a compact
+    // that folds the mapping: whichever writer loses its slot to the
+    // fold must NOT reuse a dir written under the old physical names —
+    // the appended rows would read NULL for 'chars'
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        SparkSession.setActiveSession(spark)
+        start.await()
+        var done = false
+        while (!done) {
+          try { Manifest.compact(spark, table, targetBytes = 1L << 30)
+            done = true }
+          catch {
+            case _: graft.sources.CommitRaceLost => Thread.sleep(3)
+            case e: Throwable => failures.add(e); done = true
+          }
+        }
+      }
+    })
+    for (w <- 1 to 3) pool.submit(new Runnable {
+      override def run(): Unit = {
+        SparkSession.setActiveSession(spark)
+        start.await()
+        val df = (1 to 5).map(i => (1000L * w + i, 7L)).toDF("id", "chars")
+          .coalesce(1)
+        try Manifest.commitAppend(spark, table, df)
+        catch { case e: Throwable => failures.add(e) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "pool hung")
+    assert(failures.isEmpty,
+      s"unexpected: ${failures.toArray.mkString("; ")}")
+    val out = Manifest.read(spark, table)
+    assert(out.columns.contains("chars"))
+    assert(out.count() == 20L + 15L)
+    // EVERY appended row must carry its value under the final naming —
+    // a stale-mapping dir reused across the fold reads NULL here
+    assert(out.filter(F.col("chars").isNull).count() == 0L,
+      "an appended dir written under the pre-fold mapping was reused")
+    assert(out.filter(F.col("id") >= 1000L).count() == 15L)
+  }
 }
