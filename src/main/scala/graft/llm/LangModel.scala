@@ -362,7 +362,6 @@ object LangModel {
     *     five-join plan would have attached. */
   def kneserNeyScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tri = docTrigrams(docs, id, text)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val c3 = tri.groupBy("a", "b", "c").agg(F.count(F.lit(1)).as("cnt3"))
     // bigrams ride along for TrigramModel shape-completeness only — the
     // KN score never evaluates them (lazy plan, zero execution cost)
@@ -375,7 +374,18 @@ object LangModel {
       F.sum("cnt1").cast("double").as("n_tokens"),
       F.count(F.lit(1)).cast("double").as("n_vocab"))
     val model = TrigramModel(c3, c2, u, totals)
-    val (ctx, cbc, cb, cc, ctot) = knCountTables(model)
+    // EXPERIMENT variant a: plain aggs over c3 (tri persisted upstream)
+    val ctx = c3.groupBy("a", "b").agg(
+      F.sum("cnt3").cast("double").as("ctx2"),
+      F.count(F.lit(1)).cast("double").as("n1p_ab"))
+    val cbc = c3.groupBy("b", "c")
+      .agg(F.count(F.lit(1)).cast("double").as("cont_bc"))
+    val cb = cbc.groupBy("b").agg(
+      F.sum("cont_bc").as("cont_b"),
+      F.count(F.lit(1)).cast("double").as("n1p_b"))
+    val cc = cbc.groupBy("c")
+      .agg(F.count(F.lit(1)).cast("double").as("cont_c"))
+    val ctot = cbc.agg(F.count(F.lit(1)).cast("double").as("cont_tot"))
     val enriched = model.trigrams
       .join(ctx, Seq("a", "b"), "left")
       .join(cbc, Seq("b", "c"), "left")
