@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to sbt's LoggedOutput, which prefixes every
+// stdout line with "[info] " — that prefix has kept the bench's one-line
+// JSON unparseable downstream. StdoutOutput passes the forked process's
+// stdout/stderr through verbatim so the JSON line lands alone on stdout.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

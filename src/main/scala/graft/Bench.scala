@@ -89,7 +89,18 @@ object Bench {
       rs.map(_._2).filter(_ >= 0).sum
     val results = run(Headline)
     val lake = run(Lakehouse)
-    println(f"""{"metric":"total","value":${tot(results)}%.3f,"unit":"sec","queries":${json(results)},"lakehouse_value":${tot(lake)}%.3f,"lakehouse_queries":${json(lake)},"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":${tot(results)}%.3f,"unit":"sec","queries":${json(results)},"lakehouse_value":${tot(lake)}%.3f,"lakehouse_queries":${json(lake)},"sf":"$sfDir"}"""
+    println(line)
+    // Round 22: the driver has never parsed the println (sbt's logger
+    // prefixed it with "[info] " every round — parsed:null in BENCH_r17..21).
+    // Write the identical line verbatim to a bare file as well, and rely on
+    // build.sbt's StdoutOutput strategy to land the println unprefixed.
+    // Additive only: same queries, same timing loop, same JSON content.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
