@@ -195,10 +195,20 @@ object LangModel {
     * so every branch's denominator is positive by construction.
     * Docs with fewer than three tokens are omitted (mirror len >= 3).
     *
-    * Plan: the doc trigrams left-join five count tables (trigram key,
-    * both bigram keys, both unigram keys — each join keyed on gram
-    * columns, sized by distinct grams) plus the broadcast 1-row
-    * totals, then one per-doc aggregation. */
+    * Plan: the doc-trigram stream left-joins THREE count tables (the
+    * trigram table pre-enriched with its context-bigram count, the
+    * (b,c) bigram table pre-enriched with its b-unigram count, and the
+    * c unigrams) plus the broadcast 1-row totals, then one per-doc
+    * aggregation. The enrichments are MODEL-sized joins (rows ∝
+    * distinct grams) and are sound because each ridden count is only
+    * read when its carrier row matched: cnt2_ab only when the trigram
+    * was seen — and a model trigram (a,b,c) guarantees its (a,b)
+    * adjacent pair is in the model's bigrams — and cnt1_b only when
+    * the (b,c) bigram was seen, which guarantees b is in the unigrams.
+    * cnt1_c still joins the doc stream directly: the base branch fires
+    * exactly when both higher orders MISS, so no model row carries it.
+    * At 100 TB this turns five doc-corpus-sized join shuffles on five
+    * different keys into three. */
   def trigramScoreAgainst(model: TrigramModel, docs: DataFrame,
       id: Column, text: Column): DataFrame = {
     val tri = docTrigrams(docs, id, text)
@@ -208,6 +218,8 @@ object LangModel {
       F.col("cnt2").as("cnt2_bc"))
     val ub = model.unigrams.select(F.col("w").as("b"), F.col("cnt1").as("cnt1_b"))
     val uc = model.unigrams.select(F.col("w").as("c"), F.col("cnt1").as("cnt1_c"))
+    val triCnt = model.trigrams.join(ab, Seq("a", "b"), "left")
+    val bcCnt = bc.join(ub, Seq("b"), "left")
     val s = F.when(F.col("cnt3").isNotNull,
         F.col("cnt3").cast("double") / F.col("cnt2_ab"))
       .when(F.col("cnt2_bc").isNotNull,
@@ -215,10 +227,8 @@ object LangModel {
       .otherwise(F.lit(Alpha2) *
         (F.coalesce(F.col("cnt1_c"), F.lit(0L)) + 1.0) /
         (F.col("n_tokens") + F.col("n_vocab")))
-    tri.join(model.trigrams, Seq("a", "b", "c"), "left")
-      .join(ab, Seq("a", "b"), "left")
-      .join(bc, Seq("b", "c"), "left")
-      .join(ub, Seq("b"), "left")
+    tri.join(triCnt, Seq("a", "b", "c"), "left")
+      .join(bcCnt, Seq("b", "c"), "left")
       .join(uc, Seq("c"), "left")
       .crossJoin(model.totals)
       .groupBy("doc_id")
@@ -350,8 +360,11 @@ object LangModel {
     * count joins of the held-out path are guaranteed hits):
     *   - the per-doc trigram lineage (tokenize + explode, the
     *     corpus-sized pass) feeds BOTH the type counts and the scoring
-    *     side — materialized once (memory-with-disk-spill, the
-    *     [[bigramScore]] discipline) instead of tokenizing twice;
+    *     side, and both hash by the SAME (a,b,c) key, so Spark's
+    *     runtime exchange reuse serves them from ONE shuffle of the
+    *     tokenized stream — deliberately NOT persisted: a corpus-sized
+    *     persist is bigger than the corpus at 100 TB and A/B-measured
+    *     a net loss (round-21 record §2);
     *   - the count tables are joined AMONG THEMSELVES first (all
     *     type-table-sized) into one enriched (a,b,c) table, and the
     *     corpus-sized trigram stream joins ONCE on (a,b,c) — instead of
@@ -374,7 +387,10 @@ object LangModel {
       F.sum("cnt1").cast("double").as("n_tokens"),
       F.count(F.lit(1)).cast("double").as("n_vocab"))
     val model = TrigramModel(c3, c2, u, totals)
-    // EXPERIMENT variant a: plain aggs over c3 (tri persisted upstream)
+    // plain aggregations over c3 (not the grouping-sets shape): the
+    // held-out face batches count derivation, but here the scoring
+    // join and the type-count aggregation already share one exchange,
+    // and A/B runs measured the grouping-sets variant no faster
     val ctx = c3.groupBy("a", "b").agg(
       F.sum("cnt3").cast("double").as("ctx2"),
       F.count(F.lit(1)).cast("double").as("n1p_ab"))

@@ -168,7 +168,7 @@ object Similarity {
       return (Map("folded_through_batch" -> "-1", "folded_fps" -> ""), Nil)
     val fps = dirs.map { case (id, p) =>
       s"batch=$id:" + graft.streaming.Streaming.contentFingerprint(
-        spark.read.parquet(p))
+        spark.read.parquet(p))._1
     }
     (Map("folded_through_batch" -> dirs.map(_._1).max.toString,
       "folded_fps" -> fps.mkString(",")), dirs.map(_._2))
@@ -342,7 +342,7 @@ object Similarity {
     deltaBatchDirs(spark, indexPath)
       .filter { case (id, _) => id <= foldedThrough }
       .foreach { case (id, p) =>
-        val fp = graft.streaming.Streaming.contentFingerprint(
+        val (fp, _) = graft.streaming.Streaming.contentFingerprint(
           spark.read.parquet(p))
         if (foldedFps.get(s"batch=$id").contains(fp))
           fs.delete(new org.apache.hadoop.fs.Path(p), true)
@@ -370,7 +370,7 @@ object Similarity {
     // duplicates and the next run can verify its leftovers
     val fps = live.map { case (id, p) =>
       s"batch=$id:" + graft.streaming.Streaming.contentFingerprint(
-        spark.read.parquet(p))
+        spark.read.parquet(p))._1
     }
     val folded = indexCorpus(spark, indexPath)
     commitCorpusSnapshot(spark, corpusTable, folded,

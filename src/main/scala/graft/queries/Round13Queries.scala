@@ -626,13 +626,29 @@ object Round13Queries {
         val surv = graft.operators.Binning.withStratumQuantileBin(
             scored, "source", "logprob", n = 3)
           .filter(col("bin") >= 2)
-        graft.llm.Mixture.tokenBudgetSample(surv, col("source"),
+        val result = graft.llm.Mixture.tokenBudgetSample(surv, col("source"),
             col("doc_id"), TextAnalysis.tokenCount(col("text_redacted")),
             TextAnalysis.qualityScore(col("text_redacted")), F.lit(300L))
           .filter(col("kept"))
           .select(col("doc_id"), col("stratum").as("source"),
             col("n_tokens"), col("cum_tokens"))
           .orderBy(col("source").asc, col("cum_tokens").asc)
+        // force the one-shot pipeline NOW and UNPERSIST the two
+        // intermediates before returning: the final sample is
+        // budget-bounded (the 300-token budget caps rows per source at
+        // ANY corpus scale), so the collect is driver-safe, and
+        // releasing the blocks here keeps a long-lived session from
+        // accumulating survivor-sized cache entries — and from
+        // CacheManager silently serving canonically-equal subplans to
+        // LATER queries (the round-21 repeat-invocation artifact).
+        // Rows and schema are exactly the lazy plan's; nothing is
+        // memoized across invocations.
+        val rows = result.collect()
+        scored.unpersist(false)
+        scrubbed.unpersist(false)
+        s.createDataFrame(new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+          result.schema)
       },
       Some(s"""WITH aug AS MATERIALIZED ($augmentV2Sql),
               |gw AS MATERIALIZED (SELECT aug.doc_id, d.source, aug.t,

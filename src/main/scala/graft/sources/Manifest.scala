@@ -124,6 +124,31 @@ object Manifest {
       .filter(_.nonEmpty)
       .map(dirs => spark.read.parquet(dirs.map(d => s"$table/$d"): _*))
 
+  /** Distinct `file` keys of the given DV directories — read AT THE
+    * DRIVER when the vectors are small (they are takedown-sized by the
+    * DV discipline; the previous distinct-collect launched a Spark
+    * job per consult), falling back to the distributed distinct above
+    * a 64 MB cap so a pathological vector never floods the driver. */
+  private def dvDistinctFiles(spark: SparkSession, table: String,
+      rels: Seq[String]): Set[String] = {
+    val dirs = rels.map(d => s"$table/$d")
+    val df = spark.read.parquet(dirs: _*)
+    val conf = spark.sessionState.newHadoopConf()
+    val statuses = dirs.flatMap { d =>
+      val p = new Path(d)
+      walkParquetStatus(p.getFileSystem(conf), p)
+    }
+    (try {
+      if (statuses.nonEmpty && statuses.map(_._2).sum <= (64L << 20)) {
+        val fi = df.schema.fieldIndex("file")
+        Some(driverReadParquetRows(spark, statuses, df.schema, conf)
+          .map(_.getString(fi)).toSet)
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(df.select("file").distinct().collect()
+        .map(_.getString(0)).toSet)
+  }
+
   /** Manifest-relative file path + row index of every row, from the
     * parquet `_metadata` hidden column — resolvable only directly
     * over a file relation, which is why DV application happens per
@@ -1269,9 +1294,7 @@ object Manifest {
     val dvTouched: Seq[String] =
       if (delta.isEmpty) Nil
       else {
-        val names = spark.read
-          .parquet(delta.toSeq.sorted.map(d => s"$table/$d"): _*)
-          .select("file").distinct().collect().map(_.getString(0)).toSet
+        val names = dvDistinctFiles(spark, table, delta.toSeq.sorted)
         val common = (s1.paths.toSet & s2.paths.toSet).toSeq
         if (common.isEmpty) Nil
         else {
@@ -1346,12 +1369,30 @@ object Manifest {
       .groupBy(cols.map(F.col): _*)
       .agg(F.sum(F.col(sgn)).as(netc))
       .filter(F.col(netc) =!= 0L)
-    net.select((cols.map(F.col) :+
+    // |net| copies via TWO nested bounded generators (chunks of 2¹⁶ ×
+    // remainder) instead of one sequence(1, |net|): a single sequence
+    // materializes an O(|net|) array per row in one task and hard-fails
+    // past 2³¹ elements, where the nested form never holds more than
+    // 65536 elements per array and streams nets up to 2⁴⁷ — the same
+    // multiplicity, shaped for the pathological ultra-duplicated-row
+    // commit instead of failing on it.
+    val rep = "__graft_cdc_rep"
+    val chunk = 65536L
+    val n = F.abs(F.col(netc))
+    net.select((cols.map(F.col) :+ n.as("__graft_cdc_n") :+
         F.when(F.col(netc) > 0, F.lit("insert")).otherwise(F.lit("delete"))
-          .as("_change_type") :+
-        F.explode(F.sequence(F.lit(1L), F.abs(F.col(netc))))
-          .as("__graft_cdc_rep")): _*)
-      .drop("__graft_cdc_rep")
+          .as("_change_type")): _*)
+      .select((cols.map(F.col) :+ F.col("__graft_cdc_n") :+
+        F.col("_change_type") :+
+        F.explode(F.sequence(F.lit(0L),
+          F.floor((F.col("__graft_cdc_n") - 1L) / chunk).cast("long")))
+          .as(s"${rep}_c")): _*)
+      .select((cols.map(F.col) :+ F.col("_change_type") :+
+        F.explode(F.sequence(F.lit(1L),
+          F.least(F.lit(chunk),
+            F.col("__graft_cdc_n") - F.col(s"${rep}_c") * chunk)))
+          .as(rep)): _*)
+      .drop(rep)
   }
 
   /** COPY-ON-WRITE row delete — the takedown / right-to-be-forgotten
@@ -2274,13 +2315,25 @@ object Manifest {
         F.col(c).as(physMap(c))).toIndexedSeq: _*), parts)
     if (nSrc == 0) return snap // empty source: no-op, nothing committed
     val src = spark.read.parquet(s"$table/$srcRel")
-    // key hygiene on the frozen copy: NULL or duplicate keys = ambiguous
-    val bad = src.groupBy(keysP.map(F.col).toIndexedSeq: _*)
+    // key hygiene + bloom probes in ONE pass over the frozen copy
+    // (was two: a duplicate/NULL-key probe job, then a distinct-key
+    // xxhash64 collect). One aggregation by key, bad-keys-first
+    // TakeOrdered of cap+1 rows: any bad key sorts into the collected
+    // prefix (so the hygiene check stays exact however many keys there
+    // are), and when the source has ≤ cap distinct keys the same rows
+    // carry ALL the bloom probe hashes — hashed through Spark itself
+    // (xxhash64 over the frozen copy's own columns), so probe bits
+    // agree with the sidecar aggregate's bit-for-bit.
+    val probeCap = 10000
+    val keyProbe = src.groupBy(keysP.map(F.col).toIndexedSeq: _*)
       .agg(F.count(F.lit(1)).as("__n"))
-      .filter(F.col("__n") > 1 ||
-        keysP.map(k => F.col(k).isNull).reduce(_ || _))
-      .limit(1).collect()
-    if (bad.nonEmpty) {
+      .select(
+        F.xxhash64(keysP.map(F.col).toIndexedSeq: _*).as("__h"),
+        (F.col("__n") > 1 ||
+          keysP.map(k => F.col(k).isNull).reduce(_ || _)).as("__bad"))
+      .orderBy(F.col("__bad").desc)
+      .limit(probeCap + 1).collect()
+    if (keyProbe.exists(_.getBoolean(1))) {
       fs.delete(new Path(s"$table/$srcRel"), true)
       sys.error("Manifest.merge: source carries NULL or duplicate key " +
         "rows — an upsert with two writers of one key is ambiguous; " +
@@ -2293,18 +2346,13 @@ object Manifest {
     val srcKeys = src.select(keysP.map(F.col).toIndexedSeq: _*).distinct()
     // 2. phase 1 — EXACT touched-file set, bloom-restricted when
     // possible: single keys probe their own bloom, multi-column keys
-    // probe the COMPOSITE bloom (analyzeFilesBloom("a+b")) — the
-    // source keys hash through Spark itself (xxhash64 over the frozen
-    // source copy's own columns), so probe bits agree with the
-    // sidecar aggregate's bit-for-bit with no lit/cast re-derivation
+    // probe the COMPOSITE bloom (analyzeFilesBloom("a+b")) — probe
+    // hashes ride the hygiene pass above, no extra job
     val scanned =
       if (parts.isEmpty) {
-        val cap = 10000
         val bloomName = compositeName(keysP)
-        val hs = srcKeys
-          .select(F.xxhash64(keysP.map(F.col): _*).as("__h"))
-          .limit(cap + 1).collect().map(_.getLong(0)).toIndexedSeq
-        if (hs.size <= cap)
+        val hs = keyProbe.map(_.getLong(0)).toIndexedSeq
+        if (hs.size <= probeCap)
           pointCandidateFilesHashed(spark, table, snap, bloomName, hs) match {
             case None => raw
             case Some(fl) if fl.isEmpty => raw.limit(0)
@@ -2458,11 +2506,12 @@ object Manifest {
   def foldDeletes(spark: SparkSession, table: String): Snapshot = {
     val snap = currentSnapshot(spark, table).getOrElse(
       sys.error(s"Manifest.foldDeletes: $table has no committed snapshot"))
-    val dv = dvFrame(spark, table, snap).getOrElse(return snap)
+    val dvDirRels = snap.meta.get(DvKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
+      .getOrElse(return snap)
     val fs = fsFor(spark, table)
     val raw = readSnapshotRaw(spark, table, snap)
-    val dvRels = dv.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val dvRels = dvDistinctFiles(spark, table, dvDirRels)
     def norm(f: String) = new Path(f).toUri.getPath
     val tableAbs = norm(fs.makeQualified(new Path(table)).toString)
     val allFiles = raw.inputFiles.map(norm)
@@ -2573,12 +2622,19 @@ object Manifest {
     val delKeys = deletes.select(keys.map(k =>
         F.col(k).as(physMap(k))).toIndexedSeq: _*)
       .na.drop("any").distinct().cache()
-    val nDel = delKeys.count()
-    if (nIns == 0 && nDel == 0) { delKeys.unpersist(); return snap }
+    // ONE bounded collect doubles as the empty check (was a separate
+    // count() job — nDel was only ever compared to 0) and, for single
+    // keys, as the bloom probe value sample (was a second limit+collect
+    // job): cap+1 rows tell both "is it empty" and "are there ≤ cap
+    // values to probe with" without ever pulling an unbounded key set
+    // to the driver.
+    val delCap = 10000
+    val delSample = delKeys.limit(delCap + 1).collect()
+    if (nIns == 0 && delSample.isEmpty) { delKeys.unpersist(); return snap }
     // positions to mask: LIVE rows whose keys match — bloom-restricted
     // when possible, prior masks excluded (no duplicate positions)
     val dvRelOpt: Option[String] =
-      if (nDel == 0) None
+      if (delSample.isEmpty) None
       else {
         val partitioned =
           raw.inputFiles.exists(f => f.split('/').exists(_.contains("=")))
@@ -2588,15 +2644,11 @@ object Manifest {
               spark.read.parquet(s"$table/$p"))).reduce(_ unionByName _)
           else {
             val files =
-              if (keys.size == 1) {
-                val cap = 10000
-                val vals = delKeys.limit(cap + 1).collect()
-                  .map(_.get(0)).toSeq
-                if (vals.size <= cap)
-                  pointCandidateFiles(spark, table, snap, keysP.head, vals)
-                    .getOrElse(raw.inputFiles.toIndexedSeq)
-                else raw.inputFiles.toIndexedSeq
-              } else raw.inputFiles.toIndexedSeq
+              if (keys.size == 1 && delSample.length <= delCap)
+                pointCandidateFiles(spark, table, snap, keysP.head,
+                    delSample.map(_.get(0)).toSeq)
+                  .getOrElse(raw.inputFiles.toIndexedSeq)
+              else raw.inputFiles.toIndexedSeq
             if (files.isEmpty)
               // bloom excluded every file: nothing can match
               selectWithPos(snapshotReader(spark, snap)
@@ -3142,8 +3194,52 @@ object Manifest {
         Array[org.apache.spark.sql.Row])] =
     try {
       val df = spark.read.parquet(dir.toString)
-      Some((df.schema, df.collect()))
+      val schema = df.schema
+      // sidecars are written coalesce(1) and are per-FILE metadata —
+      // read them AT THE DRIVER (guide §5: metadata at the driver,
+      // jobs for data). The previous df.collect() launched a Spark
+      // job per consult — pure scheduling latency for a one-file
+      // read, paid by every envelope/bloom/stats decision. A sidecar
+      // that somehow grew past the cap, or any reader surprise, falls
+      // back to the distributed collect.
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      val files = walkParquetStatus(fs, dir)
+      val rows =
+        try {
+          if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else if (files.map(_._2).sum > (64L << 20)) df.collect()
+          else driverReadParquetRows(spark, files, schema, conf)
+        } catch { case scala.util.control.NonFatal(_) => df.collect() }
+      Some((schema, rows))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Rows of small parquet files read ON THE DRIVER through Spark's
+    * own file-format reader (the [[graft.sources.ManifestStream]] /
+    * native-scan reader function, invoked here instead of inside a
+    * task) — no job, no scheduling round trip. Callers bound the
+    * total bytes; this is for sidecar-sized metadata only. */
+  private def driverReadParquetRows(spark: SparkSession,
+      files: Seq[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+    val fmt = new org.apache.spark.sql.execution.datasources
+      .parquet.ParquetFileFormat()
+    val readFn = fmt.buildReaderWithPartitionValues(spark, schema,
+      new org.apache.spark.sql.types.StructType(), schema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), conf)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    files.iterator.flatMap { case (f, len) =>
+      readFn(PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(f), 0L, len,
+        Array.empty[String]))
+        .map(r => conv(r.copy()).asInstanceOf[org.apache.spark.sql.Row])
+    }.toArray
+  }
 
   /** Record per-FILE min/max envelopes of `cols` for the current
     * snapshot, as a sidecar parquet under `_manifest/` (invisible to
@@ -3434,9 +3530,7 @@ object Manifest {
       snap: Snapshot, column: String,
       values: Seq[Any]): Option[Seq[String]] = {
     val dt = readSnapshotRaw(spark, table, snap).schema(column).dataType
-    val probes = spark.range(1).select(
-        F.array(values.map(v => F.xxhash64(F.lit(v).cast(dt))): _*))
-      .first().getSeq[Long](0)
+    val probes = values.map(v => driverHash(Seq(v -> dt)))
     pointCandidateFilesHashed(spark, table, snap, column, probes)
   }
 
@@ -3448,12 +3542,21 @@ object Manifest {
       rows: Seq[Seq[Any]]): Option[Seq[String]] = {
     val sch = readSnapshotRaw(spark, table, snap).schema
     val dts = keys.map(k => sch(k).dataType)
-    val probes = spark.range(1).select(
-        F.array(rows.map(r => F.xxhash64(
-          r.zip(dts).map { case (v, dt) => F.lit(v).cast(dt) }: _*)): _*))
-      .first().getSeq[Long](0)
+    val probes = rows.map(r => driverHash(r.zip(dts)))
     pointCandidateFilesHashed(spark, table, snap,
       compositeName(keys), probes)
+  }
+
+  /** xxhash64 of literal probe values, evaluated AT THE DRIVER — the
+    * exact expression `F.xxhash64(F.lit(v).cast(dt))` the sidecar
+    * build hashes with, but eval'd directly instead of launching a
+    * 1-row Spark job per probe batch (the job was pure scheduling
+    * latency: constant inputs, constant output). */
+  private def driverHash(vals: Seq[(Any, org.apache.spark.sql.types.DataType)]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val children = vals.map { case (v, dt) =>
+      Cast(Literal.create(v), dt, Some("UTC")) }
+    XxHash64(children, 42L).eval(null).asInstanceOf[Long]
   }
 
   /** The bloom decision core: candidate files whose `<bloomName>`
@@ -4132,9 +4235,15 @@ object Manifest {
     dvFrame(spark, table, snap) match {
       case None => Map.empty
       case Some(dv) =>
+        // push the probed-file restriction INTO the DV parquet read
+        // (isInCollection → an In/InSet the scan evaluates, and — for
+        // small key sets — a pushed parquet filter), so only the
+        // probed files' positions ever reach the driver instead of
+        // the whole vector being collected and filtered here.
         val keys = files.map(f => relFileKey(normPath(f))).toSet
-        dv.select("file", "pos").collect().toSeq
-          .filter(r => keys.contains(r.getString(0)))
+        dv.select("file", "pos")
+          .where(F.col("file").isInCollection(keys))
+          .collect().toSeq
           .groupBy(_.getString(0))
           .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
     }
@@ -4486,7 +4595,7 @@ object Manifest {
     }.flatten.toMap
   }
 
-  private def tagVersionOpt(spark: SparkSession, table: String,
+  private[graft] def tagVersionOpt(spark: SparkSession, table: String,
       name: String): Option[Long] = {
     val fs = fsFor(spark, table)
     val f = tagFile(table, name)

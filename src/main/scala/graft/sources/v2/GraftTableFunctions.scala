@@ -78,17 +78,18 @@ object GraftTableFunctions {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: UTF8String, _) if v != null =>
       val s0 = v.toString
-      // only the MISSING-TAG failure may fall through to the timestamp
-      // interpretation — an unrelated I/O failure reading the tag file
-      // must propagate, not silently reroute the query to a different
-      // version. (Bare-integer strings stay timestamp-eligible: the
-      // epoch-millis string form is part of the table_changes contract.)
-      try Manifest.tagVersion(spark, path, s0)
-      catch { case scala.util.control.NonFatal(tagErr)
-          if tagErr.getMessage != null && tagErr.getMessage.contains("no tag") =>
+      // only a genuinely MISSING tag falls through to the timestamp
+      // interpretation — branch on tagVersionOpt's None rather than
+      // sniffing an error message, so an unrelated I/O failure reading
+      // the tag file still propagates instead of silently rerouting
+      // the query to a different version. (Bare-integer strings stay
+      // timestamp-eligible: the epoch-millis string form is part of
+      // the table_changes contract.)
+      Manifest.tagVersionOpt(spark, path, s0).getOrElse {
         scala.util.Try(graft.sources.ManifestStream.parseTs(s0)).toOption match {
           case Some(ts) => Manifest.versionAt(spark, path, ts)
-          case None => throw tagErr
+          case None => sys.error(
+            s"Manifest.tagVersion: no tag '$s0' on $path")
         }
       }
     case other => throw new CubeQueryException(

@@ -550,10 +550,21 @@ object Streaming {
     val s = batch0.sparkSession
     val batch = batch0.persist()
     try {
-      // the fingerprint's row count doubles as the empty check — one
-      // aggregation pass instead of isEmpty + fingerprint
-      val fp = contentFingerprint(batch)
-      if (fp.endsWith(":0")) return
+      // ONE aggregation job answers three questions for the common
+      // (no orderCol) shape: the content fingerprint, the empty check
+      // (the count field, read structurally), and the NULL/duplicate
+      // key hygiene probe that previously ran as its own groupBy job
+      // before applyDeltaMoR. With orderCol the hygiene check must run
+      // over the DEDUPED frame instead, so only fp+count fuse there.
+      val (fp, nRows, dupRaw) = orderCol match {
+        case None =>
+          val (f, n, d) = fingerprintAndKeyCheck(batch, keys)
+          (f, n, Some(d))
+        case Some(_) =>
+          val (f, n) = contentFingerprint(batch)
+          (f, n, None)
+      }
+      if (nRows == 0L) return
       val cur = Manifest.currentSnapshot(s, table)
       cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
         case Some(n) if batchId < n => sys.error(
@@ -596,12 +607,16 @@ object Streaming {
             Manifest.create(s, table, deduped, meta = meta)
           else {
             // post-dedup ambiguity (no orderCol, duplicate keys) still
-            // refuses — applyDeltaMoR itself doesn't check
-            val dup = deduped.groupBy(keys.map(F.col): _*)
-              .agg(F.count(F.lit(1)).as("__n"))
-              .filter(F.col("__n") > 1 ||
-                keys.map(k => F.col(k).isNull).reduce(_ || _))
-              .limit(1).count()
+            // refuses — applyDeltaMoR itself doesn't check. Without an
+            // orderCol the flag already rode the fingerprint job;
+            // with one, deduped ≠ batch, so probe the deduped frame.
+            val dup = dupRaw.map(d => if (d) 1L else 0L).getOrElse {
+              deduped.groupBy(keys.map(F.col): _*)
+                .agg(F.count(F.lit(1)).as("__n"))
+                .filter(F.col("__n") > 1 ||
+                  keys.map(k => F.col(k).isNull).reduce(_ || _))
+                .limit(1).count()
+            }
             if (dup > 0) sys.error(
               s"manifest upsert sink: batch $batchId carries NULL or " +
                 "duplicate keys — pass orderCol to pick per-key " +
@@ -640,7 +655,7 @@ object Streaming {
     // if the pipeline has any nondeterminism
     val batch = batch0.persist()
     try {
-    val fp = contentFingerprint(batch)
+    val (fp, _) = contentFingerprint(batch)
     val cur = Manifest.currentSnapshot(s, table)
     cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
       case Some(n) if batchId < n => sys.error(
@@ -675,18 +690,46 @@ object Streaming {
   }
 
   /** Order-independent content fingerprint of a frame: the EXACT
-    * decimal sum of per-row hashes plus the row count. A decimal(38,0)
-    * sum neither overflows (ANSI would throw on a long sum of 64-bit
-    * hashes) nor cancels — bit_xor would erase duplicate-row PAIRS,
-    * letting {A,B,B} collide with {A,C,C}, exactly the different-
-    * content case the sink's guard exists to catch. */
-  private[graft] def contentFingerprint(df: DataFrame): String = {
+    * decimal sum of per-row hashes plus the row count, returned as
+    * (formatted "sum:count" string, count) so callers read the
+    * emptiness STRUCTURALLY instead of sniffing the string format. A
+    * decimal(38,0) sum neither overflows (ANSI would throw on a long
+    * sum of 64-bit hashes) nor cancels — bit_xor would erase
+    * duplicate-row PAIRS, letting {A,B,B} collide with {A,C,C},
+    * exactly the different-content case the sink's guard exists to
+    * catch. */
+  private[graft] def contentFingerprint(df: DataFrame): (String, Long) = {
     val r = df.agg(
       F.coalesce(F.sum(F.expr("xxhash64(struct(" +
         df.columns.map(c => s"`$c`").mkString(",") + "))")
         .cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).as("__s"),
       F.count(F.lit(1)).as("__n")).first()
-    s"${r.getDecimal(0).toBigInteger.toString}:${r.getLong(1)}"
+    (s"${r.getDecimal(0).toBigInteger.toString}:${r.getLong(1)}", r.getLong(1))
+  }
+
+  /** [[contentFingerprint]] FUSED with the upsert sink's NULL/duplicate
+    * key hygiene probe — one two-level aggregation job (per-key partial
+    * hashes and counts, then the global roll-up) instead of a
+    * fingerprint pass plus a separate groupBy-keys probe job over the
+    * same batch. The decimal per-key sums re-sum to the identical
+    * global fingerprint (decimal addition is exact and associative
+    * here), and the dup flag is true iff any key group has > 1 rows or
+    * a NULL key component. */
+  private[graft] def fingerprintAndKeyCheck(df: DataFrame,
+      keys: Seq[String]): (String, Long, Boolean) = {
+    val perKey = df.groupBy(keys.map(F.col): _*).agg(
+      F.coalesce(F.sum(F.expr("xxhash64(struct(" +
+        df.columns.map(c => s"`$c`").mkString(",") + "))")
+        .cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).as("__s"),
+      F.count(F.lit(1)).as("__n"))
+    val r = perKey.agg(
+      F.coalesce(F.sum("__s"), F.lit(0).cast("decimal(38,0)")).as("__s"),
+      F.coalesce(F.sum("__n"), F.lit(0L)).as("__n"),
+      F.coalesce(F.max(F.col("__n") > 1 ||
+        keys.map(k => F.col(k).isNull).reduce(_ || _)), F.lit(false))
+        .as("__dup")).first()
+    (s"${r.getDecimal(0).toBigInteger.toString}:${r.getLong(1)}",
+      r.getLong(1), r.getBoolean(2))
   }
 
   /** THE live curation pipeline — the q195 batch capstone at ingest,

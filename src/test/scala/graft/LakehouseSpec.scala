@@ -2411,4 +2411,60 @@ class LakehouseSpec extends AnyFunSuite {
     Manifest.compact(spark, tbl, targetBytes = Long.MaxValue)
     assert(Manifest.readChanges(spark, tbl, 2L, 3L).count() == 0)
   }
+
+  test("change feed replication at the chunk boundary: multiplicities " +
+      "65535/65536/65537 come through exactly (nested-generator path)") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_cdc_chunk").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((0L, "seed")).toDF("id", "s").coalesce(1))
+    // one identical row duplicated exactly chunk-1 / chunk / chunk+1
+    // times: the two-level explode (chunks of 2^16 + remainder) must
+    // emit |net| copies at each edge — the off-by-one territory of
+    // the round-22 bounded-generator rewrite
+    def dups(id: Long, n: Long) =
+      spark.range(n).select(F.lit(id).as("id"), F.lit("d").as("s"))
+    Manifest.commitAppend(spark, tbl,
+      dups(1L, 65535L).unionAll(dups(2L, 65536L)).unionAll(dups(3L, 65537L)))
+    val feed = Manifest.readChanges(spark, tbl, 1L, 2L)
+      .groupBy("id").agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col("_change_type")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(feed(1L) == ((65535L, 1L)))
+    assert(feed(2L) == ((65536L, 1L)))
+    assert(feed(3L) == ((65537L, 1L)))
+  }
+
+  test("merge key hygiene stays exact past the bloom-probe cap: one " +
+      "duplicate among 10001+ distinct keys still refuses; a clean " +
+      "over-cap source still merges") {
+    import graft.sources.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_merge_cap").toString
+    val tbl = s"$dir/t"
+    Manifest.create(spark, tbl,
+      Seq((1L, 1L), (2L, 2L)).toDF("id", "v").coalesce(1))
+    // 10002 distinct keys + ONE duplicate: over the cap the fused
+    // bad-first TakeOrdered collects only cap+1 rows — the duplicate
+    // must sort into that prefix and refuse (the hygiene contract is
+    // exact at any key count, not sample-based)
+    val dup = spark.range(10002L).select(F.col("id"), F.col("id").as("v"))
+      .unionAll(Seq((5L, 99L)).toDF("id", "v"))
+    val e = intercept[RuntimeException](
+      Manifest.merge(spark, tbl, dup, Seq("id")))
+    assert(e.getMessage.contains("duplicate key"),
+      s"expected the hygiene refusal, got: ${e.getMessage}")
+    assert(Manifest.currentSnapshot(spark, tbl).get.version == 1L,
+      "a refused merge must commit nothing")
+    // the same source WITHOUT the duplicate (> cap distinct keys, so
+    // the bloom restriction falls back to the full scan) merges fine
+    Manifest.merge(spark, tbl,
+      spark.range(10002L).select(F.col("id"), (F.col("id") + 100L).as("v")),
+      Seq("id"))
+    val after = Manifest.read(spark, tbl)
+    assert(after.count() == 10002L)
+    assert(after.filter(F.col("id") === 1L).head().getLong(1) == 101L)
+  }
 }

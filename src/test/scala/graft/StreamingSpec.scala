@@ -984,4 +984,33 @@ class StreamingSpec extends AnyFunSuite {
     Manifest.foldDeletes(spark, tbl)
     assert(rows == expected)
   }
+
+  test("fused fingerprint+key-hygiene aggregation equals the separate " +
+      "passes: identical fingerprint string, exact dup/NULL flag") {
+    import spark.implicits._
+    def check(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+        expectDup: Boolean): Unit = {
+      val (fp0, n0) = Streaming.contentFingerprint(df)
+      val (fp1, n1, dup) = Streaming.fingerprintAndKeyCheck(df, keys)
+      assert(fp1 == fp0, s"fused fingerprint drifted: $fp1 vs $fp0")
+      assert(n1 == n0)
+      assert(dup == expectDup)
+    }
+    val clean = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", -1.0))
+      .toDF("id", "s", "v")
+    check(clean, Seq("id"), expectDup = false)
+    // duplicate key (different payloads)
+    check(clean.unionAll(Seq((2L, "zz", 9.9)).toDF("id", "s", "v")),
+      Seq("id"), expectDup = true)
+    // NULL key component flags even without duplicates
+    check(Seq((Some(1L), "a"), (None, "b")).toDF("id", "s"),
+      Seq("id"), expectDup = true)
+    // composite keys
+    check(clean.withColumn("k2", $"id" % 2), Seq("id", "k2"),
+      expectDup = false)
+    // empty frame: "0:0", zero rows, no dup
+    val empty = clean.limit(0)
+    check(empty, Seq("id"), expectDup = false)
+    assert(Streaming.contentFingerprint(empty)._1 == "0:0")
+  }
 }
