@@ -97,15 +97,29 @@ object TextAnalysis {
 
   /** Detected language = first language (in declaration order) whose
     * stopword-hit count is maximal; "und" (undetermined) if all zero. */
-  def langId(text: Column): Column = {
-    val toks = tokens(F.lower(text))
-    val scores = LangStopwords.map { case (lang, words) =>
-      lang -> F.size(F.filter(toks, t => t.isin(words: _*)))
-    }
-    val maxScore = F.greatest(scores.map(_._2): _*)
-    scores.foldRight(F.lit("und"): Column) { case ((lang, sc), els) =>
-      F.when(sc === maxScore && maxScore > 0, F.lit(lang)).otherwise(els)
-    }
+  def langId(text: Column): Column =
+    langIdFromTokens(tokens(F.lower(text)))
+
+  /** [[langId]] over an already-tokenized LOWERCASE token array — the
+    * shape the staged [[profile]] projection feeds. Each language's
+    * hit count is evaluated ONCE into an array of (score, lang)
+    * structs and the argmax is a 4-element fold keeping the FIRST
+    * strictly-greater score — exactly the previous when-chain's
+    * declaration-order tie-break and its "und" when no score is
+    * positive, but without re-evaluating every language's
+    * filter-count in every CASE branch (the old expression tree
+    * computed each count up to 8×; higher-order functions are
+    * codegen-fallback, so nothing deduplicated them). */
+  private[llm] def langIdFromTokens(toks: Column): Column = {
+    val pairs = F.array(LangStopwords.map { case (lang, words) =>
+      F.struct(
+        F.size(F.filter(toks, t => t.isin(words: _*))).as("s"),
+        F.lit(lang).as("n")) }: _*)
+    F.aggregate(pairs,
+        F.struct(F.lit(0).as("s"), F.lit("und").as("n")),
+        (acc, p) => F.when(p.getField("s") > acc.getField("s"), p)
+          .otherwise(acc))
+      .getField("n")
   }
 
   /** Overlapping word n-grams as an array column ("a b c", "b c d", …).
@@ -215,18 +229,23 @@ object TextAnalysis {
     * the C4 page rules), and the cleaned text (surviving lines
     * re-joined). Zero shuffles: every rule is a function of the one
     * row. */
-  def c4Clean(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val lines = F.split(textCol, "\n")
-    val kept = F.filter(lines, l => c4LineKeep(l))
-    docs.select(
-      idCol.as("doc_id"),
-      F.size(lines).as("n_lines"),
-      F.size(kept).as("n_kept"),
-      (F.size(kept) >= 3 &&
-        !F.lower(textCol).contains("lorem ipsum") &&
-        !textCol.contains("{")).as("kept_doc"),
-      F.array_join(kept, "\n").as("text_clean"))
-  }
+  def c4Clean(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    // staged like [[profile]]: the line split and the per-line keep
+    // filter (a regex per line) each evaluate ONCE, instead of the
+    // filter running 3× per row (n_kept, the page verdict, and the
+    // re-joined text all referenced it). Same formulas, same output.
+    docs.select(idCol.as("doc_id"), textCol.as("__text"),
+        F.split(textCol, "\n").as("__lines"))
+      .select(F.col("doc_id"), F.col("__text"), F.col("__lines"),
+        F.filter(F.col("__lines"), l => c4LineKeep(l)).as("__kept"))
+      .select(
+        F.col("doc_id"),
+        F.size(F.col("__lines")).as("n_lines"),
+        F.size(F.col("__kept")).as("n_kept"),
+        (F.size(F.col("__kept")) >= 3 &&
+          !F.lower(F.col("__text")).contains("lorem ipsum") &&
+          !F.col("__text").contains("{")).as("kept_doc"),
+        F.array_join(F.col("__kept"), "\n").as("text_clean"))
 
   // ---- Gopher quality rules (Rae et al. 2021, arXiv 2112.11446 §A1.1)
 
@@ -260,21 +279,34 @@ object TextAnalysis {
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2, maxTop2Cov: Double = 0.2,
       maxDup3Frac: Double = 0.3): DataFrame = {
-    val toks = tokens(textCol)
-    val lowToks = tokens(F.lower(textCol))
-    val lines = F.split(textCol, "\n")
+    // staged like [[profile]]: the token/line arrays materialize ONCE
+    // in a first projection instead of re-splitting inside every
+    // signal's codegen-fallback higher-order function (the flat form
+    // recomputed `split(trim(text))` 4× and the line split 3× per
+    // row — at 100 TB the gate is a map-only scan, so per-row work IS
+    // its cost). Signal formulas and rounding are byte-identical.
+    val toks = F.col("__toks")
+    val lines = F.col("__lines")
     val nWords = F.size(toks)
     val nLines = F.size(lines)
-    val nHash = F.length(textCol) -
-      F.length(F.regexp_replace(textCol, "#", ""))
-    val nEllipsis = (F.length(textCol) -
-      F.length(F.regexp_replace(textCol, "\\.\\.\\.", ""))) / 3
-    val stopHits = F.size(F.filter(F.array_distinct(lowToks),
+    val nHash = F.length(F.col("__text")) -
+      F.length(F.regexp_replace(F.col("__text"), "#", ""))
+    val nEllipsis = (F.length(F.col("__text")) -
+      F.length(F.regexp_replace(F.col("__text"), "\\.\\.\\.", ""))) / 3
+    val stopHits = F.size(F.filter(F.array_distinct(F.col("__ltoks")),
       t => t.isin(GopherStopwords: _*)))
     docs.select(
-      idCol.as("doc_id"),
+      idCol.as("doc_id"), textCol.as("__text"),
+      tokens(textCol).as("__toks"),
+      tokens(F.lower(textCol)).as("__ltoks"),
+      F.split(textCol, "\n").as("__lines"))
+    .select(
+      F.col("doc_id"),
       nWords.as("n_words"),
-      avgTokenLen(textCol).as("mean_word_len"),
+      F.round(
+        F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t))
+          .cast("double") / F.greatest(nWords, F.lit(1)), 6)
+        .as("mean_word_len"),
       F.round((nHash + nEllipsis).cast("double") /
         F.greatest(nWords, F.lit(1)), 6).as("symbol_ratio"),
       F.round(F.size(F.filter(lines, l => F.trim(l).rlike("^[-*•]")))
@@ -284,8 +316,8 @@ object TextAnalysis {
       F.round(F.size(F.filter(toks, t => t.rlike("[A-Za-z]")))
         .cast("double") / F.greatest(nWords, F.lit(1)), 6).as("alpha_frac"),
       stopHits.as("stop_hits"),
-      topNgramCoverage(textCol, 2).as("top2_cov"),
-      dupNgramFraction(textCol, 3).as("dup3_frac"))
+      topNgramCoverage(F.col("__text"), 2).as("top2_cov"),
+      dupNgramFraction(F.col("__text"), 3).as("dup3_frac"))
     .withColumn("kept",
       F.col("n_words") >= minWords && F.col("n_words") <= maxWords &&
         F.col("mean_word_len") >= minMeanLen &&
@@ -331,17 +363,52 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
-  /** One-stop profile projection for a documents table. */
-  def profile(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    df.select(
-      idCol.as("doc_id"),
-      tokenCount(textCol).as("n_tokens"),
-      subwordCount(textCol).as("n_subwords"),
-      F.length(textCol).as("n_chars"),
-      avgTokenLen(textCol).as("avg_token_len"),
-      punctRatio(textCol).as("punct_ratio"),
-      stopwordRatio(textCol).as("stopword_ratio"),
-      qualityScore(textCol).as("quality"),
-      langId(textCol).as("lang_pred"),
-      md5Fingerprint(textCol).as("fingerprint"))
+  /** One-stop profile projection for a documents table.
+    *
+    * STAGED on purpose (guide §1.2's per-task work): the signal
+    * formulas all derive from the same token arrays, and composing
+    * them as independent Column functions re-embedded
+    * `split(trim(text))` / `split(trim(lower(text)))` ~20× per row in
+    * one giant projection — each copy inside a codegen-fallback
+    * higher-order function, so neither whole-stage codegen's
+    * subexpression elimination nor CollapseProject deduplicated
+    * anything. The arrays now materialize ONCE in a first projection
+    * (CollapseProject keeps the boundary: the aliases are referenced
+    * many times and split is not cheap), the signals read them, and
+    * the composite quality score reads the ROUNDED sibling signals in
+    * a third stage — the identical arithmetic on identical inputs,
+    * bit-for-bit (quality always consumed the rounded ratios). */
+  def profile(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = F.col("__toks")
+    val nToks = F.size(toks)
+    val staged = df.select(
+        idCol.as("doc_id"), textCol.as("__text"),
+        tokens(textCol).as("__toks"),
+        tokens(F.lower(textCol)).as("__ltoks"))
+      .select(
+        F.col("doc_id"),
+        nToks.as("n_tokens"),
+        subwordCount(F.col("__text")).as("n_subwords"),
+        F.length(F.col("__text")).as("n_chars"),
+        F.round(
+          F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t))
+            .cast("double") / F.greatest(nToks, F.lit(1)), 6)
+          .as("avg_token_len"),
+        punctRatio(F.col("__text")).as("punct_ratio"),
+        F.round(
+          F.size(F.filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
+            F.greatest(nToks, F.lit(1)), 6).as("stopword_ratio"),
+        langIdFromTokens(F.col("__ltoks")).as("lang_pred"),
+        md5Fingerprint(F.col("__text")).as("fingerprint"))
+    staged.select(
+      F.col("doc_id"), F.col("n_tokens"), F.col("n_subwords"),
+      F.col("n_chars"), F.col("avg_token_len"), F.col("punct_ratio"),
+      F.col("stopword_ratio"),
+      F.round(
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5 +
+          (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3 +
+          F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2, 6)
+        .as("quality"),
+      F.col("lang_pred"), F.col("fingerprint"))
+  }
 }
