@@ -550,23 +550,34 @@ object Streaming {
     val s = batch0.sparkSession
     val batch = batch0.persist()
     try {
-      // ONE aggregation job answers three questions for the common
-      // (no orderCol) shape: the content fingerprint, the empty check
-      // (the count field, read structurally), and the NULL/duplicate
-      // key hygiene probe that previously ran as its own groupBy job
-      // before applyDeltaMoR. With orderCol the hygiene check must run
-      // over the DEDUPED frame instead, so only fp+count fuse there.
-      val (fp, nRows, dupRaw) = orderCol match {
-        case None =>
+      // which aggregation this batch needs is decidable from DRIVER
+      // METADATA before any data moves: only the real-upsert branch
+      // (no orderCol, table already manifested, batch id above the
+      // high-water) consumes the NULL/duplicate-key hygiene flag, and
+      // there ONE two-level job computes fingerprint + empty check +
+      // hygiene together (it pays the same keyed exchange the old
+      // separate groupBy probe paid, one pass instead of two). Every
+      // other path — create, replay skip, low-water refusal, orderCol
+      // (whose hygiene must probe the DEDUPED frame) — keeps the plain
+      // global-aggregate fingerprint, which shuffles one row per
+      // partition: fusing unconditionally would have added an O(batch)
+      // keyed exchange to the replay/create paths that never needed
+      // the flag.
+      val cur = Manifest.currentSnapshot(s, table)
+      val highWater = cur.flatMap(_.meta.get("stream_batch")).map(_.toLong)
+      val needDup = orderCol.isEmpty &&
+        Manifest.isManifested(s, table) &&
+        !highWater.exists(batchId <= _)
+      val (fp, nRows, dupRaw) =
+        if (needDup) {
           val (f, n, d) = fingerprintAndKeyCheck(batch, keys)
           (f, n, Some(d))
-        case Some(_) =>
+        } else {
           val (f, n) = contentFingerprint(batch)
           (f, n, None)
-      }
+        }
       if (nRows == 0L) return
-      val cur = Manifest.currentSnapshot(s, table)
-      cur.flatMap(_.meta.get("stream_batch")).map(_.toLong) match {
+      highWater match {
         case Some(n) if batchId < n => sys.error(
           s"manifest upsert sink: batch id $batchId is below $table's " +
             s"recorded high-water $n — a different stream lineage is " +
